@@ -1,0 +1,58 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** D1 — keep-FIRST deduplication on a composite key (SURVEY §2.5; reference
+  * /root/reference/flows/pipeline.py:154-156, pandas
+  * `drop_duplicates(keep="first")` = first in input-file order).
+  *
+  * Spark's `dropDuplicates` keeps an ARBITRARY row per key (whichever the
+  * partial aggregate sees first), so faithful keep-first needs an explicit
+  * order column stamped BEFORE any shuffle, then a ranking window.
+  *
+  * Scale note: the window shuffles once on the key columns — same cost as
+  * `dropDuplicates` itself (also one shuffle on the keys). Skewed keys can be
+  * salted by pre-aggregating `min(_ingest_id)` per key and semi-joining back;
+  * at fixture scale the plain window is the better plan.
+  */
+object Dedup {
+
+  val IngestIdCol = "_ingest_id"
+
+  /** Stamp input order. `monotonically_increasing_id` is (partitionId <<
+    * 33) + row-offset, and file splits are assigned to partitions in file
+    * order, so ids increase with position in the input — but ONLY if called
+    * directly on the scan, before any shuffle/repartition.
+    */
+  def stampIngestOrder(df: DataFrame): DataFrame =
+    df.withColumn(IngestIdCol, monotonically_increasing_id())
+
+  /** Keep the first row (by `orderCol`) per composite key. Key list is
+    * filtered to existing columns, like the reference (pipeline.py:154-155);
+    * no keys present → no-op.
+    */
+  def keepFirst(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val present = keys.filter(df.columns.contains)
+    if (present.isEmpty) df
+    else {
+      val w = Window.partitionBy(present.map(col): _*).orderBy(col(orderCol).asc)
+      df.withColumn("_kf_rn", row_number().over(w))
+        .filter(col("_kf_rn") === 1)
+        .drop("_kf_rn")
+    }
+  }
+
+  /** Reference-exact composite key + stamped-order variant: dedup on
+    * (timestamp, receiving_address, transaction_type, amount) keeping first
+    * input row. Requires `stampIngestOrder` to have run at scan time.
+    */
+  def keepFirstByIngestOrder(df: DataFrame): DataFrame = {
+    require(df.columns.contains(IngestIdCol),
+      s"call stampIngestOrder at scan time before keepFirstByIngestOrder")
+    keepFirst(df,
+      Seq("timestamp", "receiving_address", "transaction_type", "amount"),
+      IngestIdCol)
+  }
+}

@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver's parquet fixtures (TESTDATA.md).
+  *
+  * All tables are plain parquet scans — Catalyst pushes filters/projections
+  * down to the vectorized reader, so callers should NOT pre-materialize.
+  */
+object Io {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read the nanos as a
+    * long (`spark.sql.legacy.parquet.nanosAsLong` — a runtime SQL conf) and
+    * truncate to Spark's native microsecond TimestampType with exact integer
+    * division, which is the same ns→µs truncation DuckDB applies when IT
+    * reads the file — so both engines see identical timestamps.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsRaw(spark, sfDir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Same, but leaves `ts` as the raw epoch-nanos long — used by queries that
+    * exercise epoch-unit detection (SURVEY §2.3).
+    */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Projection / rename / type-coercion operators (SURVEY §2.2; reference
+  * behavior at /root/reference/flows/pipeline.py:118-148).
+  *
+  * All helpers are pure `Column` functions so they stay inside whole-stage
+  * codegen and Catalyst can push/prune around them.
+  */
+object Normalize {
+
+  /** P1 — column-name normalization: `strip().lower().replace(" ", "_")`
+    * (pipeline.py:118). Pure metadata rename, no job.
+    */
+  def normalizeNames(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(normName): _*)
+
+  def normName(c: String): String = c.trim.toLowerCase.replace(" ", "_")
+
+  /** P2 — string standardization with pandas-faithful null-coding
+    * (pipeline.py:120-128): `astype(str).str.strip()[.str.lower()]` then an
+    * EXACT-match replace of null literals. The replace runs AFTER trim/lower,
+    * so on lowercased columns the literal "None" has already become "none"
+    * and is NOT nulled — that quirk is preserved (see normTransactionType).
+    */
+  def normStr(c: Column, lowerCase: Boolean, nullLiterals: Seq[String]): Column = {
+    val trimmed = trim(c.cast("string"))
+    val v       = if (lowerCase) lower(trimmed) else trimmed
+    when(v.isin(nullLiterals: _*), lit(null).cast("string")).otherwise(v)
+  }
+
+  /** pipeline.py:121 — trim; ""/"nan"/"None" → null. */
+  def normAddress(c: Column): Column =
+    normStr(c, lowerCase = false, Seq("", "nan", "None"))
+
+  /** pipeline.py:123 — trim+lower; the replace map {"","nan","None"} is
+    * applied to the ALREADY-lowercased value, so only ""/"nan" can match.
+    */
+  def normTransactionType(c: Column): Column =
+    normStr(c, lowerCase = true, Seq("", "nan"))
+
+  /** pipeline.py:124-128 — trim; ""/"nan"/"None"/"0" → null. */
+  def normRegion(c: Column): Column =
+    normStr(c, lowerCase = false, Seq("", "nan", "None", "0"))
+
+  /** P3 — `pd.to_numeric(errors="coerce")`: unparseable → null, never error.
+    * Spark 4 runs ANSI-on by default where a bare `cast` THROWS on bad input;
+    * `try_cast` reproduces coerce-to-null semantics.
+    */
+  def tryNum(c: Column): Column = c.try_cast("double")
+
+  /** P4 — missing-column synthesis (pipeline.py:140-141,145-146): absent
+    * columns materialize as all-null of the expected type.
+    */
+  def ensureColumn(df: DataFrame, name: String, sqlType: String): DataFrame =
+    if (df.columns.contains(name)) df
+    else df.withColumn(name, lit(null).cast(sqlType))
+}

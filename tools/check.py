@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run each oracle_sql.json
+entry in DuckDB over the fixture tables and compare against the parquet
+dumped by graft.Verify (columns sorted by name, exact values).
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+"""
+import glob, json, sys
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        want = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}")
+        fail += 1
+        continue
+    files = glob.glob(f"{OUT}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fail += 1
+        continue
+    got = pd.read_parquet(f"{OUT}/{name}")
+    want = want[sorted(want.columns)]
+    got = got[sorted(got.columns)]
+    if list(want.columns) != list(got.columns):
+        print(f"FAIL {name}: columns want={list(want.columns)} got={list(got.columns)}")
+        fail += 1
+        continue
+    if len(want) != len(got):
+        print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
+        fail += 1
+        continue
+    bad = []
+    for c in want.columns:
+        w, g = want[c].values, got[c].values
+        if w.dtype.kind == "f" or g.dtype.kind == "f":
+            eq = (pd.isna(w) & pd.isna(g)) | (w == g)
+        else:
+            eq = (pd.isna(w) & pd.isna(g)) | (pd.Series(w).eq(pd.Series(g)).values)
+        if not eq.all():
+            i = int(np.argmin(eq))
+            bad.append(f"{c}[row {i}]: want={w[i]!r} got={g[i]!r} "
+                       f"(dtypes {w.dtype}/{g.dtype}, {int((~eq).sum())} diffs)")
+    if bad:
+        print(f"FAIL {name}: " + "; ".join(bad[:3]))
+        fail += 1
+    else:
+        print(f"OK   {name} ({len(want)} rows)")
+print(f"{'ALL OK' if fail == 0 else f'{fail} FAILURES'} / {len(oracle)} queries")
+sys.exit(1 if fail else 0)
