@@ -18,9 +18,22 @@ object SparkEntry {
     "r4_group_avg"         -> (ReferenceQueries.r4GroupAvg _),
     "r5_latest_per_key"    -> (ReferenceQueries.r5LatestPerKey _),
     "r6_topk"              -> (ReferenceQueries.r6TopK _),
-    "r7_epoch_roundtrip"   -> (ReferenceQueries.r7EpochRoundtrip _))
+    "r7_epoch_roundtrip"   -> (ReferenceQueries.r7EpochRoundtrip _),
+    "x1_join_broadcast"    -> (ExtendedQueries.x1JoinBroadcast _),
+    "x2_join_shuffle_agg"  -> (ExtendedQueries.x2JoinShuffleAgg _),
+    "x3_join_anti"         -> (ExtendedQueries.x3JoinAnti _),
+    "x4_rollup"            -> (ExtendedQueries.x4Rollup _),
+    "x5_window_running"    -> (ExtendedQueries.x5WindowRunning _),
+    "x6_sessionize"        -> (ExtendedQueries.x6Sessionize _),
+    "x7_set_ops"           -> (ExtendedQueries.x7SetOps _),
+    "x8_json_extract"      -> (ExtendedQueries.x8JsonExtract _),
+    "x9_text_tokens"       -> (ExtendedQueries.x9TextTokens _),
+    "x10_exact_dedup_hash" -> (ExtendedQueries.x10ExactDedupHash _),
+    "x11_cosine_topk"      -> (ExtendedQueries.x11CosineTopk _),
+    "x12_distinct"         -> (ExtendedQueries.x12Distinct _),
+    "x12b_distinct_approx" -> (ExtendedQueries.x12bDistinctApprox _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Oracles.rGroup
+  def oracleSql: Map[String, String] = Oracles.rGroup ++ Oracles.xGroup
 }

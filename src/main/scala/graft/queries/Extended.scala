@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group X — scale/LLM-pipeline extensions over the TPC-H-ish fixtures
+  * (SURVEY §2.10). These are the operators the reference lacks entirely
+  * (joins, set ops, grouping sets, windows-with-frames, JSON/text/array
+  * functions), each expressed Spark-first.
+  *
+  * Numeric-determinism rule for big double sums: both engines cast the
+  * operands to DECIMAL(18,2), aggregate exactly (order-independent), cast
+  * the exact result to double, round(2). Plain double sums differ between
+  * engines by summation order; decimals cannot.
+  */
+object ExtendedQueries {
+
+  /** Exact money sum: decimal in, decimal agg, double+round(2) out. */
+  private def moneySum(c: Column): Column =
+    round(sum(c.cast("decimal(18,2)")).cast("double"), 2)
+
+  /** x1 — three-way dim join. nation (25 rows) and region (5 rows) are
+    * broadcast: no shuffle of the fact side at all; at 100 TB this is THE
+    * pattern for star-schema dims.
+    */
+  def x1JoinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Io.table(spark, sfDir, "customer")
+    val nation   = Io.table(spark, sfDir, "nation")
+    val region   = Io.table(spark, sfDir, "region")
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"), moneySum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** x2 — fact⨝fact shuffle join + hash aggregate: revenue by priority.
+    * Catalyst/AQE picks sort-merge vs shuffled-hash on stats; the aggregate
+    * is two-phase (map-side partial) either way.
+    */
+  def x2JoinShuffleAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders   = Io.table(spark, sfDir, "orders")
+    val lineitem = Io.table(spark, sfDir, "lineitem")
+    val revenue  = expr(
+      "cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(revenue).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** x3 — anti join: customers with no pending ('P') orders. (Every fixture
+    * customer has SOME order, so the unfiltered variant would be vacuous.)
+    */
+  def x3JoinAnti(spark: SparkSession, sfDir: String): DataFrame =
+    Io.table(spark, sfDir, "customer")
+      .join(
+        Io.table(spark, sfDir, "orders").filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** x4 — rollup on (returnflag, linestatus). Nulls from the rollup are
+    * coalesced to 'ALL' so null-ordering differences between engines can't
+    * bite (fixture flags are never null).
+    */
+  def x4Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Io.table(spark, sfDir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), moneySum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** x5 — running total per customer: window with an explicit rows frame.
+    * The running decimal sum is exact, so every prefix matches the oracle.
+    */
+  def x5WindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Io.table(spark, sfDir, "orders")
+      .withColumn("running_spend",
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"), 2))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        // o_orderdate reads as TIMESTAMP_NTZ; with session TZ UTC the cast
+        // to TIMESTAMP is epoch-preserving, matching DuckDB's epoch_ms.
+        unix_millis(col("o_orderdate").cast("timestamp")).as("order_date_ms"),
+        col("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** x6 — sessionization: lag-gap > 30 min starts a session; per-user
+    * session count. Gap math in epoch-µs longs so both engines compare
+    * identical integers.
+    */
+  def x6Sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w  = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val us = unix_micros(col("ts"))
+    Io.events(spark, sfDir)
+      .withColumn("prev_us", lag(us, 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || (us - col("prev_us")) > 1800000000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** x7 — set ops: (high-balance ∪ BUILDING-segment) \ customers-with-F-orders.
+    * `except` is EXCEPT DISTINCT in both engines.
+    */
+  def x7SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Io.table(spark, sfDir, "customer")
+    val highBal  = customer.filter(col("c_acctbal") > 5000).select("c_custkey")
+    val building = customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val fOrders  = Io.table(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey"))
+    highBal.union(building).distinct().except(fOrders).orderBy("c_custkey")
+  }
+
+  /** x8 — JSON field extraction + stats. Spark side uses the native
+    * `get_json_object` path; the oracle extracts the same value with a
+    * regex, avoiding DuckDB's loadable-json dependency.
+    */
+  def x8JsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Io.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").try_cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"),
+        round(avg("k"), 6).as("avg_k"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_k"))
+      .orderBy("event_type")
+
+  /** x9 — tokenize + top-20 terms: the Generator/UDTF surface (explode). */
+  def x9TextTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Io.table(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token"))
+      .limit(20)
+
+  /** x10 — exact dedup by content hash, keep lowest doc_id (D1 pattern). */
+  def x10ExactDedupHash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.keepFirst(
+        Io.table(spark, sfDir, "documents").withColumn("text_md5", md5(col("text"))),
+        Seq("text_md5"), "doc_id")
+      .select("doc_id", "text_md5", "lang", "source")
+      .orderBy("doc_id")
+
+  /** x11 — brute-force cosine top-k against vec_id 0: the one-row query
+    * vector is broadcast, the dot product runs as higher-order array
+    * functions in double precision (float32 accumulation would drift past
+    * the rounding guard). Ranking uses the ROUNDED similarity + vec_id so
+    * the top-10 cut is identical in both engines.
+    */
+  def x11CosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Io.table(spark, sfDir, "embeddings")
+    val q   = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+
+    emb.crossJoin(broadcast(q))
+      .withColumn("cosine",
+        round(
+          dot(col("embedding"), col("q_emb")) /
+            (sqrt(dot(col("embedding"), col("embedding"))) *
+              sqrt(dot(col("q_emb"), col("q_emb")))), 6))
+      .select("vec_id", "label", "cosine")
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** x12 — exact distinct counts per group. */
+  def x12Distinct(spark: SparkSession, sfDir: String): DataFrame =
+    Io.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** x12b — approximate distinct (HLL++): deterministic for a given input
+    * but not oracle-matchable against DuckDB's different sketch, so this key
+    * is declared without oracle SQL (driver records a rows-only check).
+    */
+  def x12bDistinctApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Io.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct("user_id").as("approx_users"),
+        countDistinct("user_id").as("exact_users"))
+      .orderBy("event_type")
+}
