@@ -21,13 +21,34 @@ object Dedup {
 
   val IngestIdCol = "_ingest_id"
 
-  /** Stamp input order. `monotonically_increasing_id` is (partitionId <<
-    * 33) + row-offset, and file splits are assigned to partitions in file
-    * order, so ids increase with position in the input — but ONLY if called
-    * directly on the scan, before any shuffle/repartition.
+  /** Stamp input order as an orderable struct. `monotonically_increasing_id`
+    * alone is NOT sound: Spark packs file splits into partitions sorted by
+    * size descending, so partition index does not track file order. Instead we
+    * order by (file path, split byte offset, within-partition row position):
+    * a single split is never divided across partitions, so the within-
+    * partition id only ever breaks ties inside one split, where it does
+    * increase in file order. Lexicographic struct comparison then reproduces
+    * byte order of the input regardless of split packing.
+    *
+    * Must be called directly on a file scan (the hidden `_metadata` column
+    * only resolves there), before any shuffle/repartition. Non-file sources
+    * (tests, in-memory frames) fall back to `monotonically_increasing_id`,
+    * which is exact for a parallelized local collection.
     */
-  def stampIngestOrder(df: DataFrame): DataFrame =
-    df.withColumn(IngestIdCol, monotonically_increasing_id())
+  def stampIngestOrder(df: DataFrame): DataFrame = {
+    val hasFileMetadata =
+      scala.util.Try(df.select(col("_metadata.file_path"))).isSuccess
+    if (hasFileMetadata)
+      df.withColumn(IngestIdCol,
+        struct(
+          col("_metadata.file_path").as("file"),
+          col("_metadata.file_block_start").as("block"),
+          monotonically_increasing_id().as("pos")))
+    else
+      df.withColumn(IngestIdCol,
+        struct(lit("").as("file"), lit(0L).as("block"),
+          monotonically_increasing_id().as("pos")))
+  }
 
   /** Keep the first row (by `orderCol`) per composite key. Key list is
     * filtered to existing columns, like the reference (pipeline.py:154-155);

@@ -17,13 +17,17 @@ object Timestamps {
 
   /** T1 — epoch-unit detection: median(abs(numeric values)); thresholds
     * >1e17→ns, >1e14→us, >1e11→ms, else s; empty/all-null→s
-    * (pipeline.py:25-37). Exact percentile, like pandas' exact median.
-    * At 100 TB swap `percentile` for `percentile_approx` — unit detection
-    * only needs order-of-magnitude accuracy.
+    * (pipeline.py:25-37). Approximate median (`percentile_approx`): exact
+    * percentile buffers every value per partition — a scale-killer at 100 TB
+    * for a statistic that only needs order-of-magnitude accuracy. The
+    * approximation returns an actual data value, so it can only differ from
+    * the exact median when values straddle a 1000× unit threshold, where the
+    * reference's single-unit model is ill-defined anyway.
     */
   def detectEpochUnit(df: DataFrame, colName: String): String = {
     val row = df
-      .select(expr(s"percentile(abs(try_cast(`$colName` as double)), 0.5d)").as("m"))
+      .select(expr(
+        s"percentile_approx(abs(try_cast(`$colName` as double)), 0.5d, 10000)").as("m"))
       .first()
     if (row.isNullAt(0)) "s"
     else {

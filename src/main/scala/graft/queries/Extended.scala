@@ -21,6 +21,13 @@ object ExtendedQueries {
   private def moneySum(c: Column): Column =
     round(sum(c.cast("decimal(18,2)")).cast("double"), 2)
 
+  /** Double-precision dot product as higher-order array functions — stays in
+    * Tungsten, no UDF (float32 accumulation would drift past round(…, 6)).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
   /** x1 — three-way dim join. nation (25 rows) and region (5 rows) are
     * broadcast: no shuffle of the fact side at all; at 100 TB this is THE
     * pattern for star-schema dims.
@@ -167,18 +174,17 @@ object ExtendedQueries {
     */
   def x11CosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Io.table(spark, sfDir, "embeddings")
-    val q   = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    // The query-vector norm is a constant: compute it ONCE on the broadcast
+    // side instead of re-deriving it for every scanned row (O(d) per row).
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+      .withColumn("q_norm", sqrt(dot(col("q_emb"), col("q_emb"))))
 
     emb.crossJoin(broadcast(q))
       .withColumn("cosine",
         round(
           dot(col("embedding"), col("q_emb")) /
-            (sqrt(dot(col("embedding"), col("embedding"))) *
-              sqrt(dot(col("q_emb"), col("q_emb")))), 6))
+            (sqrt(dot(col("embedding"), col("embedding"))) * col("q_norm")), 6))
       .select("vec_id", "label", "cosine")
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(10)
