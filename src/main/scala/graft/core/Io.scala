@@ -30,4 +30,28 @@ object Io {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, sfDir, "events")
   }
+
+  /** S4 — single-file HEADERED CSV with the exact target name, like the
+    * reference's `COPY … TO 'curated/region_risk_avg.csv'`
+    * (/root/reference/flows/pipeline.py:214-215). Spark writes a directory of
+    * part files; we write one part (coalesce(1)) and rename it to the target
+    * via the Hadoop FileSystem API, so the helper works on HDFS/object stores
+    * too, not just local disk.
+    *
+    * SMALL-RESULT-ONLY: coalesce(1) collapses the final stage to one task.
+    * Correct for top-k / per-group summaries; never use for fact-sized data.
+    */
+  def writeSingleCsv(df: DataFrame, target: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark  = df.sparkSession
+    val tmpDir = new Path(target + "._spark_tmp")
+    df.coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(tmpDir.toString)
+    val fs   = tmpDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.globStatus(new Path(tmpDir, "part-*.csv")).head.getPath
+    val dst  = new Path(target)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(part, dst)
+    fs.delete(tmpDir, true)
+  }
 }

@@ -156,11 +156,10 @@ object Pipeline {
     last.write.mode("overwrite").parquet(s"$dataDir/last_sale_per_address")
     top3.write.mode("overwrite").parquet(s"$dataDir/top3_recent_sales_by_receiving")
 
-    // S4 — single-file headered CSV exports, order baked in (pipeline.py:214-215)
-    region.coalesce(1).write.mode("overwrite").option("header", "true")
-      .csv(s"$curatedDir/region_risk_avg.csv")
-    top3.coalesce(1).write.mode("overwrite").option("header", "true")
-      .csv(s"$curatedDir/top3_recent_sales_by_receiving.csv")
+    // S4 — single-file headered CSV exports with the reference's exact file
+    // names, order baked in (pipeline.py:214-215)
+    Io.writeSingleCsv(region, s"$curatedDir/region_risk_avg.csv")
+    Io.writeSingleCsv(top3, s"$curatedDir/top3_recent_sales_by_receiving.csv")
 
     Result(stg, region, last, top3, dqPre, dqPost)
   }
