@@ -31,9 +31,19 @@ object SparkEntry {
     "x10_exact_dedup_hash" -> (ExtendedQueries.x10ExactDedupHash _),
     "x11_cosine_topk"      -> (ExtendedQueries.x11CosineTopk _),
     "x12_distinct"         -> (ExtendedQueries.x12Distinct _),
-    "x12b_distinct_approx" -> (ExtendedQueries.x12bDistinctApprox _))
+    "x12b_distinct_approx" -> (ExtendedQueries.x12bDistinctApprox _),
+    "x13_minhash_neardup"  -> (LlmQueries.x13MinhashNearDedup _),
+    "x14_text_stats"       -> (LlmQueries.x14TextStats _),
+    "x15_language_id"      -> (LlmQueries.x15LanguageId _),
+    "x16_quality_score"    -> (LlmQueries.x16QualityScore _),
+    "x17_fingerprint"      -> (LlmQueries.x17Fingerprint _),
+    "x18_token_count"      -> (LlmQueries.x18TokenCount _),
+    "x19_simhash"          -> (LlmQueries.x19Simhash _),
+    "x20_jaccard_pairs"    -> (LlmQueries.x20JaccardPairs _),
+    "x21_ann_bucketed"     -> (LlmQueries.x21AnnBucketed _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Oracles.rGroup ++ Oracles.xGroup
+  def oracleSql: Map[String, String] =
+    Oracles.rGroup ++ Oracles.xGroup ++ Oracles.lGroup
 }

@@ -1,0 +1,284 @@
+package graft.queries
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group L — LLM-training-data pipeline operators over the documents /
+  * embeddings fixtures: near-duplicate detection (MinHash-LSH, SimHash,
+  * n-gram Jaccard), bucketed ANN, language ID, quality scoring, token
+  * counting, fingerprinting. None of these exist in the reference (its
+  * analytical surface is SURVEY §2.1–2.9); they are the scale extensions the
+  * brief mandates, each DuckDB-oracle-checkable.
+  *
+  * Portability rule for hashes: every hash both engines must agree on is
+  * md5 over an explicit string (identical lowercase hex in Spark and
+  * DuckDB); MinHash minima compare the 32-char hex STRINGS (a valid total
+  * order), so no hex→int conversion is ever needed on the minhash path.
+  *
+  * Scale shapes: all LSH variants are shuffle-by-key (shingle/band/bucket)
+  * with NO all-pairs join — candidate generation is a bucket equi-join, so
+  * cost tracks duplicate density, not N². The only O(N·d) scans are the
+  * brute-force baselines (x11) kept as correctness anchors.
+  */
+object LlmQueries {
+
+  /** 3-token shingles of `text`, 1-based positions 1..n-2. The CASE guards
+    * size<3: Spark's sequence(1, 0) would yield a DESCENDING [1,0], not [].
+    * The token array is hoisted into its own projection first — referencing
+    * `split(text)` inside the transform lambda would re-run the regex split
+    * for every array element (O(tokens²) per document).
+    */
+  private def explodedShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) < 3 THEN CAST(array() AS ARRAY<STRING>)
+          |ELSE transform(sequence(1, size(toks) - 2),
+          |       i -> concat_ws(' ', element_at(toks, i),
+          |                           element_at(toks, i + 1),
+          |                           element_at(toks, i + 2))) END""".stripMargin)).as("shingle"))
+
+  /** MinHash signature: k hex-string minima per doc, one shuffle on doc_id.
+    * Seeds are folded into the hashed string (md5("<j>|<shingle>")), so one
+    * exploded pass + k min-aggregates replaces a k× seed cross join.
+    */
+  private def minhashSignature(docs: DataFrame, k: Int): DataFrame = {
+    val sh = explodedShingles(docs)
+    val aggs = (0 until k).map(j =>
+      min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band, bh) rows: `bandsOf` bands of `r` consecutive minhashes,
+    * each band keyed by the md5 of its comma-joined signature slice.
+    */
+  private def bandHashes(sig: DataFrame, bandsOf: Int, r: Int, extra: Seq[Column] = Nil): DataFrame = {
+    val bandCols = (0 until bandsOf).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until r).map(i => col(s"mh${b * r + i}")): _*)).as("bh"))
+    }
+    sig.select(col("doc_id") +: explode(array(bandCols: _*)).as("bb") +: extra: _*)
+      .select(col("doc_id") +: col("bb.band") +: col("bb.bh") +: extra: _*)
+  }
+
+  /** x13 — MinHash-LSH near-dedup: k=16, 4 bands × r=4. A doc's canonical is
+    * the lowest doc_id sharing any band bucket (one-step union, determin-
+    * istic); `mh0` is emitted so the oracle pins the hash computation itself,
+    * not just the (possibly collision-free) bucket structure. Plan: bucketed
+    * shuffles only — shingle explode → doc agg → band explode → band agg →
+    * semi-join back. No all-pairs comparison anywhere.
+    */
+  def x13MinhashNearDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs  = Io.table(spark, sfDir, "documents")
+    val sig   = minhashSignature(docs, 16)
+    val bands = bandHashes(sig, bandsOf = 4, r = 4, extra = Seq(col("mh0")))
+    val buckets = bands.groupBy("band", "bh").agg(min("doc_id").as("rep"))
+    val canon = bands.join(buckets, Seq("band", "bh"))
+      .groupBy("doc_id")
+      .agg(min("rep").as("canonical"), max("mh0").as("mh0")) // mh0 constant per doc
+    docs.select("doc_id").join(canon, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("canonical"), col("doc_id")).as("canonical_id"),
+        (col("doc_id") =!= coalesce(col("canonical"), col("doc_id"))).cast("int").as("is_dup"),
+        col("mh0"))
+      .orderBy("doc_id")
+  }
+
+  /** x14 — per-language corpus stats through the SQL surface (S2): temp-view
+    * registration + spark.sql, the analog of the reference's DuckDB layer
+    * (/root/reference/flows/pipeline.py:170-211).
+    */
+  def x14TextStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT lang,
+        |       count(*) AS n_docs,
+        |       sum(n_chars) AS sum_chars,
+        |       round(avg(n_chars), 6) AS avg_chars,
+        |       sum(size(split(text, ' '))) AS sum_tokens,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin)
+  }
+
+  private val LangSignatures: Seq[(String, (String, String))] = Seq(
+    "de" -> ("ch", "ei"), "en" -> ("th", "he"), "es" -> ("de", "la"),
+    "fr" -> ("le", "ou"), "zh" -> ("zh", "ng"))
+
+  /** x15 — n-gram-heuristic language ID: score each language by occurrences
+    * of two signature character bigrams (non-overlapping count via
+    * length-difference / 2), predict the argmax with lexicographic
+    * tie-break, and emit the confusion matrix against the labeled `lang`.
+    */
+  def x15LanguageId(spark: SparkSession, sfDir: String): DataFrame = {
+    def occurrences(bigram: String): Column =
+      (length(col("text")) - length(expr(s"replace(text, '$bigram', '')"))) / 2
+    val scored = LangSignatures.foldLeft(Io.table(spark, sfDir, "documents")) {
+      case (df, (lang, (b1, b2))) =>
+        df.withColumn(s"s_$lang", occurrences(b1) + occurrences(b2))
+    }
+    // argmax with lexicographic tie-break == first lang (in asc order) whose
+    // score is >= all later langs' scores
+    val langs = LangSignatures.map(_._1)
+    val predicted = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((lang, i), elseCol) =>
+        val geAllLater = langs.drop(i + 1)
+          .map(l => col(s"s_$lang") >= col(s"s_$l")).reduce(_ && _)
+        when(geAllLater, lit(lang)).otherwise(elseCol)
+    }
+    scored.withColumn("predicted", predicted)
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  private val Stopwords = Seq("the", "a", "of", "to", "and")
+
+  /** x16 — per-doc quality scoring: token count, stopword ratio, and a
+    * weighted [0,1] heuristic (length, non-stopword density, mean token
+    * length). One explode + hash-agg per doc; arithmetic term order matches
+    * the oracle exactly so the doubles agree bit-for-bit.
+    */
+  def x16QualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val st = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("token").isin(Stopwords: _*).cast("long")).as("n_stop"))
+    val alpha = docs.select(col("doc_id"),
+      length(expr("replace(text, ' ', '')")).as("n_alpha"))
+    val nTok  = col("n_tokens").cast("double")
+    val nStop = col("n_stop").cast("double")
+    st.join(alpha, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_stop"),
+        round(nStop / col("n_tokens"), 6).as("stop_ratio"),
+        round(
+          lit(0.4) * least(nTok, lit(50.0)) / lit(50.0)
+            + lit(0.3) * (lit(1.0) - nStop / col("n_tokens"))
+            + lit(0.3) * least(col("n_alpha").cast("double") / col("n_tokens"), lit(10.0)) / lit(10.0),
+          6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** x17 — document fingerprint: minimum md5 over all character 8-grams
+    * (winnowing-style content fingerprint, robust to token reordering at the
+    * edges). Pure per-row expression — no shuffle at all until the output
+    * sort.
+    */
+  def x17Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Io.table(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(
+        """CASE WHEN length(text) < 8 THEN md5(text)
+          |ELSE array_min(transform(sequence(1, length(text) - 7),
+          |       i -> md5(substring(text, i, 8)))) END""".stripMargin).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** x18 — token counting per source: whitespace tokens, regex word tokens
+    * ([a-z]+, the BPE-ish pre-tokenizer shape), and a chars/4 BPE-count
+    * estimate. All codegen'd expressions feeding one hash aggregate.
+    */
+  def x18TokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Io.table(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sum_ws_tokens"),
+        sum(size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long"))
+          .as("sum_re_tokens"),
+        sum(ceil(col("n_chars") / 4.0)).as("sum_bpe_est"))
+      .orderBy("source")
+
+  /** x19 — 16-bit SimHash per document from token md5s: per bit, sum +1/-1
+    * votes across (repeated) tokens; the hex digit carrying bit b is
+    * substring(h, b/4+1, 1), its value the position in "0123456789abcdef".
+    * One explode + one 16-counter aggregate — same single-pass shape as the
+    * DQ profile.
+    */
+  def x19Simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = Io.table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), md5(col("token")).as("h"))
+    val bitAggs = (0 until 16).map { b =>
+      val bit = expr(
+        s"((instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1) div ${1 << (b % 4)}) % 2")
+      sum(when(bit === 1, 1L).otherwise(-1L)).as(s"s$b")
+    }
+    val bits = h.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val simhash = (0 until 16)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bits.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+  }
+
+  /** x20 — exact n-gram Jaccard, but ONLY on LSH candidate pairs (4 bands ×
+    * r=4, the x13 banding: candidate volume tracks true duplicate density —
+    * r=2 over-generated quadratically on shared-vocabulary corpora). This is
+    * the scale-correct verify step: the shingle join runs on candidate
+    * pairs, never all N².
+    */
+  def x20JaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val sh   = explodedShingles(docs)
+    // shd feeds three consumers (candidate enrichment, the s2 match, sizes)
+    // and bands two (both sides of the candidate self-join); without persist
+    // each consumer re-runs the shingle explode + 16-way md5 aggregation.
+    // At cluster scale these would be written staging tables; in-memory
+    // persist is the single-job analog. Both are O(corpus shingles), small.
+    val shd   = sh.distinct().persist()
+    val bands = bandHashes(minhashSignature(docs, 16), bandsOf = 4, r = 4).persist()
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Two 2-way joins with an aggregate barrier between them — NOT one 3-way
+    // join region: Catalyst's ReorderJoin would otherwise start with
+    // s1⋈s2 ON shingle (the only equi-link between them), an all-pairs-
+    // sharing-a-shingle explosion on shared-vocabulary corpora. The barrier
+    // (distinct, trivially small: |cand|×shingles-per-doc) pins the order:
+    // candidates first, shingle match second.
+    val pairShingles = shd.join(cand, col("doc_id") === col("d1"))
+      .select(col("d1"), col("d2"), col("shingle").as("p_shingle")).distinct()
+    val inter = pairShingles
+      .join(shd.as("s2"),
+        col("d2") === col("s2.doc_id") && col("p_shingle") === col("s2.shingle"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+      (col("n1") + col("n2") - col("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("n", "n1").withColumnRenamed("doc_id", "d1"), "d1")
+      .join(sizes.withColumnRenamed("n", "n2").withColumnRenamed("doc_id", "d2"), "d2")
+      .filter(jac >= 0.4)
+      .select(col("d1"), col("d2"), col("n_common"), round(jac, 6).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** x21 — bucketed ANN: 4 sign-bit hyperplane buckets (axis-aligned LSH)
+    * prune the scan to the query's bucket before the exact cosine — the
+    * IVF-style scale path next to x11's brute force. The 1-row query side
+    * (embedding + norm + bucket) is broadcast.
+    */
+  def x21AnnBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = (element_at(col("embedding"), 1) > 0).cast("int") * 8 +
+      (element_at(col("embedding"), 2) > 0).cast("int") * 4 +
+      (element_at(col("embedding"), 3) > 0).cast("int") * 2 +
+      (element_at(col("embedding"), 4) > 0).cast("int")
+    val emb = Io.table(spark, sfDir, "embeddings").withColumn("bucket", bucket)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+      .withColumn("q_norm", sqrt(ExtendedQueries.dot(col("q_emb"), col("q_emb"))))
+    emb.join(broadcast(q), col("bucket") === col("q_bucket"))
+      .withColumn("cosine",
+        round(ExtendedQueries.dot(col("embedding"), col("q_emb")) /
+          (sqrt(ExtendedQueries.dot(col("embedding"), col("embedding"))) * col("q_norm")), 6))
+      .select("vec_id", "label", "cosine")
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(5)
+  }
+}

@@ -200,6 +200,188 @@ object Oracles {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---- Group L: LLM-pipeline operators. Shared scaffolding: shingles via
+  // DuckDB's scalar range()+list_transform (its range table function rejects
+  // lateral column bounds); minhashes compared as md5 hex STRINGS (same
+  // total order both engines); all double math CAST to DOUBLE explicitly so
+  // DuckDB's decimal literals can't change the arithmetic.
+
+  // NB: no `||` at line starts anywhere in this CTE — it is interpolated
+  // into strings that take a second .stripMargin pass, which would eat the
+  // leading pipe of a concat operator. concat_ws sidesteps the operator.
+  private val shingleCte: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |                i -> concat_ws(' ', string_split(text, ' ')[i],
+      |                     string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS shingle
+      |  FROM documents)""".stripMargin
+
+  val x13: String =
+    s"""WITH $shingleCte,
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+      |  FROM sh, range(0, 16) s(j) GROUP BY doc_id, j),
+      |band AS (
+      |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, ',' ORDER BY j)) AS bh
+      |  FROM mh GROUP BY doc_id, j // 4),
+      |buck AS (SELECT band, bh, min(doc_id) AS rep FROM band GROUP BY band, bh),
+      |canon AS (
+      |  SELECT b.doc_id, min(k.rep) AS canonical
+      |  FROM band b JOIN buck k ON b.band = k.band AND b.bh = k.bh
+      |  GROUP BY b.doc_id),
+      |m0 AS (SELECT doc_id, mh AS mh0 FROM mh WHERE j = 0)
+      |SELECT d.doc_id,
+      |       coalesce(c.canonical, d.doc_id) AS canonical_id,
+      |       CAST(d.doc_id <> coalesce(c.canonical, d.doc_id) AS INT) AS is_dup,
+      |       m0.mh0
+      |FROM documents d
+      |LEFT JOIN canon c ON d.doc_id = c.doc_id
+      |LEFT JOIN m0 ON d.doc_id = m0.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  val x14: String =
+    """SELECT lang,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       round(avg(n_chars), 6) AS avg_chars,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+      |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  val x15: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    (length(text) - length(replace(text, 'ch', ''))) / 2
+      |      + (length(text) - length(replace(text, 'ei', ''))) / 2 AS s_de,
+      |    (length(text) - length(replace(text, 'th', ''))) / 2
+      |      + (length(text) - length(replace(text, 'he', ''))) / 2 AS s_en,
+      |    (length(text) - length(replace(text, 'de', ''))) / 2
+      |      + (length(text) - length(replace(text, 'la', ''))) / 2 AS s_es,
+      |    (length(text) - length(replace(text, 'le', ''))) / 2
+      |      + (length(text) - length(replace(text, 'ou', ''))) / 2 AS s_fr,
+      |    (length(text) - length(replace(text, 'zh', ''))) / 2
+      |      + (length(text) - length(replace(text, 'ng', ''))) / 2 AS s_zh
+      |  FROM documents),
+      |p AS (
+      |  SELECT lang,
+      |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |         WHEN s_fr >= s_zh THEN 'fr'
+      |         ELSE 'zh' END AS predicted
+      |  FROM s)
+      |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM p GROUP BY lang, predicted
+      |ORDER BY lang, predicted""".stripMargin
+
+  val x16: String =
+    """WITH t AS (
+      |  SELECT doc_id, length(replace(text, ' ', '')) AS n_alpha FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |st AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |         sum(CASE WHEN token IN ('the', 'a', 'of', 'to', 'and') THEN 1 ELSE 0 END) AS n_stop
+      |  FROM tok GROUP BY doc_id)
+      |SELECT s.doc_id,
+      |       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(s.n_stop AS BIGINT) AS n_stop,
+      |       round(CAST(s.n_stop AS DOUBLE) / s.n_tokens, 6) AS stop_ratio,
+      |       round(0.4 * least(CAST(s.n_tokens AS DOUBLE), 50.0) / 50.0
+      |           + 0.3 * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens)
+      |           + 0.3 * least(CAST(t.n_alpha AS DOUBLE) / s.n_tokens, 10.0) / 10.0, 6) AS quality_score
+      |FROM st s JOIN t ON s.doc_id = t.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
+  val x17: String =
+    """SELECT doc_id,
+      |       coalesce(list_aggregate(list_transform(range(1, greatest(length(text) - 6, 1)),
+      |                i -> md5(substr(text, i, 8))), 'min'), md5(text)) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val x18: String =
+    """SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+      |       CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS sum_re_tokens,
+      |       CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS sum_bpe_est
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  val x19: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |h AS (SELECT doc_id, md5(token) AS h FROM tok),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, b // 4 + 1, 1)) - 1)
+      |                   // CAST(pow(2, b % 4) AS INTEGER)) % 2 = 1
+      |        THEN 1 ELSE -1 END) AS s
+      |  FROM h, range(0, 16) r(b) GROUP BY doc_id, b)
+      |SELECT doc_id,
+      |       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bits GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  val x20: String =
+    s"""WITH $shingleCte,
+      |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+      |  FROM sh, range(0, 16) s(j) GROUP BY doc_id, j),
+      |band AS (
+      |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, ',' ORDER BY j)) AS bh
+      |  FROM mh GROUP BY doc_id, j // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.d1, c.d2, count(*) AS n_common
+      |  FROM cand c
+      |  JOIN shd s1 ON s1.doc_id = c.d1
+      |  JOIN shd s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+      |  GROUP BY c.d1, c.d2)
+      |SELECT i.d1, i.d2, CAST(i.n_common AS BIGINT) AS n_common,
+      |       round(CAST(i.n_common AS DOUBLE) / (z1.n + z2.n - i.n_common), 6) AS jaccard
+      |FROM inter i
+      |JOIN sizes z1 ON z1.doc_id = i.d1
+      |JOIN sizes z2 ON z2.doc_id = i.d2
+      |WHERE CAST(i.n_common AS DOUBLE) / (z1.n + z2.n - i.n_common) >= 0.4
+      |ORDER BY d1, d2""".stripMargin
+
+  val x21: String =
+    """WITH b AS (
+      |  SELECT vec_id, label, embedding,
+      |    CAST(embedding[1] > 0 AS INT) * 8 + CAST(embedding[2] > 0 AS INT) * 4
+      |    + CAST(embedding[3] > 0 AS INT) * 2 + CAST(embedding[4] > 0 AS INT) AS bucket
+      |  FROM embeddings),
+      |q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id = 0)
+      |SELECT vec_id, label, cosine FROM (
+      |  SELECT e.vec_id, e.label,
+      |         round(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.q_emb[i.i] AS DOUBLE)) /
+      |           (sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))
+      |            * sqrt(sum(CAST(q.q_emb[i.i] AS DOUBLE) * CAST(q.q_emb[i.i] AS DOUBLE)))), 6) AS cosine
+      |  FROM b e, q, range(1, 65) i(i)
+      |  WHERE e.bucket = q.q_bucket
+      |  GROUP BY e.vec_id, e.label)
+      |ORDER BY cosine DESC, vec_id
+      |LIMIT 5""".stripMargin
+
+  val lGroup: Map[String, String] = Map(
+    "x13_minhash_neardup" -> x13,
+    "x14_text_stats"      -> x14,
+    "x15_language_id"     -> x15,
+    "x16_quality_score"   -> x16,
+    "x17_fingerprint"     -> x17,
+    "x18_token_count"     -> x18,
+    "x19_simhash"         -> x19,
+    "x20_jaccard_pairs"   -> x20,
+    "x21_ann_bucketed"    -> x21)
+
   val xGroup: Map[String, String] = Map(
     "x1_join_broadcast"   -> x1,
     "x2_join_shuffle_agg" -> x2,

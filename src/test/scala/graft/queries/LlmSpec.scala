@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Edge cases of the LLM-pipeline query group that the sf fixtures never
+  * exercise: sub-shingle-length docs, exact duplicate texts, bucket pruning.
+  * Each test writes a miniature fixture dir so the production (sfDir-keyed)
+  * query functions run unmodified.
+  */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = Files.createTempDirectory("llm_docs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("x13: exact duplicate texts collapse to the lowest doc_id") {
+    val long = (0 until 20).map(i => s"tok$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, long, "en", "s", long.length.toLong),
+      (1L, "completely different words here entirely", "en", "s", 40L),
+      (2L, long, "en", "s", long.length.toLong))) // dup of 0
+    val out = LlmQueries.x13MinhashNearDedup(spark, dir)
+      .select("doc_id", "canonical_id", "is_dup")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq((0L, 0L, 0), (1L, 1L, 0), (2L, 0L, 1)))
+  }
+
+  test("x13: docs under 3 tokens produce no shingles and stay canonical (sequence(1,0) guard)") {
+    val dir = docsDir(Seq(
+      (0L, "one two", "en", "s", 7L),
+      (1L, "single", "en", "s", 6L),
+      (2L, "three tokens here now", "en", "s", 21L)))
+    val out = LlmQueries.x13MinhashNearDedup(spark, dir)
+      .select("doc_id", "canonical_id", "is_dup")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq((0L, 0L, 0), (1L, 1L, 0), (2L, 2L, 0)))
+  }
+
+  test("x19: identical texts get identical simhash; different texts (almost surely) differ") {
+    val dir = docsDir(Seq(
+      (0L, "alpha beta gamma delta", "en", "s", 22L),
+      (1L, "alpha beta gamma delta", "en", "s", 22L),
+      (2L, "epsilon zeta eta theta iota kappa", "en", "s", 33L)))
+    val out = LlmQueries.x19Simhash(spark, dir).as[(Long, Long)].collect().toMap
+    assert(out(0L) == out(1L))
+    assert(out(0L) != out(2L))
+    assert(out.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  test("x16: hand-computed quality score for a known doc") {
+    // "the cat sat": 3 tokens, 1 stopword, 9 non-space chars
+    val dir = docsDir(Seq((0L, "the cat sat", "en", "s", 11L)))
+    val r = LlmQueries.x16QualityScore(spark, dir).collect().head
+    assert(r.getAs[Long]("n_tokens") == 3)
+    assert(r.getAs[Long]("n_stop") == 1)
+    assert(math.abs(r.getAs[Double]("stop_ratio") - 0.333333) < 1e-9)
+    val expected = BigDecimal(
+      0.4 * 3.0 / 50.0 + 0.3 * (1.0 - 1.0 / 3.0) + 0.3 * 3.0 / 10.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("quality_score") - expected) < 1e-9)
+  }
+
+  test("x17: short docs (<8 chars) fall back to whole-text md5") {
+    val dir = docsDir(Seq((0L, "tiny", "en", "s", 4L), (1L, "exactly8", "en", "s", 8L)))
+    val out = LlmQueries.x17Fingerprint(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == org.apache.commons.codec.digest.DigestUtils.md5Hex("tiny"))
+    assert(out(1L) == org.apache.commons.codec.digest.DigestUtils.md5Hex("exactly8"))
+  }
+
+  test("x21: only vectors in the query's sign-bit bucket are scanned") {
+    val dir = Files.createTempDirectory("llm_emb").toString
+    def vec(lead: Seq[Float]): Seq[Float] = lead ++ Seq.fill(64 - lead.length)(0.5f)
+    Seq(
+      (0L, vec(Seq(1f, 1f, -1f, 1f)), 0),   // query: bucket 1101 = 13
+      (1L, vec(Seq(1f, 1f, -1f, 2f)), 1),   // same bucket
+      (2L, vec(Seq(-1f, 1f, -1f, 1f)), 2)   // different bucket → pruned
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ids = LlmQueries.x21AnnBucketed(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 1L))
+  }
+
+  test("x15: signature-bigram scoring predicts by argmax with lexicographic tie-break") {
+    val dir = docsDir(Seq(
+      (0L, "thhe thhe thhe", "en", "s", 14L),  // th+he rich → 'en'
+      (1L, "qq ww rr", "zh", "s", 8L)))        // all scores 0 → tie → 'de'
+    val out = LlmQueries.x15LanguageId(spark, dir)
+      .select("lang", "predicted").as[(String, String)].collect().toSet
+    assert(out == Set(("en", "en"), ("zh", "de")))
+  }
+}
