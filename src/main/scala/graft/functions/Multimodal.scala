@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: images/audio/video ride through the engine as
+  * opaque BINARY columns plus a typed metadata struct; decode and feature
+  * extraction run batched per partition.
+  *
+  * The decode step is a STUB — this container ships no image/audio codecs —
+  * but everything Spark-side is real and tested: the schema contract, the
+  * per-partition batch shape (one reusable decoder per partition, the
+  * pattern a JNI/codec handle needs), and the fixed-width feature output.
+  * Swap `decodeStub` for a real codec call to productionize.
+  */
+object Multimodal {
+
+  val FeatureDim = 8
+
+  /** Schema contract for a media table: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true))), nullable = true)))
+
+  /** STUB decoder: a real implementation would decode `bytes` with a codec
+    * library; this deterministic fake derives FeatureDim floats from an FNV
+    * hash of the payload so tests can assert exact values. Null/empty
+    * payloads yield null features (the real decoder's failure path).
+    */
+  private[functions] def decodeStub(bytes: Array[Byte]): Option[Array[Float]] =
+    if (bytes == null || bytes.isEmpty) None
+    else {
+      var h = 2166136261L
+      val out = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < bytes.length) { h = (h ^ (bytes(i) & 0xff)) * 16777619L; i += 1 }
+      i = 0
+      while (i < FeatureDim) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        out(i) = ((h >>> 33).toInt % 1000) / 1000.0f
+        i += 1
+      }
+      Some(out)
+    }
+
+  /** Feature extraction over a media table: mapPartitions so any per-decoder
+    * setup cost (codec context, model handle) is paid once per PARTITION,
+    * not per row — the Scala analog of a batched Pandas UDF. Output schema:
+    * (asset_id, mime, n_bytes, feature array<float>).
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("feature", ArrayType(FloatType), nullable = true)))
+    val rdd = media.select("asset_id", "media", "meta.mime").rdd.mapPartitions { rows =>
+      // per-partition decoder setup would go here (codec/model handle)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("media")
+        Row(
+          r.getAs[Long]("asset_id"),
+          r.getAs[String]("mime"),
+          if (bytes == null) 0L else bytes.length.toLong,
+          decodeStub(bytes).orNull)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Cosine ANN over extracted features reuses the embedding path: features
+    * are just another array<float> column, so downstream dedup/similarity
+    * (x11/x21) applies unchanged. This helper only bridges the schema.
+    */
+  def asEmbeddings(features: DataFrame): DataFrame =
+    features.select(
+      col("asset_id").as("vec_id"),
+      col("feature").as("embedding"),
+      lit(0).as("label"))
+}

@@ -23,10 +23,16 @@ object ExtendedQueries {
 
   /** Double-precision dot product as higher-order array functions — stays in
     * Tungsten, no UDF (float32 accumulation would drift past round(…, 6)).
+    * Reference semantics for [[graft.functions.FloatDot]], which computes the
+    * identical sum without materializing the product array; the hot queries
+    * (x11, x21) use the native expression via [[nativeDot]].
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Codegen'd native dot product (requires GraftExtensions registration). */
+  def nativeDot(a: Column, b: Column): Column = call_function("float_dot", a, b)
 
   /** x1 — three-way dim join. nation (25 rows) and region (5 rows) are
     * broadcast: no shuffle of the fact side at all; at 100 TB this is THE
@@ -173,18 +179,19 @@ object ExtendedQueries {
     * the top-10 cut is identical in both engines.
     */
   def x11CosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
     val emb = Io.table(spark, sfDir, "embeddings")
     // The query-vector norm is a constant: compute it ONCE on the broadcast
     // side instead of re-deriving it for every scanned row (O(d) per row).
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"))
-      .withColumn("q_norm", sqrt(dot(col("q_emb"), col("q_emb"))))
+      .withColumn("q_norm", sqrt(nativeDot(col("q_emb"), col("q_emb"))))
 
     emb.crossJoin(broadcast(q))
       .withColumn("cosine",
         round(
-          dot(col("embedding"), col("q_emb")) /
-            (sqrt(dot(col("embedding"), col("embedding"))) * col("q_norm")), 6))
+          nativeDot(col("embedding"), col("q_emb")) /
+            (sqrt(nativeDot(col("embedding"), col("embedding"))) * col("q_norm")), 6))
       .select("vec_id", "label", "cosine")
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(10)

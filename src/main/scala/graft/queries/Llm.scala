@@ -223,37 +223,42 @@ object LlmQueries {
   def x20JaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Io.table(spark, sfDir, "documents")
     val sh   = explodedShingles(docs)
-    // shd feeds three consumers (candidate enrichment, the s2 match, sizes)
-    // and bands two (both sides of the candidate self-join); without persist
-    // each consumer re-runs the shingle explode + 16-way md5 aggregation.
-    // At cluster scale these would be written staging tables; in-memory
-    // persist is the single-job analog. Both are O(corpus shingles), small.
-    val shd   = sh.distinct().persist()
-    val bands = bandHashes(minhashSignature(docs, 16), bandsOf = 4, r = 4).persist()
-    val cand = bands.as("a")
+    // shd feeds three consumers and bands two (the candidate self-join);
+    // each consumer re-runs the shingle explode, which is cheap now that the
+    // token array is hoisted out of the lambda. At cluster scale the
+    // signature/shingle sets would be written staging tables instead.
+    val shd   = sh.distinct()
+    val bands = bandHashes(minhashSignature(docs, 16), bandsOf = 4, r = 4)
+    // Candidate pairs are few (they track duplicate density), so hint them
+    // broadcast into the shingle joins below.
+    val cand = broadcast(bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // Two 2-way joins with an aggregate barrier between them — NOT one 3-way
-    // join region: Catalyst's ReorderJoin would otherwise start with
-    // s1⋈s2 ON shingle (the only equi-link between them), an all-pairs-
-    // sharing-a-shingle explosion on shared-vocabulary corpora. The barrier
-    // (distinct, trivially small: |cand|×shingles-per-doc) pins the order:
-    // candidates first, shingle match second.
+      .distinct())
+    // Join-order discipline: every join region below is 2-way with a small
+    // (broadcast) side, so neither ReorderJoin nor AQE can ever pick a
+    // large⋈large start — the naive cand⋈s1⋈s2 formulation let the
+    // optimizer begin with s1⋈s2 ON shingle (all pairs sharing a shingle:
+    // quadratic on shared-vocabulary corpora), and a later
+    // inter⋈sizes⋈sizes region risked a sizes×sizes cross. The distinct()
+    // is an aggregate barrier pinning the candidate join ahead of the
+    // shingle match.
     val pairShingles = shd.join(cand, col("doc_id") === col("d1"))
       .select(col("d1"), col("d2"), col("shingle").as("p_shingle")).distinct()
+    // |d1's shingle set| falls out of pairShingles itself — no extra join
+    val n1s = pairShingles.groupBy("d1", "d2").agg(count(lit(1)).as("n1"))
     val inter = pairShingles
       .join(shd.as("s2"),
         col("d2") === col("s2.doc_id") && col("p_shingle") === col("s2.shingle"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("n_common"))
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n2"))
     val jac = col("n_common").cast("double") /
       (col("n1") + col("n2") - col("n_common"))
     inter
-      .join(sizes.withColumnRenamed("n", "n1").withColumnRenamed("doc_id", "d1"), "d1")
-      .join(sizes.withColumnRenamed("n", "n2").withColumnRenamed("doc_id", "d2"), "d2")
+      .join(n1s, Seq("d1", "d2")) // both sides ≤ |cand|
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "d2")), Seq("d2"))
       .filter(jac >= 0.4)
       .select(col("d1"), col("d2"), col("n_common"), round(jac, 6).as("jaccard"))
       .orderBy("d1", "d2")
@@ -265,6 +270,8 @@ object LlmQueries {
     * (embedding + norm + bucket) is broadcast.
     */
   def x21AnnBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    import ExtendedQueries.nativeDot
     val bucket = (element_at(col("embedding"), 1) > 0).cast("int") * 8 +
       (element_at(col("embedding"), 2) > 0).cast("int") * 4 +
       (element_at(col("embedding"), 3) > 0).cast("int") * 2 +
@@ -272,11 +279,11 @@ object LlmQueries {
     val emb = Io.table(spark, sfDir, "embeddings").withColumn("bucket", bucket)
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
-      .withColumn("q_norm", sqrt(ExtendedQueries.dot(col("q_emb"), col("q_emb"))))
+      .withColumn("q_norm", sqrt(nativeDot(col("q_emb"), col("q_emb"))))
     emb.join(broadcast(q), col("bucket") === col("q_bucket"))
       .withColumn("cosine",
-        round(ExtendedQueries.dot(col("embedding"), col("q_emb")) /
-          (sqrt(ExtendedQueries.dot(col("embedding"), col("embedding"))) * col("q_norm")), 6))
+        round(nativeDot(col("embedding"), col("q_emb")) /
+          (sqrt(nativeDot(col("embedding"), col("embedding"))) * col("q_norm")), 6))
       .select("vec_id", "label", "cosine")
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(5)

@@ -1,0 +1,46 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Multimodal plumbing: schema contract, per-partition batch decode (stub),
+  * null-payload failure path, and the bridge into the embedding/ANN surface.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private def mediaDf(n: Int) = {
+    val rows = (0 until n).map { i =>
+      Row(i.toLong,
+        if (i % 5 == 4) null else s"payload-$i".getBytes("UTF-8"),
+        Row("image/png", 64, 64))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), Multimodal.mediaSchema)
+  }
+
+  test("extractFeatures: fixed-width features, deterministic stub, null payload -> null feature") {
+    val out = Multimodal.extractFeatures(mediaDf(20))
+    assert(out.schema.fieldNames.toSeq == Seq("asset_id", "mime", "n_bytes", "feature"))
+    assert(out.count() == 20)
+    val byId = out.collect().map(r => r.getAs[Long]("asset_id") -> r).toMap
+    // null payloads take the decoder failure path
+    assert(byId(4L).isNullAt(3) && byId(4L).getAs[Long]("n_bytes") == 0L)
+    // non-null payloads produce FeatureDim floats, deterministically
+    val f8 = byId(8L).getSeq[Float](3)
+    assert(f8.length == Multimodal.FeatureDim)
+    assert(f8.toList == Multimodal.decodeStub("payload-8".getBytes("UTF-8")).get.toList)
+  }
+
+  test("extractFeatures preserves distribution: no collect, partition count survives") {
+    val out = Multimodal.extractFeatures(mediaDf(20))
+    assert(out.rdd.getNumPartitions == 3)
+  }
+
+  test("asEmbeddings bridges features into the embedding schema") {
+    val emb = Multimodal.asEmbeddings(Multimodal.extractFeatures(mediaDf(10)))
+    assert(emb.schema.fieldNames.toSeq == Seq("vec_id", "embedding", "label"))
+    assert(emb.schema("embedding").dataType == ArrayType(FloatType))
+    assert(emb.filter("embedding IS NOT NULL").count() == 8)
+  }
+}

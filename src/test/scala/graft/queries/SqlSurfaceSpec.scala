@@ -1,0 +1,33 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.core.Io
+
+/** S2 — the SQL entry surface: the same declared query run through a temp
+  * view + spark.sql must equal the DataFrame-API result (the reference's
+  * analytical layer is literally SQL over a registered frame,
+  * /root/reference/flows/pipeline.py:170-211).
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("spark.sql over a temp view equals the DataFrame query (r4_group_avg)") {
+    Io.events(spark, sfDir).createOrReplaceTempView("events_v")
+    val viaSql = spark.sql(
+      """SELECT event_type, round(avg(value), 6) AS avg_value
+        |FROM events_v
+        |WHERE event_type IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY avg_value DESC, event_type""".stripMargin)
+    val viaDf = ReferenceQueries.r4GroupAvg(spark, sfDir)
+    assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
+  }
+
+  test("x14_text_stats runs through spark.sql and returns per-language rows") {
+    val out = LlmQueries.x14TextStats(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[String]("lang")).toSeq.sorted
+      == out.map(_.getAs[String]("lang")).toSeq) // ordered by lang
+  }
+}
