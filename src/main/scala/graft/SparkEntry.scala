@@ -40,7 +40,11 @@ object SparkEntry {
     "x18_token_count"      -> (LlmQueries.x18TokenCount _),
     "x19_simhash"          -> (LlmQueries.x19Simhash _),
     "x20_jaccard_pairs"    -> (LlmQueries.x20JaccardPairs _),
-    "x21_ann_bucketed"     -> (LlmQueries.x21AnnBucketed _))
+    "x21_ann_bucketed"     -> (LlmQueries.x21AnnBucketed _),
+    "x22_asof_join"        -> (ExtendedQueries.x22AsofJoin _),
+    "x23_cube"             -> (ExtendedQueries.x23Cube _),
+    "x24_pivot"            -> (ExtendedQueries.x24Pivot _),
+    "x25_percentiles"      -> (ExtendedQueries.x25Percentiles _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -215,4 +215,80 @@ object ExtendedQueries {
         approx_count_distinct("user_id").as("approx_users"),
         countDistinct("user_id").as("exact_users"))
       .orderBy("event_type")
+
+  /** x22 — as-of join (each event ↦ the customer's most recent order at or
+    * before the event time) via the union-sort-window algorithm: tag both
+    * streams, one shuffle on the key, running `last(..., ignoreNulls)` carries
+    * the latest order forward into each event row. NO inequality join —
+    * cost is one sort per key group regardless of orders-per-customer, the
+    * shape that survives 100 TB. Orders are pre-deduped to one row per
+    * (custkey, date) (max orderkey) so ties are deterministic; src=0 sorts
+    * orders before same-instant events, giving <= (not <) semantics.
+    */
+  def x22AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val od = Io.table(spark, sfDir, "orders")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+      .select(
+        col("o_custkey").as("key"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        lit(0).as("src"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey"))
+    val ev = Io.events(spark, sfDir)
+      .select(
+        col("user_id").as("key"),
+        unix_micros(col("ts")).as("t"),
+        lit(1).as("src"),
+        col("event_id"),
+        lit(null).cast("long").as("o_orderkey"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("t"), col("src"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    od.union(ev)
+      .withColumn("matched_order", last("o_orderkey", ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("event_id"), col("key").as("user_id"), col("matched_order"))
+      .orderBy("event_id")
+  }
+
+  /** x23 — full cube on (returnflag, linestatus): all 2ⁿ grouping sets in
+    * one pass (Expand + partial/final hash agg), nulls coalesced so engine
+    * null-ordering can't differ.
+    */
+  def x23Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Io.table(spark, sfDir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), moneySum(col("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_price"))
+      .orderBy("returnflag", "linestatus")
+
+  /** x24 — pivot: per user-decile cohort, one count column per event type.
+    * Explicit value list keeps the schema static (no extra distinct pass);
+    * the oracle expresses the same thing as conditional aggregation.
+    */
+  def x24Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    Io.events(spark, sfDir)
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("cohort")
+
+  /** x25 — exact continuous percentiles (p50/p90) per group: Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the standard linear-
+    * interpolation definition. Fine at fixture scale; the 100 TB tool is
+    * `percentile_approx` (x12b-style sketch tradeoff, see also T1).
+    */
+  def x25Percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Io.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5d)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9d)"), 6).as("p90"),
+        round(max("value"), 6).as("max_value"))
+      .orderBy("event_type")
 }

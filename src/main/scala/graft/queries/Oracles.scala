@@ -371,6 +371,44 @@ object Oracles {
       |ORDER BY cosine DESC, vec_id
       |LIMIT 5""".stripMargin
 
+  val x22: String =
+    """WITH od AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate)
+      |SELECT e.event_id, e.user_id, od.o_orderkey AS matched_order
+      |FROM events e ASOF LEFT JOIN od
+      |  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
+  val x23: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  val x24: String =
+    """SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events
+      |GROUP BY user_id % 10
+      |ORDER BY cohort""".stripMargin
+
+  val x25: String =
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.5), 6) AS p50,
+      |       round(quantile_cont(value, 0.9), 6) AS p90,
+      |       round(max(value), 6) AS max_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x13_minhash_neardup" -> x13,
     "x14_text_stats"      -> x14,
@@ -394,7 +432,11 @@ object Oracles {
     "x9_text_tokens"      -> x9,
     "x10_exact_dedup_hash" -> x10,
     "x11_cosine_topk"     -> x11,
-    "x12_distinct"        -> x12)
+    "x12_distinct"        -> x12,
+    "x22_asof_join"       -> x22,
+    "x23_cube"            -> x23,
+    "x24_pivot"           -> x24,
+    "x25_percentiles"     -> x25)
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,
