@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sessionization — the custom-state counterpart of the
+  * batch lag-gap query (x6): per-user session tracking via
+  * `flatMapGroupsWithState`, emitting a session row when a gap exceeds the
+  * timeout (same 30-minute gap rule as x6) or the group state expires.
+  *
+  * State is one small case class per key (user), so state size tracks active
+  * users, not event volume — the property that keeps this runnable on an
+  * unbounded stream.
+  */
+object StatefulSessions {
+
+  final case class Event(userId: Long, tsMicros: Long, value: Double)
+  final case class SessionState(
+      start: Long, lastSeen: Long, nEvents: Long, sumValue: Double)
+  final case class SessionOut(
+      userId: Long, startMicros: Long, endMicros: Long, nEvents: Long, sumValue: Double)
+
+  val GapMicros: Long = 30L * 60 * 1000000 // 30 min, same as x6
+
+  /** Emits CLOSED sessions; the open session per user lives in state. Events
+    * inside a group arrive unordered within a micro-batch, so they are
+    * sorted by time before folding.
+    */
+  def updateUser(
+      userId: Long,
+      events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    var closed = List.empty[SessionOut]
+    var cur = state.getOption
+    events.toSeq.sortBy(_.tsMicros).foreach { e =>
+      cur match {
+        case Some(s) if e.tsMicros - s.lastSeen <= GapMicros =>
+          cur = Some(SessionState(s.start, e.tsMicros, s.nEvents + 1, s.sumValue + e.value))
+        case Some(s) => // gap exceeded: close the running session, open a new one
+          closed ::= SessionOut(userId, s.start, s.lastSeen, s.nEvents, s.sumValue)
+          cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+        case None =>
+          cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+      }
+    }
+    cur.foreach(state.update)
+    closed.reverseIterator
+  }
+
+  /** Wires the update function onto a typed stream (works identically on a
+    * batch Dataset for testing the fold logic).
+    */
+  def sessions(events: Dataset[Event]): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateUser)
+  }
+}
