@@ -24,6 +24,20 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
   }
 
+  test("S3 — managed-table sink: saveAsTable + catalog read-back (CTAS analog)") {
+    // the reference's `create or replace table … as select * from df`
+    // (/root/reference/flows/pipeline.py:172-175) — Spark's managed-table
+    // path through the session catalog
+    val src = Io.table(spark, sfDir, "region")
+    src.write.mode("overwrite").saveAsTable("stg_region")
+    try {
+      assert(spark.catalog.tableExists("stg_region"))
+      val back = spark.sql("SELECT r_regionkey, r_name FROM stg_region ORDER BY r_regionkey")
+      assert(back.collect().toSeq ==
+        src.select("r_regionkey", "r_name").orderBy("r_regionkey").collect().toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS stg_region")
+  }
+
   test("x14_text_stats runs through spark.sql and returns per-language rows") {
     val out = LlmQueries.x14TextStats(spark, sfDir).collect()
     assert(out.nonEmpty)
