@@ -156,11 +156,17 @@ object LlmQueries {
       .select(
         col("doc_id"), col("n_tokens"), col("n_stop"),
         round(nStop / col("n_tokens"), 6).as("stop_ratio"),
+        // round at 8, not 6: every EXACT score value terminates within 8
+        // decimal digits (weights /50,/10,/nt with nt ≤ 99), so scale-6
+        // rounding can land exactly on a half-boundary (e.g. 0.6469375)
+        // where DuckDB's multiply-based round and Spark's BigDecimal
+        // HALF_UP disagree on the 1-ulp-off double. At scale 8 the 9th
+        // digit of every exact value is 0 — no boundary can be hit.
         round(
           lit(0.4) * least(nTok, lit(50.0)) / lit(50.0)
             + lit(0.3) * (lit(1.0) - nStop / col("n_tokens"))
             + lit(0.3) * least(col("n_alpha").cast("double") / col("n_tokens"), lit(10.0)) / lit(10.0),
-          6).as("quality_score"))
+          8).as("quality_score"))
       .orderBy("doc_id")
   }
 

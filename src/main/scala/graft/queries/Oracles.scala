@@ -291,7 +291,7 @@ object Oracles {
       |       round(CAST(s.n_stop AS DOUBLE) / s.n_tokens, 6) AS stop_ratio,
       |       round(0.4 * least(CAST(s.n_tokens AS DOUBLE), 50.0) / 50.0
       |           + 0.3 * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens)
-      |           + 0.3 * least(CAST(t.n_alpha AS DOUBLE) / s.n_tokens, 10.0) / 10.0, 6) AS quality_score
+      |           + 0.3 * least(CAST(t.n_alpha AS DOUBLE) / s.n_tokens, 10.0) / 10.0, 8) AS quality_score
       |FROM st s JOIN t ON s.doc_id = t.doc_id
       |ORDER BY s.doc_id""".stripMargin
 

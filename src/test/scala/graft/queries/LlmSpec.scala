@@ -62,7 +62,7 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("stop_ratio") - 0.333333) < 1e-9)
     val expected = BigDecimal(
       0.4 * 3.0 / 50.0 + 0.3 * (1.0 - 1.0 / 3.0) + 0.3 * 3.0 / 10.0)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(r.getAs[Double]("quality_score") - expected) < 1e-9)
   }
 
