@@ -34,6 +34,25 @@ object ExtendedQueries {
   /** Codegen'd native dot product (requires GraftExtensions registration). */
   def nativeDot(a: Column, b: Column): Column = call_function("float_dot", a, b)
 
+  /** Bit-deterministic 6-decimal rounding: floor(x·1e6 + 0.5)/1e6 is the
+    * same IEEE multiply/add/floor/divide sequence in Spark and DuckDB, so
+    * identical input doubles ALWAYS produce identical output — unlike the
+    * engines' round() built-ins, which disagree when an exactly-terminating
+    * value sits on the half-boundary and its double is 1 ulp off (the x16
+    * bug class: DuckDB rounds via double multiply, Spark via BigDecimal).
+    * Use for ratio outputs whose exact values can terminate near scale 6;
+    * the input must itself be engine-identical (exact integer/decimal sums,
+    * not order-dependent double sums).
+    */
+  def stableRound6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** Exact null-skipping mean: decimal sum (order-independent) cast to
+    * double over the non-null count — both engines compute the identical
+    * double, where plain avg() over doubles is summation-order-dependent.
+    */
+  def exactAvg(c: Column): Column =
+    sum(c.cast("decimal(28,6)")).cast("double") / count(c)
+
   /** x1 — three-way dim join. nation (25 rows) and region (5 rows) are
     * broadcast: no shuffle of the fact side at all; at 100 TB this is THE
     * pattern for star-schema dims.
@@ -151,7 +170,9 @@ object ExtendedQueries {
       .agg(
         count(lit(1)).as("n_events"),
         sum("k").as("sum_k"),
-        round(avg("k"), 6).as("avg_k"),
+        // exact long sum / count, rounded bit-deterministically (plain
+        // avg(long) sums in double in Spark: order-dependent)
+        stableRound6(sum("k").cast("double") / count("k")).as("avg_k"),
         sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_k"))
       .orderBy("event_type")
 

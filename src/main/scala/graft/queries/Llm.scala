@@ -95,7 +95,8 @@ object LlmQueries {
       """SELECT lang,
         |       count(*) AS n_docs,
         |       sum(n_chars) AS sum_chars,
-        |       round(avg(n_chars), 6) AS avg_chars,
+        |       floor(cast(sum(n_chars) as double) / count(n_chars) * 1000000 + 0.5)
+        |         / 1000000 AS avg_chars,
         |       sum(size(split(text, ' '))) AS sum_tokens,
         |       count(DISTINCT source) AS n_sources
         |FROM documents
@@ -266,7 +267,8 @@ object LlmQueries {
       .join(n1s, Seq("d1", "d2")) // both sides ≤ |cand|
       .join(broadcast(sizes.withColumnRenamed("doc_id", "d2")), Seq("d2"))
       .filter(jac >= 0.4)
-      .select(col("d1"), col("d2"), col("n_common"), round(jac, 6).as("jaccard"))
+      .select(col("d1"), col("d2"), col("n_common"),
+        ExtendedQueries.stableRound6(jac).as("jaccard"))
       .orderBy("d1", "d2")
   }
 

@@ -51,8 +51,14 @@ object Oracles {
       |FROM r WHERE rn = 1
       |ORDER BY event_id""".stripMargin
 
+  // r4/x8/x14/x20: means and ratios use exact (decimal/integer) sums and the
+  // bit-deterministic floor(x*1e6 + 0.5)/1e6 rounding — both engines run the
+  // identical IEEE op sequence, where round() built-ins diverge on exact
+  // half-boundary values whose double sits 1 ulp off (the x16 bug class).
   val r4: String =
-    """SELECT event_type, round(avg(value), 6) AS avg_value
+    """SELECT event_type,
+      |       floor(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(value)
+      |             * 1000000 + 0.5) / 1000000 AS avg_value
       |FROM events
       |WHERE event_type IS NOT NULL
       |GROUP BY event_type
@@ -158,7 +164,7 @@ object Oracles {
       |SELECT event_type,
       |       CAST(count(*) AS BIGINT) AS n_events,
       |       CAST(sum(k) AS BIGINT) AS sum_k,
-      |       round(avg(k), 6) AS avg_k,
+      |       floor(CAST(sum(k) AS DOUBLE) / count(k) * 1000000 + 0.5) / 1000000 AS avg_k,
       |       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
       |FROM e GROUP BY event_type
       |ORDER BY event_type""".stripMargin
@@ -244,7 +250,8 @@ object Oracles {
     """SELECT lang,
       |       CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-      |       round(avg(n_chars), 6) AS avg_chars,
+      |       floor(CAST(sum(n_chars) AS DOUBLE) / count(n_chars) * 1000000 + 0.5)
+      |         / 1000000 AS avg_chars,
       |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
       |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
       |FROM documents
@@ -346,7 +353,8 @@ object Oracles {
       |  JOIN shd s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
       |  GROUP BY c.d1, c.d2)
       |SELECT i.d1, i.d2, CAST(i.n_common AS BIGINT) AS n_common,
-      |       round(CAST(i.n_common AS DOUBLE) / (z1.n + z2.n - i.n_common), 6) AS jaccard
+      |       floor(CAST(i.n_common AS DOUBLE) / (z1.n + z2.n - i.n_common)
+      |             * 1000000 + 0.5) / 1000000 AS jaccard
       |FROM inter i
       |JOIN sizes z1 ON z1.doc_id = i.d1
       |JOIN sizes z2 ON z2.doc_id = i.d2

@@ -72,12 +72,19 @@ object ReferenceQueries {
         round(col("value"), 6).as("value"))
       .orderBy("event_id")
 
-  /** r4 — A1/O1/F3: avg(value) per event_type desc (region_risk_avg analog). */
+  /** r4 — A1/O1/F3: avg(value) per event_type desc (region_risk_avg
+    * analog). The mean is computed from an exact decimal sum and rounded
+    * bit-deterministically: a plain double avg is summation-order-dependent
+    * (Spark's partial merge vs DuckDB's sequential scan), and group sizes
+    * of the form 2^a·5^b make exactly-on-the-rounding-boundary means
+    * reachable — the x16 divergence class.
+    */
   def r4GroupAvg(spark: SparkSession, sfDir: String): DataFrame =
     Io.events(spark, sfDir)
       .filter(col("event_type").isNotNull)
       .groupBy("event_type")
-      .agg(round(avg("value"), 6).as("avg_value"))
+      .agg(ExtendedQueries.stableRound6(ExtendedQueries.exactAvg(col("value")))
+        .as("avg_value"))
       .orderBy(desc("avg_value"), col("event_type"))
 
   /** r5 — W1/F4/F5: latest 'purchase' per user (row_number, ts desc with

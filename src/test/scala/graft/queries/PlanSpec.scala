@@ -18,7 +18,7 @@ class PlanSpec extends SparkSpec {
     val p = plan("r4_group_avg")
     assert(p.contains("PushedFilters: [IsNotNull(event_type)]"))
     assert(p.contains("ReadSchema: struct<event_type:string,value:double>"))
-    assert(p.contains("partial_avg"), "aggregate must be two-phase (map-side partial)")
+    assert(p.contains("partial_sum"), "aggregate must be two-phase (map-side partial)")
   }
 
   test("x1: both dimension joins broadcast — fact side never shuffles") {
