@@ -74,6 +74,30 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Media ingest from a directory of raw files via Spark's `binaryFile`
+    * source: path/length/modificationTime/content columns, mapped onto the
+    * media schema (asset_id = dense per-path rank for determinism; mime
+    * guessed from the extension). The source parallelizes by file and pushes
+    * a `pathGlobFilter`, so a 100 TB asset lake scans like any other table.
+    */
+  def readMediaDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+      glob: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        row_number().over(Window.orderBy("path")).cast("long").as("asset_id"),
+        col("content").as("media"),
+        struct(
+          when(col("path").endsWith(".png"), "image/png")
+            .when(col("path").endsWith(".jpg"), "image/jpeg")
+            .otherwise("application/octet-stream").as("mime"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height")).as("meta"),
+        col("path"))
+  }
+
   /** Cosine ANN over extracted features reuses the embedding path: features
     * are just another array<float> column, so downstream dedup/similarity
     * (x11/x21) applies unchanged. This helper only bridges the schema.

@@ -299,6 +299,24 @@ object ExtendedQueries {
       .na.fill(0L)
       .orderBy("cohort")
 
+  /** x26 — the remaining ranking-window family in one pass: rank,
+    * dense_rank, ntile(4), and lead over each customer's order history.
+    * All five functions share ONE window spec, so Spark evaluates them in a
+    * single Window operator after a single shuffle on o_custkey.
+    */
+  def x26WindowRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Io.table(spark, sfDir, "orders")
+      .filter(col("o_custkey") <= 100) // keep the oracle-compared output bounded
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        lead("o_orderkey", 1).over(w).as("next_orderkey"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** x25 — exact continuous percentiles (p50/p90) per group: Spark's
     * `percentile` and DuckDB's `quantile_cont` share the standard linear-
     * interpolation definition. Fine at fixture scale; the 100 TB tool is

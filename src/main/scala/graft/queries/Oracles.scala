@@ -408,6 +408,17 @@ object Oracles {
       |GROUP BY user_id % 10
       |ORDER BY cohort""".stripMargin
 
+  val x26: String =
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(rank() OVER w AS BIGINT) AS rnk,
+      |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |       CAST(ntile(4) OVER w AS INT) AS quartile,
+      |       lead(o_orderkey, 1) OVER w AS next_orderkey
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val x25: String =
     """SELECT event_type,
       |       round(quantile_cont(value, 0.5), 6) AS p50,
@@ -444,7 +455,8 @@ object Oracles {
     "x22_asof_join"       -> x22,
     "x23_cube"            -> x23,
     "x24_pivot"           -> x24,
-    "x25_percentiles"     -> x25)
+    "x25_percentiles"     -> x25,
+    "x26_window_ranks"    -> x26)
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,

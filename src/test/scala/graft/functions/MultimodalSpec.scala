@@ -37,6 +37,20 @@ class MultimodalSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions == 3)
   }
 
+  test("readMediaDir ingests raw files via the binaryFile source") {
+    val dir = java.nio.file.Files.createTempDirectory("media").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.png"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.jpg"), Array[Byte](4, 5))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.txt"), Array[Byte](6))
+    val media = Multimodal.readMediaDir(spark, dir)
+    assert(media.count() == 3)
+    val byMime = media.collect()
+      .map(r => r.getStruct(2).getString(0) -> r.getAs[Array[Byte]]("media").length).toMap
+    assert(byMime == Map("image/png" -> 3, "image/jpeg" -> 2, "application/octet-stream" -> 1))
+    // ingested media flows straight into the feature extractor
+    assert(Multimodal.extractFeatures(media.drop("path")).count() == 3)
+  }
+
   test("asEmbeddings bridges features into the embedding schema") {
     val emb = Multimodal.asEmbeddings(Multimodal.extractFeatures(mediaDf(10)))
     assert(emb.schema.fieldNames.toSeq == Seq("vec_id", "embedding", "label"))
