@@ -47,11 +47,14 @@ object Io {
     val tmpDir = new Path(target + "._spark_tmp")
     df.coalesce(1).write.mode("overwrite").option("header", "true")
       .csv(tmpDir.toString)
-    val fs   = tmpDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val part = fs.globStatus(new Path(tmpDir, "part-*.csv")).head.getPath
+    val fs    = tmpDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.globStatus(new Path(tmpDir, "part-*.csv*"))
+    require(parts != null && parts.nonEmpty,
+      s"no part file produced under $tmpDir (compression codec configured?)")
+    val part = parts.head.getPath
     val dst  = new Path(target)
     if (fs.exists(dst)) fs.delete(dst, false)
-    fs.rename(part, dst)
+    require(fs.rename(part, dst), s"rename $part -> $dst failed")
     fs.delete(tmpDir, true)
   }
 }

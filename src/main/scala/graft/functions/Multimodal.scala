@@ -82,12 +82,15 @@ object Multimodal {
     */
   def readMediaDir(spark: org.apache.spark.sql.SparkSession, dir: String,
       glob: String = "*"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(
-        row_number().over(Window.orderBy("path")).cast("long").as("asset_id"),
+        // deterministic per-path id WITHOUT a global window: a partition-less
+        // row_number would funnel every binary payload through one task.
+        // xxhash64(path) keeps the scan fully distributed; collisions are
+        // 2^-64-scale and acceptable for an ingest id.
+        xxhash64(col("path")).as("asset_id"),
         col("content").as("media"),
         struct(
           when(col("path").endsWith(".png"), "image/png")

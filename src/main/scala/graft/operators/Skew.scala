@@ -24,16 +24,17 @@ object Skew {
       parts: Int,
       partial: Map[String, Column => Column],
       finalAgg: Map[String, Column => Column]): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(parts)))
-    val p = salted
+    require(partial.nonEmpty && finalAgg.nonEmpty, "need at least one aggregate")
+    def exprs(m: Map[String, Column => Column]): Seq[Column] =
+      m.map { case (c, f) => f(col(c)).as(c) }.toSeq
+    val pe = exprs(partial)
+    val fe = exprs(finalAgg)
+    df.withColumn("_salt",
+        pmod(spark_partition_id() + monotonically_increasing_id(), lit(parts)))
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
-      .agg(
-        partial.head._2(col(partial.head._1)).as(partial.head._1),
-        partial.tail.map { case (c, f) => f(col(c)).as(c) }.toSeq: _*)
-    p.groupBy(keyCols.map(col): _*)
-      .agg(
-        finalAgg.head._2(col(finalAgg.head._1)).as(finalAgg.head._1),
-        finalAgg.tail.map { case (c, f) => f(col(c)).as(c) }.toSeq: _*)
+      .agg(pe.head, pe.tail: _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(fe.head, fe.tail: _*)
   }
 
   /** Salted broadcast-side replication for a skewed equi-join: the big

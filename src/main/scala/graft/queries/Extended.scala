@@ -296,7 +296,9 @@ object ExtendedQueries {
       .groupBy((col("user_id") % 10).as("cohort"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .count()
-      .na.fill(0L)
+      // fill only the pivoted count columns — a blanket fill would also
+      // rewrite a NULL cohort key to 0, diverging from the oracle
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy("cohort")
 
   /** x26 — the remaining ranking-window family in one pass: rank,
@@ -310,8 +312,11 @@ object ExtendedQueries {
       .filter(col("o_custkey") <= 100) // keep the oracle-compared output bounded
       .select(
         col("o_custkey"), col("o_orderkey"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
+        // rank/dense_rank are IntegerType in Spark; cast to long so the
+        // dumped parquet matches the oracle's BIGINT (schema gate compares
+        // dtypes, not just values)
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
         ntile(4).over(w).as("quartile"),
         lead("o_orderkey", 1).over(w).as("next_orderkey"))
       .orderBy("o_custkey", "o_orderkey")

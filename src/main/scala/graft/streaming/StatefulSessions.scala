@@ -24,39 +24,58 @@ object StatefulSessions {
 
   /** Emits CLOSED sessions; the open session per user lives in state. Events
     * inside a group arrive unordered within a micro-batch, so they are
-    * sorted by time before folding.
+    * sorted by time before folding. A processing-time timeout closes (and
+    * emits) the open session of a user who goes quiet and REMOVES their
+    * state — without this, churned users would leak state forever and their
+    * final session would never surface.
     */
   def updateUser(
       userId: Long,
       events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
-    var closed = List.empty[SessionOut]
-    var cur = state.getOption
-    events.toSeq.sortBy(_.tsMicros).foreach { e =>
-      cur match {
-        case Some(s) if e.tsMicros - s.lastSeen <= GapMicros =>
-          cur = Some(SessionState(s.start, e.tsMicros, s.nEvents + 1, s.sumValue + e.value))
-        case Some(s) => // gap exceeded: close the running session, open a new one
-          closed ::= SessionOut(userId, s.start, s.lastSeen, s.nEvents, s.sumValue)
-          cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
-        case None =>
-          cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+    if (state.hasTimedOut) {
+      val closedFinal = state.getOption
+        .map(s => SessionOut(userId, s.start, s.lastSeen, s.nEvents, s.sumValue))
+      state.remove()
+      closedFinal.iterator
+    } else {
+      var closed = List.empty[SessionOut]
+      var cur = state.getOption
+      events.toSeq.sortBy(_.tsMicros).foreach { e =>
+        cur match {
+          case Some(s) if e.tsMicros - s.lastSeen <= GapMicros =>
+            cur = Some(SessionState(s.start, e.tsMicros, s.nEvents + 1, s.sumValue + e.value))
+          case Some(s) => // gap exceeded: close the running session, open a new one
+            closed ::= SessionOut(userId, s.start, s.lastSeen, s.nEvents, s.sumValue)
+            cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+          case None =>
+            cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+        }
       }
+      cur.foreach { s =>
+        state.update(s)
+        // no-op (throws, swallowed) when the query runs with NoTimeout
+        scala.util.Try(state.setTimeoutDuration("30 minutes"))
+      }
+      closed.reverseIterator
     }
-    cur.foreach(state.update)
-    closed.reverseIterator
   }
 
-  /** Wires the update function onto a typed stream (works identically on a
-    * batch Dataset for testing the fold logic).
+  /** Wires the update function onto a typed stream. Production default is
+    * ProcessingTimeTimeout (quiet users' sessions close and their state
+    * frees); tests pass NoTimeout because a pending timeout batch keeps
+    * `processAllAvailable` from ever returning under the test harness —
+    * the timeout branch itself is unit-tested with TestGroupState.
     */
-  def sessions(events: Dataset[Event]): Dataset[SessionOut] = {
+  def sessions(
+      events: Dataset[Event],
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+      : Dataset[SessionOut] = {
     implicit val outEnc = Encoders.product[SessionOut]
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val longEnc = Encoders.scalaLong
     events
       .groupByKey(_.userId)
-      .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateUser)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(updateUser)
   }
 }

@@ -14,8 +14,12 @@ class SqlSurfaceSpec extends SparkSpec {
 
   test("spark.sql over a temp view equals the DataFrame query (r4_group_avg)") {
     Io.events(spark, sfDir).createOrReplaceTempView("events_v")
+    // same exact-decimal-sum + bit-deterministic rounding as r4 itself —
+    // plain round(avg(...), 6) is the formulation r4 moved away from
     val viaSql = spark.sql(
-      """SELECT event_type, round(avg(value), 6) AS avg_value
+      """SELECT event_type,
+        |       floor(cast(sum(cast(value as decimal(28,6))) as double) / count(value)
+        |             * 1000000 + 0.5) / 1000000 AS avg_value
         |FROM events_v
         |WHERE event_type IS NOT NULL
         |GROUP BY event_type

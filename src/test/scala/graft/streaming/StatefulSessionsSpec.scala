@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 /** flatMapGroupsWithState sessionization: gap splits, in-batch ordering,
   * cross-batch state carry-over.
@@ -16,7 +17,8 @@ class StatefulSessionsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
     val sink  = s"sessions_${System.nanoTime()}"
-    val q = sessions(input.toDS())
+    // NoTimeout in tests: a pending timeout batch blocks processAllAvailable
+    val q = sessions(input.toDS(), GroupStateTimeout.NoTimeout())
       .writeStream.outputMode("append").format("memory").queryName(sink).start()
     try {
       // batch 1: user 1 — two events 5 min apart (one session), then nothing
@@ -38,11 +40,23 @@ class StatefulSessionsSpec extends SparkSpec {
       (1L, min(45), min(45), 1L, 4.0))) // closed by batch 3's gap
   }
 
+  test("processing-time timeout closes and emits the open session, then frees state") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val st = TestGroupState.create[SessionState](
+      Optional.of(SessionState(min(0), min(5), 2, 3.0)),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = true)
+    val out = StatefulSessions.updateUser(9L, Iterator.empty, st).toSeq
+    assert(out == Seq(SessionOut(9L, min(0), min(5), 2, 3.0)))
+    assert(st.isRemoved)
+  }
+
   test("events within one batch are folded in time order even if delivered unordered") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
     val sink  = s"sessions_${System.nanoTime()}"
-    val q = sessions(input.toDS())
+    val q = sessions(input.toDS(), GroupStateTimeout.NoTimeout())
       .writeStream.outputMode("append").format("memory").queryName(sink).start()
     try {
       // unordered within the batch: 80min, 0min, 5min → session {0,5} closed by 80
