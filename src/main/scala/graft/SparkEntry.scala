@@ -45,7 +45,8 @@ object SparkEntry {
     "x23_cube"             -> (ExtendedQueries.x23Cube _),
     "x24_pivot"            -> (ExtendedQueries.x24Pivot _),
     "x25_percentiles"      -> (ExtendedQueries.x25Percentiles _),
-    "x26_window_ranks"     -> (ExtendedQueries.x26WindowRanks _))
+    "x26_window_ranks"     -> (ExtendedQueries.x26WindowRanks _),
+    "x27_part_supplier"    -> (ExtendedQueries.x27PartSupplier _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

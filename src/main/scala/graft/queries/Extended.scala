@@ -322,6 +322,24 @@ object ExtendedQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** x27 — three-way star join covering the two remaining fixture tables
+    * (part, supplier): revenue per brand for small parts from high-balance
+    * suppliers. Both dimension sides are filtered then broadcast, so the
+    * lineitem fact never shuffles — the same star-schema shape as x1 but
+    * with selective dimension predicates pushed to the dim scans.
+    */
+  def x27PartSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val lineitem = Io.table(spark, sfDir, "lineitem")
+    val part     = Io.table(spark, sfDir, "part").filter(col("p_size") <= 20)
+    val supplier = Io.table(spark, sfDir, "supplier").filter(col("s_acctbal") > 2000)
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
   /** x25 — exact continuous percentiles (p50/p90) per group: Spark's
     * `percentile` and DuckDB's `quantile_cont` share the standard linear-
     * interpolation definition. Fine at fixture scale; the 100 TB tool is

@@ -419,6 +419,17 @@ object Oracles {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  val x27: String =
+    """SELECT p_brand,
+      |       CAST(count(*) AS BIGINT) AS n_items,
+      |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE p_size <= 20 AND s_acctbal > 2000
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   val x25: String =
     """SELECT event_type,
       |       round(quantile_cont(value, 0.5), 6) AS p50,
@@ -456,7 +467,8 @@ object Oracles {
     "x23_cube"            -> x23,
     "x24_pivot"           -> x24,
     "x25_percentiles"     -> x25,
-    "x26_window_ranks"    -> x26)
+    "x26_window_ranks"    -> x26,
+    "x27_part_supplier"   -> x27)
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,
