@@ -236,13 +236,21 @@ object LlmQueries {
     // signature/shingle sets would be written staging tables instead.
     val shd   = sh.distinct()
     val bands = bandHashes(minhashSignature(docs, 16), bandsOf = 4, r = 4)
-    // Candidate pairs are few (they track duplicate density), so hint them
+    // Candidate pairs WITHOUT a bands self-join: a self-join's aliased sides
+    // get distinct expression IDs, so ReuseExchange can't dedup them and the
+    // whole minhash lineage would execute twice. Instead: one groupBy
+    // collects each bucket's (small, dup-cluster-sized) sorted id list and
+    // array ops emit the in-bucket pairs — identical pair set, single
+    // lineage. Candidates are few (they track duplicate density), so they
     // broadcast into the shingle joins below.
-    val cand = broadcast(bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val cand = broadcast(bands
+      .groupBy("band", "bh").agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids,
+          |  (x, i) -> transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
+      .select(col("p.d1"), col("p.d2"))
       .distinct())
     // Join-order discipline: every join region below is 2-way with a small
     // (broadcast) side, so neither ReorderJoin nor AQE can ever pick a
