@@ -74,6 +74,35 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** STUB resize: a real implementation decodes, scales, re-encodes; the
+    * fake deterministically truncates/pads the payload to w*h bytes so tests
+    * can assert exact output. The META STRUCT update (the real contract:
+    * dims must follow the payload) is genuine.
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val n = w * h
+    media.withColumn("media",
+        when(col("media").isNull, col("media"))
+          .otherwise(substring(col("media"), 1, n)))
+      .withColumn("meta",
+        struct(col("meta.mime").as("mime"), lit(w).as("width"), lit(h).as("height")))
+  }
+
+  /** STUB frame sampling: a real implementation decodes the container and
+    * grabs every k-th frame; the fake slices the payload into `frames`
+    * equal chunks. The output SHAPE is the real contract — one row per
+    * (asset, frame_no) via posexplode, ready for per-frame feature
+    * extraction downstream.
+    */
+  def sampleFrames(media: DataFrame, frames: Int): DataFrame =
+    media
+      .withColumn("chunk",
+        expr(s"""transform(sequence(0, $frames - 1),
+                |  i -> substring(media, i * greatest(length(media) div $frames, 1) + 1,
+                |                 greatest(length(media) div $frames, 1)))""".stripMargin))
+      .select(col("asset_id"), posexplode(col("chunk")).as(Seq("frame_no", "frame")))
+      .filter(length(col("frame")) > 0)
+
   /** Media ingest from a directory of raw files via Spark's `binaryFile`
     * source: path/length/modificationTime/content columns, mapped onto the
     * media schema (asset_id = dense per-path rank for determinism; mime

@@ -51,6 +51,27 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.extractFeatures(media.drop("path")).count() == 3)
   }
 
+  test("resize truncates payload (stub) and rewrites the dims metadata") {
+    val out = Multimodal.resize(mediaDf(5), 2, 3).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    val m0 = out(0L)
+    assert(m0.getAs[Array[Byte]]("media").length == 6) // 2*3 of "payload-0"
+    assert(m0.getStruct(2).getInt(1) == 2 && m0.getStruct(2).getInt(2) == 3)
+    assert(out(4L).isNullAt(1)) // null payload stays null
+  }
+
+  test("sampleFrames emits one row per (asset, frame) with non-empty chunks") {
+    val frames = Multimodal.sampleFrames(mediaDf(5), 3)
+    assert(frames.columns.toSeq == Seq("asset_id", "frame_no", "frame"))
+    val byAsset = frames.collect().groupBy(_.getAs[Long]("asset_id"))
+    assert(!byAsset.contains(4L))          // null payload yields no frames
+    assert(byAsset(0L).map(_.getAs[Int]("frame_no")).sorted.toSeq == Seq(0, 1, 2))
+    // frames reassemble a prefix of the original payload
+    val joined = byAsset(1L).sortBy(_.getAs[Int]("frame_no"))
+      .flatMap(_.getAs[Array[Byte]]("frame"))
+    assert(new String(joined, "UTF-8").startsWith("payload-1".take(joined.length)))
+  }
+
   test("asEmbeddings bridges features into the embedding schema") {
     val emb = Multimodal.asEmbeddings(Multimodal.extractFeatures(mediaDf(10)))
     assert(emb.schema.fieldNames.toSeq == Seq("vec_id", "embedding", "label"))
