@@ -48,9 +48,12 @@ object Io {
     df.coalesce(1).write.mode("overwrite").option("header", "true")
       .csv(tmpDir.toString)
     val fs    = tmpDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val parts = fs.globStatus(new Path(tmpDir, "part-*.csv*"))
+    // strict .csv glob: a configured compression codec produces
+    // part-*.csv.gz, which must FAIL here rather than be silently renamed
+    // to a .csv target that isn't valid CSV
+    val parts = fs.globStatus(new Path(tmpDir, "part-*.csv"))
     require(parts != null && parts.nonEmpty,
-      s"no part file produced under $tmpDir (compression codec configured?)")
+      s"no plain part-*.csv under $tmpDir (compression codec configured?)")
     val part = parts.head.getPath
     val dst  = new Path(target)
     if (fs.exists(dst)) fs.delete(dst, false)

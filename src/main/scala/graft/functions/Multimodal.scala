@@ -75,17 +75,20 @@ object Multimodal {
   }
 
   /** STUB resize: a real implementation decodes, scales, re-encodes; the
-    * fake deterministically truncates/pads the payload to w*h bytes so tests
-    * can assert exact output. The META STRUCT update (the real contract:
-    * dims must follow the payload) is genuine.
+    * fake deterministically truncates the payload to at most w*h bytes so
+    * tests can assert exact output (substring is null-propagating, so null
+    * payloads stay null). The META STRUCT update is the genuine contract
+    * piece — and it only claims dims for rows that actually have a payload;
+    * a null asset keeps a null-dim meta rather than asserting a fake w×h.
     */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val n = w * h
-    media.withColumn("media",
-        when(col("media").isNull, col("media"))
-          .otherwise(substring(col("media"), 1, n)))
+    media.withColumn("media", substring(col("media"), 1, n))
       .withColumn("meta",
-        struct(col("meta.mime").as("mime"), lit(w).as("width"), lit(h).as("height")))
+        struct(
+          col("meta.mime").as("mime"),
+          when(col("media").isNotNull, lit(w)).cast("int").as("width"),
+          when(col("media").isNotNull, lit(h)).cast("int").as("height")))
   }
 
   /** STUB frame sampling: a real implementation decodes the container and
@@ -94,7 +97,8 @@ object Multimodal {
     * (asset, frame_no) via posexplode, ready for per-frame feature
     * extraction downstream.
     */
-  def sampleFrames(media: DataFrame, frames: Int): DataFrame =
+  def sampleFrames(media: DataFrame, frames: Int): DataFrame = {
+    require(frames >= 1, s"frames must be >= 1, got $frames")
     media
       .withColumn("chunk",
         expr(s"""transform(sequence(0, $frames - 1),
@@ -102,10 +106,12 @@ object Multimodal {
                 |                 greatest(length(media) div $frames, 1)))""".stripMargin))
       .select(col("asset_id"), posexplode(col("chunk")).as(Seq("frame_no", "frame")))
       .filter(length(col("frame")) > 0)
+  }
 
   /** Media ingest from a directory of raw files via Spark's `binaryFile`
     * source: path/length/modificationTime/content columns, mapped onto the
-    * media schema (asset_id = dense per-path rank for determinism; mime
+    * media schema (asset_id = xxhash64 of the path — deterministic,
+    * arbitrary 64-bit values incl. negatives, NOT a dense 1..N id; mime
     * guessed from the extension). The source parallelizes by file and pushes
     * a `pathGlobFilter`, so a 100 TB asset lake scans like any other table.
     */

@@ -246,11 +246,12 @@ object LlmQueries {
     val cand = broadcast(bands
       .groupBy("band", "bh").agg(sort_array(collect_list("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids,
-          |  (x, i) -> transform(slice(ids, i + 2, size(ids)),
-          |            y -> struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
-      .select(col("p.d1"), col("p.d2"))
+      // two-stage explode keeps per-row memory O(bucket), not O(bucket²):
+      // first one row per (bucket, d1) carrying the id array, then d1's
+      // later partners — a degenerate mega-cluster yields many O(k) rows
+      // instead of one k²-struct array in a single task
+      .select(posexplode(col("ids")).as(Seq("i", "d1")), col("ids"))
+      .select(col("d1"), explode(expr("slice(ids, i + 2, size(ids))")).as("d2"))
       .distinct())
     // Join-order discipline: every join region below is 2-way with a small
     // (broadcast) side, so neither ReorderJoin nor AQE can ever pick a

@@ -29,7 +29,7 @@ object StatefulSessions {
     * state — without this, churned users would leak state forever and their
     * final session would never surface.
     */
-  def updateUser(
+  def updateUser(withTimeout: Boolean)(
       userId: Long,
       events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
@@ -54,8 +54,10 @@ object StatefulSessions {
       }
       cur.foreach { s =>
         state.update(s)
-        // no-op (throws, swallowed) when the query runs with NoTimeout
-        scala.util.Try(state.setTimeoutDuration("30 minutes"))
+        // explicit flag, not a swallowed exception: a real registration
+        // failure in the timeout path must surface, or churned users'
+        // state silently leaks again
+        if (withTimeout) state.setTimeoutDuration("30 minutes")
       }
       closed.reverseIterator
     }
@@ -66,6 +68,15 @@ object StatefulSessions {
     * frees); tests pass NoTimeout because a pending timeout batch keeps
     * `processAllAvailable` from ever returning under the test harness —
     * the timeout branch itself is unit-tested with TestGroupState.
+    *
+    * CAVEAT: the 30-min timeout is WALL-CLOCK time, a liveness bound for
+    * state cleanup — it is not the event-time gap rule. If micro-batches
+    * stall longer than the timeout while in-gap events queue upstream, a
+    * session can close that the batch x6 query would keep open. Strict
+    * event-time parity needs EventTimeTimeout plus a watermark on the
+    * source; for this engine the batch query (x6) is the semantics of
+    * record and the stream trades exactness-under-backlog for bounded
+    * state.
     */
   def sessions(
       events: Dataset[Event],
@@ -74,8 +85,9 @@ object StatefulSessions {
     implicit val outEnc = Encoders.product[SessionOut]
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val longEnc = Encoders.scalaLong
+    val withTimeout = timeout != GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append(), timeout)(updateUser)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(updateUser(withTimeout))
   }
 }

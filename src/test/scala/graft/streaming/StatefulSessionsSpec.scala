@@ -47,7 +47,7 @@ class StatefulSessionsSpec extends SparkSpec {
       Optional.of(SessionState(min(0), min(5), 2, 3.0)),
       GroupStateTimeout.ProcessingTimeTimeout,
       1000L, Optional.empty[Long](), hasTimedOut = true)
-    val out = StatefulSessions.updateUser(9L, Iterator.empty, st).toSeq
+    val out = StatefulSessions.updateUser(withTimeout = true)(9L, Iterator.empty, st).toSeq
     assert(out == Seq(SessionOut(9L, min(0), min(5), 2, 3.0)))
     assert(st.isRemoved)
   }
