@@ -56,7 +56,10 @@ object Io {
       s"no plain part-*.csv under $tmpDir (compression codec configured?)")
     val part = parts.head.getPath
     val dst  = new Path(target)
-    if (fs.exists(dst)) fs.delete(dst, false)
+    // recursive: the pre-existing target may be a DIRECTORY (the layout a
+    // plain coalesce-write under the same name produces); a non-recursive
+    // delete of a non-empty dir fails and surfaces as a confusing rename error
+    if (fs.exists(dst)) fs.delete(dst, true)
     require(fs.rename(part, dst), s"rename $part -> $dst failed")
     fs.delete(tmpDir, true)
   }

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -19,8 +20,20 @@ import org.apache.spark.sql.types._
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // No ExpectsInputTypes: AbstractDataType is private[sql]. Callers bind
-  // this only to array<float> columns (embeddings, extracted features).
+  // No ExpectsInputTypes (AbstractDataType is private[sql]), so the type
+  // contract is enforced here: getFloat on an array<double>/array<int>
+  // buffer would reinterpret bytes and return garbage, not error.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "float_dot"

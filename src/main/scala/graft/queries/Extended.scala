@@ -44,7 +44,13 @@ object ExtendedQueries {
     * the input must itself be engine-identical (exact integer/decimal sums,
     * not order-dependent double sums).
     */
-  def stableRound6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  def stableRound6(c: Column): Column = stableRound(c, 6)
+
+  /** Generalized bit-deterministic rounding at `scale` decimal digits. */
+  def stableRound(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
 
   /** Exact null-skipping mean: decimal sum (order-independent) cast to
     * double over the non-null count — both engines compute the identical

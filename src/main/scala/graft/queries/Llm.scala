@@ -156,14 +156,14 @@ object LlmQueries {
     st.join(alpha, "doc_id")
       .select(
         col("doc_id"), col("n_tokens"), col("n_stop"),
-        round(nStop / col("n_tokens"), 6).as("stop_ratio"),
-        // round at 8, not 6: every EXACT score value terminates within 8
-        // decimal digits (weights /50,/10,/nt with nt ≤ 99), so scale-6
-        // rounding can land exactly on a half-boundary (e.g. 0.6469375)
-        // where DuckDB's multiply-based round and Spark's BigDecimal
-        // HALF_UP disagree on the 1-ulp-off double. At scale 8 the 9th
-        // digit of every exact value is 0 — no boundary can be hit.
-        round(
+        ExtendedQueries.stableRound6(nStop / col("n_tokens")).as("stop_ratio"),
+        // floor(x·1e8 + 0.5)/1e8 on BOTH sides (stableRound pattern): terms
+        // like 0.3·(1 − n_stop/n_tokens) do NOT terminate in decimal when
+        // n_tokens has a prime factor other than 2 or 5, so "exact values
+        // can't sit on a half-boundary" is not a sound defense here. With
+        // the identical IEEE multiply/add/floor/divide sequence in Spark and
+        // DuckDB, equal input doubles always round identically regardless.
+        ExtendedQueries.stableRound(
           lit(0.4) * least(nTok, lit(50.0)) / lit(50.0)
             + lit(0.3) * (lit(1.0) - nStop / col("n_tokens"))
             + lit(0.3) * least(col("n_alpha").cast("double") / col("n_tokens"), lit(10.0)) / lit(10.0),

@@ -295,10 +295,11 @@ object Oracles {
       |SELECT s.doc_id,
       |       CAST(s.n_tokens AS BIGINT) AS n_tokens,
       |       CAST(s.n_stop AS BIGINT) AS n_stop,
-      |       round(CAST(s.n_stop AS DOUBLE) / s.n_tokens, 6) AS stop_ratio,
-      |       round(0.4 * least(CAST(s.n_tokens AS DOUBLE), 50.0) / 50.0
+      |       floor(CAST(s.n_stop AS DOUBLE) / s.n_tokens * 1000000 + 0.5) / 1000000 AS stop_ratio,
+      |       floor((0.4 * least(CAST(s.n_tokens AS DOUBLE), 50.0) / 50.0
       |           + 0.3 * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens)
-      |           + 0.3 * least(CAST(t.n_alpha AS DOUBLE) / s.n_tokens, 10.0) / 10.0, 8) AS quality_score
+      |           + 0.3 * least(CAST(t.n_alpha AS DOUBLE) / s.n_tokens, 10.0) / 10.0)
+      |         * 100000000 + 0.5) / 100000000 AS quality_score
       |FROM st s JOIN t ON s.doc_id = t.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
@@ -406,7 +407,7 @@ object Oracles {
       |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       |FROM events
       |GROUP BY user_id % 10
-      |ORDER BY cohort""".stripMargin
+      |ORDER BY cohort NULLS FIRST""".stripMargin
 
   val x26: String =
     """SELECT o_custkey, o_orderkey,
