@@ -13,12 +13,9 @@ object Scratch {
       val n = f
       println(f"PROBE $name rows=$n%d t=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
-    // x20 stage probe
-    import org.apache.spark.sql.functions._
-    import graft.core.Io
-    val docs = Io.table(spark, sfDir, "documents")
-    time("docs")(docs.count())
-    for (i <- 1 to 3) time(s"x20_full_$i")(queries.LlmQueries.x20JaccardPairs(spark, sfDir).count())
+    time("warmup")(spark.range(1000000).count())
+    for (i <- 1 to 3) time(s"x20_$i")(queries.LlmQueries.x20JaccardPairs(spark, sfDir).count())
+    for (i <- 1 to 2) time(s"x13_$i")(queries.LlmQueries.x13MinhashNearDedup(spark, sfDir).count())
     spark.stop()
   }
 }

