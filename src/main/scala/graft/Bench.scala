@@ -10,9 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup on the tiny sf0.001 flagship so JIT cost doesn't
-    // land on whichever query the Map happens to iterate first.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // JVM/codegen warmup: run every query once at the tiny sf0.001 so JIT
+    // and codegen-compile cost lands here, not on whichever query the Map
+    // happens to iterate first at the measured SF (the md5/minhash codegen
+    // alone is ~5s of C2 time). Steady-state throughput is the comparable
+    // number; the warmup SF is 100x smaller so no measured data is cached.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -46,7 +46,11 @@ object SparkEntry {
     "x24_pivot"            -> (ExtendedQueries.x24Pivot _),
     "x25_percentiles"      -> (ExtendedQueries.x25Percentiles _),
     "x26_window_ranks"     -> (ExtendedQueries.x26WindowRanks _),
-    "x27_part_supplier"    -> (ExtendedQueries.x27PartSupplier _))
+    "x27_part_supplier"    -> (ExtendedQueries.x27PartSupplier _),
+    "x28_cosine_neardup"   -> (LlmQueries.x28CosineNeardup _),
+    "x29_range_join"       -> (ExtendedQueries.x29RangeJoin _),
+    "x30_hash_sample"      -> (LlmQueries.x30HashSample _),
+    "x31_bigram_stats"     -> (LlmQueries.x31BigramStats _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

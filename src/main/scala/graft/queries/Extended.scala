@@ -359,4 +359,40 @@ object ExtendedQueries {
         round(expr("percentile(value, 0.9d)"), 6).as("p90"),
         round(max("value"), 6).as("max_value"))
       .orderBy("event_type")
+
+  /** x29 — banded range self-join: same-customer order pairs placed within
+    * 30 days of each other (0 < gap ≤ W). A naive range predicate next to
+    * the custkey equi-key leaves the whole per-customer history quadratic in
+    * one join task; banding time into W-sized buckets adds the band to the
+    * EQUI key, so each probe row meets only its own and the next band —
+    * cost tracks pairs-within-W, never per-key history². The probe side
+    * explodes into (band, band+1) before the join (any in-range partner sits
+    * in one of those two bands); the exact gap predicate then trims the
+    * band's false positives. All timestamp math is epoch-ms BIGINT, exact
+    * in both engines. One shuffle per side on (custkey, band) — at 100 TB
+    * this is the interval-join shape Structured Streaming uses for
+    * stream-stream joins, and W sizes the state, not the history.
+    */
+  def x29RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 30L * 86400 * 1000 // 30 days in ms
+    val o = Io.table(spark, sfDir, "orders")
+      // parquet reads o_orderdate as TIMESTAMP_NTZ; the session TZ is UTC,
+      // so the cast to instant is deterministic and matches epoch_ms
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"))
+    val probe = o
+      .withColumn("band", explode(array(floor(col("ms") / W),
+        floor(col("ms") / W) + 1)))
+      .select(col("o_orderkey").as("k1"), col("o_custkey").as("custkey"),
+        col("ms").as("ms1"), col("band"))
+    val build = o
+      .withColumn("band", floor(col("ms") / W))
+      .select(col("o_orderkey").as("k2"), col("o_custkey").as("custkey"),
+        col("ms").as("ms2"), col("band"))
+    probe.join(build, Seq("custkey", "band"))
+      .filter(col("ms2") > col("ms1") && col("ms2") <= col("ms1") + W)
+      .select(col("k1"), col("k2"), col("custkey"),
+        (col("ms2") - col("ms1")).as("gap_ms"))
+      .orderBy("k1", "k2")
+  }
 }

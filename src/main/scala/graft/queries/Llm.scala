@@ -336,4 +336,84 @@ object LlmQueries {
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(5)
   }
+
+  /** x28 — embedding-cosine near-dup: each vector's nearest neighbor within
+    * its 6-sign-bit hyperplane bucket (the all-pairs analog of x21's
+    * query-vs-corpus path, completing the dedup family: exact x10, MinHash
+    * x13, SimHash x19, n-gram Jaccard x20, embedding-cosine here). True
+    * near-dups agree on sign bits with high probability, so in-bucket
+    * pairing finds them without an N² corpus join — cost is Σ bucket², and
+    * at scale you add bits until buckets are dup-cluster-sized. The pair
+    * matrix is built like x20's candidates: per-bucket collect_list + a
+    * two-stage explode (per-row memory O(bucket·d), not O(bucket²·d)), so
+    * the corpus shuffles ONCE on bucket — no self-join, no double scan.
+    * Neighbor rank orders by the ROUNDED cosine with a nn_id tie-break, so
+    * cross-engine ulp drift in the raw double can't flip the argmax.
+    */
+  def x28CosineNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    import ExtendedQueries.{nativeDot, stableRound6}
+    val bucket = (0 until 6).map { i =>
+      (element_at(col("embedding"), i + 1) > 0).cast("int") * (1 << (5 - i))
+    }.reduce(_ + _)
+    val emb = Io.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), bucket.as("bucket"),
+        sqrt(nativeDot(col("embedding"), col("embedding"))).as("norm"))
+    val pairs = emb
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("norm")))
+        .as("vs"))
+      .select(explode(col("vs")).as("a"), col("vs"))
+      .select(col("a"), explode(col("vs")).as("b"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
+        stableRound6(nativeDot(col("a.embedding"), col("b.embedding")) /
+          (col("a.norm") * col("b.norm"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("cosine"), col("nn_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "nn_id", "cosine")
+      .orderBy("vec_id")
+  }
+
+  /** x30 — deterministic stratified corpus sampling: keep a document iff
+    * the first md5 byte of its doc_id falls under the stratum's threshold
+    * (en is over-represented in the fixture, so it samples at half the rate
+    * of the other languages). Hash-mod sampling is the 100 TB downsampling
+    * tool: scan-only, zero shuffles, reproducible across runs and engines
+    * (no RNG), and stable under repartitioning — TABLESAMPLE is none of
+    * those. The hash is md5 over the explicit id string, per the group's
+    * portability rule.
+    */
+  def x30HashSample(spark: SparkSession, sfDir: String): DataFrame =
+    Io.table(spark, sfDir, "documents")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <=
+        when(col("lang") === "en", lit("1f")).otherwise(lit("3f")))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
+  /** x31 — bigram language-model stats: top-5 space-joined token bigrams
+    * per language. Same explode+codegen shape as the 3-gram shingles (the
+    * interpreted-HOF trap applies here too); counts are one hash agg with
+    * map-side partials, and the top-5 is a per-lang rank window over the
+    * (tiny) distinct-bigram aggregate, never over the exploded corpus.
+    */
+  def x31BigramStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = fanOut(Io.table(spark, sfDir, "documents"))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("lang"), col("toks"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(1, size(toks) - 1) END""".stripMargin)).as("i"))
+      .select(col("lang"), concat_ws(" ",
+        expr("element_at(toks, i)"),
+        expr("element_at(toks, i + 1)")).as("bigram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("n"), col("bigram"))
+    bg.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("lang", "bigram", "n")
+      .orderBy(col("lang"), desc("n"), col("bigram"))
+  }
 }

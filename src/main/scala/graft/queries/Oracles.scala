@@ -440,6 +440,60 @@ object Oracles {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** x28: same 6-sign-bit bucketing + in-bucket pair cosine; floor-pattern
+    * rounding BEFORE the rank window so both engines rank identical values.
+    */
+  val x28: String =
+    """WITH b AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(embedding[1] > 0 AS INT) * 32 + CAST(embedding[2] > 0 AS INT) * 16
+      |    + CAST(embedding[3] > 0 AS INT) * 8 + CAST(embedding[4] > 0 AS INT) * 4
+      |    + CAST(embedding[5] > 0 AS INT) * 2 + CAST(embedding[6] > 0 AS INT) AS bucket
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS vec_id, c.vec_id AS nn_id,
+      |    floor(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) /
+      |      (sqrt(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)))
+      |       * sqrt(sum(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE))))
+      |      * 1e6 + 0.5) / 1e6 AS cosine
+      |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id,
+      |       range(1, 65) i(i)
+      |  GROUP BY 1, 2)
+      |SELECT vec_id, nn_id, cosine FROM p
+      |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) = 1
+      |ORDER BY vec_id""".stripMargin
+
+  /** x29: the oracle states the range join directly as an inequality join;
+    * the Spark side reaches the same pair set through band bucketing. All
+    * time math is epoch-ms BIGINT on both sides.
+    */
+  val x29: String =
+    """SELECT a.o_orderkey AS k1, b.o_orderkey AS k2, a.o_custkey AS custkey,
+      |       epoch_ms(b.o_orderdate) - epoch_ms(a.o_orderdate) AS gap_ms
+      |FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+      | AND epoch_ms(b.o_orderdate) > epoch_ms(a.o_orderdate)
+      | AND epoch_ms(b.o_orderdate) <= epoch_ms(a.o_orderdate) + 2592000000
+      |ORDER BY k1, k2""".stripMargin
+
+  val x30: String =
+    """SELECT doc_id, lang, source
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+      |      CASE WHEN lang = 'en' THEN '1f' ELSE '3f' END
+      |ORDER BY doc_id""".stripMargin
+
+  val x31: String =
+    """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (
+      |  SELECT lang, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      |  FROM t),
+      |cnt AS (SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n
+      |        FROM bg GROUP BY 1, 2)
+      |SELECT lang, bigram, n FROM cnt
+      |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) <= 5
+      |ORDER BY lang, n DESC, bigram""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x13_minhash_neardup" -> x13,
     "x14_text_stats"      -> x14,
@@ -449,7 +503,10 @@ object Oracles {
     "x18_token_count"     -> x18,
     "x19_simhash"         -> x19,
     "x20_jaccard_pairs"   -> x20,
-    "x21_ann_bucketed"    -> x21)
+    "x21_ann_bucketed"    -> x21,
+    "x28_cosine_neardup"  -> x28,
+    "x30_hash_sample"     -> x30,
+    "x31_bigram_stats"    -> x31)
 
   val xGroup: Map[String, String] = Map(
     "x1_join_broadcast"   -> x1,
@@ -469,7 +526,8 @@ object Oracles {
     "x24_pivot"           -> x24,
     "x25_percentiles"     -> x25,
     "x26_window_ranks"    -> x26,
-    "x27_part_supplier"   -> x27)
+    "x27_part_supplier"   -> x27,
+    "x29_range_join"      -> x29)
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,

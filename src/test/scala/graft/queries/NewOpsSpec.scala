@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.SparkSpec
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Edge semantics of x28-x31 that the sf fixtures never pin down: bucket
+  * membership and singleton exclusion (x28), the 30-day boundary and the
+  * band-crossing pair (x29), hash-sample determinism against an independent
+  * JVM-side MD5 (x30), and the sub-bigram guard + top-5 tie-break (x31).
+  */
+class NewOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("x28: in-bucket nearest neighbor; singleton buckets drop out") {
+    val dir = Files.createTempDirectory("x28").toString
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    Seq(
+      (0L, "a", v(1, 1, 1, 1, 1, 1)),
+      (1L, "a", v(1, 1, 1, 1, 1, 0.9)),  // bucket 63, near-dup of 0
+      (2L, "a", v(-1, -1, -1, -1, -1, -1)), // bucket 0, alone
+      (3L, "a", v(1, 1, 1, 1, 1, -1)),   // bucket 62, alone
+      (4L, "a", v(1, 1, 1, 1, 1, 0.1))   // bucket 63, farther from 0 than 1
+    ).toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = LlmQueries.x28CosineNeardup(spark, dir)
+      .select("vec_id", "nn_id").as[(Long, Long)].collect().toSeq
+    // singletons 2 and 3 have no in-bucket neighbor → absent from output
+    assert(out == Seq((0L, 1L), (1L, 0L), (4L, 1L)))
+  }
+
+  test("x29: 30-day boundary inclusive, zero gap excluded, pairs cross bands") {
+    val dir = Files.createTempDirectory("x29").toString
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    Seq(
+      (1L, 1L, ts("2024-01-01")),
+      (2L, 1L, ts("2024-01-15")),
+      (3L, 1L, ts("2024-01-31")), // 30 days after o1: boundary, included
+      (4L, 1L, ts("2024-03-15")), // beyond every window
+      (5L, 1L, ts("2024-01-15")), // same instant as o2: gap 0, excluded
+      (6L, 2L, ts("2024-01-02"))  // other customer, no partner
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = ExtendedQueries.x29RangeJoin(spark, dir)
+      .select("k1", "k2", "gap_ms").as[(Long, Long, Long)].collect().toSeq
+    val d = 86400000L
+    assert(out == Seq(
+      (1L, 2L, 14 * d), (1L, 3L, 30 * d), (1L, 5L, 14 * d),
+      (2L, 3L, 16 * d), (5L, 3L, 16 * d)))
+  }
+
+  test("x30: sample matches an independent MD5 of the id, so it is deterministic") {
+    val dir = Files.createTempDirectory("x30").toString
+    val rows = (0L until 200L).map(i =>
+      (i, s"text $i", if (i % 2 == 0) "en" else "fr", "s", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def md5hex2(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+    val expect = rows.filter { case (id, _, lang, _, _) =>
+      md5hex2(id.toString) <= (if (lang == "en") "1f" else "3f")
+    }.map(_._1)
+    val got = LlmQueries.x30HashSample(spark, dir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < rows.size)
+  }
+
+  test("x31: bigram counts, sub-2-token guard, top-5 cap with bigram tie-break") {
+    val dir = Files.createTempDirectory("x31").toString
+    Seq(
+      (0L, "a b a b c", "en", "s", 9L),    // bigrams: "a b"x2, "b a", "b c"
+      (1L, "single", "en", "s", 6L),       // 1 token → none
+      (2L, "", "en", "s", 0L),             // split("") = [""] → none
+      (3L, "t1 t2 t3 t4 t5 t6 t7", "fr", "s", 20L) // 6 distinct, top-5 kept
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmQueries.x31BigramStats(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out.filter(_._1 == "en") ==
+      Seq(("en", "a b", 2L), ("en", "b a", 1L), ("en", "b c", 1L)))
+    val fr = out.filter(_._1 == "fr")
+    assert(fr == Seq(("fr", "t1 t2", 1L), ("fr", "t2 t3", 1L),
+      ("fr", "t3 t4", 1L), ("fr", "t4 t5", 1L), ("fr", "t5 t6", 1L)))
+  }
+}
