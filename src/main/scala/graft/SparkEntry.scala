@@ -50,7 +50,8 @@ object SparkEntry {
     "x28_cosine_neardup"   -> (LlmQueries.x28CosineNeardup _),
     "x29_range_join"       -> (ExtendedQueries.x29RangeJoin _),
     "x30_hash_sample"      -> (LlmQueries.x30HashSample _),
-    "x31_bigram_stats"     -> (LlmQueries.x31BigramStats _))
+    "x31_bigram_stats"     -> (LlmQueries.x31BigramStats _),
+    "x32_ivf_ann"          -> (LlmQueries.x32IvfAnn _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -380,13 +380,15 @@ object ExtendedQueries {
       // so the cast to instant is deterministic and matches epoch_ms
       .select(col("o_orderkey"), col("o_custkey"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("ms"))
+    // integer `div`, not floor(double /): exact at any magnitude, and both
+    // sides band identically by construction
     val probe = o
-      .withColumn("band", explode(array(floor(col("ms") / W),
-        floor(col("ms") / W) + 1)))
+      .withColumn("band", explode(array(expr(s"ms div ${W}L"),
+        expr(s"ms div ${W}L") + 1)))
       .select(col("o_orderkey").as("k1"), col("o_custkey").as("custkey"),
         col("ms").as("ms1"), col("band"))
     val build = o
-      .withColumn("band", floor(col("ms") / W))
+      .withColumn("band", expr(s"ms div ${W}L"))
       .select(col("o_orderkey").as("k2"), col("o_custkey").as("custkey"),
         col("ms").as("ms2"), col("band"))
     probe.join(build, Seq("custkey", "band"))

@@ -377,6 +377,52 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  /** x32 — IVF-style ANN, the list-pruned path next to x21's hyperplane
+    * buckets: a fixed coarse codebook (the vectors with vec_id 1..8 — a
+    * deterministic stand-in for trained k-means centroids), each vector
+    * assigned to its best centroid by rounded cosine (max(struct) argmax:
+    * map-side combinable, unlike a rank window), the query probing only its
+    * top-2 centroid lists, and the exact cosine reranking just those lists
+    * — here 2/8 of the corpus, and at scale nprobe/nlist of it. The
+    * codebook and query sides are 8-row/1-row broadcasts; at cluster scale
+    * the assignment materializes as a table bucketed by cid, so a probe
+    * reads only its lists' files and the per-query cost is the rerank, not
+    * the scan. Every ranked cosine is stableRound6'd first, so argmax,
+    * probe choice, and final order are ulp-drift-proof across engines.
+    */
+  def x32IvfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    import ExtendedQueries.{nativeDot, stableRound6}
+    val emb = Io.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(nativeDot(col("embedding"), col("embedding"))).as("norm"))
+    val cent = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("norm").as("cnorm"))
+    val ac = stableRound6(nativeDot(col("embedding"), col("cemb")) /
+      (col("norm") * col("cnorm")))
+    // argmax centroid per vector: lexicographic max over (rounded cosine,
+    // -cid) — highest similarity, ties to the lowest centroid id
+    val assign = emb.crossJoin(broadcast(cent))
+      .groupBy("vec_id", "label", "embedding", "norm")
+      .agg(max(struct(ac.as("ac"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("norm"),
+        (-col("m.ncid")).as("cid"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qemb"), col("norm").as("qnorm"))
+    val qprobe = cent.crossJoin(broadcast(q))
+      .select(col("cid"), stableRound6(nativeDot(col("cemb"), col("qemb")) /
+        (col("cnorm") * col("qnorm"))).as("qc"))
+      .orderBy(desc("qc"), col("cid")).limit(2)
+      .select("cid")
+    assign.join(broadcast(qprobe), "cid")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        stableRound6(nativeDot(col("embedding"), col("qemb")) /
+          (col("norm") * col("qnorm"))).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id")).limit(5)
+  }
+
   /** x30 — deterministic stratified corpus sampling: keep a document iff
     * the first md5 byte of its doc_id falls under the stratum's threshold
     * (en is over-represented in the fixture, so it samples at half the rate

@@ -475,6 +475,37 @@ object Oracles {
       | AND epoch_ms(b.o_orderdate) <= epoch_ms(a.o_orderdate) + 2592000000
       |ORDER BY k1, k2""".stripMargin
 
+  /** x32: same codebook/assignment/probe/rerank pipeline stated with CTEs;
+    * the argmax is the QUALIFY-rank equivalent of Spark's max(struct).
+    */
+  val x32: String =
+    """WITH c AS (
+      |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+      |  WHERE vec_id BETWEEN 1 AND 8),
+      |ac AS (
+      |  SELECT e.vec_id, c.cid,
+      |    floor(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(c.cemb[i.i] AS DOUBLE)) /
+      |      (sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))
+      |       * sqrt(sum(CAST(c.cemb[i.i] AS DOUBLE) * CAST(c.cemb[i.i] AS DOUBLE))))
+      |      * 1e6 + 0.5) / 1e6 AS ac
+      |  FROM embeddings e, c, range(1, 65) i(i)
+      |  GROUP BY 1, 2),
+      |assign AS (
+      |  SELECT vec_id, cid FROM ac
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cid) = 1),
+      |qp AS (SELECT cid FROM ac WHERE vec_id = 0 ORDER BY ac DESC, cid LIMIT 2),
+      |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id, e.label,
+      |  floor(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qemb[i.i] AS DOUBLE)) /
+      |    (sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))
+      |     * sqrt(sum(CAST(q.qemb[i.i] AS DOUBLE) * CAST(q.qemb[i.i] AS DOUBLE))))
+      |    * 1e6 + 0.5) / 1e6 AS cosine
+      |FROM embeddings e
+      |JOIN assign USING (vec_id) JOIN qp USING (cid), q, range(1, 65) i(i)
+      |GROUP BY e.vec_id, e.label
+      |ORDER BY cosine DESC, vec_id
+      |LIMIT 5""".stripMargin
+
   val x30: String =
     """SELECT doc_id, lang, source
       |FROM documents
@@ -506,6 +537,7 @@ object Oracles {
     "x21_ann_bucketed"    -> x21,
     "x28_cosine_neardup"  -> x28,
     "x30_hash_sample"     -> x30,
+    "x32_ivf_ann"         -> x32,
     "x31_bigram_stats"    -> x31)
 
   val xGroup: Map[String, String] = Map(

@@ -49,6 +49,34 @@ class NewOpsSpec extends SparkSpec {
       (2L, 3L, 16 * d), (5L, 3L, 16 * d)))
   }
 
+  test("x32: probes top-2 centroid lists only — a vector in an unprobed list is invisible") {
+    val dir = Files.createTempDirectory("x32").toString
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // centroids are vec_id 1..8; make 1 and 2 the query's probed lists and
+    // park a PERFECT duplicate of the query (id 20) on centroid 3's list
+    val rows = Seq(
+      (0L, "q", v(1, 0, 0, 0, 0, 0)),     // query
+      (1L, "c", v(0.9, 0.1, 0, 0, 0, 0)), // probed
+      (2L, "c", v(0.8, 0.2, 0, 0, 0, 0)), // probed
+      (3L, "c", v(0, 0, 1, 0, 0, 0)),     // unprobed
+      (4L, "c", v(0, 0, 0, 1, 0, 0)),
+      (5L, "c", v(0, 0, 0, 0, 1, 0)),
+      (6L, "c", v(0, 0, 0, 0, 0, 1)),
+      (7L, "c", v(0, 1, 0, 0, 0, 0)),
+      (8L, "c", v(-1, 0, 0, 0, 0, 0)),
+      (10L, "a", v(0.85, 0.15, 0, 0, 0, 0)), // assigned c1/c2 → visible
+      (20L, "a", v(1, 0, 0, 0, 0, 0.01)),    // ≈query, assigned c1 → top hit
+      (21L, "a", v(0.1, 0, 1, 0, 0, 0))      // assigned c3 → pruned
+    )
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = LlmQueries.x32IvfAnn(spark, dir)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.contains(10L), "vector on a probed list must be ranked")
+    assert(!got.contains(21L), "vector on an unprobed list must be pruned (IVF recall trade-off)")
+    assert(!got.contains(3L) && !got.contains(4L), "unprobed centroids themselves pruned")
+  }
+
   test("x30: sample matches an independent MD5 of the id, so it is deterministic") {
     val dir = Files.createTempDirectory("x30").toString
     val rows = (0L until 200L).map(i =>

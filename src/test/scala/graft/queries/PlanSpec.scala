@@ -60,4 +60,30 @@ class PlanSpec extends SparkSpec {
     // one partial+final agg pair over one scan — no join, no second scan
     assert("FileScan parquet".r.findAllIn(p).size <= 1)
   }
+
+  test("x28: one corpus shuffle on bucket, no self-join, top-1 pushed into WindowGroupLimit") {
+    val p = plan("x28_cosine_neardup")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, "pair matrix must not rescan the corpus")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+    assert(p.contains("WindowGroupLimit"), "NN argmax should prune below the window")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"))
+  }
+
+  test("x29: range join runs as an equi-join on (custkey, band), never a nested loop") {
+    val p = plan("x29_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("custkey") && p.contains("band"), "band must be part of the join key")
+  }
+
+  test("x30: hash sampling is scan-only — no shuffle except the output sort") {
+    val p = plan("x30_hash_sample")
+    assert("Exchange".r.findAllIn(p).size == 1, "only the final rangepartitioning sort")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"))
+  }
+
+  test("x31: rank window sits above the bigram aggregate, capped by WindowGroupLimit") {
+    val p = plan("x31_bigram_stats")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("partial_count"), "bigram counts must combine map-side")
+  }
 }
