@@ -51,7 +51,8 @@ object SparkEntry {
     "x29_range_join"       -> (ExtendedQueries.x29RangeJoin _),
     "x30_hash_sample"      -> (LlmQueries.x30HashSample _),
     "x31_bigram_stats"     -> (LlmQueries.x31BigramStats _),
-    "x32_ivf_ann"          -> (LlmQueries.x32IvfAnn _))
+    "x32_ivf_ann"          -> (LlmQueries.x32IvfAnn _),
+    "x33_salted_agg"       -> (ExtendedQueries.x33SaltedAgg _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

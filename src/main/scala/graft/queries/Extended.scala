@@ -373,6 +373,32 @@ object ExtendedQueries {
     * this is the interval-join shape Structured Streaming uses for
     * stream-stream joins, and W sizes the state, not the history.
     */
+  /** x33 — salted hot-key aggregation as a declared query (the
+    * `operators.Skew.saltedAgg` path, otherwise test-only): events has 5
+    * event_type keys, the degenerate-cardinality shape where one reducer
+    * per key straggles at scale. Salting spreads each key over `parts`
+    * partial reducers; the final re-aggregate touches keys×parts rows.
+    * Sums are exact decimals, so the extra combine step cannot drift the
+    * result — the oracle is the PLAIN group-by, proving salted == unsalted.
+    */
+  def x33SaltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Skew
+    val ev = Io.events(spark, sfDir).select("event_type", "event_id", "value")
+    Skew.saltedAgg(
+      ev,
+      keyCols = Seq("event_type"),
+      parts = 8,
+      partial = Map(
+        "event_id" -> (c => count(c)),
+        "value"    -> (c => sum(c.cast("decimal(28,6)")))),
+      finalAgg = Map(
+        "event_id" -> (c => sum(c)),
+        "value"    -> (c => sum(c))))
+      .select(col("event_type"), col("event_id").as("n_rows"),
+        col("value").cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   def x29RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val W = 30L * 86400 * 1000 // 30 days in ms
     val o = Io.table(spark, sfDir, "orders")

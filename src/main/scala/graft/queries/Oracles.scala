@@ -506,6 +506,17 @@ object Oracles {
       |ORDER BY cosine DESC, vec_id
       |LIMIT 5""".stripMargin
 
+  /** x33: the oracle is the plain unsalted group-by — decimal sums make the
+    * salted two-stage combine bit-identical to the single-stage sum.
+    */
+  val x33: String =
+    """SELECT event_type,
+      |       CAST(count(event_id) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val x30: String =
     """SELECT doc_id, lang, source
       |FROM documents
@@ -559,7 +570,8 @@ object Oracles {
     "x25_percentiles"     -> x25,
     "x26_window_ranks"    -> x26,
     "x27_part_supplier"   -> x27,
-    "x29_range_join"      -> x29)
+    "x29_range_join"      -> x29,
+    "x33_salted_agg"      -> x33)
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,

@@ -86,4 +86,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
     assert(p.contains("partial_count"), "bigram counts must combine map-side")
   }
+
+  test("x33: salted agg is two shuffle stages — (key, salt) partials then key") {
+    val p = plan("x33_salted_agg")
+    assert(p.contains("_salt"), "salt column must reach the first aggregate")
+    // two logical groupBys → at least two hashpartitioning exchanges
+    assert("hashpartitioning".r.findAllIn(p).size >= 2)
+  }
 }
