@@ -15,9 +15,17 @@ object Bench {
     // happens to iterate first at the measured SF (the md5/minhash codegen
     // alone is ~5s of C2 time). Steady-state throughput is the comparable
     // number; the warmup SF is 100x smaller so no measured data is cached.
+    // Guard: skip per-query warmup when the warm dir is missing (silent
+    // swallowed throws would quietly revert to cold-JIT numbers) or IS the
+    // measured dir (warming would page-cache the measured data and
+    // contradict the cold-data premise).
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    } else {
+      try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

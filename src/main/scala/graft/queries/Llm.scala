@@ -32,7 +32,25 @@ object LlmQueries {
     */
   private def fanOut(docs: DataFrame): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    // hash-repartition on the unique key, NOT round-robin: round-robin
+    // repartition sorts every row within a partition first
+    // (spark.sql.execution.sortBeforeRepartition, kept for retry
+    // determinism) and full document texts make that sort real work
+    if (docs.rdd.getNumPartitions < p) docs.repartition(p, col("doc_id"))
+    else docs
+  }
+
+  /** x20's candidate/subset caches from the PREVIOUS invocation: a lazy
+    * DataFrame result can't unpersist its own inputs (they're needed at
+    * execution time, after this function returns), so each call releases
+    * its predecessor's pins instead — the leak is bounded at one query's
+    * worth of dup-density-sized data instead of growing per invocation.
+    */
+  private val pinned = new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private def repin(dfs: DataFrame*): Unit = pinned.synchronized {
+    pinned.foreach(_.unpersist())
+    pinned.clear()
+    dfs.foreach { d => d.persist(); pinned += d }
   }
 
   /** (doc_id, shingle) rows: 3-token shingles at 1-based positions 1..n-2,
@@ -284,7 +302,6 @@ object LlmQueries {
       .select(posexplode(col("ids")).as(Seq("i", "d1")), col("ids"))
       .select(col("d1"), explode(expr("slice(ids, i + 2, size(ids))")).as("d2"))
       .distinct()
-      .persist()
     // Fetch the shingle sets of every doc on EITHER side of a candidate pair
     // with ONE docSh scan (broadcast semi-join against the tiny id set),
     // cache that candidate-doc subset — it is dup-density-sized, the
@@ -296,7 +313,7 @@ object LlmQueries {
       .union(cand.select(col("d2").as("id"))).distinct()
     val sub = docSh.join(broadcast(candIds), col("doc_id") === col("id"))
       .select(col("doc_id"), col("shset"), col("n"))
-      .persist()
+    repin(cand, sub)
     val scored = cand
       .join(broadcast(sub.select(col("doc_id").as("d1"),
         col("shset").as("sh1"), col("n").as("n1"))), Seq("d1"))

@@ -29,4 +29,5 @@ object StreamingDedup {
       .withColumn("text_md5", md5(col(textCol)))
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("text_md5")
+      .drop("text_md5") // internal key — return the caller's own schema
 }

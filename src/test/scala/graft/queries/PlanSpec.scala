@@ -72,7 +72,11 @@ class PlanSpec extends SparkSpec {
   test("x29: range join runs as an equi-join on (custkey, band), never a nested loop") {
     val p = plan("x29_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
-    assert(p.contains("custkey") && p.contains("band"), "band must be part of the join key")
+    // the join node itself must list BOTH keys — custkey/band merely
+    // appearing somewhere in the plan would not prove the equi-key shape
+    assert("""(?s)(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[custkey#\d+L?, band#\d+L?\]"""
+      .r.findFirstIn(p).isDefined,
+      s"join keys must be (custkey, band), got:\n$p")
   }
 
   test("x30: hash sampling is scan-only — no shuffle except the output sort") {

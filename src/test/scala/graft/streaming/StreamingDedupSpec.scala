@@ -31,6 +31,8 @@ class StreamingDedupSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
+    // the internal hash key must not leak into the caller's schema
+    assert(spark.table(sink).columns.toSeq == Seq("doc_id", "text", "event_time"))
     val kept = spark.table(sink).select("doc_id").as[Long].collect().toSet
     // exactly one survivor per distinct text. Which in-batch duplicate of
     // "alpha beta" survives (0 or 2) is not contractual, but the
