@@ -91,6 +91,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "bigram counts must combine map-side")
   }
 
+  test("x32: IVF probe joins are all broadcast — the corpus side never sort-merges") {
+    val p = plan("x32_ivf_ann")
+    assert(!p.contains("SortMergeJoin"),
+      "codebook/probe/query sides are tiny broadcasts; a sort-merge means a planning regression")
+    assert(p.contains("TakeOrderedAndProject"), "top-5 must not be a global sort")
+  }
+
   test("x33: salted agg is two shuffle stages — (key, salt) partials then key") {
     val p = plan("x33_salted_agg")
     assert(p.contains("_salt"), "salt column must reach the first aggregate")
