@@ -192,8 +192,10 @@ object LlmQueries {
     * length). One explode + hash-agg per doc; arithmetic term order matches
     * the oracle exactly so the doubles agree bit-for-bit.
     */
-  def x16QualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Io.table(spark, sfDir, "documents")
+  /** Per-doc quality stats (shared by x16 and the x34 prep flow):
+    * (doc_id, n_tokens, n_stop, stop_ratio, quality_score).
+    */
+  private def qualityScored(docs: DataFrame): DataFrame = {
     val st = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id")
       .agg(
@@ -218,8 +220,10 @@ object LlmQueries {
             + lit(0.3) * (lit(1.0) - nStop / col("n_tokens"))
             + lit(0.3) * least(col("n_alpha").cast("double") / col("n_tokens"), lit(10.0)) / lit(10.0),
           8).as("quality_score"))
-      .orderBy("doc_id")
   }
+
+  def x16QualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScored(Io.table(spark, sfDir, "documents")).orderBy("doc_id")
 
   /** x17 — document fingerprint: minimum md5 over all character 8-grams
     * (winnowing-style content fingerprint, robust to token reordering at the
@@ -478,5 +482,37 @@ object LlmQueries {
       .filter(col("rn") <= 5)
       .select("lang", "bigram", "n")
       .orderBy(col("lang"), desc("n"), col("bigram"))
+  }
+
+  /** x34 — the flagship training-data prep flow, the composition every
+    * stage above exists for: language filter → quality gate (x16 scoring,
+    * threshold on the stable-rounded value so both engines gate the same
+    * set) → exact dedup (keep-lowest-id per md5(text)) → MinHash-LSH
+    * near-dedup computed over the SURVIVORS of the earlier stages (each
+    * stage shrinks the next one's input — at 100 TB the cheap scans run
+    * first and the shingle/minhash cost lands on the kept fraction only)
+    * → 50% deterministic hash sample. Stages chain as lazy DataFrames, so
+    * Catalyst fuses the whole flow into one job graph with no
+    * materialization barriers between stages.
+    */
+  def x34PrepPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val en = Io.table(spark, sfDir, "documents").filter(col("lang") === "en")
+    val pass = qualityScored(en).filter(col("quality_score") >= 0.7)
+      .select("doc_id", "quality_score")
+    val passDocs = en.join(pass, "doc_id")
+    val exact = passDocs
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select("doc_id", "text", "lang", "quality_score")
+    val bands = bandHashes(minhashSignature(exact, 16), bandsOf = 4, r = 4)
+    val buckets = bands.groupBy("band", "bh").agg(min("doc_id").as("rep"))
+    val canon = bands.join(buckets, Seq("band", "bh"))
+      .groupBy("doc_id").agg(min("rep").as("canonical"))
+    exact.join(canon, Seq("doc_id"), "left")
+      .filter(coalesce(col("canonical"), col("doc_id")) === col("doc_id"))
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= "7f")
+      .select("doc_id", "lang", "quality_score")
+      .orderBy("doc_id")
   }
 }

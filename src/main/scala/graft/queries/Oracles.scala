@@ -517,6 +517,54 @@ object Oracles {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** x34: the composed prep flow. Every stage reuses the arithmetic of its
+    * standalone query (x16 scoring, x10-style exact dedup, x13 minhash) so
+    * the stage gates match the Spark side bit-for-bit; the minhash stages
+    * run over `ex` (the quality+dedup survivors), not all documents.
+    */
+  val x34: String =
+    """WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM en),
+      |st AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |         sum(CASE WHEN token IN ('the', 'a', 'of', 'to', 'and') THEN 1 ELSE 0 END) AS n_stop
+      |  FROM tok GROUP BY doc_id),
+      |alpha AS (SELECT doc_id, length(replace(text, ' ', '')) AS n_alpha FROM en),
+      |q AS (
+      |  SELECT s.doc_id,
+      |         floor((0.4 * least(CAST(s.n_tokens AS DOUBLE), 50.0) / 50.0
+      |             + 0.3 * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens)
+      |             + 0.3 * least(CAST(t.n_alpha AS DOUBLE) / s.n_tokens, 10.0) / 10.0)
+      |           * 100000000 + 0.5) / 100000000 AS quality_score
+      |  FROM st s JOIN alpha t ON s.doc_id = t.doc_id),
+      |pass AS (SELECT doc_id, quality_score FROM q WHERE quality_score >= CAST(0.7 AS DOUBLE)),
+      |ex AS (
+      |  SELECT d.doc_id, d.text, d.lang, p.quality_score
+      |  FROM en d JOIN pass p USING (doc_id)
+      |  QUALIFY row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) = 1),
+      |sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |                i -> concat_ws(' ', string_split(text, ' ')[i],
+      |                     string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS shingle
+      |  FROM ex),
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+      |  FROM sh, range(0, 16) s(j) GROUP BY doc_id, j),
+      |band AS (
+      |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, ',' ORDER BY j)) AS bh
+      |  FROM mh GROUP BY doc_id, j // 4),
+      |buck AS (SELECT band, bh, min(doc_id) AS rep FROM band GROUP BY band, bh),
+      |canon AS (
+      |  SELECT b.doc_id, min(k.rep) AS canonical
+      |  FROM band b JOIN buck k ON b.band = k.band AND b.bh = k.bh
+      |  GROUP BY b.doc_id)
+      |SELECT e.doc_id, e.lang, e.quality_score
+      |FROM ex e LEFT JOIN canon c ON e.doc_id = c.doc_id
+      |WHERE coalesce(c.canonical, e.doc_id) = e.doc_id
+      |  AND substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 2) <= '7f'
+      |ORDER BY e.doc_id""".stripMargin
+
   val x30: String =
     """SELECT doc_id, lang, source
       |FROM documents
@@ -549,6 +597,7 @@ object Oracles {
     "x28_cosine_neardup"  -> x28,
     "x30_hash_sample"     -> x30,
     "x32_ivf_ann"         -> x32,
+    "x34_prep_pipeline"   -> x34,
     "x31_bigram_stats"    -> x31)
 
   val xGroup: Map[String, String] = Map(

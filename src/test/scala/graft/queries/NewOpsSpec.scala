@@ -77,6 +77,34 @@ class NewOpsSpec extends SparkSpec {
     assert(!got.contains(3L) && !got.contains(4L), "unprobed centroids themselves pruned")
   }
 
+  test("x34: each prep stage removes exactly the docs it should") {
+    val dir = Files.createTempDirectory("x34").toString
+    def md5hex2(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+    // ≥50 distinct 4-char non-stopword tokens → quality ≈ 0.82 ≥ 0.7
+    val good = (0 until 50).map(i => f"tk$i%02d").mkString(" ")
+    val rows = Seq(
+      (0L, good, "en", "s", 100L),                 // survives all gates*
+      (1L, good, "fr", "s", 100L),                 // lang gate
+      (2L, "the a of to and", "en", "s", 15L),     // quality gate (≈0.11)
+      (3L, good, "en", "s", 100L),                 // exact dup of 0 → dropped
+      (4L, good.replace("tk00", "zz99"), "en", "s", 100L) // distinct text, survives*
+    )
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // *subject to the 50% hash sample, which the test resolves independently
+    val sampled = Set(0L, 4L).filter(id => md5hex2(id.toString) <= "7f")
+    val got = LlmQueries.x34PrepPipeline(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    // doc 4 differs from doc 0 in 1 of 50 tokens; if a minhash band still
+    // collides the near-dedup stage may fold it into 0 — both outcomes are
+    // legitimate near-dedup behavior, so accept either, but 1/2/3 are
+    // deterministic drops and 0 (id-min) always survives to the sample
+    assert(!got.contains(1L) && !got.contains(2L) && !got.contains(3L))
+    assert(got == sampled || got == sampled - 4L)
+  }
+
   test("x30: sample matches an independent MD5 of the id, so it is deterministic") {
     val dir = Files.createTempDirectory("x30").toString
     val rows = (0L until 200L).map(i =>
