@@ -53,7 +53,8 @@ object SparkEntry {
     "x31_bigram_stats"     -> (LlmQueries.x31BigramStats _),
     "x32_ivf_ann"          -> (LlmQueries.x32IvfAnn _),
     "x33_salted_agg"       -> (ExtendedQueries.x33SaltedAgg _),
-    "x34_prep_pipeline"    -> (LlmQueries.x34PrepPipeline _))
+    "x34_prep_pipeline"    -> (LlmQueries.x34PrepPipeline _),
+    "x35_simhash_pairs"    -> (LlmQueries.x35SimhashPairs _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

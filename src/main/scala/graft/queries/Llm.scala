@@ -259,8 +259,9 @@ object LlmQueries {
     * One explode + one 16-counter aggregate — same single-pass shape as the
     * DQ profile.
     */
-  def x19Simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val h = Io.table(spark, sfDir, "documents")
+  /** (doc_id, simhash) — shared by x19 and the x35 pairing stage. */
+  private def simhash16(docs: DataFrame): DataFrame = {
+    val h = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .select(col("doc_id"), md5(col("token")).as("h"))
     val bitAggs = (0 until 16).map { b =>
@@ -272,7 +273,48 @@ object LlmQueries {
     val simhash = (0 until 16)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    bits.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+    bits.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  def x19Simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhash16(Io.table(spark, sfDir, "documents")).orderBy("doc_id")
+
+  /** x35 — SimHash near-dup degree: per doc, how many partners sit within
+    * Hamming distance 2, and the lowest such partner id. Candidates come
+    * from byte-half banding (two 8-bit bands over the 16-bit signature — a
+    * partner within distance ≤2 shares at least one unchanged half... unless
+    * both flips land in different halves, the standard LSH recall trade
+    * stated by the banding itself), deduped across bands, then the exact
+    * bit_count(xor) filter. Aggregated per doc because a 30-word shared
+    * vocabulary saturates 16 bits (5k docs → 500k+ raw near pairs at
+    * sf0.1): degree-plus-witness is the bounded output a pipeline actually
+    * consumes. Same collect_list pair expansion as x28 — one shuffle on
+    * (band, half value), no self-join.
+    */
+  def x35SimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val sig = simhash16(docs)
+    val withBand = sig.select(col("doc_id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("band"), expr("simhash div 256").as("bv")),
+          struct(lit(1).as("band"), expr("simhash % 256").as("bv")))).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bv"))
+    val near = withBand
+      .groupBy("band", "bv")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("vs"))
+      .select(explode(col("vs")).as("a"), col("vs"))
+      .select(col("a"), explode(col("vs")).as("c"))
+      .filter(col("a.doc_id") =!= col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("c.doc_id").as("partner"),
+        col("a.simhash").as("s1"), col("c.simhash").as("s2"))
+      .distinct() // a pair sharing both halves must count once
+      .filter(bit_count(col("s1").bitwiseXOR(col("s2"))) <= 2)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_near"), min("partner").as("nearest_id"))
+    docs.select("doc_id").join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("nearest_id"))
+      .orderBy("doc_id")
   }
 
   /** x20 — exact n-gram Jaccard, but ONLY on LSH candidate pairs (4 bands ×

@@ -334,6 +334,39 @@ object Oracles {
       |FROM bits GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** x35: x19's signature CTE + byte-half banding + exact Hamming filter,
+    * aggregated to per-doc degree + lowest witness.
+    */
+  val x35: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |h AS (SELECT doc_id, md5(token) AS h FROM tok),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, b // 4 + 1, 1)) - 1)
+      |                   // CAST(pow(2, b % 4) AS INTEGER)) % 2 = 1
+      |        THEN 1 ELSE -1 END) AS s
+      |  FROM h, range(0, 16) r(b) GROUP BY doc_id, b),
+      |sig AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id),
+      |wb AS (
+      |  SELECT doc_id, simhash, band,
+      |         CASE WHEN band = 0 THEN simhash // 256 ELSE simhash % 256 END AS bv
+      |  FROM sig, range(0, 2) r(band)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_id, c.doc_id AS partner,
+      |                  a.simhash AS s1, c.simhash AS s2
+      |  FROM wb a JOIN wb c ON a.band = c.band AND a.bv = c.bv
+      |   AND a.doc_id <> c.doc_id),
+      |near AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near, min(partner) AS nearest_id
+      |  FROM cand WHERE bit_count(xor(s1, s2)) <= 2
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(n.n_near, 0) AS n_near, n.nearest_id
+      |FROM documents d LEFT JOIN near n ON d.doc_id = n.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val x20: String =
     s"""WITH $shingleCte,
       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
@@ -598,6 +631,7 @@ object Oracles {
     "x30_hash_sample"     -> x30,
     "x32_ivf_ann"         -> x32,
     "x34_prep_pipeline"   -> x34,
+    "x35_simhash_pairs"   -> x35,
     "x31_bigram_stats"    -> x31)
 
   val xGroup: Map[String, String] = Map(

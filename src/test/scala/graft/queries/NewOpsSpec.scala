@@ -105,6 +105,27 @@ class NewOpsSpec extends SparkSpec {
     assert(got == sampled || got == sampled - 4L)
   }
 
+  test("x35: identical texts are mutual hamming-0 near-dups; one row per doc") {
+    val dir = docsLike(Seq(
+      (0L, "alpha beta gamma delta epsilon", "en"),
+      (1L, "alpha beta gamma delta epsilon", "en"), // same simhash as 0
+      (2L, "zz yy xx ww vv uu tt ss", "en")))
+    val out = LlmQueries.x35SimhashPairs(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out.size == 3)
+    assert(out(0L)._1 >= 1 && out(0L)._2.contains(1L))
+    assert(out(1L)._1 >= 1 && out(1L)._2.contains(0L))
+  }
+
+  private def docsLike(rows: Seq[(Long, String, String)]): String = {
+    val dir = Files.createTempDirectory("docs").toString
+    rows.map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   test("x30: sample matches an independent MD5 of the id, so it is deterministic") {
     val dir = Files.createTempDirectory("x30").toString
     val rows = (0L until 200L).map(i =>
