@@ -98,6 +98,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-5 must not be a global sort")
   }
 
+  test("whole declared set: no CartesianProduct; nested-loop joins only where a tiny side is broadcast") {
+    // queries that intentionally crossJoin a broadcast ≤8-row side (query
+    // vector / codebook): BroadcastNestedLoopJoin over a handful of rows is
+    // the right physical plan there, and only there
+    val broadcastCrossOk = Set("x11_cosine_topk", "x32_ivf_ann")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      if (!broadcastCrossOk(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unintended BroadcastNestedLoopJoin")
+    }
+  }
+
   test("x33: salted agg is two shuffle stages — (key, salt) partials then key") {
     val p = plan("x33_salted_agg")
     assert(p.contains("_salt"), "salt column must reach the first aggregate")
