@@ -10,24 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup: run every query once at the tiny sf0.001 so JIT
-    // and codegen-compile cost lands here, not on whichever query the Map
-    // happens to iterate first at the measured SF (the md5/minhash codegen
-    // alone is ~5s of C2 time). Steady-state throughput is the comparable
-    // number; the warmup SF is 100x smaller so no measured data is cached.
-    // Guard: skip per-query warmup when the warm dir is missing (silent
-    // swallowed throws would quietly revert to cold-JIT numbers) or IS the
-    // measured dir (warming would page-cache the measured data and
-    // contradict the cold-data premise).
+    // Per-query JIT/codegen warmup at the tiny sf0.001, IMMEDIATELY before
+    // timing that query at the measured SF. A single bulk warmup pass does
+    // not work: Spark's generated-code cache is bounded, and 40+ queries'
+    // stages evict each other, so by the time a query is measured its
+    // codegen is cold again (observed: x20 10s cold vs 2s warm). Steady-
+    // state throughput is the comparable number; the warmup SF is 100x
+    // smaller so no measured data is cached. Guards: skip warmup when the
+    // warm dir is missing (a silently swallowed throw would revert to
+    // cold-JIT numbers) or IS the measured dir (would page-cache measured
+    // data).
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
-      }
-    } else {
-      try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    }
+    val warm = new java.io.File(warmDir).isDirectory && warmDir != sfDir
+    if (!warm) { try SparkEntry.entry(spark).count() catch { case _: Throwable => () } }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      if (warm) { try fn(spark, warmDir).count() catch { case _: Throwable => () } }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
