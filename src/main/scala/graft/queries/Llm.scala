@@ -40,11 +40,14 @@ object LlmQueries {
     else docs
   }
 
-  /** x20's candidate/subset caches from the PREVIOUS invocation: a lazy
-    * DataFrame result can't unpersist its own inputs (they're needed at
-    * execution time, after this function returns), so each call releases
-    * its predecessor's pins instead — the leak is bounded at one query's
-    * worth of dup-density-sized data instead of growing per invocation.
+  /** Caches pinned by the LAST pinning query (x20's candidate/subset, x34's
+    * survivor set): a lazy DataFrame result can't unpersist its own inputs
+    * (they're needed at execution time, after this function returns), so
+    * each pinning call releases its predecessor's pins instead — the leak
+    * is bounded at one query's worth of small intermediate data instead of
+    * growing per invocation. Contract: execute a pinning query's result
+    * before building the next one (Verify/Bench do), else the evicted
+    * lineage recomputes — correct, just slower.
     */
   private val pinned = new scala.collection.mutable.ArrayBuffer[DataFrame]
   private def repin(dfs: DataFrame*): Unit = pinned.synchronized {
@@ -547,6 +550,9 @@ object LlmQueries {
         .Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
       .filter(col("rn") === 1)
       .select("doc_id", "text", "lang", "quality_score")
+    // the survivor set feeds the minhash stages AND the final join; pinned
+    // so the quality+dedup lineage runs once, not once per consumer
+    repin(exact)
     val bands = bandHashes(minhashSignature(exact, 16), bandsOf = 4, r = 4)
     val buckets = bands.groupBy("band", "bh").agg(min("doc_id").as("rep"))
     val canon = bands.join(buckets, Seq("band", "bh"))
