@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * DuckDB); MinHash minima compare the 32-char hex STRINGS (a valid total
   * order), so no hex→int conversion is ever needed on the minhash path.
   *
-  * Scale shapes: all LSH variants are shuffle-by-key (shingle/band/bucket)
+  * Scale shapes: the LSH variants are shuffle-by-key (shingle/band/bucket)
   * with NO all-pairs join — candidate generation is a bucket equi-join, so
   * cost tracks duplicate density, not N². The only O(N·d) scans are the
-  * brute-force baselines (x11) kept as correctness anchors.
+  * brute-force baselines (x11) kept as correctness anchors. Exception: x35
+  * is bounded by its signature width, not by duplicate density — see its
+  * scaladoc for the bucket-count math and the scale remedy.
   */
 object LlmQueries {
 
@@ -121,14 +123,24 @@ object LlmQueries {
     * shuffles only — shingle explode → doc agg → band explode → band agg →
     * semi-join back. No all-pairs comparison anywhere.
     */
+  /** Canonical assignment from (doc_id, band, bh) rows: each doc's canonical
+    * is the lowest doc_id sharing any band bucket. `extraAggs` rides along
+    * in the per-doc aggregate (x13 carries mh0). Shared by x13 and the x34
+    * prep flow so their near-dedup rule cannot drift apart.
+    */
+  private def canonicalAssignment(bands: DataFrame, extraAggs: Seq[Column] = Nil): DataFrame = {
+    val buckets = bands.groupBy("band", "bh").agg(min("doc_id").as("rep"))
+    bands.join(buckets, Seq("band", "bh"))
+      .groupBy("doc_id")
+      .agg(min("rep").as("canonical"), extraAggs: _*)
+  }
+
   def x13MinhashNearDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs  = Io.table(spark, sfDir, "documents")
     val sig   = minhashSignature(docs, 16)
     val bands = bandHashes(sig, bandsOf = 4, r = 4, extra = Seq(col("mh0")))
-    val buckets = bands.groupBy("band", "bh").agg(min("doc_id").as("rep"))
-    val canon = bands.join(buckets, Seq("band", "bh"))
-      .groupBy("doc_id")
-      .agg(min("rep").as("canonical"), max("mh0").as("mh0")) // mh0 constant per doc
+    val canon = canonicalAssignment(bands,
+      Seq(max("mh0").as("mh0"))) // mh0 constant per doc
     docs.select("doc_id").join(canon, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
@@ -293,6 +305,14 @@ object LlmQueries {
     * sf0.1): degree-plus-witness is the bounded output a pipeline actually
     * consumes. Same collect_list pair expansion as x28 — one shuffle on
     * (band, half value), no self-join.
+    *
+    * SCALE BOUND, stated honestly: two 8-bit bands give at most 512
+    * buckets, so per-bucket lists grow O(N/512) and candidate volume
+    * Θ(N²/512) — unlike the MinHash queries, cost is capped by signature
+    * width, not duplicate density. The declared 16-bit form exists for
+    * oracle tractability; at corpus scale the same pipeline needs a 64-bit
+    * signature with 4×16-bit bands (65k buckets/band, and bucket fan-out
+    * grows with corpus size), which changes only the two width constants.
     */
   def x35SimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Io.table(spark, sfDir, "documents")
@@ -553,10 +573,8 @@ object LlmQueries {
     // the survivor set feeds the minhash stages AND the final join; pinned
     // so the quality+dedup lineage runs once, not once per consumer
     repin(exact)
-    val bands = bandHashes(minhashSignature(exact, 16), bandsOf = 4, r = 4)
-    val buckets = bands.groupBy("band", "bh").agg(min("doc_id").as("rep"))
-    val canon = bands.join(buckets, Seq("band", "bh"))
-      .groupBy("doc_id").agg(min("rep").as("canonical"))
+    val canon = canonicalAssignment(
+      bandHashes(minhashSignature(exact, 16), bandsOf = 4, r = 4))
     exact.join(canon, Seq("doc_id"), "left")
       .filter(coalesce(col("canonical"), col("doc_id")) === col("doc_id"))
       .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= "7f")

@@ -16,6 +16,7 @@ class RuntimeFilterSpec extends SparkSpec {
     val savedBloom = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
     val savedScan = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
     val savedBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedEnabled = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1B")
@@ -37,6 +38,8 @@ class RuntimeFilterSpec extends SparkSpec {
       assert(joined.count() == 143) // ids with id%7==3 in [0,1000): 143
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBcast)
+      savedEnabled.fold(spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled"))(
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", _))
       savedBloom.fold(spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"))(
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", _))
       savedScan.fold(spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))(

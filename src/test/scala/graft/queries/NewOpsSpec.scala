@@ -82,27 +82,31 @@ class NewOpsSpec extends SparkSpec {
     def md5hex2(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .take(1).map("%02x".format(_)).mkString
-    // ≥50 distinct 4-char non-stopword tokens → quality ≈ 0.82 ≥ 0.7
+    // ≥50 distinct 4-char non-stopword tokens → quality ≈ 0.82 ≥ 0.7.
+    // Survivor ids are chosen so the 50% hash sample KEEPS them
+    // (md5("6")=16..., md5("9")=45..., both ≤ 7f) — with unsampled ids the
+    // expected set degenerates to ∅ and the whole keep-path goes untested.
     val good = (0 until 50).map(i => f"tk$i%02d").mkString(" ")
     val rows = Seq(
-      (0L, good, "en", "s", 100L),                 // survives all gates*
+      (6L, good, "en", "s", 100L),                 // survives all gates, sampled in
       (1L, good, "fr", "s", 100L),                 // lang gate
       (2L, "the a of to and", "en", "s", 15L),     // quality gate (≈0.11)
-      (3L, good, "en", "s", 100L),                 // exact dup of 0 → dropped
-      (4L, good.replace("tk00", "zz99"), "en", "s", 100L) // distinct text, survives*
+      (7L, good, "en", "s", 100L),                 // exact dup of 6 (6 < 7) → dropped
+      (9L, good.replace("tk00", "zz99"), "en", "s", 100L) // distinct text, sampled in
     )
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    // *subject to the 50% hash sample, which the test resolves independently
-    val sampled = Set(0L, 4L).filter(id => md5hex2(id.toString) <= "7f")
+    val sampled = Set(6L, 9L).filter(id => md5hex2(id.toString) <= "7f")
+    assert(sampled.contains(6L) && sampled.contains(9L)) // fixture sanity
     val got = LlmQueries.x34PrepPipeline(spark, dir)
       .select("doc_id").as[Long].collect().toSet
-    // doc 4 differs from doc 0 in 1 of 50 tokens; if a minhash band still
-    // collides the near-dedup stage may fold it into 0 — both outcomes are
-    // legitimate near-dedup behavior, so accept either, but 1/2/3 are
-    // deterministic drops and 0 (id-min) always survives to the sample
-    assert(!got.contains(1L) && !got.contains(2L) && !got.contains(3L))
-    assert(got == sampled || got == sampled - 4L)
+    // doc 9 differs from doc 6 in 1 of 50 tokens; if a minhash band still
+    // collides the near-dedup stage may fold it into 6 — both outcomes are
+    // legitimate near-dedup behavior, so accept either, but 1/2/7 are
+    // deterministic drops and 6 (id-min) always survives to the sample
+    assert(!got.contains(1L) && !got.contains(2L) && !got.contains(7L))
+    assert(got == sampled || got == sampled - 9L)
+    assert(got.contains(6L), "the id-min survivor must reach the output")
   }
 
   test("x35: identical texts are mutual hamming-0 near-dups; one row per doc") {
