@@ -63,4 +63,28 @@ object Io {
     require(fs.rename(part, dst), s"rename $part -> $dst failed")
     fs.delete(tmpDir, true)
   }
+
+  /** JSON-lines sink — the interchange format LLM training corpora actually
+    * ship in. One part per task (parallel write, no single-file
+    * bottleneck); optional gzip, the de-facto .jsonl.gz convention. NB a
+    * gzip part is NOT splittable — read parallelism equals file count, so
+    * the writing job's partitioning sets the reading job's; size parts
+    * accordingly (or use parquet for processing and jsonl only at the
+    * interchange edge).
+    */
+  def writeJsonl(df: DataFrame, dir: String, compress: Boolean = false): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (compress) w.option("compression", "gzip") else w).json(dir)
+  }
+
+  /** JSON-lines source. A caller-supplied schema skips the inference scan
+    * (a full extra pass over the corpus — never acceptable at scale) and is
+    * REQUIRED here for exactly that reason; columns resolve by name, extra
+    * JSON fields are ignored, missing ones read as null. Corrupt lines land
+    * in `_corrupt_record` when the schema declares it (PERMISSIVE default)
+    * instead of failing the job.
+    */
+  def readJsonl(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(dir)
 }
