@@ -54,7 +54,9 @@ object SparkEntry {
     "x32_ivf_ann"          -> (LlmQueries.x32IvfAnn _),
     "x33_salted_agg"       -> (ExtendedQueries.x33SaltedAgg _),
     "x34_prep_pipeline"    -> (LlmQueries.x34PrepPipeline _),
-    "x35_simhash_pairs"    -> (LlmQueries.x35SimhashPairs _))
+    "x35_simhash_pairs"    -> (LlmQueries.x35SimhashPairs _),
+    "x36_intersect"        -> (ExtendedQueries.x36Intersect _),
+    "x37_semi_join"        -> (ExtendedQueries.x37SemiJoin _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

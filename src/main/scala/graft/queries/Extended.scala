@@ -165,6 +165,31 @@ object ExtendedQueries {
     highBal.union(building).distinct().except(fOrders).orderBy("c_custkey")
   }
 
+  /** x36 — INTERSECT DISTINCT (the set op x7 leaves out): customers that
+    * are BOTH high-balance AND BUILDING-segment. Same one-shuffle
+    * aggregate-style plan as except.
+    */
+  def x36Intersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Io.table(spark, sfDir, "customer")
+    customer.filter(col("c_acctbal") > 5000).select("c_custkey")
+      .intersect(customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  /** x37 — left-SEMI join (x3 declares anti, this declares its dual):
+    * customers WITH at least one F-status order, no order columns in the
+    * output and no row multiplication. Same shuffle shape as anti.
+    */
+  def x37SemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Io.table(spark, sfDir, "customer")
+    val fOrders = Io.table(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    customer.join(fOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
   /** x8 — JSON field extraction + stats. Spark side uses the native
     * `get_json_object` path; the oracle extracts the same value with a
     * regex, avoiding DuckDB's loadable-json dependency.

@@ -156,6 +156,17 @@ object Oracles {
       |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
 
+  val x36: String =
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      |INTERSECT
+      |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY c_custkey""".stripMargin
+
+  val x37: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
   val x8: String =
     """WITH e AS (
       |  SELECT event_type,
@@ -654,7 +665,9 @@ object Oracles {
     "x26_window_ranks"    -> x26,
     "x27_part_supplier"   -> x27,
     "x29_range_join"      -> x29,
-    "x33_salted_agg"      -> x33)
+    "x33_salted_agg"      -> x33,
+    "x36_intersect"       -> x36,
+    "x37_semi_join"       -> x37)
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,
