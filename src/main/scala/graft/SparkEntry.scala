@@ -56,7 +56,9 @@ object SparkEntry {
     "x34_prep_pipeline"    -> (LlmQueries.x34PrepPipeline _),
     "x35_simhash_pairs"    -> (LlmQueries.x35SimhashPairs _),
     "x36_intersect"        -> (ExtendedQueries.x36Intersect _),
-    "x37_semi_join"        -> (ExtendedQueries.x37SemiJoin _))
+    "x37_semi_join"        -> (ExtendedQueries.x37SemiJoin _),
+    "x38_grouping_sets"    -> (ExtendedQueries.x38GroupingSets _),
+    "x39_full_outer"       -> (ExtendedQueries.x39FullOuter _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

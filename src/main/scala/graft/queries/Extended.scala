@@ -190,6 +190,40 @@ object ExtendedQueries {
       .orderBy("c_custkey")
   }
 
+  /** x38 — explicit GROUPING SETS (the arbitrary-set member of the family
+    * next to x4's rollup and x23's cube), through the SQL surface: one
+    * Expand + two-phase aggregate, with grouping_id disambiguating the
+    * NULL-as-aggregated rows from genuine NULL keys.
+    */
+  def x38GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       grouping_id(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  /** x39 — FULL OUTER join: per-nation counts of high-balance customers vs
+    * high-balance suppliers; the selective filters leave one-sided nations
+    * so the outer semantics actually bite. Aggregate-then-join keeps the
+    * shuffled sides key-sized.
+    */
+  def x39FullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Io.table(spark, sfDir, "customer")
+      .filter(col("c_acctbal") > 9700)
+      .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cust"))
+    val supp = Io.table(spark, sfDir, "supplier")
+      .filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_supp"))
+    cust.join(supp, col("nk_c") === col("nk_s"), "full_outer")
+      .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        col("n_cust"), col("n_supp"))
+      .orderBy("nationkey")
+  }
+
   /** x8 — JSON field extraction + stats. Spark side uses the native
     * `get_json_object` path; the oracle extracts the same value with a
     * regex, avoiding DuckDB's loadable-json dependency.

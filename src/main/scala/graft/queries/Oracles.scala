@@ -167,6 +167,24 @@ object Oracles {
       |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
 
+  val x38: String =
+    """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  val x39: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust
+      |  FROM customer WHERE c_acctbal > 9700 GROUP BY c_nationkey),
+      |s AS (
+      |  SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_supp
+      |  FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+      |SELECT coalesce(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+      |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+      |ORDER BY nationkey""".stripMargin
+
   val x8: String =
     """WITH e AS (
       |  SELECT event_type,
@@ -667,7 +685,9 @@ object Oracles {
     "x29_range_join"      -> x29,
     "x33_salted_agg"      -> x33,
     "x36_intersect"       -> x36,
-    "x37_semi_join"       -> x37)
+    "x37_semi_join"       -> x37,
+    "x38_grouping_sets"   -> x38,
+    "x39_full_outer"      -> x39)
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,
