@@ -14,8 +14,11 @@ object Scratch {
       println(f"PROBE $name rows=$n%d t=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     time("warmup")(spark.range(1000000).count())
-    for (i <- 1 to 3) time(s"x20_$i")(queries.LlmQueries.x20JaccardPairs(spark, sfDir).count())
-    for (i <- 1 to 2) time(s"x13_$i")(queries.LlmQueries.x13MinhashNearDedup(spark, sfDir).count())
+    time("x13")(queries.LlmQueries.x13MinhashNearDedup(spark, sfDir).count())
+    time("x16")(queries.LlmQueries.x16QualityScore(spark, sfDir).count())
+    time("x20")(queries.LlmQueries.x20JaccardPairs(spark, sfDir).count())
+    time("x34")(queries.LlmQueries.x34PrepPipeline(spark, sfDir).count())
+    time("x35")(queries.LlmQueries.x35SimhashPairs(spark, sfDir).count())
     spark.stop()
   }
 }
