@@ -14,11 +14,10 @@ object Scratch {
       println(f"PROBE $name rows=$n%d t=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     time("warmup")(spark.range(1000000).count())
-    time("x13")(queries.LlmQueries.x13MinhashNearDedup(spark, sfDir).count())
-    time("x16")(queries.LlmQueries.x16QualityScore(spark, sfDir).count())
-    time("x20")(queries.LlmQueries.x20JaccardPairs(spark, sfDir).count())
-    time("x34")(queries.LlmQueries.x34PrepPipeline(spark, sfDir).count())
-    time("x35")(queries.LlmQueries.x35SimhashPairs(spark, sfDir).count())
+    time("x29")(queries.ExtendedQueries.x29RangeJoin(spark, sfDir).count())
+    time("x28")(queries.LlmQueries.x28CosineNeardup(spark, sfDir).count())
+    time("x32")(queries.LlmQueries.x32IvfAnn(spark, sfDir).count())
+    time("x5")(queries.ExtendedQueries.x5WindowRunning(spark, sfDir).count())
     spark.stop()
   }
 }
