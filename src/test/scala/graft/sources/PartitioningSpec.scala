@@ -31,6 +31,18 @@ class PartitioningSpec extends SparkSpec {
       scanned.forall(s => !s.contains("event_type=view") && !s.contains("event_type=error")))
   }
 
+  test("ORC roundtrip with predicate pushdown — the second columnar format") {
+    val dir = Files.createTempDirectory("orc").toString + "/events"
+    Seq((1L, "click", 1.5), (2L, "view", 2.5), (3L, "click", 3.5))
+      .toDF("event_id", "event_type", "value")
+      .write.mode("overwrite").orc(dir)
+    val read = spark.read.orc(dir).filter(col("event_id") >= 2L)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("event_id"),
+      s"ORC scan must receive the pushed predicate:\n$plan")
+    assert(read.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("bucketed tables co-locate the join — no Exchange on either side") {
     // unique names: a previously-crashed run can leave the managed location
     // on disk with no catalog entry, and CTAS refuses to reuse it
