@@ -14,10 +14,7 @@ object Scratch {
       println(f"PROBE $name rows=$n%d t=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     time("warmup")(spark.range(1000000).count())
-    time("x29")(queries.ExtendedQueries.x29RangeJoin(spark, sfDir).count())
-    time("x28")(queries.LlmQueries.x28CosineNeardup(spark, sfDir).count())
-    time("x32")(queries.LlmQueries.x32IvfAnn(spark, sfDir).count())
-    time("x5")(queries.ExtendedQueries.x5WindowRunning(spark, sfDir).count())
+    for (i <- 1 to 2) time(s"x20_$i")(queries.LlmQueries.x20JaccardPairs(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -358,9 +358,10 @@ object LlmQueries {
     // whole minhash lineage would execute twice. Instead: one groupBy
     // collects each bucket's (small, dup-cluster-sized) sorted id list and
     // array ops emit the in-bucket pairs — identical pair set, single
-    // lineage. Candidates are few (they track duplicate density), so they
-    // persist (dup-density-sized, feeds two consumers below) and broadcast
-    // into the shingle-set joins.
+    // lineage. Candidates track duplicate density; they persist
+    // (dup-density-sized, feeds two consumers below) and AQE sizes every
+    // downstream join over them — no forced broadcasts anywhere in this
+    // query (see the sub-join comment below).
     val cand = bands
       .groupBy("band", "bh").agg(sort_array(collect_list("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -380,9 +381,11 @@ object LlmQueries {
     // subset anyway, and on a dup-HEAVY one (every doc duplicated → sub ≈
     // the whole corpus with its shingle arrays) a forced broadcast ships
     // the corpus to every task — measured 25s vs 14s at 50k docs ×10 dups.
+    // candIds has the same dup-heavy failure mode as sub (≈ every corpus id
+    // when everything is duplicated) — unhinted for the same reason
     val candIds = cand.select(col("d1").as("id"))
       .union(cand.select(col("d2").as("id"))).distinct()
-    val sub = docSh.join(broadcast(candIds), col("doc_id") === col("id"))
+    val sub = docSh.join(candIds, col("doc_id") === col("id"))
       .select(col("doc_id"), col("shset"), col("n"))
     repin(cand, sub)
     val scored = cand
