@@ -45,6 +45,7 @@ object SparkEntry {
     "x23_cube"             -> (ExtendedQueries.x23Cube _),
     "x24_pivot"            -> (ExtendedQueries.x24Pivot _),
     "x25_percentiles"      -> (ExtendedQueries.x25Percentiles _),
+    "x25b_percentiles_approx" -> (ExtendedQueries.x25bPercentilesApprox _),
     "x26_window_ranks"     -> (ExtendedQueries.x26WindowRanks _),
     "x27_part_supplier"    -> (ExtendedQueries.x27PartSupplier _),
     "x28_cosine_neardup"   -> (LlmQueries.x28CosineNeardup _),

@@ -419,6 +419,22 @@ object ExtendedQueries {
         round(max("value"), 6).as("max_value"))
       .orderBy("event_type")
 
+  /** x25b — the sketch path x25's scaladoc promises: percentile_approx
+    * (KLL-style mergeable sketch, bounded memory per group) instead of the
+    * exact percentile's per-group value buffer. Declared rows-only like
+    * x12b: the sketch's answers are accuracy-bounded, not bit-reproducible
+    * in DuckDB, so the driver records the weaker rows check — the query
+    * exists to keep the 100 TB path compiled, planned, and counted.
+    */
+  def x25bPercentilesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Io.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile_approx(value, 0.5d, 10000)"), 6).as("p50_approx"),
+        round(expr("percentile_approx(value, 0.9d, 10000)"), 6).as("p90_approx"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** x29 — banded range self-join: same-customer order pairs placed within
     * 30 days of each other (0 < gap ≤ W). A naive range predicate next to
     * the custkey equi-key leaves the whole per-customer history quadratic in
