@@ -49,6 +49,7 @@ object SparkEntry {
     "x26_window_ranks"     -> (ExtendedQueries.x26WindowRanks _),
     "x27_part_supplier"    -> (ExtendedQueries.x27PartSupplier _),
     "x28_cosine_neardup"   -> (LlmQueries.x28CosineNeardup _),
+    "x28b_cosine_wide"     -> (LlmQueries.x28bCosineNeardupWide _),
     "x29_range_join"       -> (ExtendedQueries.x29RangeJoin _),
     "x30_hash_sample"      -> (LlmQueries.x30HashSample _),
     "x31_bigram_stats"     -> (LlmQueries.x31BigramStats _),
@@ -56,6 +57,7 @@ object SparkEntry {
     "x33_salted_agg"       -> (ExtendedQueries.x33SaltedAgg _),
     "x34_prep_pipeline"    -> (LlmQueries.x34PrepPipeline _),
     "x35_simhash_pairs"    -> (LlmQueries.x35SimhashPairs _),
+    "x35b_simhash_wide"    -> (LlmQueries.x35bSimhashPairsWide _),
     "x36_intersect"        -> (ExtendedQueries.x36Intersect _),
     "x37_semi_join"        -> (ExtendedQueries.x37SemiJoin _),
     "x38_grouping_sets"    -> (ExtendedQueries.x38GroupingSets _),

@@ -31,6 +31,11 @@ object LlmQueries {
     * serializes everything. Fan out only when the scan is narrower than the
     * cluster; at real scale (thousands of row-groups) this is a no-op, never
     * a full-corpus shuffle.
+    *
+    * `docs.rdd.getNumPartitions` forces physical planning plus an RDD
+    * conversion (driver-only cost), so callers apply fanOut ONCE per query
+    * and pass the fanned frame to every shingle/minhash helper — never
+    * inside a helper that a query invokes twice.
     */
   private def fanOut(docs: DataFrame): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
@@ -53,7 +58,11 @@ object LlmQueries {
     */
   private val pinned = new scala.collection.mutable.ArrayBuffer[DataFrame]
   private def repin(dfs: DataFrame*): Unit = pinned.synchronized {
-    pinned.foreach(_.unpersist())
+    // a pin may belong to an already-stopped SparkSession (object-lifetime
+    // cache vs session lifetime): unpersisting through a dead session must
+    // not fail the UNRELATED query that triggered the eviction — stale
+    // entries are simply dropped
+    pinned.foreach(d => try d.unpersist() catch { case _: Throwable => () })
     pinned.clear()
     dfs.foreach { d => d.persist(); pinned += d }
   }
@@ -65,10 +74,11 @@ object LlmQueries {
     * whole-stage codegen, and that overhead dominates md5 itself. The CASE
     * guards size<3: Spark's sequence(1, 0) would yield a DESCENDING [1,0]
     * whose position 0 then errors in element_at. The token array is hoisted
-    * into its own projection so split() runs once per document.
+    * into its own projection so split() runs once per document. `docs` must
+    * already be fanned out (see fanOut) by the calling query.
     */
   private def explodedShingles(docs: DataFrame): DataFrame =
-    fanOut(docs).withColumn("toks", split(col("text"), " "))
+    docs.withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("toks"), explode(expr(
         """CASE WHEN size(toks) < 3 THEN CAST(array() AS ARRAY<INT>)
           |ELSE sequence(1, size(toks) - 2) END""".stripMargin)).as("i"))
@@ -81,9 +91,10 @@ object LlmQueries {
     * the interpreted-HOF construction is acceptable HERE because it runs
     * once per document with no md5 inside the lambda, and the array form
     * costs zero shuffles where collect_set would shuffle the whole corpus.
+    * `docs` must already be fanned out by the calling query.
     */
   private def shingleSetArray(docs: DataFrame): DataFrame =
-    fanOut(docs).withColumn("toks", split(col("text"), " "))
+    docs.withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), array_distinct(expr(
         """CASE WHEN size(toks) < 3 THEN CAST(array() AS ARRAY<STRING>)
           |ELSE transform(sequence(1, size(toks) - 2),
@@ -137,7 +148,7 @@ object LlmQueries {
 
   def x13MinhashNearDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs  = Io.table(spark, sfDir, "documents")
-    val sig   = minhashSignature(docs, 16)
+    val sig   = minhashSignature(fanOut(docs), 16)
     val bands = bandHashes(sig, bandsOf = 4, r = 4, extra = Seq(col("mh0")))
     val canon = canonicalAssignment(bands,
       Seq(max("mh0").as("mh0"))) // mh0 constant per doc
@@ -274,25 +285,33 @@ object LlmQueries {
     * One explode + one 16-counter aggregate — same single-pass shape as the
     * DQ profile.
     */
-  /** (doc_id, simhash) — shared by x19 and the x35 pairing stage. */
-  private def simhash16(docs: DataFrame): DataFrame = {
+  /** (doc_id, simhash) at `width` bits (16 for the oracle-checked queries,
+    * 64 for the corpus-scale x35b variant) — bit b comes from hex digit
+    * b/4+1 of each token's md5 (md5's 32 hex digits cover any width ≤ 128).
+    * The signature assembles as a sum of distinct powers of two, so no term
+    * ever carries into another and bit 63 (= Long.MinValue as a signed
+    * addend) cannot overflow: partial sums of bits 0..62 stay ≤ 2^63-1 and
+    * adding a negative is always in range — ANSI-mode safe.
+    */
+  private def simhashBits(docs: DataFrame, width: Int): DataFrame = {
+    require(width >= 1 && width <= 64, s"simhash width must be in 1..64, got $width")
     val h = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .select(col("doc_id"), md5(col("token")).as("h"))
-    val bitAggs = (0 until 16).map { b =>
+    val bitAggs = (0 until width).map { b =>
       val bit = expr(
         s"((instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1) div ${1 << (b % 4)}) % 2")
       sum(when(bit === 1, 1L).otherwise(-1L)).as(s"s$b")
     }
     val bits = h.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val simhash = (0 until 16)
+    val simhash = (0 until width)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     bits.select(col("doc_id"), simhash.as("simhash"))
   }
 
   def x19Simhash(spark: SparkSession, sfDir: String): DataFrame =
-    simhash16(Io.table(spark, sfDir, "documents")).orderBy("doc_id")
+    simhashBits(Io.table(spark, sfDir, "documents"), 16).orderBy("doc_id")
 
   /** x35 — SimHash near-dup degree: per doc, how many partners sit within
     * Hamming distance 2, and the lowest such partner id. Candidates come
@@ -310,19 +329,19 @@ object LlmQueries {
     * buckets, so per-bucket lists grow O(N/512) and candidate volume
     * Θ(N²/512) — unlike the MinHash queries, cost is capped by signature
     * width, not duplicate density. The declared 16-bit form exists for
-    * oracle tractability; at corpus scale the same pipeline needs a 64-bit
-    * signature with 4×16-bit bands (65k buckets/band, and bucket fan-out
-    * grows with corpus size), which changes only the two width constants.
+    * oracle tractability; the corpus-scale 64-bit form with 4×16-bit bands
+    * (65k buckets/band) is shipped as x35b below — same pairing logic,
+    * different width constants.
     */
-  def x35SimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Io.table(spark, sfDir, "documents")
-    val sig = simhash16(docs)
-    val withBand = sig.select(col("doc_id"), col("simhash"),
-        explode(array(
-          struct(lit(0).as("band"), expr("simhash div 256").as("bv")),
-          struct(lit(1).as("band"), expr("simhash % 256").as("bv")))).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bv"))
-    val near = withBand
+  /** Per-doc near-dup degree from banded signatures: (band, bv) buckets →
+    * collect_list pair expansion (no self-join — single lineage) → distinct
+    * (a pair sharing several bands must count once) → exact
+    * bit_count(xor) ≤ maxDist filter → degree + lowest witness per doc.
+    * Shared by x35 (16-bit) and x35b (64-bit) so the pairing rule cannot
+    * drift between the oracle form and the scale form.
+    */
+  private def simhashNearDegree(withBand: DataFrame, maxDist: Int): DataFrame =
+    withBand
       .groupBy("band", "bv")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("vs"))
       .select(explode(col("vs")).as("a"), col("vs"))
@@ -330,10 +349,48 @@ object LlmQueries {
       .filter(col("a.doc_id") =!= col("c.doc_id"))
       .select(col("a.doc_id").as("doc_id"), col("c.doc_id").as("partner"),
         col("a.simhash").as("s1"), col("c.simhash").as("s2"))
-      .distinct() // a pair sharing both halves must count once
-      .filter(bit_count(col("s1").bitwiseXOR(col("s2"))) <= 2)
+      .distinct()
+      .filter(bit_count(col("s1").bitwiseXOR(col("s2"))) <= maxDist)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_near"), min("partner").as("nearest_id"))
+
+  def x35SimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val sig = simhashBits(docs, 16)
+    val withBand = sig.select(col("doc_id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("band"), expr("simhash div 256").as("bv")),
+          struct(lit(1).as("band"), expr("simhash % 256").as("bv")))).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bv"))
+    val near = simhashNearDegree(withBand, maxDist = 2)
+    docs.select("doc_id").join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("nearest_id"))
+      .orderBy("doc_id")
+  }
+
+  /** x35b — the corpus-scale SimHash form x35's scaladoc promises: 64-bit
+    * signature, 4×16-bit bands (65 536 buckets per band, so per-bucket
+    * lists shrink 128× vs x35's 512 total buckets and candidate volume
+    * tracks collisions, not Θ(N²/512)), exact filter at Hamming ≤ 3 —
+    * pigeonhole over 4 bands guarantees any ≤3-flip pair shares at least
+    * one untouched band, a RECALL GUARANTEE the 16-bit form lacks. Declared
+    * rows-only (like x12b/x25b): DuckDB has no 64-bit md5-bit-vote analog
+    * worth hand-rolling, and the 16-bit x35 already pins the shared
+    * pairing/degree logic against the oracle; what x35b adds is the width,
+    * which the 10× scale probe (SURVEY §6.1) validates instead.
+    */
+  def x35bSimhashPairsWide(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val sig = simhashBits(docs, 64)
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), 16 * b).bitwiseAND(lit(65535L)).as("bv"))
+    }
+    val withBand = sig.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bv"))
+    val near = simhashNearDegree(withBand, maxDist = 3)
     docs.select("doc_id").join(near, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_near"), lit(0L)).as("n_near"),
         col("nearest_id"))
@@ -348,11 +405,15 @@ object LlmQueries {
     */
   def x20JaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Io.table(spark, sfDir, "documents")
+    // one fanOut for both shingle consumers below: fanOut plans its input
+    // DataFrame (rdd.getNumPartitions), so computing it once per query
+    // instead of once per helper halves that driver-side cost
+    val fanned = fanOut(docs)
     // Per-doc shingle SET as an array column: computed per-row, no explode,
     // no shuffle. The Jaccard intersection then runs as array_intersect on
     // candidate pairs only — the shingle corpus is never shuffled at all.
-    val docSh = shingleSetArray(docs).withColumn("n", size(col("shset")))
-    val bands = bandHashes(minhashSignature(docs, 16), bandsOf = 4, r = 4)
+    val docSh = shingleSetArray(fanned).withColumn("n", size(col("shset")))
+    val bands = bandHashes(minhashSignature(fanned, 16), bandsOf = 4, r = 4)
     // Candidate pairs WITHOUT a bands self-join: a self-join's aliased sides
     // get distinct expression IDs, so ReuseExchange can't dedup them and the
     // whole minhash lineage would execute twice. Instead: one groupBy
@@ -441,11 +502,18 @@ object LlmQueries {
     * Neighbor rank orders by the ROUNDED cosine with a nn_id tie-break, so
     * cross-engine ulp drift in the raw double can't flip the argmax.
     */
-  def x28CosineNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** In-bucket nearest-neighbor at `bits` sign-bit hyperplanes. `keepAll`
+    * left-joins the result back onto the full id spine (vectors alone in
+    * their bucket surface with a null neighbor) — the wide-bucket x28b form
+    * needs it because 2^bits buckets at small N leave singletons, while the
+    * oracle-checked x28 keeps its original every-vector-paired shape.
+    */
+  private def cosineNeardupBits(spark: SparkSession, sfDir: String,
+      bits: Int, keepAll: Boolean): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
     import ExtendedQueries.{nativeDot, stableRound6}
-    val bucket = (0 until 6).map { i =>
-      (element_at(col("embedding"), i + 1) > 0).cast("int") * (1 << (5 - i))
+    val bucket = (0 until bits).map { i =>
+      (element_at(col("embedding"), i + 1) > 0).cast("int") * (1 << (bits - 1 - i))
     }.reduce(_ + _)
     val emb = Io.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"), bucket.as("bucket"),
@@ -462,11 +530,27 @@ object LlmQueries {
           (col("a.norm") * col("b.norm"))).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(desc("cosine"), col("nn_id"))
-    pairs.withColumn("rn", row_number().over(w))
+    val nn = pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("vec_id", "nn_id", "cosine")
-      .orderBy("vec_id")
+    if (keepAll)
+      emb.select("vec_id").join(nn, Seq("vec_id"), "left").orderBy("vec_id")
+    else nn.orderBy("vec_id")
   }
+
+  def x28CosineNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    cosineNeardupBits(spark, sfDir, bits = 6, keepAll = false)
+
+  /** x28b — the width-parameterized scale form of x28: 12 sign-bit
+    * hyperplanes (4 096 buckets; at scale you keep adding bits until
+    * buckets are dup-cluster-sized, and Σ bucket² tracks collisions rather
+    * than N²/64). Rows-only: at fixture N most buckets hold one vector, so
+    * the output's nn side is sparse — the bucketing/pairing logic itself is
+    * oracle-pinned by x28, and the 10× probe (SURVEY §6.1) checks the
+    * quadratic-cap escape.
+    */
+  def x28bCosineNeardupWide(spark: SparkSession, sfDir: String): DataFrame =
+    cosineNeardupBits(spark, sfDir, bits = 12, keepAll = true)
 
   /** x32 — IVF-style ANN, the list-pruned path next to x21's hyperplane
     * buckets: a fixed coarse codebook (the vectors with vec_id 1..8 — a
@@ -579,7 +663,7 @@ object LlmQueries {
     // so the quality+dedup lineage runs once, not once per consumer
     repin(exact)
     val canon = canonicalAssignment(
-      bandHashes(minhashSignature(exact, 16), bandsOf = 4, r = 4))
+      bandHashes(minhashSignature(fanOut(exact), 16), bandsOf = 4, r = 4))
     exact.join(canon, Seq("doc_id"), "left")
       .filter(coalesce(col("canonical"), col("doc_id")) === col("doc_id"))
       .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= "7f")
