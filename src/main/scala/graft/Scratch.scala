@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc scale-probe harness (not part of the driver contract): builds a
+  * duplicate-heavy 10× copy of the sf0.1 corpus under /tmp and compares the
+  * fixed-width (x35/x28) vs wide-signature (x35b/x28b) near-dup paths —
+  * candidate VOLUME (Σ n·(n−1) over buckets: count-based, immune to this
+  * VM's throttle noise) plus wall time. Results recorded in SURVEY §6.1.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -8,13 +16,69 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tenDir = "/tmp/probe10x"
+    def tenfold(table: String, idCol: String): Unit = {
+      val base = core.Io.table(spark, sfDir, table)
+      (0 until 10).map(i => base.withColumn(idCol, col(idCol) + lit(i * 10000000L)))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$tenDir/$table.parquet")
+    }
+    tenfold("documents", "doc_id")
+    tenfold("embeddings", "vec_id")
+    // DISTINCT corpora: every token unique per doc (md5-derived), so
+    // signatures are iid and any candidate pair is pure bucket-collision
+    // tax — the quantity the N²/512 critique is about. The fixture corpus
+    // can't show this: its 30-word shared vocabulary makes nearly every
+    // doc pair genuinely similar, so candidates are true positives there.
+    def distinctCorpus(n: Long, dir: String): Unit = {
+      spark.range(n).select(col("id").as("doc_id"),
+          concat_ws(" ", (1 to 30).map(j =>
+            md5(concat(col("id").cast("string"), lit(s"|$j")))): _*).as("text"),
+          lit("xx").as("lang"), lit("probe").as("source"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    distinctCorpus(5000L, "/tmp/probe_dist1x")
+    distinctCorpus(50000L, "/tmp/probe_dist10x")
+
+    // candidate volume Σ n·(n−1) over (band, bv) buckets at a given
+    // signature width — the quantity the wide signature exists to shrink
+    def candVolume(dir: String, width: Int, bands: Int): Long = {
+      val bandBits = width / bands
+      val mask = (1L << bandBits) - 1
+      val sig = queries.LlmQueries.simhashBits(
+        core.Io.table(spark, dir, "documents"), width)
+      val withBand = sig.select(col("doc_id"), explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("simhash"), bandBits * b)
+              .bitwiseAND(lit(mask)).as("bv"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.bv"))
+      withBand.groupBy("band", "bv").count()
+        .agg(sum(col("count") * (col("count") - 1))).head().getLong(0)
+    }
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"PROBE $name rows=$n%d t=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     time("warmup")(spark.range(1000000).count())
-    for (i <- 1 to 2) time(s"x20_$i")(queries.LlmQueries.x20JaccardPairs(spark, sfDir).count())
+    for (dir <- Seq("/tmp/probe_dist1x", "/tmp/probe_dist10x")) {
+      println(s"PROBE dir=$dir cand16=${candVolume(dir, 16, 2)} cand64=${candVolume(dir, 64, 4)}")
+      time(s"x35_$dir")(queries.LlmQueries.x35SimhashPairs(spark, dir).count())
+      time(s"x35b_$dir")(queries.LlmQueries.x35bSimhashPairsWide(spark, dir).count())
+    }
+    for (dir <- Seq(sfDir, tenDir)) {
+      println(s"PROBE dir=$dir cand16=${candVolume(dir, 16, 2)} cand64=${candVolume(dir, 64, 4)}")
+      time(s"x35_$dir")(queries.LlmQueries.x35SimhashPairs(spark, dir).count())
+      time(s"x35b_$dir")(queries.LlmQueries.x35bSimhashPairsWide(spark, dir).count())
+      time(s"x28_$dir")(queries.LlmQueries.x28CosineNeardup(spark, dir).count())
+      time(s"x28b_$dir")(queries.LlmQueries.x28bCosineNeardupWide(spark, dir).count())
+    }
+    // recall on the dup-heavy corpus: every doc has 9 exact copies, so a
+    // correct near-dup pass must flag every doc
+    val flagged = queries.LlmQueries.x35bSimhashPairsWide(spark, tenDir)
+      .filter(col("n_near") >= 9).count()
+    println(s"PROBE x35b_recall flagged=$flagged of 50000")
     spark.stop()
   }
 }

@@ -293,7 +293,7 @@ object LlmQueries {
     * addend) cannot overflow: partial sums of bits 0..62 stay ≤ 2^63-1 and
     * adding a negative is always in range — ANSI-mode safe.
     */
-  private def simhashBits(docs: DataFrame, width: Int): DataFrame = {
+  private[graft] def simhashBits(docs: DataFrame, width: Int): DataFrame = {
     require(width >= 1 && width <= 64, s"simhash width must be in 1..64, got $width")
     val h = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
