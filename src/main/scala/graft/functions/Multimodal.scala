@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * opaque BINARY columns plus a typed metadata struct; decode and feature
   * extraction run batched per partition.
   *
-  * The decode step is a STUB — this container ships no image/audio codecs —
-  * but everything Spark-side is real and tested: the schema contract, the
-  * per-partition batch shape (one reusable decoder per partition, the
-  * pattern a JNI/codec handle needs), and the fixed-width feature output.
-  * Swap `decodeStub` for a real codec call to productionize.
+  * IMAGES decode for real: `decodeImage` runs the payload through pure-JDK
+  * `javax.imageio` (PNG/JPEG/GIF/BMP — no external codec dependency) and
+  * derives the fixed-width feature vector from actual pixels. Payloads no
+  * registered ImageIO reader claims (audio, video, arbitrary bytes) fall
+  * back to `decodeStub`, the deterministic fake that stands in for the
+  * audio/video codecs this container doesn't ship — so the Spark-side
+  * contract (schema, per-partition batch shape, null failure path) is
+  * exercised end-to-end for every media kind while only the non-image
+  * codec calls remain stubbed.
   */
 object Multimodal {
 
@@ -27,10 +31,67 @@ object Multimodal {
       StructField("width", IntegerType, nullable = true),
       StructField("height", IntegerType, nullable = true))), nullable = true)))
 
-  /** STUB decoder: a real implementation would decode `bytes` with a codec
-    * library; this deterministic fake derives FeatureDim floats from an FNV
-    * hash of the payload so tests can assert exact values. Null/empty
-    * payloads yield null features (the real decoder's failure path).
+  /** REAL image decode via pure-JDK javax.imageio: returns FeatureDim
+    * pixel-derived floats, or None when no registered reader recognizes the
+    * payload (then the caller falls back to the stub). Features, all in
+    * [0,1] and integer-arithmetic-deterministic across JVMs:
+    *   f0..f2  mean R, G, B channel intensity
+    *   f3..f6  mean luma (BT.601 299/587/114 integer weights) per quadrant
+    *           (top-left, top-right, bottom-left, bottom-right) — coarse
+    *           spatial structure, so a flipped image embeds differently
+    *   f7      aspect w/(w+h)
+    * getRGB converts any source color model to sRGB, so indexed/gray PNGs
+    * and JPEGs land in the same feature space.
+    */
+  private[functions] def decodeImage(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    val rgbSum = new Array[Long](3)
+    val qLuma = new Array[Long](4); val qN = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        rgbSum(0) += r; rgbSum(1) += g; rgbSum(2) += b
+        val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+        qLuma(q) += 299L * r + 587L * g + 114L * b; qN(q) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val out = new Array[Float](FeatureDim)
+    out(0) = rgbSum(0).toFloat / (n * 255f)
+    out(1) = rgbSum(1).toFloat / (n * 255f)
+    out(2) = rgbSum(2).toFloat / (n * 255f)
+    var q = 0
+    while (q < 4) {
+      out(3 + q) = if (qN(q) == 0) 0f else qLuma(q).toFloat / (qN(q) * 255000f)
+      q += 1
+    }
+    out(7) = w.toFloat / (w + h)
+    Some(out)
+  }
+
+  /** Real-then-stub decode: images decode through javax.imageio; anything
+    * else (audio/video containers, arbitrary bytes) hits the deterministic
+    * stub standing in for the codecs this container lacks.
+    */
+  private[functions] def decode(bytes: Array[Byte]): Option[Array[Float]] =
+    decodeImage(bytes).orElse(decodeStub(bytes))
+
+  /** STUB decoder for NON-IMAGE media: a real implementation would decode
+    * `bytes` with an audio/video codec library; this deterministic fake
+    * derives FeatureDim floats from an FNV hash of the payload so tests can
+    * assert exact values. Null/empty payloads yield null features (the real
+    * decoder's failure path).
     */
   private[functions] def decodeStub(bytes: Array[Byte]): Option[Array[Float]] =
     if (bytes == null || bytes.isEmpty) None
@@ -61,14 +122,17 @@ object Multimodal {
       StructField("n_bytes", LongType, nullable = false),
       StructField("feature", ArrayType(FloatType), nullable = true)))
     val rdd = media.select("asset_id", "media", "meta.mime").rdd.mapPartitions { rows =>
-      // per-partition decoder setup would go here (codec/model handle)
+      // per-partition decoder setup: disable ImageIO's temp-FILE cache so
+      // each decode stays in-memory (one syscall-free path per image); a
+      // codec/model handle for the stubbed media kinds would be opened here
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("media")
         Row(
           r.getAs[Long]("asset_id"),
           r.getAs[String]("mime"),
           if (bytes == null) 0L else bytes.length.toLong,
-          decodeStub(bytes).orNull)
+          decode(bytes).orNull)
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -72,6 +72,54 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(joined, "UTF-8").startsWith("payload-1".take(joined.length)))
   }
 
+  test("real PNG decodes through javax.imageio: exact pixel-derived features, e2e to cosine") {
+    import java.awt.image.BufferedImage
+    def png(pixels: Seq[Seq[Int]]): Array[Byte] = { // row-major 0xRRGGBB
+      val h = pixels.length; val w = pixels.head.length
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    // 2x2: red green / blue white — one pure color per quadrant
+    val a = png(Seq(Seq(0xff0000, 0x00ff00), Seq(0x0000ff, 0xffffff)))
+    val b = png(Seq(Seq(0xffffff, 0xffffff), Seq(0xffffff, 0xffffff)))
+    val dir = java.nio.file.Files.createTempDirectory("realpng").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.png"), a)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.png"), b)
+
+    val feats = Multimodal.extractFeatures(
+      Multimodal.readMediaDir(spark, dir).drop("path"))
+    val byBytes = feats.collect().map(r => r.getAs[Long]("n_bytes") -> r.getSeq[Float](3)).toMap
+    val fa = byBytes(a.length.toLong)
+    // exact values from the 2x2 pixels, same integer arithmetic as the decoder
+    assert(fa(0) == 0.5f && fa(1) == 0.5f && fa(2) == 0.5f) // mean R/G/B
+    assert(fa(3) == (299L * 255).toFloat / 255000f)  // top-left red luma
+    assert(fa(4) == (587L * 255).toFloat / 255000f)  // top-right green
+    assert(fa(5) == (114L * 255).toFloat / 255000f)  // bottom-left blue
+    assert(fa(6) == 1.0f)                            // bottom-right white
+    assert(fa(7) == 0.5f)                            // square aspect
+    val fb = byBytes(b.length.toLong)
+    assert(fb.take(7).forall(_ == 1.0f))             // all-white: every mean is 1
+
+    // e2e: embeddings bridge + x11-style cosine between the two real images
+    import org.apache.spark.sql.functions._
+    val emb = Multimodal.asEmbeddings(feats)
+    val q = emb.filter(col("vec_id") === emb.select("vec_id").orderBy("vec_id").head().getLong(0))
+      .select(col("embedding").as("q_emb"))
+    val dot = graft.queries.ExtendedQueries.dot _
+    val cos = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+           sqrt(dot(col("q_emb"), col("q_emb"))))).as("cosine"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cos.size == 2)
+    assert(cos.values.exists(c => math.abs(c - 1.0) < 1e-9)) // self-similarity
+    assert(cos.values.forall(c => c > 0.8 && c <= 1.0 + 1e-9)) // bright images correlate
+  }
+
   test("asEmbeddings bridges features into the embedding schema") {
     val emb = Multimodal.asEmbeddings(Multimodal.extractFeatures(mediaDf(10)))
     assert(emb.schema.fieldNames.toSeq == Seq("vec_id", "embedding", "label"))
