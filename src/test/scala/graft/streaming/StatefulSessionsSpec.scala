@@ -52,6 +52,73 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(st.isRemoved)
   }
 
+  test("event-time sessions: watermark closes sessions, stream == batch gap rule under backlog") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.{functions => F}
+    implicit val sqlCtx = spark.sqlContext
+    // realistic era: epoch-adjacent event times interact badly with the
+    // watermark floor (see StreamJoin notes) — never test streaming at 1970
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+    def at(m: Long): Long = base + m * 60 * 1000000L
+    val allEvents = Seq(
+      Event(1L, at(0), 1.0), Event(1L, at(5), 2.0),   // batch 1
+      Event(1L, at(20), 4.0), Event(2L, at(120), 8.0), // batch 2 (backlogged)
+      Event(2L, at(240), 16.0),                        // batch 3
+      Event(2L, at(400), 32.0))                        // batch 4
+    val input = MemoryStream[Event]
+    val sink  = s"sessions_et_${System.nanoTime()}"
+    val q = sessionsEventTime(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      input.addData(allEvents(0), allEvents(1))
+      q.processAllAvailable()
+      // BACKLOG: user 1's in-gap event (15 min after lastSeen) arrives a
+      // whole micro-batch later. A wall-clock timeout could have closed the
+      // session in the interim; the event-time rule must extend it instead.
+      input.addData(allEvents(2), allEvents(3))
+      q.processAllAvailable()
+      // user 2's next event advances the watermark (240−10 min) past user
+      // 1's horizon (20+30 min) → user 1's session times out on EVENT time,
+      // with no user-1 event and no 30 wall-clock minutes elapsed; the same
+      // batch gap-closes user 2's first session (120 → 240 gap > 30)
+      input.addData(allEvents(4))
+      q.processAllAvailable()
+      input.addData(allEvents(5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamClosed = spark.table(sink).as[SessionOut].collect().toSet
+
+    // batch side: the x6 lag-gap rule verbatim (new session iff gap > 30
+    // min; min/max/count/sum per session). A session is CLOSED — i.e. the
+    // stream must have emitted it — iff a later event gap-closed it, or the
+    // final watermark (global max event time − 10 min delay) passed its
+    // 30-min horizon. That includes a user's LAST session: user 1 never
+    // speaks again, yet user 2's later events advance the watermark past
+    // user 1's horizon and the event-time timeout must close it.
+    val globalWm = allEvents.map(_.tsMicros).max - 10L * 60 * 1000000
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("userId").orderBy("tsMicros")
+    val sess = allEvents.toDF()
+      .withColumn("prev", lag("tsMicros", 1).over(w))
+      .withColumn("newSess",
+        (col("prev").isNull || col("tsMicros") - col("prev") > lit(GapMicros)).cast("long"))
+      .withColumn("sid", sum("newSess").over(w))
+      .groupBy("userId", "sid")
+      .agg(F.min("tsMicros").as("startMicros"),
+        F.max("tsMicros").as("endMicros"),
+        count(lit(1)).as("nEvents"), sum("value").as("sumValue"))
+    val batchClosed = sess
+      .join(sess.groupBy("userId").agg(F.max("sid").as("maxSid")), "userId")
+      .filter(col("sid") < col("maxSid") ||
+        col("endMicros") + lit(GapMicros) < lit(globalWm))
+      .select("userId", "startMicros", "endMicros", "nEvents", "sumValue")
+      .as[SessionOut].collect().toSet
+    assert(batchClosed == Set(
+      SessionOut(1L, at(0), at(20), 3L, 7.0),   // closed by watermark timeout only
+      SessionOut(2L, at(120), at(120), 1L, 8.0),
+      SessionOut(2L, at(240), at(240), 1L, 16.0)))
+    assert(streamClosed == batchClosed)
+  }
+
   test("events within one batch are folded in time order even if delivered unordered") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
