@@ -30,6 +30,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.keepFirst(df, Seq("missing"), "id").count() == 2)
   }
 
+  test("keepFirstAgg == keepFirst on a hot-key distribution, via two-phase agg not a window") {
+    // 50k rows on ONE key + a scattered tail incl. a null key — the shape
+    // where a ranking window funnels everything through a single reducer
+    val hot = spark.range(50000).select(
+      lit("hot").as("user"), lit("a").as("typ"),
+      (col("id") + 100).as("id"), (col("id") % 97).cast("double").as("v"))
+    val tail = Seq(
+      (3L, "u1", "b", 30.0), (1L, "u1", "b", 10.0),
+      (2L, null.asInstanceOf[String], "a", 20.0),
+      (7L, null.asInstanceOf[String], "a", 70.0)
+    ).toDF("id", "user", "typ", "v").select("user", "typ", "id", "v")
+    val df = hot.union(tail).repartition(11)
+
+    val viaWindow = Dedup.keepFirst(df, Seq("user", "typ"), "id")
+      .select("user", "typ", "id", "v").orderBy("id")
+    val viaAgg = Dedup.keepFirstAgg(df, Seq("user", "typ"), "id")
+      .select("user", "typ", "id", "v").orderBy("id")
+    assert(viaAgg.collect().toSeq == viaWindow.collect().toSeq)
+    assert(viaAgg.count() == 3) // hot-first, u1-first, null-key-first
+
+    // the plan must be the two-phase aggregate + join, never a window sort
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected partial+final agg in:\n$plan")
+    assert(!plan.contains("Window"), s"window leaked into the skew-safe path:\n$plan")
+  }
+
   test("keepFirstByIngestOrder on in-memory data keeps first occurrence") {
     val df = Dedup.stampIngestOrder(Seq(
       ("2024-01-01", "addr1", "sale", 10.0), // first occurrence — must win
