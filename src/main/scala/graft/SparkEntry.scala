@@ -61,7 +61,8 @@ object SparkEntry {
     "x36_intersect"        -> (ExtendedQueries.x36Intersect _),
     "x37_semi_join"        -> (ExtendedQueries.x37SemiJoin _),
     "x38_grouping_sets"    -> (ExtendedQueries.x38GroupingSets _),
-    "x39_full_outer"       -> (ExtendedQueries.x39FullOuter _))
+    "x39_full_outer"       -> (ExtendedQueries.x39FullOuter _),
+    "x40_jsonl_roundtrip"  -> (ExtendedQueries.x40JsonlRoundtrip _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -161,6 +161,11 @@ object Pipeline {
     Io.writeSingleCsv(region, s"$curatedDir/region_risk_avg.csv")
     Io.writeSingleCsv(top3, s"$curatedDir/top3_recent_sales_by_receiving.csv")
 
+    // every consumer of the cached frame has executed; release it so
+    // repeated flows in one session (tests, notebooks) don't stack cache.
+    // Result's DataFrames stay valid — re-use just recomputes (or, cheaper,
+    // re-reads the parquet published above).
+    stg.unpersist()
     Result(stg, region, last, top3, dqPre, dqPost)
   }
 

@@ -46,7 +46,16 @@ object ExtendedQueries {
     */
   def stableRound6(c: Column): Column = stableRound(c, 6)
 
-  /** Generalized bit-deterministic rounding at `scale` decimal digits. */
+  /** Generalized bit-deterministic rounding at `scale` decimal digits.
+    *
+    * CONTRACT: floor(x·p + 0.5)/p is round-half-up toward +infinity — on
+    * NEGATIVE inputs it differs from SQL round() (round(-0.5) = -1, this
+    * gives 0). That is fine, and only fine, because every oracle pairs it
+    * with the IDENTICAL floor pattern in DuckDB SQL, so both engines apply
+    * the same function to the same double (x28/x32 cosines CAN be
+    * negative). Never pair this with a bare SQL round() unless the input
+    * is provably non-negative.
+    */
   def stableRound(c: Column, scale: Int): Column = {
     val p = math.pow(10, scale)
     floor(c * lit(p) + lit(0.5)) / lit(p)
@@ -497,5 +506,31 @@ object ExtendedQueries {
       .select(col("k1"), col("k2"), col("custkey"),
         (col("ms2") - col("ms1")).as("gap_ms"))
       .orderBy("k1", "k2")
+  }
+
+  /** x40 — JSONL corpus interchange roundtrip: the documents table goes out
+    * through `Io.writeJsonl` as .json.gz parts (the format training corpora
+    * actually ship in), comes back through `Io.readJsonl` with an explicit
+    * schema (no inference scan), and is aggregated per language INCLUDING
+    * sum(length(text)). The oracle runs the same aggregate on the ORIGINAL
+    * parquet, so a hash match proves the interchange is lossless — ids,
+    * counts, and every text byte survive the JSON encode/gzip/decode trip.
+    * The write re-runs on each invocation (Bench warms + times it, which is
+    * the point: the write IS part of the measured path).
+    */
+  def x40JsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x40_jsonl"
+    Io.writeJsonl(docs, dir, compress = true)
+    Io.readJsonl(spark, dir, docs.schema)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"),
+        countDistinct("source").as("n_sources"))
+      .orderBy("lang")
   }
 }

@@ -646,7 +646,22 @@ object Oracles {
       |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) <= 5
       |ORDER BY lang, n DESC, bigram""".stripMargin
 
+  // x40: identical aggregate over the ORIGINAL parquet — a hash match
+  // proves the Spark side's jsonl.gz write/read roundtrip lost nothing
+  val x40: String =
+    """SELECT lang,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |       min(doc_id) AS min_id,
+      |       max(doc_id) AS max_id,
+      |       count(DISTINCT source) AS n_sources
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x40_jsonl_roundtrip" -> x40,
     "x13_minhash_neardup" -> x13,
     "x14_text_stats"      -> x14,
     "x15_language_id"     -> x15,

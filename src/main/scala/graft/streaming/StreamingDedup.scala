@@ -19,15 +19,26 @@ object StreamingDedup {
 
   /** Deduplicate a document stream on the md5 of `textCol`, tolerating
     * events up to `delay` late. `eventTimeCol` must be a timestamp column.
+    *
+    * NULL-text rows bypass the dedup state entirely and pass through: md5
+    * of null is null, and `dropDuplicatesWithinWatermark` treats null keys
+    * as EQUAL — without the split, every null-text document after the first
+    * would be silently dropped by an ingestion utility. Null payloads are
+    * distinct documents (to be routed/repaired downstream), not duplicates
+    * of each other.
     */
   def byContentHash(
       docs: DataFrame,
       textCol: String,
       eventTimeCol: String,
-      delay: String): DataFrame =
-    docs
-      .withColumn("text_md5", md5(col(textCol)))
+      delay: String): DataFrame = {
+    val keyed = docs.withColumn("text_md5", md5(col(textCol)))
+    val deduped = keyed
+      .filter(col("text_md5").isNotNull)
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("text_md5")
+    deduped
+      .union(keyed.filter(col("text_md5").isNull))
       .drop("text_md5") // internal key — return the caller's own schema
+  }
 }

@@ -41,4 +41,24 @@ class StreamingDedupSpec extends SparkSpec {
     assert(kept.contains(1L) && kept.contains(4L))
     assert(kept.count(Set(0L, 2L)) == 1)
   }
+
+  test("null-text documents all pass through — they are not duplicates of each other") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val sink = s"dedup_null_${System.nanoTime()}"
+    val q = StreamingDedup.byContentHash(
+        input.toDF().toDF("doc_id", "text", "event_time"),
+        textCol = "text", eventTimeCol = "event_time", delay = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      input.addData((0L, null, ts(0)), (1L, "alpha", ts(1)), (2L, null, ts(1)))
+      q.processAllAvailable()
+      input.addData((3L, null, ts(2)), (4L, "alpha", ts(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table(sink).select("doc_id").as[Long].collect().toSet
+    assert(Set(0L, 2L, 3L).subsetOf(kept)) // every null-text doc survives
+    assert(!kept.contains(4L))             // real duplicate still drops
+    assert(kept.contains(1L))
+  }
 }
