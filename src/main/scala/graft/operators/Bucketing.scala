@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed managed tables — the cluster-scale tool for repeated equi-joins
+  * and aggregations on one key: pay the hash-distribution ONCE at write
+  * time (`bucketBy` routes every row to a deterministic bucket file by
+  * hash(key) % n), and afterwards any join or aggregation between tables
+  * bucketed on the same key with the same bucket count plans with NO
+  * shuffle Exchange at all — the scan itself already satisfies the
+  * operator's required distribution. At 100 TB this converts every
+  * fact-to-fact equi-join from a full-corpus shuffle into a zip of
+  * co-numbered bucket files, and `sortBy` additionally pre-orders each
+  * bucket so sort-merge joins skip their sort.
+  *
+  * This is the materialized-table analog of what x20/x32's scaladocs call
+  * "the staging table a cluster run would write": dedup canonical maps,
+  * IVF list assignments, and shingle inventories are all written bucketed
+  * by their join key exactly so the downstream pipeline never re-shuffles
+  * the corpus. BucketingSpec pins the no-Exchange property in CI.
+  */
+object Bucketing {
+
+  /** Write `df` as a managed table bucketed (and in-bucket sorted) on
+    * `key`. Bucket count is a physical layout constant: pick it so one
+    * bucket ≈ one task's worth of data at the target scale; both sides of
+    * a co-located join must use the SAME count.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Write `df` partition-pruned by a low-cardinality column: each distinct
+    * value becomes a directory, and a reader filtering on that column scans
+    * ONLY its directories (PartitionFilters in the plan, zero I/O for the
+    * rest). The standard layout for lang/date-keyed corpora; combine with
+    * bucketing for prune-then-colocate.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(path)
+}
