@@ -62,7 +62,10 @@ object SparkEntry {
     "x37_semi_join"        -> (ExtendedQueries.x37SemiJoin _),
     "x38_grouping_sets"    -> (ExtendedQueries.x38GroupingSets _),
     "x39_full_outer"       -> (ExtendedQueries.x39FullOuter _),
-    "x40_jsonl_roundtrip"  -> (ExtendedQueries.x40JsonlRoundtrip _))
+    "x40_jsonl_roundtrip"  -> (ExtendedQueries.x40JsonlRoundtrip _),
+    "x41_repetition"       -> (LlmQueries.x41RepetitionSignals _),
+    "x42_stratified_sample" -> (LlmQueries.x42StratifiedSample _),
+    "x43_contamination"    -> (LlmQueries.x43Contamination _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -649,6 +649,91 @@ object LlmQueries {
     * Catalyst fuses the whole flow into one job graph with no
     * materialization barriers between stages.
     */
+  /** x41 — repetition/boilerplate quality signals (the Gopher-rule family):
+    * per doc, the duplicate-token fraction (1 − distinct/total, as a
+    * rounded ratio) and the top-bigram fraction (most frequent bigram's
+    * share of all bigram slots — high values mean templated/repetitive
+    * text, the classic pre-training filter signal). Token stats are pure
+    * per-row expressions (zero shuffles); the bigram mode needs one
+    * (doc_id, bigram) hash agg + one doc_id agg — both map-side-combining,
+    * cost linear in corpus tokens. Docs with <2 tokens have no bigrams →
+    * null top_bigram_frac (left join), matching the oracle's shape.
+    */
+  def x41RepetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = fanOut(Io.table(spark, sfDir, "documents"))
+      .withColumn("toks", split(col("text"), " "))
+    val tokStats = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    val bg = toks
+      .select(col("doc_id"), col("toks"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(1, size(toks) - 1) END""".stripMargin)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        expr("element_at(toks, i)"), expr("element_at(toks, i + 1)")).as("bigram"))
+    val topBg = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(max("n").as("top_n"), sum("n").as("n_bigrams"))
+    tokStats.join(topBg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        ExtendedQueries.stableRound6(
+          (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        ExtendedQueries.stableRound6(
+          col("top_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** x42 — deterministic stratified fixed-size sample: the k lowest
+    * md5(doc_id) values per language. Complements x30's rate-based hash
+    * sample with the other sampling contract a corpus pipeline needs —
+    * exactly k per stratum, reproducible across runs/engines/partitionings
+    * (no RNG). The per-group rank is a window over (lang, hash), capped by
+    * WindowGroupLimit pushdown so each task keeps only k candidates; at
+    * scale this is a per-stratum top-k, never a global sort.
+    */
+  def x42StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Io.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("lang", "rn", "doc_id", "h")
+      .orderBy("lang", "rn")
+  }
+
+  /** x43 — benchmark-contamination check: flag corpus documents sharing
+    * 5-gram shingles with a held-out benchmark set (stand-in: every 100th
+    * doc_id — at production scale this is the eval-suite table). Per
+    * contaminated doc: total 5-gram slots, how many hit the benchmark
+    * set, and the contamination fraction. The join is an equi-join on the
+    * shingle HASH — candidate cost tracks true overlap, never corpus²;
+    * the benchmark side is distinct-deduped and (being eval-sized)
+    * broadcastable at scale. Both lineages scan disjoint id ranges, so
+    * total scan work is one corpus pass with the %100 predicates pushed.
+    */
+  def x43Contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = fanOut(Io.table(spark, sfDir, "documents"))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"), explode(expr(
+        """CASE WHEN size(toks) < 5 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(1, size(toks) - 4) END""".stripMargin)).as("i"))
+      .select(col("doc_id"), md5(concat_ws(" ",
+        (0 until 5).map(k => expr(s"element_at(toks, i + $k)")): _*)).as("gh"))
+    val bench  = g.filter(col("doc_id") % 100 === 0).select("gh").distinct()
+    val corpus = g.filter(col("doc_id") % 100 =!= 0)
+    val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hit = corpus.join(bench, "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        ExtendedQueries.stableRound6(
+          col("n_hit").cast("double") / col("n_grams")).as("contamination_frac"))
+      .orderBy("doc_id")
+  }
+
   def x34PrepPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val en = Io.table(spark, sfDir, "documents").filter(col("lang") === "en")
     val pass = qualityScored(en).filter(col("quality_score") >= 0.7)

@@ -660,8 +660,61 @@ object Oracles {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  val x41: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+      |        FROM t),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      |  FROM t),
+      |cnt AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+      |top AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_n,
+      |               CAST(sum(n) AS BIGINT) AS n_bigrams
+      |        FROM cnt GROUP BY 1)
+      |SELECT tok.doc_id, n_tokens, n_distinct,
+      |       floor(CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens * 1000000 + 0.5)
+      |         / 1000000 AS dup_token_frac,
+      |       floor(CAST(top_n AS DOUBLE) / n_bigrams * 1000000 + 0.5)
+      |         / 1000000 AS top_bigram_frac
+      |FROM tok LEFT JOIN top ON tok.doc_id = top.doc_id
+      |ORDER BY tok.doc_id""".stripMargin
+
+  val x42: String =
+    """SELECT lang,
+      |       CAST(row_number() OVER (PARTITION BY lang
+      |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn,
+      |       doc_id,
+      |       md5(CAST(doc_id AS VARCHAR)) AS h
+      |FROM documents
+      |QUALIFY rn <= 3
+      |ORDER BY lang, rn""".stripMargin
+
+  val x43: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+      |    i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+      |             || ' ' || toks[i + 3] || ' ' || toks[i + 4]))) AS gh
+      |  FROM t),
+      |bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 100 = 0),
+      |corpus AS (SELECT * FROM g WHERE doc_id % 100 <> 0),
+      |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      |        FROM corpus GROUP BY 1),
+      |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+      |        FROM corpus JOIN bench USING (gh) GROUP BY 1)
+      |SELECT tot.doc_id, n_grams, n_hit,
+      |       floor(CAST(n_hit AS DOUBLE) / n_grams * 1000000 + 0.5)
+      |         / 1000000 AS contamination_frac
+      |FROM tot JOIN hit ON tot.doc_id = hit.doc_id
+      |ORDER BY tot.doc_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x40_jsonl_roundtrip" -> x40,
+    "x41_repetition"      -> x41,
+    "x42_stratified_sample" -> x42,
+    "x43_contamination"   -> x43,
     "x13_minhash_neardup" -> x13,
     "x14_text_stats"      -> x14,
     "x15_language_id"     -> x15,

@@ -112,6 +112,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x42: per-stratum top-k is WindowGroupLimit-capped, never a global sort") {
+    val p = plan("x42_stratified_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "rn<=3 must push into WindowGroupLimit so tasks keep only k candidates")
+  }
+
+  test("x41: both repetition aggregates combine map-side") {
+    val p = plan("x41_repetition")
+    assert(p.contains("partial_count"), "bigram counts must be two-phase")
+    assert(p.contains("partial_max"), "per-doc top-bigram max must be two-phase")
+  }
+
+  test("x43: contamination check is an equi-join on the gram hash") {
+    val p = plan("x43_contamination")
+    assert(p.contains("[gh]") || p.contains("gh#"),
+      s"join must key on the gram hash:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("Exchange hashpartitioning(gh"),
+      "the bench join must hash-distribute on gh, not resort to another key")
+  }
+
   test("x33: salted agg is two shuffle stages — (key, salt) partials then key") {
     val p = plan("x33_salted_agg")
     assert(p.contains("_salt"), "salt column must reach the first aggregate")
