@@ -34,7 +34,8 @@ object Bench {
     // query is recorded in `failures`, its time is -1, and the process
     // exits nonzero so a broken round can't masquerade as a fast one.
     val reps = 2
-    var failures = List.empty[String]
+    var failures = List.empty[String] // every rep threw
+    var flaky = List.empty[String]    // some rep threw — still not a clean pass
     val results = SparkEntry.queries.map { case (name, fn) =>
       if (warm) { try fn(spark, warmDir).count() catch { case _: Throwable => () } }
       val times = (1 to reps).flatMap { _ =>
@@ -46,15 +47,20 @@ object Bench {
         }
       }
       if (times.isEmpty) failures ::= name
+      else if (times.size < reps) flaky ::= name
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    val fj = failures.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failures.size},"failures":$fj,"reps":$reps,"sf":"$sfDir"}""")
+    def arr(xs: List[String]) = xs.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failures.size},"failures":${arr(failures)},"flaky":${arr(flaky)},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
-    if (failures.nonEmpty) sys.exit(1)
+    // intermittent failures exit nonzero too: a rep that threw and a rep
+    // that "passed" is not a clean benchmark, and hiding it behind the
+    // surviving time would recreate the swallowed-failure bug this rewrite
+    // removed
+    if (failures.nonEmpty || flaky.nonEmpty) sys.exit(1)
   }
 }

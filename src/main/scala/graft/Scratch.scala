@@ -73,6 +73,10 @@ object Scratch {
       time(s"x35b_$dir")(queries.LlmQueries.x35bSimhashPairsWide(spark, dir).count())
       time(s"x28_$dir")(queries.LlmQueries.x28CosineNeardup(spark, dir).count())
       time(s"x28b_$dir")(queries.LlmQueries.x28bCosineNeardupWide(spark, dir).count())
+      time(s"x41_$dir")(queries.LlmQueries.x41RepetitionSignals(spark, dir).count())
+      time(s"x42_$dir")(queries.LlmQueries.x42StratifiedSample(spark, dir).count())
+      time(s"x43_$dir")(queries.LlmQueries.x43Contamination(spark, dir).count())
+      time(s"x40_$dir")(queries.ExtendedQueries.x40JsonlRoundtrip(spark, dir).count())
     }
     // recall on the dup-heavy corpus: every doc has 9 exact copies, so a
     // correct near-dup pass must flag every doc

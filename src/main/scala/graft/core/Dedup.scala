@@ -90,16 +90,22 @@ object Dedup {
     val present = keys.filter(df.columns.contains)
     if (present.isEmpty) df
     else {
-      val minCol = "_kf_min"
+      // collision-proof internal prefix: a fixed "_kf_" would break (or
+      // silently drop a caller column) when df itself carries _kf_-named
+      // columns, e.g. preserved intermediates of an earlier dedup stage
+      val existing = df.columns.toSet
+      val tag = Iterator.from(0).map(i => s"_kf${i}_")
+        .find(t => !existing.exists(_.startsWith(t))).get
+      val minCol = s"${tag}min"
       val mins = df.groupBy(present.map(col): _*)
         .agg(min(col(orderCol)).as(minCol))
       val renamedMins = present.foldLeft(mins) { (m, k) =>
-        m.withColumnRenamed(k, s"_kf_$k")
+        m.withColumnRenamed(k, s"$tag$k")
       }
-      val cond = present.map(k => col(k) <=> col(s"_kf_$k"))
+      val cond = present.map(k => col(k) <=> col(s"$tag$k"))
         .reduce(_ && _) && (col(orderCol) === col(minCol))
       df.join(renamedMins, cond)
-        .drop(minCol +: present.map(k => s"_kf_$k"): _*)
+        .drop(minCol +: present.map(k => s"$tag$k"): _*)
     }
   }
 

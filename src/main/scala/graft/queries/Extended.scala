@@ -518,9 +518,21 @@ object ExtendedQueries {
     * The write re-runs on each invocation (Bench warms + times it, which is
     * the point: the write IS part of the measured path).
     */
+  private val x40LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
   def x40JsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Io.table(spark, sfDir, "documents")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x40_jsonl"
+    // unique dir per invocation: a fixed shared path would let concurrent
+    // sessions (or a plan-building consumer racing an executing one)
+    // overwrite each other's parts mid-read. The PREVIOUS invocation's dir
+    // is deleted here instead (same bounded-leak contract as LlmQueries'
+    // pin registry: execute one x40 result before building the next).
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x40_jsonl_${System.nanoTime()}"
+    Option(x40LastDir.getAndSet(dir)).foreach { old =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(old)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      } catch { case _: Exception => () }
+    }
     Io.writeJsonl(docs, dir, compress = true)
     Io.readJsonl(spark, dir, docs.schema)
       .groupBy("lang")

@@ -638,17 +638,6 @@ object LlmQueries {
       .orderBy(col("lang"), desc("n"), col("bigram"))
   }
 
-  /** x34 — the flagship training-data prep flow, the composition every
-    * stage above exists for: language filter → quality gate (x16 scoring,
-    * threshold on the stable-rounded value so both engines gate the same
-    * set) → exact dedup (keep-lowest-id per md5(text)) → MinHash-LSH
-    * near-dedup computed over the SURVIVORS of the earlier stages (each
-    * stage shrinks the next one's input — at 100 TB the cheap scans run
-    * first and the shingle/minhash cost lands on the kept fraction only)
-    * → 50% deterministic hash sample. Stages chain as lazy DataFrames, so
-    * Catalyst fuses the whole flow into one job graph with no
-    * materialization barriers between stages.
-    */
   /** x41 — repetition/boilerplate quality signals (the Gopher-rule family):
     * per doc, the duplicate-token fraction (1 − distinct/total, as a
     * rounded ratio) and the top-bigram fraction (most frequent bigram's
@@ -658,6 +647,12 @@ object LlmQueries {
     * (doc_id, bigram) hash agg + one doc_id agg — both map-side-combining,
     * cost linear in corpus tokens. Docs with <2 tokens have no bigrams →
     * null top_bigram_frac (left join), matching the oracle's shape.
+    *
+    * The token-stats and bigram branches are two lineages off the same
+    * scan, DELIBERATELY: the per-row stats branch adds no shuffle, and a
+    * second columnar scan is far cheaper at scale than persisting (or
+    * shuffling alongside every bigram row) a corpus-sized token array —
+    * the same two-branch structure x20 uses for its shingle sets.
     */
   def x41RepetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = fanOut(Io.table(spark, sfDir, "documents"))
@@ -711,8 +706,11 @@ object LlmQueries {
     * set, and the contamination fraction. The join is an equi-join on the
     * shingle HASH — candidate cost tracks true overlap, never corpus²;
     * the benchmark side is distinct-deduped and (being eval-sized)
-    * broadcastable at scale. Both lineages scan disjoint id ranges, so
-    * total scan work is one corpus pass with the %100 predicates pushed.
+    * broadcastable at scale. The corpus gram lineage executes ONCE: a left
+    * join marks benchmark hits and a single per-doc aggregate counts total
+    * and hit grams together (two separate aggregates would re-run the
+    * tokenize+md5 scan — self-lineages get no ReuseExchange). The bench
+    * lineage scans only the disjoint %100==0 id range, predicate pushed.
     */
   def x43Contamination(spark: SparkSession, sfDir: String): DataFrame = {
     val g = fanOut(Io.table(spark, sfDir, "documents"))
@@ -722,18 +720,31 @@ object LlmQueries {
           |ELSE sequence(1, size(toks) - 4) END""".stripMargin)).as("i"))
       .select(col("doc_id"), md5(concat_ws(" ",
         (0 until 5).map(k => expr(s"element_at(toks, i + $k)")): _*)).as("gh"))
-    val bench  = g.filter(col("doc_id") % 100 === 0).select("gh").distinct()
-    val corpus = g.filter(col("doc_id") % 100 =!= 0)
-    val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val hit = corpus.join(bench, "gh")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    tot.join(hit, "doc_id")
+    val bench = g.filter(col("doc_id") % 100 === 0).select("gh").distinct()
+      .withColumn("hit", lit(1L))
+    g.filter(col("doc_id") % 100 =!= 0)
+      .join(bench, Seq("gh"), "left") // bench is distinct: multiplicity 1
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .filter(col("n_hit") > 0)
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
         ExtendedQueries.stableRound6(
           col("n_hit").cast("double") / col("n_grams")).as("contamination_frac"))
       .orderBy("doc_id")
   }
 
+  /** x34 — the flagship training-data prep flow, the composition every
+    * stage above exists for: language filter → quality gate (x16 scoring,
+    * threshold on the stable-rounded value so both engines gate the same
+    * set) → exact dedup (keep-lowest-id per md5(text)) → MinHash-LSH
+    * near-dedup computed over the SURVIVORS of the earlier stages (each
+    * stage shrinks the next one's input — at 100 TB the cheap scans run
+    * first and the shingle/minhash cost lands on the kept fraction only)
+    * → 50% deterministic hash sample. Stages chain as lazy DataFrames, so
+    * Catalyst fuses the whole flow into one job graph with no
+    * materialization barriers between stages.
+    */
   def x34PrepPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val en = Io.table(spark, sfDir, "documents").filter(col("lang") === "en")
     val pass = qualityScored(en).filter(col("quality_score") >= 0.7)

@@ -89,10 +89,14 @@ class MultimodalSpec extends SparkSpec {
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.png"), a)
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.png"), b)
 
-    val feats = Multimodal.extractFeatures(
-      Multimodal.readMediaDir(spark, dir).drop("path"))
-    val byBytes = feats.collect().map(r => r.getAs[Long]("n_bytes") -> r.getSeq[Float](3)).toMap
-    val fa = byBytes(a.length.toLong)
+    val media = Multimodal.readMediaDir(spark, dir)
+    // key features by asset_id (unique by construction), not by byte
+    // length — two PNGs can legally compress to equal sizes
+    val idByFile = media.select("path", "asset_id").collect()
+      .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+    val feats = Multimodal.extractFeatures(media.drop("path"))
+    val byId = feats.collect().map(r => r.getAs[Long]("asset_id") -> r.getSeq[Float](3)).toMap
+    val fa = byId(idByFile("a.png"))
     // exact values from the 2x2 pixels, same integer arithmetic as the decoder
     assert(fa(0) == 0.5f && fa(1) == 0.5f && fa(2) == 0.5f) // mean R/G/B
     assert(fa(3) == (299L * 255).toFloat / 255000f)  // top-left red luma
@@ -100,7 +104,7 @@ class MultimodalSpec extends SparkSpec {
     assert(fa(5) == (114L * 255).toFloat / 255000f)  // bottom-left blue
     assert(fa(6) == 1.0f)                            // bottom-right white
     assert(fa(7) == 0.5f)                            // square aspect
-    val fb = byBytes(b.length.toLong)
+    val fb = byId(idByFile("b.png"))
     assert(fb.take(7).forall(_ == 1.0f))             // all-white: every mean is 1
 
     // e2e: embeddings bridge + x11-style cosine between the two real images
