@@ -65,7 +65,9 @@ object SparkEntry {
     "x40_jsonl_roundtrip"  -> (ExtendedQueries.x40JsonlRoundtrip _),
     "x41_repetition"       -> (LlmQueries.x41RepetitionSignals _),
     "x42_stratified_sample" -> (LlmQueries.x42StratifiedSample _),
-    "x43_contamination"    -> (LlmQueries.x43Contamination _))
+    "x43_contamination"    -> (LlmQueries.x43Contamination _),
+    "x44_moving_avg"       -> (ExtendedQueries.x44MovingAvg _),
+    "x45_gap_fill"         -> (ExtendedQueries.x45GapFill _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

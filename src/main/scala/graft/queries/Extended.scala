@@ -518,6 +518,58 @@ object ExtendedQueries {
     * The write re-runs on each invocation (Bench warms + times it, which is
     * the point: the write IS part of the measured path).
     */
+  /** x44 — moving-window average (ROWS BETWEEN 3 PRECEDING AND CURRENT):
+    * the frame-window face of the window family next to x5's running total
+    * and x26's ranks. Decimal sums inside the frame keep both engines'
+    * division inputs bit-identical (the exactAvg pattern); the window
+    * shuffles once on o_custkey with per-row frame state of 4 values.
+    */
+  def x44MovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-3, 0)
+    Io.table(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("order_date_ms"),
+        col("o_totalprice"), col("o_orderdate"))
+      .withColumn("mov_avg", stableRound6(
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double") /
+          count(lit(1)).over(w)))
+      .select("o_custkey", "o_orderkey", "order_date_ms", "mov_avg")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** x45 — time-series gap fill + forward fill: per user, a daily value
+    * series with missing days synthesized from a date spine (sequence over
+    * each user's [min,max] day) and filled with the last observed value
+    * (`last(_, ignoreNulls)` over an unbounded-preceding frame — the
+    * standard resample→ffill pair). One shuffle for the per-day pick, one
+    * for the per-user fill window; spine width is bounded by each user's
+    * own day range, so synthesized rows track active lifetime, not
+    * calendar × users. The last event of a day wins by (ts, event_id) —
+    * event_id makes the pick deterministic under timestamp ties.
+    */
+  def x45GapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Io.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+        col("value"), col("ts"), col("event_id"))
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "day").orderBy(desc("ts"), desc("event_id"))
+    val daily = e.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1).select("user_id", "day", "value")
+    val spine = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val fill = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        col("value").isNotNull.cast("int").as("observed"),
+        last(col("value"), ignoreNulls = true).over(fill).as("filled"))
+      .orderBy("user_id", "day")
+  }
+
   private val x40LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
   def x40JsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Io.table(spark, sfDir, "documents")

@@ -710,6 +710,39 @@ object Oracles {
       |FROM tot JOIN hit ON tot.doc_id = hit.doc_id
       |ORDER BY tot.doc_id""".stripMargin
 
+  val x44: String =
+    """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS order_date_ms,
+      |       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |             / (count(*) OVER w) * 1000000 + 0.5) / 1000000 AS mov_avg
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // x45: `value` rides through untouched (no arithmetic), so the carried
+  // doubles are exact on both sides — no rounding needed anywhere
+  val x45: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day, value, ts, event_id
+      |  FROM events),
+      |daily AS (
+      |  SELECT user_id, day, value
+      |  FROM e
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, day
+      |            ORDER BY ts DESC, event_id DESC) = 1),
+      |bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+      |           FROM daily GROUP BY 1),
+      |spine AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM bounds),
+      |joined AS (
+      |  SELECT s.user_id, s.day, d.value
+      |  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+      |SELECT user_id, CAST(day AS BIGINT) AS day,
+      |       CAST(value IS NOT NULL AS INT) AS observed,
+      |       last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+      |         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM joined
+      |ORDER BY user_id, day""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x40_jsonl_roundtrip" -> x40,
     "x41_repetition"      -> x41,
@@ -755,7 +788,9 @@ object Oracles {
     "x36_intersect"       -> x36,
     "x37_semi_join"       -> x37,
     "x38_grouping_sets"   -> x38,
-    "x39_full_outer"      -> x39)
+    "x39_full_outer"      -> x39,
+    "x44_moving_avg"      -> x44,
+    "x45_gap_fill"        -> x45)
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,
