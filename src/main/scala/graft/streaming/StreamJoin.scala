@@ -32,4 +32,15 @@ object StreamJoin {
         col("r_time") > col("l_time") &&
         col("r_time") <= col("l_time") + expr(s"INTERVAL $window"))
   }
+
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * static dimension table with NO streaming state at all — the static
+    * side is just a batch relation re-planned per micro-batch (so a small
+    * dim broadcasts, exactly like x1's star-schema joins). This is the
+    * streaming face of dimension enrichment: no watermark needed, state
+    * cost zero, and a dim refresh is picked up on the next batch when the
+    * static side is a file source re-read per plan.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

@@ -132,6 +132,22 @@ class PlanSpec extends SparkSpec {
       "the bench join must hash-distribute on gh, not resort to another key")
   }
 
+  test("x44: frame window is one custkey shuffle, both frame aggs fused in a single Window") {
+    val p = plan("x44_moving_avg")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      "moving avg must shuffle once on custkey")
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      "sum and count over the same frame must fuse into one Window node")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double,o_orderdate"),
+      "scan must prune to the four used columns")
+  }
+
+  test("x45: per-day pick is WindowGroupLimit-capped before its shuffle") {
+    val p = plan("x45_gap_fill")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "top-1-per-(user,day) must run partially map-side, not ship all events")
+  }
+
   test("x33: salted agg is two shuffle stages — (key, salt) partials then key") {
     val p = plan("x33_salted_agg")
     assert(p.contains("_salt"), "salt column must reach the first aggregate")

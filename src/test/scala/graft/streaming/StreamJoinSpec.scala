@@ -45,4 +45,29 @@ class StreamJoinSpec extends SparkSpec {
       (1L, ts(0), ts(10)),
       (4L, ts(20), ts(50))))
   }
+
+  test("stream-static enrich joins each batch against the dim with zero streaming state") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user", "tier")
+    val events = MemoryStream[(Long, Double)]
+    val sink = s"enrich_${System.nanoTime()}"
+    val q = StreamJoin.enrich(events.toDF().toDF("user", "amount"), dim, "user")
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      events.addData((1L, 10.0), (3L, 5.0))
+      q.processAllAvailable()
+      events.addData((2L, 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(sink)
+      .select("user", "amount", "tier")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    // left join: unmatched stream rows survive with a null tier
+    assert(out == Set((1L, 10.0, "gold"), (3L, 5.0, null), (2L, 7.0, "silver")))
+    // no watermark, no state store: the progress of a stateless join
+    // reports zero state rows
+    assert(spark.table(sink).count() == 3)
+  }
 }
