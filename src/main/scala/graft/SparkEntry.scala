@@ -33,6 +33,7 @@ object SparkEntry {
     "x12_distinct"         -> (ExtendedQueries.x12Distinct _),
     "x12b_distinct_approx" -> (ExtendedQueries.x12bDistinctApprox _),
     "x13_minhash_neardup"  -> (LlmQueries.x13MinhashNearDedup _),
+    "x13b_minhash_native"  -> (LlmQueries.x13bMinhashNative _),
     "x14_text_stats"       -> (LlmQueries.x14TextStats _),
     "x15_language_id"      -> (LlmQueries.x15LanguageId _),
     "x16_quality_score"    -> (LlmQueries.x16QualityScore _),

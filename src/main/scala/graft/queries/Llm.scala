@@ -161,6 +161,35 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** x13b — x13's near-dedup computed through the NATIVE one-pass
+    * `minhash_all` expression (functions/MinhashAll) instead of the
+    * explode→16-min-aggregate pipeline: the signature never leaves the
+    * scan stage (no 50× shingle row explosion, no signature shuffle), and
+    * only the band buckets shuffle. Output is byte-identical to x13 —
+    * same md5("<j>|<shingle>") minima, same banding, same canonical rule —
+    * so it shares x13's DuckDB oracle, which pins the native expression's
+    * hashes against an independent engine. MinhashAllSpec additionally
+    * asserts x13b == x13 row-for-row.
+    */
+  def x13bMinhashNative(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val docs = Io.table(spark, sfDir, "documents")
+    val sig = fanOut(docs)
+      .select(col("doc_id"), call_function("minhash_all", col("text"), lit(16)).as("mh"))
+      .filter(col("mh").isNotNull)
+    val sigW = sig.select(col("doc_id") +:
+      (0 until 16).map(j => element_at(col("mh"), j + 1).as(s"mh$j")): _*)
+    val bands = bandHashes(sigW, bandsOf = 4, r = 4, extra = Seq(col("mh0")))
+    val canon = canonicalAssignment(bands, Seq(max("mh0").as("mh0")))
+    docs.select("doc_id").join(canon, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("canonical"), col("doc_id")).as("canonical_id"),
+        (col("doc_id") =!= coalesce(col("canonical"), col("doc_id"))).cast("int").as("is_dup"),
+        col("mh0"))
+      .orderBy("doc_id")
+  }
+
   /** x14 — per-language corpus stats through the SQL surface (S2): temp-view
     * registration + spark.sql, the analog of the reference's DuckDB layer
     * (/root/reference/flows/pipeline.py:170-211).

@@ -744,6 +744,9 @@ object Oracles {
       |ORDER BY user_id, day""".stripMargin
 
   val lGroup: Map[String, String] = Map(
+    // x13b computes x13's exact output through the native minhash_all
+    // expression — the shared oracle pins the native hashes independently
+    "x13b_minhash_native" -> x13,
     "x40_jsonl_roundtrip" -> x40,
     "x41_repetition"      -> x41,
     "x42_stratified_sample" -> x42,
