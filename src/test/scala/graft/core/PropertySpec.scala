@@ -49,6 +49,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("keepFirstAgg == keepFirst on random frames (nulls, dups, skew included)") {
+    val keys = Seq("timestamp", "receiving_address", "transaction_type", "amount")
+    for (_ <- 1 to 5) {
+      val df = randomFrame(100 + rnd.nextInt(100)).repartition(5)
+      val viaWindow = Dedup.keepFirst(df, keys, "id")
+      val viaAgg    = Dedup.keepFirstAgg(df, keys, "id")
+      // set equality both directions: the skew-safe path must produce
+      // EXACTLY the window path's rows, including null-keyed groups
+      assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty,
+        "keepFirstAgg diverged from keepFirst")
+      assert(viaAgg.count() == viaWindow.count())
+    }
+  }
+
   test("conformity is always within [0, 1] and anti-monotone in injected dirtiness") {
     for (_ <- 1 to 5) {
       val m = Quality.profile(randomFrame(50 + rnd.nextInt(150)), "p")
