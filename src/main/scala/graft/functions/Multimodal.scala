@@ -8,15 +8,17 @@ import org.apache.spark.sql.types._
   * opaque BINARY columns plus a typed metadata struct; decode and feature
   * extraction run batched per partition.
   *
-  * IMAGES decode for real: `decodeImage` runs the payload through pure-JDK
-  * `javax.imageio` (PNG/JPEG/GIF/BMP — no external codec dependency) and
-  * derives the fixed-width feature vector from actual pixels. Payloads no
-  * registered ImageIO reader claims (audio, video, arbitrary bytes) fall
-  * back to `decodeStub`, the deterministic fake that stands in for the
-  * audio/video codecs this container doesn't ship — so the Spark-side
+  * IMAGES and AUDIO decode for real: `decodeImage` runs the payload
+  * through pure-JDK `javax.imageio` (PNG/JPEG/GIF/BMP) and derives the
+  * fixed-width feature vector from actual pixels; `decodeAudio` runs it
+  * through `javax.sound.sampled` (WAV/AIFF/AU PCM) and derives signal
+  * features from actual samples — no external codec dependency either
+  * way. Payloads neither stack claims (video containers, arbitrary
+  * bytes) fall back to `decodeStub`, the deterministic fake standing in
+  * for the video codecs this container doesn't ship — so the Spark-side
   * contract (schema, per-partition batch shape, null failure path) is
-  * exercised end-to-end for every media kind while only the non-image
-  * codec calls remain stubbed.
+  * exercised end-to-end for every media kind while only the video codec
+  * call remains stubbed.
   */
 object Multimodal {
 
@@ -80,15 +82,82 @@ object Multimodal {
     Some(out)
   }
 
-  /** Real-then-stub decode: images decode through javax.imageio; anything
-    * else (audio/video containers, arbitrary bytes) hits the deterministic
-    * stub standing in for the codecs this container lacks.
+  /** REAL audio decode via pure-JDK javax.sound.sampled: WAV/AIFF/AU
+    * containers with 8- or 16-bit PCM payloads decode to samples and
+    * yield signal-derived features; anything the sound stack doesn't
+    * recognize returns None. Features, deterministic (integer sample
+    * sums, fixed-order double accumulation):
+    *   f0 duration sec / 100          f1 sample rate / 100 000
+    *   f2 channels / 8                f3 mean |sample| (normalized)
+    *   f4 RMS                         f5 zero-crossing rate
+    *   f6 peak |sample|               f7 first-half energy fraction
+    */
+  private[functions] def decodeAudio(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return None }
+    try {
+      val f = ais.getFormat
+      val bits = f.getSampleSizeInBits
+      val signed = f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      if (bits != 8 && bits != 16) return None
+      val raw = ais.readAllBytes()
+      val bytesPerSample = bits / 8
+      val n = raw.length / bytesPerSample
+      if (n == 0) return None
+      val full = if (bits == 8) 127.0 else 32767.0
+      def sample(i: Int): Double =
+        if (bits == 8) {
+          val v = if (signed) raw(i).toDouble else ((raw(i) & 0xff) - 128).toDouble
+          v
+        } else {
+          val lo = raw(2 * i) & 0xff; val hi = raw(2 * i + 1)
+          val v = if (f.isBigEndian) ((raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff))
+                  else ((hi << 8) | lo)
+          v.toDouble
+        }
+      var sumAbs = 0.0; var sumSq = 0.0; var firstHalfSq = 0.0
+      var peak = 0.0; var crossings = 0L; var prevSign = 0
+      var i = 0
+      while (i < n) {
+        val v = sample(i)
+        val a = math.abs(v)
+        sumAbs += a; sumSq += v * v
+        if (i < n / 2) firstHalfSq += v * v
+        if (a > peak) peak = a
+        val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+        if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+        if (sign != 0) prevSign = sign
+        i += 1
+      }
+      val frames = n / f.getChannels
+      val out = new Array[Float](FeatureDim)
+      out(0) = (frames / f.getSampleRate / 100.0).toFloat
+      out(1) = f.getSampleRate / 100000.0f
+      out(2) = f.getChannels / 8.0f
+      out(3) = (sumAbs / (n * full)).toFloat
+      out(4) = (math.sqrt(sumSq / n) / full).toFloat
+      out(5) = crossings.toFloat / n
+      out(6) = (peak / full).toFloat
+      out(7) = if (sumSq == 0.0) 0f else (firstHalfSq / sumSq).toFloat
+      Some(out)
+    } catch { case _: Exception => None }
+    finally ais.close()
+  }
+
+  /** Real-then-stub decode: images decode through javax.imageio, audio
+    * through javax.sound.sampled; anything else (video containers,
+    * arbitrary bytes) hits the deterministic stub standing in for the
+    * codecs this container lacks.
     */
   private[functions] def decode(bytes: Array[Byte]): Option[Array[Float]] =
-    decodeImage(bytes).orElse(decodeStub(bytes))
+    decodeImage(bytes).orElse(decodeAudio(bytes)).orElse(decodeStub(bytes))
 
-  /** STUB decoder for NON-IMAGE media: a real implementation would decode
-    * `bytes` with an audio/video codec library; this deterministic fake
+  /** STUB decoder for media neither JDK stack decodes (video, unknown
+    * formats): a real implementation would use a codec library; this
+    * deterministic fake
     * derives FeatureDim floats from an FNV hash of the payload so tests can
     * assert exact values. Null/empty payloads yield null features (the real
     * decoder's failure path).

@@ -124,6 +124,45 @@ class MultimodalSpec extends SparkSpec {
     assert(cos.values.forall(c => c > 0.8 && c <= 1.0 + 1e-9)) // bright images correlate
   }
 
+  test("real WAV decodes through javax.sound.sampled: exact signal features") {
+    import javax.sound.sampled._
+    // 16-bit mono PCM, 8 kHz: a ±8192 square wave flipping every 4 samples
+    val rate = 8000f; val n = 800
+    val samples = Array.tabulate[Short](n)(i => if ((i / 4) % 2 == 0) 8192 else -8192)
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) { // little-endian
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n),
+      AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val feats = Multimodal.decodeAudio(wav).get
+    assert(feats.length == Multimodal.FeatureDim)
+    assert(feats(0) == (n / rate / 100.0).toFloat)        // duration
+    assert(feats(1) == rate / 100000.0f)                  // sample rate
+    assert(feats(2) == 1 / 8.0f)                          // mono
+    assert(feats(3) == (8192.0 / 32767.0).toFloat)        // mean |v| of a square
+    assert(feats(4) == (8192.0 / 32767.0).toFloat)        // RMS == mean for a square
+    // sign flips every 4 samples starting at i=4 -> floor((n-1)/4) crossings
+    assert(feats(5) == ((n - 1) / 4).toFloat / n)
+    assert(feats(6) == (8192.0 / 32767.0).toFloat)        // peak
+    assert(feats(7) == 0.5f)                              // energy evenly split
+
+    // dispatch: the WAV flows through extractFeatures' real audio path,
+    // not the stub (stub output for these bytes would differ)
+    val rows = Seq(org.apache.spark.sql.Row(1L, wav,
+      org.apache.spark.sql.Row("audio/wav", null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.mediaSchema)
+    val out = Multimodal.extractFeatures(df).collect().head
+    assert(out.getSeq[Float](3).toList == feats.toList)
+  }
+
   test("asEmbeddings bridges features into the embedding schema") {
     val emb = Multimodal.asEmbeddings(Multimodal.extractFeatures(mediaDf(10)))
     assert(emb.schema.fieldNames.toSeq == Seq("vec_id", "embedding", "label"))

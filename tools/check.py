@@ -47,6 +47,20 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
         fail += 1
         continue
+    # dtype gate, mirroring the driver's real check (this script previously
+    # compared values only — an int32-vs-int64 mismatch passed locally and
+    # failed the round): ints of different widths are a FAIL, float64 must
+    # match float64, object/string compares loosely.
+    dtype_bad = [
+        f"{c}: want={want[c].dtype} got={got[c].dtype}"
+        for c in want.columns
+        if want[c].dtype != got[c].dtype
+        and not (want[c].dtype.kind == "O" and got[c].dtype.kind == "O")
+    ]
+    if dtype_bad:
+        print(f"FAIL {name}: dtypes differ: {'; '.join(dtype_bad)}")
+        fail += 1
+        continue
     bad = []
     for c in want.columns:
         w, g = want[c].values, got[c].values
