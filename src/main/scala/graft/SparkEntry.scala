@@ -68,7 +68,8 @@ object SparkEntry {
     "x42_stratified_sample" -> (LlmQueries.x42StratifiedSample _),
     "x43_contamination"    -> (LlmQueries.x43Contamination _),
     "x44_moving_avg"       -> (ExtendedQueries.x44MovingAvg _),
-    "x45_gap_fill"         -> (ExtendedQueries.x45GapFill _))
+    "x45_gap_fill"         -> (ExtendedQueries.x45GapFill _),
+    "x46_prep_v2"          -> (LlmQueries.x46PrepPipelineV2 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -741,14 +741,20 @@ object LlmQueries {
     * tokenize+md5 scan — self-lineages get no ReuseExchange). The bench
     * lineage scans only the disjoint %100==0 id range, predicate pushed.
     */
-  def x43Contamination(spark: SparkSession, sfDir: String): DataFrame = {
-    val g = fanOut(Io.table(spark, sfDir, "documents"))
-      .withColumn("toks", split(col("text"), " "))
+  /** (doc_id, gh) rows: md5 of each 5-token gram — shared by x43 and the
+    * x46 contamination stage. Input must carry doc_id + text and be fanned
+    * out by the caller when it is a raw scan.
+    */
+  private def gramHashes5(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("toks"), explode(expr(
         """CASE WHEN size(toks) < 5 THEN CAST(array() AS ARRAY<INT>)
           |ELSE sequence(1, size(toks) - 4) END""".stripMargin)).as("i"))
       .select(col("doc_id"), md5(concat_ws(" ",
         (0 until 5).map(k => expr(s"element_at(toks, i + $k)")): _*)).as("gh"))
+
+  def x43Contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gramHashes5(fanOut(Io.table(spark, sfDir, "documents")))
     val bench = g.filter(col("doc_id") % 100 === 0).select("gh").distinct()
       .withColumn("hit", lit(1L))
     g.filter(col("doc_id") % 100 =!= 0)
@@ -760,6 +766,55 @@ object LlmQueries {
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
         ExtendedQueries.stableRound6(
           col("n_hit").cast("double") / col("n_grams")).as("contamination_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** x46 — the v2 prep flow: x34's pipeline with the round-5 signals
+    * composed in. language filter → quality gate (x16) → REPETITION gate
+    * (x41's top-bigram fraction ≤ 0.05, dropping templated text) → exact
+    * dedup → MinHash near-dedup over survivors → CONTAMINATION filter
+    * (any doc sharing a 5-gram with the held-out %25==0 eval split is
+    * excluded from training — including the benchmark docs themselves) →
+    * 50% hash sample. Stage order is the 100 TB cost order: cheap per-row
+    * gates shrink the corpus before the shingle/minhash/gram stages pay
+    * per-token CPU, and the contamination join runs on the near-dedup
+    * SURVIVORS only. The survivor sets feed multiple consumers, so both
+    * are pinned (same bounded-pin contract as x34).
+    */
+  def x46PrepPipelineV2(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val en = docs.filter(col("lang") === "en")
+    val pass = qualityScored(en).filter(col("quality_score") >= 0.7)
+      .select("doc_id", "quality_score")
+    val rep = fanOut(en).withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(1, size(toks) - 1) END""".stripMargin)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        expr("element_at(toks, i)"), expr("element_at(toks, i + 1)")).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max("n").as("top_n"), sum("n").as("n_bigrams"))
+      .filter(ExtendedQueries.stableRound6(
+        col("top_n").cast("double") / col("n_bigrams")) <= 0.05)
+      .select("doc_id")
+    val gated = en.join(pass, "doc_id").join(rep, "doc_id")
+    val exact = gated
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select("doc_id", "text", "lang", "quality_score")
+    val canon = canonicalAssignment(
+      bandHashes(minhashSignature(fanOut(exact), 16), bandsOf = 4, r = 4))
+    val kept = exact.join(canon, Seq("doc_id"), "left")
+      .filter(coalesce(col("canonical"), col("doc_id")) === col("doc_id"))
+    repin(exact, kept)
+    val bench = gramHashes5(fanOut(docs.filter(col("doc_id") % 25 === 0)))
+      .select("gh").distinct()
+    val contam = gramHashes5(kept.select("doc_id", "text"))
+      .join(bench, "gh").select("doc_id").distinct()
+    kept.join(contam, Seq("doc_id"), "left_anti")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= "7f")
+      .select("doc_id", "lang", "quality_score")
       .orderBy("doc_id")
   }
 

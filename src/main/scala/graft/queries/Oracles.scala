@@ -743,7 +743,80 @@ object Oracles {
       |FROM joined
       |ORDER BY user_id, day""".stripMargin
 
+  // x46: x34's pipeline + repetition gate + contamination filter — CTEs
+  // composed from the x16/x41/x13/x43 oracle building blocks
+  val x46: String =
+    """WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM en),
+      |st AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |         sum(CASE WHEN token IN ('the', 'a', 'of', 'to', 'and') THEN 1 ELSE 0 END) AS n_stop
+      |  FROM tok GROUP BY doc_id),
+      |alpha AS (SELECT doc_id, length(replace(text, ' ', '')) AS n_alpha FROM en),
+      |q AS (
+      |  SELECT s.doc_id,
+      |         floor((0.4 * least(CAST(s.n_tokens AS DOUBLE), 50.0) / 50.0
+      |             + 0.3 * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens)
+      |             + 0.3 * least(CAST(t.n_alpha AS DOUBLE) / s.n_tokens, 10.0) / 10.0)
+      |           * 100000000 + 0.5) / 100000000 AS quality_score
+      |  FROM st s JOIN alpha t ON s.doc_id = t.doc_id),
+      |pass AS (SELECT doc_id, quality_score FROM q WHERE quality_score >= CAST(0.7 AS DOUBLE)),
+      |bgt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM en),
+      |bgu AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      |  FROM bgt),
+      |bgc AS (SELECT doc_id, bigram, count(*) AS n FROM bgu GROUP BY 1, 2),
+      |rep AS (
+      |  SELECT doc_id FROM bgc GROUP BY doc_id
+      |  HAVING floor(CAST(max(n) AS DOUBLE) / sum(n) * 1000000 + 0.5) / 1000000
+      |         <= CAST(0.05 AS DOUBLE)),
+      |ex AS (
+      |  SELECT d.doc_id, d.text, d.lang, p.quality_score
+      |  FROM en d JOIN pass p USING (doc_id) JOIN rep r USING (doc_id)
+      |  QUALIFY row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) = 1),
+      |sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |                i -> concat_ws(' ', string_split(text, ' ')[i],
+      |                     string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS shingle
+      |  FROM ex),
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+      |  FROM sh, range(0, 16) s(j) GROUP BY doc_id, j),
+      |band AS (
+      |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, ',' ORDER BY j)) AS bh
+      |  FROM mh GROUP BY doc_id, j // 4),
+      |buck AS (SELECT band, bh, min(doc_id) AS rep FROM band GROUP BY band, bh),
+      |canon AS (
+      |  SELECT b.doc_id, min(k.rep) AS canonical
+      |  FROM band b JOIN buck k ON b.band = k.band AND b.bh = k.bh
+      |  GROUP BY b.doc_id),
+      |kept AS (
+      |  SELECT e.doc_id, e.text, e.lang, e.quality_score
+      |  FROM ex e LEFT JOIN canon c ON e.doc_id = c.doc_id
+      |  WHERE coalesce(c.canonical, e.doc_id) = e.doc_id),
+      |kgt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kept),
+      |kg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+      |    i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+      |             || ' ' || toks[i + 3] || ' ' || toks[i + 4]))) AS gh
+      |  FROM kgt),
+      |bt AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 25 = 0),
+      |bench AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 3),
+      |    i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+      |             || ' ' || toks[i + 3] || ' ' || toks[i + 4]))) AS gh
+      |  FROM bt),
+      |contam AS (SELECT DISTINCT kg.doc_id FROM kg JOIN bench USING (gh))
+      |SELECT k.doc_id, k.lang, k.quality_score
+      |FROM kept k LEFT JOIN contam c ON k.doc_id = c.doc_id
+      |WHERE c.doc_id IS NULL
+      |  AND substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) <= '7f'
+      |ORDER BY k.doc_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x46_prep_v2"         -> x46,
     // x13b computes x13's exact output through the native minhash_all
     // expression — the shared oracle pins the native hashes independently
     "x13b_minhash_native" -> x13,
