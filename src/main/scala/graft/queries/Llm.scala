@@ -64,7 +64,12 @@ object LlmQueries {
     // entries are simply dropped
     pinned.foreach(d => try d.unpersist() catch { case _: Throwable => () })
     pinned.clear()
-    dfs.foreach { d => d.persist(); pinned += d }
+    // x47 hands over an already-persisted frame (its loop pins each round);
+    // persisting it again would log a CacheManager warning and do nothing
+    dfs.foreach { d =>
+      if (d.storageLevel == org.apache.spark.storage.StorageLevel.NONE) d.persist()
+      pinned += d
+    }
   }
 
   /** (doc_id, shingle) rows: 3-token shingles at 1-based positions 1..n-2,
@@ -766,6 +771,75 @@ object LlmQueries {
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
         ExtendedQueries.stableRound6(
           col("n_hit").cast("double") / col("n_grams")).as("contamination_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** x47 — TRANSITIVE dedup components: x13's canonical is one union step
+    * (lowest id sharing a band bucket), but duplicate clusters are
+    * equivalence classes — A~B and B~C must put A,B,C in ONE component
+    * even when A and C share no bucket. Computed by iterative min-label
+    * propagation over the band-bucket star graph (each doc connects to
+    * its bucket representatives, so edge count is linear in docs, never
+    * per-bucket quadratic): every round each doc takes the min of its own
+    * and its neighbors' labels, until a round changes nothing. Only the
+    * edge-connected subgraph iterates — on a real corpus that is the dup
+    * fraction, not the corpus — singletons join back after the fixpoint.
+    *
+    * Iterative-DataFrame discipline for scale: each round's labels are
+    * persisted and FORCED by the convergence check, the previous round's
+    * pins are released, and convergence is detected by the monotone
+    * label-sum (strictly decreasing until fixpoint — one cheap aggregate,
+    * no join-diff). Rounds needed = graph diameter (small for dup
+    * clusters; the doubling/star-contraction variant is the remedy if a
+    * corpus ever chains long). The oracle is a recursive CTE computing
+    * the same closure declaratively.
+    */
+  def x47DedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val bands = bandHashes(minhashSignature(fanOut(docs), 16), bandsOf = 4, r = 4)
+    val rep = bands.groupBy("band", "bh").agg(min("doc_id").as("rep"))
+    val e0 = bands.join(rep, Seq("band", "bh"))
+      .select(col("doc_id").as("a"), col("rep").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b"))).persist()
+    // decimal sum: overflow-proof on arbitrary 64-bit ids (ANSI mode would
+    // throw on a long sum of xxhash-scale ids); min-label propagation only
+    // ever DECREASES labels, so an unchanged total sum == fixpoint
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty frame (dup-free corpus): sum is NULL
+    // iterate over the edge-connected subgraph ONLY: singletons (the vast
+    // majority of a real corpus) can never change label, so keeping them in
+    // the loop frame would make every round's join+agg scan corpus-sized;
+    // they rejoin as their own component after the fixpoint. Both edge
+    // directions are present, so `a` alone covers every endpoint.
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).persist()
+    var prevSum = labelSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 30) {
+      val nbr = edges.join(labels.select(col("doc_id").as("b"), col("label")), "b")
+        .select(col("a").as("doc_id"), col("label"))
+      val next = labels.union(nbr).groupBy("doc_id").agg(min("label").as("label"))
+        .persist()
+      val s = labelSum(next) // forces `next` while the old pin still helps
+      labels.unpersist()
+      labels = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      rounds += 1
+    }
+    edges.unpersist()
+    repin(labels) // released by the next pinning query, per the registry contract
+    // singletons rejoin here: docs outside the edge set are their own
+    // component of size 1 (coalesce), no loop cost ever paid for them
+    val all = docs.select("doc_id").join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("component"))
+    val sz = all.groupBy("component").agg(count(lit(1)).as("n_members"))
+    all.join(sz, "component")
+      .select(col("doc_id"), col("component"), col("n_members"),
+        (col("doc_id") === col("component")).cast("int").as("is_canonical"))
       .orderBy("doc_id")
   }
 

@@ -815,8 +815,43 @@ object Oracles {
       |  AND substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) <= '7f'
       |ORDER BY k.doc_id""".stripMargin
 
+  // x47: transitive closure stated declaratively — DuckDB's recursive CTE
+  // computes the same fixpoint Spark reaches by iterative min propagation
+  val x47: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |                i -> concat_ws(' ', string_split(text, ' ')[i],
+      |                     string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS shingle
+      |  FROM documents),
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+      |  FROM sh, range(0, 16) s(j) GROUP BY doc_id, j),
+      |band AS (
+      |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, ',' ORDER BY j)) AS bh
+      |  FROM mh GROUP BY doc_id, j // 4),
+      |buck AS (SELECT band, bh, min(doc_id) AS rep FROM band GROUP BY band, bh),
+      |e0 AS (
+      |  SELECT DISTINCT b.doc_id AS a, k.rep AS b
+      |  FROM band b JOIN buck k ON b.band = k.band AND b.bh = k.bh
+      |  WHERE b.doc_id <> k.rep),
+      |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      |r AS (
+      |  WITH RECURSIVE reach(doc_id, label) AS (
+      |    SELECT doc_id, doc_id AS label FROM documents
+      |    UNION
+      |    SELECT e.a AS doc_id, reach.label
+      |    FROM reach JOIN edges e ON reach.doc_id = e.b
+      |  ) SELECT doc_id, min(label) AS component FROM reach GROUP BY doc_id),
+      |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members FROM r GROUP BY component)
+      |SELECT r.doc_id, r.component, sz.n_members,
+      |       CAST(r.doc_id = r.component AS INT) AS is_canonical
+      |FROM r JOIN sz USING (component)
+      |ORDER BY r.doc_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x46_prep_v2"         -> x46,
+    "x47_dedup_components" -> x47,
     // x13b computes x13's exact output through the native minhash_all
     // expression — the shared oracle pins the native hashes independently
     "x13b_minhash_native" -> x13,

@@ -96,4 +96,44 @@ class LlmSpec extends SparkSpec {
       .select("lang", "predicted").as[(String, String)].collect().toSet
     assert(out == Set(("en", "en"), ("zh", "de")))
   }
+
+  // A~B~C chain where A and C share NO band bucket (disjoint shingle sets),
+  // found by offline search over the exact md5("<j>|<shingle>") recipe:
+  // doc B = A's text ++ C's text, and for these token pools the argmin of
+  // every minhash in band 2 falls in A's shingles (B collides with A there)
+  // and of every minhash in band 0 falls in C's shingles (B collides with
+  // C). The sf fixtures contain no such chain (checked at sf0.01: zero
+  // same-component pairs absent from x20's direct-candidate list), so this
+  // is the only coverage of the closure actually closing anything.
+  private val chainA = (0 until 10).map(i => s"a17w$i").mkString(" ")
+  private val chainC = (0 until 10).map(i => s"c17w$i").mkString(" ")
+  private val chainB = chainA + " " + chainC
+
+  test("x47: transitive chain collapses to ONE component where x13's one-hop can't") {
+    val dir = docsDir(Seq(
+      (0L, chainA, "en", "s", chainA.length.toLong),
+      (1L, chainB, "en", "s", chainB.length.toLong),
+      (2L, chainC, "en", "s", chainC.length.toLong)))
+    // precondition: this really is a chain, not a triangle — x13's one-hop
+    // canonical maps C to B (its only bucket-mate), NOT to A
+    val oneHop = LlmQueries.x13MinhashNearDedup(spark, dir)
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(oneHop == Map(0L -> 0L, 1L -> 0L, 2L -> 1L),
+      s"chain precondition broke (recipe changed?): $oneHop")
+    val out = LlmQueries.x47DedupComponents(spark, dir)
+      .select("doc_id", "component", "n_members", "is_canonical")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out == Seq((0L, 0L, 3L, 1), (1L, 0L, 3L, 0), (2L, 0L, 3L, 0)))
+  }
+
+  test("x47: disconnected docs stay singleton components (incl. sub-shingle docs)") {
+    val dir = docsDir(Seq(
+      (0L, chainA, "en", "s", chainA.length.toLong),
+      (1L, chainC, "en", "s", chainC.length.toLong),
+      (2L, "one two", "en", "s", 7L))) // < 3 tokens → no signature row at all
+    val out = LlmQueries.x47DedupComponents(spark, dir)
+      .select("doc_id", "component", "n_members", "is_canonical")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out == Seq((0L, 0L, 1L, 1), (1L, 1L, 1L, 1), (2L, 2L, 1L, 1)))
+  }
 }
