@@ -843,6 +843,47 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** x48 — INCREMENTAL ingest dedup: assign canonicals to a delta batch
+    * (`doc_id % 4 == 0` stands in for "today's crawl") against a standing
+    * corpus using only the corpus's band-bucket state (band, bh, lowest-id
+    * rep). This is the production shape at scale: the bucket table is
+    * stored state maintained across ingests, so per-batch cost is
+    * O(delta shingles) + one join against the bucket table (bucketed or
+    * broadcast by dup density) — the standing corpus text is NEVER
+    * re-shingled. Per bucket, min(standing rep, delta rep) equals the rep
+    * of the union bucket, so the incremental assignment is exactly what
+    * re-running x13 over standing ∪ delta would give the delta rows — and
+    * the oracle computes precisely that full recompute declaratively: the
+    * hash match IS the incremental == batch-recompute proof.
+    */
+  def x48IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs  = Io.table(spark, sfDir, "documents")
+    val standing = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta    = docs.filter(col("doc_id") % 4 === 0)
+    // production: spark.read of the stored bucket table; built here because
+    // the fixture has no standing state
+    val standingBuckets =
+      bandHashes(minhashSignature(fanOut(standing), 16), bandsOf = 4, r = 4)
+        .groupBy("band", "bh").agg(min("doc_id").as("standing_rep"))
+    val deltaBands = bandHashes(minhashSignature(fanOut(delta), 16), bandsOf = 4, r = 4)
+    val deltaReps  = deltaBands.groupBy("band", "bh").agg(min("doc_id").as("delta_rep"))
+    val canon = deltaBands
+      .join(deltaReps, Seq("band", "bh"))
+      .join(standingBuckets, Seq("band", "bh"), "left")
+      .groupBy("doc_id")
+      // coalesce, not null-skipping least: both engines then evaluate the
+      // identical two-arg min whether or not the bucket exists in the
+      // standing state
+      .agg(min(least(coalesce(col("standing_rep"), col("delta_rep")),
+        col("delta_rep"))).as("canonical"))
+    delta.select("doc_id").join(canon, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("canonical"), col("doc_id")).as("canonical_id"),
+        (col("doc_id") =!= coalesce(col("canonical"), col("doc_id"))).cast("int").as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** x46 — the v2 prep flow: x34's pipeline with the round-5 signals
     * composed in. language filter → quality gate (x16) → REPETITION gate
     * (x41's top-bigram fraction ≤ 0.05, dropping templated text) → exact

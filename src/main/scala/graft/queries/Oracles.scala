@@ -849,9 +849,34 @@ object Oracles {
       |FROM r JOIN sz USING (component)
       |ORDER BY r.doc_id""".stripMargin
 
+  // x48: the declarative FULL RECOMPUTE over standing ∪ delta, restricted
+  // to the delta rows — matching the Spark side's incremental bucket-state
+  // path proves incremental == batch recompute
+  val x48: String =
+    s"""WITH $shingleCte,
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+      |  FROM sh, range(0, 16) s(j) GROUP BY doc_id, j),
+      |band AS (
+      |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, ',' ORDER BY j)) AS bh
+      |  FROM mh GROUP BY doc_id, j // 4),
+      |buck AS (SELECT band, bh, min(doc_id) AS rep FROM band GROUP BY band, bh),
+      |canon AS (
+      |  SELECT b.doc_id, min(k.rep) AS canonical
+      |  FROM band b JOIN buck k ON b.band = k.band AND b.bh = k.bh
+      |  GROUP BY b.doc_id)
+      |SELECT d.doc_id,
+      |       coalesce(c.canonical, d.doc_id) AS canonical_id,
+      |       CAST(d.doc_id <> coalesce(c.canonical, d.doc_id) AS INT) AS is_dup
+      |FROM documents d
+      |LEFT JOIN canon c ON d.doc_id = c.doc_id
+      |WHERE d.doc_id % 4 = 0
+      |ORDER BY d.doc_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x46_prep_v2"         -> x46,
     "x47_dedup_components" -> x47,
+    "x48_incremental_dedup" -> x48,
     // x13b computes x13's exact output through the native minhash_all
     // expression — the shared oracle pins the native hashes independently
     "x13b_minhash_native" -> x13,

@@ -126,6 +126,21 @@ class LlmSpec extends SparkSpec {
     assert(out == Seq((0L, 0L, 3L, 1), (1L, 0L, 3L, 0), (2L, 0L, 3L, 0)))
   }
 
+  test("x48: delta batch dedups against standing corpus; standing docs never emitted") {
+    val long = (0 until 20).map(i => s"tok$i").mkString(" ")
+    val other = (0 until 20).map(i => s"zzz$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, long, "en", "s", long.length.toLong),   // delta, dup of standing 1 BUT lower id → canonical stays 0
+      (1L, long, "en", "s", long.length.toLong),   // standing
+      (2L, other, "en", "s", other.length.toLong), // standing dup pair 2~3:
+      (3L, other, "en", "s", other.length.toLong), //   not delta → not in output
+      (4L, long, "en", "s", long.length.toLong),   // delta, dup → canonical 0 (delta rep beats standing rep 1)
+      (8L, "completely different words here entirely now", "en", "s", 44L))) // delta, unique
+    val out = LlmQueries.x48IncrementalDedup(spark, dir)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq((0L, 0L, 0), (4L, 0L, 1), (8L, 8L, 0)))
+  }
+
   test("x47: disconnected docs stay singleton components (incl. sub-shingle docs)") {
     val dir = docsDir(Seq(
       (0L, chainA, "en", "s", chainA.length.toLong),
