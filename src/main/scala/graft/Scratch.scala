@@ -79,6 +79,8 @@ object Scratch {
       time(s"x40_$dir")(queries.ExtendedQueries.x40JsonlRoundtrip(spark, dir).count())
       time(s"x13_$dir")(queries.LlmQueries.x13MinhashNearDedup(spark, dir).count())
       time(s"x13b_$dir")(queries.LlmQueries.x13bMinhashNative(spark, dir).count())
+      time(s"x47_$dir")(queries.LlmQueries.x47DedupComponents(spark, dir).count())
+      time(s"x48_$dir")(queries.LlmQueries.x48IncrementalDedup(spark, dir).count())
     }
     // recall on the dup-heavy corpus: every doc has 9 exact copies, so a
     // correct near-dup pass must flag every doc

@@ -71,7 +71,8 @@ object SparkEntry {
     "x45_gap_fill"         -> (ExtendedQueries.x45GapFill _),
     "x46_prep_v2"          -> (LlmQueries.x46PrepPipelineV2 _),
     "x47_dedup_components" -> (LlmQueries.x47DedupComponents _),
-    "x48_incremental_dedup" -> (LlmQueries.x48IncrementalDedup _))
+    "x48_incremental_dedup" -> (LlmQueries.x48IncrementalDedup _),
+    "x49_pq_ann"           -> (LlmQueries.x49PqAnn _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

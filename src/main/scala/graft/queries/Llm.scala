@@ -843,6 +843,66 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** x49 — product-quantization ANN (ADC scan), completing the similarity
+    * family: brute force (x11), hyperplane buckets (x21), IVF probe (x32),
+    * and now PQ — THE memory-compression path for a corpus-scale embedding
+    * store (64 floats → 8 codes; the scan reads codes + a 32-entry lookup
+    * table, not vectors). m=8 subspaces × 8 dims; the codebook reuses x32's
+    * deterministic trick (centroids = subvectors of vec_ids 1..4, so the
+    * oracle can rebuild it declaratively).
+    *
+    * One aggregation does everything per vector: the 32-row broadcast
+    * codebook (already carrying each centroid's query-distance) cross-joins
+    * the scan, and 8 struct-min aggregates pick each subspace's
+    * lowest-(rounded L2², centroid) entry — the ADC lookup rides in the
+    * struct, so no second join. Approx distance = decimal-exact sum of the
+    * 8 rounded lookups (order-independent across engines). Top-10 by
+    * (approx, vec_id) lands in TakeOrderedAndProject; the exact-cosine
+    * rerank touches only those 10 rows. Plan: one shuffle (the map-side-
+    * combining agg), broadcast joins elsewhere.
+    */
+  def x49PqAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    import ExtendedQueries.{nativeDot, stableRound6}
+    val emb = Io.table(spark, sfDir, "embeddings")
+    def subs(v: Column): Column = array((0 until 8).map(s =>
+      struct(lit(s).as("s"), slice(v, s * 8 + 1, 8).as("sub"))): _*)
+    // rounded squared L2 distance via three dots: both engines compute the
+    // IDENTICAL sum(aa) - 2*sum(ab) + sum(bb) before the one shared rounding
+    def l2sq(a: Column, b: Column): Column =
+      stableRound6(nativeDot(a, a) - lit(2) * nativeDot(a, b) + nativeDot(b, b))
+    val qsub = emb.filter(col("vec_id") === 0)
+      .select(explode(subs(col("embedding"))).as("q"))
+      .select(col("q.s").as("s"), col("q.sub").as("qsub"))
+    // 32-row codebook: (subspace, centroid, centroid-subvector, ADC lookup)
+    val cb = emb.filter(col("vec_id").between(1, 4))
+      .select(col("vec_id").as("c"), explode(subs(col("embedding"))).as("e"))
+      .select(col("c"), col("e.s").as("s"), col("e.sub").as("csub"))
+      .join(qsub, "s")
+      .select(col("s"), col("c"), col("csub"), l2sq(col("qsub"), col("csub")).as("qdist"))
+    val scored = emb.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("label"), col("s"), col("c"), col("qdist"),
+        l2sq(slice(col("embedding"), col("s") * lit(8) + lit(1), lit(8)), col("csub")).as("ed"))
+    // per subspace: lexicographic min over (rounded encode distance, centroid
+    // id) — the PQ code assignment — carrying that centroid's query distance
+    val aggs = (0 until 8).map(s =>
+      min(when(col("s") === s, struct(col("ed"), col("c"), col("qdist")))).as(s"m$s"))
+    val adc = scored.groupBy("vec_id", "label").agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"), col("label"),
+        (0 until 8).map(s => col(s"m$s.qdist").cast("decimal(28,6)")).reduce(_ + _)
+          .cast("double").as("approx_dist"))
+      .orderBy(col("approx_dist"), col("vec_id")).limit(10)
+    // exact rerank on the 10 survivors only
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qemb"))
+      .withColumn("qnorm", sqrt(nativeDot(col("qemb"), col("qemb"))))
+    broadcast(adc).join(emb.select("vec_id", "embedding"), "vec_id").crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("approx_dist"),
+        stableRound6(nativeDot(col("embedding"), col("qemb")) /
+          (sqrt(nativeDot(col("embedding"), col("embedding"))) * col("qnorm"))).as("cosine"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+  }
+
   /** x48 — INCREMENTAL ingest dedup: assign canonicals to a delta batch
     * (`doc_id % 4 == 0` stands in for "today's crawl") against a standing
     * corpus using only the corpus's band-bucket state (band, bh, lowest-id

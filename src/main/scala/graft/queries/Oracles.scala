@@ -873,10 +873,54 @@ object Oracles {
       |WHERE d.doc_id % 4 = 0
       |ORDER BY d.doc_id""".stripMargin
 
+  // x49: PQ rebuilt declaratively — same deterministic codebook (subvectors
+  // of vecs 1..4), same floor-rounded three-dot L2², same decimal-exact ADC
+  // sum, so the hash match pins code assignment AND the lookup-table sum
+  val x49: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS c, embedding AS cemb FROM embeddings
+      |  WHERE vec_id BETWEEN 1 AND 4),
+      |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+      |qd AS (
+      |  SELECT cent.c, s.s,
+      |    floor((sum(CAST(q.qemb[s.s*8+j.j] AS DOUBLE) * CAST(q.qemb[s.s*8+j.j] AS DOUBLE))
+      |      - 2 * sum(CAST(q.qemb[s.s*8+j.j] AS DOUBLE) * CAST(cent.cemb[s.s*8+j.j] AS DOUBLE))
+      |      + sum(CAST(cent.cemb[s.s*8+j.j] AS DOUBLE) * CAST(cent.cemb[s.s*8+j.j] AS DOUBLE)))
+      |      * 1e6 + 0.5) / 1e6 AS qdist
+      |  FROM cent, q, range(0, 8) s(s), range(1, 9) j(j)
+      |  GROUP BY cent.c, s.s),
+      |ed AS (
+      |  SELECT e.vec_id, e.label, cent.c, s.s,
+      |    floor((sum(CAST(e.embedding[s.s*8+j.j] AS DOUBLE) * CAST(e.embedding[s.s*8+j.j] AS DOUBLE))
+      |      - 2 * sum(CAST(e.embedding[s.s*8+j.j] AS DOUBLE) * CAST(cent.cemb[s.s*8+j.j] AS DOUBLE))
+      |      + sum(CAST(cent.cemb[s.s*8+j.j] AS DOUBLE) * CAST(cent.cemb[s.s*8+j.j] AS DOUBLE)))
+      |      * 1e6 + 0.5) / 1e6 AS ed
+      |  FROM embeddings e, cent, range(0, 8) s(s), range(1, 9) j(j)
+      |  GROUP BY e.vec_id, e.label, cent.c, s.s),
+      |code AS (
+      |  SELECT vec_id, label, s, c FROM ed
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY ed, c) = 1),
+      |approx AS (
+      |  SELECT code.vec_id, code.label,
+      |         CAST(sum(CAST(qd.qdist AS DECIMAL(28,6))) AS DOUBLE) AS approx_dist
+      |  FROM code JOIN qd ON code.s = qd.s AND code.c = qd.c
+      |  GROUP BY code.vec_id, code.label
+      |  ORDER BY approx_dist, vec_id
+      |  LIMIT 10)
+      |SELECT a.vec_id, a.label, a.approx_dist,
+      |  floor(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qemb[i.i] AS DOUBLE)) /
+      |    (sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))
+      |     * sqrt(sum(CAST(q.qemb[i.i] AS DOUBLE) * CAST(q.qemb[i.i] AS DOUBLE))))
+      |    * 1e6 + 0.5) / 1e6 AS cosine
+      |FROM approx a JOIN embeddings e USING (vec_id), q, range(1, 65) i(i)
+      |GROUP BY a.vec_id, a.label, a.approx_dist
+      |ORDER BY a.approx_dist, a.vec_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x46_prep_v2"         -> x46,
     "x47_dedup_components" -> x47,
     "x48_incremental_dedup" -> x48,
+    "x49_pq_ann"          -> x49,
     // x13b computes x13's exact output through the native minhash_all
     // expression — the shared oracle pins the native hashes independently
     "x13b_minhash_native" -> x13,

@@ -141,6 +141,27 @@ class LlmSpec extends SparkSpec {
     assert(out == Seq((0L, 0L, 0), (4L, 0L, 1), (8L, 8L, 0)))
   }
 
+  test("x49: an exact copy of the query gets the query's own PQ codes and ties at rank 1-2") {
+    val dir = Files.createTempDirectory("llm_pq").toString
+    val rnd = new scala.util.Random(7)
+    def v(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() * 2 - 1)
+    val q = v()
+    Seq(
+      (0L, q, 0),          // query
+      (1L, v(), 1), (2L, v(), 2), (3L, v(), 3), (4L, v(), 4), // codebook donors
+      (5L, q, 5),          // exact copy of the query
+      (6L, v(), 6))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = LlmQueries.x49PqAnn(spark, dir)
+      .select("vec_id", "approx_dist", "cosine")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1).take(2) == Seq(0L, 5L),
+      s"identical vectors must share codes and tie first by id: $out")
+    assert(out(0)._2 == out(1)._2, "identical codes -> identical ADC distance")
+    assert(out(0)._3 == 1.0 && out(1)._3 == 1.0)
+  }
+
   test("x47: disconnected docs stay singleton components (incl. sub-shingle docs)") {
     val dir = docsDir(Seq(
       (0L, chainA, "en", "s", chainA.length.toLong),

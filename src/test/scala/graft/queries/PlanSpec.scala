@@ -79,6 +79,13 @@ class PlanSpec extends SparkSpec {
       s"join keys must be (custkey, band), got:\n$p")
   }
 
+  test("x49: PQ scan is one map-combining agg into top-k; no sort-merge anywhere") {
+    val p = plan("x49_pq_ann")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not be a global sort")
+    assert(p.contains("partial_min"), "code assignment agg must combine map-side")
+    assert(!p.contains("SortMergeJoin"), "codebook/rerank sides are broadcast-sized")
+  }
+
   test("x30: hash sampling is scan-only — no shuffle except the output sort") {
     val p = plan("x30_hash_sample")
     assert("Exchange".r.findAllIn(p).size == 1, "only the final rangepartitioning sort")
@@ -99,10 +106,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("whole declared set: no CartesianProduct; nested-loop joins only where a tiny side is broadcast") {
-    // queries that intentionally crossJoin a broadcast ≤8-row side (query
-    // vector / codebook): BroadcastNestedLoopJoin over a handful of rows is
-    // the right physical plan there, and only there
-    val broadcastCrossOk = Set("x11_cosine_topk", "x32_ivf_ann")
+    // queries that intentionally crossJoin a broadcast ≤32-row side (query
+    // vector / codebook / PQ lookup table): BroadcastNestedLoopJoin over a
+    // handful of rows is the right physical plan there, and only there
+    val broadcastCrossOk = Set("x11_cosine_topk", "x32_ivf_ann", "x49_pq_ann")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
