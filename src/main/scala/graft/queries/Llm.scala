@@ -151,6 +151,14 @@ object LlmQueries {
       .agg(min("rep").as("canonical"), extraAggs: _*)
   }
 
+  /** The x13 bucket recipe as one callable: (doc_id, band, bh) rows at
+    * k=16, 4 bands × r=4. Shared with the streaming incremental near-dedup
+    * (streaming/StreamingNearDedup) so the stream and batch paths cannot
+    * drift apart on the signature.
+    */
+  private[graft] def bandBuckets(docs: DataFrame): DataFrame =
+    bandHashes(minhashSignature(fanOut(docs), 16), bandsOf = 4, r = 4)
+
   def x13MinhashNearDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs  = Io.table(spark, sfDir, "documents")
     val sig   = minhashSignature(fanOut(docs), 16)
