@@ -911,6 +911,42 @@ object LlmQueries {
       .orderBy(col("approx_dist"), col("vec_id"))
   }
 
+  /** x50 — TF-IDF top-3 terms per document: the classic keyword/topic
+    * signal of a corpus pipeline. tf = raw in-doc term count; idf = N/df
+    * (RAW inverse document frequency, deliberately not ln(N/df): every
+    * input is an exact integer and IEEE division/multiplication round
+    * identically in any engine, whereas libm ln differs by ulps between
+    * platforms — the one transcendental call this codebase avoids on
+    * every oracle path; production can swap ln in, the plan is identical).
+    *
+    * Plan: one (doc, term) hash agg (map-side combining — term counts
+    * partial-aggregate in the scan stage), the vocabulary-sized df agg off
+    * the SAME frame (no second corpus scan), a broadcast join of the tiny
+    * (vocab × 1-row N) idf side back onto doc-terms, and a per-doc rank
+    * window capped by WindowGroupLimit so tasks keep 3 candidates, not
+    * the vocabulary.
+    */
+  def x50TfidfTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val dt = fanOut(Io.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = dt.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val idf = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("term"),
+        (col("n_docs").cast("double") / col("df").cast("double")).as("idf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+    dt.join(broadcast(idf), "term")
+      .select(col("doc_id"), col("term"),
+        stableRound6(col("tf").cast("double") * col("idf")).as("tfidf"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** x48 — INCREMENTAL ingest dedup: assign canonicals to a delta batch
     * (`doc_id % 4 == 0` stands in for "today's crawl") against a standing
     * corpus using only the corpus's band-bucket state (band, bh, lowest-id

@@ -916,11 +916,35 @@ object Oracles {
       |GROUP BY a.vec_id, a.label, a.approx_dist
       |ORDER BY a.approx_dist, a.vec_id""".stripMargin
 
+  // x50: raw-idf TF-IDF — integer inputs + IEEE division only, so both
+  // engines compute the identical double with no libm (ln) involvement
+  val x50: String =
+    """WITH dt AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY doc_id, term),
+      |idf AS (
+      |  SELECT term,
+      |         CAST((SELECT count(DISTINCT doc_id) FROM dt) AS DOUBLE)
+      |           / CAST(count(*) AS DOUBLE) AS idf
+      |  FROM tf GROUP BY term),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         floor(CAST(tf.tf AS DOUBLE) * idf.idf * 1e6 + 0.5) / 1e6 AS tfidf
+      |  FROM tf JOIN idf USING (term)),
+      |r AS (
+      |  SELECT doc_id, term, tfidf,
+      |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rnk
+      |  FROM sc)
+      |SELECT doc_id, rnk, term, tfidf FROM r
+      |WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x46_prep_v2"         -> x46,
     "x47_dedup_components" -> x47,
     "x48_incremental_dedup" -> x48,
     "x49_pq_ann"          -> x49,
+    "x50_tfidf_terms"     -> x50,
     // x13b computes x13's exact output through the native minhash_all
     // expression — the shared oracle pins the native hashes independently
     "x13b_minhash_native" -> x13,

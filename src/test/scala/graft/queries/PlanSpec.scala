@@ -86,6 +86,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "codebook/rerank sides are broadcast-sized")
   }
 
+  test("x50: tf-idf joins broadcast the vocabulary side; top-3 capped by WindowGroupLimit") {
+    val p = plan("x50_tfidf_terms")
+    assert(p.contains("WindowGroupLimit"), "rnk<=3 must prune below the window")
+    assert(p.contains("BroadcastHashJoin"), "idf side is vocabulary-sized -> broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("partial_count"), "term counts must combine map-side")
+  }
+
   test("x30: hash sampling is scan-only — no shuffle except the output sort") {
     val p = plan("x30_hash_sample")
     assert("Exchange".r.findAllIn(p).size == 1, "only the final rangepartitioning sort")
@@ -109,7 +117,9 @@ class PlanSpec extends SparkSpec {
     // queries that intentionally crossJoin a broadcast ≤32-row side (query
     // vector / codebook / PQ lookup table): BroadcastNestedLoopJoin over a
     // handful of rows is the right physical plan there, and only there
-    val broadcastCrossOk = Set("x11_cosine_topk", "x32_ivf_ann", "x49_pq_ann")
+    // (x50's is a 1-row corpus-size constant joined onto the vocab frame)
+    val broadcastCrossOk = Set("x11_cosine_topk", "x32_ivf_ann", "x49_pq_ann",
+      "x50_tfidf_terms")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
