@@ -73,7 +73,8 @@ object SparkEntry {
     "x47_dedup_components" -> (LlmQueries.x47DedupComponents _),
     "x48_incremental_dedup" -> (LlmQueries.x48IncrementalDedup _),
     "x49_pq_ann"           -> (LlmQueries.x49PqAnn _),
-    "x50_tfidf_terms"      -> (LlmQueries.x50TfidfTerms _))
+    "x50_tfidf_terms"      -> (LlmQueries.x50TfidfTerms _),
+    "x51_adaptive_gate"    -> (LlmQueries.x51AdaptiveQualityGate _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -947,6 +947,40 @@ object LlmQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** x51 — ADAPTIVE per-language quality gate: filter to documents at or
+    * above their own language's 25th-percentile quality score (x16's
+    * metric). Fixed global thresholds misfire across languages — a cutoff
+    * tuned on English deletes half of another language's corpus — so real
+    * pipelines calibrate per stratum; this is that stage, composed from
+    * the shared `qualityScored`.
+    *
+    * The threshold is EXACT by rank arithmetic (k = ceil(n/4), threshold =
+    * k-th lowest score): integer ranks, no quantile interpolation — the
+    * cross-engine-deterministic form. The cost is a per-language sort
+    * window; at corpus scale you'd swap in `percentile_approx` (one
+    * map-combining sketch, no sort) and keep the gate join identical —
+    * declared exact here so the oracle can pin it bit-for-bit. The 5-row
+    * threshold side broadcasts back onto the scored frame.
+    */
+  def x51AdaptiveQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val scored = qualityScored(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "quality_score")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("quality_score"), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val thr = scored
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === greatest(ceil(col("n") / lit(4)).cast("int"), lit(1)))
+      .select(col("lang"), col("quality_score").as("lang_p25"))
+    scored.join(broadcast(thr), "lang")
+      .filter(col("quality_score") >= col("lang_p25"))
+      .select("doc_id", "lang", "quality_score", "lang_p25")
+      .orderBy("doc_id")
+  }
+
   /** x48 — INCREMENTAL ingest dedup: assign canonicals to a delta batch
     * (`doc_id % 4 == 0` stands in for "today's crawl") against a standing
     * corpus using only the corpus's band-bucket state (band, bh, lowest-id

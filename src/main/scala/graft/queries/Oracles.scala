@@ -939,8 +939,39 @@ object Oracles {
       |WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // x51: x16's score CTEs + exact rank-arithmetic p25 per language — no
+  // quantile interpolation anywhere, so both engines pick the identical row
+  val x51: String =
+    """WITH t AS (
+      |  SELECT doc_id, length(replace(text, ' ', '')) AS n_alpha FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |st AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |         sum(CASE WHEN token IN ('the', 'a', 'of', 'to', 'and') THEN 1 ELSE 0 END) AS n_stop
+      |  FROM tok GROUP BY doc_id),
+      |sc AS (
+      |  SELECT s.doc_id, d.lang,
+      |         floor((0.4 * least(CAST(s.n_tokens AS DOUBLE), 50.0) / 50.0
+      |             + 0.3 * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens)
+      |             + 0.3 * least(CAST(t.n_alpha AS DOUBLE) / s.n_tokens, 10.0) / 10.0)
+      |           * 100000000 + 0.5) / 100000000 AS quality_score
+      |  FROM st s JOIN t ON s.doc_id = t.doc_id JOIN documents d ON s.doc_id = d.doc_id),
+      |r AS (
+      |  SELECT doc_id, lang, quality_score,
+      |         row_number() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY lang) AS n
+      |  FROM sc),
+      |thr AS (
+      |  SELECT lang, quality_score AS lang_p25 FROM r
+      |  WHERE rn = greatest(CAST(ceil(CAST(n AS DOUBLE) / 4) AS INT), 1))
+      |SELECT sc.doc_id, sc.lang, sc.quality_score, thr.lang_p25
+      |FROM sc JOIN thr USING (lang)
+      |WHERE sc.quality_score >= thr.lang_p25
+      |ORDER BY sc.doc_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x46_prep_v2"         -> x46,
+    "x51_adaptive_gate"   -> x51,
     "x47_dedup_components" -> x47,
     "x48_incremental_dedup" -> x48,
     "x49_pq_ann"          -> x49,
