@@ -74,7 +74,8 @@ object SparkEntry {
     "x48_incremental_dedup" -> (LlmQueries.x48IncrementalDedup _),
     "x49_pq_ann"           -> (LlmQueries.x49PqAnn _),
     "x50_tfidf_terms"      -> (LlmQueries.x50TfidfTerms _),
-    "x51_adaptive_gate"    -> (LlmQueries.x51AdaptiveQualityGate _))
+    "x51_adaptive_gate"    -> (LlmQueries.x51AdaptiveQualityGate _),
+    "x52_kmeans_step"      -> (LlmQueries.x52KmeansStep _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -947,6 +947,49 @@ object LlmQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** x52 — one k-means (EM) step over the embedding corpus: assign every
+    * vector to its argmax-cosine centroid (x32's codebook and argmax rule,
+    * kept textually in sync with x32), then recompute each centroid as the
+    * element-wise mean of its members — exactly how the x32/x49 codebooks
+    * get trained, declared as a query so the oracle pins one full
+    * iteration. Driver loop = repeat to convergence; each step is this.
+    *
+    * The mean is the deterministic-aggregation showcase: each float is
+    * cast to double (exact), rounded once, summed as DECIMAL (exact,
+    * order-independent — a plain double avg would depend on partition
+    * order), divided by the exact member count. Plan: broadcast codebook
+    * crossJoin → map-combining argmax agg (one shuffle) → posexplode →
+    * map-combining per-(cid, pos) decimal agg (second shuffle, 512 output
+    * rows). Both aggs partial-combine in the scan stage.
+    */
+  def x52KmeansStep(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    import ExtendedQueries.{nativeDot, stableRound6}
+    val emb = Io.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(nativeDot(col("embedding"), col("embedding"))).as("norm"))
+    val cent = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("norm").as("cnorm"))
+    val ac = stableRound6(nativeDot(col("embedding"), col("cemb")) /
+      (col("norm") * col("cnorm")))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .groupBy("vec_id", "embedding")
+      .agg(max(struct(ac.as("ac"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("embedding"), (-col("m.ncid")).as("cid"))
+    assigned
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("cid"), (col("pos0") + lit(1)).as("pos"),
+        stableRound6(col("v").cast("double")).as("v6"))
+      .groupBy("cid", "pos")
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("v6").cast("decimal(28,6)")).cast("double") /
+          count(lit(1))).as("m"))
+      .select(col("cid"), col("pos"), stableRound6(col("m")).as("centroid"),
+        col("n_members"))
+      .orderBy("cid", "pos")
+  }
+
   /** x51 — ADAPTIVE per-language quality gate: filter to documents at or
     * above their own language's 25th-percentile quality score (x16's
     * metric). Fixed global thresholds misfire across languages — a cutoff

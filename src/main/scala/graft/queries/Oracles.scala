@@ -969,9 +969,38 @@ object Oracles {
       |WHERE sc.quality_score >= thr.lang_p25
       |ORDER BY sc.doc_id""".stripMargin
 
+  // x52: x32's assignment CTEs + a decimal-exact element-wise mean — the
+  // order-independent aggregation both engines compute identically
+  val x52: String =
+    """WITH c AS (
+      |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+      |  WHERE vec_id BETWEEN 1 AND 8),
+      |ac AS (
+      |  SELECT e.vec_id, c.cid,
+      |    floor(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(c.cemb[i.i] AS DOUBLE)) /
+      |      (sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))
+      |       * sqrt(sum(CAST(c.cemb[i.i] AS DOUBLE) * CAST(c.cemb[i.i] AS DOUBLE))))
+      |      * 1e6 + 0.5) / 1e6 AS ac
+      |  FROM embeddings e, c, range(1, 65) i(i)
+      |  GROUP BY 1, 2),
+      |assign AS (
+      |  SELECT vec_id, cid FROM ac
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cid) = 1),
+      |nc AS (
+      |  SELECT a.cid, CAST(i.i AS INT) AS pos,
+      |         CAST(count(*) AS BIGINT) AS n_members,
+      |         CAST(sum(CAST(floor(CAST(e.embedding[i.i] AS DOUBLE) * 1e6 + 0.5) / 1e6
+      |                        AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m
+      |  FROM embeddings e JOIN assign a USING (vec_id), range(1, 65) i(i)
+      |  GROUP BY a.cid, i.i)
+      |SELECT cid, pos, floor(m * 1e6 + 0.5) / 1e6 AS centroid, n_members
+      |FROM nc
+      |ORDER BY cid, pos""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x46_prep_v2"         -> x46,
     "x51_adaptive_gate"   -> x51,
+    "x52_kmeans_step"     -> x52,
     "x47_dedup_components" -> x47,
     "x48_incremental_dedup" -> x48,
     "x49_pq_ann"          -> x49,

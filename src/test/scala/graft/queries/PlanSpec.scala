@@ -94,6 +94,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "term counts must combine map-side")
   }
 
+  test("x52: both k-means aggregates combine map-side; no sort-merge join") {
+    val p = plan("x52_kmeans_step")
+    assert(p.contains("partial_max"), "argmax assignment must partial-aggregate")
+    assert(p.contains("partial_sum"), "centroid mean must partial-aggregate")
+    assert(!p.contains("SortMergeJoin"), "codebook side is an 8-row broadcast")
+  }
+
   test("x30: hash sampling is scan-only — no shuffle except the output sort") {
     val p = plan("x30_hash_sample")
     assert("Exchange".r.findAllIn(p).size == 1, "only the final rangepartitioning sort")
@@ -119,7 +126,7 @@ class PlanSpec extends SparkSpec {
     // handful of rows is the right physical plan there, and only there
     // (x50's is a 1-row corpus-size constant joined onto the vocab frame)
     val broadcastCrossOk = Set("x11_cosine_topk", "x32_ivf_ann", "x49_pq_ann",
-      "x50_tfidf_terms")
+      "x50_tfidf_terms", "x52_kmeans_step")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
