@@ -81,6 +81,12 @@ object Scratch {
       time(s"x13b_$dir")(queries.LlmQueries.x13bMinhashNative(spark, dir).count())
       time(s"x47_$dir")(queries.LlmQueries.x47DedupComponents(spark, dir).count())
       time(s"x48_$dir")(queries.LlmQueries.x48IncrementalDedup(spark, dir).count())
+      time(s"x50_$dir")(queries.LlmQueries.x50TfidfTerms(spark, dir).count())
+      time(s"x51_$dir")(queries.LlmQueries.x51AdaptiveQualityGate(spark, dir).count())
+    }
+    for (dir <- Seq(sfDir, tenDir)) {
+      time(s"x49_$dir")(queries.LlmQueries.x49PqAnn(spark, dir).count())
+      time(s"x52_$dir")(queries.LlmQueries.x52KmeansStep(spark, dir).count())
     }
     // recall on the dup-heavy corpus: every doc has 9 exact copies, so a
     // correct near-dup pass must flag every doc

@@ -141,6 +141,37 @@ class LlmSpec extends SparkSpec {
     assert(out == Seq((0L, 0L, 0), (4L, 0L, 1), (8L, 8L, 0)))
   }
 
+  test("x47 property: components equal union-find over the band-bucket graph on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 12).map(i => s"w$i") // small vocab → real collisions
+    for (trial <- 1 to 3) {
+      val rows = (0L until 60L).map { i =>
+        val t = (0 until 8 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (i, t, "en", "s", t.length.toLong)
+      }
+      val dir = docsDir(rows)
+      // independent ground truth: union-find over the docs-sharing-a-bucket
+      // relation (exactly x47's adjacency, via the same bucket recipe)
+      val buckets = LlmQueries.bandBuckets(
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .collect().map(r => (r.getInt(1), r.getString(2)) -> r.getLong(0))
+      val parent = scala.collection.mutable.Map((0L until 60L).map(d => d -> d): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      buckets.groupBy(_._1).values.foreach { grp =>
+        val ds = grp.map(_._2)
+        ds.tail.foreach { d =>
+          val (a, b) = (find(ds.head), find(d))
+          if (a != b) parent(math.max(a, b)) = math.min(a, b)
+        }
+      }
+      // path-compress to the true minimum of each class
+      val want = (0L until 60L).map(d => d -> find(d)).toMap
+      val got = LlmQueries.x47DedupComponents(spark, dir)
+        .select("doc_id", "component").as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial: component mismatch")
+    }
+  }
+
   test("x49: an exact copy of the query gets the query's own PQ codes and ties at rank 1-2") {
     val dir = Files.createTempDirectory("llm_pq").toString
     val rnd = new scala.util.Random(7)

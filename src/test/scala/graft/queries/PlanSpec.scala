@@ -94,6 +94,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "term counts must combine map-side")
   }
 
+  test("x51: threshold side joins back as a broadcast, never a sort-merge") {
+    val p = plan("x51_adaptive_gate")
+    assert(p.contains("BroadcastHashJoin"), "5-row per-lang threshold must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("x52: both k-means aggregates combine map-side; no sort-merge join") {
     val p = plan("x52_kmeans_step")
     assert(p.contains("partial_max"), "argmax assignment must partial-aggregate")
