@@ -27,6 +27,7 @@ object SparkEntry {
     "x6_sessionize"        -> (ExtendedQueries.x6Sessionize _),
     "x7_set_ops"           -> (ExtendedQueries.x7SetOps _),
     "x8_json_extract"      -> (ExtendedQueries.x8JsonExtract _),
+    "x8b_variant_extract"  -> (ExtendedQueries.x8bVariantExtract _),
     "x9_text_tokens"       -> (ExtendedQueries.x9TextTokens _),
     "x10_exact_dedup_hash" -> (ExtendedQueries.x10ExactDedupHash _),
     "x11_cosine_topk"      -> (ExtendedQueries.x11CosineTopk _),

@@ -250,6 +250,26 @@ object ExtendedQueries {
         sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_k"))
       .orderBy("event_type")
 
+  /** x8b — x8's JSON aggregate computed through Spark 4's native VARIANT
+    * type (`try_parse_json` → `try_variant_get`) instead of per-access
+    * string parsing: at scale the open-schema column is parsed ONCE into
+    * the binary variant encoding and every field access is an O(log n)
+    * binary lookup, where `get_json_object` re-parses the string per
+    * access. Output is byte-identical to x8, so it shares x8's DuckDB
+    * oracle — the hash match pins the variant path against an independent
+    * JSON engine (the x13/x13b pattern).
+    */
+  def x8bVariantExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Io.events(spark, sfDir)
+      .withColumn("k", try_variant_get(try_parse_json(col("props")), "$.k", "long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"),
+        stableRound6(sum("k").cast("double") / count("k")).as("avg_k"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_k"))
+      .orderBy("event_type")
+
   /** x9 — tokenize + top-20 terms: the Generator/UDTF surface (explode). */
   def x9TextTokens(spark: SparkSession, sfDir: String): DataFrame =
     Io.table(spark, sfDir, "documents")

@@ -1037,6 +1037,9 @@ object Oracles {
     "x6_sessionize"       -> x6,
     "x7_set_ops"          -> x7,
     "x8_json_extract"     -> x8,
+    // x8b routes the same aggregate through Spark's native VARIANT type —
+    // the shared oracle pins the variant path independently (x13b pattern)
+    "x8b_variant_extract" -> x8,
     "x9_text_tokens"      -> x9,
     "x10_exact_dedup_hash" -> x10,
     "x11_cosine_topk"     -> x11,
