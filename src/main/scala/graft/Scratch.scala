@@ -88,6 +88,18 @@ object Scratch {
       time(s"x49_$dir")(queries.LlmQueries.x49PqAnn(spark, dir).count())
       time(s"x52_$dir")(queries.LlmQueries.x52KmeansStep(spark, dir).count())
     }
+    // round-5 queries: counts are the signal (dup-chunk rows, containment
+    // pairs, rebalance output) — they must scale with dup density / strata,
+    // never with corpus²
+    for (dir <- Seq(sfDir, tenDir)) {
+      time(s"x53_$dir")(queries.LlmQueries.x53ChunkDedup(spark, dir)
+        .filter(col("n_dup_chunks") > 0).count())
+      time(s"x54_$dir")(queries.LlmQueries.x54DomainRebalance(spark, dir).count())
+      time(s"x55_$dir")(queries.LlmQueries.x55LexicalDiversity(spark, dir).count())
+      time(s"x56_$dir")(queries.LlmQueries.x56KnnClassify(spark, dir).count())
+      time(s"x57_$dir")(queries.LlmQueries.x57Containment(spark, dir).count())
+      time(s"x58_$dir")(queries.ExtendedQueries.x58OrcRoundtrip(spark, dir).count())
+    }
     // recall on the dup-heavy corpus: every doc has 9 exact copies, so a
     // correct near-dup pass must flag every doc
     val flagged = queries.LlmQueries.x35bSimhashPairsWide(spark, tenDir)

@@ -76,7 +76,13 @@ object SparkEntry {
     "x49_pq_ann"           -> (LlmQueries.x49PqAnn _),
     "x50_tfidf_terms"      -> (LlmQueries.x50TfidfTerms _),
     "x51_adaptive_gate"    -> (LlmQueries.x51AdaptiveQualityGate _),
-    "x52_kmeans_step"      -> (LlmQueries.x52KmeansStep _))
+    "x52_kmeans_step"      -> (LlmQueries.x52KmeansStep _),
+    "x53_chunk_dedup"      -> (LlmQueries.x53ChunkDedup _),
+    "x54_domain_rebalance" -> (LlmQueries.x54DomainRebalance _),
+    "x55_lexical_diversity" -> (LlmQueries.x55LexicalDiversity _),
+    "x56_knn_classify"     -> (LlmQueries.x56KnnClassify _),
+    "x57_containment"      -> (LlmQueries.x57Containment _),
+    "x58_orc_roundtrip"    -> (ExtendedQueries.x58OrcRoundtrip _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

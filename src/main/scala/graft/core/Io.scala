@@ -99,6 +99,23 @@ object Io {
     n
   }
 
+  /** ORC interchange sink — the OTHER columnar lake format a corpus
+    * engine must speak (Hive-era lakes and Trino/Presto deployments are
+    * ORC-first). Unlike jsonl.gz parts, ORC stripes are SPLITTABLE and
+    * self-describing: read parallelism does not depend on the writing
+    * job's partitioning, and no schema needs shipping out-of-band. One
+    * part per task, same parallel-write contract as [[writeJsonl]].
+    */
+  def writeOrc(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").orc(dir)
+
+  /** ORC source. Self-describing (footer schema), so no inference scan
+    * exists to avoid; predicate pushdown reaches the stripe/row-group
+    * indexes exactly as with parquet.
+    */
+  def readOrc(spark: SparkSession, dir: String): DataFrame =
+    spark.read.orc(dir)
+
   /** JSON-lines source. A caller-supplied schema skips the inference scan
     * (a full extra pass over the corpus — never acceptable at scale) and is
     * REQUIRED here for exactly that reason; columns resolve by name, extra

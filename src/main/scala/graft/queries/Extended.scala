@@ -606,8 +606,16 @@ object ExtendedQueries {
       } catch { case _: Exception => () }
     }
     Io.writeJsonl(docs, dir, compress = true)
-    Io.readJsonl(spark, dir, docs.schema)
-      .groupBy("lang")
+    roundtripAgg(Io.readJsonl(spark, dir, docs.schema))
+  }
+
+  /** The lossless-roundtrip witness shared by x40 (jsonl.gz) and x58
+    * (ORC): aggregated over the read-back corpus, hash-compared against
+    * the oracle's aggregate over the ORIGINAL parquet — a match proves
+    * the format roundtrip dropped/dented nothing.
+    */
+  private def roundtripAgg(docs: DataFrame): DataFrame =
+    docs.groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_chars").as("sum_chars"),
@@ -616,5 +624,29 @@ object ExtendedQueries {
         max("doc_id").as("max_id"),
         countDistinct("source").as("n_sources"))
       .orderBy("lang")
+
+  private val x58LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x58 — ORC corpus interchange: documents → ORC parts → read-back →
+    * x40's roundtrip aggregate, sharing x40's oracle (which aggregates the
+    * ORIGINAL parquet — the hash match proves the ORC write/read cycle
+    * lossless, the x8b shared-oracle pattern). Unlike the jsonl.gz path,
+    * ORC parts are splittable columnar stripes: the read side scans with
+    * pushdown and its parallelism is independent of the writer's
+    * partitioning — the format you stage INTERMEDIATE corpus state in when
+    * the lake isn't parquet, vs jsonl strictly at the interchange edge.
+    * Same unique-dir + delete-previous contract as x40.
+    */
+  def x58OrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x58_orc_${System.nanoTime()}"
+    Option(x58LastDir.getAndSet(dir)).foreach { old =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(old)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      } catch { case _: Exception => () }
+    }
+    Io.writeOrc(docs, dir)
+    roundtripAgg(Io.readOrc(spark, dir))
   }
 }

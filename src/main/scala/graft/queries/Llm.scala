@@ -446,6 +446,22 @@ object LlmQueries {
     * pairs, never all N².
     */
   def x20JaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = scoredCandidatePairs(spark, sfDir)
+    val jac = col("n_common").cast("double") /
+      (col("n1") + col("n2") - col("n_common"))
+    scored
+      .filter(jac >= 0.4)
+      .select(col("d1"), col("d2"), col("n_common").cast("long").as("n_common"),
+        ExtendedQueries.stableRound6(jac).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** LSH candidate pairs with exact shingle-overlap counts — the shared
+    * engine behind x20 (Jaccard) and x57 (containment): (d1, d2, n1, n2,
+    * n_common) for every in-bucket candidate pair. See x20's scaladoc for
+    * the no-self-join candidate construction and the AQE-sized sub joins.
+    */
+  private def scoredCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Io.table(spark, sfDir, "documents")
     // one fanOut for both shingle consumers below: fanOut plans its input
     // DataFrame (rdd.getNumPartitions), so computing it once per query
@@ -491,18 +507,38 @@ object LlmQueries {
     val sub = docSh.join(candIds, col("doc_id") === col("id"))
       .select(col("doc_id"), col("shset"), col("n"))
     repin(cand, sub)
-    val scored = cand
+    cand
       .join(sub.select(col("doc_id").as("d1"),
         col("shset").as("sh1"), col("n").as("n1")), Seq("d1"))
       .join(sub.select(col("doc_id").as("d2"),
         col("shset").as("sh2"), col("n").as("n2")), Seq("d2"))
       .withColumn("n_common", size(array_intersect(col("sh1"), col("sh2"))))
-    val jac = col("n_common").cast("double") /
-      (col("n1") + col("n2") - col("n_common"))
+      .select("d1", "d2", "n1", "n2", "n_common")
+  }
+
+  /** x57 — n-gram CONTAINMENT on the LSH candidates: |A∩B|/|A| and
+    * |A∩B|/|B| per pair, keeping pairs where either direction ≥ 0.5.
+    * Jaccard DILUTES when document sizes differ — a page wholly embedded
+    * in a 10× larger one scores J ≈ 0.1 and slips past x20's 0.4 gate,
+    * while its containment is ≈ 1.0 — so real dedup pipelines gate on
+    * max-containment to catch quote-expansion and boilerplate-wrapped
+    * copies. Same candidate machinery as x20 (shared
+    * `scoredCandidatePairs`, so the two gates cannot drift), same scale
+    * shape: cost tracks LSH candidate volume, never N². Both ratios are
+    * single IEEE divisions of exact integers (engine-identical before the
+    * shared rounding).
+    */
+  def x57Containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = scoredCandidatePairs(spark, sfDir)
+    val contA = col("n_common").cast("double") / col("n1")
+    val contB = col("n_common").cast("double") / col("n2")
     scored
-      .filter(jac >= 0.4)
-      .select(col("d1"), col("d2"), col("n_common").cast("long").as("n_common"),
-        ExtendedQueries.stableRound6(jac).as("jaccard"))
+      .filter(greatest(contA, contB) >= 0.5)
+      .select(col("d1"), col("d2"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        col("n_common").cast("long").as("n_common"),
+        ExtendedQueries.stableRound6(contA).as("containment_a"),
+        ExtendedQueries.stableRound6(contB).as("containment_b"))
       .orderBy("d1", "d2")
   }
 
@@ -680,6 +716,139 @@ object LlmQueries {
       .orderBy(col("lang"), desc("n"), col("bigram"))
   }
 
+  /** x53 — SUB-document chunk dedup signals: split each document into
+    * non-overlapping 20-token chunks, hash each chunk, and report per doc
+    * how many of its chunks also occur elsewhere in the corpus (the
+    * ccnet/paragraph-dedup signal — whole-doc dedup misses boilerplate
+    * headers/footers and partially-copied pages; chunk-level duplication
+    * fraction is the filter signal for those). Plan: ONE chunk lineage —
+    * the corpus-frequency count is a partition-only window over the chunk
+    * hash (one shuffle on `ch`), NOT a separate groupBy+self-join, which
+    * would re-run the tokenize+md5 scan (self-lineages get no
+    * ReuseExchange, the x43 lesson); then one per-doc aggregate. Cost is
+    * linear in corpus tokens; chunk rows are tokens/20-sized.
+    */
+  def x53ChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = fanOut(Io.table(spark, sfDir, "documents"))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"), explode(
+        expr("sequence(0, cast(ceil(size(toks) / 20.0) as int) - 1)")).as("c"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), col("c") * lit(20) + lit(1), lit(20)),
+          " ")).as("ch"))
+    val wCh = org.apache.spark.sql.expressions.Window.partitionBy("ch")
+    chunks
+      .withColumn("cnt", count(lit(1)).over(wCh))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((col("cnt") > 1).cast("long")).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        ExtendedQueries.stableRound6(
+          col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_chunk_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** x54 — domain-mix rebalance: downsample every source to the SMALLEST
+    * source's size (uniform mix), keeping each source's k lowest-md5(doc_id)
+    * documents. Deterministic rebalancing is how pre-training mixes are
+    * actually built — over-represented crawls get cut, and the hash order
+    * makes the cut reproducible across runs/engines/partitionings (x30's
+    * contract, with a DATA-DEPENDENT k instead of a fixed rate). The k side
+    * is a two-level aggregate collapsed to one broadcast row; the per-source
+    * rank is a window over (hash, id). The rank cap is a COLUMN (k is data),
+    * so WindowGroupLimit cannot prune it — the documented trade vs x42's
+    * literal top-3; at corpus scale you compute k first and pass it as a
+    * literal to recover the pushdown, same plan otherwise.
+    */
+  def x54DomainRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val k = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .agg(min("n").as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(k))
+      .filter(col("rn") <= col("k"))
+      .select("source", "rn", "doc_id")
+      .orderBy("source", "rn")
+  }
+
+  /** x55 — lexical diversity via the Simpson index: per doc,
+    * 1 − Σnᵢ²/N² (probability two random token draws differ) and its
+    * inverse N²/Σnᵢ² (the "effective vocabulary size") — the
+    * transcendental-free diversity signal: Shannon entropy needs libm ln
+    * (ulp-different across engines, the x50 lesson), while Simpson is two
+    * exact integer polynomials and ONE IEEE division each, bit-identical
+    * in any engine. Low diversity = keyword-stuffed/templated text; this
+    * is the quality-filter companion to x41's repetition fractions.
+    * Plan: two map-side-combining hash aggs ((doc, token) counts → per-doc
+    * moments), linear in corpus tokens, no window, no join.
+    */
+  def x55LexicalDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val nsq = col("n_tokens") * col("n_tokens")
+    fanOut(Io.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        ExtendedQueries.stableRound6(
+          (nsq - col("sum_sq")).cast("double") / nsq.cast("double"))
+          .as("simpson_diversity"),
+        ExtendedQueries.stableRound6(
+          nsq.cast("double") / col("sum_sq").cast("double")).as("inv_simpson"))
+      .orderBy("doc_id")
+  }
+
+  /** x56 — k-NN label classification over the embedding corpus: every
+    * query vector (`vec_id % 50 == 0`, a held-out batch) is classified by
+    * the majority label of its 5 nearest neighbors by rounded cosine
+    * (self excluded), with mean neighbor cosine as the confidence. This is
+    * the labeling/QA primitive a training-data pipeline runs over
+    * embeddings (weak labeling, split-leakage checks, cluster audits).
+    * Plan: the query batch (N/50 rows of embedding+norm) BROADCASTS into
+    * one corpus scan — a BroadcastNestedLoopJoin by construction, the
+    * batched brute-force kNN scorer; per-query top-5 is a WindowGroupLimit-
+    * capped rank (tasks hold 5 candidates per query), and the vote is a
+    * TWO-LEVEL aggregate ((query, label) partials → argmax via max(struct))
+    * so the pair matrix is consumed in ONE lineage — votes and the
+    * decimal-exact mean cosine ride the same aggregate. At corpus scale the
+    * same vote/rerank stages run unchanged behind an ANN candidate
+    * generator (x21/x32/x49) instead of the brute-force scorer.
+    */
+  def x56KnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    import ExtendedQueries.{nativeDot, stableRound6}
+    val emb = Io.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(nativeDot(col("embedding"), col("embedding"))).as("norm"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("norm").as("qnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    val nn = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        stableRound6(nativeDot(col("embedding"), col("qemb")) /
+          (col("norm") * col("qnorm"))).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+    nn.groupBy("qid", "label")
+      .agg(count(lit(1)).as("n"), sum(col("cosine").cast("decimal(28,6)")).as("sc"))
+      .groupBy("qid")
+      .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"),
+        sum("sc").as("sct"), sum("n").as("nt"))
+      .select(col("qid").as("vec_id"), (-col("m.nl")).as("pred_label"),
+        col("m.n").as("n_votes"),
+        stableRound6(col("sct").cast("double") / col("nt")).as("mean_cosine"))
+      .orderBy("vec_id")
+  }
+
   /** x41 — repetition/boilerplate quality signals (the Gopher-rule family):
     * per doc, the duplicate-token fraction (1 − distinct/total, as a
     * rounded ratio) and the top-bigram fraction (most frequent bigram's
@@ -797,11 +966,22 @@ object LlmQueries {
     * persisted and FORCED by the convergence check, the previous round's
     * pins are released, and convergence is detected by the monotone
     * label-sum (strictly decreasing until fixpoint — one cheap aggregate,
-    * no join-diff). Rounds needed = graph diameter (small for dup
-    * clusters; the doubling/star-contraction variant is the remedy if a
-    * corpus ever chains long). The oracle is a recursive CTE computing
-    * the same closure declaratively.
+    * no join-diff). Each round POINTER-JUMPS after the neighbor step
+    * (label ← min(label, label∘label): label values are themselves doc
+    * ids in the component, so the mapping composes with itself), which
+    * makes rounds track log(diameter) instead of diameter — the fixture
+    * corpora converge in 2 jumped rounds (`x47LastRounds`), and a
+    * pathological 100 TB chain of length 10⁹ now needs ~30 rounds
+    * instead of 10⁹, so the round cap is a real bound, not a truncation
+    * risk. The jump is one extra join of the (dup-fraction-sized) label
+    * frame per round. Unchanged sum after a jumped round still implies
+    * the plain fixpoint: both steps only ever strictly decrease labels.
+    * The oracle is a recursive CTE computing the same closure
+    * declaratively.
     */
+  /** Rounds the last x47 run took to converge — probe/spec observability. */
+  private[graft] val x47LastRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   def x47DedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Io.table(spark, sfDir, "documents")
     val bands = bandHashes(minhashSignature(fanOut(docs), 16), bandsOf = 4, r = 4)
@@ -829,7 +1009,15 @@ object LlmQueries {
     while (!converged && rounds < 30) {
       val nbr = edges.join(labels.select(col("doc_id").as("b"), col("label")), "b")
         .select(col("a").as("doc_id"), col("label"))
-      val next = labels.union(nbr).groupBy("doc_id").agg(min("label").as("label"))
+      val half = labels.union(nbr).groupBy("doc_id").agg(min("label").as("label"))
+      // pointer jump: every label value is an edge-endpoint doc id, so it
+      // is a key of `half` — compose the mapping with itself (left join +
+      // coalesce only as belt-and-braces; label(label) ≤ label always)
+      val next = half.join(
+          half.select(col("doc_id").as("label"), col("label").as("label2")),
+          Seq("label"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
         .persist()
       val s = labelSum(next) // forces `next` while the old pin still helps
       labels.unpersist()
@@ -838,6 +1026,7 @@ object LlmQueries {
       prevSum = s
       rounds += 1
     }
+    x47LastRounds.set(rounds)
     edges.unpersist()
     repin(labels) // released by the next pinning query, per the registry contract
     // singletons rejoin here: docs outside the edge set are their own

@@ -997,7 +997,128 @@ object Oracles {
       |FROM nc
       |ORDER BY cid, pos""".stripMargin
 
+  // x53: chunk-level dedup signal — DuckDB's inclusive 1-based list slice
+  // toks[a : b] mirrors Spark's slice(toks, a, 20) clamping, and both
+  // engines compute ceil(len/20.0) over the same double
+  val x53: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |ch AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, CAST(ceil(len(toks) / 20.0) AS INT)),
+      |    c -> md5(array_to_string(list_slice(toks, c * 20 + 1, c * 20 + 20), ' ')))) AS ch
+      |  FROM t),
+      |f AS (SELECT doc_id, ch, count(*) OVER (PARTITION BY ch) AS cnt FROM ch)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      |       floor(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*) * 1000000 + 0.5) / 1000000 AS dup_chunk_frac
+      |FROM f
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  val x54: String =
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |k AS (SELECT min(n) AS k FROM c),
+      |r AS (
+      |  SELECT source, doc_id,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+      |  FROM documents)
+      |SELECT source, rn, doc_id FROM r, k WHERE rn <= k
+      |ORDER BY source, rn""".stripMargin
+
+  // x55: Simpson diversity — every operand is an exact BIGINT polynomial,
+  // the single division is the only float op, identical in both engines
+  val x55: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |             FROM documents),
+      |cnt AS (SELECT doc_id, token, count(*) AS n FROM tok GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |               CAST(count(*) AS BIGINT) AS n_distinct,
+      |               CAST(sum(n * n) AS BIGINT) AS sum_sq
+      |        FROM cnt GROUP BY 1)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |       floor(CAST(n_tokens * n_tokens - sum_sq AS DOUBLE)
+      |             / CAST(n_tokens * n_tokens AS DOUBLE) * 1000000 + 0.5)
+      |         / 1000000 AS simpson_diversity,
+      |       floor(CAST(n_tokens * n_tokens AS DOUBLE) / CAST(sum_sq AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS inv_simpson
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin
+
+  // x56: same floor-rounded cosine as x28 (kNN cosines can be negative, so
+  // no bare round()); majority = (count DESC, label) row_number, matching
+  // Spark's max(struct(n, -label))
+  val x56: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+      |           WHERE vec_id % 50 = 0),
+      |cos AS (
+      |  SELECT q.qid, e.vec_id, e.label,
+      |         floor(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qemb[i.i] AS DOUBLE)) /
+      |           (sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))
+      |            * sqrt(sum(CAST(q.qemb[i.i] AS DOUBLE) * CAST(q.qemb[i.i] AS DOUBLE))))
+      |           * 1000000 + 0.5) / 1000000 AS cosine
+      |  FROM embeddings e, q, range(1, 65) i(i)
+      |  WHERE e.vec_id <> q.qid
+      |  GROUP BY q.qid, e.vec_id, e.label),
+      |top AS (SELECT * FROM cos
+      |        QUALIFY row_number() OVER (PARTITION BY qid
+      |          ORDER BY cosine DESC, vec_id) <= 5),
+      |votes AS (SELECT qid, label, count(*) AS n,
+      |                 sum(CAST(cosine AS DECIMAL(28,6))) AS sc
+      |          FROM top GROUP BY 1, 2),
+      |best AS (SELECT qid, label AS pred_label, CAST(n AS BIGINT) AS n_votes
+      |         FROM votes
+      |         QUALIFY row_number() OVER (PARTITION BY qid
+      |           ORDER BY n DESC, label) = 1),
+      |mc AS (SELECT qid,
+      |              floor(CAST(sum(sc) AS DOUBLE) / CAST(sum(n) AS BIGINT)
+      |                    * 1000000 + 0.5) / 1000000 AS mean_cosine
+      |       FROM votes GROUP BY 1)
+      |SELECT b.qid AS vec_id, b.pred_label, b.n_votes, mc.mean_cosine
+      |FROM best b JOIN mc ON b.qid = mc.qid
+      |ORDER BY vec_id""".stripMargin
+
+  // x57: x20's candidate CTEs verbatim, scored as directional containment
+  val x57: String =
+    s"""WITH $shingleCte,
+      |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+      |  FROM sh, range(0, 16) s(j) GROUP BY doc_id, j),
+      |band AS (
+      |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, ',' ORDER BY j)) AS bh
+      |  FROM mh GROUP BY doc_id, j // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.d1, c.d2, count(*) AS n_common
+      |  FROM cand c
+      |  JOIN shd s1 ON s1.doc_id = c.d1
+      |  JOIN shd s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+      |  GROUP BY c.d1, c.d2)
+      |SELECT i.d1, i.d2,
+      |       CAST(z1.n AS BIGINT) AS n1, CAST(z2.n AS BIGINT) AS n2,
+      |       CAST(i.n_common AS BIGINT) AS n_common,
+      |       floor(CAST(i.n_common AS DOUBLE) / z1.n * 1000000 + 0.5)
+      |         / 1000000 AS containment_a,
+      |       floor(CAST(i.n_common AS DOUBLE) / z2.n * 1000000 + 0.5)
+      |         / 1000000 AS containment_b
+      |FROM inter i
+      |JOIN sizes z1 ON z1.doc_id = i.d1
+      |JOIN sizes z2 ON z2.doc_id = i.d2
+      |WHERE greatest(CAST(i.n_common AS DOUBLE) / z1.n,
+      |               CAST(i.n_common AS DOUBLE) / z2.n) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x53_chunk_dedup"     -> x53,
+    "x54_domain_rebalance" -> x54,
+    "x55_lexical_diversity" -> x55,
+    "x56_knn_classify"    -> x56,
+    "x57_containment"     -> x57,
     "x46_prep_v2"         -> x46,
     "x51_adaptive_gate"   -> x51,
     "x52_kmeans_step"     -> x52,
@@ -1057,7 +1178,10 @@ object Oracles {
     "x38_grouping_sets"   -> x38,
     "x39_full_outer"      -> x39,
     "x44_moving_avg"      -> x44,
-    "x45_gap_fill"        -> x45)
+    "x45_gap_fill"        -> x45,
+    // x58 re-routes x40's roundtrip aggregate through ORC parts — the
+    // shared original-parquet oracle proves THAT roundtrip lossless too
+    "x58_orc_roundtrip"   -> x40)
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,

@@ -203,4 +203,93 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long, Long, Int)].collect().toSeq
     assert(out == Seq((0L, 0L, 1L, 1), (1L, 1L, 1L, 1), (2L, 2L, 1L, 1)))
   }
+
+  test("x53: a shared 20-token chunk is flagged in BOTH docs; the tail chunk stays unique") {
+    val first20 = (0 until 20).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, first20 + " t0 t1 t2 t3 t4", "en", "s", 1L), // chunks: [first20], [t0..t4]
+      (1L, first20, "en", "s", 1L),                     // one chunk == doc 0's chunk 0
+      (2L, (0 until 5).map(i => s"u$i").mkString(" "), "en", "s", 1L))) // unique
+    val out = LlmQueries.x53ChunkDedup(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 1L, 0.5), // 2 chunks, the first20 chunk duplicated by doc 1
+      (1L, 1L, 1L, 1.0),
+      (2L, 1L, 0L, 0.0)))
+  }
+
+  test("x54: every source is cut to the smallest source's size, by independent md5 order") {
+    val rows = (0L until 7L).map(d =>
+      (d, s"text $d", "en", if (d < 4) "big" else "small", 1L))
+    val dir = docsDir(rows)
+    val out = LlmQueries.x54DomainRebalance(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    // k = 3 (the "small" source); per source the 3 lowest-md5 ids survive
+    def h(d: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wantBig = (0L until 4L).sortBy(d => (h(d), d)).take(3)
+    val wantSmall = (4L until 7L).sortBy(d => (h(d), d)).take(3)
+    assert(out.count(_._1 == "big") == 3 && out.count(_._1 == "small") == 3)
+    assert(out.filter(_._1 == "big").sortBy(_._2).map(_._3) == wantBig)
+    assert(out.filter(_._1 == "small").sortBy(_._2).map(_._3) == wantSmall)
+  }
+
+  test("x55: hand-computed Simpson moments (a a b -> 4/9 and 9/5; single token -> 0 and 1)") {
+    val dir = docsDir(Seq(
+      (0L, "a a b", "en", "s", 5L),
+      (1L, "x", "en", "s", 1L)))
+    val out = LlmQueries.x55LexicalDiversity(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // doc 0: N=3, counts {a:2, b:1}, sum_sq=5 -> (9-5)/9 = 0.444444 (floor-
+    // rounded), inverse 9/5 = 1.8; doc 1: 0 diversity, inverse exactly 1
+    assert(out == Seq(
+      (0L, 3L, 2L, math.floor(4.0 / 9.0 * 1e6 + 0.5) / 1e6, 1.8),
+      (1L, 1L, 1L, 0.0, 1.0)))
+  }
+
+  test("x56: majority label of the top-5 wins; self is excluded; vote count is exact") {
+    val dir = Files.createTempDirectory("llm_knn").toString
+    def e1(eps: Float): Seq[Float] =
+      Seq(1f, eps, 0f) ++ Seq.fill(61)(0f)
+    val mid: Seq[Float] = Seq(0.7f, 0.72f, 0f) ++ Seq.fill(61)(0f)
+    Seq(
+      (0L, e1(0f), 0),                  // the query (0 % 50 == 0)
+      (1L, e1(0.01f), 7), (2L, e1(0.02f), 7), (3L, e1(0.03f), 7),
+      (4L, mid, 3), (5L, mid, 3),
+      (6L, e1(0f).map(-_), 9))          // cosine -1, never in the top-5
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = LlmQueries.x56KnnClassify(spark, dir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(out.length == 1)
+    val (vid, pred, votes, meanCos) = out.head
+    assert(vid == 0L && pred == 7 && votes == 3L)
+    assert(meanCos > 0.8 && meanCos < 1.0, s"mean of 3 near + 2 mid cosines: $meanCos")
+  }
+
+  test("x57: containment is 1.0 for a contained doc while its Jaccard is below 1") {
+    val base = (0 until 20).map(i => s"tok$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, base, "en", "s", 1L),
+      (1L, base + " junk", "en", "s", 1L), // 19 shingles = doc 0's 18 + 1 new
+      (2L, "wholly unrelated words in this document here", "en", "s", 1L)))
+    // precondition: the pair must actually be an LSH candidate (18/19 shared
+    // shingles -> a shared band bucket is virtually certain, but assert it so
+    // a hashing change fails loudly here, not as a silent empty result)
+    val bk = LlmQueries.bandBuckets(
+      Seq((0L, base, "en", "s", 1L), (1L, base + " junk", "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().map(r => (r.getInt(1), r.getString(2)) -> r.getLong(0))
+    assert(bk.groupBy(_._1).values.exists(g => g.map(_._2).toSet == Set(0L, 1L)),
+      "fixture docs 0/1 must share a band bucket")
+    val out = LlmQueries.x57Containment(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    val row = out.find(r => r._1 == 0L && r._2 == 1L)
+    assert(row.isDefined, s"candidate pair (0,1) missing: $out")
+    val (_, _, n1, n2, nc, ca, cb) = row.get
+    assert(n1 == 18L && n2 == 19L && nc == 18L)
+    assert(ca == 1.0, "all of doc 0's shingles are inside doc 1")
+    assert(cb == math.floor(18.0 / 19.0 * 1e6 + 0.5) / 1e6)
+    assert(out.forall(r => !(r._1 == 2L || r._2 == 2L)), "unrelated doc pairs with nobody")
+  }
 }

@@ -131,8 +131,12 @@ class PlanSpec extends SparkSpec {
     // vector / codebook / PQ lookup table): BroadcastNestedLoopJoin over a
     // handful of rows is the right physical plan there, and only there
     // (x50's is a 1-row corpus-size constant joined onto the vocab frame)
+    // x54's is the 1-row data-dependent k; x56's is the query BATCH
+    // (N/50 rows of embedding+norm) broadcasting into the brute-force
+    // kNN scorer — intended in both
     val broadcastCrossOk = Set("x11_cosine_topk", "x32_ivf_ann", "x49_pq_ann",
-      "x50_tfidf_terms", "x52_kmeans_step")
+      "x50_tfidf_terms", "x52_kmeans_step", "x54_domain_rebalance",
+      "x56_knn_classify")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
