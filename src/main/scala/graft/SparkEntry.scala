@@ -82,7 +82,12 @@ object SparkEntry {
     "x55_lexical_diversity" -> (LlmQueries.x55LexicalDiversity _),
     "x56_knn_classify"     -> (LlmQueries.x56KnnClassify _),
     "x57_containment"      -> (LlmQueries.x57Containment _),
-    "x58_orc_roundtrip"    -> (ExtendedQueries.x58OrcRoundtrip _))
+    "x58_orc_roundtrip"    -> (ExtendedQueries.x58OrcRoundtrip _),
+    "x59_semdedup"         -> (LlmQueries.x59SemDedup _),
+    "x60_sequence_pack"    -> (LlmQueries.x60SequencePack _),
+    "x61_merge_upsert"     -> (ExtendedQueries.x61MergeUpsert _),
+    "x62_minhash_estimate" -> (LlmQueries.x62MinhashEstimate _),
+    "x63_rarity_score"     -> (LlmQueries.x63RarityScore _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

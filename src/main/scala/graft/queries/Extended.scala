@@ -649,4 +649,38 @@ object ExtendedQueries {
     Io.writeOrc(docs, dir)
     roundtripAgg(Io.readOrc(spark, dir))
   }
+
+  /** x61 — CDC MERGE (SCD-1 upsert): apply the latest event per user onto
+    * the standing customer dimension as a full-outer merge — the MERGE INTO
+    * a lakehouse ingest runs every batch, expressed as the join Spark
+    * actually executes underneath. "Latest" is decided by event_id, the
+    * CDC sequence number, deliberately NOT by ts: the fixture's ns
+    * timestamps truncate to µs in Spark's parquet reader, so a ts order
+    * could disagree between engines inside one µs while the sequence
+    * number is exact in both.
+    *
+    * The per-user latest is max(struct(event_id, value)) — a map-side-
+    * combining aggregate, not a window (no per-user sort, partials shrink
+    * in the scan stage). The merge itself is one full-outer join on the
+    * key; at scale both sides bucket/sort-merge on user_id, and a delta
+    * batch much smaller than the dim broadcasts into a left-outer +
+    * union(insert rows) plan — same operator, AQE picks the shape. op
+    * classifies each output row (insert/update/keep) so the sink can route
+    * rows the way MERGE WHEN clauses would.
+    */
+  def x61MergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Io.table(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_acctbal").as("old_value"))
+    val delta = Io.table(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.value").as("new_value"))
+    cust.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"), col("old_value"),
+        coalesce(col("new_value"), col("old_value")).as("value"),
+        when(col("old_value").isNull, "insert")
+          .when(col("new_value").isNull, "keep")
+          .otherwise("update").as("op"))
+      .orderBy("user_id")
+  }
 }

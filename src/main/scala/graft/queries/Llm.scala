@@ -1335,4 +1335,183 @@ object LlmQueries {
       .select("doc_id", "lang", "quality_score")
       .orderBy("doc_id")
   }
+
+  /** x59 — SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023): cluster
+    * the embedding corpus by argmax-cosine to the x32/x52 codebook, compute
+    * pairwise cosines WITHIN each cluster only, and flag every vector that
+    * has a lower-id cluster-mate at cosine ≥ τ as a semantic duplicate of
+    * the lowest such mate. This is the dedup layer the lexical family
+    * (x13/x19/x20) cannot reach — paraphrases and translations share no
+    * shingles but sit adjacent in embedding space.
+    *
+    * τ = 0.35 is calibrated to THIS fixture (near-random synthetic vectors:
+    * max within-cluster cosine ≈ 0.49, so 0.35 plays the role 0.95+ plays
+    * on real encoder output); the constant is the only data-dependent knob.
+    *
+    * Scale shape: the whole point of clustering first is that the pair
+    * expansion is per-cluster — Σ cluster² — and at corpus scale k grows
+    * with N (k ≈ N/⟨cluster⟩, the paper uses √N·c) so cluster size stays
+    * CONSTANT and total pair cost is O(N·⟨cluster⟩), never N². The fixture
+    * pins k=8 (the deterministic x52 codebook) so the oracle can rebuild
+    * the assignment declaratively; the k-scaling knob is the same "retrain
+    * the codebook wider" path x32/x49 document. Plan: one broadcast-
+    * codebook argmax agg (one shuffle), the assigned frame pinned once and
+    * self-joined on cid (both sides read the cache), pair cosines as
+    * codegen'd float_dot calls.
+    */
+  def x59SemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    import ExtendedQueries.{nativeDot, stableRound6}
+    val emb = Io.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(nativeDot(col("embedding"), col("embedding"))).as("norm"))
+    val cent = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("norm").as("cnorm"))
+    val ac = stableRound6(nativeDot(col("embedding"), col("cemb")) /
+      (col("norm") * col("cnorm")))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .groupBy("vec_id", "embedding", "norm")
+      .agg(max(struct(ac.as("ac"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), col("embedding"), col("norm"), (-col("m.ncid")).as("cid"))
+    repin(assigned)
+    val a1 = assigned.select(col("cid"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("norm").as("n1"))
+    val a2 = assigned.select(col("cid"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("norm").as("n2"))
+    val dups = a1.join(a2, Seq("cid"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("cos",
+        stableRound6(nativeDot(col("e1"), col("e2")) / (col("n1") * col("n2"))))
+      .filter(col("cos") >= 0.35)
+      .groupBy(col("v2").as("vec_id"))
+      .agg(min("v1").as("canonical"), count(lit(1)).as("n_near"))
+    assigned.select("vec_id", "cid").join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("canonical"), col("vec_id")).as("canonical_id"),
+        col("canonical").isNotNull.cast("int").as("is_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("vec_id")
+  }
+
+  /** x60 — SEQUENCE PACKING: assign documents to fixed-token-budget
+    * training bins (budget 2048) by running token offset — the
+    * concatenate-then-chunk packing GPT-style pretraining uses, where a
+    * bin boundary mid-document is expected (the start offset decides the
+    * bin). Output is the per-bin manifest (doc count, token count, id
+    * range) a downstream tokenizer shard would consume.
+    *
+    * Packing is STRIPED, not global: a single running total over the
+    * corpus would be one reducer sorting 100 TB. Any disjoint partition of
+    * the corpus yields a valid packing (bins never need to cross stripes),
+    * so the cumsum window is partitioned by stripe — parallelism is the
+    * stripe count, each stripe's sort is 1/S of the corpus, and at real
+    * scale stripe = input-split id makes the window a per-split scan.
+    * doc_id % 8 here so the oracle is declarative. All-integer arithmetic;
+    * the one division is by 2048 (a power of two — exact in IEEE, so
+    * floor() agrees bit-for-bit across engines).
+    */
+  def x60SequencePack(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stripe").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Io.table(spark, sfDir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).as("stripe"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("off", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("bin", floor(col("off") / lit(2048.0)).cast("long"))
+      .groupBy("stripe", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("stripe", "bin")
+  }
+
+  /** x62 — MinHash ESTIMATOR ACCURACY: for every LSH candidate pair, the
+    * signature-agreement Jaccard estimate (matching minima / 16) next to
+    * the exact shingle-set Jaccard, with the absolute error. This is the
+    * calibration query for the whole x13 family — it answers "how wrong is
+    * the sketch that drives dedup?" on the corpus itself, which is how the
+    * band/row parameters get tuned before a 100 TB run commits to them.
+    *
+    * Estimate and exact ride the SAME candidate set and the same single
+    * signature lineage: the 16-column signature frame is pinned (it is the
+    * in-memory analog of the stored signature table a production run keeps
+    * next to the bucket state), bands and both pair sides read the cache,
+    * and n_eq/16 is exact in IEEE (divisor a power of two), so both
+    * engines agree bit-for-bit before the shared rounding. Candidate
+    * construction is x20's no-self-join bucket expansion — cost tracks
+    * duplicate density, never N².
+    */
+  def x62MinhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val docs = Io.table(spark, sfDir, "documents")
+    val fanned = fanOut(docs)
+    val sig = minhashSignature(fanned, 16)
+    val docSh = shingleSetArray(fanned).withColumn("n", size(col("shset")))
+    val bands = bandHashes(sig, bandsOf = 4, r = 4)
+    val cand = bands
+      .groupBy("band", "bh").agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(posexplode(col("ids")).as(Seq("i", "d1")), col("ids"))
+      .select(col("d1"), explode(expr("slice(ids, i + 2, size(ids))")).as("d2"))
+      .distinct()
+    val candIds = cand.select(col("d1").as("id"))
+      .union(cand.select(col("d2").as("id"))).distinct()
+    // one candidate-doc subset carrying BOTH the shingle set and the 16
+    // signature columns, so each pair side is a single cache lookup
+    val sub = docSh.join(sig, "doc_id")
+      .join(candIds, col("doc_id") === col("id"))
+      .select(col("doc_id") +: col("shset") +: col("n") +:
+        (0 until 16).map(j => col(s"mh$j")): _*)
+    repin(sig, cand, sub)
+    def side(tag: String) = sub.select(
+      col("doc_id").as(s"d$tag") +: col("shset").as(s"sh$tag") +:
+        col("n").as(s"n$tag") +:
+        (0 until 16).map(j => col(s"mh$j").as(s"mh${j}_$tag")): _*)
+    val est = (0 until 16)
+      .map(j => (col(s"mh${j}_1") === col(s"mh${j}_2")).cast("int"))
+      .reduce(_ + _).cast("double") / lit(16.0)
+    val jac = col("n_common").cast("double") /
+      (col("n1") + col("n2") - col("n_common"))
+    cand.join(side("1"), Seq("d1")).join(side("2"), Seq("d2"))
+      .withColumn("n_common", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("est_jaccard", stableRound6(est))
+      .withColumn("jaccard", stableRound6(jac))
+      .select(col("d1"), col("d2"), col("n_common").cast("long").as("n_common"),
+        col("est_jaccard"), col("jaccard"),
+        stableRound6(abs(col("est_jaccard") - col("jaccard"))).as("abs_err"))
+      .orderBy("d1", "d2")
+  }
+
+  /** x63 — RARITY score: per-document mean inverse document frequency —
+    * the transcendental-free "commonness" quality signal next to x50's
+    * per-term TF-IDF (a doc of frequent boilerplate terms scores ≈ 1, a
+    * doc of corpus-rare terms scores ≈ N). Same determinism ledger as x50:
+    * idf = N/df raw (exact integers, one IEEE division), each token's
+    * contribution tf·idf rounded once then summed as DECIMAL (order-
+    * independent), divided by the exact token count.
+    *
+    * Plan: one (doc, term) map-combining agg, df/N aggregates off the SAME
+    * frame, the vocabulary-sized idf side broadcast back, one per-doc agg.
+    * Linear in corpus tokens, no window, no self-join.
+    */
+  def x63RarityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val dt = fanOut(Io.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = dt.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val idf = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), stableRound6(
+        col("n_docs").cast("double") / col("df").cast("double")).as("idf6"))
+    dt.join(broadcast(idf), "term")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"), count(lit(1)).as("n_terms"),
+        (sum(stableRound6(col("tf").cast("double") * col("idf6"))
+          .cast("decimal(28,6)")).cast("double") / sum("tf")).as("r"))
+      .select(col("doc_id"), col("n_tokens"), col("n_terms"),
+        stableRound6(col("r")).as("rarity"))
+      .orderBy("doc_id")
+  }
 }

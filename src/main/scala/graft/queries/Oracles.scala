@@ -1113,7 +1113,149 @@ object Oracles {
       |               CAST(i.n_common AS DOUBLE) / z2.n) >= 0.5
       |ORDER BY d1, d2""".stripMargin
 
+  // x59: x52's assignment CTEs + within-cluster pair cosines, both sides
+  // rounding the identical IEEE quotient before the τ gate and the argmax
+  val x59: String =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+      |           WHERE vec_id BETWEEN 1 AND 8),
+      |ac AS (
+      |  SELECT e.vec_id, c.cid,
+      |    floor(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(c.cemb[i.i] AS DOUBLE)) /
+      |      (sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))
+      |       * sqrt(sum(CAST(c.cemb[i.i] AS DOUBLE) * CAST(c.cemb[i.i] AS DOUBLE))))
+      |      * 1e6 + 0.5) / 1e6 AS ac
+      |  FROM embeddings e, c, range(1, 65) i(i)
+      |  GROUP BY 1, 2),
+      |assign AS (
+      |  SELECT vec_id, cid FROM ac
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cid) = 1),
+      |pair AS (
+      |  SELECT a1.cid, a1.vec_id AS v1, a2.vec_id AS v2,
+      |    floor(sum(CAST(e1.embedding[i.i] AS DOUBLE) * CAST(e2.embedding[i.i] AS DOUBLE)) /
+      |      (sqrt(sum(CAST(e1.embedding[i.i] AS DOUBLE) * CAST(e1.embedding[i.i] AS DOUBLE)))
+      |       * sqrt(sum(CAST(e2.embedding[i.i] AS DOUBLE) * CAST(e2.embedding[i.i] AS DOUBLE))))
+      |      * 1e6 + 0.5) / 1e6 AS cos
+      |  FROM assign a1
+      |  JOIN assign a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+      |  JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+      |  JOIN embeddings e2 ON e2.vec_id = a2.vec_id,
+      |  range(1, 65) i(i)
+      |  GROUP BY 1, 2, 3),
+      |dup AS (
+      |  SELECT v2 AS vec_id, min(v1) AS canonical, CAST(count(*) AS BIGINT) AS n_near
+      |  FROM pair WHERE cos >= 0.35 GROUP BY 1)
+      |SELECT a.vec_id, a.cid,
+      |       coalesce(d.canonical, a.vec_id) AS canonical_id,
+      |       CAST(CASE WHEN d.canonical IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup,
+      |       coalesce(d.n_near, 0) AS n_near
+      |FROM assign a LEFT JOIN dup d USING (vec_id)
+      |ORDER BY a.vec_id""".stripMargin
+
+  // x60: all-integer running offsets; the one division is by 2048 (2^11,
+  // exact in IEEE) so floor() agrees bit-for-bit
+  val x60: String =
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 8 AS stripe,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, stripe, n_tokens,
+      |         coalesce(sum(n_tokens) OVER (PARTITION BY stripe ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM t)
+      |SELECT stripe, CAST(floor(off / 2048.0) AS BIGINT) AS bin,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM o
+      |GROUP BY 1, 2
+      |ORDER BY stripe, bin""".stripMargin
+
+  // x61: latest-by-sequence-number via QUALIFY mirrors Spark's
+  // max(struct(event_id, value)); values pass through untouched
+  val x61: String =
+    """WITH delta AS (
+      |  SELECT user_id, value AS new_value FROM events
+      |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+      |SELECT coalesce(c.c_custkey, d.user_id) AS user_id,
+      |       c.c_acctbal AS old_value,
+      |       coalesce(d.new_value, c.c_acctbal) AS value,
+      |       CASE WHEN c.c_custkey IS NULL THEN 'insert'
+      |            WHEN d.user_id IS NULL THEN 'keep'
+      |            ELSE 'update' END AS op
+      |FROM customer c FULL OUTER JOIN delta d ON c.c_custkey = d.user_id
+      |ORDER BY user_id""".stripMargin
+
+  // x62: x20's candidate CTEs + per-pair signature agreement; n_eq/16 is
+  // exact (power-of-two divisor), abs_err computed from the two ROUNDED
+  // columns so every operand is already engine-identical
+  val x62: String =
+    s"""WITH $shingleCte,
+      |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+      |  FROM sh, range(0, 16) s(j) GROUP BY doc_id, j),
+      |band AS (
+      |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, ',' ORDER BY j)) AS bh
+      |  FROM mh GROUP BY doc_id, j // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+      |agree AS (
+      |  SELECT c.d1, c.d2, sum(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) AS n_eq
+      |  FROM cand c
+      |  JOIN mh m1 ON m1.doc_id = c.d1
+      |  JOIN mh m2 ON m2.doc_id = c.d2 AND m2.j = m1.j
+      |  GROUP BY 1, 2),
+      |inter AS (
+      |  SELECT c.d1, c.d2, count(*) AS n_common
+      |  FROM cand c
+      |  JOIN shd s1 ON s1.doc_id = c.d1
+      |  JOIN shd s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+      |  GROUP BY 1, 2),
+      |e AS (
+      |  SELECT a.d1, a.d2,
+      |         CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+      |         floor(CAST(a.n_eq AS DOUBLE) / 16 * 1000000 + 0.5) / 1000000 AS est_jaccard,
+      |         floor(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+      |               / (z1.n + z2.n - coalesce(i.n_common, 0)) * 1000000 + 0.5)
+      |           / 1000000 AS jaccard
+      |  FROM agree a
+      |  LEFT JOIN inter i ON i.d1 = a.d1 AND i.d2 = a.d2
+      |  JOIN sizes z1 ON z1.doc_id = a.d1
+      |  JOIN sizes z2 ON z2.doc_id = a.d2)
+      |SELECT d1, d2, n_common, est_jaccard, jaccard,
+      |       floor(abs(est_jaccard - jaccard) * 1000000 + 0.5) / 1000000 AS abs_err
+      |FROM e
+      |ORDER BY d1, d2""".stripMargin
+
+  // x63: x50's idf ledger (raw N/df, no ln) folded to a per-doc mean —
+  // per-token contributions rounded once then summed as DECIMAL
+  val x63: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |             FROM documents),
+      |dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+      |idf AS (
+      |  SELECT term, floor(CAST(n_docs AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |                     * 1000000 + 0.5) / 1000000 AS idf6
+      |  FROM dt, n GROUP BY term, n_docs)
+      |SELECT dt.doc_id,
+      |       CAST(sum(dt.tf) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_terms,
+      |       floor(CAST(sum(CAST(floor(CAST(dt.tf AS DOUBLE) * idf.idf6 * 1000000 + 0.5)
+      |                           / 1000000 AS DECIMAL(28,6))) AS DOUBLE)
+      |             / CAST(sum(dt.tf) AS BIGINT) * 1000000 + 0.5) / 1000000 AS rarity
+      |FROM dt JOIN idf USING (term)
+      |GROUP BY dt.doc_id
+      |ORDER BY dt.doc_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x59_semdedup"        -> x59,
+    "x60_sequence_pack"   -> x60,
+    "x62_minhash_estimate" -> x62,
+    "x63_rarity_score"    -> x63,
     "x53_chunk_dedup"     -> x53,
     "x54_domain_rebalance" -> x54,
     "x55_lexical_diversity" -> x55,
@@ -1181,7 +1323,8 @@ object Oracles {
     "x45_gap_fill"        -> x45,
     // x58 re-routes x40's roundtrip aggregate through ORC parts — the
     // shared original-parquet oracle proves THAT roundtrip lossless too
-    "x58_orc_roundtrip"   -> x40)
+    "x58_orc_roundtrip"   -> x40,
+    "x61_merge_upsert"    -> x61)
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,

@@ -247,6 +247,71 @@ class LlmSpec extends SparkSpec {
       (1L, 1L, 1L, 0.0, 1.0)))
   }
 
+  test("x59: dups collapse within clusters only; sub-τ mates and singleton clusters stay kept") {
+    val dir = Files.createTempDirectory("llm_semdedup").toString
+    def axis(i: Int, v: Float): Seq[Float] =
+      Seq.tabulate(64)(p => if (p == i - 1) v else 0f)
+    def plus(a: Seq[Float], b: Seq[Float]): Seq[Float] = a.zip(b).map { case (x, y) => x + y }
+    val rows =
+      Seq((0L, axis(2, 1f), 0)) ++                      // e2 → cluster 2
+      (1 to 8).map(i => (i.toLong, axis(i, 1f), 0)) ++  // the 8 centroids
+      Seq(
+        (9L, axis(1, 1f), 0),                           // copy of centroid 1 → dup of 1
+        (10L, axis(2, 0.5f), 0),                        // scaled e2: cos 1.0 to 0 and 2
+        (11L, plus(axis(1, 0.3f), axis(9, 0.954f)), 0)) // cluster 1 at cos≈0.3 < τ → kept
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = LlmQueries.x59SemDedup(spark, dir)
+      .as[(Long, Long, Long, Int, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 0L, 0, 0L), (1L, 1L, 1L, 0, 0L),
+      (2L, 2L, 0L, 1, 1L), // the centroid vector itself dups against vec 0
+      (3L, 3L, 3L, 0, 0L), (4L, 4L, 4L, 0, 0L), (5L, 5L, 5L, 0, 0L),
+      (6L, 6L, 6L, 0, 0L), (7L, 7L, 7L, 0, 0L), (8L, 8L, 8L, 0, 0L),
+      (9L, 1L, 1L, 1, 1L),   // exact copy of centroid 1
+      (10L, 2L, 0L, 1, 2L),  // both lower cluster-mates are at cosine 1.0
+      (11L, 1L, 11L, 0, 0L)))// assigned to cluster 1 but below τ → survives
+  }
+
+  test("x60: bins split at the 2048-token offset per stripe; stripes pack independently") {
+    def toks(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, toks(1500), "en", "s", 1L),  // stripe 0, offset 0    → bin 0
+      (8L, toks(600), "en", "s", 1L),   // stripe 0, offset 1500 → bin 0
+      (16L, toks(100), "en", "s", 1L),  // stripe 0, offset 2100 → bin 1
+      (1L, toks(10), "en", "s", 1L)))   // stripe 1, its own packing
+    val out = LlmQueries.x60SequencePack(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 2L, 2100L, 0L, 8L),
+      (0L, 1L, 1L, 100L, 16L, 16L),
+      (1L, 0L, 1L, 10L, 1L, 1L)))
+  }
+
+  test("x62: identical docs estimate and measure Jaccard 1.0 with zero error; no cross pair") {
+    val twenty = (0 until 20).map(i => s"tok$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, twenty, "en", "s", 1L),
+      (1L, twenty, "en", "s", 1L), // exact dup: identical signature + shingles
+      (2L, "completely different words in this one here now", "en", "s", 1L)))
+    val out = LlmQueries.x62MinhashEstimate(spark, dir)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    // 20 distinct tokens → 18 distinct shingles; every minimum agrees
+    assert(out == Seq((0L, 1L, 18L, 1.0, 1.0, 0.0)))
+  }
+
+  test("x63: hand-computed rarity — ubiquitous terms score N/df=1, rare ones N/df=N") {
+    val dir = docsDir(Seq(
+      (0L, "a a b", "en", "s", 1L),
+      (1L, "a c", "en", "s", 1L)))
+    val out = LlmQueries.x63RarityScore(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // idf: a→2/2=1, b→2, c→2. doc0: (2·1 + 1·2)/3 = 4/3; doc1: (1+2)/2
+    assert(out == Seq(
+      (0L, 3L, 2L, math.floor(4.0 / 3.0 * 1e6 + 0.5) / 1e6),
+      (1L, 2L, 2L, 1.5)))
+  }
+
   test("x56: majority label of the top-5 wins; self is excluded; vote count is exact") {
     val dir = Files.createTempDirectory("llm_knn").toString
     def e1(eps: Float): Seq[Float] =

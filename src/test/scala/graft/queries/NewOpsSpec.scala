@@ -130,6 +130,22 @@ class NewOpsSpec extends SparkSpec {
     dir
   }
 
+  test("x61: latest event by sequence number wins; keep/update/insert all classified") {
+    val dir = Files.createTempDirectory("x61").toString
+    Seq((1L, 100.0), (2L, 200.0)).toDF("c_custkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // user 2: event 7 outranks event 5 by sequence number; user 3 is new
+    Seq((5L, 2L, 9.0), (7L, 2L, 11.0), (6L, 3L, 50.0))
+      .toDF("event_id", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.x61MergeUpsert(spark, dir)
+      .as[(Long, Option[Double], Double, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, Some(100.0), 100.0, "keep"),
+      (2L, Some(200.0), 11.0, "update"),
+      (3L, None, 50.0, "insert")))
+  }
+
   test("x30: sample matches an independent MD5 of the id, so it is deterministic") {
     val dir = Files.createTempDirectory("x30").toString
     val rows = (0L until 200L).map(i =>

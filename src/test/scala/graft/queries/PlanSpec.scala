@@ -134,9 +134,12 @@ class PlanSpec extends SparkSpec {
     // x54's is the 1-row data-dependent k; x56's is the query BATCH
     // (N/50 rows of embedding+norm) broadcasting into the brute-force
     // kNN scorer — intended in both
+    // x59's is the 8-row SemDeDup codebook broadcasting into the
+    // assignment scan (x52's shape); x63's is the 1-row corpus-size
+    // constant onto the vocabulary frame (x50's shape)
     val broadcastCrossOk = Set("x11_cosine_topk", "x32_ivf_ann", "x49_pq_ann",
       "x50_tfidf_terms", "x52_kmeans_step", "x54_domain_rebalance",
-      "x56_knn_classify")
+      "x56_knn_classify", "x59_semdedup", "x63_rarity_score")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -180,6 +183,42 @@ class PlanSpec extends SparkSpec {
     val p = plan("x45_gap_fill")
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
       "top-1-per-(user,day) must run partially map-side, not ship all events")
+  }
+
+  test("x59: assignment pinned once — both pair sides and the output read the cache") {
+    val p = plan("x59_semdedup")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      "pair sides + final select must read the pinned assignment, not re-run it")
+    assert(p.contains("partial_max"), "argmax assignment must combine map-side")
+  }
+
+  test("x60: packing windows are per-stripe — exactly one hash shuffle, never a global sort") {
+    val p = plan("x60_sequence_pack")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      "stripe window + bin agg must share the one stripe shuffle")
+    assert(p.contains("hashpartitioning(stripe"),
+      "cumsum window must partition by stripe (a global window = one reducer)")
+  }
+
+  test("x61: latest-event pick is a map-combining aggregate, not a window sort") {
+    val p = plan("x61_merge_upsert")
+    assert(p.contains("partial_max"), "max(struct(event_id, value)) must partial-aggregate")
+    assert(p.contains("FullOuter"), "merge must plan as one full-outer join")
+    assert(!p.contains("WindowGroupLimit") && !"Window \\[".r.findFirstIn(p).isDefined,
+      "no per-user window sort — the sequence-number argmax is an agg")
+  }
+
+  test("x62: signature frame pinned once; candidate sides read the cache") {
+    val p = plan("x62_minhash_estimate")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "both pair sides must resolve against the pinned candidate subset")
+  }
+
+  test("x63: idf side broadcasts back; term counts combine map-side") {
+    val p = plan("x63_rarity_score")
+    assert(p.contains("BroadcastHashJoin"), "vocabulary-sized idf side must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("partial_count"), "term counts must be two-phase")
   }
 
   test("x33: salted agg is two shuffle stages — (key, salt) partials then key") {
