@@ -84,6 +84,7 @@ object SparkEntry {
     "x57_containment"      -> (LlmQueries.x57Containment _),
     "x58_orc_roundtrip"    -> (ExtendedQueries.x58OrcRoundtrip _),
     "x59_semdedup"         -> (LlmQueries.x59SemDedup _),
+    "x59b_semdedup_wide"   -> (LlmQueries.x59bSemDedupWide _),
     "x60_sequence_pack"    -> (LlmQueries.x60SequencePack _),
     "x61_merge_upsert"     -> (ExtendedQueries.x61MergeUpsert _),
     "x62_minhash_estimate" -> (LlmQueries.x62MinhashEstimate _),

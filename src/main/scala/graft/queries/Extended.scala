@@ -671,15 +671,23 @@ object ExtendedQueries {
   def x61MergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Io.table(spark, sfDir, "customer")
       .select(col("c_custkey").as("user_id"), col("c_acctbal").as("old_value"))
-    val delta = Io.table(spark, sfDir, "events")
+    // eventsRaw, not table(): events.parquet stores ts as TIMESTAMP(NANOS),
+    // which Spark rejects unless the nanosAsLong conf is set — eventsRaw sets
+    // it, so the query is self-contained in a fresh session (we never touch
+    // ts here, only the exact CDC sequence number).
+    val delta = Io.eventsRaw(spark, sfDir)
       .groupBy("user_id")
       .agg(max(struct(col("event_id"), col("value"))).as("m"))
-      .select(col("user_id"), col("m.value").as("new_value"))
+      .select(col("user_id"), col("m.value").as("new_value"),
+        lit(true).as("matched"))
+    // Classify on the explicit matched flag, not new_value IS NULL: a user
+    // whose latest event carries a NULL value is still an update (the merge
+    // DID match), and the flag keeps Spark and the oracle on one semantics.
     cust.join(delta, Seq("user_id"), "full_outer")
       .select(col("user_id"), col("old_value"),
         coalesce(col("new_value"), col("old_value")).as("value"),
         when(col("old_value").isNull, "insert")
-          .when(col("new_value").isNull, "keep")
+          .when(col("matched").isNull, "keep")
           .otherwise("update").as("op"))
       .orderBy("user_id")
   }

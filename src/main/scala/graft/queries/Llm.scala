@@ -963,8 +963,10 @@ object LlmQueries {
     * fraction, not the corpus — singletons join back after the fixpoint.
     *
     * Iterative-DataFrame discipline for scale: each round's labels are
-    * persisted and FORCED by the convergence check, the previous round's
-    * pins are released, and convergence is detected by the monotone
+    * eagerly localCheckpoint'ed — materialized AND lineage-truncated, so
+    * the driver re-plans a constant-size tree per round instead of one
+    * that doubles with every jump — the previous round's pins are
+    * released, and convergence is detected by the monotone
     * label-sum (strictly decreasing until fixpoint — one cheap aggregate,
     * no join-diff). Each round POINTER-JUMPS after the neighbor step
     * (label ← min(label, label∘label): label values are themselves doc
@@ -1013,13 +1015,22 @@ object LlmQueries {
       // pointer jump: every label value is an edge-endpoint doc id, so it
       // is a key of `half` — compose the mapping with itself (left join +
       // coalesce only as belt-and-braces; label(label) ≤ label always)
+      // localCheckpoint, not persist: each round's plan embeds the previous
+      // round's FULL lineage (and the jump self-join doubles it), so with
+      // plain caching the driver re-analyzes a plan that grows ~2× per
+      // round — a fixed per-round cost that dominates wall time at small SF
+      // and driver CPU at 30 rounds. Eager localCheckpoint materializes the
+      // round AND truncates the logical plan to the materialized RDD, so
+      // every round re-plans a constant-size tree. (Executor-local blocks,
+      // MEMORY_AND_DISK — on a lost executor the round restarts, the same
+      // failure domain the persisted loop already had.)
       val next = half.join(
           half.select(col("doc_id").as("label"), col("label").as("label2")),
           Seq("label"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
-        .persist()
-      val s = labelSum(next) // forces `next` while the old pin still helps
+        .localCheckpoint() // eager: forces the round, truncates lineage
+      val s = labelSum(next) // cheap aggregate over the checkpointed blocks
       labels.unpersist()
       labels = next
       converged = s.compareTo(prevSum) == 0
@@ -1110,10 +1121,18 @@ object LlmQueries {
     *
     * Plan: one (doc, term) hash agg (map-side combining — term counts
     * partial-aggregate in the scan stage), the vocabulary-sized df agg off
-    * the SAME frame (no second corpus scan), a broadcast join of the tiny
-    * (vocab × 1-row N) idf side back onto doc-terms, and a per-doc rank
-    * window capped by WindowGroupLimit so tasks keep 3 candidates, not
-    * the vocabulary.
+    * the SAME frame (no second corpus scan), the idf side joined back onto
+    * doc-terms, and a per-doc rank window capped by WindowGroupLimit so
+    * tasks keep 3 candidates, not the vocabulary.
+    *
+    * The idf join is deliberately UNHINTED: a real corpus vocabulary is
+    * 10⁷–10⁹ terms, and a forced broadcast() of that side would collect it
+    * to the driver and OOM — the exact driver-memory bound a hard hint
+    * encodes forever. With no hint, stats/AQE broadcast the side when it
+    * measures small (as it does at fixture scale) and sort-merge it when
+    * it doesn't; if a broadcast is wanted at scale, cap the side first
+    * (e.g. df > 1, or a top-M vocabulary) so its size is bounded by
+    * construction.
     */
   def x50TfidfTerms(spark: SparkSession, sfDir: String): DataFrame = {
     import ExtendedQueries.stableRound6
@@ -1127,7 +1146,7 @@ object LlmQueries {
         (col("n_docs").cast("double") / col("df").cast("double")).as("idf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
-    dt.join(broadcast(idf), "term")
+    dt.join(idf, "term")
       .select(col("doc_id"), col("term"),
         stableRound6(col("tf").cast("double") * col("idf")).as("tfidf"))
       .withColumn("rnk", row_number().over(w))
@@ -1353,19 +1372,41 @@ object LlmQueries {
     * with N (k ≈ N/⟨cluster⟩, the paper uses √N·c) so cluster size stays
     * CONSTANT and total pair cost is O(N·⟨cluster⟩), never N². The fixture
     * pins k=8 (the deterministic x52 codebook) so the oracle can rebuild
-    * the assignment declaratively; the k-scaling knob is the same "retrain
-    * the codebook wider" path x32/x49 document. Plan: one broadcast-
-    * codebook argmax agg (one shuffle), the assigned frame pinned once and
-    * self-joined on cid (both sides read the cache), pair cosines as
-    * codegen'd float_dot calls.
+    * the assignment declaratively; the k-scaling knob is [[semDedup]]'s
+    * `k` argument, exercised by the declared wide variant [[x59bSemDedupWide]]
+    * (k=32, rows-only). Plan: one broadcast-codebook argmax agg (one
+    * shuffle), the assigned frame pinned once and self-joined on cid (both
+    * sides read the cache), pair cosines as codegen'd float_dot calls.
     */
-  def x59SemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def x59SemDedup(spark: SparkSession, sfDir: String): DataFrame =
+    semDedup(spark, sfDir, k = 8)
+
+  /** x59b — x59 with the codebook size WIDENED (k=32): the declared proof
+    * that the cluster count is a parameter, not a constant baked into the
+    * plan (the x28b/x35b precedent). Pair expansion is Σ cluster², so at
+    * fixed N quadrupling k cuts expected within-cluster pair volume ~4× —
+    * at corpus scale k grows ~N/⟨cluster⟩ (SemDeDup uses √N·c), holding
+    * cluster size constant and total pair cost O(N·⟨cluster⟩). Declared
+    * rows-only: the k=8 oracle pins exact values; this entry pins the
+    * k-scaling path. SURVEY §6.1b records the measured pair-volume drop.
+    */
+  def x59bSemDedupWide(spark: SparkSession, sfDir: String): DataFrame =
+    semDedup(spark, sfDir, k = 32)
+
+  /** SemDeDup with the codebook size `k` as the argument — centroids are
+    * the first k corpus vectors (the same deterministic seeding x32/x52
+    * use; production retrains via repeated x52 steps). Everything else —
+    * one broadcast-codebook argmax agg, the assigned frame pinned once,
+    * the per-cluster self-join, codegen'd float_dot cosines — is identical
+    * at any k; only the pair-expansion constant changes.
+    */
+  def semDedup(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
     import ExtendedQueries.{nativeDot, stableRound6}
     val emb = Io.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         sqrt(nativeDot(col("embedding"), col("embedding"))).as("norm"))
-    val cent = emb.filter(col("vec_id").between(1, 8))
+    val cent = emb.filter(col("vec_id").between(1, k))
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
         col("norm").as("cnorm"))
     val ac = stableRound6(nativeDot(col("embedding"), col("cemb")) /
@@ -1492,8 +1533,11 @@ object LlmQueries {
     * independent), divided by the exact token count.
     *
     * Plan: one (doc, term) map-combining agg, df/N aggregates off the SAME
-    * frame, the vocabulary-sized idf side broadcast back, one per-doc agg.
-    * Linear in corpus tokens, no window, no self-join.
+    * frame, the idf side joined back (unhinted — same driver-memory
+    * reasoning as x50: a forced broadcast of a 10⁷–10⁹-term vocabulary
+    * OOMs the driver; let stats/AQE pick, cap the side if a broadcast is
+    * required), one per-doc agg. Linear in corpus tokens, no window, no
+    * self-join.
     */
   def x63RarityScore(spark: SparkSession, sfDir: String): DataFrame = {
     import ExtendedQueries.stableRound6
@@ -1505,7 +1549,7 @@ object LlmQueries {
       .crossJoin(broadcast(n))
       .select(col("term"), stableRound6(
         col("n_docs").cast("double") / col("df").cast("double")).as("idf6"))
-    dt.join(broadcast(idf), "term")
+    dt.join(idf, "term")
       .groupBy("doc_id")
       .agg(sum("tf").as("n_tokens"), count(lit(1)).as("n_terms"),
         (sum(stableRound6(col("tf").cast("double") * col("idf6"))

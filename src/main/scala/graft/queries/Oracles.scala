@@ -1172,11 +1172,14 @@ object Oracles {
       |ORDER BY stripe, bin""".stripMargin
 
   // x61: latest-by-sequence-number via QUALIFY mirrors Spark's
-  // max(struct(event_id, value)); values pass through untouched
+  // max(struct(event_id, value)); the secondary value DESC tie-break matches
+  // struct-max exactly if (user_id, event_id) ever duplicated, and 'keep' is
+  // decided by join-miss (d.user_id IS NULL) — the same matched-flag
+  // semantics as the Spark side, robust to NULL new_value.
   val x61: String =
     """WITH delta AS (
       |  SELECT user_id, value AS new_value FROM events
-      |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+      |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC, value DESC) = 1)
       |SELECT coalesce(c.c_custkey, d.user_id) AS user_id,
       |       c.c_acctbal AS old_value,
       |       coalesce(d.new_value, c.c_acctbal) AS value,

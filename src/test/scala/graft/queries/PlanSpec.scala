@@ -86,11 +86,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "codebook/rerank sides are broadcast-sized")
   }
 
-  test("x50: tf-idf joins broadcast the vocabulary side; top-3 capped by WindowGroupLimit") {
+  test("x50: tf-idf top-3 capped by WindowGroupLimit; term counts combine map-side") {
     val p = plan("x50_tfidf_terms")
     assert(p.contains("WindowGroupLimit"), "rnk<=3 must prune below the window")
-    assert(p.contains("BroadcastHashJoin"), "idf side is vocabulary-sized -> broadcast")
-    assert(!p.contains("SortMergeJoin"))
+    // The idf join is deliberately unhinted (a forced broadcast of a real
+    // vocabulary OOMs the driver) — assert a join exists and let stats/AQE
+    // pick its strategy per run, rather than pinning broadcast forever.
+    assert(p.contains("Join"), "idf side must join back onto doc-terms")
     assert(p.contains("partial_count"), "term counts must combine map-side")
   }
 
@@ -134,12 +136,13 @@ class PlanSpec extends SparkSpec {
     // x54's is the 1-row data-dependent k; x56's is the query BATCH
     // (N/50 rows of embedding+norm) broadcasting into the brute-force
     // kNN scorer — intended in both
-    // x59's is the 8-row SemDeDup codebook broadcasting into the
+    // x59/x59b's is the ≤32-row SemDeDup codebook broadcasting into the
     // assignment scan (x52's shape); x63's is the 1-row corpus-size
     // constant onto the vocabulary frame (x50's shape)
     val broadcastCrossOk = Set("x11_cosine_topk", "x32_ivf_ann", "x49_pq_ann",
       "x50_tfidf_terms", "x52_kmeans_step", "x54_domain_rebalance",
-      "x56_knn_classify", "x59_semdedup", "x63_rarity_score")
+      "x56_knn_classify", "x59_semdedup", "x59b_semdedup_wide",
+      "x63_rarity_score")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -214,10 +217,10 @@ class PlanSpec extends SparkSpec {
       "both pair sides must resolve against the pinned candidate subset")
   }
 
-  test("x63: idf side broadcasts back; term counts combine map-side") {
+  test("x63: idf side joins back unhinted; term counts combine map-side") {
     val p = plan("x63_rarity_score")
-    assert(p.contains("BroadcastHashJoin"), "vocabulary-sized idf side must broadcast")
-    assert(!p.contains("SortMergeJoin"))
+    // Unhinted join, same reasoning as x50: strategy is stats/AQE's call.
+    assert(p.contains("Join"), "idf side must join back onto doc-terms")
     assert(p.contains("partial_count"), "term counts must be two-phase")
   }
 
