@@ -8,17 +8,20 @@ import org.apache.spark.sql.types._
   * opaque BINARY columns plus a typed metadata struct; decode and feature
   * extraction run batched per partition.
   *
-  * IMAGES and AUDIO decode for real: `decodeImage` runs the payload
-  * through pure-JDK `javax.imageio` (PNG/JPEG/GIF/BMP) and derives the
-  * fixed-width feature vector from actual pixels; `decodeAudio` runs it
-  * through `javax.sound.sampled` (WAV/AIFF/AU PCM) and derives signal
-  * features from actual samples — no external codec dependency either
-  * way. Payloads neither stack claims (video containers, arbitrary
-  * bytes) fall back to `decodeStub`, the deterministic fake standing in
-  * for the video codecs this container doesn't ship — so the Spark-side
-  * contract (schema, per-partition batch shape, null failure path) is
-  * exercised end-to-end for every media kind while only the video codec
-  * call remains stubbed.
+  * IMAGES, AUDIO and VIDEO decode for real, all pure-JDK: `decodeImage`
+  * runs the payload through `javax.imageio` (PNG/JPEG/GIF/BMP) and
+  * derives the fixed-width feature vector from actual pixels;
+  * `decodeAudio` runs it through `javax.sound.sampled` (WAV/AIFF/AU PCM)
+  * and derives signal features from actual samples; `decodeVideo` walks
+  * an AVI (RIFF) container with `aviVideoFrames` — pure offset
+  * arithmetic, no codec library — and decodes each MJPEG frame chunk
+  * through the same `javax.imageio` path, averaging per-frame features.
+  * MJPEG-in-AVI is the one video format whose frames a stock JDK can
+  * decode; payloads no JDK stack recognizes (H.264/VP9 containers,
+  * arbitrary bytes) fall back to `decodeStub`, the deterministic fake
+  * standing in for external codec libraries — so the Spark-side contract
+  * (schema, per-partition batch shape, null failure path) is exercised
+  * end-to-end for every media kind.
   */
 object Multimodal {
 
@@ -147,17 +150,75 @@ object Multimodal {
     finally ais.close()
   }
 
-  /** Real-then-stub decode: images decode through javax.imageio, audio
-    * through javax.sound.sampled; anything else (video containers,
-    * arbitrary bytes) hits the deterministic stub standing in for the
-    * codecs this container lacks.
+  /** Minimal RIFF/AVI walker: returns the video-stream frame chunks
+    * (`##dc`/`##db` ids — for MJPEG each is one complete JPEG image) in
+    * file order, capped at `maxFrames`. Pure offset arithmetic over the
+    * byte array, no codec: the RIFF grammar is fourcc + LE32 size +
+    * payload, word-aligned, with `LIST` chunks nesting (the `movi` LIST
+    * holds the frames). Returns Nil unless the payload starts
+    * `RIFF…AVI ` — the caller's signal to try the next decoder.
+    */
+  private[functions] def aviVideoFrames(bytes: Array[Byte],
+      maxFrames: Int = 64): Seq[Array[Byte]] = {
+    if (bytes == null || bytes.length < 12) return Nil
+    def le32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Nil
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end && out.size < maxFrames) {
+        val id = fourcc(off)
+        val sz = le32(off + 4)
+        if (sz < 0 || off + 8 + sz > end) return // truncated/corrupt: stop
+        if (id == "LIST") walk(off + 12, off + 8 + sz.toInt)
+        else if (id.endsWith("dc") || id.endsWith("db"))
+          out += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz.toInt)
+        off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12, math.min(bytes.length.toLong, le32(4) + 8).toInt)
+    out.toSeq
+  }
+
+  /** REAL video decode for MJPEG-in-AVI: frame chunks come from the pure-
+    * offset `aviVideoFrames` walk and each decodes through the SAME
+    * javax.imageio path as still images; the video feature vector is the
+    * per-dimension mean over decoded frames (file order, fixed-order
+    * accumulation — deterministic). None when the payload isn't AVI or no
+    * frame decodes, so non-MJPEG video falls through to the stub.
+    */
+  private[functions] def decodeVideo(bytes: Array[Byte]): Option[Array[Float]] = {
+    val feats = aviVideoFrames(bytes).flatMap(decodeImage)
+    if (feats.isEmpty) None
+    else {
+      val out = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < FeatureDim) {
+        var s = 0.0
+        feats.foreach(f => s += f(i))
+        out(i) = (s / feats.size).toFloat
+        i += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** Real-then-stub decode: images through javax.imageio, audio through
+    * javax.sound.sampled, MJPEG-AVI video through the RIFF walk + per-
+    * frame imageio; anything else (H.264-class codecs, arbitrary bytes)
+    * hits the deterministic stub standing in for external codec libraries.
     */
   private[functions] def decode(bytes: Array[Byte]): Option[Array[Float]] =
-    decodeImage(bytes).orElse(decodeAudio(bytes)).orElse(decodeStub(bytes))
+    decodeImage(bytes).orElse(decodeAudio(bytes))
+      .orElse(decodeVideo(bytes)).orElse(decodeStub(bytes))
 
-  /** STUB decoder for media neither JDK stack decodes (video, unknown
-    * formats): a real implementation would use a codec library; this
-    * deterministic fake
+  /** STUB decoder for media no JDK stack decodes (H.264/VP9 video,
+    * unknown formats): a real implementation would use a codec library;
+    * this deterministic fake
     * derives FeatureDim floats from an FNV hash of the payload so tests can
     * assert exact values. Null/empty payloads yield null features (the real
     * decoder's failure path).
@@ -224,8 +285,33 @@ object Multimodal {
           when(col("media").isNotNull, lit(h)).cast("int").as("height")))
   }
 
-  /** STUB frame sampling: a real implementation decodes the container and
-    * grabs every k-th frame; the fake slices the payload into `frames`
+  /** REAL frame sampling for MJPEG-in-AVI payloads: every `every`-th
+    * frame chunk from the RIFF walk, one output row per (asset, frame_no)
+    * with the frame as a standalone JPEG payload — which decodes through
+    * `extractFeatures`' image path unchanged, so per-frame features are
+    * one composition away. Non-AVI assets yield no rows (mirror of the
+    * decoder's None). mapPartitions like extractFeatures: frame slicing
+    * is per-row work, the output shape stays distributed.
+    */
+  def sampleVideoFrames(media: DataFrame, every: Int = 1): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val rdd = media.select("asset_id", "media").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getAs[Long]("asset_id")
+        aviVideoFrames(r.getAs[Array[Byte]]("media")).zipWithIndex
+          .collect { case (f, i) if i % every == 0 => Row(id, i, f) }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** STUB frame sampling for payloads with no parseable container (the
+    * AVI path above is the real one): slices the payload into `frames`
     * equal chunks. The output SHAPE is the real contract — one row per
     * (asset, frame_no) via posexplode, ready for per-frame feature
     * extraction downstream.

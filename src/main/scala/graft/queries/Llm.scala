@@ -816,29 +816,58 @@ object LlmQueries {
     * capped rank (tasks hold 5 candidates per query), and the vote is a
     * TWO-LEVEL aggregate ((query, label) partials → argmax via max(struct))
     * so the pair matrix is consumed in ONE lineage — votes and the
-    * decimal-exact mean cosine ride the same aggregate. At corpus scale the
-    * same vote/rerank stages run unchanged behind an ANN candidate
-    * generator (x21/x32/x49) instead of the brute-force scorer.
+    * decimal-exact mean cosine ride the same aggregate. At corpus scale
+    * the same vote/rerank stages run unchanged behind an ANN candidate
+    * generator instead of the brute-force scorer — that composition is
+    * CODE, not prose: [[knnVote]] is the shared tail, and
+    * [[knnAnnCandidates]] feeds it IVF-probed candidates (LlmSpec proves
+    * vote parity with this query when the probes cover the true top-5).
     */
   def x56KnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.plans.GraftExtensions.register(spark)
     import ExtendedQueries.{nativeDot, stableRound6}
-    val emb = Io.table(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"),
-        sqrt(nativeDot(col("embedding"), col("embedding"))).as("norm"))
-    val q = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-        col("norm").as("qnorm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
-    val nn = emb.crossJoin(broadcast(q))
+    val emb = knnCorpus(spark, sfDir)
+    val q = knnQueries(emb)
+    val cand = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("label"),
         stableRound6(nativeDot(col("embedding"), col("qemb")) /
           (col("norm") * col("qnorm"))).as("cosine"))
+    knnVote(cand)
+  }
+
+  /** Corpus frame shared by the brute-force (x56) and ANN kNN paths:
+    * vectors with their labels and precomputed norms. */
+  private def knnCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    import ExtendedQueries.nativeDot
+    Io.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(nativeDot(col("embedding"), col("embedding"))).as("norm"))
+  }
+
+  /** x56's held-out query batch (`vec_id % 50 == 0`), renamed for joining
+    * back against the corpus side. */
+  private def knnQueries(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("norm").as("qnorm"))
+
+  /** The top-k + majority-vote tail of x56 as a standalone component: takes
+    * scored candidate pairs (qid, vec_id, label, cosine) from ANY
+    * generator — the brute-force broadcast scorer (x56) or an ANN path
+    * ([[knnAnnCandidates]]) — and is bit-identical downstream of either:
+    * WindowGroupLimit-capped per-query top-k (ties broken by vec_id, a
+    * total order), then the two-level (query, label) → argmax vote with
+    * the decimal-exact mean cosine riding the same aggregate.
+    */
+  def knnVote(cand: DataFrame, k: Int = 5): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+    cand
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-    nn.groupBy("qid", "label")
+      .filter(col("rn") <= k)
+      .groupBy("qid", "label")
       .agg(count(lit(1)).as("n"), sum(col("cosine").cast("decimal(28,6)")).as("sc"))
       .groupBy("qid")
       .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"),
@@ -847,6 +876,49 @@ object LlmQueries {
         col("m.n").as("n_votes"),
         stableRound6(col("sct").cast("double") / col("nt")).as("mean_cosine"))
       .orderBy("vec_id")
+  }
+
+  /** IVF candidate generator for the kNN vote — the scale path x56's
+    * scaladoc promises. Corpus vectors are list-assigned to their
+    * argmax-cosine centroid (x32/x52's deterministic codebook: vec_ids
+    * 1..8); each query probes its top-`nprobe` centroid lists and scores
+    * ONLY the vectors in those lists, so per-query cost is the probed
+    * fraction of the corpus instead of N — recall is exact whenever the
+    * probed lists cover the true top-k (the IVF bargain, tunable by
+    * nprobe). Output schema equals the brute-force candidate frame, so
+    * [[knnVote]] composes unchanged: `knnVote(knnAnnCandidates(...))`.
+    * Plan: one map-combining argmax agg for list assignment (x52's
+    * shape), the tiny probes frame (queries × nprobe) broadcast back onto
+    * the assigned corpus by cid, cosines as codegen'd float_dot calls.
+    */
+  def knnAnnCandidates(spark: SparkSession, sfDir: String,
+      nprobe: Int = 3): DataFrame = {
+    import ExtendedQueries.{nativeDot, stableRound6}
+    val emb = knnCorpus(spark, sfDir)
+    val cent = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("norm").as("cnorm"))
+    val ac = stableRound6(nativeDot(col("embedding"), col("cemb")) /
+      (col("norm") * col("cnorm")))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .groupBy("vec_id", "label", "embedding", "norm")
+      .agg(max(struct(ac.as("ac"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("norm"),
+        (-col("m.ncid")).as("cid"))
+    val qc = stableRound6(nativeDot(col("qemb"), col("cemb")) /
+      (col("qnorm") * col("cnorm")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("qc"), col("cid"))
+    val probes = knnQueries(emb).crossJoin(broadcast(cent))
+      .select(col("qid"), col("qemb"), col("qnorm"), col("cid"), qc.as("qc"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select("qid", "qemb", "qnorm", "cid")
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        stableRound6(nativeDot(col("embedding"), col("qemb")) /
+          (col("norm") * col("qnorm"))).as("cosine"))
   }
 
   /** x41 — repetition/boilerplate quality signals (the Gopher-rule family):
@@ -1447,7 +1519,8 @@ object LlmQueries {
     * the corpus yields a valid packing (bins never need to cross stripes),
     * so the cumsum window is partitioned by stripe — parallelism is the
     * stripe count, each stripe's sort is 1/S of the corpus, and at real
-    * scale stripe = input-split id makes the window a per-split scan.
+    * scale stripe = input-split id makes the window a per-split scan —
+    * that form ships as [[sequencePackBySplit]], tested in NewOpsSpec.
     * doc_id % 8 here so the oracle is declarative. All-integer arithmetic;
     * the one division is by 2048 (a power of two — exact in IEEE, so
     * floor() agrees bit-for-bit across engines).
@@ -1461,6 +1534,34 @@ object LlmQueries {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("off", coalesce(sum("n_tokens").over(w), lit(0L)))
       .withColumn("bin", floor(col("off") / lit(2048.0)).cast("long"))
+      .groupBy("stripe", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("stripe", "bin")
+  }
+
+  /** x60's packing with stripe = the INPUT SPLIT id
+    * (`spark_partition_id()`) — the scale form of the striping the x60
+    * scaladoc documents. The declared x60 pins stripe = doc_id%8 so the
+    * oracle can rebuild it declaratively, which caps parallelism at 8; a
+    * 100 TB scan has ~10⁵ splits, and since ANY disjoint striping yields
+    * a valid packing (bins never cross stripes by construction), stamping
+    * the split id makes parallelism equal the split count and the cumsum
+    * window sort per-split — over rows the reading task already holds, so
+    * the "shuffle" by stripe moves data a task already groups. Same
+    * manifest schema as x60; `budget` is the token budget per bin
+    * (integer `div`, exact at any budget, not just powers of two).
+    */
+  def sequencePackBySplit(docs: DataFrame, budget: Long = 2048L): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stripe").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), spark_partition_id().cast("long").as("stripe"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("off", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("bin", expr(s"off div ${budget}L"))
       .groupBy("stripe", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))

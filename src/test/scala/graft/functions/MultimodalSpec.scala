@@ -163,6 +163,76 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getSeq[Float](3).toList == feats.toList)
   }
 
+  // A structurally honest MJPEG-in-AVI file: RIFF(AVI ) { LIST(hdrl){avih},
+  // LIST(movi){ 00dc jpeg ... } } with LE32 sizes and word alignment —
+  // what a real MJPEG camera/ffmpeg -c:v mjpeg writes, minus the optional
+  // index chunk (players and our walker both tolerate its absence).
+  private def mjpegAvi(jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = list("movi", jpegFrames.map(chunk("00dc", _)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  private def jpeg(rgb: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  test("real MJPEG-AVI decodes: frames extracted by the RIFF walk, features = frame mean") {
+    // three solid 8x8 frames: dark, mid, bright gray
+    val frames = Seq(jpeg(0x202020, 8, 8), jpeg(0x808080, 8, 8), jpeg(0xe0e0e0, 8, 8))
+    val avi = mjpegAvi(frames)
+
+    // the walker recovers each frame chunk byte-for-byte, in file order
+    val got = Multimodal.aviVideoFrames(avi)
+    assert(got.length == 3)
+    assert(got.zip(frames).forall { case (a, b) => a.sameElements(b) })
+
+    // video features are the per-dimension mean of the per-frame image
+    // features — computed here independently from the SAME decoded frames
+    val perFrame = frames.map(f => Multimodal.decodeImage(f).get)
+    val want = (0 until Multimodal.FeatureDim).map { i =>
+      (perFrame.map(_(i).toDouble).sum / perFrame.length).toFloat
+    }
+    assert(Multimodal.decodeVideo(avi).get.toSeq == want)
+
+    // e2e dispatch through Spark: the AVI payload takes the video path in
+    // extractFeatures (imageio and the audio stack both reject it), and
+    // sampleVideoFrames emits real standalone JPEGs that re-decode
+    val rows = Seq(org.apache.spark.sql.Row(7L, avi,
+      org.apache.spark.sql.Row("video/x-msvideo", null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.mediaSchema)
+    val out = Multimodal.extractFeatures(df).collect().head
+    assert(out.getSeq[Float](3).toSeq == want)
+
+    val sampled = Multimodal.sampleVideoFrames(df).collect()
+      .sortBy(_.getAs[Int]("frame_no"))
+    assert(sampled.map(_.getAs[Int]("frame_no")).toSeq == Seq(0, 1, 2))
+    assert(sampled.zip(perFrame).forall { case (r, pf) =>
+      Multimodal.decodeImage(r.getAs[Array[Byte]]("frame")).get.sameElements(pf)
+    })
+    // every-2nd sampling keeps frames 0 and 2
+    assert(Multimodal.sampleVideoFrames(df, every = 2).collect()
+      .map(_.getAs[Int]("frame_no")).sorted.toSeq == Seq(0, 2))
+    // non-AVI payloads yield no frames (mirror of the decoder's None)
+    assert(Multimodal.sampleVideoFrames(mediaDf(3)).count() == 0)
+  }
+
   test("asEmbeddings bridges features into the embedding schema") {
     val emb = Multimodal.asEmbeddings(Multimodal.extractFeatures(mediaDf(10)))
     assert(emb.schema.fieldNames.toSeq == Seq("vec_id", "embedding", "label"))

@@ -332,6 +332,38 @@ class LlmSpec extends SparkSpec {
     assert(meanCos > 0.8 && meanCos < 1.0, s"mean of 3 near + 2 mid cosines: $meanCos")
   }
 
+  test("kNN vote behind IVF candidates == brute-force x56 when probes cover the true top-5") {
+    val dir = Files.createTempDirectory("llm_knn_ann").toString
+    // 3 orthogonal clusters (dims 0..2), per-id perturbation at dims 8..14
+    // so same-cluster cosines are distinct unless ids collide mod 7 (then
+    // the vec_id tie-break is exercised identically on both paths).
+    // Centroids (vec_ids 1..8) land on dirs 1,2,0,1,2,0,1,2, so probing
+    // nprobe=3 lists covers every same-dir vector — and the true top-5 of
+    // each query is same-dir (cross-dir cosines are ~1e-4).
+    def v(i: Long): Seq[Float] = {
+      val a = Array.fill(64)(0f)
+      a((i % 3).toInt) = 1f
+      a(8 + (i % 7).toInt) = 0.01f * ((i % 7) + 1)
+      a.toSeq
+    }
+    (1L to 200L).map(i => (i, v(i), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val brute = LlmQueries.x56KnnClassify(spark, dir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(brute.map(_._1) == Seq(50L, 100L, 150L, 200L)) // the query batch
+    val ann = LlmQueries.knnVote(LlmQueries.knnAnnCandidates(spark, dir, nprobe = 3))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(ann == brute) // identical prediction, votes, AND mean cosine
+    // the ANN path really prunes: probed candidates are a strict subset
+    // of the brute-force pair matrix (which scores 4 * 199 pairs)
+    val nAnn = LlmQueries.knnAnnCandidates(spark, dir, nprobe = 3).count()
+    assert(nAnn < 4L * 199L && nAnn > 0L)
+    // probing every list degenerates to brute force exactly
+    assert(LlmQueries.knnVote(LlmQueries.knnAnnCandidates(spark, dir, nprobe = 8))
+      .as[(Long, Int, Long, Double)].collect().toSeq == brute)
+  }
+
   test("x57: containment is 1.0 for a contained doc while its Jaccard is below 1") {
     val base = (0 until 20).map(i => s"tok$i").mkString(" ")
     val dir = docsDir(Seq(

@@ -181,4 +181,39 @@ class NewOpsSpec extends SparkSpec {
     assert(fr == Seq(("fr", "t1 t2", 1L), ("fr", "t2 t3", 1L),
       ("fr", "t3 t4", 1L), ("fr", "t4 t5", 1L), ("fr", "t5 t6", 1L)))
   }
+
+  test("x60 split-striped packing: stripes = input splits, bins never cross stripes, tokens conserved") {
+    import org.apache.spark.sql.functions.col
+    // 100 docs, i%7+1 tokens each, spread over 4 input partitions
+    val docs = (1L to 100L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text").repartition(4, col("doc_id"))
+    val manifest = LlmQueries.sequencePackBySplit(docs, budget = 16L).collect()
+
+    // parallelism equals split count: exactly the input's 4 partition ids
+    val stripes = manifest.map(_.getAs[Long]("stripe")).distinct.sorted
+    assert(stripes.toSeq == Seq(0L, 1L, 2L, 3L))
+
+    // every doc lands in exactly one bin, and tokens are conserved —
+    // globally and per stripe, against an independent per-partition recount
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum == 100L)
+    val expectTokens = docs.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      Iterator(pid.toLong -> rows.map(_.getAs[String]("text").split(" ").length.toLong).sum)
+    }.collect().toMap
+    val gotTokens = manifest.groupBy(_.getAs[Long]("stripe"))
+      .view.mapValues(_.map(_.getAs[Long]("bin_tokens")).sum).toMap
+    assert(gotTokens == expectTokens.filter(_._2 > 0))
+
+    // within a stripe, bins chunk docs in doc_id order: contiguous bin
+    // numbers from 0, and id ranges strictly ordered (never overlapping —
+    // the "bins never cross stripes, nor interleave" packing invariant)
+    manifest.groupBy(_.getAs[Long]("stripe")).foreach { case (_, rows) =>
+      val byBin = rows.sortBy(_.getAs[Long]("bin"))
+      assert(byBin.map(_.getAs[Long]("bin")).toSeq == byBin.indices.map(_.toLong))
+      byBin.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ => ()
+      }
+    }
+  }
 }
