@@ -25,6 +25,14 @@ object Scratch {
     }
     tenfold("documents", "doc_id")
     tenfold("embeddings", "vec_id")
+    tenfold("customer", "c_custkey")
+    // events via eventsRaw (the nanos ts reads as long; x61 never touches
+    // it) with BOTH ids shifted, so each copy upserts its own customer slice
+    (0 until 10).map { i =>
+      core.Io.eventsRaw(spark, sfDir)
+        .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+    }.reduce(_ union _).write.mode("overwrite").parquet(s"$tenDir/events.parquet")
     // DISTINCT corpora: every token unique per doc (md5-derived), so
     // signatures are iid and any candidate pair is pure bucket-collision
     // tax — the quantity the N²/512 critique is about. The fixture corpus
@@ -105,6 +113,54 @@ object Scratch {
     val flagged = queries.LlmQueries.x35bSimhashPairsWide(spark, tenDir)
       .filter(col("n_near") >= 9).count()
     println(s"PROBE x35b_recall flagged=$flagged of 50000")
+
+    // round-6 probes (x59-x63): volumes over clocks.
+    // x59 vs x59b — within-cluster PAIR volume Σ n·(n−1)/2, the quantity
+    // the k parameter exists to shrink (same argmax assignment as semDedup,
+    // recomputed here so the probe reports the intermediate the query
+    // consumes, not just its output rows)
+    plans.GraftExtensions.register(spark)
+    def semPairVolume(dir: String, k: Int): Long = {
+      val nd = queries.ExtendedQueries.nativeDot _
+      val emb = core.Io.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(nd(col("embedding"), col("embedding"))).as("norm"))
+      val cent = emb.filter(col("vec_id").between(1, k))
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+          col("norm").as("cnorm"))
+      emb.crossJoin(broadcast(cent))
+        .groupBy("vec_id")
+        .agg(max(struct((nd(col("embedding"), col("cemb")) /
+          (col("norm") * col("cnorm"))).as("ac"), (-col("cid")).as("ncid"))).as("m"))
+        .select((-col("m.ncid")).as("cid"))
+        .groupBy("cid").count()
+        .agg(sum(col("count") * (col("count") - 1))).head().getLong(0) / 2
+    }
+    for (dir <- Seq(sfDir, tenDir)) {
+      println(s"PROBE semdedup dir=$dir pairs_k8=${semPairVolume(dir, 8)} " +
+        s"pairs_k32=${semPairVolume(dir, 32)}")
+      time(s"x59_$dir")(queries.LlmQueries.x59SemDedup(spark, dir).count())
+      time(s"x59b_$dir")(queries.LlmQueries.x59bSemDedupWide(spark, dir).count())
+      time(s"x60_$dir")(queries.LlmQueries.x60SequencePack(spark, dir).count())
+      time(s"x61_$dir")(queries.ExtendedQueries.x61MergeUpsert(spark, dir).count())
+      time(s"x62_$dir")(queries.LlmQueries.x62MinhashEstimate(spark, dir).count())
+      time(s"x63_$dir")(queries.LlmQueries.x63RarityScore(spark, dir).count())
+    }
+    // x60 stripe balance: max/mean token skew across stripes for the
+    // declared %8 form vs the split-id form (split form over the same
+    // corpus read at its native partitioning)
+    for (dir <- Seq(sfDir, tenDir)) {
+      def skew(m: org.apache.spark.sql.DataFrame): (Long, Double, Long) = {
+        val r = m.groupBy("stripe").agg(sum("bin_tokens").as("t"))
+          .agg(count(lit(1)), avg("t"), max("t")).head()
+        (r.getLong(0), r.getDouble(1), r.getLong(2))
+      }
+      val (s8, m8, x8) = skew(queries.LlmQueries.x60SequencePack(spark, dir))
+      val docs = core.Io.table(spark, dir, "documents")
+      val (sp, mp, xp) = skew(queries.LlmQueries.sequencePackBySplit(docs))
+      println(f"PROBE x60skew dir=$dir mod8: stripes=$s8 max/mean=${x8 / m8}%.3f " +
+        f"split: stripes=$sp max/mean=${xp / mp}%.3f")
+    }
     spark.stop()
   }
 }

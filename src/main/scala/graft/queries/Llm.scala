@@ -1460,7 +1460,8 @@ object LlmQueries {
     * at corpus scale k grows ~N/⟨cluster⟩ (SemDeDup uses √N·c), holding
     * cluster size constant and total pair cost O(N·⟨cluster⟩). Declared
     * rows-only: the k=8 oracle pins exact values; this entry pins the
-    * k-scaling path. SURVEY §6.1b records the measured pair-volume drop.
+    * k-scaling path. SURVEY §6.1c records the measured pair-volume drop
+    * (4.02× at sf0.1, 3.97× at 10×).
     */
   def x59bSemDedupWide(spark: SparkSession, sfDir: String): DataFrame =
     semDedup(spark, sfDir, k = 32)
