@@ -88,7 +88,10 @@ object SparkEntry {
     "x60_sequence_pack"    -> (LlmQueries.x60SequencePack _),
     "x61_merge_upsert"     -> (ExtendedQueries.x61MergeUpsert _),
     "x62_minhash_estimate" -> (LlmQueries.x62MinhashEstimate _),
-    "x63_rarity_score"     -> (LlmQueries.x63RarityScore _))
+    "x63_rarity_score"     -> (LlmQueries.x63RarityScore _),
+    "x64_pii_scrub"        -> (LlmQueries.x64PiiScrub _),
+    "x65_vocab_coverage"   -> (LlmQueries.x65VocabCoverage _),
+    "x66_best_of_dupes"    -> (LlmQueries.x66BestOfDupes _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

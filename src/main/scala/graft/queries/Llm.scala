@@ -1660,4 +1660,97 @@ object LlmQueries {
         stableRound6(col("r")).as("rarity"))
       .orderBy("doc_id")
   }
+
+  /** x64 — PII SCRUB: detect and redact emails, IPv4 addresses and
+    * E.164-style phone numbers (the mandatory privacy pass before any
+    * corpus ships to training), emitting per-doc counts, the redacted
+    * length, and the md5 of the redacted text — so a hash match against
+    * the oracle proves the REDACTION byte-identical, not just the counts.
+    * The regexes stay inside the dialect Java regex and RE2 share
+    * (character classes, \d, \b, bounded repeats — no lookaround, which
+    * RE2 lacks), so Spark and DuckDB compile the same automaton; the
+    * replacement order (email → ip → phone) is fixed and identical on
+    * both sides. The fixture corpus carries no PII (zero counts there —
+    * the oracle still pins the machinery end-to-end); LlmSpec drives the
+    * same code over synthetic PII and asserts exact counts and redacted
+    * bytes. Plan: pure per-row codegen'd expressions, zero shuffles until
+    * the output sort — linear in corpus bytes at any scale.
+    */
+  private[graft] val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiIpRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PiiPhoneRe = "\\+\\d{7,15}"
+  def x64PiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val redacted = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      lit(PiiEmailRe), lit("<EMAIL>")), lit(PiiIpRe), lit("<IP>")),
+      lit(PiiPhoneRe), lit("<PHONE>"))
+    Io.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(PiiEmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PiiIpRe), lit(0)))
+          .cast("long").as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(PiiPhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        length(redacted).cast("long").as("clean_len"),
+        md5(redacted).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** x65 — tokenizer vocabulary COVERAGE: per-doc out-of-vocabulary rate
+    * against the corpus top-20 vocabulary (count desc, term asc
+    * tie-break — a total order, so the boundary of a tied count block is
+    * deterministic in both engines). This is the query that sizes a
+    * tokenizer's vocab before training: high-OOV docs either grow the
+    * vocab or get byte-fallback'ed.
+    *
+    * Plan: one (term) map-combining agg, the global top-K via
+    * orderBy+limit — TakeOrderedAndProject, a distributed top-K, never a
+    * single-partition rank window — and the K-row vocab broadcast back.
+    * The broadcast here is LEGITIMATE, in deliberate contrast to x50/x63:
+    * K is a literal constant by construction (20 rows regardless of
+    * corpus), where x50's join side is the unbounded vocabulary and a
+    * hint there is a driver bomb.
+    */
+  def x65VocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val dt = fanOut(Io.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val vocab = dt.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("term")).limit(20)
+      .select(col("term"), lit(1).as("in_vocab"))
+    dt.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        ExtendedQueries.stableRound6(
+          col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** x66 — BEST-OF-DUPES: within each near-dup group (x13's band-bucket
+    * canonical — the SAME `canonicalAssignment` engine, so the grouping
+    * rule cannot drift from the dedup family), keep the LONGEST copy
+    * (n_chars; ties → lowest doc_id). Production dedup keeps the best
+    * copy, not the first seen — upstream copies differ by truncation and
+    * extraction damage, and x10/x13's keep-lowest-id would happily keep
+    * the clipped one. Argmax is ONE map-combining aggregate
+    * (max(struct(n_chars, -doc_id))), x61's argmax-as-aggregate pattern —
+    * never a per-group sort window (asserted in PlanSpec). Singletons are
+    * their own group (left join + coalesce, same rejoin shape as x47).
+    */
+  def x66BestOfDupes(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val bands = bandHashes(minhashSignature(fanOut(docs), 16), bandsOf = 4, r = 4)
+    val canon = canonicalAssignment(bands)
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(canon.select("doc_id", "canonical"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("canonical"), col("doc_id")).as("group_id"))
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("group_id"), col("n_members"),
+        (-col("m.nid")).as("keep_id"), col("m.n_chars").as("keep_chars"))
+      .orderBy("group_id")
+  }
 }

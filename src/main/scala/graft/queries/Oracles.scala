@@ -1254,10 +1254,78 @@ object Oracles {
       |GROUP BY dt.doc_id
       |ORDER BY dt.doc_id""".stripMargin
 
+  // x64: same regexes (the Java-regex/RE2 shared dialect), same fixed
+  // email -> ip -> phone replacement order; DuckDB needs the explicit 'g'
+  // flag (Spark's regexp_replace is global by default)
+  val x64: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(text, '\+\d{7,15}')) AS BIGINT) AS n_phones,
+      |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\+\d{7,15}', '<PHONE>', 'g')) AS BIGINT) AS clean_len,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\+\d{7,15}', '<PHONE>', 'g')) AS clean_hash
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // x65: top-20 vocabulary with the (count DESC, term ASC) total-order
+  // tie-break, then per-doc OOV rate via a left join
+  val x65: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |             FROM documents),
+      |v AS (SELECT term FROM (SELECT term, count(*) AS cnt FROM tok GROUP BY 1)
+      |      ORDER BY cnt DESC, term LIMIT 20)
+      |SELECT tok.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |       floor(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*) * 1000000 + 0.5) / 1000000 AS oov_rate
+      |FROM tok LEFT JOIN v ON tok.term = v.term
+      |GROUP BY tok.doc_id
+      |ORDER BY tok.doc_id""".stripMargin
+
+  // x66: x13's band/bucket/canonical CTEs verbatim, then per-group argmax
+  // via (n_chars DESC, doc_id ASC) — row_number's total order equals
+  // Spark's max(struct(n_chars, -doc_id))
+  val x66: String =
+    s"""WITH $shingleCte,
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+      |  FROM sh, range(0, 16) s(j) GROUP BY doc_id, j),
+      |band AS (
+      |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, ',' ORDER BY j)) AS bh
+      |  FROM mh GROUP BY doc_id, j // 4),
+      |buck AS (SELECT band, bh, min(doc_id) AS rep FROM band GROUP BY band, bh),
+      |canon AS (
+      |  SELECT b.doc_id, min(k.rep) AS canonical
+      |  FROM band b JOIN buck k ON b.band = k.band AND b.bh = k.bh
+      |  GROUP BY b.doc_id),
+      |a AS (
+      |  SELECT d.doc_id, d.n_chars, coalesce(c.canonical, d.doc_id) AS group_id
+      |  FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id),
+      |r AS (
+      |  SELECT group_id, doc_id, n_chars,
+      |         row_number() OVER (PARTITION BY group_id
+      |                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+      |         count(*) OVER (PARTITION BY group_id) AS nm
+      |  FROM a)
+      |SELECT group_id, CAST(nm AS BIGINT) AS n_members, doc_id AS keep_id,
+      |       CAST(n_chars AS BIGINT) AS keep_chars
+      |FROM r WHERE rn = 1
+      |ORDER BY group_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x59_semdedup"        -> x59,
     "x60_sequence_pack"   -> x60,
     "x62_minhash_estimate" -> x62,
+    "x64_pii_scrub"       -> x64,
+    "x65_vocab_coverage"  -> x65,
+    "x66_best_of_dupes"   -> x66,
     "x63_rarity_score"    -> x63,
     "x53_chunk_dedup"     -> x53,
     "x54_domain_rebalance" -> x54,

@@ -364,6 +364,61 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect().toSeq == brute)
   }
 
+  test("x64: emails/IPs/phones counted and redacted byte-exactly; clean text untouched") {
+    val dir = docsDir(Seq(
+      (0L, "contact john.doe+spam@mail.example.com or 10.0.0.1 now", "en", "s", 1L),
+      (1L, "call +14155552671 then +4930123456", "en", "s", 1L),
+      (2L, "no pii in this document at all", "en", "s", 1L)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val out = LlmQueries.x64PiiScrub(spark, dir)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    val red0 = "contact <EMAIL> or <IP> now"
+    val red1 = "call <PHONE> then <PHONE>"
+    val red2 = "no pii in this document at all"
+    assert(out == Seq(
+      (0L, 1L, 1L, 0L, red0.length.toLong, md5hex(red0)),
+      (1L, 0L, 0L, 2L, red1.length.toLong, md5hex(red1)),
+      (2L, 0L, 0L, 0L, red2.length.toLong, md5hex(red2))))
+  }
+
+  test("x65: vocab boundary tie resolves by term order; OOV terms counted per doc") {
+    // 22 terms appear twice (tied count), 3 terms once; top-20 = the 22
+    // tied terms minus the lexicographically LAST two (t20, t21), so both
+    // tied-out terms plus the singletons are OOV
+    val common = (0 until 22).map(i => f"t$i%02d")
+    val doc0 = common.mkString(" ")                  // one of each tied term
+    val doc1 = common.mkString(" ") + " rare1 rare2 rare3"
+    val dir = docsDir(Seq(
+      (0L, doc0, "en", "s", 1L),
+      (1L, doc1, "en", "s", 1L)))
+    val out = LlmQueries.x65VocabCoverage(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc0: 22 tokens, OOV = t20, t21; doc1: 25 tokens, OOV = those + 3 rares
+    assert(out == Seq(
+      (0L, 22L, 2L, math.floor(2.0 / 22.0 * 1e6 + 0.5) / 1e6),
+      (1L, 25L, 5L, 0.2)))
+  }
+
+  test("x66: the LONGEST copy wins its near-dup group even when a shorter copy has a lower id") {
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val longer = base + " extra trailing tokens here"
+    val dir = docsDir(Seq(
+      (0L, base, "en", "s", base.length.toLong),          // shorter, lower id
+      (1L, longer, "en", "s", longer.length.toLong),      // longer near-dup
+      (2L, "totally unrelated content words", "en", "s", 31L)))
+    // precondition: 0 and 1 really are one x13 band-bucket group
+    val canon = LlmQueries.x13MinhashNearDedup(spark, dir)
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(canon(1L) == 0L, "fixture must make 0 and 1 near-dups")
+    val out = LlmQueries.x66BestOfDupes(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 1L, longer.length.toLong), // group 0: keeps doc 1, the longer copy
+      (2L, 1L, 2L, 31L)))                 // singleton keeps itself
+  }
+
   test("x57: containment is 1.0 for a contained doc while its Jaccard is below 1") {
     val base = (0 until 20).map(i => s"tok$i").mkString(" ")
     val dir = docsDir(Seq(

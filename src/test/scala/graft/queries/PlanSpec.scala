@@ -224,6 +224,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "term counts must be two-phase")
   }
 
+  test("x64: PII scrub is scan-only — per-row regexes, no shuffle except the output sort") {
+    val p = plan("x64_pii_scrub")
+    assert("Exchange".r.findAllIn(p).size == 1, "only the final rangepartitioning sort")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "projection must prune to the two consumed columns")
+  }
+
+  test("x65: vocab top-K is TakeOrderedAndProject; term counts combine map-side") {
+    val p = plan("x65_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-20 must be a distributed top-K, not a single-partition window")
+    assert(p.contains("partial_count"), "term counts must be two-phase")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 20-row vocab is a constant-size side — broadcast is legitimate here")
+  }
+
+  test("x66: per-group argmax is a map-combining aggregate, not a window sort") {
+    val p = plan("x66_best_of_dupes")
+    assert(p.contains("partial_max"), "max(struct) must partial-aggregate")
+    assert(!p.contains("Window"), "no per-group sort window anywhere")
+  }
+
   test("x33: salted agg is two shuffle stages — (key, salt) partials then key") {
     val p = plan("x33_salted_agg")
     assert(p.contains("_salt"), "salt column must reach the first aggregate")
