@@ -145,6 +145,12 @@ object Scratch {
       time(s"x61_$dir")(queries.ExtendedQueries.x61MergeUpsert(spark, dir).count())
       time(s"x62_$dir")(queries.LlmQueries.x62MinhashEstimate(spark, dir).count())
       time(s"x63_$dir")(queries.LlmQueries.x63RarityScore(spark, dir).count())
+      time(s"x64_$dir")(queries.LlmQueries.x64PiiScrub(spark, dir).count())
+      time(s"x65_$dir")(queries.LlmQueries.x65VocabCoverage(spark, dir)
+        .filter(col("n_oov") > 0).count())
+      time(s"x66_$dir")(queries.LlmQueries.x66BestOfDupes(spark, dir)
+        .filter(col("n_members") > 1).count())
+      time(s"x56b_$dir")(queries.LlmQueries.x56bKnnAnn(spark, dir).count())
     }
     // x60 stripe balance: max/mean token skew across stripes for the
     // declared %8 form vs the split-id form (split form over the same

@@ -81,6 +81,7 @@ object SparkEntry {
     "x54_domain_rebalance" -> (LlmQueries.x54DomainRebalance _),
     "x55_lexical_diversity" -> (LlmQueries.x55LexicalDiversity _),
     "x56_knn_classify"     -> (LlmQueries.x56KnnClassify _),
+    "x56b_knn_ann"         -> (LlmQueries.x56bKnnAnn _),
     "x57_containment"      -> (LlmQueries.x57Containment _),
     "x58_orc_roundtrip"    -> (ExtendedQueries.x58OrcRoundtrip _),
     "x59_semdedup"         -> (LlmQueries.x59SemDedup _),

@@ -878,6 +878,17 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  /** x56b — x56's k-NN vote behind the IVF candidate generator
+    * (nprobe=3): the corpus-scale composition DECLARED, so Bench and the
+    * correctness harness exercise it every round, not just the spec.
+    * Rows-only: IVF recall on the fixture's near-random geometry needn't
+    * equal brute force (LlmSpec proves exact parity when the probes cover
+    * the true top-5), so x56's oracle pins the vote semantics and this
+    * entry pins the ANN composition end-to-end.
+    */
+  def x56bKnnAnn(spark: SparkSession, sfDir: String): DataFrame =
+    knnVote(knnAnnCandidates(spark, sfDir, nprobe = 3))
+
   /** IVF candidate generator for the kNN vote — the scale path x56's
     * scaladoc promises. Corpus vectors are list-assigned to their
     * argmax-cosine centroid (x32/x52's deterministic codebook: vec_ids

@@ -141,7 +141,7 @@ class PlanSpec extends SparkSpec {
     // constant onto the vocabulary frame (x50's shape)
     val broadcastCrossOk = Set("x11_cosine_topk", "x32_ivf_ann", "x49_pq_ann",
       "x50_tfidf_terms", "x52_kmeans_step", "x54_domain_rebalance",
-      "x56_knn_classify", "x59_semdedup", "x59b_semdedup_wide",
+      "x56_knn_classify", "x56b_knn_ann", "x59_semdedup", "x59b_semdedup_wide",
       "x63_rarity_score")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
