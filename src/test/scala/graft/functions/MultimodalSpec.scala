@@ -233,6 +233,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleVideoFrames(mediaDf(3)).count() == 0)
   }
 
+  test("RIFF walker edges: odd-size chunk padding, truncation, non-AVI, frame cap") {
+    // odd-size payloads exercise the word-alignment rule: a 3-byte and a
+    // 5-byte frame chunk each get a pad byte that must NOT reach the output
+    val odd1 = Array[Byte](1, 2, 3)
+    val odd2 = Array[Byte](4, 5, 6, 7, 8)
+    val avi = mjpegAvi(Seq(odd1, odd2))
+    val got = Multimodal.aviVideoFrames(avi)
+    assert(got.length == 2)
+    assert(got(0).sameElements(odd1) && got(1).sameElements(odd2))
+
+    // truncated mid-chunk: the walker stops cleanly with what it has
+    val cut = java.util.Arrays.copyOfRange(avi, 0, avi.length - 3)
+    assert(Multimodal.aviVideoFrames(cut).length <= 1)
+
+    // non-AVI RIFF (WAVE) and arbitrary bytes yield no frames
+    val wave = "RIFF".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII")
+    assert(Multimodal.aviVideoFrames(wave).isEmpty)
+    assert(Multimodal.aviVideoFrames("not a container".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.aviVideoFrames(null).isEmpty)
+    assert(Multimodal.aviVideoFrames(Array.empty[Byte]).isEmpty)
+
+    // maxFrames caps the walk (the decoder's bound on pathological files)
+    val many = mjpegAvi((1 to 100).map(i => Array[Byte](i.toByte)))
+    assert(Multimodal.aviVideoFrames(many, maxFrames = 10).length == 10)
+
+    // a corrupt declared size (beyond the buffer) stops the walk, no throw
+    val bad = avi.clone()
+    // first frame chunk's size field: find "00dc" and blow up its LE32 size
+    val idx = bad.indexOfSlice("00dc".getBytes("US-ASCII"))
+    bad(idx + 4) = 0x7f.toByte; bad(idx + 5) = 0x7f.toByte
+    bad(idx + 6) = 0x7f.toByte; bad(idx + 7) = 0x7f.toByte
+    assert(Multimodal.aviVideoFrames(bad).isEmpty)
+  }
+
   test("asEmbeddings bridges features into the embedding schema") {
     val emb = Multimodal.asEmbeddings(Multimodal.extractFeatures(mediaDf(10)))
     assert(emb.schema.fieldNames.toSeq == Seq("vec_id", "embedding", "label"))
