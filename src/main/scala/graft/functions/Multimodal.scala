@@ -21,7 +21,9 @@ import org.apache.spark.sql.types._
   * arbitrary bytes) fall back to `decodeStub`, the deterministic fake
   * standing in for external codec libraries — so the Spark-side contract
   * (schema, per-partition batch shape, null failure path) is exercised
-  * end-to-end for every media kind.
+  * end-to-end for every media kind. `resize` is likewise real for images
+  * (decode → integer nearest-neighbor rescale → lossless PNG re-encode);
+  * non-image payloads pass through unchanged with null dims.
   */
 object Multimodal {
 
@@ -268,21 +270,56 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** STUB resize: a real implementation decodes, scales, re-encodes; the
-    * fake deterministically truncates the payload to at most w*h bytes so
-    * tests can assert exact output (substring is null-propagating, so null
-    * payloads stay null). The META STRUCT update is the genuine contract
-    * piece — and it only claims dims for rows that actually have a payload;
-    * a null asset keeps a null-dim meta rather than asserting a fake w×h.
+  /** REAL image resize: payloads that decode through javax.imageio are
+    * scaled to w×h with NEAREST-NEIGHBOR sampling (integer source-pixel
+    * selection — deterministic across JVMs, where bilinear would hinge on
+    * float filtering internals) and re-encoded as PNG (lossless, so the
+    * resized pixels are exactly the selected ones; the JDK PNG writer is
+    * deterministic for identical pixels). The meta struct records the real
+    * new dims and the re-encoded mime. Payloads that do NOT decode as
+    * images (audio, video, arbitrary bytes, null) pass through UNCHANGED
+    * with null dims — an honest "couldn't resize", never a fake one.
+    * mapPartitions like extractFeatures: per-partition ImageIO setup, the
+    * work stays distributed.
     */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
-    val n = w * h
-    media.withColumn("media", substring(col("media"), 1, n))
-      .withColumn("meta",
-        struct(
-          col("meta.mime").as("mime"),
-          when(col("media").isNotNull, lit(w)).cast("int").as("width"),
-          when(col("media").isNotNull, lit(h)).cast("int").as("height")))
+    require(w >= 1 && h >= 1, s"target dims must be >= 1, got ${w}x$h")
+    val spark = media.sparkSession
+    val rdd = media.select("asset_id", "media", "meta.mime").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("media")
+        val mime = r.getAs[String]("mime")
+        val img =
+          if (bytes == null || bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+          Row(r.getAs[Long]("asset_id"), bytes, Row(mime, null, null))
+        else {
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // explicit per-pixel nearest-neighbor: src = floor(dst * srcDim /
+          // dstDim) in pure integer arithmetic — no Graphics2D filtering
+          // heuristics in the determinism path
+          var y = 0
+          while (y < h) {
+            val sy = (y.toLong * img.getHeight / h).toInt
+            var x = 0
+            while (x < w) {
+              out.setRGB(x, y, img.getRGB((x.toLong * img.getWidth / w).toInt, sy))
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          Row(r.getAs[Long]("asset_id"), baos.toByteArray, Row("image/png", w, h))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
   }
 
   /** REAL frame sampling for MJPEG-in-AVI payloads: every `every`-th

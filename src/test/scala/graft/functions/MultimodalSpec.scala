@@ -51,13 +51,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.extractFeatures(media.drop("path")).count() == 3)
   }
 
-  test("resize truncates payload (stub) and rewrites the dims metadata") {
-    val out = Multimodal.resize(mediaDf(5), 2, 3).collect()
+  test("resize really rescales decodable images (nearest-neighbor); others pass through") {
+    def png2x2(pixels: Seq[Int]): Array[Byte] = { // TL TR BL BR, 0xRRGGBB
+      val img = new java.awt.image.BufferedImage(
+        2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, pixels(0)); img.setRGB(1, 0, pixels(1))
+      img.setRGB(0, 1, pixels(2)); img.setRGB(1, 1, pixels(3))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val quad = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    val rows = Seq(
+      Row(0L, png2x2(quad), Row("image/png", 2, 2)),
+      Row(1L, "not an image".getBytes("UTF-8"), Row("application/octet-stream", null, null)),
+      Row(2L, null, Row(null, null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val out = Multimodal.resize(df, 4, 4).collect()
       .map(r => r.getAs[Long]("asset_id") -> r).toMap
+
+    // the image really upscaled: 4x4 PNG whose 2x2 blocks are the quadrants
+    // (nearest-neighbor src = floor(dst * 2 / 4) -> 0,0,1,1)
     val m0 = out(0L)
-    assert(m0.getAs[Array[Byte]]("media").length == 6) // 2*3 of "payload-0"
-    assert(m0.getStruct(2).getInt(1) == 2 && m0.getStruct(2).getInt(2) == 3)
-    assert(out(4L).isNullAt(1)) // null payload stays null
+    assert(m0.getStruct(2).getString(0) == "image/png")
+    assert(m0.getStruct(2).getInt(1) == 4 && m0.getStruct(2).getInt(2) == 4)
+    val up = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(m0.getAs[Array[Byte]]("media")))
+    assert(up.getWidth == 4 && up.getHeight == 4)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val want = quad((if (y >= 2) 2 else 0) + (if (x >= 2) 1 else 0))
+      assert((up.getRGB(x, y) & 0xffffff) == want, s"pixel ($x,$y)")
+    }
+
+    // non-image payload passes through byte-identical with null dims
+    val m1 = out(1L)
+    assert(m1.getAs[Array[Byte]]("media").sameElements("not an image".getBytes("UTF-8")))
+    assert(m1.getStruct(2).isNullAt(1) && m1.getStruct(2).isNullAt(2))
+    // null payload stays null, dims stay null
+    assert(out(2L).isNullAt(1) && out(2L).getStruct(2).isNullAt(1))
   }
 
   test("sampleFrames emits one row per (asset, frame) with non-empty chunks") {
