@@ -128,10 +128,14 @@ object Scratch {
       val cent = emb.filter(col("vec_id").between(1, k))
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
           col("norm").as("cnorm"))
+      // stableRound6 on the assignment cosine, exactly as semDedup does —
+      // without it a sub-1e-6 tie could land a vector in a different
+      // cluster than the query actually uses, skewing the reported volumes
+      val ac = queries.ExtendedQueries.stableRound6(
+        nd(col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
       emb.crossJoin(broadcast(cent))
         .groupBy("vec_id")
-        .agg(max(struct((nd(col("embedding"), col("cemb")) /
-          (col("norm") * col("cnorm"))).as("ac"), (-col("cid")).as("ncid"))).as("m"))
+        .agg(max(struct(ac.as("ac"), (-col("cid")).as("ncid"))).as("m"))
         .select((-col("m.ncid")).as("cid"))
         .groupBy("cid").count()
         .agg(sum(col("count") * (col("count") - 1))).head().getLong(0) / 2

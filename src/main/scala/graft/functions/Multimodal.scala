@@ -174,8 +174,8 @@ object Multimodal {
       var off = start
       while (off + 8 <= end && out.size < maxFrames) {
         val id = fourcc(off)
-        val sz = le32(off + 4)
-        if (sz < 0 || off + 8 + sz > end) return // truncated/corrupt: stop
+        val sz = le32(off + 4) // 0..0xFFFFFFFF by construction (Long)
+        if (off + 8 + sz > end) return // truncated/corrupt: stop
         if (id == "LIST") walk(off + 12, off + 8 + sz.toInt)
         else if (id.endsWith("dc") || id.endsWith("db"))
           out += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz.toInt)
@@ -277,26 +277,32 @@ object Multimodal {
     * resized pixels are exactly the selected ones; the JDK PNG writer is
     * deterministic for identical pixels). The meta struct records the real
     * new dims and the re-encoded mime. Payloads that do NOT decode as
-    * images (audio, video, arbitrary bytes, null) pass through UNCHANGED
-    * with null dims — an honest "couldn't resize", never a fake one.
-    * mapPartitions like extractFeatures: per-partition ImageIO setup, the
-    * work stays distributed.
+    * images (audio, video, arbitrary bytes, null) pass through fully
+    * UNCHANGED — payload, meta, and all other columns — an honest
+    * "couldn't resize", never a fake one; any extra caller columns (path,
+    * partition keys) survive on resized rows too. mapPartitions like
+    * extractFeatures: per-partition ImageIO setup, the work stays
+    * distributed.
     */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     require(w >= 1 && h >= 1, s"target dims must be >= 1, got ${w}x$h")
     val spark = media.sparkSession
-    val rdd = media.select("asset_id", "media", "meta.mime").rdd.mapPartitions { rows =>
+    // rewrite media/meta IN PLACE and carry every other column through
+    // untouched (a caller's path/partition columns must survive resize)
+    val schema = media.schema
+    val mediaIdx = schema.fieldIndex("media")
+    val metaIdx = schema.fieldIndex("meta")
+    val rdd = media.rdd.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]]("media")
-        val mime = r.getAs[String]("mime")
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
         val img =
           if (bytes == null || bytes.isEmpty) null
           else
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
             catch { case _: Exception => null }
         if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
-          Row(r.getAs[Long]("asset_id"), bytes, Row(mime, null, null))
+          r // pass-through: payload AND original meta untouched
         else {
           val out = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -315,11 +321,13 @@ object Multimodal {
           }
           val baos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(out, "png", baos)
-          Row(r.getAs[Long]("asset_id"), baos.toByteArray, Row("image/png", w, h))
+          Row.fromSeq(r.toSeq
+            .updated(mediaIdx, baos.toByteArray)
+            .updated(metaIdx, Row("image/png", w, h)))
         }
       }
     }
-    spark.createDataFrame(rdd, mediaSchema)
+    spark.createDataFrame(rdd, schema)
   }
 
   /** REAL frame sampling for MJPEG-in-AVI payloads: every `every`-th

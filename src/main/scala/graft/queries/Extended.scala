@@ -669,8 +669,13 @@ object ExtendedQueries {
     * rows the way MERGE WHEN clauses would.
     */
   def x61MergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    // Explicit matched flags on BOTH sides: classifying 'insert' by
+    // old_value IS NULL would misfire for a customer whose acctbal is
+    // legitimately NULL (the oracle classifies by key join-miss, and so
+    // must we — same reasoning as the delta-side flag below).
     val cust = Io.table(spark, sfDir, "customer")
-      .select(col("c_custkey").as("user_id"), col("c_acctbal").as("old_value"))
+      .select(col("c_custkey").as("user_id"), col("c_acctbal").as("old_value"),
+        lit(true).as("c_matched"))
     // eventsRaw, not table(): events.parquet stores ts as TIMESTAMP(NANOS),
     // which Spark rejects unless the nanosAsLong conf is set — eventsRaw sets
     // it, so the query is self-contained in a fresh session (we never touch
@@ -686,7 +691,7 @@ object ExtendedQueries {
     cust.join(delta, Seq("user_id"), "full_outer")
       .select(col("user_id"), col("old_value"),
         coalesce(col("new_value"), col("old_value")).as("value"),
-        when(col("old_value").isNull, "insert")
+        when(col("c_matched").isNull, "insert")
           .when(col("matched").isNull, "keep")
           .otherwise("update").as("op"))
       .orderBy("user_id")

@@ -1046,10 +1046,13 @@ object LlmQueries {
     * fraction, not the corpus — singletons join back after the fixpoint.
     *
     * Iterative-DataFrame discipline for scale: each round's labels are
-    * eagerly localCheckpoint'ed — materialized AND lineage-truncated, so
-    * the driver re-plans a constant-size tree per round instead of one
-    * that doubles with every jump — the previous round's pins are
-    * released, and convergence is detected by the monotone
+    * persisted and FORCED by the convergence check, then rebuilt as a
+    * lineage-TRUNCATED view (LogicalRDD over the cached rows) so the
+    * driver re-plans a constant-size tree per round instead of one that
+    * doubles with every jump; the previous round's pin is released with a
+    * REAL unpersist (localCheckpoint was tried and reverted — its blocks
+    * ignore Dataset.unpersist and pile up until GC), and convergence is
+    * detected by the monotone
     * label-sum (strictly decreasing until fixpoint — one cheap aggregate,
     * no join-diff). Each round POINTER-JUMPS after the neighbor step
     * (label ← min(label, label∘label): label values are themselves doc
@@ -1086,9 +1089,19 @@ object LlmQueries {
     // the loop frame would make every round's join+agg scan corpus-sized;
     // they rejoin as their own component after the fixpoint. Both edge
     // directions are present, so `a` alone covers every endpoint.
-    var labels = edges.select(col("a").as("doc_id")).distinct()
+    // Two handles per round: `labelsPinned` is the PERSISTED frame (the
+    // thing unpersist actually frees — localCheckpoint was tried here and
+    // reverted: Dataset.unpersist is a no-op on checkpoint blocks, so 30
+    // rounds of frames would pile up until driver GC), and `labels` is a
+    // lineage-TRUNCATED view of it (a LogicalRDD over the cached rows), so
+    // each round's plan is constant-size instead of doubling with every
+    // jump self-join — the truncation that cut the sf0.1 time 10.2s→4.2s.
+    def truncated(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    var labelsPinned = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).persist()
-    var prevSum = labelSum(labels)
+    var prevSum = labelSum(labelsPinned) // forces the pin
+    var labels = truncated(labelsPinned)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 30) {
@@ -1098,31 +1111,26 @@ object LlmQueries {
       // pointer jump: every label value is an edge-endpoint doc id, so it
       // is a key of `half` — compose the mapping with itself (left join +
       // coalesce only as belt-and-braces; label(label) ≤ label always)
-      // localCheckpoint, not persist: each round's plan embeds the previous
-      // round's FULL lineage (and the jump self-join doubles it), so with
-      // plain caching the driver re-analyzes a plan that grows ~2× per
-      // round — a fixed per-round cost that dominates wall time at small SF
-      // and driver CPU at 30 rounds. Eager localCheckpoint materializes the
-      // round AND truncates the logical plan to the materialized RDD, so
-      // every round re-plans a constant-size tree. (Executor-local blocks,
-      // MEMORY_AND_DISK — on a lost executor the round restarts, the same
-      // failure domain the persisted loop already had.)
       val next = half.join(
           half.select(col("doc_id").as("label"), col("label").as("label2")),
           Seq("label"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
-        .localCheckpoint() // eager: forces the round, truncates lineage
-      val s = labelSum(next) // cheap aggregate over the checkpointed blocks
-      labels.unpersist()
-      labels = next
+        .persist()
+      val s = labelSum(next) // forces `next` while the old pin still helps
+      labelsPinned.unpersist() // real release: blocks freed before next round
+      labelsPinned = next
+      labels = truncated(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       rounds += 1
     }
     x47LastRounds.set(rounds)
     edges.unpersist()
-    repin(labels) // released by the next pinning query, per the registry contract
+    // register the PERSISTED handle (repin skips re-persisting it and the
+    // registry's later unpersist really frees it); the truncated view
+    // below reads the same cached blocks
+    repin(labelsPinned) // released by the next pinning query, per the registry contract
     // singletons rejoin here: docs outside the edge set are their own
     // component of size 1 (coalesce), no loop cost ever paid for them
     val all = docs.select("doc_id").join(labels, Seq("doc_id"), "left")
@@ -1691,19 +1699,25 @@ object LlmQueries {
   private[graft] val PiiIpRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private[graft] val PiiPhoneRe = "\\+\\d{7,15}"
   def x64PiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
-    val redacted = regexp_replace(regexp_replace(regexp_replace(col("text"),
-      lit(PiiEmailRe), lit("<EMAIL>")), lit(PiiIpRe), lit("<IP>")),
-      lit(PiiPhoneRe), lit("<PHONE>"))
+    // Counts are taken on the SAME progressively-redacted text the
+    // replacements see, so each count equals the number of substitutions
+    // that stage actually performed — an IP inside an email's domain is
+    // consumed by the email stage and must NOT also count as an IP, or the
+    // counts and the redacted bytes would disagree (identically in both
+    // engines, which is why the oracle alone can't catch it).
+    val r1 = regexp_replace(col("text"), lit(PiiEmailRe), lit("<EMAIL>"))
+    val r2 = regexp_replace(r1, lit(PiiIpRe), lit("<IP>"))
+    val r3 = regexp_replace(r2, lit(PiiPhoneRe), lit("<PHONE>"))
     Io.table(spark, sfDir, "documents")
       .select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit(PiiEmailRe), lit(0)))
           .cast("long").as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(PiiIpRe), lit(0)))
+        size(regexp_extract_all(r1, lit(PiiIpRe), lit(0)))
           .cast("long").as("n_ips"),
-        size(regexp_extract_all(col("text"), lit(PiiPhoneRe), lit(0)))
+        size(regexp_extract_all(r2, lit(PiiPhoneRe), lit(0)))
           .cast("long").as("n_phones"),
-        length(redacted).cast("long").as("clean_len"),
-        md5(redacted).as("clean_hash"))
+        length(r3).cast("long").as("clean_len"),
+        md5(r3).as("clean_hash"))
       .orderBy("doc_id")
   }
 

@@ -1255,22 +1255,30 @@ object Oracles {
       |ORDER BY dt.doc_id""".stripMargin
 
   // x64: same regexes (the Java-regex/RE2 shared dialect), same fixed
-  // email -> ip -> phone replacement order; DuckDB needs the explicit 'g'
-  // flag (Spark's regexp_replace is global by default)
+  // email -> ip -> phone staging, counts taken on the SAME progressively
+  // redacted text as the Spark side (each count = substitutions that stage
+  // performed); DuckDB needs the explicit 'g' flag (Spark's regexp_replace
+  // is global by default)
   val x64: String =
-    """SELECT doc_id,
+    """WITH s1 AS (
+      |  SELECT doc_id, text,
+      |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r1
+      |  FROM documents),
+      |s2 AS (
+      |  SELECT doc_id, text, r1,
+      |         regexp_replace(r1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r2
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT doc_id, text, r1, r2,
+      |         regexp_replace(r2, '\+\d{7,15}', '<PHONE>', 'g') AS r3
+      |  FROM s2)
+      |SELECT doc_id,
       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-      |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-      |  CAST(len(regexp_extract_all(text, '\+\d{7,15}')) AS BIGINT) AS n_phones,
-      |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-      |    '\+\d{7,15}', '<PHONE>', 'g')) AS BIGINT) AS clean_len,
-      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-      |    '\+\d{7,15}', '<PHONE>', 'g')) AS clean_hash
-      |FROM documents
+      |  CAST(len(regexp_extract_all(r1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(r2, '\+\d{7,15}')) AS BIGINT) AS n_phones,
+      |  CAST(length(r3) AS BIGINT) AS clean_len,
+      |  md5(r3) AS clean_hash
+      |FROM s3
       |ORDER BY doc_id""".stripMargin
 
   // x65: top-20 vocabulary with the (count DESC, term ASC) total-order

@@ -64,12 +64,17 @@ class MultimodalSpec extends SparkSpec {
     val quad = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
     val rows = Seq(
       Row(0L, png2x2(quad), Row("image/png", 2, 2)),
-      Row(1L, "not an image".getBytes("UTF-8"), Row("application/octet-stream", null, null)),
+      Row(1L, "not an image".getBytes("UTF-8"), Row("application/octet-stream", 9, 9)),
       Row(2L, null, Row(null, null, null)))
     val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
-    val out = Multimodal.resize(df, 4, 4).collect()
-      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+        spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+      .withColumn("path", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("f"), org.apache.spark.sql.functions.col("asset_id")))
+    val resized = Multimodal.resize(df, 4, 4)
+    // extra caller columns survive on every row
+    assert(resized.columns.toSeq == Seq("asset_id", "media", "meta", "path"))
+    val out = resized.collect().map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert((0L to 2L).forall(i => out(i).getAs[String]("path") == s"f$i"))
 
     // the image really upscaled: 4x4 PNG whose 2x2 blocks are the quadrants
     // (nearest-neighbor src = floor(dst * 2 / 4) -> 0,0,1,1)
@@ -84,12 +89,13 @@ class MultimodalSpec extends SparkSpec {
       assert((up.getRGB(x, y) & 0xffffff) == want, s"pixel ($x,$y)")
     }
 
-    // non-image payload passes through byte-identical with null dims
+    // non-image payload passes through byte-identical with its ORIGINAL
+    // meta untouched (no fake dims claimed, no real ones erased)
     val m1 = out(1L)
     assert(m1.getAs[Array[Byte]]("media").sameElements("not an image".getBytes("UTF-8")))
-    assert(m1.getStruct(2).isNullAt(1) && m1.getStruct(2).isNullAt(2))
-    // null payload stays null, dims stay null
-    assert(out(2L).isNullAt(1) && out(2L).getStruct(2).isNullAt(1))
+    assert(m1.getStruct(2) == Row("application/octet-stream", 9, 9))
+    // null payload stays null, meta stays untouched
+    assert(out(2L).isNullAt(1) && out(2L).getStruct(2) == Row(null, null, null))
   }
 
   test("sampleFrames emits one row per (asset, frame) with non-empty chunks") {

@@ -368,7 +368,8 @@ class LlmSpec extends SparkSpec {
     val dir = docsDir(Seq(
       (0L, "contact john.doe+spam@mail.example.com or 10.0.0.1 now", "en", "s", 1L),
       (1L, "call +14155552671 then +4930123456", "en", "s", 1L),
-      (2L, "no pii in this document at all", "en", "s", 1L)))
+      (2L, "no pii in this document at all", "en", "s", 1L),
+      (3L, "mail a@1.2.3.4.com today", "en", "s", 1L))) // IP inside the email's domain
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
@@ -377,10 +378,14 @@ class LlmSpec extends SparkSpec {
     val red0 = "contact <EMAIL> or <IP> now"
     val red1 = "call <PHONE> then <PHONE>"
     val red2 = "no pii in this document at all"
+    val red3 = "mail <EMAIL> today"
     assert(out == Seq(
       (0L, 1L, 1L, 0L, red0.length.toLong, md5hex(red0)),
       (1L, 0L, 0L, 2L, red1.length.toLong, md5hex(red1)),
-      (2L, 0L, 0L, 0L, red2.length.toLong, md5hex(red2))))
+      (2L, 0L, 0L, 0L, red2.length.toLong, md5hex(red2)),
+      // the embedded IP was CONSUMED by the email redaction: n_ips must be
+      // 0, not 1 — counts reconcile exactly with the redacted bytes
+      (3L, 1L, 0L, 0L, red3.length.toLong, md5hex(red3))))
   }
 
   test("x65: vocab boundary tie resolves by term order; OOV terms counted per doc") {
