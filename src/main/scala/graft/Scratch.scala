@@ -155,6 +155,9 @@ object Scratch {
       time(s"x66_$dir")(queries.LlmQueries.x66BestOfDupes(spark, dir)
         .filter(col("n_members") > 1).count())
       time(s"x56b_$dir")(queries.LlmQueries.x56bKnnAnn(spark, dir).count())
+      time(s"x67_$dir")(queries.LlmQueries.x67SourceOverlap(spark, dir).count())
+      time(s"x68_$dir")(queries.LlmQueries.x68DupRateBySource(spark, dir)
+        .filter(col("n_dup_docs") > 0).count())
     }
     // x60 stripe balance: max/mean token skew across stripes for the
     // declared %8 form vs the split-id form (split form over the same

@@ -92,7 +92,9 @@ object SparkEntry {
     "x63_rarity_score"     -> (LlmQueries.x63RarityScore _),
     "x64_pii_scrub"        -> (LlmQueries.x64PiiScrub _),
     "x65_vocab_coverage"   -> (LlmQueries.x65VocabCoverage _),
-    "x66_best_of_dupes"    -> (LlmQueries.x66BestOfDupes _))
+    "x66_best_of_dupes"    -> (LlmQueries.x66BestOfDupes _),
+    "x67_source_overlap"   -> (LlmQueries.x67SourceOverlap _),
+    "x68_dup_rate_source"  -> (LlmQueries.x68DupRateBySource _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1763,6 +1763,56 @@ object LlmQueries {
     * never a per-group sort window (asserted in PlanSpec). Singletons are
     * their own group (left join + coalesce, same rejoin shape as x47).
     */
+  /** x67 — cross-source CONTENT OVERLAP: for every source pair, how many
+    * distinct content hashes appear in both, plus the Jaccard of their
+    * hash sets — the "which crawls duplicate which" diagnostic run before
+    * choosing what to ingest. Self-join is on the (hash, source) DISTINCT
+    * frame, so per-hash expansion is bounded by the SOURCE count (≤20
+    * pairs a hash can witness), never by doc-level copy counts; per-source
+    * distinct totals ride a 20-row broadcast back onto the pair counts —
+    * a constant-size side by construction (one row per source).
+    */
+  def x67SourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val hs = fanOut(Io.table(spark, sfDir, "documents"))
+      .select(md5(col("text")).as("h"), col("source")).distinct()
+    val perSource = hs.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = hs.select(col("h"), col("source").as("source_a"))
+      .join(hs.select(col("h"), col("source").as("source_b")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared")) // (h, source) distinct ⇒ count = distinct h
+    shared
+      .join(broadcast(perSource.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(perSource.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        ExtendedQueries.stableRound6(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** x68 — per-source DUPLICATION RATE: for each source, its doc count,
+    * how many of its docs share a content hash with ANY other doc in the
+    * corpus (cross-source included — that is the point), and the rate —
+    * the one-line health report that decides which sources get the
+    * aggressive dedup pass. Corpus-wide hash multiplicity is ONE
+    * map-combining agg; it joins back onto the doc frame by hash (both
+    * sides shuffle on h — at scale this is the same bucketed join as
+    * x10's), then one agg per source.
+    */
+  def x68DupRateBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = fanOut(Io.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val mult = d.groupBy("h").agg(count(lit(1)).as("n_copies"))
+    d.join(mult, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_copies") > 1).cast("long")).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        ExtendedQueries.stableRound6(
+          col("n_dup_docs").cast("double") / col("n_docs")).as("dup_rate"))
+      .orderBy("source")
+  }
+
   def x66BestOfDupes(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Io.table(spark, sfDir, "documents")
     val bands = bandHashes(minhashSignature(fanOut(docs), 16), bandsOf = 4, r = 4)

@@ -1327,7 +1327,40 @@ object Oracles {
       |FROM r WHERE rn = 1
       |ORDER BY group_id""".stripMargin
 
+  // x67: distinct (hash, source) self-join — count(*) IS the distinct-hash
+  // count per pair; Jaccard from the per-source totals
+  val x67: String =
+    """WITH hs AS (SELECT DISTINCT md5(text) AS h, source FROM documents),
+      |ps AS (SELECT source, count(*) AS n FROM hs GROUP BY source),
+      |sh AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      |  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT sh.source_a, sh.source_b, CAST(sh.n_shared AS BIGINT) AS n_shared,
+      |       floor(CAST(sh.n_shared AS DOUBLE) / (pa.n + pb.n - sh.n_shared)
+      |             * 1000000 + 0.5) / 1000000 AS jaccard
+      |FROM sh
+      |JOIN ps pa ON pa.source = sh.source_a
+      |JOIN ps pb ON pb.source = sh.source_b
+      |ORDER BY sh.source_a, sh.source_b""".stripMargin
+
+  // x68: corpus-wide hash multiplicity joined back per doc, aggregated per
+  // source
+  val x68: String =
+    """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+      |m AS (SELECT h, count(*) AS n_copies FROM d GROUP BY h)
+      |SELECT d.source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN m.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |       floor(CAST(sum(CASE WHEN m.n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*) * 1000000 + 0.5) / 1000000 AS dup_rate
+      |FROM d JOIN m ON d.h = m.h
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x67_source_overlap"  -> x67,
+    "x68_dup_rate_source" -> x68,
     "x59_semdedup"        -> x59,
     "x60_sequence_pack"   -> x60,
     "x62_minhash_estimate" -> x62,

@@ -424,6 +424,40 @@ class LlmSpec extends SparkSpec {
       (2L, 1L, 2L, 31L)))                 // singleton keeps itself
   }
 
+  test("x67: overlap counts distinct shared hashes per source pair with exact Jaccard") {
+    val dir = docsDir(Seq(
+      (0L, "shared one", "en", "A", 1L),
+      (1L, "shared one", "en", "B", 1L),   // A∩B via "shared one"
+      (2L, "shared two", "en", "A", 1L),
+      (3L, "shared two", "en", "B", 1L),   // A∩B via "shared two"
+      (4L, "shared two", "en", "B", 1L),   // same (h, B) twice: still ONE distinct
+      (5L, "shared three", "en", "B", 1L),
+      (6L, "shared three", "en", "C", 1L), // B∩C
+      (7L, "only a", "en", "A", 1L),
+      (8L, "only c", "en", "C", 1L)))
+    val out = LlmQueries.x67SourceOverlap(spark, dir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // |A|=3, |B|=3, |C|=2 distinct hashes
+    assert(out == Seq(
+      ("A", "B", 2L, 0.5),                              // 2 / (3+3-2)
+      ("B", "C", 1L, math.floor(0.25 * 1e6 + 0.5) / 1e6))) // 1 / (3+2-1)
+  }
+
+  test("x68: a doc counts as dup when ANY other doc shares its hash, cross-source included") {
+    val dir = docsDir(Seq(
+      (0L, "dup text", "en", "A", 1L),
+      (1L, "dup text", "en", "A", 1L),   // in-source dup pair
+      (2L, "lonely a", "en", "A", 1L),
+      (3L, "cross text", "en", "A", 1L),
+      (4L, "cross text", "en", "B", 1L), // cross-source: BOTH ends are dup docs
+      (5L, "lonely b", "en", "B", 1L)))
+    val out = LlmQueries.x68DupRateBySource(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("A", 4L, 3L, 0.75), // docs 0, 1, 3 are dups
+      ("B", 2L, 1L, 0.5))) // doc 4 is a dup even though its twin lives in A
+  }
+
   test("x57: containment is 1.0 for a contained doc while its Jaccard is below 1") {
     val base = (0 until 20).map(i => s"tok$i").mkString(" ")
     val dir = docsDir(Seq(
