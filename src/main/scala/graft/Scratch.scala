@@ -158,6 +158,7 @@ object Scratch {
       time(s"x67_$dir")(queries.LlmQueries.x67SourceOverlap(spark, dir).count())
       time(s"x68_$dir")(queries.LlmQueries.x68DupRateBySource(spark, dir)
         .filter(col("n_dup_docs") > 0).count())
+      time(s"x69_$dir")(queries.LlmQueries.x69PrepPipelineV3(spark, dir).count())
     }
     // x60 stripe balance: max/mean token skew across stripes for the
     // declared %8 form vs the split-id form (split form over the same

@@ -94,7 +94,8 @@ object SparkEntry {
     "x65_vocab_coverage"   -> (LlmQueries.x65VocabCoverage _),
     "x66_best_of_dupes"    -> (LlmQueries.x66BestOfDupes _),
     "x67_source_overlap"   -> (LlmQueries.x67SourceOverlap _),
-    "x68_dup_rate_source"  -> (LlmQueries.x68DupRateBySource _))
+    "x68_dup_rate_source"  -> (LlmQueries.x68DupRateBySource _),
+    "x69_prep_v3"          -> (LlmQueries.x69PrepPipelineV3 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

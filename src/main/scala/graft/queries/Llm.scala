@@ -1376,8 +1376,31 @@ object LlmQueries {
     * SURVIVORS only. The survivor sets feed multiple consumers, so both
     * are pinned (same bounded-pin contract as x34).
     */
-  def x46PrepPipelineV2(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Io.table(spark, sfDir, "documents")
+  def x46PrepPipelineV2(spark: SparkSession, sfDir: String): DataFrame =
+    prepV2Core(Io.table(spark, sfDir, "documents"))
+
+  /** x69 — the v3 prep flow: x46's entire pipeline run over the
+    * PII-REDACTED corpus (x64's staged email→ip→phone scrub applied
+    * FIRST, so every downstream signal — quality tokens, bigrams,
+    * shingles, eval 5-grams — sees clean text). Redaction-before-dedup is
+    * load-bearing, not cosmetic: two pages identical except for
+    * different injected emails share no exact hash and can even miss
+    * LSH bands, but redact to the SAME bytes and collapse in the exact
+    * stage — the spec pins exactly that case (v2 keeps both, v3 keeps
+    * one). Same stage cost order as x46; the scrub itself is per-row
+    * codegen'd regex work folded into the first scan.
+    */
+  def x69PrepPipelineV3(spark: SparkSession, sfDir: String): DataFrame = {
+    val r1 = regexp_replace(col("text"), lit(PiiEmailRe), lit("<EMAIL>"))
+    val r2 = regexp_replace(r1, lit(PiiIpRe), lit("<IP>"))
+    val r3 = regexp_replace(r2, lit(PiiPhoneRe), lit("<PHONE>"))
+    prepV2Core(Io.table(spark, sfDir, "documents").withColumn("text", r3))
+  }
+
+  /** x46/x69 shared pipeline body over whichever corpus frame is passed
+    * (raw for v2, PII-redacted for v3) — one implementation, so the two
+    * declared flows cannot drift. */
+  private def prepV2Core(docs: DataFrame): DataFrame = {
     val en = docs.filter(col("lang") === "en")
     val pass = qualityScored(en).filter(col("quality_score") >= 0.7)
       .select("doc_id", "quality_score")

@@ -815,6 +815,23 @@ object Oracles {
       |  AND substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) <= '7f'
       |ORDER BY k.doc_id""".stripMargin
 
+  // x69: x46's pipeline verbatim over the PII-redacted corpus — built by
+  // string surgery so the two oracles CANNOT drift: prepend the staged
+  // redaction CTE and point every corpus read at it
+  val x69: String = {
+    val cleaned =
+      """cleaned AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |           '\+\d{7,15}', '<PHONE>', 'g') AS text,
+        |         lang, source, n_chars
+        |  FROM documents),
+        |""".stripMargin
+    "WITH " + cleaned + x46.stripPrefix("WITH ").replace("FROM documents", "FROM cleaned")
+  }
+
   // x47: transitive closure stated declaratively — DuckDB's recursive CTE
   // computes the same fixpoint Spark reaches by iterative min propagation
   val x47: String =
@@ -1361,6 +1378,7 @@ object Oracles {
   val lGroup: Map[String, String] = Map(
     "x67_source_overlap"  -> x67,
     "x68_dup_rate_source" -> x68,
+    "x69_prep_v3"         -> x69,
     "x59_semdedup"        -> x59,
     "x60_sequence_pack"   -> x60,
     "x62_minhash_estimate" -> x62,

@@ -424,6 +424,32 @@ class LlmSpec extends SparkSpec {
       (2L, 1L, 2L, 31L)))                 // singleton keeps itself
   }
 
+  test("x69: redaction-before-dedup collapses docs that differ only in PII; v2 keeps both") {
+    // PII-DENSE twins: filler words alternate with 24 per-doc-distinct
+    // emails, so every 3-gram shingle touches an email — pre-redaction the
+    // twins share ZERO shingles (no LSH pair, no exact match), while one
+    // token of difference would let near-dedup catch them anyway and mask
+    // the point. Post-redaction both collapse to the same bytes.
+    val mk = (tag: String) =>
+      (1 to 24).map(i => s"w$i $tag$i@mail$i.com").mkString(" ") + " w25"
+    // ids 6, 9, 11 all pass the final 50% hash sample (md5 prefixes
+    // 16/45/65 ≤ 7f), so sampling can't mask the dedup difference
+    val dir = docsDir(Seq(
+      (6L, mk("alice"), "en", "s", 1L),
+      (9L, mk("bob"), "en", "s", 1L), // same text post-redaction
+      (11L, (1 to 60).map(i => if (i % 6 == 0) "of" else s"unrelated$i").mkString(" "),
+        "en", "s", 1L)))
+    val v2 = LlmQueries.x46PrepPipelineV2(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val v3 = LlmQueries.x69PrepPipelineV3(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    // v2 sees two DIFFERENT texts (the emails differ), so both twins
+    // survive its exact dedup; v3 redacts first, the texts become
+    // byte-identical, and keep-lowest-id leaves only doc 6
+    assert(v2 == Set(6L, 9L, 11L), s"v2 must keep both PII twins: $v2")
+    assert(v3 == Set(6L, 11L), s"v3 must collapse the twins to the lowest id: $v3")
+  }
+
   test("x67: overlap counts distinct shared hashes per source pair with exact Jaccard") {
     val dir = docsDir(Seq(
       (0L, "shared one", "en", "A", 1L),
