@@ -1095,7 +1095,7 @@ object LlmQueries {
     // rounds of frames would pile up until driver GC), and `labels` is a
     // lineage-TRUNCATED view of it (a LogicalRDD over the cached rows), so
     // each round's plan is constant-size instead of doubling with every
-    // jump self-join — the truncation that cut the sf0.1 time 10.2s→4.2s.
+    // jump self-join — the truncation that cut the sf0.1 time 10.2s→2.6s.
     def truncated(df: DataFrame): DataFrame =
       df.sparkSession.createDataFrame(df.rdd, df.schema)
     var labelsPinned = edges.select(col("a").as("doc_id")).distinct()
@@ -1390,12 +1390,9 @@ object LlmQueries {
     * one). Same stage cost order as x46; the scrub itself is per-row
     * codegen'd regex work folded into the first scan.
     */
-  def x69PrepPipelineV3(spark: SparkSession, sfDir: String): DataFrame = {
-    val r1 = regexp_replace(col("text"), lit(PiiEmailRe), lit("<EMAIL>"))
-    val r2 = regexp_replace(r1, lit(PiiIpRe), lit("<IP>"))
-    val r3 = regexp_replace(r2, lit(PiiPhoneRe), lit("<PHONE>"))
-    prepV2Core(Io.table(spark, sfDir, "documents").withColumn("text", r3))
-  }
+  def x69PrepPipelineV3(spark: SparkSession, sfDir: String): DataFrame =
+    prepV2Core(Io.table(spark, sfDir, "documents")
+      .withColumn("text", piiStages(col("text")).last))
 
   /** x46/x69 shared pipeline body over whichever corpus frame is passed
     * (raw for v2, PII-redacted for v3) — one implementation, so the two
@@ -1721,6 +1718,18 @@ object LlmQueries {
   private[graft] val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] val PiiIpRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private[graft] val PiiPhoneRe = "\\+\\d{7,15}"
+
+  /** The staged email → ip → phone redaction stages, shared by x64 (which
+    * also counts per stage) and x69 (which feeds stage 3 to the whole prep
+    * pipeline) — ONE definition, so the scrub cannot drift between its
+    * consumers. Index i = text after the first i replacements.
+    */
+  private[graft] def piiStages(text: Column): Seq[Column] = {
+    val r1 = regexp_replace(text, lit(PiiEmailRe), lit("<EMAIL>"))
+    val r2 = regexp_replace(r1, lit(PiiIpRe), lit("<IP>"))
+    val r3 = regexp_replace(r2, lit(PiiPhoneRe), lit("<PHONE>"))
+    Seq(text, r1, r2, r3)
+  }
   def x64PiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
     // Counts are taken on the SAME progressively-redacted text the
     // replacements see, so each count equals the number of substitutions
@@ -1728,12 +1737,10 @@ object LlmQueries {
     // consumed by the email stage and must NOT also count as an IP, or the
     // counts and the redacted bytes would disagree (identically in both
     // engines, which is why the oracle alone can't catch it).
-    val r1 = regexp_replace(col("text"), lit(PiiEmailRe), lit("<EMAIL>"))
-    val r2 = regexp_replace(r1, lit(PiiIpRe), lit("<IP>"))
-    val r3 = regexp_replace(r2, lit(PiiPhoneRe), lit("<PHONE>"))
+    val Seq(raw, r1, r2, r3) = piiStages(col("text"))
     Io.table(spark, sfDir, "documents")
       .select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(PiiEmailRe), lit(0)))
+        size(regexp_extract_all(raw, lit(PiiEmailRe), lit(0)))
           .cast("long").as("n_emails"),
         size(regexp_extract_all(r1, lit(PiiIpRe), lit(0)))
           .cast("long").as("n_ips"),
@@ -1798,6 +1805,10 @@ object LlmQueries {
   def x67SourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val hs = fanOut(Io.table(spark, sfDir, "documents"))
       .select(md5(col("text")).as("h"), col("source")).distinct()
+    // hs feeds THREE lineages (both self-join sides + the per-source
+    // totals); pin it so the corpus scan + distinct runs once, not per
+    // consumer (same bounded-pin contract as x34/x46)
+    repin(hs)
     val perSource = hs.groupBy("source").agg(count(lit(1)).as("n"))
     val shared = hs.select(col("h"), col("source").as("source_a"))
       .join(hs.select(col("h"), col("source").as("source_b")), Seq("h"))

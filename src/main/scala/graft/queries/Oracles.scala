@@ -816,16 +816,13 @@ object Oracles {
       |ORDER BY k.doc_id""".stripMargin
 
   // x69: x46's pipeline verbatim over the PII-redacted corpus — built by
-  // string surgery so the two oracles CANNOT drift: prepend the staged
-  // redaction CTE and point every corpus read at it
+  // string surgery so neither the pipeline NOR the scrub can drift: the
+  // redaction comes from the same piiSqlStages as x64's oracle, and the
+  // body is x46's SQL with every corpus read re-pointed at the cleaned CTE
   val x69: String = {
     val cleaned =
-      """cleaned AS (
-        |  SELECT doc_id,
-        |         regexp_replace(regexp_replace(regexp_replace(text,
-        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |           '\+\d{7,15}', '<PHONE>', 'g') AS text,
+      s"""cleaned AS (
+        |  SELECT doc_id, ${piiRedactSql("text")} AS text,
         |         lang, source, n_chars
         |  FROM documents),
         |""".stripMargin
@@ -1271,32 +1268,47 @@ object Oracles {
       |GROUP BY dt.doc_id
       |ORDER BY dt.doc_id""".stripMargin
 
-  // x64: same regexes (the Java-regex/RE2 shared dialect), same fixed
-  // email -> ip -> phone staging, counts taken on the SAME progressively
-  // redacted text as the Spark side (each count = substitutions that stage
-  // performed); DuckDB needs the explicit 'g' flag (Spark's regexp_replace
-  // is global by default)
-  val x64: String =
-    """WITH s1 AS (
+  // The PII redaction stages — (pattern, replacement) in fixed order,
+  // defined ONCE and expanded into both the x64 oracle and x69's cleaned
+  // CTE, mirroring LlmQueries.piiStages on the Spark side. The regexes are
+  // the Java-regex/RE2 shared dialect; DuckDB needs the explicit 'g' flag
+  // (Spark's regexp_replace is global by default).
+  // lazy: x69 (declared earlier in this object) expands these during
+  // object init — a plain val here would still be null at that point
+  private lazy val piiSqlStages: Seq[(String, String)] = Seq(
+    ("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("""\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
+    ("""\+\d{7,15}""", "<PHONE>"))
+  private def piiRedactSql(expr: String): String =
+    piiSqlStages.foldLeft(expr) { case (e, (re, tok)) =>
+      s"regexp_replace($e, '$re', '$tok', 'g')"
+    }
+
+  // x64: counts taken on the SAME progressively redacted text as the Spark
+  // side (each count = substitutions that stage performed)
+  val x64: String = {
+    val Seq((eRe, eTok), (iRe, iTok), (pRe, pTok)) = piiSqlStages
+    s"""WITH s1 AS (
       |  SELECT doc_id, text,
-      |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r1
+      |         regexp_replace(text, '$eRe', '$eTok', 'g') AS r1
       |  FROM documents),
       |s2 AS (
       |  SELECT doc_id, text, r1,
-      |         regexp_replace(r1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r2
+      |         regexp_replace(r1, '$iRe', '$iTok', 'g') AS r2
       |  FROM s1),
       |s3 AS (
       |  SELECT doc_id, text, r1, r2,
-      |         regexp_replace(r2, '\+\d{7,15}', '<PHONE>', 'g') AS r3
+      |         regexp_replace(r2, '$pRe', '$pTok', 'g') AS r3
       |  FROM s2)
       |SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-      |  CAST(len(regexp_extract_all(r1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-      |  CAST(len(regexp_extract_all(r2, '\+\d{7,15}')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(text, '$eRe')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(r1, '$iRe')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(r2, '$pRe')) AS BIGINT) AS n_phones,
       |  CAST(length(r3) AS BIGINT) AS clean_len,
       |  md5(r3) AS clean_hash
       |FROM s3
       |ORDER BY doc_id""".stripMargin
+  }
 
   // x65: top-20 vocabulary with the (count DESC, term ASC) total-order
   // tie-break, then per-doc OOV rate via a left join
