@@ -83,4 +83,17 @@ class EquivalenceSpec extends SparkSpec {
       assert(got == naive, s"got=${got.size} naive=${naive.size}")
     }
   }
+
+  test("x69 == x46 row-for-row on a PII-free corpus (redaction is a strict no-op)") {
+    // the sf0.001 fixture carries no PII, so the v3 pipeline must be
+    // byte-identical to v2 — this catches a scrub regex that accidentally
+    // fires on clean tokens (which would silently perturb every
+    // downstream signal while both oracles stayed green)
+    val sf = "/root/testdata/sf0.001"
+    val v2 = LlmQueries.x46PrepPipelineV2(spark, sf)
+      .as[(Long, String, Double)].collect().toSeq
+    val v3 = LlmQueries.x69PrepPipelineV3(spark, sf)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(v2.nonEmpty && v3 == v2)
+  }
 }
