@@ -249,6 +249,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "no per-group sort window anywhere")
   }
 
+  test("x67: pinned (hash, source) frame feeds all three consumers from the cache") {
+    val p = plan("x67_source_overlap")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      "both self-join sides AND the per-source totals must read the pin, not rescan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x68: hash multiplicity is a map-combining aggregate") {
+    val p = plan("x68_dup_rate_source")
+    assert(p.contains("partial_count"), "multiplicity agg must be two-phase")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      "projection must prune to the three consumed columns")
+  }
+
+  test("x69: the scrub stays per-row — v3 plans the same survivor pin shape as v2") {
+    val p = plan("x69_prep_v3")
+    assert(p.contains("InMemoryTableScan"),
+      "exact/kept survivor frames must be pinned, as in x46")
+    assert("WindowGroupLimit|partial_min".r.findFirstIn(p).isDefined,
+      "minhash signature aggregate must partial-combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("x33: salted agg is two shuffle stages — (key, salt) partials then key") {
     val p = plan("x33_salted_agg")
     assert(p.contains("_salt"), "salt column must reach the first aggregate")
