@@ -114,6 +114,34 @@ object Scratch {
       .filter(col("n_near") >= 9).count()
     println(s"PROBE x35b_recall flagged=$flagged of 50000")
 
+    // 100× probe (500k docs / 200k vectors) — one more decade for the
+    // heaviest operators; opt-in (SPARK_GRAFT_PROBE_100X=1) so the default
+    // probe run stays minutes, not tens of minutes
+    if (sys.env.get("SPARK_GRAFT_PROBE_100X").contains("1")) {
+      val hundredDir = "/tmp/probe100x"
+      def hundredfold(table: String, idCol: String): Unit = {
+        val base = core.Io.table(spark, sfDir, table)
+        (0 until 100).map(i => base.withColumn(idCol, col(idCol) + lit(i * 10000000L)))
+          .reduce(_ union _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$hundredDir/$table.parquet")
+      }
+      hundredfold("documents", "doc_id")
+      hundredfold("embeddings", "vec_id")
+      for (dir <- Seq(hundredDir)) {
+        time(s"x10_$dir")(queries.ExtendedQueries.x10ExactDedupHash(spark, dir).count())
+        time(s"x13b_$dir")(queries.LlmQueries.x13bMinhashNative(spark, dir).count())
+        time(s"x16_$dir")(queries.LlmQueries.x16QualityScore(spark, dir).count())
+        time(s"x34_$dir")(queries.LlmQueries.x34PrepPipeline(spark, dir).count())
+        time(s"x47_$dir")(queries.LlmQueries.x47DedupComponents(spark, dir).count())
+        time(s"x53_$dir")(queries.LlmQueries.x53ChunkDedup(spark, dir)
+          .filter(col("n_dup_chunks") > 0).count())
+        time(s"x60_$dir")(queries.LlmQueries.x60SequencePack(spark, dir).count())
+        time(s"x63_$dir")(queries.LlmQueries.x63RarityScore(spark, dir).count())
+        time(s"x69_$dir")(queries.LlmQueries.x69PrepPipelineV3(spark, dir).count())
+      }
+    }
+
     // round-6 probes (x59-x63): volumes over clocks.
     // x59 vs x59b — within-cluster PAIR volume Σ n·(n−1)/2, the quantity
     // the k parameter exists to shrink (same argmax assignment as semDedup,
@@ -174,6 +202,31 @@ object Scratch {
       val (sp, mp, xp) = skew(queries.LlmQueries.sequencePackBySplit(docs))
       println(f"PROBE x60skew dir=$dir mod8: stripes=$s8 max/mean=${x8 / m8}%.3f " +
         f"split: stripes=$sp max/mean=${xp / mp}%.3f")
+    }
+
+    // round-6 continuation probes (x70-x72): volumes over clocks. x70's
+    // load is the change-row count (window state), x71's the per-status
+    // doc volumes, x72's the vocabulary-vs-token-stream collapse ratio —
+    // the quantity its distinct-word explode exists to exploit.
+    for (dir <- Seq(sfDir, tenDir)) {
+      time(s"x70_$dir")(queries.ExtendedQueries.x70Scd2History(spark, dir).count())
+      time(s"x71_$dir")(queries.LlmQueries.x71SnapshotDiff(spark, dir)
+        .agg(sum("n_docs")).head().getLong(0))
+      time(s"x72_$dir")(queries.LlmQueries.x72BpePairs(spark, dir).count())
+      time(s"x73_$dir")(queries.ExtendedQueries.x73SaltedJoin(spark, dir).count())
+      time(s"x74_$dir")(queries.ExtendedQueries.x74Funnel(spark, dir)
+        .agg(sum("n_users")).head().getLong(0))
+      time(s"x75_$dir")(queries.ExtendedQueries.x75Retention(spark, dir)
+        .agg(sum("n_users")).head().getLong(0))
+      time(s"x76_$dir")(queries.ExtendedQueries.x76BucketedJoin(spark, dir).count())
+      time(s"x77_$dir")(queries.ExtendedQueries.x77PartitionedPrune(spark, dir).count())
+      val docs = core.Io.table(spark, dir, "documents")
+      val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+      val nTok = toks.count()
+      val nVocab = toks.distinct().count()
+      println(s"PROBE x72collapse dir=$dir tokens=$nTok vocab=$nVocab " +
+        f"ratio=${nTok.toDouble / nVocab}%.1f")
     }
     spark.stop()
   }

@@ -26,11 +26,23 @@ object Bucketing {
     * bucket ≈ one task's worth of data at the target scale; both sides of
     * a co-located join must use the SAME count.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // A fresh session's in-memory catalog doesn't know tables written by a
+    // PREVIOUS JVM, but their warehouse directories persist — saveAsTable
+    // then fails with LOCATION_ALREADY_EXISTS on a location it doesn't
+    // own. Drop what the catalog knows AND delete the stale location, so
+    // re-running in any session is idempotent.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Write `df` partition-pruned by a low-cardinality column: each distinct
     * value becomes a directory, and a reader filtering on that column scans

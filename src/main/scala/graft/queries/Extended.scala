@@ -696,4 +696,219 @@ object ExtendedQueries {
           .otherwise("update").as("op"))
       .orderBy("user_id")
   }
+
+  /** x70 — SCD-2 HISTORY build: the slowly-changing-dimension TYPE 2
+    * companion to x61's SCD-1 upsert. From the event stream, each user's
+    * value history collapses to its CHANGE rows (consecutive repeats
+    * dropped — the null-safe `<=>` negation is IS DISTINCT FROM, so a
+    * null-valued reading after a null is a repeat, not a change), and each
+    * change row becomes a versioned validity interval
+    * [valid_from, valid_to) keyed by event_id — the CDC sequence number,
+    * NOT ts, for the same exactness reason as x61 (ns timestamps truncate
+    * to µs in Spark's reader; the sequence number is exact in both
+    * engines). `is_current` marks each user's open interval — the row a
+    * dimension lookup would serve today.
+    *
+    * Plan shape: all three windows (the change-detection lag, the version
+    * row_number, the interval lead) share ONE partitioning (user_id) and
+    * ONE ordering (event_id), so the plan carries a single exchange and a
+    * single sort — the lag's Window runs pre-filter, the row_number/lead
+    * Window post-filter, with no second shuffle between them (asserted in
+    * PlanSpec). At scale this is the one-shuffle history build you want:
+    * cost is the user_id hash partition + per-partition sort, and the
+    * change filter shrinks the frame BEFORE the second window's state.
+    */
+  /** x76 — BUCKETED co-located join, declaring `operators/Bucketing`: both
+    * join sides are written as managed tables bucketed (and in-bucket
+    * sorted) on doc_id with the same bucket count, then joined — the scan
+    * itself satisfies the join's required distribution, so the plan
+    * carries NO doc_id Exchange at all (asserted in PlanSpec). This is THE
+    * 100 TB fact-to-fact join strategy: pay the hash-distribution once at
+    * write time, and every downstream join/agg on that key reads
+    * co-numbered bucket files instead of re-shuffling the corpus.
+    *
+    * The oracle aggregates the ORIGINAL parquet (x40/x58's shared-oracle
+    * roundtrip pattern): the hash match proves the bucketed write → catalog
+    * read → shuffle-free join cycle byte-lossless AND join-correct in one
+    * check. Table overwrite per run is the x40 bounded-residue contract's
+    * catalog analog (same names each run, `mode(overwrite)`).
+    */
+  def x76BucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Bucketing
+    val docs = Io.table(spark, sfDir, "documents")
+    Bucketing.writeBucketed(
+      docs.select("doc_id", "lang", "n_chars"), "graft_x76_meta", "doc_id", 8)
+    Bucketing.writeBucketed(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      "graft_x76_tokens", "doc_id", 8)
+    // merge hint: at fixture scale stats would BROADCAST the 500-row side,
+    // which proves nothing about bucketing — the hint pins the
+    // sort-merge shape a fact-to-fact join takes at real scale, where the
+    // bucketed scans' distribution makes it exchange-free. This is the
+    // inverse of the x50 lesson (never hint a fixture-only shape): SMJ is
+    // the at-scale plan, the hint only stops the fixture from hiding it.
+    spark.table("graft_x76_meta").hint("merge")
+      .join(spark.table("graft_x76_tokens"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum("n_tokens").as("sum_tokens"))
+      .orderBy("lang")
+  }
+
+  private val x77LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x77 — PARTITION-PRUNED read, declaring the `writePartitioned` layout:
+    * the corpus written partitioned by lang (each distinct value one
+    * directory), read back with an equality filter — the scan plans with
+    * `PartitionFilters` and touches ONLY the matching directory, zero I/O
+    * for every other language (asserted in PlanSpec). The standard layout
+    * for lang/date-keyed corpora; at 100 TB a lang='en' gate on an
+    * unpartitioned corpus reads everything, on this layout it reads the
+    * en/ directory.
+    *
+    * Oracle = the same filtered aggregate over the ORIGINAL parquet: the
+    * hash match proves the partitioned write+pruned read lossless (no row
+    * lost or double-written across directories). Unique-dir +
+    * delete-previous contract shared with x40/x58.
+    */
+  def x77PartitionedPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Bucketing
+    val docs = Io.table(spark, sfDir, "documents")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x77_part_${System.nanoTime()}"
+    Option(x77LastDir.getAndSet(dir)).foreach { old =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(old)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      } catch { case _: Exception => () }
+    }
+    Bucketing.writePartitioned(docs, dir, "lang")
+    spark.read.parquet(dir)
+      .filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"))
+      .orderBy("source")
+  }
+
+  /** x73 — SALTED skew JOIN, x33's companion: the corpus joined to a
+    * per-language dimension on its HOT key (lang — 'en' is ~44% of docs)
+    * through `Skew.saltedJoin`: the skewed side salts into 8 subkeys, the
+    * dimension replicates ×8 with every salt, and the join runs on
+    * (lang, salt) so the hot key's rows spread over 8 tasks instead of one
+    * straggler. The report is per-source length-anomaly: each doc's length
+    * next to its language's fixed-point mean (µchars — integer division,
+    * exact in both engines; a double mean would drift by summation order).
+    *
+    * The oracle is the PLAIN join SQL — the hash match proves the
+    * salt-replicate-join rewrite is semantically invisible, which is the
+    * whole contract of skew salting (x33's proof, for the join form). At
+    * fixture scale stats pick a broadcast join (the 5-row dim side) and
+    * the salt is just extra join keys; at corpus scale — a dimension too
+    * big to broadcast but fine to replicate 8× — the same plan shape is
+    * the (key, salt) shuffle join the rewrite exists for. The salt columns
+    * reaching the join keys is asserted in PlanSpec either way.
+    */
+  def x73SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Skew
+    val docs = Io.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val dim = docs.groupBy("lang")
+      .agg(sum("n_chars").as("lang_chars"), count(lit(1)).as("lang_docs"))
+      .withColumn("lang_avg_micro", expr("lang_chars * 1000000L div lang_docs"))
+      .select("lang", "lang_avg_micro")
+    Skew.saltedJoin(docs, dim, "lang", parts = 8)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum("lang_avg_micro").as("sum_lang_avg_micro"))
+      .select(col("source"), col("n_docs"), col("sum_chars"), col("sum_lang_avg_micro"),
+        stableRound6((col("sum_chars") * 1000000L - col("sum_lang_avg_micro"))
+          .cast("double") / col("n_docs") / 1000000.0).as("avg_deviation"))
+      .orderBy("source")
+  }
+
+  /** x74 — FUNNEL analysis: of the users who ever viewed, how many went on
+    * to click strictly AFTER their first view, and then to purchase
+    * strictly after that first qualifying click — the first-touch
+    * conversion funnel every product-analytics stack ships. "Strictly
+    * after" is the load-bearing semantic (a click at the same instant as
+    * the view, or before it, is not attributable), pinned on the raw
+    * epoch-NANOS longs — the exact CDC-grade time both engines read
+    * identically, never the µs-truncated timestamp (x61's reasoning).
+    *
+    * Shape: each stage is a filter + (user_id) min-aggregate joined to the
+    * previous stage's frame — every agg and join keys on user_id, so the
+    * whole funnel runs in ONE partitioning (exchange reuse), and each
+    * stage's frame shrinks monotonically (stage N is a subset of stage
+    * N-1's users). The three stage counts are 1-row aggregates unioned at
+    * the end. At corpus scale the funnel cost is the first stage's
+    * shuffle; everything after rides co-partitioned.
+    */
+  def x74Funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Io.eventsRaw(spark, sfDir).select("user_id", "event_type", "ts")
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stage(t1, "1_view").unionByName(stage(t2, "2_click"))
+      .unionByName(stage(t3, "3_purchase"))
+      .orderBy("stage")
+  }
+
+  /** x75 — COHORT RETENTION: users grouped by their first-activity week
+    * (the cohort), counted in every subsequent week they were active — the
+    * retention triangle behind every growth dashboard. Weeks are integer
+    * floor-divisions of the raw epoch-ns long from a FIXED anchor
+    * (2024-01-01 UTC), not a data-dependent min: a fixed anchor keeps
+    * cohort ids stable across incremental loads, and the all-integer math
+    * is bit-identical in both engines (operands are provably non-negative
+    * here; Spark's div truncates toward zero while DuckDB's // floors, so
+    * a pre-anchor event would diverge — documented, not exercised).
+    *
+    * Shape: one (user) min-agg for cohorts, one (user, week) distinct for
+    * activity, one user_id join (co-partitioned with the agg), one
+    * map-combining (cohort, weeks_since) count — the distinct already
+    * collapsed users, so count(*) IS distinct users. Output is
+    * cohort² / week² sized — tiny regardless of corpus.
+    */
+  def x75Retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val anchorNs = 1704067200000000000L // 2024-01-01T00:00:00Z
+    val weekNs   = 604800000000000L     // 7 * 86400 * 1e9
+    val ev = Io.eventsRaw(spark, sfDir).select("user_id", "ts")
+    val cohort = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+      .select(col("user_id"),
+        expr(s"(first_ts - ${anchorNs}L) div ${weekNs}L").as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), expr(s"(ts - ${anchorNs}L) div ${weekNs}L").as("week"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  def x70Scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    // eventsRaw for the self-contained nanosAsLong conf (x61's reasoning);
+    // ts itself is unused — event_id is the version order.
+    val ev = Io.eventsRaw(spark, sfDir).select("user_id", "event_id", "value")
+    val w  = Window.partitionBy("user_id").orderBy("event_id")
+    ev.withColumn("prev_value", lag("value", 1).over(w))
+      .filter(not(col("value") <=> col("prev_value"))) // IS DISTINCT FROM
+      .select(col("user_id"),
+        row_number().over(w).cast("long").as("version"),
+        col("value"),
+        col("event_id").as("valid_from"),
+        lead("event_id", 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .orderBy("user_id", "version")
+  }
 }

@@ -1862,4 +1862,78 @@ object LlmQueries {
         (-col("m.nid")).as("keep_id"), col("m.n_chars").as("keep_chars"))
       .orderBy("group_id")
   }
+
+  /** x71 — corpus SNAPSHOT DIFF: the crawl-to-crawl delta report run
+    * between two corpus versions before re-processing — how many docs per
+    * source were added, removed, changed, or carried unchanged. The two
+    * snapshots are derived deterministically from the fixture (no second
+    * fixture exists): "old" is the corpus minus every 7th doc, with a
+    * hash-selected ~3/16 of docs seen in a half-truncated form (a
+    * re-extraction fix between crawls); "current" is the corpus minus
+    * every 11th doc. The change set is selected by md5(doc_id), NOT a
+    * modulus: source is doc_id%20 in the fixture, so any mod-k set would
+    * correlate with source and collapse the per-source status matrix.
+    *
+    * The diff itself — the part a user reuses — is one full-outer join on
+    * the doc key comparing content hashes, then a (source, status) count.
+    * At scale both snapshot scans prune columns to (id, source, text),
+    * hash per-row in the scan stage, and the join shuffles once on doc_id
+    * (or goes shuffle-free if both snapshots are id-bucketed tables —
+    * operators/Bucketing's case); the report agg is map-combining over a
+    * 4×|sources| key space.
+    */
+  def x71SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val truncated = expr("substring(text, 1, greatest(n_chars div 2, 1L))")
+    val changedSel = substring(md5(col("doc_id").cast("string")), 1, 1) <= "2"
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source"),
+        md5(when(changedSel, truncated).otherwise(col("text"))).as("h_old"))
+    val cur = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("source").as("source_cur"),
+        md5(col("text")).as("h_cur"), lit(true).as("in_cur"))
+    // membership flags, not h IS NULL: md5 never returns null here, but an
+    // explicit flag is the join-miss test that stays correct if the hash
+    // column ever becomes nullable (x61's matched-flag reasoning)
+    old.withColumn("in_old", lit(true))
+      .join(cur, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source"), col("source_cur")).as("source"),
+        when(col("in_old").isNull, "added")
+          .when(col("in_cur").isNull, "removed")
+          .when(col("h_old") === col("h_cur"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status")
+  }
+
+  /** x72 — BPE PAIR COUNTS: the inner counting step of byte-pair-encoding
+    * tokenizer training — across the corpus, the frequency of every
+    * adjacent character pair within a word, weighted by word frequency;
+    * the top pair is the next BPE merge. This is the query a tokenizer
+    * trainer runs once per merge (with merged symbols fed back in), so its
+    * scan shape decides whether training a 50k-merge vocabulary is
+    * feasible on the corpus.
+    *
+    * The load-bearing shape: pairs explode over the DISTINCT-WORD frame,
+    * never the token stream — the corpus collapses to its vocabulary
+    * (map-combining word count) before any per-character work, so the
+    * explode is O(vocab × word_length), not O(corpus tokens ×
+    * word_length). Pair emission uses the explode(sequence)+substring
+    * codegen pattern (explodedShingles' lesson: interpreted HOF lambdas
+    * lose to codegen'd projections), the pair agg map-combines, and the
+    * global top-20 is orderBy+limit — TakeOrderedAndProject, a distributed
+    * top-k, never a single-partition window (asserted in PlanSpec).
+    */
+  def x72BpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = fanOut(Io.table(spark, sfDir, "documents"))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("n_occ"))
+    words
+      .select(col("word"), col("n_occ"),
+        explode(expr("sequence(1, length(word) - 1)")).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("n_occ"))
+      .groupBy("pair").agg(sum("n_occ").as("pair_count"))
+      .orderBy(desc("pair_count"), col("pair")).limit(20)
+  }
 }

@@ -1387,7 +1387,152 @@ object Oracles {
       |GROUP BY d.source
       |ORDER BY d.source""".stripMargin
 
+  // x70: IS DISTINCT FROM mirrors Spark's not(<=>); the three windows share
+  // one WINDOW clause so both engines order change rows by the exact CDC
+  // sequence number; version cast BIGINT to match Spark's long row_number
+  val x70: String =
+    """WITH chg AS (
+      |  SELECT user_id, event_id, value,
+      |         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+      |  FROM events),
+      |scd AS (
+      |  SELECT user_id, event_id, value FROM chg
+      |  WHERE value IS DISTINCT FROM prev_value)
+      |SELECT user_id,
+      |       CAST(row_number() OVER w AS BIGINT) AS version,
+      |       value,
+      |       event_id AS valid_from,
+      |       lead(event_id) OVER w AS valid_to,
+      |       CASE WHEN lead(event_id) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM scd WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |ORDER BY user_id, version""".stripMargin
+
+  // x71: n_chars div 2 must be INTEGER division in both dialects (a double
+  // half-length would round differently at the cast); DuckDB's // floors
+  // like Spark's div. The md5(doc_id) change set matches Spark substring
+  // on the same lowercase hex.
+  val x71: String =
+    """WITH old AS (
+      |  SELECT doc_id, source,
+      |         md5(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '2'
+      |                  THEN substring(text, 1, greatest(n_chars // 2, 1))
+      |                  ELSE text END) AS h_old
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |cur AS (
+      |  SELECT doc_id, source AS source_cur, md5(text) AS h_cur
+      |  FROM documents WHERE doc_id % 11 <> 0)
+      |SELECT coalesce(o.source, c.source_cur) AS source,
+      |       CASE WHEN o.doc_id IS NULL THEN 'added'
+      |            WHEN c.doc_id IS NULL THEN 'removed'
+      |            WHEN o.h_old = c.h_cur THEN 'unchanged'
+      |            ELSE 'changed' END AS status,
+      |       CAST(count(*) AS BIGINT) AS n_docs
+      |FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY source, status""".stripMargin
+
+  // x72: pairs explode over the distinct-word frame in BOTH engines (the
+  // lateral unnest(generate_series) runs per vocabulary word, like Spark's
+  // explode(sequence) over the word aggregate); sum cast BIGINT (DuckDB
+  // integer sums are HUGEINT)
+  val x72: String =
+    """WITH words AS (
+      |  SELECT word, count(*) AS n_occ
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) >= 2
+      |  GROUP BY word),
+      |pairs AS (
+      |  SELECT substring(word, CAST(i AS INT), 2) AS pair, n_occ
+      |  FROM words, unnest(generate_series(1, length(word) - 1)) AS t(i))
+      |SELECT pair, CAST(sum(n_occ) AS BIGINT) AS pair_count
+      |FROM pairs GROUP BY pair
+      |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin
+
+  // x73: the PLAIN join — the salted rewrite must be invisible to it.
+  // Fixed-point µchar means via integer floor division (// here, div in
+  // Spark — both floor on the non-negative operands); the deviation double
+  // uses the shared floor-round pattern (can be negative, so never bare
+  // round()).
+  val x73: String =
+    """WITH dim AS (
+      |  SELECT lang, sum(n_chars) * 1000000 // count(*) AS lang_avg_micro
+      |  FROM documents GROUP BY lang)
+      |SELECT d.source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(m.lang_avg_micro) AS BIGINT) AS sum_lang_avg_micro,
+      |       floor(CAST(sum(d.n_chars) * 1000000 - sum(m.lang_avg_micro) AS DOUBLE)
+      |             / count(*) / 1000000 * 1000000 + 0.5) / 1000000 AS avg_deviation
+      |FROM documents d JOIN dim m USING (lang)
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
+  // x74/x75: all time math on the raw epoch-ns BIGINT (epoch_ns here, the
+  // nanosAsLong long in Spark) — exact in both engines where the µs-
+  // truncated timestamp could disagree inside one µs. Integer week
+  // divisions are floor-vs-truncate-identical because every operand is
+  // provably ≥ 0 (fixture starts 2024-01-01, anchor is 2024-01-01).
+  val x74: String =
+    """WITH t1 AS (
+      |  SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+      |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > t1.t1
+      |  GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+      |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > t2.t2
+      |  GROUP BY e.user_id)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM t1
+      |  UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM t2
+      |  UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM t3)
+      |ORDER BY stage""".stripMargin
+
+  val x75: String =
+    """WITH cohort AS (
+      |  SELECT user_id,
+      |         (min(epoch_ns(ts)) - 1704067200000000000) // 604800000000000 AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |active AS (
+      |  SELECT DISTINCT user_id,
+      |         (epoch_ns(ts) - 1704067200000000000) // 604800000000000 AS week
+      |  FROM events)
+      |SELECT c.cohort_week, a.week - c.cohort_week AS weeks_since,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM active a JOIN cohort c ON a.user_id = c.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, weeks_since""".stripMargin
+
+  // x76/x77: shared-oracle roundtrip proofs over the ORIGINAL parquet
+  // (x40/x58's pattern) — a hash match proves the bucketed-table join
+  // cycle (x76) / the partitioned-write pruned read (x77) lossless and
+  // correct, since the oracle never sees the staged layout at all.
+  val x76: String =
+    """SELECT lang,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  val x77: String =
+    """SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+      |FROM documents
+      |WHERE lang = 'en'
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x71_snapshot_diff"   -> x71,
+    "x72_bpe_pairs"       -> x72,
     "x67_source_overlap"  -> x67,
     "x68_dup_rate_source" -> x68,
     "x69_prep_v3"         -> x69,
@@ -1466,7 +1611,13 @@ object Oracles {
     // x58 re-routes x40's roundtrip aggregate through ORC parts — the
     // shared original-parquet oracle proves THAT roundtrip lossless too
     "x58_orc_roundtrip"   -> x40,
-    "x61_merge_upsert"    -> x61)
+    "x61_merge_upsert"    -> x61,
+    "x70_scd2_history"    -> x70,
+    "x73_salted_join"     -> x73,
+    "x74_funnel"          -> x74,
+    "x75_retention"       -> x75,
+    "x76_bucketed_join"   -> x76,
+    "x77_partitioned_prune" -> x77)
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,

@@ -216,4 +216,130 @@ class NewOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("x70: consecutive repeats collapse (nulls included), intervals chain, one open row per user") {
+    val dir = Files.createTempDirectory("x70").toString
+    // fixture values never repeat consecutively, so the IS DISTINCT FROM
+    // collapse and the null-after-null repeat are pinned here
+    Seq[(Long, Long, Option[Double])](
+      (10L, 1L, Some(5.0)),
+      (20L, 1L, Some(5.0)),  // repeat → collapsed
+      (30L, 1L, None),       // change to null → version 2
+      (40L, 1L, None),       // null after null: a REPEAT, not a change
+      (50L, 1L, Some(7.0)),  // version 3, open
+      (60L, 2L, Some(1.0))   // single-event user: one open version
+    ).toDF("event_id", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.x70Scd2History(spark, dir)
+      .select("user_id", "version", "value", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getLong(3),
+        Option(r.get(4)), r.getInt(5)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 1L, Some(5.0), 10L, Some(30L), 0),
+      (1L, 2L, None,      30L, Some(50L), 0),
+      (1L, 3L, Some(7.0), 50L, None,      1),
+      (2L, 1L, Some(1.0), 60L, None,      1)))
+  }
+
+  test("x71: every status classified against an independent JVM-side replay of the snapshot rules") {
+    val dir = Files.createTempDirectory("x71").toString
+    val docs = (1L to 200L).map(i => (i, s"text body number $i", "en", s"src${i % 3}", 18L + i.toString.length))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent replay: plain-JVM md5 + the mod rules, no Spark involved
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = docs.flatMap { case (id, text, _, source, nChars) =>
+      val inOld = id % 7 != 0
+      val inCur = id % 11 != 0
+      val changed = md5hex(id.toString).charAt(0) <= '2'
+      val hOld = md5hex(if (changed) text.substring(0, math.max((nChars / 2).toInt, 1)) else text)
+      (inOld, inCur) match {
+        case (false, true)  => Some(source -> "added")
+        case (true, false)  => Some(source -> "removed")
+        case (true, true)   => Some(source -> (if (hOld == md5hex(text)) "unchanged" else "changed"))
+        case (false, false) => None
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = LlmQueries.x71SnapshotDiff(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // the synthetic ids must actually exercise all four statuses
+    assert(expected.keySet.map(_._2) == Set("added", "removed", "changed", "unchanged"))
+  }
+
+  test("x72: vocabulary-weighted pair counts equal a direct token-stream recount") {
+    val dir = Files.createTempDirectory("x72").toString
+    Seq(
+      (1L, "ab ab b aaa"),  // "b" is sub-2-char → contributes no pair
+      (2L, "ab ba")
+    ).map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmQueries.x72BpePairs(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // ab×3 → "ab":3; ba×1 → "ba":1; aaa → "aa":2; order (count desc, pair asc)
+    assert(got == Seq("ab" -> 3L, "aa" -> 2L, "ba" -> 1L))
+
+    // and on the real fixture: the vocabulary-collapsed computation must
+    // equal the naive O(corpus-tokens) explosion it replaces
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val naive = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), explode(expr("sequence(1, length(word) - 1)")).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("pair_count"))
+      .orderBy(desc("pair_count"), col("pair")).limit(20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val fast = LlmQueries.x72BpePairs(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(fast == naive)
+  }
+
+  test("x74: stages attribute strictly-after only — same-instant and pre-view events don't convert") {
+    val dir = Files.createTempDirectory("x74").toString
+    Seq(
+      // user 1: full funnel, strictly ordered
+      (1L, 1L, "view", 100L), (2L, 1L, "click", 200L), (3L, 1L, "purchase", 300L),
+      // user 2: click BEFORE the first view → no stage-2
+      (4L, 2L, "click", 100L), (5L, 2L, "view", 200L),
+      // user 3: click at the SAME ns as the view → strict > excludes it
+      (6L, 3L, "view", 100L), (7L, 3L, "click", 100L),
+      // user 4: converts on the SECOND click (first is too early), then
+      // purchases after that first QUALIFYING click
+      (8L, 4L, "click", 50L), (9L, 4L, "view", 100L), (10L, 4L, "click", 150L),
+      (11L, 4L, "purchase", 200L),
+      // user 5: purchase before the qualifying click → no stage-3
+      (12L, 5L, "view", 100L), (13L, 5L, "purchase", 150L), (14L, 5L, "click", 200L)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.x74Funnel(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out == Seq("1_view" -> 5L, "2_click" -> 3L, "3_purchase" -> 2L))
+  }
+
+  test("x75: cohort is the FIRST week; week-boundary ns lands in the next week; users dedupe per week") {
+    val dir = Files.createTempDirectory("x75").toString
+    val anchor = 1704067200000000000L
+    val week   = 604800000000000L
+    Seq(
+      // user 1: first event mid-week-0, active twice in week 0 (dedupes),
+      // again in week 2
+      (1L, 1L, "view", anchor + 10L), (2L, 1L, "view", anchor + 20L),
+      (3L, 1L, "view", anchor + 2 * week + 5L),
+      // user 2: first event EXACTLY on the week-1 boundary → cohort 1
+      (4L, 2L, "view", anchor + week),
+      // user 3: last ns of week 0 → cohort 0
+      (5L, 3L, "view", anchor + week - 1L)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.x75Retention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 0L, 2L), (0L, 2L, 1L), (1L, 0L, 1L)))
+  }
 }

@@ -272,6 +272,74 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("x70: all three history windows share one exchange and one sort") {
+    val p = plan("x70_scd2_history")
+    // lag / (row_number, lead) both partition by user_id order by event_id:
+    // one hash exchange, one in-partition sort for the window stack (the
+    // trailing global orderBy adds its own range exchange + sort)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "the change filter must not force a second user_id shuffle")
+    assert("Sort \\[user_id".r.findAllIn(p).size <= 2,
+      "windows must reuse one in-partition sort (plus the final output sort)")
+  }
+
+  test("x71: both snapshot scans prune to the diff columns; one doc_id join") {
+    val p = plan("x71_snapshot_diff")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string,n_chars:bigint>") ||
+           p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      "snapshot scans must prune to id/source/text(+n_chars), not the full row")
+    assert(p.contains("FullOuter"), "the diff is one full-outer join on the doc key")
+    assert(p.contains("partial_count"), "the (source, status) report agg must map-combine")
+  }
+
+  test("x72: pairs explode over the distinct-word frame; top-20 is distributed") {
+    val p = plan("x72_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-20 must be a distributed top-K, not a single-partition window")
+    assert("partial_count|partial_sum".r.findAllIn(p).size >= 2,
+      "both the word count and the pair sum must be two-phase")
+    assert(!p.contains("Window"))
+  }
+
+  test("x73: salt reaches the join keys; dim replicated by explode, not re-scanned per salt") {
+    val p = plan("x73_salted_join")
+    assert(p.contains("_salt"), "salted keys must survive into the physical join")
+    assert(p.contains("Generate explode"), "dim side replicates via one explode, not a union of scans")
+    assert(p.contains("partial_count"), "the report agg must map-combine")
+  }
+
+  test("x74: every funnel stage keys on user_id — no other join key anywhere") {
+    val p = plan("x74_funnel")
+    assert(p.contains("PushedFilters"), "stage event_type filters must reach the scan")
+    // all shuffles in the funnel body hash on user_id (the final 3-row
+    // sort contributes a rangepartitioning, not a hash)
+    assert("hashpartitioning\\((?!user_id)".r.findAllIn(p).isEmpty,
+      "funnel stages must all partition by user_id so exchanges are reusable")
+  }
+
+  test("x75: activity distinct and cohort agg share the user partitioning; report agg map-combines") {
+    val p = plan("x75_retention")
+    assert(p.contains("partial_min"), "first-activity agg must be two-phase")
+    assert(p.contains("partial_count"), "retention counts must be two-phase")
+  }
+
+  test("x76: co-bucketed tables join with ZERO doc_id exchange") {
+    val p = plan("x76_bucketed_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "the fact-to-fact join must be a shuffle-class join (not broadcast) to prove bucketing")
+    assert(!p.contains("hashpartitioning(doc_id"),
+      "bucketed scans must satisfy the join distribution — no doc_id shuffle allowed")
+    assert(p.contains("Bucketed: true"), "both scans must actually read bucketed")
+  }
+
+  test("x77: the lang filter prunes partitions at the directory level") {
+    val p = plan("x77_partitioned_prune")
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined,
+      "the lang predicate must be a partition filter, not a row filter")
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"),
+      "lang must not survive as a data filter — it exists only as directories")
+  }
+
   test("x33: salted agg is two shuffle stages — (key, salt) partials then key") {
     val p = plan("x33_salted_agg")
     assert(p.contains("_salt"), "salt column must reach the first aggregate")
