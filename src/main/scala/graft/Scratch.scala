@@ -220,6 +220,8 @@ object Scratch {
         .agg(sum("n_users")).head().getLong(0))
       time(s"x76_$dir")(queries.ExtendedQueries.x76BucketedJoin(spark, dir).count())
       time(s"x77_$dir")(queries.ExtendedQueries.x77PartitionedPrune(spark, dir).count())
+      time(s"x78_$dir")(queries.ExtendedQueries.x78CompactionRoundtrip(spark, dir).count())
+      time(s"x79_$dir")(queries.LlmQueries.x79InvertedIndex(spark, dir).count())
       val docs = core.Io.table(spark, dir, "documents")
       val toks = docs.select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)

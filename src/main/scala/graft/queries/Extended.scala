@@ -701,7 +701,8 @@ object ExtendedQueries {
     * companion to x61's SCD-1 upsert. From the event stream, each user's
     * value history collapses to its CHANGE rows (consecutive repeats
     * dropped — the null-safe `<=>` negation is IS DISTINCT FROM, so a
-    * null-valued reading after a null is a repeat, not a change), and each
+    * null-valued reading after a null is a repeat, not a change; the
+    * opening observation is always version 1, even when null), and each
     * change row becomes a versioned validity interval
     * [valid_from, valid_to) keyed by event_id — the CDC sequence number,
     * NOT ts, for the same exactness reason as x61 (ns timestamps truncate
@@ -754,6 +755,41 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum("n_chars").as("sum_chars"),
         sum("n_tokens").as("sum_tokens"))
+      .orderBy("lang")
+  }
+
+  private val x78LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x78 — small-files COMPACTION roundtrip, declaring `Io.compactParquet`:
+    * the corpus deliberately shattered into 64 tiny parquet files (every
+    * streaming / incremental-ingest sink's failure mode — at 100 TB,
+    * millions of KB-sized files turn listing and scan planning into the
+    * bottleneck), then compacted to a byte-derived file count
+    * (shuffle-free coalesce sized from the directory's ACTUAL bytes, never
+    * a guessed constant), read back and aggregated. The oracle aggregates
+    * the ORIGINAL parquet (x40/x58's pattern): a hash match proves the
+    * shatter → compact → read cycle lost and duplicated nothing.
+    * Unique-dir + delete-previous tmp contract shared with x40/x58/x77.
+    */
+  def x78CompactionRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x78_compact_${System.nanoTime()}"
+    Option(x78LastDir.getAndSet(dir)).foreach { old =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(old)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      } catch { case _: Exception => () }
+    }
+    // the shatter: 64 parts of a ~500-row table = the pathological layout
+    docs.repartition(64).write.parquet(s"$dir/shattered")
+    Io.compactParquet(spark, s"$dir/shattered", s"$dir/compacted")
+    spark.read.parquet(s"$dir/compacted")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
       .orderBy("lang")
   }
 
@@ -901,8 +937,14 @@ object ExtendedQueries {
     // ts itself is unused — event_id is the version order.
     val ev = Io.eventsRaw(spark, sfDir).select("user_id", "event_id", "value")
     val w  = Window.partitionBy("user_id").orderBy("event_id")
+    // rn=1 is load-bearing, not redundant: a user whose FIRST value is
+    // null would otherwise vanish — lag() initializes prev_value to null,
+    // and null IS DISTINCT FROM null is false, so the opening observation
+    // must be admitted explicitly (property-test-caught; the fixture's
+    // never-null values can't see it)
     ev.withColumn("prev_value", lag("value", 1).over(w))
-      .filter(not(col("value") <=> col("prev_value"))) // IS DISTINCT FROM
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 || not(col("value") <=> col("prev_value")))
       .select(col("user_id"),
         row_number().over(w).cast("long").as("version"),
         col("value"),

@@ -1863,6 +1863,39 @@ object LlmQueries {
       .orderBy("group_id")
   }
 
+  /** x79 — INVERTED INDEX build: per term, its document frequency and the
+    * head of its posting list (first 20 doc_ids ascending, pipe-joined) —
+    * the search-index construction pass a corpus serves retrieval from,
+    * and the artifact behind x43/x50-style term lookups at interactive
+    * latency. Posting lists ship as joined STRINGS deliberately: the
+    * output is an interchange row, and the oracle compare is exact on
+    * strings where array columns are representation-fragile.
+    *
+    * One lineage end-to-end: the DISTINCT (term, doc) posting frame feeds
+    * a per-term rank window and then ONE aggregate that computes df over
+    * ALL postings while collecting only the rn≤20 head (conditional
+    * collect_list skips nulls) — no second corpus scan, no self-join, no
+    * df/head lineage split (the x43/x53 lesson). The head's
+    * numeric-sort-then-cast transform runs once per DISTINCT TERM
+    * (vocabulary-sized, the x72 collapse), where the interpreted-HOF cost
+    * is irrelevant. At scale the posting frame is the shuffle; both the
+    * window and the aggregate ride its (term) partitioning.
+    */
+  def x79InvertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val postings = fanOut(Io.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("doc_id")
+    postings.withColumn("rn", row_number().over(w))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        expr("""array_join(
+                  transform(sort_array(collect_list(CASE WHEN rn <= 20 THEN doc_id END)),
+                            x -> cast(x AS string)), '|')""").as("posting_head"))
+      .orderBy("term")
+  }
+
   /** x71 — corpus SNAPSHOT DIFF: the crawl-to-crawl delta report run
     * between two corpus versions before re-processing — how many docs per
     * source were added, removed, changed, or carried unchanged. The two

@@ -1393,11 +1393,12 @@ object Oracles {
   val x70: String =
     """WITH chg AS (
       |  SELECT user_id, event_id, value,
-      |         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
-      |  FROM events),
+      |         lag(value) OVER w AS prev_value,
+      |         row_number() OVER w AS rn
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
       |scd AS (
       |  SELECT user_id, event_id, value FROM chg
-      |  WHERE value IS DISTINCT FROM prev_value)
+      |  WHERE rn = 1 OR value IS DISTINCT FROM prev_value)
       |SELECT user_id,
       |       CAST(row_number() OVER w AS BIGINT) AS version,
       |       value,
@@ -1530,7 +1531,38 @@ object Oracles {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // x78: original-parquet roundtrip oracle (x40/x58's pattern) for the
+  // shatter→compact cycle.
+  val x78: String =
+    """SELECT lang,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |       min(doc_id) AS min_id,
+      |       max(doc_id) AS max_id
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // x79: string_agg with ORDER BY doc_id skips the NULLed tail exactly
+  // like Spark's null-skipping collect_list; posting heads compare as
+  // strings (array columns are representation-fragile in the harness).
+  val x79: String =
+    """WITH postings AS (
+      |  SELECT DISTINCT term, doc_id FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term, doc_id FROM documents)),
+      |ranked AS (
+      |  SELECT term, doc_id,
+      |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      |  FROM postings)
+      |SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |       string_agg(CASE WHEN rn <= 20 THEN CAST(doc_id AS VARCHAR) END,
+      |                  '|' ORDER BY doc_id) AS posting_head
+      |FROM ranked GROUP BY term
+      |ORDER BY term""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x79_inverted_index"  -> x79,
     "x71_snapshot_diff"   -> x71,
     "x72_bpe_pairs"       -> x72,
     "x67_source_overlap"  -> x67,
@@ -1617,7 +1649,8 @@ object Oracles {
     "x74_funnel"          -> x74,
     "x75_retention"       -> x75,
     "x76_bucketed_join"   -> x76,
-    "x77_partitioned_prune" -> x77)
+    "x77_partitioned_prune" -> x77,
+    "x78_compaction_roundtrip" -> x78)
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,

@@ -227,7 +227,9 @@ class NewOpsSpec extends SparkSpec {
       (30L, 1L, None),       // change to null → version 2
       (40L, 1L, None),       // null after null: a REPEAT, not a change
       (50L, 1L, Some(7.0)),  // version 3, open
-      (60L, 2L, Some(1.0))   // single-event user: one open version
+      (60L, 2L, Some(1.0)),  // single-event user: one open version
+      (70L, 3L, None),       // FIRST value null: still version 1 (the
+      (80L, 3L, Some(2.0))   // lag-vs-null trap the property test caught)
     ).toDF("event_id", "user_id", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val out = ExtendedQueries.x70Scd2History(spark, dir)
@@ -240,7 +242,9 @@ class NewOpsSpec extends SparkSpec {
       (1L, 1L, Some(5.0), 10L, Some(30L), 0),
       (1L, 2L, None,      30L, Some(50L), 0),
       (1L, 3L, Some(7.0), 50L, None,      1),
-      (2L, 1L, Some(1.0), 60L, None,      1)))
+      (2L, 1L, Some(1.0), 60L, None,      1),
+      (3L, 1L, None,      70L, Some(80L), 0),
+      (3L, 2L, Some(2.0), 80L, None,      1)))
   }
 
   test("x71: every status classified against an independent JVM-side replay of the snapshot rules") {
@@ -299,6 +303,55 @@ class NewOpsSpec extends SparkSpec {
     val fast = LlmQueries.x72BpePairs(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(fast == naive)
+  }
+
+  test("x70 property: random event streams (null runs, repeats) match a plain-Scala SCD-2 fold") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      // values from a 4-element set incl. None so consecutive repeats and
+      // null-after-null runs actually occur
+      val events = (1 to 60).map { i =>
+        (i.toLong * 10, (rnd.nextInt(4) + 1).toLong,
+          rnd.nextInt(4) match { case 0 => None; case v => Some(v.toDouble) })
+      }
+      val dir = Files.createTempDirectory("x70p").toString
+      events.toDF("event_id", "user_id", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // independent plain-Scala fold of the same rule set
+      val expected = events.groupBy(_._2).toSeq.flatMap { case (user, evs) =>
+        val changes = evs.sortBy(_._1).foldLeft(List.empty[(Long, Option[Double])]) {
+          case (acc, (eid, _, v)) =>
+            if (acc.headOption.exists(_._2 == v)) acc else (eid, v) :: acc
+        }.reverse
+        changes.zipWithIndex.map { case ((eid, v), i) =>
+          val validTo = changes.lift(i + 1).map(_._1)
+          (user, (i + 1).toLong, v, eid, validTo, if (validTo.isEmpty) 1 else 0)
+        }
+      }.sortBy(r => (r._1, r._2))
+      val got = ExtendedQueries.x70Scd2History(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]), r.getInt(5)))
+        .toSeq
+      assert(got == expected)
+    }
+  }
+
+  test("x79: low-df terms keep their whole posting list; repeats within a doc post once; head caps at 20") {
+    val dir = Files.createTempDirectory("x79").toString
+    // 25 docs all share "common" (head caps at 20 of 25); doc 3 repeats
+    // "rare" three times (one posting, not three); numeric-order head
+    // (doc 10 sorts after 9, unlike lexicographic)
+    val docs = (1L to 25L).map { i =>
+      val text = if (i == 3L) "common rare rare rare" else "common"
+      (i, text, "en", "s0", text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmQueries.x79InvertedIndex(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      ("common", 25L, (1L to 20L).mkString("|")),
+      ("rare", 1L, "3")))
   }
 
   test("x74: stages attribute strictly-after only — same-instant and pre-view events don't convert") {

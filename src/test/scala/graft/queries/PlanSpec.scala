@@ -340,6 +340,15 @@ class PlanSpec extends SparkSpec {
       "lang must not survive as a data filter — it exists only as directories")
   }
 
+  test("x79: window and aggregate share the posting frame's term partitioning") {
+    val p = plan("x79_inverted_index")
+    // distinct → window(term) → agg(term): the window's term exchange must
+    // be the LAST hash exchange — the term agg rides its partitioning
+    assert("hashpartitioning\\(term".r.findAllIn(p).size <= 2,
+      "df+head aggregate must reuse the window's term partitioning, not re-shuffle")
+    assert(!p.contains("Join"), "df and posting head must ride ONE aggregate — no lineage split")
+  }
+
   test("x33: salted agg is two shuffle stages — (key, salt) partials then key") {
     val p = plan("x33_salted_agg")
     assert(p.contains("_salt"), "salt column must reach the first aggregate")
