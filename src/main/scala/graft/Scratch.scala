@@ -222,6 +222,8 @@ object Scratch {
       time(s"x77_$dir")(queries.ExtendedQueries.x77PartitionedPrune(spark, dir).count())
       time(s"x78_$dir")(queries.ExtendedQueries.x78CompactionRoundtrip(spark, dir).count())
       time(s"x79_$dir")(queries.LlmQueries.x79InvertedIndex(spark, dir).count())
+      time(s"x80_$dir")(queries.LlmQueries.x80WeightedSample(spark, dir)
+        .agg(sum("n_kept")).head().getLong(0))
       val docs = core.Io.table(spark, dir, "documents")
       val toks = docs.select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)

@@ -1863,6 +1863,45 @@ object LlmQueries {
       .orderBy("group_id")
   }
 
+  /** x80 — quality-WEIGHTED deterministic sampling: each doc is kept with
+    * probability equal to its own x16 quality score — importance sampling,
+    * the mixing primitive between x30's uniform rate gate and x51's hard
+    * threshold (high-quality docs oversampled, low-quality downweighted
+    * but not censored). Deterministic like x30: the "random" draw is
+    * u = first-8-hex-digits of md5(doc_id) / 2³², so the sample is
+    * reproducible across runs, engines, and partitionings — u is an exact
+    * 32-bit integer divided by a power of two (bit-identical in IEEE),
+    * and the score it compares against is x16's 1e-8-floored double, so
+    * the u < score decision is the same in Spark and DuckDB. Report is
+    * per-lang totals, kept counts, acceptance rate, and the mean kept
+    * quality (decimal-exact sum, order-independent).
+    *
+    * Cost = x16's per-doc score aggregate + a scan-level gate + one
+    * map-combining report agg; the gate adds zero shuffles.
+    */
+  def x80WeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = fanOut(Io.table(spark, sfDir, "documents"))
+    val q = qualityScored(docs).select(col("doc_id"), col("quality_score"))
+    val u = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as double)") /
+      lit(4294967296.0)
+    docs.select(col("doc_id"), col("lang"))
+      .join(q, "doc_id")
+      .select(col("lang"), col("quality_score"),
+        (u < col("quality_score")).cast("long").as("kept"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("kept")).as("n_kept"),
+        sum(when(col("kept") === 1, col("quality_score").cast("decimal(18,9)")))
+          .as("qsum"))
+      .select(col("lang"), col("n_total"), col("n_kept"),
+        ExtendedQueries.stableRound6(
+          col("n_kept").cast("double") / col("n_total")).as("accept_rate"),
+        ExtendedQueries.stableRound6(
+          col("qsum").cast("double") / col("n_kept")).as("avg_kept_quality"))
+      .orderBy("lang")
+  }
+
   /** x79 — INVERTED INDEX build: per term, its document frequency and the
     * head of its posting list (first 20 doc_ids ascending, pipe-joined) —
     * the search-index construction pass a corpus serves retrieval from,

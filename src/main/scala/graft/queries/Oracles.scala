@@ -1561,7 +1561,44 @@ object Oracles {
       |FROM ranked GROUP BY term
       |ORDER BY term""".stripMargin
 
+  // x80: u is ('0x' || md5-prefix)::BIGINT / 2^32 — the exact hex-parse
+  // of Spark's conv(..., 16, 10); power-of-two divisor keeps u
+  // bit-identical, and quality_score is x16's 1e-8-floored double, so
+  // the u < score decision agrees row-for-row across engines.
+  val x80: String =
+    """WITH t AS (
+      |  SELECT doc_id, length(replace(text, ' ', '')) AS n_alpha FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |st AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |         sum(CASE WHEN token IN ('the', 'a', 'of', 'to', 'and') THEN 1 ELSE 0 END) AS n_stop
+      |  FROM tok GROUP BY doc_id),
+      |q AS (
+      |  SELECT s.doc_id,
+      |         floor((0.4 * least(CAST(s.n_tokens AS DOUBLE), 50.0) / 50.0
+      |             + 0.3 * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens)
+      |             + 0.3 * least(CAST(t.n_alpha AS DOUBLE) / s.n_tokens, 10.0) / 10.0)
+      |           * 100000000 + 0.5) / 100000000 AS quality_score
+      |  FROM st s JOIN t ON s.doc_id = t.doc_id),
+      |samp AS (
+      |  SELECT d.lang, q.quality_score,
+      |         (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT)
+      |           / 4294967296.0 AS u
+      |  FROM documents d JOIN q ON d.doc_id = q.doc_id)
+      |SELECT lang,
+      |       CAST(count(*) AS BIGINT) AS n_total,
+      |       CAST(sum(CASE WHEN u < quality_score THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       floor(CAST(sum(CASE WHEN u < quality_score THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*) * 1000000 + 0.5) / 1000000 AS accept_rate,
+      |       floor(CAST(sum(CASE WHEN u < quality_score
+      |                           THEN CAST(quality_score AS DECIMAL(18,9)) END) AS DOUBLE)
+      |             / sum(CASE WHEN u < quality_score THEN 1 ELSE 0 END)
+      |             * 1000000 + 0.5) / 1000000 AS avg_kept_quality
+      |FROM samp GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x80_weighted_sample" -> x80,
     "x79_inverted_index"  -> x79,
     "x71_snapshot_diff"   -> x71,
     "x72_bpe_pairs"       -> x72,

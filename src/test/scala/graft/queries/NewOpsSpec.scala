@@ -336,6 +336,60 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("x74 property: batch funnel equals the pure streaming fold on random event streams") {
+    import graft.streaming.StreamingFunnel
+    val rnd = new scala.util.Random(11)
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    for (_ <- 1 to 5) {
+      val events = (1 to 80).map { i =>
+        ((rnd.nextInt(6) + 1).toLong, types(rnd.nextInt(types.length)),
+          (rnd.nextInt(40) + 1).toLong * 10)
+      }.distinct // duplicate (user, type, ts) rows don't change the funnel but keep the ref simple
+      val dir = Files.createTempDirectory("x74p").toString
+      events.zipWithIndex.map { case ((u, t, ts), i) => (i.toLong, u, t, ts) }
+        .toDF("event_id", "user_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = ExtendedQueries.x74Funnel(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // independent reference: StreamingFunnel's pure fold over each user's
+      // time-sorted events (the exact rule the stream applies)
+      val folded = events.groupBy(_._1).values.toSeq.flatMap { evs =>
+        val sorted = evs.sortBy(_._3).map { case (u, t, ts) =>
+          StreamingFunnel.FunnelEvent(u, t, ts) }
+        StreamingFunnel.foldSorted(sorted.head.userId, sorted,
+          StreamingFunnel.FunnelState(None, None, None))._1
+      }
+      val ref = folded.groupBy(_.stage).view.mapValues(_.size.toLong).toMap
+      assert(batch.filter(_._2 > 0) == ref)
+    }
+  }
+
+  test("x75 property: retention triangle equals a plain-Scala cohort fold on random streams") {
+    val rnd = new scala.util.Random(13)
+    val anchor = 1704067200000000000L
+    val week   = 604800000000000L
+    for (_ <- 1 to 5) {
+      val events = (1 to 60).map { _ =>
+        ((rnd.nextInt(5) + 1).toLong,
+          anchor + rnd.nextInt(40).toLong * (week / 7) + rnd.nextInt(1000).toLong)
+      }
+      val dir = Files.createTempDirectory("x75p").toString
+      events.zipWithIndex.map { case ((u, ts), i) => (i.toLong, u, "view", ts) }
+        .toDF("event_id", "user_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val expected = {
+        val byUser = events.groupBy(_._1)
+        val cohort = byUser.view.mapValues(evs => (evs.map(_._2).min - anchor) / week).toMap
+        events.map { case (u, ts) => (u, (ts - anchor) / week) }.distinct
+          .groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+          .view.mapValues(_.size.toLong).toMap
+      }
+      val got = ExtendedQueries.x75Retention(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expected)
+    }
+  }
+
   test("x79: low-df terms keep their whole posting list; repeats within a doc post once; head caps at 20") {
     val dir = Files.createTempDirectory("x79").toString
     // 25 docs all share "common" (head caps at 20 of 25); doc 3 repeats

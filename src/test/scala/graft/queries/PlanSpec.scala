@@ -349,6 +349,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "df and posting head must ride ONE aggregate — no lineage split")
   }
 
+  test("x80: the weighted gate is scan-level — no shuffle beyond x16's score and the report") {
+    val p = plan("x80_weighted_sample")
+    assert(p.contains("partial_count"), "score and report aggs must be two-phase")
+    assert(!p.contains("CartesianProduct"))
+    // the u-draw must be a per-row expression (conv over md5), not a join
+    // against a random table
+    assert(p.contains("conv"), "the deterministic draw rides the projection")
+  }
+
   test("x33: salted agg is two shuffle stages — (key, salt) partials then key") {
     val p = plan("x33_salted_agg")
     assert(p.contains("_salt"), "salt column must reach the first aggregate")
