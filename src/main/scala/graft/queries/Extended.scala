@@ -719,6 +719,40 @@ object ExtendedQueries {
     * cost is the user_id hash partition + per-partition sort, and the
     * change filter shrinks the frame BEFORE the second window's state.
     */
+  /** x81 — BURST detection via RANGE window frames: per user, the count of
+    * their events inside a sliding 5-minute window ending at each event
+    * (RANGE BETWEEN 300e9 ns PRECEDING AND CURRENT ROW over the raw
+    * epoch-ns long — a VALUE-based frame, the window class ROWS frames
+    * like x44's cannot express: the frame widens and narrows with event
+    * density), then each user's peak burst and its earliest peak time —
+    * the rate-limit audit / abuse-detection primitive. Equal-ts peers are
+    * in-frame on both engines (standard RANGE peer semantics). Time is
+    * epoch-µs (ts div 1000): DuckDB's parquet reader truncates the
+    * fixture's TIMESTAMP(NANOS) to µs (the Io.events equivalence), so a
+    * raw-ns frame would disagree at sub-µs boundaries AND a raw-ns output
+    * column can never hash-match — µs is the exact shared resolution.
+    *
+    * The per-user peak is max(struct(burst, -ts)) — x61's argmax-as-
+    * aggregate (earliest ts on ties, no second window); the oracle reaches
+    * the identical argmax through a max-burst CTE + min(ts) rejoin, so the
+    * hash match also pins the two argmax formulations against each other.
+    * One user_id exchange carries the window AND the aggregate.
+    */
+  def x81BurstDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    val fiveMinUs = 300000000L
+    val ev = Io.eventsRaw(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"))
+    val w = Window.partitionBy("user_id").orderBy("tsu")
+      .rangeBetween(-fiveMinUs, Window.currentRow)
+    ev.withColumn("burst", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("burst"), (-col("tsu")).as("nts"))).as("m"))
+      .select(col("user_id"), col("n_events"),
+        col("m.burst").as("max_burst"), (-col("m.nts")).as("peak_ts_us"))
+      .orderBy("user_id")
+  }
+
   /** x76 — BUCKETED co-located join, declaring `operators/Bucketing`: both
     * join sides are written as managed tables bucketed (and in-bucket
     * sorted) on doc_id with the same bucket count, then joined — the scan

@@ -1597,6 +1597,24 @@ object Oracles {
       |FROM samp GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // x81: the argmax is reached through a max-burst CTE + min(ts) rejoin
+  // (Spark uses max(struct(burst, -ts)) in one aggregate) — the hash match
+  // pins the two formulations against each other.
+  val x81: String =
+    """WITH b AS (
+      |  SELECT user_id, epoch_us(ts) AS tsu,
+      |         count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |                        RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS burst
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |         CAST(max(burst) AS BIGINT) AS max_burst
+      |  FROM b GROUP BY user_id)
+      |SELECT m.user_id, m.n_events, m.max_burst, min(b.tsu) AS peak_ts_us
+      |FROM m JOIN b ON b.user_id = m.user_id AND b.burst = m.max_burst
+      |GROUP BY m.user_id, m.n_events, m.max_burst
+      |ORDER BY m.user_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x80_weighted_sample" -> x80,
     "x79_inverted_index"  -> x79,
@@ -1687,7 +1705,8 @@ object Oracles {
     "x75_retention"       -> x75,
     "x76_bucketed_join"   -> x76,
     "x77_partitioned_prune" -> x77,
-    "x78_compaction_roundtrip" -> x78)
+    "x78_compaction_roundtrip" -> x78,
+    "x81_burst_detect"    -> x81)
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,

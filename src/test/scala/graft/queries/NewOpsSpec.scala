@@ -390,6 +390,25 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("x81: 5-min boundary inclusive, 1µs over excluded, equal-ts peers in-frame, earliest peak on ties") {
+    val dir = Files.createTempDirectory("x81").toString
+    val m = 60000000000L // one minute in ns (query truncates to µs)
+    Seq(
+      // user 1: events at 0, 5m (boundary: in-frame with 0), 10m+1µs
+      // (frame holds 5m only — 0 is 5m+1µs back, out)
+      (1L, 1L, "view", 0L), (2L, 1L, "view", 5 * m), (3L, 1L, "view", 10 * m + 1000),
+      // user 2: equal-ts peers both count (burst 2 at ts=0 for both
+      // peers); a lone later event leaves the peak at the earliest ts
+      (4L, 2L, "view", 0L), (5L, 2L, "view", 0L), (6L, 2L, "view", 60 * m)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.x81BurstDetect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, 5 * m / 1000), // peak burst 2 first reached at the 5m event (µs)
+      (2L, 3L, 2L, 0L)))          // both ts=0 peers see burst 2; peak at 0
+  }
+
   test("x79: low-df terms keep their whole posting list; repeats within a doc post once; head caps at 20") {
     val dir = Files.createTempDirectory("x79").toString
     // 25 docs all share "common" (head caps at 20 of 25); doc 3 repeats

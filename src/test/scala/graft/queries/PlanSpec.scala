@@ -358,6 +358,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("conv"), "the deterministic draw rides the projection")
   }
 
+  test("x81: range-frame window and peak aggregate share one user_id exchange") {
+    val p = plan("x81_burst_detect")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "the peak argmax must ride the window's partitioning, not re-shuffle")
+    assert(!p.contains("Join"), "peak-of-burst is one aggregate, never a max-rejoin")
+  }
+
   test("x33: salted agg is two shuffle stages — (key, salt) partials then key") {
     val p = plan("x33_salted_agg")
     assert(p.contains("_salt"), "salt column must reach the first aggregate")
