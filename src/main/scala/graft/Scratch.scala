@@ -225,6 +225,7 @@ object Scratch {
       time(s"x80_$dir")(queries.LlmQueries.x80WeightedSample(spark, dir)
         .agg(sum("n_kept")).head().getLong(0))
       time(s"x81_$dir")(queries.ExtendedQueries.x81BurstDetect(spark, dir).count())
+      time(s"x82_$dir")(queries.LlmQueries.x82QuantileNorm(spark, dir).count())
       val docs = core.Io.table(spark, dir, "documents")
       val toks = docs.select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)

@@ -1902,6 +1902,33 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  /** x82 — QUANTILE score normalization: each doc's x16 quality score
+    * replaced by its percent_rank WITHIN its language — the cross-lingual
+    * comparability transform (a 0.7 raw score means different things in
+    * different languages' score distributions; rank position does not).
+    * This is how mixed-language corpora apply one quality gate fairly —
+    * the distribution-free companion to x51's per-lang p25 threshold.
+    *
+    * percent_rank is pure rank arithmetic: (rank−1)/(n−1), integers into
+    * ONE IEEE division — identical doubles in both engines with no
+    * rounding step, and ties (equal scores) share a rank so the output
+    * needs no tie-break to be deterministic. Scale shape: a per-lang sort
+    * window over the score, x51's documented concession — parallelism is
+    * the language count, and the corpus-scale swap is the same
+    * percentile_approx sketch (rank against quantile boundaries instead
+    * of sorting the stratum).
+    */
+  def x82QuantileNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = fanOut(Io.table(spark, sfDir, "documents"))
+    val q = qualityScored(docs).select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("quality_score")
+    docs.select(col("doc_id"), col("lang"))
+      .join(q, "doc_id")
+      .withColumn("pct_rank", percent_rank().over(w))
+      .orderBy("doc_id")
+  }
+
   /** x79 — INVERTED INDEX build: per term, its document frequency and the
     * head of its posting list (first 20 doc_ids ascending, pipe-joined) —
     * the search-index construction pass a corpus serves retrieval from,

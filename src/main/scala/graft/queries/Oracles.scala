@@ -1615,7 +1615,31 @@ object Oracles {
       |GROUP BY m.user_id, m.n_events, m.max_burst
       |ORDER BY m.user_id""".stripMargin
 
+  // x82: percent_rank is (rank-1)/(n-1) in both engines — integer rank
+  // arithmetic into one IEEE division, so no rounding step is needed and
+  // ties need no tie-break (equal scores share a rank).
+  val x82: String =
+    """WITH t AS (
+      |  SELECT doc_id, length(replace(text, ' ', '')) AS n_alpha FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |st AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |         sum(CASE WHEN token IN ('the', 'a', 'of', 'to', 'and') THEN 1 ELSE 0 END) AS n_stop
+      |  FROM tok GROUP BY doc_id),
+      |q AS (
+      |  SELECT s.doc_id,
+      |         floor((0.4 * least(CAST(s.n_tokens AS DOUBLE), 50.0) / 50.0
+      |             + 0.3 * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens)
+      |             + 0.3 * least(CAST(t.n_alpha AS DOUBLE) / s.n_tokens, 10.0) / 10.0)
+      |           * 100000000 + 0.5) / 100000000 AS quality_score
+      |  FROM st s JOIN t ON s.doc_id = t.doc_id)
+      |SELECT d.doc_id, d.lang, q.quality_score,
+      |       percent_rank() OVER (PARTITION BY d.lang ORDER BY q.quality_score) AS pct_rank
+      |FROM documents d JOIN q ON d.doc_id = q.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x82_quantile_norm"   -> x82,
     "x80_weighted_sample" -> x80,
     "x79_inverted_index"  -> x79,
     "x71_snapshot_diff"   -> x71,

@@ -365,6 +365,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "peak-of-burst is one aggregate, never a max-rejoin")
   }
 
+  test("x82: one lang exchange carries the rank window; score aggs map-combine") {
+    val p = plan("x82_quantile_norm")
+    assert("hashpartitioning\\(lang".r.findAllIn(p).size == 1,
+      "percent_rank must ride a single per-lang partitioning")
+    assert(p.contains("partial_count"), "the x16 score aggregate must be two-phase")
+  }
+
   test("x33: salted agg is two shuffle stages — (key, salt) partials then key") {
     val p = plan("x33_salted_agg")
     assert(p.contains("_salt"), "salt column must reach the first aggregate")
