@@ -226,6 +226,11 @@ object Scratch {
         .agg(sum("n_kept")).head().getLong(0))
       time(s"x81_$dir")(queries.ExtendedQueries.x81BurstDetect(spark, dir).count())
       time(s"x82_$dir")(queries.LlmQueries.x82QuantileNorm(spark, dir).count())
+      time(s"x83_$dir")(queries.LlmQueries.x83SortedNeighborhood(spark, dir).count())
+      time(s"x84_$dir")(queries.LlmQueries.x84EditGate(spark, dir).count())
+      time(s"x85_$dir")(queries.LlmQueries.x85SourceDrift(spark, dir).count())
+      time(s"x86_$dir")(queries.LlmQueries.x86LeakageAudit(spark, dir).count())
+      time(s"x87_$dir")(queries.LlmQueries.x87BigramLm(spark, dir).count())
       val docs = core.Io.table(spark, dir, "documents")
       val toks = docs.select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)

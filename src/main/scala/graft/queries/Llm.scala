@@ -98,14 +98,14 @@ object LlmQueries {
     * costs zero shuffles where collect_set would shuffle the whole corpus.
     * `docs` must already be fanned out by the calling query.
     */
-  private def shingleSetArray(docs: DataFrame): DataFrame =
+  private def shingleSetArray(docs: DataFrame, extra: Seq[Column] = Nil): DataFrame =
     docs.withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), array_distinct(expr(
+      .select((col("doc_id") +: extra) :+ array_distinct(expr(
         """CASE WHEN size(toks) < 3 THEN CAST(array() AS ARRAY<STRING>)
           |ELSE transform(sequence(1, size(toks) - 2),
           |       i -> concat_ws(' ', element_at(toks, i),
           |                           element_at(toks, i + 1),
-          |                           element_at(toks, i + 2))) END""".stripMargin)).as("shset"))
+          |                           element_at(toks, i + 2))) END""".stripMargin)).as("shset"): _*)
 
   /** MinHash signature: k hex-string minima per doc — one exploded codegen
     * pass + k min-aggregates (map-side partial, one shuffle of 5-per-mille
@@ -456,6 +456,88 @@ object LlmQueries {
       .orderBy("d1", "d2")
   }
 
+  /** x83 — SORTED-NEIGHBORHOOD near-dedup (the sixth dedup family, SNM):
+    * sort the corpus by a content key (the 40-char text prefix) and compare
+    * each doc only to its next 3 neighbors in that order, verifying with
+    * exact shingle Jaccard. The classic entity-resolution blocking method —
+    * complementary recall to LSH: MinHash banding (x13/x20) catches dups
+    * whose shared shingles survive hashing anywhere in the text, SNM
+    * catches prefix-stable edits with ONE sort and zero candidate
+    * explosion (pair volume = 3N exactly, data-independent — LSH's
+    * candidate volume tracks duplicate density and degenerates on
+    * mega-clusters; SNM's cannot).
+    *
+    * Scale shape: the sort is partitioned by an 8-char prefix BLOCK, so the
+    * window never needs a single global ordering — parallelism is the block
+    * count and each task sorts one block. The recall tradeoff (pairs whose
+    * first 8 chars differ are never compared) is inherent to blocked SNM;
+    * the shingle-set arrays ride the one block shuffle so verification
+    * needs no second join — lead(shset, k) hands each row its neighbors'
+    * sets in place.
+    */
+  def x83SortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = fanOut(Io.table(spark, sfDir, "documents"))
+    val keyed = shingleSetArray(docs, extra = Seq(
+        substring(col("text"), 1, 8).as("blk"),
+        substring(col("text"), 1, 40).as("skey")))
+      .withColumn("n", size(col("shset")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk").orderBy("skey", "doc_id")
+    // lead the id/set/size of the 3 following neighbors through the one
+    // block window, then explode the (at most 3) neighbor structs per row
+    val led = keyed.select(col("doc_id") +: col("shset") +: col("n") +:
+      (1 to 3).flatMap(k => Seq(
+        lead(col("doc_id"), k).over(w).as(s"nb$k"),
+        lead(col("shset"), k).over(w).as(s"sh$k"),
+        lead(col("n"), k).over(w).as(s"nn$k"))): _*)
+    val jacRaw = col("n_common").cast("double") /
+      (col("n") + col("p.n2") - col("n_common"))
+    led.select(col("doc_id"), col("shset"), col("n"),
+        explode(array((1 to 3).map(k => struct(
+          col(s"nb$k").as("d2"), col(s"sh$k").as("sh2"),
+          col(s"nn$k").as("n2"))): _*)).as("p"))
+      .filter(col("p.d2").isNotNull)
+      .withColumn("n_common", size(array_intersect(col("shset"), col("p.sh2"))))
+      .filter(jacRaw >= 0.4)
+      .select(least(col("doc_id"), col("p.d2")).as("d1"),
+        greatest(col("doc_id"), col("p.d2")).as("d2"),
+        col("n_common").cast("long").as("n_common"),
+        ExtendedQueries.stableRound6(jacRaw).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** x84 — EDIT-DISTANCE gate on LSH candidates: the third verifier over
+    * the shared `scoredCandidatePairs` engine (x20 gates on Jaccard, x57 on
+    * containment, this on normalized Levenshtein similarity
+    * 1 − lev/max(len)). Edit distance is the verifier shingles can't
+    * replace: token-level Jaccard is blind to WITHIN-token edits and to
+    * ordering beyond the shingle span, while Levenshtein prices every
+    * character operation — the near-dup gate used when "same document,
+    * light edit" must be distinguished from "same vocabulary, rewritten".
+    * Every candidate pair is emitted with its distance, similarity, and
+    * the is_dup verdict at 0.95, so the oracle pins both gate branches.
+    *
+    * Scale shape: Levenshtein is O(len²) per pair, far costlier than the
+    * array intersection — affordable precisely because it runs on LSH
+    * CANDIDATES (duplicate-density-sized), never on N². The text fetch is
+    * two AQE-sized joins against the candidate ids; texts are never
+    * shuffled corpus-wide.
+    */
+  def x84EditGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    scoredCandidatePairs(spark, sfDir)
+      .select("d1", "d2")
+      .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
+      .withColumn("lev", levenshtein(col("t1"), col("t2")).cast("long"))
+      .withColumn("edit_sim", ExtendedQueries.stableRound6(lit(1.0) -
+        col("lev").cast("double") /
+          greatest(length(col("t1")), length(col("t2"))).cast("double")))
+      .select(col("d1"), col("d2"), col("lev"), col("edit_sim"),
+        (col("edit_sim") >= 0.95).cast("int").as("is_dup"))
+      .orderBy("d1", "d2")
+  }
+
   /** LSH candidate pairs with exact shingle-overlap counts — the shared
     * engine behind x20 (Jaccard) and x57 (containment): (d1, d2, n1, n2,
     * n_common) for every in-bucket candidate pair. See x20's scaladoc for
@@ -630,6 +712,53 @@ object LlmQueries {
   def x28bCosineNeardupWide(spark: SparkSession, sfDir: String): DataFrame =
     cosineNeardupBits(spark, sfDir, bits = 12, keepAll = true)
 
+  /** x86 — SPLIT-LEAKAGE audit over embeddings: for every pair of labels
+    * (the train/eval split proxy), the number of candidate vector pairs
+    * sharing a 6-bit hyperplane bucket whose labels DIFFER, with the max
+    * and mean cosine among them — the report a pipeline reads before
+    * trusting an eval split ("is any eval vector a near-duplicate of a
+    * training vector?"). A max_cosine near 1.0 for a label pair is
+    * leakage; this fixture's report shows none (max ≈ 0.51), and the
+    * 45-row all-pairs matrix pins that NEGATIVE result — an empty
+    * thresholded list would verify nothing.
+    *
+    * Same scale shape as x28: the corpus shuffles ONCE on bucket, pairs
+    * come from per-bucket collect_list + two-stage explode (per-row memory
+    * O(bucket·d)), cross-label filtering happens before any cosine is
+    * computed, and the label-pair aggregate map-combines to ≤ |labels|²
+    * rows. Mean cosine is each pair's cosine rounded once then summed as
+    * DECIMAL — order-independent.
+    */
+  def x86LeakageAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    import ExtendedQueries.{nativeDot, stableRound6}
+    val bits = 6
+    val bucket = (0 until bits).map { i =>
+      (element_at(col("embedding"), i + 1) > 0).cast("int") * (1 << (bits - 1 - i))
+    }.reduce(_ + _)
+    val emb = Io.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"), bucket.as("bucket"),
+        sqrt(nativeDot(col("embedding"), col("embedding"))).as("norm"))
+    val pairs = emb
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("vec_id"), col("label"), col("embedding"),
+        col("norm"))).as("vs"))
+      .select(explode(col("vs")).as("a"), col("vs"))
+      .select(col("a"), explode(col("vs")).as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id") &&
+        col("a.label") =!= col("b.label"))
+      .select(least(col("a.label"), col("b.label")).cast("long").as("l1"),
+        greatest(col("a.label"), col("b.label")).cast("long").as("l2"),
+        stableRound6(nativeDot(col("a.embedding"), col("b.embedding")) /
+          (col("a.norm") * col("b.norm"))).as("cosine"))
+    pairs.groupBy("l1", "l2")
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("cosine")).as("max_cosine"),
+        stableRound6(sum(col("cosine").cast("decimal(28,6)")).cast("double") /
+          count(lit(1))).as("mean_cosine"))
+      .orderBy("l1", "l2")
+  }
+
   /** x32 — IVF-style ANN, the list-pruned path next to x21's hyperplane
     * buckets: a fixed coarse codebook (the vectors with vec_id 1..8 — a
     * deterministic stand-in for trained k-means centroids), each vector
@@ -714,6 +843,52 @@ object LlmQueries {
       .filter(col("rn") <= 5)
       .select("lang", "bigram", "n")
       .orderBy(col("lang"), desc("n"), col("bigram"))
+  }
+
+  /** x87 — BIGRAM-LM likelihood scoring: train an add-one-smoothed bigram
+    * language model on the corpus itself and score every document by its
+    * mean bigram probability P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V) — the
+    * CCNet-style "does this doc look like the corpus" quality signal (its
+    * perplexity filter, expressed in probability space: all-rational
+    * arithmetic, no transcendental log whose last ulp the two engines
+    * could disagree on — the x50 raw-idf precedent).
+    *
+    * Plan shape: the corpus counts are WINDOWS over the one exploded
+    * bigram frame, never a groupBy+self-join (the x43/x53 lesson: a
+    * self-joined lineage re-runs the tokenize scan). The c(w1·) window is
+    * applied FIRST, so its hashpartitioning(w1) exchange ALSO satisfies
+    * the (w1,w2) window's clustering (a partitioning on a subset of the
+    * keys co-locates the superset) — both corpus counts ride ONE
+    * exchange, plan-asserted. V is a 1-row broadcast constant (x50's
+    * shape); per-doc mean is each probability rounded once then summed as
+    * DECIMAL (order-independent), linear in corpus tokens throughout.
+    */
+  def x87BigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = fanOut(Io.table(spark, sfDir, "documents"))
+    val bg = docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(1, size(toks) - 1) END""".stripMargin)).as("i"))
+      .select(col("doc_id"),
+        expr("element_at(toks, i)").as("w1"),
+        expr("element_at(toks, i + 1)").as("w2"))
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("vocab"))
+    val w1w = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    val w2w = org.apache.spark.sql.expressions.Window.partitionBy("w1", "w2")
+    bg
+      .withColumn("c1", count(lit(1)).over(w1w))
+      .withColumn("c2", count(lit(1)).over(w2w))
+      .crossJoin(broadcast(vocab))
+      .withColumn("pr", ExtendedQueries.stableRound6(
+        (col("c2").cast("double") + lit(1.0)) /
+          (col("c1").cast("double") + col("vocab").cast("double"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        ExtendedQueries.stableRound6(
+          sum(col("pr").cast("decimal(28,6)")).cast("double") /
+            count(lit(1))).as("lm_score"))
+      .orderBy("doc_id")
   }
 
   /** x53 — SUB-document chunk dedup signals: split each document into
@@ -1927,6 +2102,53 @@ object LlmQueries {
       .join(q, "doc_id")
       .withColumn("pct_rank", percent_rank().over(w))
       .orderBy("doc_id")
+  }
+
+  /** x85 — SOURCE DRIFT detection: per source, the chi-square statistic of
+    * its quality-score histogram against the corpus-wide distribution —
+    * the monitoring pass that catches one crawl source going bad (spam
+    * influx, parser regression) while corpus-level aggregates still look
+    * normal. Expected cell counts come from independence
+    * (src_n·bin_n/N), including ZERO-observation cells via a dense
+    * source×bin grid — a chi-square that skips empty cells understates
+    * drift exactly when a source abandons part of the distribution.
+    *
+    * All-rational arithmetic from integer counts (no transcendental): each
+    * cell term (obs−exp)²/exp is an identical IEEE multiply/divide
+    * sequence in both engines, rounded once, summed as DECIMAL
+    * (order-independent). Scale shape: one corpus-sized score pass
+    * map-combines to ≤ sources×10 cells; everything after is
+    * constant-sized (grid crossJoins are broadcasts of ≤10-row sides).
+    */
+  def x85SourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = fanOut(Io.table(spark, sfDir, "documents"))
+    val q = qualityScored(docs).select(col("doc_id"), col("quality_score"))
+    val cells = docs.select(col("doc_id"), col("source"))
+      .join(q, "doc_id")
+      .select(col("source"),
+        least(floor(col("quality_score") * 10).cast("int"), lit(9)).as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("obs"))
+    // pin the ≤ sources×10-cell frame: its four consumers (both margins,
+    // the total, and the grid's left join) would otherwise each re-derive
+    // the corpus-sized score lineage — re-referenced lineages get fresh
+    // expression ids, so ReuseExchange never dedups them (the x43 lesson)
+    repin(cells)
+    val srcTot = cells.groupBy("source").agg(sum("obs").as("src_n"))
+    val binTot = cells.groupBy("bin").agg(sum("obs").as("bin_n"))
+    val nTot = cells.agg(sum("obs").as("n_total"))
+    val obsD = col("obs").cast("double")
+    srcTot.crossJoin(broadcast(binTot))
+      .join(cells, Seq("source", "bin"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .crossJoin(broadcast(nTot))
+      .withColumn("exp", col("src_n").cast("double") * col("bin_n").cast("double") /
+        col("n_total").cast("double"))
+      .withColumn("term", ExtendedQueries.stableRound6(
+        (obsD - col("exp")) * (obsD - col("exp")) / col("exp")))
+      .groupBy("source", "src_n")
+      .agg(sum(col("term").cast("decimal(28,6)")).cast("double").as("chi2"))
+      .select(col("source"), col("src_n").as("n_docs"), col("chi2"))
+      .orderBy("source")
   }
 
   /** x79 — INVERTED INDEX build: per term, its document frequency and the

@@ -1638,7 +1638,171 @@ object Oracles {
       |FROM documents d JOIN q ON d.doc_id = q.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // x83: sorted-neighborhood pairs via row_number positions + a pos-range
+  // self-join (DuckDB's formulation of Spark's lead()-window: positions
+  // i and i+1..i+3 within a block are exactly the lead-1..3 pairs). The
+  // shingle-intersection join only surfaces pairs with n_common >= 1, but
+  // every dropped pair has jaccard 0 and fails the 0.4 gate anyway.
+  val x83: String =
+    s"""WITH $shingleCte,
+      |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+      |ord AS (
+      |  SELECT doc_id, substr(text, 1, 8) AS blk,
+      |         row_number() OVER (PARTITION BY substr(text, 1, 8)
+      |                            ORDER BY substr(text, 1, 40), doc_id) AS pos
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT least(a.doc_id, b.doc_id) AS d1, greatest(a.doc_id, b.doc_id) AS d2
+      |  FROM ord a JOIN ord b
+      |    ON a.blk = b.blk AND b.pos BETWEEN a.pos + 1 AND a.pos + 3),
+      |inter AS (
+      |  SELECT p.d1, p.d2, count(*) AS n_common
+      |  FROM pairs p
+      |  JOIN shd s1 ON s1.doc_id = p.d1
+      |  JOIN shd s2 ON s2.doc_id = p.d2 AND s2.shingle = s1.shingle
+      |  GROUP BY 1, 2)
+      |SELECT i.d1, i.d2, CAST(i.n_common AS BIGINT) AS n_common,
+      |       floor(CAST(i.n_common AS DOUBLE) / (z1.n + z2.n - i.n_common)
+      |             * 1000000 + 0.5) / 1000000 AS jaccard
+      |FROM inter i
+      |JOIN sizes z1 ON z1.doc_id = i.d1
+      |JOIN sizes z2 ON z2.doc_id = i.d2
+      |WHERE CAST(i.n_common AS DOUBLE) / (z1.n + z2.n - i.n_common) >= 0.4
+      |ORDER BY d1, d2""".stripMargin
+
+  // x84: same LSH candidate CTEs as x20, gated on normalized Levenshtein
+  // similarity instead of Jaccard; is_dup compares the ROUNDED similarity
+  // so both engines gate the identical double.
+  val x84: String =
+    s"""WITH $shingleCte,
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+      |  FROM sh, range(0, 16) s(j) GROUP BY doc_id, j),
+      |band AS (
+      |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, ',' ORDER BY j)) AS bh
+      |  FROM mh GROUP BY doc_id, j // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |lv AS (
+      |  SELECT c.d1, c.d2, levenshtein(a.text, b.text) AS lev,
+      |         greatest(length(a.text), length(b.text)) AS mx
+      |  FROM cand c
+      |  JOIN documents a ON a.doc_id = c.d1
+      |  JOIN documents b ON b.doc_id = c.d2),
+      |sim AS (
+      |  SELECT d1, d2, CAST(lev AS BIGINT) AS lev,
+      |         floor((1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE))
+      |               * 1000000 + 0.5) / 1000000 AS edit_sim
+      |  FROM lv)
+      |SELECT d1, d2, lev, edit_sim, CAST(edit_sim >= 0.95 AS INT) AS is_dup
+      |FROM sim ORDER BY d1, d2""".stripMargin
+
+  // x85: chi-square per source over the x16 quality-score histogram; the
+  // dense source×bin grid includes zero-observation cells, each term is
+  // the identical (obs-exp)*(obs-exp)/exp IEEE sequence rounded once, and
+  // the per-source sum is DECIMAL (order-independent).
+  val x85: String =
+    """WITH t AS (
+      |  SELECT doc_id, length(replace(text, ' ', '')) AS n_alpha FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |st AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |         sum(CASE WHEN token IN ('the', 'a', 'of', 'to', 'and') THEN 1 ELSE 0 END) AS n_stop
+      |  FROM tok GROUP BY doc_id),
+      |q AS (
+      |  SELECT s.doc_id,
+      |         floor((0.4 * least(CAST(s.n_tokens AS DOUBLE), 50.0) / 50.0
+      |             + 0.3 * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens)
+      |             + 0.3 * least(CAST(t.n_alpha AS DOUBLE) / s.n_tokens, 10.0) / 10.0)
+      |           * 100000000 + 0.5) / 100000000 AS quality_score
+      |  FROM st s JOIN t ON s.doc_id = t.doc_id),
+      |cells AS (
+      |  SELECT d.source, least(CAST(floor(q.quality_score * 10) AS INT), 9) AS bin,
+      |         count(*) AS obs
+      |  FROM documents d JOIN q ON d.doc_id = q.doc_id
+      |  GROUP BY 1, 2),
+      |src AS (SELECT source, sum(obs) AS src_n FROM cells GROUP BY 1),
+      |bn AS (SELECT bin, sum(obs) AS bin_n FROM cells GROUP BY 1),
+      |tot AS (SELECT sum(obs) AS n_total FROM cells),
+      |ex AS (
+      |  SELECT s.source, s.src_n, coalesce(c.obs, 0) AS obs,
+      |         CAST(s.src_n AS DOUBLE) * CAST(b.bin_n AS DOUBLE)
+      |           / CAST(t.n_total AS DOUBLE) AS exp
+      |  FROM src s CROSS JOIN bn b CROSS JOIN tot t
+      |  LEFT JOIN cells c ON c.source = s.source AND c.bin = b.bin),
+      |term AS (
+      |  SELECT source, src_n,
+      |         floor((CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp) / exp
+      |               * 1000000 + 0.5) / 1000000 AS term
+      |  FROM ex)
+      |SELECT source, CAST(src_n AS BIGINT) AS n_docs,
+      |       CAST(sum(CAST(term AS DECIMAL(28,6))) AS DOUBLE) AS chi2
+      |FROM term GROUP BY 1, 2 ORDER BY source""".stripMargin
+
+  // x86: x28's 6-bit bucket + in-bucket pairs, restricted to pairs whose
+  // labels differ, aggregated per (ordered) label pair. Mean cosine is
+  // each pair's rounded cosine summed as DECIMAL.
+  val x86: String =
+    """WITH b AS (
+      |  SELECT vec_id, label, embedding,
+      |    CAST(embedding[1] > 0 AS INT) * 32 + CAST(embedding[2] > 0 AS INT) * 16
+      |    + CAST(embedding[3] > 0 AS INT) * 8 + CAST(embedding[4] > 0 AS INT) * 4
+      |    + CAST(embedding[5] > 0 AS INT) * 2 + CAST(embedding[6] > 0 AS INT) AS bucket
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT CAST(least(a.label, c.label) AS BIGINT) AS l1,
+      |         CAST(greatest(a.label, c.label) AS BIGINT) AS l2,
+      |    floor(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) /
+      |      (sqrt(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)))
+      |       * sqrt(sum(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE))))
+      |      * 1000000 + 0.5) / 1000000 AS cosine
+      |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      |                   AND a.label <> c.label,
+      |       range(1, 65) i(i)
+      |  GROUP BY a.vec_id, c.vec_id, 1, 2)
+      |SELECT l1, l2, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       max(cosine) AS max_cosine,
+      |       floor(CAST(sum(CAST(cosine AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+      |             * 1000000 + 0.5) / 1000000 AS mean_cosine
+      |FROM p GROUP BY 1, 2 ORDER BY l1, l2""".stripMargin
+
+  // x87: add-one-smoothed bigram LM likelihood; corpus counts are windows
+  // over the one bigram extraction (mirroring Spark's single-exchange
+  // window pair), V is a scalar subquery, per-doc mean is round-then-
+  // DECIMAL-sum.
+  val x87: String =
+    """WITH bg AS (
+      |  SELECT doc_id,
+      |         unnest(range(1, greatest(len(string_split(text, ' ')), 1))) AS i,
+      |         string_split(text, ' ') AS toks
+      |  FROM documents),
+      |bgp AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM bg),
+      |v AS (SELECT count(DISTINCT w) AS vocab
+      |      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+      |sc AS (
+      |  SELECT doc_id,
+      |         count(*) OVER (PARTITION BY w1) AS c1,
+      |         count(*) OVER (PARTITION BY w1, w2) AS c2
+      |  FROM bgp),
+      |pr AS (
+      |  SELECT doc_id,
+      |         floor((CAST(c2 AS DOUBLE) + 1.0)
+      |               / (CAST(c1 AS DOUBLE) + CAST(v.vocab AS DOUBLE))
+      |               * 1000000 + 0.5) / 1000000 AS pr
+      |  FROM sc, v)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       floor(CAST(sum(CAST(pr AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+      |             * 1000000 + 0.5) / 1000000 AS lm_score
+      |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x87_bigram_lm"       -> x87,
+    "x86_leakage_audit"   -> x86,
+    "x85_source_drift"    -> x85,
+    "x84_edit_gate"       -> x84,
+    "x83_sorted_neighborhood" -> x83,
     "x82_quantile_norm"   -> x82,
     "x80_weighted_sample" -> x80,
     "x79_inverted_index"  -> x79,

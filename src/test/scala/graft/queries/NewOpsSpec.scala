@@ -468,4 +468,147 @@ class NewOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out == Seq((0L, 0L, 2L), (0L, 2L, 1L), (1L, 0L, 1L)))
   }
+
+  private def docsDf(dir: String, rows: Seq[(Long, String)]): Unit =
+    rows.map { case (id, t) => (id, t, "en", "srcT", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  private def shingles(t: String): Set[String] = {
+    val w = t.split(" ")
+    if (w.length < 3) Set.empty
+    else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+  }
+
+  test("x83: window-distance-4 dup missed, cross-block dup missed, adjacent dup found") {
+    val dir = Files.createTempDirectory("x83").toString
+    // 40-char prefixes: block = first 8 chars, sort key = first 40
+    val pA = "aaaa bbbb cccc dddd eeee ffff gggg hhhh!" // blockA, 40 chars
+    val pB = "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss!" // blockB
+    val junk = (n: Int) => (0 until 20).map(i => s"j${n}w$i").mkString(" ")
+    val tail = (0 until 20).map(i => s"tw$i").mkString(" ")
+    docsDf(dir, Seq(
+      // blockA: six docs with the IDENTICAL 40-char sort key (ties order by
+      // doc_id), so 10 and 15 — the only true dups — sit 5 apart: missed
+      10L -> s"$pA $tail", 11L -> s"$pA ${junk(1)}", 12L -> s"$pA ${junk(2)}",
+      13L -> s"$pA ${junk(3)}", 14L -> s"$pA ${junk(4)}", 15L -> s"$pA $tail",
+      // blockB: adjacent near-identical pair → found
+      30L -> s"$pB $tail end30", 31L -> s"$pB $tail end31",
+      // same text as 30 but the first 8 chars differ → other block, alone
+      40L -> s"qqqq bbb ${pA.drop(9)} $tail end30"))
+    val out = LlmQueries.x83SortedNeighborhood(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(p => (p._1, p._2)).toSeq == Seq((30L, 31L)),
+      s"expected exactly the adjacent blockB pair, got ${out.toSeq}")
+    // independent JVM-side Jaccard of the found pair
+    val (s30, s31) = (shingles(s"$pB $tail end30"), shingles(s"$pB $tail end31"))
+    val common = (s30 & s31).size
+    val jac = common.toDouble / (s30.size + s31.size - common)
+    assert(out.head._3 == common.toLong)
+    assert(out.head._4 == math.floor(jac * 1e6 + 0.5) / 1e6)
+    // the missed dup really is a dup — SNM's documented window-distance miss
+    val (sh10, sh15) = (shingles(s"$pA $tail"), shingles(s"$pA $tail"))
+    assert((sh10 & sh15).size.toDouble / sh10.size >= 0.4)
+  }
+
+  test("x84: every candidate's lev matches a plain-Scala DP; gate splits at rounded 0.95") {
+    val dir = Files.createTempDirectory("x84").toString
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val texts = Map(
+      1L -> base,
+      2L -> base,                  // exact dup: lev 0, sim 1, is_dup 1
+      // appended tokens: minhash minima survive (append-only can only add
+      // smaller hashes), so bands still collide, but lev ≈ 21/196 → sim
+      // ≈ 0.893 < the 0.95 gate — the is_dup=0 branch
+      3L -> (base + " extra1 extra2 extra3"),
+      4L -> (0 until 30).map(i => s"other$i").mkString(" ")) // unrelated
+    docsDf(dir, texts.toSeq.sortBy(_._1))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val out = LlmQueries.x84EditGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(out.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"identical + appended-token docs must all be LSH candidates, got ${out.toSeq}")
+    out.foreach { case (d1, d2, l, sim, dup) =>
+      val (t1, t2) = (texts(d1), texts(d2))
+      assert(l == lev(t1, t2).toLong, s"($d1,$d2)")
+      val expSim = math.floor((1.0 - l.toDouble / math.max(t1.length, t2.length)) * 1e6 + 0.5) / 1e6
+      assert(sim == expSim)
+      assert(dup == (if (expSim >= 0.95) 1 else 0))
+    }
+    assert(out.exists(_._5 == 1) && out.exists(_._5 == 0),
+      "fixture must exercise both gate branches")
+  }
+
+  test("x85: chi-square equals a plain-Scala fold over x16's scores, zero cells included") {
+    val dir = Files.createTempDirectory("x85").toString
+    // srcLow clusters in low bins, srcHigh in high ones → real drift signal;
+    // sources are spread over bins the OTHER source never occupies, so the
+    // dense grid's zero-observation cells carry real chi-square mass
+    val rows = (0 until 12).map { i =>
+      val nTok = if (i < 6) 3 + i else 40 + i  // short docs score low
+      (100L + i, (0 until nTok).map(j => s"w${i}t$j").mkString(" "),
+        "en", if (i < 6) "srcLow" else "srcHigh", 10L)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val score = LlmQueries.x16QualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("quality_score"))).toMap
+    val srcOf = rows.map(r => r._1 -> r._4).toMap
+    val cells = rows.groupBy(r => (r._4, math.min(math.floor(score(r._1) * 10).toInt, 9)))
+      .map { case (k, v) => k -> v.size }
+    val bins = cells.keys.map(_._2).toSeq.distinct
+    val srcN = cells.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val binN = cells.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val n = cells.values.sum
+    val expected = srcN.map { case (s, sn) =>
+      val chi2 = bins.map { b =>
+        val obs = cells.getOrElse((s, b), 0).toDouble
+        val exp = sn.toDouble * binN(b).toDouble / n.toDouble
+        BigDecimal(math.floor((obs - exp) * (obs - exp) / exp * 1e6 + 0.5) / 1e6)
+          .setScale(6)
+      }.sum.toDouble
+      s -> (sn.toLong, chi2)
+    }
+    val out = LlmQueries.x85SourceDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == expected)
+    assert(srcOf.values.toSet.size == 2 && out("srcLow")._2 > 0.0)
+  }
+
+  test("x86: cross-label in-bucket pairs only; same-label and cross-bucket pairs invisible") {
+    val dir = Files.createTempDirectory("x86").toString
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    Seq(
+      (0L, 1, v(1, 1, 1, 1, 1, 1)),      // bucket 63, label 1
+      (1L, 2, v(1, 1, 1, 1, 1, 0.9)),    // bucket 63, label 2 → pair (1,2)
+      (2L, 1, v(1, 1, 1, 1, 1, 0.8)),    // bucket 63, label 1: same-label vs 0
+      (3L, 2, v(-1, -1, -1, -1, -1, -1)) // bucket 0: alone, no partner
+    ).toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = LlmQueries.x86LeakageAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // vecs 0 and 2 (both label 1) pair with 1 (label 2): two cross pairs
+    assert(out.toSeq == Seq((1L, 2L, 2L)))
+  }
+
+  test("x87: add-one bigram probabilities on a hand-computed corpus") {
+    val dir = Files.createTempDirectory("x87").toString
+    docsDf(dir, Seq(1L -> "a b a b", 2L -> "a b c", 3L -> "x"))
+    // corpus: c(a,b)=3 c(b,a)=1 c(b,c)=1; histories c(a·)=3 c(b·)=2; V=4
+    // P(a,b)=(3+1)/(3+4)=4/7  P(b,a)=(1+1)/(2+4)=1/3  P(b,c)=2/6=1/3
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val pab = r6(4.0 / 7); val pba = r6(1.0 / 3); val pbc = r6(1.0 / 3)
+    val out = LlmQueries.x87BigramLm(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(
+      (1L, 3L, r6((BigDecimal(pab) * 2 + BigDecimal(pba)).toDouble / 3)),
+      (2L, 2L, r6((BigDecimal(pab) + BigDecimal(pbc)).toDouble / 2))),
+      s"got ${out.toSeq}; single-token doc 3 must be absent")
+  }
 }

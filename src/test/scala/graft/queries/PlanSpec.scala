@@ -140,10 +140,13 @@ class PlanSpec extends SparkSpec {
     // x59/x59b's is the ≤32-row SemDeDup codebook broadcasting into the
     // assignment scan (x52's shape); x63's is the 1-row corpus-size
     // constant onto the vocabulary frame (x50's shape)
+    // x85's are the ≤10-row bin-margin and 1-row total frames crossing
+    // onto the ≤|sources|-row grid; x87's is the 1-row vocabulary-size
+    // constant onto the bigram frame (x50's shape)
     val broadcastCrossOk = Set("x11_cosine_topk", "x32_ivf_ann", "x49_pq_ann",
       "x50_tfidf_terms", "x52_kmeans_step", "x54_domain_rebalance",
       "x56_knn_classify", "x56b_knn_ann", "x59_semdedup", "x59b_semdedup_wide",
-      "x63_rarity_score")
+      "x63_rarity_score", "x85_source_drift", "x87_bigram_lm")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -363,6 +366,42 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
       "the peak argmax must ride the window's partitioning, not re-shuffle")
     assert(!p.contains("Join"), "peak-of-burst is one aggregate, never a max-rejoin")
+  }
+
+  test("x83: SNM is one block window — no join anywhere, one blk exchange") {
+    val p = plan("x83_sorted_neighborhood")
+    assert(!p.contains("Join"),
+      "sorted-neighborhood pairs come from lead() in place, never a self-join")
+    assert("hashpartitioning\\(blk".r.findAllIn(p).size == 1,
+      "exactly one block exchange carries the neighborhood sort")
+  }
+
+  test("x84: levenshtein gate runs on LSH candidates, no cartesian/global pairing") {
+    val p = plan("x84_edit_gate")
+    assert(p.contains("levenshtein"), "the edit gate must price candidate pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("x85: chi-square margins read the one PINNED cells frame, not re-scans") {
+    val p = plan("x85_source_drift")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      "both margins, the total, and the grid join must read the pinned cells — a re-derived lineage re-scans the corpus (fresh expr ids defeat ReuseExchange)")
+  }
+
+  test("x86: one bucket exchange, pairs from collect_list explode — no join") {
+    val p = plan("x86_leakage_audit")
+    assert(!p.contains("Join"), "in-bucket pairs come from per-bucket lists, never a self-join")
+    assert("hashpartitioning\\(bucket".r.findAllIn(p).size == 1)
+    assert(p.contains("float_dot"), "cosines must use the native codegen'd dot")
+  }
+
+  test("x87: both corpus-count windows ride ONE w1 exchange") {
+    val p = plan("x87_bigram_lm")
+    assert("hashpartitioning\\(w1#\\d+, w2#\\d+".r.findAllIn(p).isEmpty,
+      "the (w1,w2) window must reuse the w1 partitioning (subset satisfies clustering), not add an exchange")
+    assert("hashpartitioning\\(w1#\\d+, \\d+\\)".r.findAllIn(p).size == 1,
+      "exactly one exchange on w1 feeds both count windows")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
   test("x82: one lang exchange carries the rank window; score aggs map-combine") {
