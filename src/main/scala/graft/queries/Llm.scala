@@ -538,6 +538,65 @@ object LlmQueries {
       .orderBy("d1", "d2")
   }
 
+  /** x89 — DEDUP-FAMILY AGREEMENT matrix: for exact (content-hash),
+    * MinHash-LSH, and sorted-neighborhood dedup, how many docs each family
+    * flags and how the flag sets overlap — the diagnostic a pipeline owner
+    * reads before choosing which families to run in series (a family
+    * whose flags are a subset of another's adds cost, not recall). Output
+    * is the 6-row upper-triangle matrix (family_a ≤ family_b): diagonal
+    * rows carry each family's total, off-diagonal rows the intersection
+    * and each side's exclusive counts.
+    *
+    * Flags reuse the SAME machinery as the declared queries (exact: the
+    * x10 hash-min window; minhash: x13's bandBuckets+canonicalAssignment;
+    * SNM: x83 called directly), so the matrix cannot drift from the
+    * families it audits. The three flag passes are each linear (that cost
+    * is inherent to a three-family audit); everything after is one
+    * doc-spine join and ONE 1-row aggregate, pinned so the six report
+    * rows read it from cache instead of re-running the families six
+    * times.
+    */
+  def x89DedupAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val exactF = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("rep", min("doc_id").over(wH))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id"), lit(1).as("fe"))
+    val minhF = canonicalAssignment(bandBuckets(docs))
+      .filter(col("canonical") =!= col("doc_id"))
+      .select(col("doc_id"), lit(1).as("fm"))
+    val snmF = x83SortedNeighborhood(spark, sfDir)
+      .select(col("d2").as("doc_id")).distinct()
+      .select(col("doc_id"), lit(1).as("fs"))
+    val a = docs.select(col("doc_id"))
+      .join(exactF, Seq("doc_id"), "left")
+      .join(minhF, Seq("doc_id"), "left")
+      .join(snmF, Seq("doc_id"), "left")
+      .select(coalesce(col("fe"), lit(0)).as("fe"),
+        coalesce(col("fm"), lit(0)).as("fm"),
+        coalesce(col("fs"), lit(0)).as("fs"))
+      .agg(sum("fe").as("ne"), sum("fm").as("nm"), sum("fs").as("ns"),
+        sum(col("fe") * col("fm")).as("nem"),
+        sum(col("fe") * col("fs")).as("nes"),
+        sum(col("fm") * col("fs")).as("nms"))
+    repin(a)
+    def row(fa: String, fb: String, both: Column, oa: Column, ob: Column) =
+      a.select(lit(fa).as("family_a"), lit(fb).as("family_b"),
+        both.cast("long").as("n_both"),
+        oa.cast("long").as("n_only_a"), ob.cast("long").as("n_only_b"))
+    row("exact", "exact", col("ne"), lit(0), lit(0))
+      .union(row("exact", "minhash", col("nem"),
+        col("ne") - col("nem"), col("nm") - col("nem")))
+      .union(row("exact", "snm", col("nes"),
+        col("ne") - col("nes"), col("ns") - col("nes")))
+      .union(row("minhash", "minhash", col("nm"), lit(0), lit(0)))
+      .union(row("minhash", "snm", col("nms"),
+        col("nm") - col("nms"), col("ns") - col("nms")))
+      .union(row("snm", "snm", col("ns"), lit(0), lit(0)))
+      .orderBy("family_a", "family_b")
+  }
+
   /** LSH candidate pairs with exact shingle-overlap counts — the shared
     * engine behind x20 (Jaccard) and x57 (containment): (d1, d2, n1, n2,
     * n_common) for every in-bucket candidate pair. See x20's scaladoc for
@@ -2120,18 +2179,32 @@ object LlmQueries {
     * map-combines to ≤ sources×10 cells; everything after is
     * constant-sized (grid crossJoins are broadcasts of ≤10-row sides).
     */
-  def x85SourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = fanOut(Io.table(spark, sfDir, "documents"))
+  def x85SourceDrift(spark: SparkSession, sfDir: String): DataFrame =
+    driftReport(scoreCells(fanOut(Io.table(spark, sfDir, "documents"))))
+
+  /** (source, bin, obs) histogram cells of the x16 quality score — the
+    * mergeable sufficient statistic behind x85 and its streaming face
+    * (streaming/StreamingDrift merges these per micro-batch: the score is
+    * per-doc, so cells over a union = summed cells over the parts).
+    */
+  private[graft] def scoreCells(docs: DataFrame): DataFrame = {
     val q = qualityScored(docs).select(col("doc_id"), col("quality_score"))
-    val cells = docs.select(col("doc_id"), col("source"))
+    docs.select(col("doc_id"), col("source"))
       .join(q, "doc_id")
       .select(col("source"),
         least(floor(col("quality_score") * 10).cast("int"), lit(9)).as("bin"))
       .groupBy("source", "bin").agg(count(lit(1)).as("obs"))
+  }
+
+  /** Chi-square drift report from histogram cells — shared by x85 and
+    * StreamingDrift so the batch and streaming reports cannot drift.
+    */
+  private[graft] def driftReport(cellsIn: DataFrame): DataFrame = {
     // pin the ≤ sources×10-cell frame: its four consumers (both margins,
     // the total, and the grid's left join) would otherwise each re-derive
     // the corpus-sized score lineage — re-referenced lineages get fresh
     // expression ids, so ReuseExchange never dedups them (the x43 lesson)
+    val cells = cellsIn
     repin(cells)
     val srcTot = cells.groupBy("source").agg(sum("obs").as("src_n"))
     val binTot = cells.groupBy("bin").agg(sum("obs").as("bin_n"))
@@ -2182,6 +2255,34 @@ object LlmQueries {
                   transform(sort_array(collect_list(CASE WHEN rn <= 20 THEN doc_id END)),
                             x -> cast(x AS string)), '|')""").as("posting_head"))
       .orderBy("term")
+  }
+
+  /** x88 — TERM LOOKUP (the READ path of x79's inverted index): docs
+    * matching at least 2 of the query terms {data, table, spark}, with the
+    * match count and the matched-term list — threshold-OR retrieval, the
+    * query a corpus serves once the index exists. Here the postings are
+    * rebuilt from the docs so the oracle stays self-contained; a real
+    * deployment reads the PERSISTED x79 index instead, touching only the
+    * query terms' postings (partition-pruned when the index table is
+    * term-bucketed), so lookup cost is posting-list-sized, not
+    * corpus-sized.
+    *
+    * Even in the rebuild form the shape is right: the term filter runs
+    * BEFORE the distinct's exchange (plan-asserted), so only matched
+    * postings — |query| rows per doc at most — ever shuffle; the per-doc
+    * aggregate map-combines and the ≥2 gate runs on the combined counts.
+    */
+  def x88TermLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Seq("data", "table", "spark")
+    fanOut(Io.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"),
+        array_join(sort_array(collect_list(col("term"))), "|").as("matched_terms"))
+      .filter(col("n_matched") >= 2)
+      .orderBy(desc("n_matched"), col("doc_id"))
   }
 
   /** x71 — corpus SNAPSHOT DIFF: the crawl-to-crawl delta report run

@@ -1797,7 +1797,90 @@ object Oracles {
       |             * 1000000 + 0.5) / 1000000 AS lm_score
       |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // x88: threshold-OR posting lookup; string_agg ORDER BY term mirrors
+  // Spark's sort_array over the per-doc matched set.
+  val x88: String =
+    """WITH hits AS (
+      |  SELECT DISTINCT doc_id, w AS term FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w IN ('data', 'table', 'spark'))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+      |       string_agg(term, '|' ORDER BY term) AS matched_terms
+      |FROM hits GROUP BY doc_id HAVING count(*) >= 2
+      |ORDER BY n_matched DESC, doc_id""".stripMargin
+
+  // x89: per-family dup flags (exact hash-min window, x13's minhash
+  // canonical, x83's SNM dup side) folded into one agreement aggregate,
+  // unpivoted to the 6-row upper-triangle matrix.
+  val x89: String =
+    s"""WITH $shingleCte,
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+      |  FROM sh, range(0, 16) s(j) GROUP BY doc_id, j),
+      |band AS (
+      |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, ',' ORDER BY j)) AS bh
+      |  FROM mh GROUP BY doc_id, j // 4),
+      |reps AS (SELECT band, bh, min(doc_id) AS rep FROM band GROUP BY 1, 2),
+      |mflag AS (
+      |  SELECT b.doc_id FROM band b JOIN reps r ON b.band = r.band AND b.bh = r.bh
+      |  GROUP BY b.doc_id HAVING min(r.rep) <> b.doc_id),
+      |eflag AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+      |    FROM documents) WHERE doc_id <> rep),
+      |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+      |ord AS (
+      |  SELECT doc_id, substr(text, 1, 8) AS blk,
+      |         row_number() OVER (PARTITION BY substr(text, 1, 8)
+      |                            ORDER BY substr(text, 1, 40), doc_id) AS pos
+      |  FROM documents),
+      |prs AS (
+      |  SELECT least(a.doc_id, b.doc_id) AS d1, greatest(a.doc_id, b.doc_id) AS d2
+      |  FROM ord a JOIN ord b
+      |    ON a.blk = b.blk AND b.pos BETWEEN a.pos + 1 AND a.pos + 3),
+      |inter AS (
+      |  SELECT p.d1, p.d2, count(*) AS n_common
+      |  FROM prs p
+      |  JOIN shd s1 ON s1.doc_id = p.d1
+      |  JOIN shd s2 ON s2.doc_id = p.d2 AND s2.shingle = s1.shingle
+      |  GROUP BY 1, 2),
+      |sflag AS (
+      |  SELECT DISTINCT i.d2 AS doc_id
+      |  FROM inter i
+      |  JOIN sizes z1 ON z1.doc_id = i.d1
+      |  JOIN sizes z2 ON z2.doc_id = i.d2
+      |  WHERE CAST(i.n_common AS DOUBLE) / (z1.n + z2.n - i.n_common) >= 0.4),
+      |f AS (
+      |  SELECT d.doc_id,
+      |         CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fe,
+      |         CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fm,
+      |         CASE WHEN s2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fs
+      |  FROM documents d
+      |  LEFT JOIN eflag e ON e.doc_id = d.doc_id
+      |  LEFT JOIN mflag m ON m.doc_id = d.doc_id
+      |  LEFT JOIN sflag s2 ON s2.doc_id = d.doc_id),
+      |agg AS (
+      |  SELECT sum(fe) AS ne, sum(fm) AS nm, sum(fs) AS ns,
+      |         sum(fe * fm) AS nem, sum(fe * fs) AS nes, sum(fm * fs) AS nms
+      |  FROM f)
+      |SELECT 'exact' AS family_a, 'exact' AS family_b, CAST(ne AS BIGINT) AS n_both,
+      |       CAST(0 AS BIGINT) AS n_only_a, CAST(0 AS BIGINT) AS n_only_b FROM agg
+      |UNION ALL SELECT 'exact', 'minhash', CAST(nem AS BIGINT),
+      |       CAST(ne - nem AS BIGINT), CAST(nm - nem AS BIGINT) FROM agg
+      |UNION ALL SELECT 'exact', 'snm', CAST(nes AS BIGINT),
+      |       CAST(ne - nes AS BIGINT), CAST(ns - nes AS BIGINT) FROM agg
+      |UNION ALL SELECT 'minhash', 'minhash', CAST(nm AS BIGINT),
+      |       CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM agg
+      |UNION ALL SELECT 'minhash', 'snm', CAST(nms AS BIGINT),
+      |       CAST(nm - nms AS BIGINT), CAST(ns - nms AS BIGINT) FROM agg
+      |UNION ALL SELECT 'snm', 'snm', CAST(ns AS BIGINT),
+      |       CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM agg
+      |ORDER BY family_a, family_b""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x89_dedup_agreement" -> x89,
+    "x88_term_lookup"     -> x88,
     "x87_bigram_lm"       -> x87,
     "x86_leakage_audit"   -> x86,
     "x85_source_drift"    -> x85,

@@ -597,6 +597,50 @@ class NewOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 2L)))
   }
 
+  test("x83 property: random planted-dup corpora match a plain-Scala SNM fold") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      // docs over 3 blocks; ~1/3 are suffix-perturbed near-copies of an
+      // earlier doc in the same block, so adjacency is real but not
+      // guaranteed — exactly the regime SNM's window cap bites in
+      val blocks = Seq("blka yyy", "blkb yyy", "blkc yyy")
+      val base = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      (0 until 24).foreach { i =>
+        val id = 100L + i
+        val t =
+          if (i >= 3 && rnd.nextInt(3) == 0) {
+            val (_, src) = base(rnd.nextInt(base.size))
+            src.split(" ").dropRight(1).mkString(" ") + s" cp$i" // near-copy
+          } else {
+            val b = blocks(rnd.nextInt(3))
+            b + " " + (0 until 15).map(j => s"t${trial}x${i}w$j").mkString(" ")
+          }
+        base += id -> t
+      }
+      val dir = Files.createTempDirectory("x83p").toString
+      docsDf(dir, base.toSeq)
+      // plain-Scala SNM: block on first 8 chars, sort by (first 40, id),
+      // window 3, exact shingle jaccard at 0.4
+      val expected = base.groupBy(_._2.take(8)).toSeq.flatMap { case (_, ds) =>
+        val ord = ds.sortBy(d => (d._2.take(40), d._1))
+        for {
+          i <- ord.indices; k <- 1 to 3; if i + k < ord.size
+          (ida, ta) = ord(i); (idb, tb) = ord(i + k)
+          (sa, sb) = (shingles(ta), shingles(tb))
+          common = (sa & sb).size
+          if sa.nonEmpty || sb.nonEmpty
+          jac = common.toDouble / (sa.size + sb.size - common)
+          if jac >= 0.4
+        } yield (math.min(ida, idb), math.max(ida, idb),
+          common.toLong, math.floor(jac * 1e6 + 0.5) / 1e6)
+      }.sortBy(p => (p._1, p._2))
+      val got = LlmQueries.x83SortedNeighborhood(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == expected, s"trial $trial")
+      assert(expected.nonEmpty || trial > 0) // planted copies usually pair up
+    }
+  }
+
   test("x87: add-one bigram probabilities on a hand-computed corpus") {
     val dir = Files.createTempDirectory("x87").toString
     docsDf(dir, Seq(1L -> "a b a b", 2L -> "a b c", 3L -> "x"))

@@ -404,6 +404,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("x88: term filter runs before the posting shuffle; lookup agg map-combines") {
+    val p = plan("x88_term_lookup")
+    assert(p.contains("IN (data,table,spark)"),
+      "only query-term postings may reach the distinct's exchange")
+    assert(p.contains("partial_count"))
+    assert(!p.contains("Join"))
+  }
+
+  test("x89: six report rows read the ONE pinned agreement aggregate") {
+    val p = plan("x89_dedup_agreement")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 6,
+      "each unioned report row must read the cached 1-row aggregate, not re-run three dedup families")
+  }
+
   test("x82: one lang exchange carries the rank window; score aggs map-combine") {
     val p = plan("x82_quantile_norm")
     assert("hashpartitioning\\(lang".r.findAllIn(p).size == 1,
