@@ -233,6 +233,8 @@ object Scratch {
       time(s"x87_$dir")(queries.LlmQueries.x87BigramLm(spark, dir).count())
       time(s"x88_$dir")(queries.LlmQueries.x88TermLookup(spark, dir).count())
       time(s"x89_$dir")(queries.LlmQueries.x89DedupAgreement(spark, dir).count())
+      time(s"x90_$dir")(queries.ExtendedQueries.x90GreedyPack(spark, dir).count())
+      time(s"x91_$dir")(queries.ExtendedQueries.x91NearestEvent(spark, dir).count())
       val docs = core.Io.table(spark, dir, "documents")
       val toks = docs.select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)

@@ -738,6 +738,116 @@ object ExtendedQueries {
     * hash match also pins the two argmax formulations against each other.
     * One user_id exchange carries the window AND the aggregate.
     */
+  /** x91 — NEAREST-EVENT attribution (bidirectional as-of): every `error`
+    * event is matched to the nearest non-error event of the same user in
+    * BOTH directions — the latest at-or-before and the earliest
+    * at-or-after — plus the nearest of the two (ties → backward) with its
+    * signed-direction gap. The error-triage primitive ("what was the user
+    * doing when it broke"), and the directional completion of x22's
+    * backward-only as-of.
+    *
+    * Shape: ONE union frame, TWO windows with opposite orders on the SAME
+    * user_id partitioning — one exchange, two in-partition sorts,
+    * plan-asserted; no inequality join anywhere. Same-instant non-errors
+    * count in both directions (sort places non-errors before errors in
+    * the backward order and after them in the forward order), and ties
+    * among same-instant candidates resolve to max event_id in both
+    * directions. The oracle reaches the same rows through DuckDB's native
+    * dual ASOF JOIN — the hash match pins the window formulation against
+    * the dedicated operator (x22's pattern, both directions).
+    */
+  def x91NearestEvent(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Io.events(spark, sfDir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("t"),
+      (col("event_type") === "error").cast("int").as("is_err"))
+    val wb = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("is_err"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id")
+      .orderBy(col("t"), desc("is_err"), desc("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val neId = when(col("is_err") === 0, col("event_id"))
+    val neT  = when(col("is_err") === 0, col("t"))
+    val backGap = col("t") - col("back_t")
+    val fwdGap  = col("fwd_t") - col("t")
+    ev
+      .withColumn("back_event", last(neId, ignoreNulls = true).over(wb))
+      .withColumn("back_t", last(neT, ignoreNulls = true).over(wb))
+      .withColumn("fwd_event", first(neId, ignoreNulls = true).over(wf))
+      .withColumn("fwd_t", first(neT, ignoreNulls = true).over(wf))
+      .filter(col("is_err") === 1)
+      .select(col("event_id"), col("user_id"), col("t").as("ts_us"),
+        col("back_event"), col("fwd_event"),
+        when(col("back_event").isNull && col("fwd_event").isNull, "none")
+          .when(col("back_event").isNull, "forward")
+          .when(col("fwd_event").isNull, "backward")
+          .when(backGap <= fwdGap, "backward")
+          .otherwise("forward").as("direction"),
+        when(col("back_event").isNull && col("fwd_event").isNull, lit(null).cast("long"))
+          .when(col("back_event").isNull, col("fwd_event"))
+          .when(col("fwd_event").isNull, col("back_event"))
+          .when(backGap <= fwdGap, col("back_event"))
+          .otherwise(col("fwd_event")).as("nearest_event"),
+        when(col("back_event").isNull && col("fwd_event").isNull, lit(null).cast("long"))
+          .when(col("back_event").isNull, fwdGap)
+          .when(col("fwd_event").isNull, backGap)
+          .when(backGap <= fwdGap, backGap)
+          .otherwise(fwdGap).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** x90 — GREEDY reset-on-threshold packing via Spark 4.1's WITH
+    * RECURSIVE (SQL surface, S2 family): walk each user's next-12-event
+    * horizon in event_id order accumulating `value`; when the running
+    * total would exceed the 100.0 budget, close the pack and start a new
+    * one at the current event. This is the operator WINDOW FUNCTIONS
+    * CANNOT EXPRESS: every pack boundary depends on where the previous
+    * boundary fell (a running sum with data-dependent resets is not a
+    * frame computation), the same reason x60's concatenate-then-chunk
+    * packing deliberately uses offset-division instead. The recursion is
+    * LINEAR — one frontier row per user per step, no path explosion — and
+    * both engines execute the identical left-to-right float accumulation,
+    * so pack sums are bit-identical without a rounding step (rounded on
+    * output anyway).
+    *
+    * The declared horizon is 12 events per user because each UnionLoop
+    * iteration is a full Spark job (~0.2s fixed overhead at local scale —
+    * measured 16.6s warm for the 86-deep unbounded form at sf0.01, pure
+    * iteration tax, data-independent): recursion cost is DEPTH-bounded,
+    * not data-bounded, which is exactly the engine boundary the scaladoc
+    * of x60 and this query document — beyond tens of steps per key, the
+    * stateful-streaming fold (flatMapGroupsWithState, StreamingFunnel's
+    * primitive) or x60's associative offset-division is the right engine.
+    * The NewOpsSpec property test pins the UNCAPPED semantics on small
+    * streams against a plain-Scala fold.
+    */
+  def x90GreedyPack(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.eventsRaw(spark, sfDir)
+      .filter(col("value").isNotNull && col("value") >= 0)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .createOrReplaceTempView("ev_pack")
+    spark.sql(
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, value, rn FROM (
+        |    SELECT user_id, value,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |    FROM ev_pack) WHERE rn <= 12),
+        |r(user_id, rn, acc, pack) AS (
+        |  SELECT user_id, rn, value, 1 FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn,
+        |         CASE WHEN r.acc + e.value > 100.0 THEN e.value
+        |              ELSE r.acc + e.value END,
+        |         CASE WHEN r.acc + e.value > 100.0 THEN r.pack + 1
+        |              ELSE r.pack END
+        |  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT user_id, pack AS pack_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       floor(max(acc) * 1000000 + 0.5) / 1000000 AS pack_total
+        |FROM r GROUP BY user_id, pack
+        |ORDER BY user_id, pack_id""".stripMargin)
+  }
+
   def x81BurstDetect(spark: SparkSession, sfDir: String): DataFrame = {
     val fiveMinUs = 300000000L
     val ev = Io.eventsRaw(spark, sfDir)

@@ -1615,6 +1615,70 @@ object Oracles {
       |GROUP BY m.user_id, m.n_events, m.max_burst
       |ORDER BY m.user_id""".stripMargin
 
+  // x90: identical linear recursion in both engines — same event order,
+  // same left-to-right float accumulation, so pack sums agree bit-for-bit
+  // before the output rounding.
+  val x90: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, value, rn FROM (
+      |    SELECT user_id, value,
+      |           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |    FROM events WHERE value IS NOT NULL AND value >= 0) WHERE rn <= 12),
+      |r(user_id, rn, acc, pack) AS (
+      |  SELECT user_id, rn, value, 1 FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn,
+      |         CASE WHEN r.acc + e.value > 100.0 THEN e.value
+      |              ELSE r.acc + e.value END,
+      |         CASE WHEN r.acc + e.value > 100.0 THEN r.pack + 1
+      |              ELSE r.pack END
+      |  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      |SELECT user_id, pack AS pack_id,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       floor(max(acc) * 1000000 + 0.5) / 1000000 AS pack_total
+      |FROM r GROUP BY user_id, pack
+      |ORDER BY user_id, pack_id""".stripMargin
+
+  // x91: DuckDB's native dual ASOF JOIN vs Spark's two-window union walk —
+  // the hash match pins the formulations against each other in BOTH
+  // directions. The ne dedup (max event_id per (user, instant)) gives the
+  // same-instant tie-break Spark's sort encodes.
+  val x91: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS t,
+      |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      |  FROM events),
+      |err AS (SELECT event_id, user_id, t FROM e WHERE is_err = 1),
+      |ne AS (SELECT user_id, t, max(event_id) AS ne_event
+      |       FROM e WHERE is_err = 0 GROUP BY 1, 2),
+      |b AS (
+      |  SELECT err.event_id, err.user_id, err.t,
+      |         ne.ne_event AS back_event, ne.t AS back_t
+      |  FROM err ASOF LEFT JOIN ne
+      |    ON err.user_id = ne.user_id AND err.t >= ne.t),
+      |f AS (
+      |  SELECT err.event_id, ne.ne_event AS fwd_event, ne.t AS fwd_t
+      |  FROM err ASOF LEFT JOIN ne
+      |    ON err.user_id = ne.user_id AND err.t <= ne.t)
+      |SELECT b.event_id, b.user_id, b.t AS ts_us, b.back_event, f.fwd_event,
+      |       CASE WHEN b.back_event IS NULL AND f.fwd_event IS NULL THEN 'none'
+      |            WHEN b.back_event IS NULL THEN 'forward'
+      |            WHEN f.fwd_event IS NULL THEN 'backward'
+      |            WHEN b.t - b.back_t <= f.fwd_t - b.t THEN 'backward'
+      |            ELSE 'forward' END AS direction,
+      |       CASE WHEN b.back_event IS NULL AND f.fwd_event IS NULL THEN NULL
+      |            WHEN b.back_event IS NULL THEN f.fwd_event
+      |            WHEN f.fwd_event IS NULL THEN b.back_event
+      |            WHEN b.t - b.back_t <= f.fwd_t - b.t THEN b.back_event
+      |            ELSE f.fwd_event END AS nearest_event,
+      |       CASE WHEN b.back_event IS NULL AND f.fwd_event IS NULL THEN NULL
+      |            WHEN b.back_event IS NULL THEN f.fwd_t - b.t
+      |            WHEN f.fwd_event IS NULL THEN b.t - b.back_t
+      |            WHEN b.t - b.back_t <= f.fwd_t - b.t THEN b.t - b.back_t
+      |            ELSE f.fwd_t - b.t END AS gap_us
+      |FROM b JOIN f ON f.event_id = b.event_id
+      |ORDER BY b.event_id""".stripMargin
+
   // x82: percent_rank is (rank-1)/(n-1) in both engines — integer rank
   // arithmetic into one IEEE division, so no rounding step is needed and
   // ties need no tie-break (equal scores share a rank).
@@ -1977,7 +2041,9 @@ object Oracles {
     "x76_bucketed_join"   -> x76,
     "x77_partitioned_prune" -> x77,
     "x78_compaction_roundtrip" -> x78,
-    "x81_burst_detect"    -> x81)
+    "x81_burst_detect"    -> x81,
+    "x90_greedy_pack"     -> x90,
+    "x91_nearest_event"   -> x91)
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,

@@ -641,6 +641,75 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("x90 property: random event streams match a plain-Scala greedy packing fold") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 4) {
+      // values spanning the budget (some singletons > 100), plus nulls and
+      // negatives that the filter must drop before packing
+      val events = (1 to 80).map { i =>
+        val v = rnd.nextInt(5) match {
+          case 0 => None
+          case 1 => Some(-5.0 - rnd.nextInt(10))
+          case 2 => Some(110.0 + rnd.nextDouble() * 30)
+          case _ => Some(rnd.nextDouble() * 60)
+        }
+        (i.toLong * 3, (rnd.nextInt(4) + 1).toLong, v)
+      }
+      val dir = Files.createTempDirectory("x90p").toString
+      events.toDF("event_id", "user_id", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val expected = events
+        .collect { case (eid, u, Some(v)) if v >= 0 => (eid, u, v) }
+        .groupBy(_._2).toSeq.flatMap { case (user, evs) =>
+          val packs = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)] // (n, acc)
+          evs.sortBy(_._1).take(12).foreach { case (_, _, v) =>
+            if (packs.nonEmpty && packs.last._2 + v <= 100.0)
+              packs(packs.size - 1) = (packs.last._1 + 1, packs.last._2 + v)
+            else packs += ((1, v))
+          }
+          packs.zipWithIndex.map { case ((n, acc), i) =>
+            (user, i + 1, n.toLong, math.floor(acc * 1e6 + 0.5) / 1e6) }
+        }.sortBy(r => (r._1, r._2))
+      val got = ExtendedQueries.x90GreedyPack(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == expected, s"trial $trial")
+      assert(expected.exists(_._3 > 1) && expected.count(_._2 > 1) > 0,
+        "fixture must exercise multi-event packs and resets")
+    }
+  }
+
+  test("x91: both directions, gap ties to backward, same-instant max-id, null edges") {
+    val dir = Files.createTempDirectory("x91").toString
+    val us = 1000L // µs in ns (fixture writes ns; query compares at µs)
+    Seq(
+      // user 1: forward strictly closer (back gap 20µs, fwd gap 10µs)
+      (1L, 1L, "view", 10 * us), (2L, 1L, "error", 30 * us), (3L, 1L, "view", 40 * us),
+      // user 2: equal gaps (10µs both ways) — tie resolves backward
+      (4L, 2L, "view", 0L), (5L, 2L, "error", 10 * us), (6L, 2L, "view", 20 * us),
+      // user 3: two non-errors at the error's own instant — both directions
+      // see gap 0 and both pick the max event_id (9, not 8)
+      (7L, 3L, "error", 5 * us), (8L, 3L, "view", 5 * us), (9L, 3L, "view", 5 * us),
+      // user 4: backward only (no later non-error)
+      (10L, 4L, "error", 100 * us), (11L, 4L, "view", 1 * us),
+      // user 5: errors only — direction 'none', null nearest/gap
+      (12L, 5L, "error", 0L),
+      // user 6: forward only
+      (13L, 6L, "error", 50 * us), (14L, 6L, "view", 70 * us)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.x91NearestEvent(spark, dir).collect().map { r =>
+      def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      (r.getLong(0), optL(3), optL(4), r.getString(5), optL(6), optL(7))
+    }.toSeq
+    assert(out == Seq(
+      (2L, Some(1L), Some(3L), "forward", Some(3L), Some(10L)),
+      (5L, Some(4L), Some(6L), "backward", Some(4L), Some(10L)),
+      (7L, Some(9L), Some(9L), "backward", Some(9L), Some(0L)),
+      (10L, Some(11L), None, "backward", Some(11L), Some(99L)),
+      (12L, None, None, "none", None, None),
+      (13L, None, Some(14L), "forward", Some(14L), Some(20L))))
+  }
+
   test("x87: add-one bigram probabilities on a hand-computed corpus") {
     val dir = Files.createTempDirectory("x87").toString
     docsDf(dir, Seq(1L -> "a b a b", 2L -> "a b c", 3L -> "x"))

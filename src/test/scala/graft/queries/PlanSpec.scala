@@ -418,6 +418,22 @@ class PlanSpec extends SparkSpec {
       "each unioned report row must read the cached 1-row aggregate, not re-run three dedup families")
   }
 
+  test("x90: recursion plans as UnionLoop (linear frontier), value filter pushed to scan") {
+    val p = plan("x90_greedy_pack")
+    assert(p.contains("UnionLoop"), "WITH RECURSIVE must plan as the iterative UnionLoop")
+    assert(p.contains("UnionLoopRef"), "the recursive branch must reference the frontier, not re-scan")
+    assert("value#\\d+ >= 0\\.0".r.findFirstIn(p).nonEmpty,
+      "the value gate must run below the recursion, not per iteration")
+  }
+
+  test("x91: both direction windows ride ONE user_id exchange; no inequality join") {
+    val p = plan("x91_nearest_event")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "the opposite-order windows must share one user_id exchange")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), "bidirectional as-of must not plan a join")
+  }
+
   test("x82: one lang exchange carries the rank window; score aggs map-combine") {
     val p = plan("x82_quantile_norm")
     assert("hashpartitioning\\(lang".r.findAllIn(p).size == 1,
