@@ -235,6 +235,10 @@ object Scratch {
       time(s"x89_$dir")(queries.LlmQueries.x89DedupAgreement(spark, dir).count())
       time(s"x90_$dir")(queries.ExtendedQueries.x90GreedyPack(spark, dir).count())
       time(s"x91_$dir")(queries.ExtendedQueries.x91NearestEvent(spark, dir).count())
+      time(s"x92_$dir")(queries.ExtendedQueries.x92TemporalLookup(spark, dir).count())
+      time(s"x93_$dir")(queries.ExtendedQueries.x93RollingDau(spark, dir).count())
+      time(s"x96_$dir")(queries.ExtendedQueries.x96TimeWeightedAvg(spark, dir).count())
+      time(s"x97_$dir")(queries.ExtendedQueries.x97MadOutliers(spark, dir).count())
       val docs = core.Io.table(spark, dir, "documents")
       val toks = docs.select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)

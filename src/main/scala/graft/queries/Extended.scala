@@ -1097,4 +1097,152 @@ object ExtendedQueries {
       .withColumn("is_current", col("valid_to").isNull.cast("int"))
       .orderBy("user_id", "version")
   }
+
+  /** x92 — SCD-2 POINT-IN-TIME LOOKUP (x70's read path): for every error
+    * event, the dimension version in effect at that event — version
+    * number, in-effect value, the change event that opened it, and the
+    * staleness (how far into the version the probe fell). The "what did
+    * the dimension say when it broke" primitive that completes x70's
+    * history BUILD with the lookup a fact-to-SCD2 join performs.
+    *
+    * The interval join never happens: probes and observations are the
+    * same stream, so ONE window pass computes both the change detection
+    * (x70's lag + rn=1 rule) and the lookup — version is a running sum of
+    * the change flag, the in-effect value/change-event ride a running
+    * `last(struct, ignoreNulls)` (struct-wrapped so a NULL-valued change
+    * is carried, not skipped — the x70 null-observation class again). All
+    * window layers share one (user_id, event_id) partitioning+ordering:
+    * ONE exchange, ONE sort, no join anywhere (plan-asserted). At 100 TB
+    * this replaces a fact×dimension interval join with a linear co-sorted
+    * pass. The oracle REBUILDS x70's intervals and runs the real
+    * `[valid_from, valid_to)` interval join — the hash match pins the
+    * windowed lookup against the dedicated-operator formulation (the
+    * x91/ASOF pattern for validity intervals). A probe at its own change
+    * event sees the NEW version (inclusive start), staleness 0.
+    */
+  def x92TemporalLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Io.eventsRaw(spark, sfDir)
+      .select("user_id", "event_id", "event_type", "value")
+    val w   = Window.partitionBy("user_id").orderBy("event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_value", lag("value", 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("is_chg",
+        (col("rn") === 1 || not(col("value") <=> col("prev_value"))).cast("int"))
+      .withColumn("version", sum("is_chg").over(run).cast("long"))
+      .withColumn("dim", last(when(col("is_chg") === 1,
+        struct(col("value"), col("event_id"))), ignoreNulls = true).over(run))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("version"),
+        col("dim.value").as("dim_value"),
+        col("dim.event_id").as("valid_from"),
+        (col("event_id") - col("dim.event_id")).as("staleness"))
+      .orderBy("event_id")
+  }
+
+  /** x93 — ROLLING 7-DAY DISTINCT USERS (DAU / WAU): for each UTC day
+    * with activity, the distinct users that day and over the trailing
+    * 7-day window [d−6, d], plus the DAU/WAU stickiness ratio — the
+    * engagement staple whose sliding DISTINCT is famously
+    * non-decomposable (a distinct count cannot be subtracted at the
+    * trailing edge, so no window frame computes it).
+    *
+    * The scalable exact form: distinct (user, day) pairs first (the ONLY
+    * corpus-sized shuffle), then each pair fans out to the ≤7 target days
+    * it supports — a bounded, data-independent ×7 amplification of the
+    * already-collapsed pairs, not of raw events — and one grouped
+    * count(DISTINCT) per target day computes DAU (offset-0 pairs only)
+    * and WAU from the same frame. Days are epoch-day integers from exact
+    * ns→day integer division (both engines divide the same epoch; no date
+    * types cross the oracle). Target days with no same-day activity are
+    * not reported (dau ≥ 1), which also trims the trailing fan-out past
+    * the last real day. At 100 TB: pre-aggregating to distinct pairs
+    * bounds the expansion by |users|×|days|, and the per-day distinct is
+    * a two-phase hash agg — no global sort, no window over the full
+    * stream.
+    */
+  def x93RollingDau(spark: SparkSession, sfDir: String): DataFrame = {
+    val nsPerDay = 86400000000000L
+    val pairs = Io.eventsRaw(spark, sfDir)
+      .select(col("user_id"), expr(s"ts div ${nsPerDay}L").as("day"))
+      .distinct()
+    pairs
+      .withColumn("g", explode(sequence(lit(0), lit(6))))
+      .withColumn("day", col("day") + col("g"))
+      .groupBy("day")
+      .agg(
+        countDistinct(when(col("g") === 0, col("user_id"))).as("dau"),
+        countDistinct(col("user_id")).as("wau7"))
+      .filter(col("dau") >= 1)
+      .select(col("day"), col("dau"), col("wau7"),
+        stableRound6(col("dau").cast("double") / col("wau7")).as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** x96 — TIME-WEIGHTED AVERAGE per user: each observation's value holds
+    * until the next observation (step interpolation), so the mean is
+    * Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_N−t₁) — the IoT/finance primitive where a plain
+    * avg() over-weights chatty periods (10 readings in a burst ≠ 10× the
+    * weight of a stable hour). The last observation spans zero time by
+    * construction; users with a single observation (or an all-equal-ts
+    * span of zero) have no interval to average over and are excluded.
+    *
+    * Numeric determinism: gaps are exact µs integers (the shared ns→µs
+    * truncation), each vᵢ·gap product is an exact double (2-dp value ×
+    * integer gap stays under 2⁵³), and the products are DECIMAL-summed so
+    * partition order can't reorder IEEE addition — the standard
+    * round-then-decimal-sum contract, one stableRound6 at the end. Plan:
+    * the lead() window and the per-user aggregate share ONE user_id
+    * exchange (window partitioning satisfies the groupBy clustering —
+    * the x87 subset-satisfies pattern), so the whole query is scan →
+    * exchange → window → agg.
+    */
+  def x96TimeWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = Io.eventsRaw(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("t"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    obs.withColumn("nt", lead("t", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_obs"),
+        (max("t") - min("t")).as("span_us"),
+        sum((col("value") * (col("nt") - col("t"))).cast("decimal(28,6)")).as("wsum"))
+      .filter(col("span_us") > 0)
+      .select(col("user_id"), col("n_obs"), col("span_us"),
+        stableRound6(col("wsum").cast("double") / col("span_us")).as("twa"))
+      .orderBy("user_id")
+  }
+
+  /** x97 — ROBUST OUTLIERS via MAD (median absolute deviation): per event
+    * type, the median value, the median of |v − median|, and how many
+    * observations sit beyond the 3×MAD robust fence — the outlier gate
+    * that, unlike mean±3σ, is not itself dragged by the outliers it
+    * hunts. Three passes by necessity (the fence depends on MAD, which
+    * depends on the median), each a grouped EXACT percentile over the
+    * same 5-group frame, stitched by broadcast joins — the fact side
+    * never shuffles (plan-asserted 2× BroadcastHashJoin, no
+    * SortMergeJoin). Medians interpolate (a+b)/2 from identical doubles
+    * in both engines, so raw values hash-match with no rounding step
+    * (the x25 exact-percentile contract). At corpus scale the exact
+    * median's per-group buffer swaps for percentile_approx (the x51
+    * documented trade) — the fence logic is unchanged.
+    */
+  def x97MadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = Io.eventsRaw(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = obs.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = obs.join(broadcast(med), Seq("event_type"))
+      .withColumn("absdev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(min("med").as("med"), min("mad").as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("absdev") > lit(3.0) * col("mad"), 1).otherwise(0)).as("n_outliers"))
+      .orderBy("event_type")
+  }
 }

@@ -1679,6 +1679,92 @@ object Oracles {
       |FROM b JOIN f ON f.event_id = b.event_id
       |ORDER BY b.event_id""".stripMargin
 
+  // x92: the oracle rebuilds x70's validity intervals and runs the REAL
+  // [valid_from, valid_to) interval join — pinning Spark's single-pass
+  // windowed lookup against the dedicated-operator formulation.
+  val x92: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, value,
+      |         CASE WHEN row_number() OVER w = 1
+      |                OR value IS DISTINCT FROM lag(value) OVER w
+      |              THEN 1 ELSE 0 END AS is_chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |dim AS (
+      |  SELECT user_id, value, event_id AS valid_from,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS version,
+      |         lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
+      |  FROM flagged WHERE is_chg = 1)
+      |SELECT e.event_id, e.user_id, d.version, d.value AS dim_value,
+      |       d.valid_from, e.event_id - d.valid_from AS staleness
+      |FROM events e JOIN dim d
+      |  ON e.user_id = d.user_id AND d.valid_from <= e.event_id
+      | AND (d.valid_to IS NULL OR e.event_id < d.valid_to)
+      |WHERE e.event_type = 'error'
+      |ORDER BY e.event_id""".stripMargin
+
+  // x93: identical pair-expansion formulation — distinct (user, day)
+  // pairs fan out to their ≤7 target days, one grouped count(DISTINCT)
+  // serves DAU (offset 0) and WAU. Days are exact epoch integer division
+  // on both sides (µs in DuckDB == truncated ns in Spark).
+  val x93: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |ex AS (
+      |  SELECT p.user_id, p.day + g.g AS day, g.g
+      |  FROM pairs p CROSS JOIN (SELECT unnest(range(0, 7)) AS g) g)
+      |SELECT day,
+      |       count(DISTINCT CASE WHEN g = 0 THEN user_id END) AS dau,
+      |       count(DISTINCT user_id) AS wau7,
+      |       floor(CAST(count(DISTINCT CASE WHEN g = 0 THEN user_id END) AS DOUBLE)
+      |             / count(DISTINCT user_id) * 1000000 + 0.5) / 1000000 AS stickiness
+      |FROM ex GROUP BY day
+      |HAVING count(DISTINCT CASE WHEN g = 0 THEN user_id END) >= 1
+      |ORDER BY day""".stripMargin
+
+  // x96: gaps are exact µs integers; each value·gap product is an exact
+  // double; products DECIMAL-sum (order-independent); one floor-round at
+  // the end — the shared numeric-determinism contract.
+  val x96: String =
+    """WITH obs AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t, value
+      |  FROM events WHERE value IS NOT NULL),
+      |g AS (
+      |  SELECT user_id, t, value,
+      |         lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nt
+      |  FROM obs)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+      |       max(t) - min(t) AS span_us,
+      |       floor(CAST(sum(CAST(value * (nt - t) AS DECIMAL(28,6))) AS DOUBLE)
+      |             / (max(t) - min(t)) * 1000000 + 0.5) / 1000000 AS twa
+      |FROM g GROUP BY user_id
+      |HAVING max(t) - min(t) > 0
+      |ORDER BY user_id""".stripMargin
+
+  // x97: quantile_cont == Spark's exact interpolating percentile(); both
+  // engines interpolate (a+b)/2 from identical doubles, so raw medians
+  // hash-match with no rounding step (the x25 contract).
+  val x97: String =
+    """WITH obs AS (
+      |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM obs GROUP BY 1),
+      |dev AS (
+      |  SELECT o.event_type, o.value, m.med, abs(o.value - m.med) AS absdev
+      |  FROM obs o JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, min(d.med) AS med, min(m.mad) AS mad,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CASE WHEN d.absdev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_outliers
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type
+      |ORDER BY d.event_type""".stripMargin
+
   // x82: percent_rank is (rank-1)/(n-1) in both engines — integer rank
   // arithmetic into one IEEE division, so no rounding step is needed and
   // ties need no tie-break (equal scores share a rank).
@@ -2043,7 +2129,11 @@ object Oracles {
     "x78_compaction_roundtrip" -> x78,
     "x81_burst_detect"    -> x81,
     "x90_greedy_pack"     -> x90,
-    "x91_nearest_event"   -> x91)
+    "x91_nearest_event"   -> x91,
+    "x92_temporal_lookup" -> x92,
+    "x93_rolling_dau"     -> x93,
+    "x96_time_weighted"   -> x96,
+    "x97_mad_outliers"    -> x97)
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,

@@ -710,6 +710,90 @@ class NewOpsSpec extends SparkSpec {
       (13L, None, Some(14L), "forward", Some(14L), Some(20L))))
   }
 
+  test("x92: own-change inclusive, null-valued versions carried, repeat staleness") {
+    val dir = Files.createTempDirectory("x92").toString
+    Seq(
+      // user 1: versions 5.0 | 7.0 | null | 7.0 (e2 repeats, e5 repeats null)
+      (1L, 1L, "view", Some(5.0)), (2L, 1L, "click", Some(5.0)),
+      (3L, 1L, "error", Some(7.0)), (4L, 1L, "view", None),
+      (5L, 1L, "error", None), (9L, 1L, "error", Some(7.0)),
+      // user 2: FIRST event is a null-valued error — rn=1 change, struct
+      // wrapper must carry the null version (ignoreNulls would skip a bare
+      // null value)
+      (6L, 2L, "error", None),
+      // user 3: error probes a repeat — staleness spans back to the change
+      (7L, 3L, "view", Some(3.0)), (8L, 3L, "error", Some(3.0))
+    ).toDF("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.x92TemporalLookup(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4), r.getLong(5))
+    }.toSeq
+    assert(out == Seq(
+      (3L, 1L, 2L, Some(7.0), 3L, 0L), // probe AT its own change: new version, staleness 0
+      (5L, 1L, 3L, None, 4L, 1L),      // null version in effect, carried not skipped
+      (6L, 2L, 1L, None, 6L, 0L),      // opening observation is version 1 even when null
+      (8L, 3L, 1L, Some(3.0), 7L, 1L), // repeat probe reaches back to the change
+      (9L, 1L, 4L, Some(7.0), 9L, 0L)))// null→7.0 is a change (IS DISTINCT FROM)
+  }
+
+  test("x93: window boundaries at day 6/7, quiet days unreported, stickiness exact") {
+    val dir = Files.createTempDirectory("x93").toString
+    val d = 86400000000000L // one day in ns
+    Seq( // (event_id, user_id, ts): u1 on days 0+7, u2 on day 0, u3 on days 5+6
+      (1L, 1L, 0L * d), (2L, 2L, 0L * d + 1000L), (3L, 3L, 5L * d),
+      (4L, 3L, 6L * d + 5000L), (5L, 1L, 7L * d)
+    ).toDF("event_id", "user_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.x93RollingDau(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      (0L, 2L, 2L, 1.0),      // trailing window has only day 0
+      (5L, 1L, 3L, 0.333333), // [−1..5] holds days 0 and 5: users 1,2,3
+      (6L, 1L, 3L, 0.333333), // day-0 pairs still in [0..6]
+      (7L, 1L, 2L, 0.5)))     // day 0 ages OUT of [1..7]; days 3/4 quiet → absent
+  }
+
+  test("x96: step weighting, null obs dropped, single/zero-span excluded, same-ts tie-break") {
+    val dir = Files.createTempDirectory("x96").toString
+    Seq( // (event_id, user_id, ts_ns, value)
+      // user 1: 10.0 holds 4µs, 20.0 holds 6µs, last obs spans zero
+      (1L, 1L, 0L, Some(10.0)), (2L, 1L, 4000L, Some(20.0)), (3L, 1L, 10000L, Some(0.0)),
+      // user 2: single observation — no interval, excluded
+      (4L, 2L, 0L, Some(9.0)),
+      // user 3: two obs at the same instant — zero span, excluded
+      (5L, 3L, 0L, Some(1.0)), (6L, 3L, 0L, Some(2.0)),
+      // user 4: null observation defines no level and is dropped entirely
+      (7L, 4L, 0L, None), (8L, 4L, 2000L, Some(5.0)), (9L, 4L, 6000L, Some(7.0)),
+      // user 5: same-ts pair ordered by event_id — 100.0 holds ZERO time
+      // (the 0.0 peer at the same instant supersedes it), 0.0 holds 5µs
+      (10L, 5L, 0L, Some(100.0)), (11L, 5L, 0L, Some(0.0)), (12L, 5L, 5000L, Some(1.0))
+    ).toDF("event_id", "user_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.x96TimeWeightedAvg(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 10L, 16.0), // (10·4 + 20·6) / 10
+      (4L, 2L, 4L, 5.0),   // 5.0 holds the whole 4µs span
+      (5L, 3L, 5L, 0.0)))  // the same-instant 100.0 contributes nothing
+  }
+
+  test("x97: hand-computed medians, even-count interpolation, MAD=0 fence") {
+    val dir = Files.createTempDirectory("x97").toString
+    val rows =
+      Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(v => ("a", Some(v))) ++
+      Seq(1.0, 2.0, 3.0, 10.0).map(v => ("b", Some(v))) ++
+      Seq(5.0, 5.0, 5.0).map(v => ("c", Some(v))) :+ (("c", None))
+    rows.toDF("event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.x97MadOutliers(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("a", 3.0, 1.0, 5L, 1L), // med 3, absdev {2,1,0,1,97}, mad 1, 97 > 3
+      ("b", 2.5, 1.0, 4L, 1L), // even counts interpolate: med (2+3)/2, mad (0.5+1.5)/2
+      ("c", 5.0, 0.0, 3L, 0L)))// MAD 0: fence at 0, strict > keeps equals in
+  }
+
   test("x87: add-one bigram probabilities on a hand-computed corpus") {
     val dir = Files.createTempDirectory("x87").toString
     docsDf(dir, Seq(1L -> "a b a b", 2L -> "a b c", 3L -> "x"))

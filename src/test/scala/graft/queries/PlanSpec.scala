@@ -434,6 +434,39 @@ class PlanSpec extends SparkSpec {
       && !p.contains("CartesianProduct"), "bidirectional as-of must not plan a join")
   }
 
+  test("x92: SCD2 lookup is one exchange, one window sort, no interval join") {
+    val p = plan("x92_temporal_lookup")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "change detection, version sum, and fill must share one user_id exchange")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      "the point-in-time lookup must be a window pass, not a join")
+  }
+
+  test("x93: pairs collapse before the 7-day fan-out; no join anywhere") {
+    val p = plan("x93_rolling_dau")
+    assert(p.contains("Generate explode"), "fan-out must be a generator, not a join")
+    assert("hashpartitioning\\(user_id#\\d+L, day".r.findFirstIn(p).nonEmpty,
+      "the (user, day) distinct must collapse events BEFORE the ×7 expansion")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("x96: the lead window and the per-user agg share one user_id exchange") {
+    val p = plan("x96_time_weighted")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "window partitioning must satisfy the groupBy clustering — no second exchange")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
+  test("x97: median/MAD stitch back via broadcast — the fact side never shuffles") {
+    val p = plan("x97_mad_outliers")
+    // 3 instances: the dev (obs⋈med) subtree appears twice — once under the
+    // MAD aggregate, once as the outer fact — plus the top-level ⋈mad; a
+    // deliberate re-scan (linear) instead of a cache at corpus scale.
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("x82: one lang exchange carries the rank window; score aggs map-combine") {
     val p = plan("x82_quantile_norm")
     assert("hashpartitioning\\(lang".r.findAllIn(p).size == 1,
