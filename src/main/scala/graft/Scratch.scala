@@ -239,6 +239,9 @@ object Scratch {
       time(s"x93_$dir")(queries.ExtendedQueries.x93RollingDau(spark, dir).count())
       time(s"x96_$dir")(queries.ExtendedQueries.x96TimeWeightedAvg(spark, dir).count())
       time(s"x97_$dir")(queries.ExtendedQueries.x97MadOutliers(spark, dir).count())
+      time(s"x94_$dir")(queries.LlmQueries.x94RagChunks(spark, dir).count())
+      time(s"x95_$dir")(queries.LlmQueries.x95ParetoFrontier(spark, dir).count())
+      time(s"x98_$dir")(queries.LlmQueries.x98TableChecksum(spark, dir).count())
       val docs = core.Io.table(spark, dir, "documents")
       val toks = docs.select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)

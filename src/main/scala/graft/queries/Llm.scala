@@ -2358,4 +2358,95 @@ object LlmQueries {
       .groupBy("pair").agg(sum("n_occ").as("pair_count"))
       .orderBy(desc("pair_count"), col("pair")).limit(20)
   }
+
+  /** x94 — RAG CHUNK MATERIALIZATION: every document split into
+    * overlapping retrieval chunks of 32 tokens with stride 24 (8-token
+    * overlap, so no boundary sentence is ever lost to a cut) — the
+    * embedding-input manifest a retrieval index builds from, emitted as
+    * (doc_id, chunk_id, start, length, content-md5) so the downstream
+    * embedder can verify it received exactly the declared slices.
+    *
+    * n_chunks = 1 + ⌈max(0, n_tok−32)/24⌉ in pure integer arithmetic
+    * (no float ceil), chunk ids fan out through a per-row sequence+explode
+    * generator — linear in total chunks, no join, nothing shuffles at all
+    * until a downstream consumer groups (the query itself is a single
+    * narrow map stage; plan-asserted no Exchange before the output sort).
+    * The md5 pins slice CONTENT across engines, not just lengths —
+    * Spark's 1-based slice(arr, start+1, 32) against DuckDB's inclusive
+    * clamped list[start+1 : start+32], both auto-truncating the tail.
+    */
+  def x94RagChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = 32; val s = 24
+    Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L),
+          expr(s"(greatest(0, n_tok - $c) + ${s - 1}) div $s"))))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * s).as("start_tok"),
+        size(slice(col("toks"), col("chunk_id") * s + 1, lit(c)))
+          .cast("long").as("n_tok_chunk"),
+        md5(array_join(slice(col("toks"), col("chunk_id") * s + 1, lit(c)), " "))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** x95 — PARETO FRONTIER per source: the documents no other same-source
+    * doc dominates on (lexical richness ↑, length ↓) — "the most diverse
+    * doc you can get at each length budget", the skyline/Pareto operator
+    * class (Börzsönyi et al., ICDE 2001) expressed as one window pass.
+    *
+    * Sorted by (n_chars asc, richness desc, doc_id), a row is on the
+    * frontier iff its richness strictly exceeds every preceding row's
+    * running max — one cummax window per source, no self-join (the naive
+    * skyline is an all-pairs anti-join). Equal (n_chars, richness) pairs
+    * keep only the lowest doc_id (declared tie policy; dominance purism
+    * would keep both). Parallelism = source count, the x82 per-partition
+    * pattern; a GLOBAL skyline composes by re-running the same filter on
+    * the union of per-partition frontiers (skylines are closed under
+    * merge), so the declared per-source form is also the scale path's
+    * first stage.
+    */
+  def x95ParetoFrontier(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("richness"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("source")
+      .orderBy(col("n_chars"), desc("richness"), col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    t.withColumn("mx", max("richness").over(w))
+      .filter(col("richness") > coalesce(col("mx"), lit(-1L)))
+      .select("source", "doc_id", "n_chars", "richness")
+      .orderBy("source", "n_chars", "doc_id")
+  }
+
+  /** x98 — ORDER-INDEPENDENT TABLE CHECKSUM per source: row count plus
+    * the SUM of each row's 32-bit md5-prefix fingerprint over every
+    * column (null-coalesced explicitly — concat_ws's null-skipping would
+    * conflate ('a',null) with ('a')). The replication/migration audit
+    * primitive: any lost, duplicated, or corrupted row moves the sum,
+    * and because addition commutes the checksum is independent of row
+    * order, partitioning, and parallelism — per-partition sums compose
+    * by addition, so at 100 TB this is one map-combining pass with a
+    * sources-sized exchange (plan-asserted partial aggregation, no other
+    * shuffle). Hex→int via the x80 precedent: Spark conv(hex,16,10) ==
+    * DuckDB ('0x'‖hex)::BIGINT, exact on 8 hex digits.
+    */
+  def x98TableChecksum(spark: SparkSession, sfDir: String): DataFrame = {
+    val rowStr = concat_ws("|",
+      col("doc_id").cast("string"),
+      coalesce(col("text"), lit("")),
+      coalesce(col("lang"), lit("")),
+      coalesce(col("source"), lit("")),
+      coalesce(col("n_chars"), lit(-1L)).cast("string"))
+    Io.table(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(rowStr), 1, 8), 16, 10).cast("long")).as("checksum"))
+      .orderBy("source")
+  }
 }

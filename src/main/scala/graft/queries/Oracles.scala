@@ -2028,7 +2028,58 @@ object Oracles {
       |       CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM agg
       |ORDER BY family_a, family_b""".stripMargin
 
+  // x94: the md5 pins slice CONTENT: Spark's slice(arr, start+1, 32) ==
+  // DuckDB's inclusive clamped list[start+1 : start+32], both 1-based.
+  val x94: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         len(string_split(text, ' ')) AS n_tok
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (
+      |  SELECT doc_id, toks,
+      |         unnest(range(1 + (greatest(0, n_tok - 32) + 23) // 24)) AS chunk_id
+      |  FROM t)
+      |SELECT doc_id, chunk_id, chunk_id * 24 AS start_tok,
+      |       len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS n_tok_chunk,
+      |       md5(array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' '))
+      |         AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // x95: the identical cummax-window skyline formulation on both sides —
+  // sorted (n_chars, richness DESC, doc_id), on-frontier iff richness
+  // strictly exceeds the preceding running max.
+  val x95: String =
+    """WITH t AS (
+      |  SELECT source, doc_id, n_chars,
+      |         len(list_distinct(string_split(text, ' '))) AS richness
+      |  FROM documents WHERE text IS NOT NULL),
+      |k AS (
+      |  SELECT source, doc_id, n_chars, richness,
+      |         max(richness) OVER (PARTITION BY source
+      |           ORDER BY n_chars ASC, richness DESC, doc_id ASC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+      |  FROM t)
+      |SELECT source, doc_id, n_chars, richness
+      |FROM k WHERE richness > coalesce(mx, -1)
+      |ORDER BY source, n_chars, doc_id""".stripMargin
+
+  // x98: hex→int via the x80 precedent; DuckDB's integer sum is HUGEINT,
+  // hence the CAST. Explicit per-column coalesce — concat_ws null-skipping
+  // would conflate ('a', NULL) with ('a').
+  val x98: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(('0x' || substr(md5(
+      |         CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '') || '|' ||
+      |         coalesce(lang, '') || '|' || coalesce(source, '') || '|' ||
+      |         CAST(coalesce(n_chars, -1) AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT)
+      |         AS checksum
+      |FROM documents GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x94_rag_chunks"      -> x94,
+    "x95_pareto_frontier" -> x95,
+    "x98_table_checksum"  -> x98,
     "x89_dedup_agreement" -> x89,
     "x88_term_lookup"     -> x88,
     "x87_bigram_lm"       -> x87,

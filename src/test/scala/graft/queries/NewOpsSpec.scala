@@ -794,6 +794,70 @@ class NewOpsSpec extends SparkSpec {
       ("c", 5.0, 0.0, 3L, 0L)))// MAD 0: fence at 0, strict > keeps equals in
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("x94: chunk counts at the 32/33 boundary, overlap slices, content md5") {
+    val dir = Files.createTempDirectory("x94").toString
+    def toks(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+    docsDf(dir, Seq(1L -> toks(10), 2L -> toks(32), 3L -> toks(33), 4L -> toks(81)))
+    val out = LlmQueries.x94RagChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+    def chunk(n: Int, start: Int): String =
+      (start + 1 to math.min(start + 32, n)).map(i => s"t$i").mkString(" ")
+    assert(out == Seq(
+      (1L, 0L, 0L, 10L, md5hex(chunk(10, 0))),   // short doc: one whole-doc chunk
+      (2L, 0L, 0L, 32L, md5hex(chunk(32, 0))),   // exactly 32: still one chunk
+      (3L, 0L, 0L, 32L, md5hex(chunk(33, 0))),   // 33: second chunk opens at 24
+      (3L, 1L, 24L, 9L, md5hex(chunk(33, 24))),  //   carrying the 8-token overlap
+      (4L, 0L, 0L, 32L, md5hex(chunk(81, 0))),
+      (4L, 1L, 24L, 32L, md5hex(chunk(81, 24))),
+      (4L, 2L, 48L, 32L, md5hex(chunk(81, 48))),
+      (4L, 3L, 72L, 9L, md5hex(chunk(81, 72)))))
+  }
+
+  test("x95: dominated dropped, equal-pair tie keeps lowest doc_id, per-source frontiers") {
+    val dir = Files.createTempDirectory("x95").toString
+    Seq( // (doc_id, text → richness, lang, source, n_chars — stored, not derived)
+      (1L, Some("a b c"), "en", "sA", 10L),       // rich 3 at nc 10: DOMINATED by d5
+      (2L, Some("a a b"), "en", "sA", 20L),       // rich 2 at nc 20: dominated by d1
+      (3L, Some("a b c d e"), "en", "sA", 20L),   // rich 5 at nc 20: frontier
+      (4L, Some("v w x y z"), "en", "sA", 20L),   // equal (20, 5) pair: higher id dropped
+      (5L, Some("x y z"), "en", "sA", 5L),        // rich 3 at nc 5: frontier
+      (6L, None, "en", "sA", 99L),                // null text excluded
+      (10L, Some("q"), "en", "sB", 7L)            // singleton source: trivially frontier
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmQueries.x95ParetoFrontier(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(("sA", 5L, 5L, 3L), ("sA", 3L, 20L, 5L), ("sB", 10L, 7L, 1L)))
+  }
+
+  test("x98: checksum matches a plain-Scala sum; any single-row corruption moves it") {
+    val dir = Files.createTempDirectory("x98").toString
+    val rows = Seq( // nulls in every coalesced column
+      (1L, Some("hello world"), Some("en"), "sA", Some(11L)),
+      (2L, None, Some("en"), "sA", Some(0L)),
+      (3L, Some("guten tag"), None, "sA", None),
+      (4L, Some("bonjour"), Some("fr"), "sB", Some(7L)))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def fp(r: (Long, Option[String], Option[String], String, Option[Long])): Long =
+      java.lang.Long.parseLong(md5hex(
+        s"${r._1}|${r._2.getOrElse("")}|${r._3.getOrElse("")}|${r._4}|${r._5.getOrElse(-1L)}"
+      ).take(8), 16)
+    val expected = rows.groupBy(_._4).map { case (src, rs) =>
+      (src, rs.size.toLong, rs.map(fp).sum) }.toSeq.sortBy(_._1)
+    val out = LlmQueries.x98TableChecksum(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == expected)
+    // corruption sensitivity: flipping one char of one row changes the sum
+    assert(fp((1L, Some("hello worle"), Some("en"), "sA", Some(11L))) !=
+      fp((1L, Some("hello world"), Some("en"), "sA", Some(11L))))
+  }
+
   test("x87: add-one bigram probabilities on a hand-computed corpus") {
     val dir = Files.createTempDirectory("x87").toString
     docsDf(dir, Seq(1L -> "a b a b", 2L -> "a b c", 3L -> "x"))

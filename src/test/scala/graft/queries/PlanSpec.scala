@@ -467,6 +467,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("x94: chunk fan-out is a generator map stage — no shuffle before the output sort") {
+    val p = plan("x94_rag_chunks")
+    assert(p.contains("Generate explode"))
+    assert(!p.contains("hashpartitioning"),
+      "chunk materialization must not shuffle; only the output sort range-partitions")
+  }
+
+  test("x95: skyline is one cummax window per source, no all-pairs anti-join") {
+    val p = plan("x95_pareto_frontier")
+    assert("hashpartitioning\\(source".r.findAllIn(p).size == 1)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"))
+  }
+
+  test("x98: checksum map-combines; one sources-sized exchange") {
+    val p = plan("x98_table_checksum")
+    assert(p.contains("partial_sum"), "per-partition fingerprint sums must combine map-side")
+    assert("hashpartitioning\\(source".r.findAllIn(p).size == 1)
+  }
+
   test("x82: one lang exchange carries the rank window; score aggs map-combine") {
     val p = plan("x82_quantile_norm")
     assert("hashpartitioning\\(lang".r.findAllIn(p).size == 1,
