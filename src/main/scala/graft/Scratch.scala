@@ -242,6 +242,9 @@ object Scratch {
       time(s"x94_$dir")(queries.LlmQueries.x94RagChunks(spark, dir).count())
       time(s"x95_$dir")(queries.LlmQueries.x95ParetoFrontier(spark, dir).count())
       time(s"x98_$dir")(queries.LlmQueries.x98TableChecksum(spark, dir).count())
+      time(s"x99_$dir")(queries.ExtendedQueries.x99MarkovTransitions(spark, dir).count())
+      time(s"x100_$dir")(queries.LlmQueries.x100CentroidDrift(spark, dir).count())
+      time(s"x101_$dir")(queries.LlmQueries.x101TokenEntropy(spark, dir).count())
       val docs = core.Io.table(spark, dir, "documents")
       val toks = docs.select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)

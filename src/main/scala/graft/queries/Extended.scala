@@ -1245,4 +1245,34 @@ object ExtendedQueries {
         sum(when(col("absdev") > lit(3.0) * col("mad"), 1).otherwise(0)).as("n_outliers"))
       .orderBy("event_type")
   }
+
+  /** x99 — MARKOV TRANSITION MATRIX over per-user event sequences: for
+    * every (from_type → to_type) pair of CONSECUTIVE events of one user,
+    * the transition count and conditional probability P(to | from) — the
+    * user-journey model behind "what usually happens after an error",
+    * next-step prediction baselines, and anomalous-sequence scoring.
+    *
+    * Sequence order is event_id (the exact CDC sequence number), NOT ts —
+    * x61's reasoning: the fixture's ns timestamps truncate to µs in
+    * Spark's reader, so a ts order could disagree between engines inside
+    * one µs while event_id is exact in both. One corpus-sized user_id
+    * exchange carries the lead() window; the transition agg then
+    * collapses to at most types² rows (25 here) in its map-side partials,
+    * and the P(to|from) normalization windows over that constant-size
+    * frame. The probability is one long/long double division (a single
+    * IEEE op on exact inputs), stableRound6'd on both sides.
+    */
+  def x99MarkovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val seq = Window.partitionBy("user_id").orderBy("event_id")
+    val trans = Io.eventsRaw(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(seq))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    trans
+      .withColumn("p", stableRound6(col("n_trans") /
+        sum("n_trans").over(Window.partitionBy("from_type"))))
+      .orderBy("from_type", "to_type")
+  }
 }

@@ -2449,4 +2449,84 @@ object LlmQueries {
         sum(conv(substring(md5(rowStr), 1, 8), 16, 10).cast("long")).as("checksum"))
       .orderBy("source")
   }
+
+  /** x100 — EMBEDDING-SPACE DRIFT between labels: the pairwise cosine
+    * between per-label SUM vectors — "how far apart do the label
+    * populations sit in embedding space", the scalar a curriculum or
+    * contamination analysis reads before trusting label boundaries
+    * (x85's chi-square drift, lifted from token space to vector space).
+    *
+    * Cosine is invariant under positive scaling of each argument, so the
+    * per-label SUM vector gives exactly the centroid's cosine with no
+    * mean step — which is what makes the whole reduction EXACT: elements
+    * round to 6 dp once (stableRound6), and from there every sum and
+    * product stays in decimal (6-dp sums are exact in decimal(18,6);
+    * their pairwise products are exact 12-dp decimals), so no
+    * order-dependent double accumulation exists anywhere. The only
+    * corpus-sized stage is posexplode → one map-combining agg to
+    * labels×64 rows; the pair join and norm join run on that
+    * constant-size frame. Final cosine: decimal→double casts then
+    * sqrt/mul/div (IEEE-identical singles), stableRound6'd.
+    */
+  def x100CentroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val s = Io.table(spark, sfDir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("label"), (col("pos0") + lit(1)).as("pos"),
+        stableRound6(col("v").cast("double")).cast("decimal(18,6)").as("v6"))
+      .groupBy("label", "pos")
+      .agg(sum("v6").cast("decimal(18,6)").as("sv"))
+    val n = s.groupBy("label")
+      .agg(sum(col("sv") * col("sv")).as("n2"))
+    val d = s.as("a").join(s.as("b"),
+        col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.sv") * col("b.sv")).as("dot"))
+    d.join(n.select(col("label").as("label_a"), col("n2").as("na")), Seq("label_a"))
+      .join(n.select(col("label").as("label_b"), col("n2").as("nb")), Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        stableRound6(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
+  /** x101 — TOKEN-DISTRIBUTION SHANNON ENTROPY per source: H = −Σ p·log₂p
+    * over each source's token frequency distribution, plus total and
+    * distinct token counts — the information-density screen that catches
+    * boilerplate-heavy sources (low entropy: a few tokens dominate) and
+    * near-random ones (entropy ≈ log₂ vocab) before either pollutes a
+    * training mix; complements x55's per-document type-token ratio with
+    * a per-SOURCE distribution view.
+    *
+    * Each term −p·log₂p is computed from exact longs (count / total, one
+    * division, log₂, one multiply — IEEE-identical singles; log ulp
+    * divergence is absorbed by the 6-dp rounding, the x50/x87 precedent),
+    * rounded once, then DECIMAL-summed so the reduction is
+    * order-independent (the declared metric is the sum of rounded terms).
+    * Shuffle story: one corpus-sized (source, token) exchange that
+    * map-combines to vocabulary size, then one source exchange of the
+    * vocab-sized counts frame; the final per-source agg reuses the
+    * window's source partitioning (subset-satisfies, plan-asserted 2
+    * exchanges total).
+    */
+  def x101TokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val counts = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w")
+      .agg(count(lit(1)).as("c"))
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val withTotal = counts.withColumn("total", sum("c").over(wSrc))
+    val p = col("c") / col("total")
+    withTotal
+      .withColumn("term", stableRound6(-p * log2(p)))
+      .groupBy("source")
+      .agg(max("total").as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        stableRound6(sum(col("term").cast("decimal(28,6)")).cast("double"))
+          .as("entropy"))
+      .orderBy("source")
+  }
 }

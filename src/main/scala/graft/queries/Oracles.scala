@@ -2076,7 +2076,66 @@ object Oracles {
       |FROM documents GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // x99: sequence order is event_id (exact in both engines), never the
+  // ns-truncating ts; probability is one long/long double division on
+  // exact counts, floor-rounded identically.
+  val x99: String =
+    """WITH p AS (
+      |  SELECT user_id, event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+      |           AS to_type
+      |  FROM events),
+      |a AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+      |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_trans,
+      |       floor(n_trans / (sum(n_trans) OVER (PARTITION BY from_type))
+      |         * 1e6 + 0.5) / 1e6 AS p
+      |FROM a ORDER BY from_type, to_type""".stripMargin
+
+  // x100: cosine of per-label SUM vectors == centroid cosine (cosine is
+  // scale-invariant); elements round once to 6 dp, then every sum/product
+  // is exact decimal — no order-dependent double accumulation. The final
+  // sqrt/mul/div runs on decimal→double casts identical in both engines.
+  val x100: String =
+    """WITH s AS (
+      |  SELECT label, CAST(i.i AS INT) AS pos,
+      |         CAST(sum(CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1e6 + 0.5)
+      |           / 1e6 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sv
+      |  FROM embeddings, range(1, 65) i(i) GROUP BY 1, 2),
+      |n AS (SELECT label, sum(sv * sv) AS n2 FROM s GROUP BY 1),
+      |d AS (
+      |  SELECT a.label AS label_a, b.label AS label_b, sum(a.sv * b.sv) AS dot
+      |  FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT label_a, label_b,
+      |       floor(CAST(d.dot AS DOUBLE)
+      |         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+      |         * 1e6 + 0.5) / 1e6 AS cosine
+      |FROM d JOIN n na ON na.label = d.label_a
+      |       JOIN n nb ON nb.label = d.label_b
+      |ORDER BY label_a, label_b""".stripMargin
+
+  // x101: each −p·log2(p) term computed from exact longs then floor-rounded
+  // (log ulp divergence absorbed at 6 dp, the x50/x87 precedent), summed in
+  // DECIMAL so the reduction is order-independent.
+  val x101: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+      |t AS (SELECT source, w, c, sum(c) OVER (PARTITION BY source) AS total
+      |      FROM c)
+      |SELECT source, CAST(max(total) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_vocab,
+      |       floor(CAST(sum(CAST(floor(-(c / total) * log2(c / total)
+      |           * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
+      |         * 1e6 + 0.5) / 1e6 AS entropy
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x100_centroid_drift" -> x100,
+    "x101_token_entropy"  -> x101,
     "x94_rag_chunks"      -> x94,
     "x95_pareto_frontier" -> x95,
     "x98_table_checksum"  -> x98,
@@ -2184,7 +2243,8 @@ object Oracles {
     "x92_temporal_lookup" -> x92,
     "x93_rolling_dau"     -> x93,
     "x96_time_weighted"   -> x96,
-    "x97_mad_outliers"    -> x97)
+    "x97_mad_outliers"    -> x97,
+    "x99_markov_transitions" -> x99)
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,

@@ -858,6 +858,57 @@ class NewOpsSpec extends SparkSpec {
       fp((1L, Some("hello world"), Some("en"), "sA", Some(11L))))
   }
 
+  test("x99: transitions sequence by event_id, per-from normalization, singletons drop") {
+    val dir = Files.createTempDirectory("x99").toString
+    Seq( // rows deliberately OUT of event_id order: sequence must come
+         // from the window sort, not file order
+      (3L, 1L, "A"), (1L, 1L, "A"), (4L, 1L, "B"), (2L, 1L, "B"),
+      // user 1 ordered: A(1) B(2) A(3) B(4) → A→B ×2, B→A ×1
+      (5L, 2L, "B"), (6L, 2L, "B"),   // B→B ×1
+      (7L, 3L, "C")                   // singleton user: no transitions
+    ).toDF("event_id", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.x99MarkovTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(out == Seq(
+      ("A", "B", 2L, 1.0),
+      ("B", "A", 1L, 0.5),
+      ("B", "B", 1L, 0.5)))
+  }
+
+  test("x100: orthogonal labels cos 0, scaled copies cos from known geometry") {
+    val dir = Files.createTempDirectory("x100").toString
+    def vec(xs: Seq[Float]): Array[Float] = xs.toArray
+    Seq( // label 0 sums to (2,0); label 1 to (0,1); label 2 to (3,4)
+      (1L, vec(Seq(1f, 0f)), 0), (2L, vec(Seq(1f, 0f)), 0),
+      (3L, vec(Seq(0f, 1f)), 1),
+      (4L, vec(Seq(3f, 4f)), 2)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = LlmQueries.x100CentroidDrift(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(out == Seq( // cos((2,0),(0,1))=0; cos((2,0),(3,4))=6/10; cos((0,1),(3,4))=4/5
+      (0, 1, 0.0), (0, 2, 0.6), (1, 2, 0.8)))
+  }
+
+  test("x101: uniform-2 entropy 1, constant 0, uniform-4 entropy 2; counts exact") {
+    val dir = Files.createTempDirectory("x101").toString
+    Seq(
+      (1L, Some("a b"), "en", "sA", 3L), (2L, Some("a b"), "en", "sA", 3L),
+      (3L, Some("x x x x"), "en", "sB", 7L),
+      (4L, Some("u v w y"), "en", "sC", 7L),
+      (5L, None, "en", "sD", 0L)  // null text: source drops entirely
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmQueries.x101TokenEntropy(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("sA", 4L, 2L, 1.0),   // p=1/2,1/2 → H=1
+      ("sB", 4L, 1L, 0.0),   // single token → H=0
+      ("sC", 4L, 4L, 2.0)))  // p=1/4 ×4 → H=2
+  }
+
   test("x87: add-one bigram probabilities on a hand-computed corpus") {
     val dir = Files.createTempDirectory("x87").toString
     docsDf(dir, Seq(1L -> "a b a b", 2L -> "a b c", 3L -> "x"))

@@ -487,6 +487,34 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(source".r.findAllIn(p).size == 1)
   }
 
+  test("x99: one corpus-sized user_id exchange; transition agg map-combines") {
+    val p = plan("x99_markov_transitions")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "the lead window is the only corpus-sized shuffle")
+    assert(p.contains("partial_count"),
+      "transition counts must collapse to types^2 rows map-side")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("x100: one corpus-sized map-combining agg; pair join never sees the corpus") {
+    val p = plan("x100_centroid_drift")
+    assert(p.contains("partial_sum"),
+      "label x dim sums must combine in the scan stage")
+    assert("hashpartitioning\\(label".r.findAllIn(p).size >= 1)
+    assert(!p.contains("CartesianProduct"),
+      "the label-pair join must be an equi-join on pos, not a cross product")
+  }
+
+  test("x101: (source,token) exchange + source exchange; final agg reuses the window's") {
+    val p = plan("x101_token_entropy")
+    assert(p.contains("partial_count"),
+      "token counts must combine map-side before the vocab-sized exchange")
+    // two exchanges total: (source, w) for counts, source for the window;
+    // the final per-source agg subset-satisfies the window's partitioning
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 2,
+      s"expected exactly 2 exchanges")
+  }
+
   test("x82: one lang exchange carries the rank window; score aggs map-combine") {
     val p = plan("x82_quantile_norm")
     assert("hashpartitioning\\(lang".r.findAllIn(p).size == 1,
