@@ -1275,4 +1275,58 @@ object ExtendedQueries {
         sum("n_trans").over(Window.partitionBy("from_type"))))
       .orderBy("from_type", "to_type")
   }
+
+  /** x102 — INTERVAL-OVERLAP join, the one temporal-join class the family
+    * still lacked (x22 as-of = latest-before, x29 range = point-in-interval,
+    * x91 nearest = closest-point): two sets of INTERVALS joined on
+    * `a.start <= b.end AND b.start <= a.end`. Concretely: gap-30min user
+    * sessions (x6's sessionization carried one step further into explicit
+    * [start, end] spans via a cumulative session-id) against the corpus's 3
+    * busiest 5-minute windows — "which sessions were live during the load
+    * spikes", the incident-attribution query behind every on-call
+    * postmortem.
+    *
+    * Scale shape: the window side of an incident join is inherently tiny
+    * (top-k of a date-bucketed aggregate — k rows after a
+    * TakeOrderedAndProject), so the overlap is a BroadcastNestedLoopJoin
+    * against k rows — per-row work O(k), no shuffle, no flattening of the
+    * predicate (x56's whitelisted-BNLJ reasoning). The sessions side needs
+    * ONE user_id exchange, which carries BOTH the lag() sessionization
+    * window AND the per-session min/max aggregate (subset-clustering
+    * satisfies both). For big×big interval joins the strategy flips to
+    * bucket-explode (each interval → its covered time buckets, equi-join on
+    * bucket, exact-predicate refilter, distinct) — documented here, not
+    * needed for an incident list. Timestamps ride as exact epoch-µs longs
+    * (`ts div 1000` on the raw ns — x61's exactness reasoning); every
+    * output is a long count, so the hash match is exact arithmetic
+    * end-to-end.
+    */
+  def x102IntervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Io.eventsRaw(spark, sfDir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tsu"))
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val sessions = ev
+      .withColumn("prev", lag("tsu", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tsu") - col("prev") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_s").over(w))
+      .groupBy("user_id", "sid")
+      .agg(min("tsu").as("s_start"), max("tsu").as("s_end"))
+    val fiveMinUs = 300000000L
+    val windows = ev
+      .groupBy(expr(s"tsu div $fiveMinUs").as("bucket"))
+      .agg(count(lit(1)).as("w_events"))
+      .orderBy(desc("w_events"), col("bucket"))
+      .limit(3)
+      .select((col("bucket") * fiveMinUs).as("w_start"),
+        ((col("bucket") + 1) * fiveMinUs - 1).as("w_end"), col("w_events"))
+    sessions
+      .join(broadcast(windows),
+        col("s_start") <= col("w_end") && col("w_start") <= col("s_end"))
+      .groupBy("w_start", "w_events")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("w_start")
+  }
 }

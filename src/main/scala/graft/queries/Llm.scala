@@ -2529,4 +2529,78 @@ object LlmQueries {
           .as("entropy"))
       .orderBy("source")
   }
+
+  /** x104 — LEAKAGE-SAFE train/val/test SPLIT assignment: every document
+    * is assigned a split by hashing its x47 near-dup COMPONENT label, not
+    * its own id — so a whole cluster of near-duplicates lands in ONE split
+    * by construction. Splitting on doc_id (the naive form) puts two copies
+    * of the same page on both sides of the train/eval fence and the eval
+    * loss silently becomes a memorization probe; component-keyed
+    * assignment is the standard fix (the split-time counterpart of x86's
+    * after-the-fact leakage audit, and the reason x47 computes TRANSITIVE
+    * closures rather than per-pair canonicals).
+    *
+    * Reuses x47's pointer-jumped component engine verbatim (shared code,
+    * the x20/x57 cannot-drift reasoning), then adds one hash (md5-prefix
+    * of the component id, hex→int via the x80 conv precedent, mod 10:
+    * 0-7 train / 8 val / 9 test) and NO extra shuffle — the component
+    * frame already carries everything. Cost at scale == x47's (the
+    * assignment itself is a map). The 80/10/10 target is hit only in
+    * expectation; the split hash keys on the component so the REALIZED
+    * ratio skews with cluster sizes — by design (leakage-safety trumps
+    * exact ratios; rebalancing is x54's job).
+    */
+  def x104SplitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("split|"),
+      col("component").cast("string"))), 1, 8), 16, 10).cast("long") % 10
+    x47DedupComponents(spark, sfDir)
+      .select(col("doc_id"), col("component"))
+      .withColumn("split",
+        when(h <= 7, "train").when(h === 8, "val").otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  /** x105 — ANN RECALL AUDIT: recall@5 of the bucketed ANN path (x21)
+    * against brute-force ground truth (x11's exact cosine scan, cut to the
+    * same k) for the standard query vector. Every ANN deployment needs
+    * this meter — a pruned index that silently drops true neighbors
+    * corrupts retrieval and semantic dedup downstream, and the recall
+    * number is the ONLY evidence the pruning parameters (sign-bits here;
+    * nprobe/nlist for x32; code size for x49) are safe to scale. Output is
+    * one row per true top-5 neighbor with its rank, exact cosine, and an
+    * `in_ann` hit flag — the summary recall is sum(in_ann)/5, kept
+    * per-rank so a miss's POSITION (rank-1 miss = disaster, rank-5 = shrug)
+    * is visible.
+    *
+    * Plan: both sides end in TakeOrderedAndProject(5) over one
+    * embeddings scan each (brute: full scan; ANN: sign-bit-bucket-pruned
+    * scan), then a 5×5 broadcast left join — the audit costs two index
+    * scans regardless of corpus size, and at 100 TB you run it over a
+    * sampled query set with the same shape. Rank comes from a window over
+    * the already-limited 5-row frame (constant, not corpus, cost).
+    */
+  def x105RecallAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    import ExtendedQueries.nativeDot
+    val emb = Io.table(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+      .withColumn("q_norm", sqrt(nativeDot(col("q_emb"), col("q_emb"))))
+    val truth = emb.crossJoin(broadcast(q))
+      .withColumn("cosine",
+        round(nativeDot(col("embedding"), col("q_emb")) /
+          (sqrt(nativeDot(col("embedding"), col("embedding"))) * col("q_norm")), 6))
+      .select("vec_id", "cosine")
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(5)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("cosine"), col("vec_id"))).cast("long"))
+    val ann = x21AnnBucketed(spark, sfDir)
+      .select(col("vec_id")).withColumn("hit", lit(1))
+    truth.join(broadcast(ann), Seq("vec_id"), "left")
+      .select(col("rank"), col("vec_id"), col("cosine"),
+        coalesce(col("hit"), lit(0)).as("in_ann"))
+      .orderBy("rank")
+  }
 }

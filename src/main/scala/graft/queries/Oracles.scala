@@ -829,10 +829,13 @@ object Oracles {
     "WITH " + cleaned + x46.stripPrefix("WITH ").replace("FROM documents", "FROM cleaned")
   }
 
-  // x47: transitive closure stated declaratively — DuckDB's recursive CTE
-  // computes the same fixpoint Spark reaches by iterative min propagation
-  val x47: String =
-    """WITH sh AS (
+  // Shared by x47 and x104: the transitive near-dup closure — DuckDB's
+  // recursive CTE computes the same fixpoint Spark reaches by iterative
+  // min-label propagation. Ends at CTE `r` = (doc_id, component).
+  // NB: no `|` margin chars here — this is interpolated into strings that
+  // take their own .stripMargin pass (the shingleCte rule).
+  private val componentCtes: String =
+    """sh AS (
       |  SELECT doc_id,
       |         unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
       |                i -> concat_ws(' ', string_split(text, ' ')[i],
@@ -856,12 +859,29 @@ object Oracles {
       |    UNION
       |    SELECT e.a AS doc_id, reach.label
       |    FROM reach JOIN edges e ON reach.doc_id = e.b
-      |  ) SELECT doc_id, min(label) AS component FROM reach GROUP BY doc_id),
+      |  ) SELECT doc_id, min(label) AS component FROM reach GROUP BY doc_id)""".stripMargin
+
+  val x47: String =
+    s"""WITH $componentCtes,
       |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members FROM r GROUP BY component)
       |SELECT r.doc_id, r.component, sz.n_members,
       |       CAST(r.doc_id = r.component AS INT) AS is_canonical
       |FROM r JOIN sz USING (component)
       |ORDER BY r.doc_id""".stripMargin
+
+  // x104: x47's closure + one hash — ('0x' || md5-prefix)::BIGINT is the
+  // exact hex parse of Spark's conv(..., 16, 10) (the x80 precedent), so
+  // the split assignment is engine-identical integer arithmetic.
+  val x104: String =
+    s"""WITH $componentCtes,
+      |h AS (
+      |  SELECT doc_id, component,
+      |         ('0x' || substring(md5('split|' || CAST(component AS VARCHAR)), 1, 8))::BIGINT % 10 AS h
+      |  FROM r)
+      |SELECT doc_id, component,
+      |       CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split
+      |FROM h
+      |ORDER BY doc_id""".stripMargin
 
   // x48: the declarative FULL RECOMPUTE over standing ∪ delta, restricted
   // to the delta rows — matching the Spark side's incremental bucket-state
@@ -2133,9 +2153,72 @@ object Oracles {
       |         * 1e6 + 0.5) / 1e6 AS entropy
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  // x102: identical sessionization (x6's lag + cumulative-flag), identical
+  // top-3 busy-window choice (total order: count DESC, bucket), exact
+  // epoch-µs long arithmetic throughout — the overlap join itself is pure
+  // integer comparison, so the hash match is exact end-to-end.
+  val x102: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+      |l AS (
+      |  SELECT user_id, event_id, tsu,
+      |         lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, tsu,
+      |         sum(CASE WHEN prev IS NULL OR tsu - prev > 1800000000 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS sid
+      |  FROM l),
+      |sess AS (
+      |  SELECT user_id, sid, min(tsu) AS s_start, max(tsu) AS s_end
+      |  FROM s GROUP BY user_id, sid),
+      |topw AS (
+      |  SELECT tsu // 300000000 AS bucket, CAST(count(*) AS BIGINT) AS w_events
+      |  FROM e GROUP BY 1 ORDER BY w_events DESC, bucket LIMIT 3),
+      |w2 AS (
+      |  SELECT bucket * 300000000 AS w_start,
+      |         (bucket + 1) * 300000000 - 1 AS w_end, w_events
+      |  FROM topw)
+      |SELECT w_start, w_events,
+      |       CAST(count(*) AS BIGINT) AS n_sessions,
+      |       CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users
+      |FROM w2 JOIN sess s ON s.s_start <= w2.w_end AND w2.w_start <= s.s_end
+      |GROUP BY w_start, w_events
+      |ORDER BY w_start""".stripMargin
+
+  // x105: one shared cosine CTE feeds both the brute-force truth (no bucket
+  // filter) and the ANN side (bucket-pruned) — the same arithmetic as the
+  // x11/x21 oracles, so each side individually matches its parent query.
+  val x105: String =
+    """WITH b AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(embedding[1] > 0 AS INT) * 8 + CAST(embedding[2] > 0 AS INT) * 4
+      |    + CAST(embedding[3] > 0 AS INT) * 2 + CAST(embedding[4] > 0 AS INT) AS bucket
+      |  FROM embeddings),
+      |q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id = 0),
+      |cos AS (
+      |  SELECT e.vec_id, e.bucket,
+      |         round(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.q_emb[i.i] AS DOUBLE)) /
+      |           (sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))
+      |            * sqrt(sum(CAST(q.q_emb[i.i] AS DOUBLE) * CAST(q.q_emb[i.i] AS DOUBLE)))), 6) AS cosine
+      |  FROM b e, q, range(1, 65) i(i)
+      |  GROUP BY e.vec_id, e.bucket),
+      |truth AS (
+      |  SELECT vec_id, cosine,
+      |         row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM (SELECT vec_id, cosine FROM cos ORDER BY cosine DESC, vec_id LIMIT 5)),
+      |ann AS (
+      |  SELECT c.vec_id FROM cos c, q WHERE c.bucket = q.q_bucket
+      |  ORDER BY c.cosine DESC, c.vec_id LIMIT 5)
+      |SELECT t.rank, t.vec_id, t.cosine,
+      |       CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS in_ann
+      |FROM truth t LEFT JOIN ann a ON t.vec_id = a.vec_id
+      |ORDER BY t.rank""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x100_centroid_drift" -> x100,
     "x101_token_entropy"  -> x101,
+    "x104_split_assign"   -> x104,
+    "x105_recall_audit"   -> x105,
     "x94_rag_chunks"      -> x94,
     "x95_pareto_frontier" -> x95,
     "x98_table_checksum"  -> x98,
@@ -2244,7 +2327,8 @@ object Oracles {
     "x93_rolling_dau"     -> x93,
     "x96_time_weighted"   -> x96,
     "x97_mad_outliers"    -> x97,
-    "x99_markov_transitions" -> x99)
+    "x99_markov_transitions" -> x99,
+    "x102_interval_overlap" -> x102)
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,

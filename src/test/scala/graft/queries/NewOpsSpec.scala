@@ -923,4 +923,76 @@ class NewOpsSpec extends SparkSpec {
       (2L, 2L, r6((BigDecimal(pab) + BigDecimal(pbc)).toDouble / 2))),
       s"got ${out.toSeq}; single-token doc 3 must be absent")
   }
+
+  test("x102: session boundaries, window edges inclusive, per-window user counts") {
+    val dir = Files.createTempDirectory("x102").toString
+    def ns(sec: Long) = sec * 1000000000L
+    Seq( // user 1: [0,100s] and [4000s,4000s] (gap 3900s > 1800s);
+         // user 2: [50s,310s] (260s gap, one session); user 3: [320s,320s]
+      (1L, 1L, ns(0)), (2L, 1L, ns(100)), (3L, 1L, ns(4000)),
+      (4L, 2L, ns(50)), (5L, 2L, ns(310)), (6L, 3L, ns(320))
+    ).toDF("event_id", "user_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.x102IntervalOverlap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // buckets (5 min): b0 {e1,e2,e4}, b1 {e5,e6}, b13 {e3} — all three are
+    // the top-3. b0 [0,300s) overlaps sessions [0,100s] and [50s,310s];
+    // b1 [300s,600s) catches [50s,310s] via its inclusive right edge plus
+    // [320s,320s]; b13 [3900s,4200s) catches only [4000s,4000s].
+    assert(out == Seq(
+      (0L, 3L, 2L, 2L),
+      (300000000L, 2L, 2L, 2L),
+      (3900000000L, 1L, 1L, 1L)))
+  }
+
+  test("x104: split is the md5-of-component hash, so whole components move together") {
+    val sf = "/root/testdata/sf0.001"
+    val comp = LlmQueries.x47DedupComponents(spark, sf)
+      .select("doc_id", "component")
+      .as[(Long, Long)].collect().toMap
+    val out = LlmQueries.x104SplitAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out.map(_._1).toSet == comp.keySet, "one split row per document")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def expectedSplit(component: Long): String = {
+      val hex = md.digest(s"split|$component".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 10 match {
+        case h if h <= 7 => "train"
+        case 8           => "val"
+        case _           => "test"
+      }
+    }
+    out.foreach { case (docId, component, split) =>
+      assert(component == comp(docId))
+      assert(split == expectedSplit(component),
+        s"doc $docId component $component: split $split != independent md5")
+    }
+    // docs sharing a component never straddle splits (the leakage guarantee)
+    assert(out.groupBy(_._2).forall(_._2.map(_._3).distinct.size == 1))
+  }
+
+  test("x105: cross-bucket true neighbors are the recall misses, ranks exact") {
+    val dir = Files.createTempDirectory("x105").toString
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    Seq( // query bucket is 15 (all four lead signs positive)
+      (0L, 0, v(1, 1, 1, 1)),    // the query itself: cosine 1, bucket 15
+      (1L, 0, v(2, 2, 2, 2)),    // scaled copy: cosine 1, bucket 15
+      (2L, 0, v(1, 1, 1, 2)),    // bucket 15, cosine 5/(2*sqrt 7)
+      (3L, 0, v(1, 1, 1, -0.5)), // bucket 14: TRUE top-5, invisible to ANN
+      (4L, 0, v(1, 1, 0, 0)),    // bucket 12: TRUE top-5, invisible to ANN
+      (5L, 0, v(0, 0, 0, -1)),   // far: below the top-5 cut
+      (6L, 0, v(1, 0, 0, 0))     // cosine 0.5: below the top-5 cut
+    ).toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = LlmQueries.x105RecallAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out == Seq(
+      (1L, 0L, 1.0, 1),
+      (2L, 1L, 1.0, 1),
+      (3L, 2L, r6(5.0 / (2 * math.sqrt(7))), 1),
+      (4L, 4L, r6(2.0 / (2 * math.sqrt(2))), 0),
+      (5L, 3L, r6(2.5 / (2 * math.sqrt(3.25))), 0)))
+  }
 }

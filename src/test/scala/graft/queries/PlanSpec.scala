@@ -143,10 +143,13 @@ class PlanSpec extends SparkSpec {
     // x85's are the ≤10-row bin-margin and 1-row total frames crossing
     // onto the ≤|sources|-row grid; x87's is the 1-row vocabulary-size
     // constant onto the bigram frame (x50's shape)
+    // x102's is the 3-row busy-window side under the overlap inequality;
+    // x105's is x11's 1-row query vector on the brute-force truth side
     val broadcastCrossOk = Set("x11_cosine_topk", "x32_ivf_ann", "x49_pq_ann",
       "x50_tfidf_terms", "x52_kmeans_step", "x54_domain_rebalance",
       "x56_knn_classify", "x56b_knn_ann", "x59_semdedup", "x59b_semdedup_wide",
-      "x63_rarity_score", "x85_source_drift", "x87_bigram_lm")
+      "x63_rarity_score", "x85_source_drift", "x87_bigram_lm",
+      "x102_interval_overlap", "x105_recall_audit")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -527,5 +530,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_salt"), "salt column must reach the first aggregate")
     // two logical groupBys → at least two hashpartitioning exchanges
     assert("hashpartitioning".r.findAllIn(p).size >= 2)
+  }
+
+  test("x102: one user_id exchange for sessionize+agg; window side is top-k then broadcast") {
+    val p = plan("x102_interval_overlap")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "the lag window and the per-session min/max must share one exchange")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-3 busy windows must not global-sort the bucket aggregate")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the overlap predicate joins against the broadcast 3-row window side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("x105: both top-5 sides are TakeOrderedAndProject over native-dot scans") {
+    val p = plan("x105_recall_audit")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "brute and ANN sides must each cut to k without a global sort")
+    assert(p.contains("float_dot"), "cosines must use the codegen'd expression")
+    assert(!p.contains("SortMergeJoin"),
+      "every join here is against a broadcast k-row or 1-row side")
   }
 }
