@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -55,7 +56,11 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     def arr(xs: List[String]) = xs.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failures.size},"failures":${arr(failures)},"flaky":${arr(flaky)},"reps":$reps,"sf":"$sfDir"}""")
+    // x47's cost is rounds × (join+agg); emitting the converged round count
+    // lets a slow bench be attributed to "more rounds" (data moved) vs
+    // "same rounds, slower rounds" (VM throttle) without a rerun.
+    val x47Rounds = graft.queries.LlmQueries.x47LastRounds.get()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failures.size},"failures":${arr(failures)},"flaky":${arr(flaky)},"x47_rounds":$x47Rounds,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     // intermittent failures exit nonzero too: a rep that threw and a rep
     // that "passed" is not a clean benchmark, and hiding it behind the

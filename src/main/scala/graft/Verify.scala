@@ -34,13 +34,27 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // verify_errors.json is written FIRST as an empty object and rewritten
+    // after every failure: a query error must never silently shrink the
+    // correctness file again (round 7: a broken events reader dropped 24
+    // queries from CORRECTNESS with only a stderr line as evidence). The
+    // driver — and the local tools/check.py gate — can assert it is empty.
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    def dumpErrs(): Unit = Files.writeString(
+      Paths.get(s"$outDir/verify_errors.json"),
+      errs.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    dumpErrs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errs(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        dumpErrs()
       }
     }
+    if (errs.nonEmpty)
+      System.err.println(s"[verify] ${errs.size} queries FAILED: ${errs.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver's parquet fixtures (TESTDATA.md).
   *
@@ -13,20 +14,63 @@ object Io {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read the nanos as a
-    * long (`spark.sql.legacy.parquet.nanosAsLong` — a runtime SQL conf) and
-    * truncate to Spark's native microsecond TimestampType with exact integer
-    * division, which is the same ns→µs truncation DuckDB applies when IT
-    * reads the file — so both engines see identical timestamps.
+  /** Events reader — SCHEMA-ADAPTIVE on the physical type of `ts`, because
+    * the driver's fixture generator has shipped two generations of this file
+    * and a 100 TB lake never has just one file vintage either (the reference's
+    * defining trait is exactly this schema-defensive ingestion —
+    * /root/reference/flows/pipeline.py:131-141):
+    *
+    *   - parquet TIMESTAMP(NANOS): Spark's reader rejects it outright
+    *     ([PARQUET_TYPE_ILLEGAL]) unless `spark.sql.legacy.parquet.nanosAsLong`
+    *     is set, which surfaces the nanos as a LongType — we truncate to
+    *     native µs TimestampType with exact integer division, the same ns→µs
+    *     truncation DuckDB applies when IT reads such a file.
+    *   - parquet TIMESTAMP(MICROS) (current fixtures): already Spark-native.
+    *     `isAdjustedToUTC=false` makes Spark infer TimestampNTZType; under the
+    *     repo-wide UTC session timezone the cast to TimestampType is
+    *     value-preserving and matches DuckDB's naive-as-UTC `epoch_*` reading.
+    *
+    * Contract for callers: `ts` is a µs-precision TimestampType, identical to
+    * what DuckDB sees, whatever the file vintage.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    eventsRaw(spark, sfDir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = eventsUnderlying(spark, sfDir)
+    if (!df.columns.contains("ts")) return df // schema-defensive: ts absent
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case dt => throw new IllegalStateException(
+        s"events.ts has unsupported type $dt (expected long ns, timestamp, or timestamp_ntz)")
+    }
+  }
 
-  /** Same, but leaves `ts` as the raw epoch-nanos long — used by queries that
-    * exercise epoch-unit detection (SURVEY §2.3).
+  /** The epoch-NANOS-LONG view of events — used by queries whose time math is
+    * exact integer arithmetic (funnels, cohort weeks, as-of joins). Contract
+    * for callers: `ts` is a LongType epoch-ns, bit-identical to DuckDB's
+    * `epoch_ns(ts)` on the same file. On ns-long fixtures that's the stored
+    * value; on µs-timestamp fixtures it's `unix_micros * 1000` (lossless —
+    * the stored precision IS µs, so no information is manufactured).
+    *
+    * NB: epoch-unit DETECTION (T1) is exercised on synthesized columns of
+    * every unit in r7 (queries/Reference.scala), not on this derived view —
+    * detecting a unit the reader itself chose would prove nothing.
     */
   def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = eventsUnderlying(spark, sfDir)
+    if (!df.columns.contains("ts")) return df // schema-defensive: ts absent
+    df.schema("ts").dataType match {
+      case LongType         => df
+      case TimestampType    => df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case dt => throw new IllegalStateException(
+        s"events.ts has unsupported type $dt (expected long ns, timestamp, or timestamp_ntz)")
+    }
+  }
+
+  private def eventsUnderlying(spark: SparkSession, sfDir: String): DataFrame = {
+    // Harmless no-op on µs fixtures; required to read ns-vintage files at all.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, sfDir, "events")
   }

@@ -24,16 +24,26 @@ object Timestamps {
     * the exact median when values straddle a 1000× unit threshold, where the
     * reference's single-unit model is ill-defined anyway.
     */
-  def detectEpochUnit(df: DataFrame, colName: String): String = {
+  def detectEpochUnit(df: DataFrame, colName: String): String =
+    detectEpochUnits(df, Seq(colName))(colName)
+
+  /** Multi-column T1 in ONE aggregation job: when several candidate epoch
+    * columns need unit detection (r7 probes all four units at once), a
+    * per-column `first()` would launch one full scan each — this fuses them
+    * into a single pass, which is the only acceptable shape at 100 TB.
+    */
+  def detectEpochUnits(df: DataFrame, colNames: Seq[String]): Map[String, String] = {
     val row = df
-      .select(expr(
-        s"percentile_approx(abs(try_cast(`$colName` as double)), 0.5d, 10000)").as("m"))
+      .select(colNames.map(c => expr(
+        s"percentile_approx(abs(try_cast(`$c` as double)), 0.5d, 10000)").as(c)): _*)
       .first()
-    if (row.isNullAt(0)) "s"
-    else {
-      val m = row.getDouble(0)
-      if (m > 1e17) "ns" else if (m > 1e14) "us" else if (m > 1e11) "ms" else "s"
-    }
+    colNames.zipWithIndex.map { case (c, i) =>
+      c -> (if (row.isNullAt(i)) "s"
+            else {
+              val m = row.getDouble(i)
+              if (m > 1e17) "ns" else if (m > 1e14) "us" else if (m > 1e11) "ms" else "s"
+            })
+    }.toMap
   }
 
   /** T2 — "looks numeric": numeric dtype OR every non-null value matches

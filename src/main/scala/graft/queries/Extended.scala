@@ -676,10 +676,11 @@ object ExtendedQueries {
     val cust = Io.table(spark, sfDir, "customer")
       .select(col("c_custkey").as("user_id"), col("c_acctbal").as("old_value"),
         lit(true).as("c_matched"))
-    // eventsRaw, not table(): events.parquet stores ts as TIMESTAMP(NANOS),
-    // which Spark rejects unless the nanosAsLong conf is set — eventsRaw sets
-    // it, so the query is self-contained in a fresh session (we never touch
-    // ts here, only the exact CDC sequence number).
+    // eventsRaw, not table(): the events fixture has shipped as both
+    // TIMESTAMP(NANOS) (Spark rejects it without the nanosAsLong conf) and
+    // µs timestamps — eventsRaw absorbs either vintage, so the query is
+    // self-contained in a fresh session (we never touch ts here, only the
+    // exact CDC sequence number).
     val delta = Io.eventsRaw(spark, sfDir)
       .groupBy("user_id")
       .agg(max(struct(col("event_id"), col("value"))).as("m"))
@@ -727,10 +728,10 @@ object ExtendedQueries {
     * density), then each user's peak burst and its earliest peak time —
     * the rate-limit audit / abuse-detection primitive. Equal-ts peers are
     * in-frame on both engines (standard RANGE peer semantics). Time is
-    * epoch-µs (ts div 1000): DuckDB's parquet reader truncates the
-    * fixture's TIMESTAMP(NANOS) to µs (the Io.events equivalence), so a
-    * raw-ns frame would disagree at sub-µs boundaries AND a raw-ns output
-    * column can never hash-match — µs is the exact shared resolution.
+    * epoch-µs (ts div 1000 on eventsRaw's ns-long view): µs is the exact
+    * resolution both engines share whatever the fixture vintage (ns files
+    * truncate to µs in both readers; µs files are native), so a µs frame
+    * and µs output columns hash-match where raw ns could not.
     *
     * The per-user peak is max(struct(burst, -ts)) — x61's argmax-as-
     * aggregate (earliest ts on ties, no second window); the oracle reaches

@@ -83,11 +83,19 @@ object Oracles {
       |ORDER BY value DESC, user_id
       |LIMIT 3""".stripMargin
 
+  // r7: the engine synthesizes epoch columns at all four magnitudes from the
+  // real timestamps, DETECTS each one's unit (median magnitude), and
+  // round-trips back to epoch-µs. The oracle pins both the expected detected
+  // units and the truncation arithmetic (// floors = truncates here: all
+  // fixture epochs are positive). A wrong detection would shift the µs
+  // columns 1000× AND flip a unit literal — either breaks the hash.
   val r7: String =
     """SELECT event_id,
-      |       'ns' AS detected_unit,
-      |       epoch_ms(ts) AS ts_ms,
-      |       epoch_us(epoch_ms(epoch_ms(ts))) AS ts_us_roundtrip
+      |       's'  AS unit_s, 'ms' AS unit_ms, 'us' AS unit_us, 'ns' AS unit_ns,
+      |       epoch_us(ts) // 1000000 * 1000000 AS us_from_s,
+      |       epoch_us(ts) // 1000 * 1000       AS us_from_ms,
+      |       epoch_us(ts)                      AS us_from_us,
+      |       epoch_us(ts)                      AS us_from_ns
       |FROM events
       |ORDER BY event_id""".stripMargin
 

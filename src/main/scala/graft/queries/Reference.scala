@@ -4,6 +4,7 @@ import graft.core._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Group R — reference-derived semantics on the `events` fixture (SURVEY
   * §2.10). Role mapping: ts→timestamp, event_type→transaction_type
@@ -114,21 +115,40 @@ object ReferenceQueries {
       .orderBy(desc("value"), col("user_id"))
       .limit(3)
 
-  /** r7 — T1/T3: epoch-unit detection on the raw nanosecond longs (median
-    * magnitude ⇒ 'ns'), conversion, and a ms→µs round trip. The detected
-    * unit is emitted so the oracle asserts the detection itself.
+  /** r7 — T1/T3: epoch-unit detection + conversion, exercised on ALL FOUR
+    * units at once. The fixture's stored precision is whatever the driver
+    * generated (ns longs in early vintages, µs timestamps now), so detecting
+    * on the stored column alone would either be a single fixed unit or — on
+    * a reader-derived long — a unit the reader itself manufactured
+    * (vacuous). Instead: synthesize genuine epoch columns at s/ms/us/ns
+    * magnitudes from the real timestamps, run T1's median-magnitude
+    * detection on each (ONE fused aggregation pass — detectEpochUnits),
+    * convert each back with its DETECTED unit (T3's exact long paths), and
+    * emit both the detected units and the round-tripped epoch-µs. A wrong
+    * detection shifts the µs values by 1000× and flips the unit literals, so
+    * the oracle catches it either way. Reference spec: pipeline.py:25-37.
     */
   def r7EpochRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw  = Io.eventsRaw(spark, sfDir)
-    val unit = Timestamps.detectEpochUnit(raw, "ts")
-    val ts   = Timestamps.epochToTimestamp(col("ts"), unit, raw.schema("ts").dataType)
-    raw
-      .withColumn("ts2", ts)
-      .select(
+    val probes = Seq("ep_s", "ep_ms", "ep_us", "ep_ns")
+    val ev = Io.events(spark, sfDir).select(
+      col("event_id"),
+      unix_seconds(col("ts")).as("ep_s"),
+      unix_millis(col("ts")).as("ep_ms"),
+      unix_micros(col("ts")).as("ep_us"),
+      (unix_micros(col("ts")) * 1000L).as("ep_ns"))
+    val unit = Timestamps.detectEpochUnits(ev, probes)
+    def roundtrip(c: String) =
+      unix_micros(Timestamps.epochToTimestamp(col(c), unit(c), LongType))
+    ev.select(
         col("event_id"),
-        lit(unit).as("detected_unit"),
-        unix_millis(col("ts2")).as("ts_ms"),
-        unix_micros(timestamp_millis(unix_millis(col("ts2")))).as("ts_us_roundtrip"))
+        lit(unit("ep_s")).as("unit_s"),
+        lit(unit("ep_ms")).as("unit_ms"),
+        lit(unit("ep_us")).as("unit_us"),
+        lit(unit("ep_ns")).as("unit_ns"),
+        roundtrip("ep_s").as("us_from_s"),
+        roundtrip("ep_ms").as("us_from_ms"),
+        roundtrip("ep_us").as("us_from_us"),
+        roundtrip("ep_ns").as("us_from_ns"))
       .orderBy("event_id")
   }
 }

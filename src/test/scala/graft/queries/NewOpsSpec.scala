@@ -146,6 +146,26 @@ class NewOpsSpec extends SparkSpec {
       (3L, None, 50.0, "insert")))
   }
 
+  test("x61: NULL-valued latest event is still an update; NULL acctbal is not an insert") {
+    val dir = Files.createTempDirectory("x61null").toString
+    // user 1: acctbal legitimately NULL, no delta → keep (NOT insert — the
+    // round-6 ADVICE divergence class: classification must come from the
+    // join-miss flags, never from a value being NULL)
+    // user 2: latest event (seq 9) carries a NULL value → update, and the
+    // merge keeps the old value via coalesce
+    Seq((1L, None: Option[Double]), (2L, Some(200.0)))
+      .toDF("c_custkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((5L, 2L, Some(9.0)), (9L, 2L, None: Option[Double]))
+      .toDF("event_id", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.x61MergeUpsert(spark, dir)
+      .as[(Long, Option[Double], Option[Double], String)].collect().toSeq
+    assert(out == Seq(
+      (1L, None, None, "keep"),
+      (2L, Some(200.0), Some(200.0), "update")))
+  }
+
   test("x30: sample matches an independent MD5 of the id, so it is deterministic") {
     val dir = Files.createTempDirectory("x30").toString
     val rows = (0L until 200L).map(i =>

@@ -24,6 +24,13 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 fail = 0
+try:
+    verrs = json.load(open(f"{OUT}/verify_errors.json"))
+except FileNotFoundError:
+    verrs = {}
+for name, msg in sorted(verrs.items()):
+    print(f"FAIL {name}: spark query threw: {msg[:200]}")
+    fail += 1
 for name, sql in sorted(oracle.items()):
     try:
         want = con.sql(sql).df()
