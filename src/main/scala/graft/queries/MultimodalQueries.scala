@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.functions.{Multimodal, SyntheticMedia}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group M — the multimodal stack as a DECLARED query, so the driver gets a
+  * per-round signal on `functions/Multimodal.scala` instead of test-only
+  * coverage (round-7 verdict stretch item).
+  */
+object MultimodalQueries {
+
+  /** x106 — multimodal GOLDEN roundtrip: synthesize deterministic
+    * PNG/WAV/AVI/opaque/null payloads on the executors
+    * ([[SyntheticMedia.assets]]), then drive every public operator of the
+    * multimodal stack over one frame:
+    *
+    *   - [[Multimodal.extractFeatures]]: real javax.imageio /
+    *     javax.sound.sampled / RIFF-walk decode per kind, stub for opaque,
+    *     null feature for the null payload;
+    *   - [[Multimodal.resize]] to 4×4: images re-encode (payload md5
+    *     changes, meta gains real dims), everything else passes through
+    *     byte-identical;
+    *   - [[Multimodal.sampleVideoFrames]] every 2nd frame: AVI assets yield
+    *     2 of 3 frames, all other kinds none.
+    *
+    * Output is one row per asset with rounded features and payload/frame
+    * md5s — every column a pure function of the asset id, so the dump is a
+    * GOLDEN file: any drift in decode, resize, or container-walk logic
+    * moves a hash. Declared rows-only (binary decode is not expressible in
+    * the DuckDB oracle); `sfDir` is unused — the asset set is fixed-size by
+    * design, a golden check, not a scale probe. All three stages are
+    * mapPartitions pipelines over one 4-partition frame: constant work, no
+    * shuffle except the 20-row frame-count aggregate.
+    */
+  def x106MultimodalGolden(spark: SparkSession, sfDir: String): DataFrame = {
+    val assets = SyntheticMedia.assets(spark, 20)
+    val feats = Multimodal.extractFeatures(assets)
+      .select(col("asset_id"), col("n_bytes"),
+        expr("transform(feature, f -> round(cast(f as double), 6))").as("feature"))
+    val resized = Multimodal.resize(assets, 4, 4)
+      .select(col("asset_id"), col("kind"),
+        md5(col("media")).as("payload_md5"),
+        col("meta.mime").as("mime_after"),
+        col("meta.width").as("w_after"),
+        col("meta.height").as("h_after"))
+    val frames = Multimodal.sampleVideoFrames(assets, every = 2)
+      .select(col("asset_id"), md5(col("frame")).as("fm"))
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames_sampled"), min(col("fm")).as("frame_md5"))
+    resized
+      .join(feats, Seq("asset_id"), "left")
+      .join(frames, Seq("asset_id"), "left")
+      .select(col("asset_id"), col("kind"), col("mime_after"),
+        col("w_after"), col("h_after"), col("payload_md5"), col("n_bytes"),
+        col("feature"),
+        coalesce(col("n_frames_sampled"), lit(0L)).as("n_frames_sampled"),
+        col("frame_md5"))
+      .orderBy("asset_id")
+  }
+}
