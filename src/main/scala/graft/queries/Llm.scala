@@ -2603,4 +2603,73 @@ object LlmQueries {
         coalesce(col("hit"), lit(0)).as("in_ann"))
       .orderBy("rank")
   }
+
+  /** x107 — chunk-level duplicate REMOVAL: the ACT half of x53's measure.
+    * Same 20-token chunk grammar as x53, but instead of reporting dup
+    * fractions it rebuilds each document with every chunk that already
+    * occurred EARLIER in the corpus removed — keep-first at global
+    * (doc_id, chunk_idx) order, the deterministic rule fine-grained dedup
+    * pipelines (ExactSubstr-style) apply before training. Output carries
+    * the cleaned text as md5 + length (the dump is corpus-sized; the hash
+    * pins the exact reconstruction) plus kept/total chunk counts.
+    *
+    * Scale shape: one shuffle on the chunk STRING (the window partition
+    * key — 20-token chunks, so the key is bounded), one shuffle back on
+    * doc_id for the rebuild; no joins, no candidate pairs, cost linear in
+    * corpus tokens. The rebuild's collect_list is per-document (bounded by
+    * document length, never corpus-sized) and array_sort on the unique
+    * chunk index makes the aggregation order-insensitive — safe under any
+    * partitioning.
+    */
+  def x107ChunkDedupClean(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk").orderBy("doc_id", "c")
+    fanOut(Io.table(spark, sfDir, "documents"))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"), explode(
+        expr("sequence(0, cast(ceil(size(toks) / 20.0) as int) - 1)")).as("c"))
+      .select(col("doc_id"), col("c"),
+        array_join(slice(col("toks"), col("c") * lit(20) + lit(1), lit(20)),
+          " ").as("chunk"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN keep THEN struct(c, chunk) END)), s -> s.chunk)"),
+          " ").as("clean"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        md5(col("clean")).as("clean_md5"),
+        length(col("clean")).cast("long").as("n_chars_clean"))
+      .orderBy("doc_id")
+  }
+
+  /** x108 — TOKEN-BUDGET mix assembly: fill each source's quota in TOKENS,
+    * not documents — the unit pre-training mixes are actually specified in
+    * (x54 rebalances by document count; a source of long documents would
+    * blow a token budget x54 thinks is balanced). Docs are taken in the
+    * deterministic hash order (md5(doc_id), doc_id — x30/x54's
+    * reproducibility contract) until the running token total reaches the
+    * budget; the crossing document is INCLUDED (fill-then-stop), so every
+    * source with any documents contributes at least one.
+    *
+    * Scale shape: one window (partition source, order hash) carrying a
+    * running sum — a single shuffle, no self-joins; the budget filter is a
+    * per-row predicate on the cumulative column. At corpus scale the same
+    * plan holds with per-source budgets broadcast from a config table
+    * instead of this literal.
+    */
+  def x108TokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 2000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Io.table(spark, sfDir, "documents")
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .filter(col("cum_toks") - col("n_toks") < budget)
+      .select(col("source"), col("doc_id"), col("n_toks"), col("cum_toks"))
+      .orderBy("source", "cum_toks", "doc_id")
+  }
 }

@@ -2222,7 +2222,54 @@ object Oracles {
       |FROM truth t LEFT JOIN ann a ON t.vec_id = a.vec_id
       |ORDER BY t.rank""".stripMargin
 
+  // x107: keep-first chunk removal — same chunk grammar as x53; the kept
+  // set is row_number()=1 over (chunk, ORDER BY doc_id, c), and the
+  // rebuilt text aggregates kept chunks in c order (string_agg skips the
+  // NULLed dropped chunks; coalesce('') matches Spark's empty-join of an
+  // all-dropped document)
+  val x107: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |ch0 AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, CAST(ceil(len(toks) / 20.0) AS INT)),
+      |    c -> {'c': c,
+      |          'chunk': array_to_string(list_slice(toks, c * 20 + 1, c * 20 + 20), ' ')})) AS s
+      |  FROM t),
+      |ch AS (SELECT doc_id, s.c AS c, s.chunk AS chunk FROM ch0),
+      |k AS (SELECT doc_id, c, chunk,
+      |        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, c) AS rn
+      |      FROM ch)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY c), '')) AS clean_md5,
+      |       CAST(length(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY c), '')) AS BIGINT) AS n_chars_clean
+      |FROM k
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // x108: token-budget fill — running token sum per source in the
+  // deterministic md5 order (x54's), fill-then-stop: a doc is in while the
+  // PRE-sum is under budget, so the crossing doc is included
+  val x108: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, n_toks,
+      |         CAST(sum(n_toks) OVER (PARTITION BY source
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+      |  FROM d)
+      |SELECT source, doc_id, n_toks, cum_toks
+      |FROM c
+      |WHERE cum_toks - n_toks < 2000
+      |ORDER BY source, cum_toks, doc_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x107_chunk_dedup_clean" -> x107,
+    "x108_token_budget_mix" -> x108,
     "x100_centroid_drift" -> x100,
     "x101_token_entropy"  -> x101,
     "x104_split_assign"   -> x104,

@@ -122,6 +122,41 @@ class NewOpsSpec extends SparkSpec {
     assert(out(1L)._1 >= 1 && out(1L)._2.contains(0L))
   }
 
+  test("x107: repeated chunks removed keep-first; unique docs untouched; dup doc shrinks") {
+    // 20-token chunk A shared by docs 0 and 1 (doc 1's copy must vanish);
+    // doc 1 keeps its own unique second chunk; doc 2 is all-unique
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = (1 to 20).map(i => s"b$i").mkString(" ")
+    val c = (1 to 7).map(i => s"c$i").mkString(" ")
+    val dir = docsLike(Seq((0L, a, "en"), (1L, s"$a $b", "en"), (2L, c, "en")))
+    val out = LlmQueries.x107ChunkDedupClean(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(0L) == ((1L, 1L, md5hex(a), a.length.toLong)))
+    assert(out(1L) == ((2L, 1L, md5hex(b), b.length.toLong))) // chunk A dropped
+    assert(out(2L) == ((1L, 1L, md5hex(c), c.length.toLong)))
+  }
+
+  test("x108: sources fill to the token budget in hash order, crossing doc included") {
+    // one source, 5 docs of 800 tokens each: budget 2000 → exactly the
+    // first 3 docs in (md5(doc_id), doc_id) order survive (800+800+800:
+    // the third crosses 2000 with pre-sum 1600 < 2000; the fourth's
+    // pre-sum 2400 does not)
+    val text = (1 to 800).map(i => s"t$i").mkString(" ")
+    val dir = docsLike((0L until 5L).map(id => (id, text, "en")))
+    val out = LlmQueries.x108TokenBudgetMix(spark, dir).collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val hashOrder = (0L until 5L).sortBy(id => (md5hex(id.toString), id))
+    assert(out.map(_.getLong(1)).toSeq == hashOrder.take(3))
+    assert(out.map(_.getLong(3)).toSeq == Seq(800L, 1600L, 2400L))
+    assert(out.forall(_.getLong(2) == 800L))
+  }
+
   private def docsLike(rows: Seq[(Long, String, String)]): String = {
     val dir = Files.createTempDirectory("docs").toString
     rows.map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }

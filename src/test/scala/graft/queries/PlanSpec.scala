@@ -551,4 +551,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "every join here is against a broadcast k-row or 1-row side")
   }
+
+  test("x107: chunk exchange + doc_id exchange, no joins — cost linear in tokens") {
+    val p = plan("x107_chunk_dedup_clean")
+    assert("hashpartitioning\\(chunk".r.findAllIn(p).size >= 1,
+      "keep-first window must partition on the chunk string")
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size >= 1,
+      "rebuild must shuffle back on doc_id")
+    assert(!p.contains("Join"), "removal is window+agg only — a join here " +
+      "would make cost track candidate pairs instead of corpus tokens")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to the two columns the chunk grammar needs")
+  }
+
+  test("x108: ONE source exchange carries the running sum; scan pruned to 3 columns") {
+    val p = plan("x108_token_budget_mix")
+    assert("hashpartitioning\\(source".r.findAllIn(p).size >= 1)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "budget fill is a single window shuffle — no self-join, no second exchange")
+    assert(!p.contains("Join"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      "scan must prune to doc_id/text/source")
+  }
 }
