@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-8 scale probes (ad hoc, not part of the driver contract): the
+  * queries added since the §6.1g sweep — x102/x104 (declared round 6, never
+  * probed) and the round-8 additions x106/x107/x108 — at sf0.1 and a 10×
+  * duplicate-heavy copy. Volumes over clocks, per SURVEY §6.0. Results
+  * recorded in SURVEY §6.1h.
+  *
+  * The 10× events copy is written through `Io.eventsRaw`, so its `ts` is the
+  * epoch-ns LONG vintage — probing here also exercises the legacy branch of
+  * the schema-adaptive reader against a corpus-sized file (IoVintageSpec
+  * covers it only at 2 rows).
+  */
+object Scratch8 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tenDir = "/tmp/probe10x_r8"
+    def tenfold(table: String, idCol: String): Unit = {
+      val base = core.Io.table(spark, sfDir, table)
+      (0 until 10).map(i => base.withColumn(idCol, col(idCol) + lit(i * 10000000L)))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$tenDir/$table.parquet")
+    }
+    tenfold("documents", "doc_id")
+    (0 until 10).map { i =>
+      core.Io.eventsRaw(spark, sfDir)
+        .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+    }.reduce(_ union _).write.mode("overwrite").parquet(s"$tenDir/events.parquet")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE $name rows=$n%d t=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    time("warmup")(spark.range(1000000).count())
+    for (dir <- Seq(sfDir, tenDir)) {
+      time(s"x102_$dir")(queries.ExtendedQueries.x102IntervalOverlap(spark, dir).count())
+      time(s"x104_$dir")(queries.LlmQueries.x104SplitAssign(spark, dir).count())
+      println(s"PROBE x104rounds dir=$dir rounds=${queries.LlmQueries.x47LastRounds.get()}")
+      time(s"x107_$dir")(queries.LlmQueries.x107ChunkDedupClean(spark, dir).count())
+      // x107 volumes: removal cost is chunk-linear; the DROPPED fraction
+      // tracks duplicate density, never corpus size
+      val v = queries.LlmQueries.x107ChunkDedupClean(spark, dir)
+        .agg(sum("n_chunks"), sum("n_kept")).head()
+      println(s"PROBE x107vol dir=$dir chunks=${v.getLong(0)} kept=${v.getLong(1)}")
+      // x108's defining scale property: output is BUDGET-bound, not
+      // corpus-bound — 10× the corpus, ~the same rows out
+      time(s"x108_$dir")(queries.LlmQueries.x108TokenBudgetMix(spark, dir).count())
+      val t = queries.LlmQueries.x108TokenBudgetMix(spark, dir)
+        .agg(count(lit(1)), sum("n_toks")).head()
+      println(s"PROBE x108vol dir=$dir docs=${t.getLong(0)} toks=${t.getLong(1)}")
+    }
+    // x106 is a fixed-size golden check by design — probed once, expected flat
+    time("x106")(queries.MultimodalQueries.x106MultimodalGolden(spark, sfDir).count())
+    spark.stop()
+  }
+}
