@@ -2645,6 +2645,115 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** x110 — WALK-FORWARD temporal splits with EMBARGO: three
+    * expanding-window backtest folds over the event stream, each fold an
+    * (anchored train, 1-day embargo, 7-day test) triple — the rolling-origin
+    * evaluation grammar for anything trained on time-ordered data, where a
+    * random split (x104's hash grammar) would leak the future into training.
+    * The embargo day between train and test absorbs boundary leakage
+    * (sessions/labels that straddle the cut); events beyond a fold's test
+    * window are excluded from that fold.
+    *
+    * All boundary math is exact epoch-µs long arithmetic from a fixed
+    * anchor (fold i trains to Jan 10+7i, tests Jan 11+7i .. Jan 18+7i) — no
+    * timezone/date functions whose calendars the two engines could disagree
+    * on. Plan: the 3-fold fan-out is one explode over the scan (3× linear,
+    * never a per-fold rescan), then ONE aggregate; count(distinct user_id)
+    * is the standard two-phase expand. Summary output (fold × split ×
+    * type), so the dump stays fold-bounded while n_events/n_users/min/max
+    * pin every assignment decision.
+    */
+  def x110WalkForwardSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val day = 86400000000L // µs
+    val anchor = 1704067200000000L // 2024-01-01 00:00:00 UTC in epoch-µs
+    Io.events(spark, sfDir)
+      .select(unix_micros(col("ts")).as("t"), col("event_type"), col("user_id"),
+        explode(expr("sequence(bigint(0), bigint(2))")).as("fold"))
+      .withColumn("train_end", lit(anchor) + (lit(9L) + col("fold") * 7L) * day)
+      .withColumn("split",
+        when(col("t") < col("train_end"), "train")
+          .when(col("t") < col("train_end") + day, "embargo")
+          .when(col("t") < col("train_end") + day * 8L, "test"))
+      .filter(col("split").isNotNull)
+      .groupBy("fold", "split", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        // `div`, not `/`: Column `/` on longs is DOUBLE true-division, and a
+        // µs value whose true quotient sits a hair under an integer could
+        // round across it — integral div is the exact truncation both
+        // engines share
+        expr("min(t) div 1000").as("min_ts_ms"),
+        expr("max(t) div 1000").as("max_ts_ms"))
+      .orderBy("fold", "split", "event_type")
+  }
+
+  /** x111 — HYBRID retrieval by RECIPROCAL-RANK FUSION: fuse a lexical
+    * retriever (tf·idf over the corpus's own top-3 tokens as the query)
+    * with a vector retriever (cosine to the standard query vector, vec_id
+    * 0, joined doc_id = vec_id) via RRF(d) = Σ 1/(60 + rank_r(d)) — the
+    * standard way production search fuses BM25-class and embedding
+    * retrieval without score calibration, and the retrieval-side
+    * counterpart of x105's recall audit. Every score is rational
+    * arithmetic on counts (tf, df, cosine rounded once) — no
+    * transcendental whose last ulp could diverge.
+    *
+    * Scale shape: each retriever cuts to its top-20 via
+    * TakeOrderedAndProject (per-partition top-k, no global sort of the
+    * corpus); ranks and the fusion run on the ≤40-row union — window cost
+    * is constant, corpus cost is two linear scans (tokenize + one
+    * native-dot pass), exactly how per-query RRF runs at index scale.
+    */
+  def x111RrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftExtensions.register(spark)
+    val nd = ExtendedQueries.nativeDot _
+    val docs = fanOut(Io.table(spark, sfDir, "documents"))
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    // corpus-derived 3-token query: highest total count, token tie-break
+    val qTerms = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w")).limit(3)
+      .select(col("w"), lit(1).as("is_q"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    // tf·idf over query terms only: tf = in-doc count, idf = n_docs/df as a
+    // RAW ratio (x50's raw-idf precedent — no log)
+    val df = toks.join(broadcast(qTerms), Seq("w"))
+      .groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+    // per-term round → DECIMAL sum (x87's order-independence trick: a raw
+    // double sum's last ulp depends on partial-agg order and could flip the
+    // 6dp rounding; rounding each term first makes the sum exact)
+    val lexScored = toks.join(broadcast(qTerms), Seq("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy("doc_id")
+      .agg(sum(ExtendedQueries.stableRound6(
+          col("tf").cast("double") * col("n_docs").cast("double") /
+            col("df").cast("double")).cast("decimal(28,6)"))
+        .cast("double").as("lex_score"))
+    val lexTop = lexScored.orderBy(desc("lex_score"), col("doc_id")).limit(20)
+    val emb = Io.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(nd(col("embedding"), col("embedding"))).as("norm"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val vecTop = emb.crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"), ExtendedQueries.stableRound6(
+        nd(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+        .as("cos_score"))
+      .orderBy(desc("cos_score"), col("doc_id")).limit(20)
+    val lexRanked = lexTop.withColumn("lex_rank", row_number().over(
+      Window.orderBy(desc("lex_score"), col("doc_id"))).cast("long"))
+    val vecRanked = vecTop.withColumn("vec_rank", row_number().over(
+      Window.orderBy(desc("cos_score"), col("doc_id"))).cast("long"))
+    lexRanked.join(vecRanked, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        ExtendedQueries.stableRound6(
+          coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+  }
+
   /** x108 — TOKEN-BUDGET mix assembly: fill each source's quota in TOKENS,
     * not documents — the unit pre-training mixes are actually specified in
     * (x54 rebalances by document count; a source of long documents would

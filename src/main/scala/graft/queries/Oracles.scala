@@ -2267,7 +2267,75 @@ object Oracles {
       |WHERE cum_toks - n_toks < 2000
       |ORDER BY source, cum_toks, doc_id""".stripMargin
 
+  // x110: walk-forward splits — identical exact epoch-µs long arithmetic
+  // from the same anchor; // floors = truncates (all epochs positive)
+  val x110: String =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS t, event_type, user_id, CAST(f AS BIGINT) AS fold
+      |  FROM events, unnest([0, 1, 2]) AS u(f)),
+      |s AS (
+      |  SELECT fold, event_type, user_id, t,
+      |         CASE WHEN t < 1704067200000000 + (9 + fold * 7) * 86400000000
+      |                THEN 'train'
+      |              WHEN t < 1704067200000000 + (10 + fold * 7) * 86400000000
+      |                THEN 'embargo'
+      |              WHEN t < 1704067200000000 + (17 + fold * 7) * 86400000000
+      |                THEN 'test' END AS split
+      |  FROM e)
+      |SELECT fold, split, event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       min(t) // 1000 AS min_ts_ms,
+      |       max(t) // 1000 AS max_ts_ms
+      |FROM s WHERE split IS NOT NULL
+      |GROUP BY fold, split, event_type
+      |ORDER BY fold, split, event_type""".stripMargin
+
+  // x111: RRF fusion — lexical side is per-term-rounded DECIMAL-summed
+  // tf·(n_docs/df) over the corpus's own top-3 tokens; vector side is the
+  // x11 cosine arithmetic; both cut to top-20 before ranking, fused by
+  // 1/(60+rank) with a missing side contributing 0
+  val x111: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |q AS (
+      |  SELECT w FROM (SELECT w, count(*) AS n FROM toks GROUP BY 1
+      |                 ORDER BY n DESC, w LIMIT 3)),
+      |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+      |dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+      |        WHERE w IN (SELECT w FROM q) GROUP BY 1),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+      |       WHERE w IN (SELECT w FROM q) GROUP BY 1, 2),
+      |lex AS (
+      |  SELECT t.doc_id,
+      |         CAST(sum(CAST(floor(CAST(t.tf AS DOUBLE) * nd.n_docs / d.df
+      |                 * 1000000 + 0.5) / 1000000 AS DECIMAL(28,6))) AS DOUBLE) AS lex_score
+      |  FROM tf t, dfq d, nd WHERE t.w = d.w GROUP BY 1),
+      |lexr AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY lex_score DESC, doc_id) AS BIGINT) AS lex_rank
+      |  FROM (SELECT doc_id, lex_score FROM lex ORDER BY lex_score DESC, doc_id LIMIT 20)),
+      |cos AS (
+      |  SELECT e.vec_id AS doc_id,
+      |         round(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q2.embedding[i.i] AS DOUBLE)) /
+      |           (sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))
+      |            * sqrt(sum(CAST(q2.embedding[i.i] AS DOUBLE) * CAST(q2.embedding[i.i] AS DOUBLE)))), 6) AS cos_score
+      |  FROM embeddings e,
+      |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q2,
+      |       range(1, 65) i(i)
+      |  GROUP BY e.vec_id),
+      |vecr AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_score DESC, doc_id) AS BIGINT) AS vec_rank
+      |  FROM (SELECT doc_id, cos_score FROM cos ORDER BY cos_score DESC, doc_id LIMIT 20))
+      |SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+      |       floor((coalesce(CAST(1 AS DOUBLE) / (60 + l.lex_rank), CAST(0 AS DOUBLE))
+      |            + coalesce(CAST(1 AS DOUBLE) / (60 + v.vec_rank), CAST(0 AS DOUBLE)))
+      |             * 1000000 + 0.5) / 1000000 AS rrf
+      |FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+      |ORDER BY rrf DESC, doc_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x110_walkforward_split" -> x110,
+    "x111_rrf_fusion" -> x111,
     "x107_chunk_dedup_clean" -> x107,
     "x108_token_budget_mix" -> x108,
     "x100_centroid_drift" -> x100,

@@ -157,6 +157,45 @@ class NewOpsSpec extends SparkSpec {
     assert(out.forall(_.getLong(2) == 800L))
   }
 
+  test("x110: fold boundaries — train/embargo/test assignment per fold, beyond-window excluded") {
+    val dir = Files.createTempDirectory("x110").toString
+    def ts(day: Int, hour: Int = 0): java.sql.Timestamp = // Jan `day` 2024 UTC
+      new java.sql.Timestamp(
+        (1704067200L + (day - 1) * 86400L + hour * 3600L) * 1000L)
+    // e1 Jan5 (train all folds), e2 Jan10 12:00 (embargo f0, train f1/f2),
+    // e3 Jan15 (test f0, train f1/f2), e4 Jan29 (excluded f0/f1, test f2)
+    Seq((1L, ts(5), 10L, "click", 1.0, "{}"), (2L, ts(10, 12), 10L, "click", 1.0, "{}"),
+        (3L, ts(15), 20L, "click", 1.0, "{}"), (4L, ts(29), 30L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = LlmQueries.x110WalkForwardSplit(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      (0L, "train")   -> ((1L, 1L)), (0L, "embargo") -> ((1L, 1L)),
+      (0L, "test")    -> ((1L, 1L)),
+      (1L, "train")   -> ((3L, 2L)),
+      (2L, "train")   -> ((3L, 2L)), (2L, "test")    -> ((1L, 1L))))
+  }
+
+  test("x111: ranks dense from 1, rrf recomputable from the emitted ranks, fused order total") {
+    val out = LlmQueries.x111RrfFusion(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    def rankSeq(i: Int) =
+      out.flatMap(r => if (r.isNullAt(i)) None else Some(r.getLong(i))).sorted.toSeq
+    assert(rankSeq(1) == (1L to rankSeq(1).size) && rankSeq(1).size <= 20)
+    assert(rankSeq(2) == (1L to rankSeq(2).size) && rankSeq(2).size <= 20)
+    out.foreach { r =>
+      val lex = if (r.isNullAt(1)) 0.0 else 1.0 / (60.0 + r.getLong(1))
+      val vec = if (r.isNullAt(2)) 0.0 else 1.0 / (60.0 + r.getLong(2))
+      assert(r.getDouble(3) == math.floor((lex + vec) * 1e6 + 0.5) / 1e6,
+        s"rrf must be exactly the fused rank formula for doc ${r.getLong(0)}")
+    }
+    val rrfs = out.map(r => (r.getDouble(3), -r.getLong(0)))
+    assert(rrfs.sameElements(rrfs.sortBy(t => (-t._1, -t._2))),
+      "output must be ordered by rrf desc, doc_id asc")
+  }
+
   private def docsLike(rows: Seq[(Long, String, String)]): String = {
     val dir = Files.createTempDirectory("docs").toString
     rows.map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }

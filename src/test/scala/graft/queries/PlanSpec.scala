@@ -145,11 +145,13 @@ class PlanSpec extends SparkSpec {
     // constant onto the bigram frame (x50's shape)
     // x102's is the 3-row busy-window side under the overlap inequality;
     // x105's is x11's 1-row query vector on the brute-force truth side
+    // x111's are the 1-row n_docs constant onto the term frame (x50's
+    // shape) and x11's 1-row query vector onto the cosine scan
     val broadcastCrossOk = Set("x11_cosine_topk", "x32_ivf_ann", "x49_pq_ann",
       "x50_tfidf_terms", "x52_kmeans_step", "x54_domain_rebalance",
       "x56_knn_classify", "x56b_knn_ann", "x59_semdedup", "x59b_semdedup_wide",
       "x63_rarity_score", "x85_source_drift", "x87_bigram_lm",
-      "x102_interval_overlap", "x105_recall_audit")
+      "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -562,6 +564,28 @@ class PlanSpec extends SparkSpec {
       "would make cost track candidate pairs instead of corpus tokens")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       "scan must prune to the two columns the chunk grammar needs")
+  }
+
+  test("x110: 3-fold fan-out is one explode over one scan — no per-fold rescan") {
+    val p = plan("x110_walkforward_split")
+    assert("Generate explode".r.findAllIn(p).size == 1,
+      "folds must fan out via a single generator, not a union of filtered scans")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "one events scan only")
+    assert(p.contains("ReadSchema: struct<ts:timestamp"),
+      "scan must prune to the three columns the split math needs")
+  }
+
+  test("x111: both retrievers cut to top-k before ranking; corpus-side joins broadcast") {
+    val p = plan("x111_rrf_fusion")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "lexical and vector sides must each cut to 20 without a global sort")
+    assert(p.contains("float_dot"), "cosines must use the codegen'd expression")
+    // the ONLY shuffle join allowed is the 20×20 full-outer fusion (Spark
+    // cannot broadcast a full outer); every corpus-sized join must broadcast
+    assert("SortMergeJoin".r.findAllIn(p).size == 1 && p.contains("FullOuter"),
+      "exactly one SMJ — the constant-size rank fusion")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "query-term and df joins against the corpus must broadcast")
   }
 
   test("x108: ONE source exchange carries the running sum; scan pruned to 3 columns") {
