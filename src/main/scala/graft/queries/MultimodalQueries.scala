@@ -10,6 +10,48 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  /** x109 — SCHEMA AUDIT: both engines' raw views of every fixture table,
+    * column by column, as one declared query — the standing canary for the
+    * round-7 failure class (the driver regenerated `events.ts` from
+    * TIMESTAMP(NANOS) to timestamp[us] and a type-assuming reader silently
+    * killed 24 queries). The Spark side enumerates each table's RAW schema
+    * (no `Io.events` normalization — the point is the engine's unmediated
+    * view) mapped to DuckDB's type names; the oracle runs DESCRIBE on the
+    * same files. While both engines resolve every parquet file to the same
+    * logical column types the hashes match; any future physical-type drift
+    * turns exactly this one query red, naming the table and column, instead
+    * of erroring a fifth of the query surface.
+    *
+    * Driver-side metadata only (footer reads, zero distributed work) — the
+    * one query class where a driver-side loop IS the right plan; O(tables ×
+    * columns) rows. The reference's schema-defensive ethos
+    * (pipeline.py:118-141) as a first-class, continuously-checked operator.
+    */
+  def x109SchemaAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    def duckName(dt: DataType): String = dt match {
+      case IntegerType                       => "INTEGER"
+      case LongType                          => "BIGINT"
+      case FloatType                         => "FLOAT"
+      case DoubleType                        => "DOUBLE"
+      case StringType                        => "VARCHAR"
+      case BooleanType                       => "BOOLEAN"
+      case BinaryType                        => "BLOB"
+      case DateType                          => "DATE"
+      case TimestampType | TimestampNTZType  => "TIMESTAMP"
+      case ArrayType(e, _)                   => duckName(e) + "[]"
+      case other                             => other.sql
+    }
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    import spark.implicits._
+    tables.flatMap { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").schema.fields
+        .map(f => (t, f.name, duckName(f.dataType)))
+    }.toDF("table_name", "column_name", "dtype")
+      .orderBy("table_name", "column_name")
+  }
+
   /** x106 — multimodal GOLDEN roundtrip: synthesize deterministic
     * PNG/WAV/AVI/opaque/null payloads on the executors
     * ([[SyntheticMedia.assets]]), then drive every public operator of the

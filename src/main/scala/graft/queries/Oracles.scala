@@ -2333,7 +2333,21 @@ object Oracles {
       |FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
       |ORDER BY rrf DESC, doc_id""".stripMargin
 
+  // x109: both engines' raw schema views, column by column — DESCRIBE on
+  // the same parquet the Spark side footer-reads; diverging views (the
+  // round-7 TIMESTAMP(NANOS) class) break the hash on exactly this query
+  val x109: String = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.map(t =>
+      s"SELECT '$t' AS table_name, column_name, column_type AS dtype " +
+        s"FROM (DESCRIBE SELECT * FROM $t)")
+      .mkString("SELECT * FROM (", " UNION ALL ",
+        ") ORDER BY table_name, column_name")
+  }
+
   val lGroup: Map[String, String] = Map(
+    "x109_schema_audit" -> x109,
     "x110_walkforward_split" -> x110,
     "x111_rrf_fusion" -> x111,
     "x107_chunk_dedup_clean" -> x107,

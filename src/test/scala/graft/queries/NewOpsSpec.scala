@@ -157,6 +157,17 @@ class NewOpsSpec extends SparkSpec {
     assert(out.forall(_.getLong(2) == 800L))
   }
 
+  test("x109: engine schema view — all 10 tables, ts is TIMESTAMP, embedding is FLOAT[]") {
+    val rows = MultimodalQueries.x109SchemaAudit(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(rows.keys.map(_._1).toSet.size == 10)
+    assert(rows(("events", "ts")) == "TIMESTAMP")
+    assert(rows(("events", "event_id")) == "BIGINT")
+    assert(rows(("embeddings", "embedding")) == "FLOAT[]")
+    assert(rows(("nation", "n_nationkey")) == "INTEGER")
+    assert(rows(("documents", "text")) == "VARCHAR")
+  }
+
   test("x110: fold boundaries — train/embargo/test assignment per fold, beyond-window excluded") {
     val dir = Files.createTempDirectory("x110").toString
     def ts(day: Int, hour: Int = 0): java.sql.Timestamp = // Jan `day` 2024 UTC
