@@ -30,6 +30,7 @@ object Scratch8 {
         .write.mode("overwrite").parquet(s"$tenDir/$table.parquet")
     }
     tenfold("documents", "doc_id")
+    tenfold("embeddings", "vec_id")
     (0 until 10).map { i =>
       core.Io.eventsRaw(spark, sfDir)
         .withColumn("event_id", col("event_id") + lit(i * 10000000L))
@@ -61,6 +62,30 @@ object Scratch8 {
     }
     // x106 is a fixed-size golden check by design — probed once, expected flat
     time("x106")(queries.MultimodalQueries.x106MultimodalGolden(spark, sfDir).count())
+    // x110: summary rows are fold×split×type-bounded (≤45) whatever the
+    // corpus; time should track the 3× exploded scan linearly.
+    // x111: output is top-k-bounded (≤40 rows); both retrievers are linear
+    // scans, so 10× docs ≈ 10× scan cost and nothing else moves.
+    for (dir <- Seq(sfDir, tenDir)) {
+      time(s"x110_$dir")(queries.LlmQueries.x110WalkForwardSplit(spark, dir)
+        .agg(sum("n_events")).head().getLong(0))
+      time(s"x111_$dir")(queries.LlmQueries.x111RrfFusion(spark, dir).count())
+    }
+    // 100× chunk-dedup removal (500k docs): the fine-grained dedup path at
+    // one more decade — opt-in, like Scratch's 100× block
+    if (sys.env.get("SPARK_GRAFT_PROBE_100X").contains("1")) {
+      val hundredDir = "/tmp/probe100x_r8"
+      (0 until 100).map { i =>
+        core.Io.table(spark, sfDir, "documents")
+          .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+      }.reduce(_ union _).repartition(32)
+        .write.mode("overwrite").parquet(s"$hundredDir/documents.parquet")
+      time(s"x107_$hundredDir")(
+        queries.LlmQueries.x107ChunkDedupClean(spark, hundredDir).count())
+      val v = queries.LlmQueries.x107ChunkDedupClean(spark, hundredDir)
+        .agg(sum("n_chunks"), sum("n_kept")).head()
+      println(s"PROBE x107vol dir=$hundredDir chunks=${v.getLong(0)} kept=${v.getLong(1)}")
+    }
     spark.stop()
   }
 }
