@@ -157,6 +157,81 @@ class NewOpsSpec extends SparkSpec {
     assert(out.forall(_.getLong(2) == 800L))
   }
 
+  test("x107 property: random planted-chunk corpora match a plain-Scala keep-first fold") {
+    val rnd = new scala.util.Random(29)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    for (trial <- 1 to 3) {
+      // docs built from a tiny pool of 20-token blocks, so chunks repeat
+      // across docs (and within one doc) at random; some docs get a short
+      // tail block that never repeats
+      val blocks = (0 until 6).map(b => (1 to 20).map(i => s"b${b}t$i").mkString(" "))
+      val docs = (0L until 12L).map { id =>
+        val body = (1 to 1 + rnd.nextInt(3)).map(_ => blocks(rnd.nextInt(blocks.size)))
+        val tail = if (rnd.nextBoolean()) Seq((1 to 5).map(i => s"u${id}t$i").mkString(" "))
+                   else Seq.empty
+        (id, (body ++ tail).mkString(" "), "en")
+      }
+      val dir = docsLike(docs)
+      // plain-Scala fold: global keep-first over (doc_id, chunk_idx)
+      val chunked = docs.map { case (id, text, _) =>
+        id -> text.split(" ").grouped(20).map(_.mkString(" ")).toSeq
+      }
+      val firstOf = scala.collection.mutable.Map.empty[String, (Long, Int)]
+      for ((id, chunks) <- chunked.sortBy(_._1); (ch, c) <- chunks.zipWithIndex)
+        if (!firstOf.contains(ch)) firstOf(ch) = (id, c)
+      val expected = chunked.map { case (id, chunks) =>
+        val kept = chunks.zipWithIndex.collect {
+          case (ch, c) if firstOf(ch) == ((id, c)) => ch }
+        val clean = kept.mkString(" ")
+        (id, chunks.size.toLong, kept.size.toLong, md5hex(clean), clean.length.toLong)
+      }
+      val got = LlmQueries.x107ChunkDedupClean(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+        .toSeq
+      assert(got == expected, s"trial $trial")
+      assert(expected.exists(e => e._3 < e._2), "fixture must drop some chunk")
+    }
+  }
+
+  test("x110 property: random event times match a plain-Scala fold of the fold grammar") {
+    val rnd = new scala.util.Random(31)
+    val anchor = 1704067200000000L
+    val day = 86400000000L
+    val events = (1 to 120).map { i =>
+      // spread across Jan 1 .. Feb 4 so every fold boundary and the
+      // beyond-window exclusion are all hit; ms-quantized because the
+      // java.sql.Timestamp writer below is ms-precision
+      (i.toLong, anchor + rnd.nextLong(35L * day / 1000L) * 1000L,
+        (rnd.nextInt(5) + 1).toLong, Seq("click", "view")(rnd.nextInt(2)))
+    }
+    val dir = Files.createTempDirectory("x110p").toString
+    events.map { case (eid, us, u, ty) =>
+      (eid, new java.sql.Timestamp(us / 1000), u, ty, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val expected = (for {
+      (_, t, u, ty) <- events
+      fold <- 0L to 2L
+      trainEnd = anchor + (9 + fold * 7) * day
+      split <- if (t < trainEnd) Some("train")
+               else if (t < trainEnd + day) Some("embargo")
+               else if (t < trainEnd + day * 8) Some("test")
+               else None
+    } yield (fold, split, ty, u, t))
+      .groupBy(e => (e._1, e._2, e._3)).toSeq
+      .map { case ((f, s, ty), es) =>
+        (f, s, ty, es.size.toLong, es.map(_._4).distinct.size.toLong,
+          es.map(_._5).min / 1000, es.map(_._5).max / 1000)
+      }.sortBy(e => (e._1, e._2, e._3))
+    val got = LlmQueries.x110WalkForwardSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected)
+    assert(expected.map(_._2).distinct.sorted == Seq("embargo", "test", "train"))
+  }
+
   test("x109: engine schema view — all 10 tables, ts is TIMESTAMP, embedding is FLOAT[]") {
     val rows = MultimodalQueries.x109SchemaAudit(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
