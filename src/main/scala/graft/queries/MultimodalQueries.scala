@@ -29,18 +29,31 @@ object MultimodalQueries {
     */
   def x109SchemaAudit(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
+    // Guarantee the canary's contract independent of query order: without
+    // this conf a TIMESTAMP(NANOS) vintage makes the raw read THROW
+    // ([PARQUET_TYPE_ILLEGAL]) unless some earlier events query happened to
+    // set it session-wide — with it, the ns vintage deterministically reads
+    // as BIGINT vs DuckDB's TIMESTAMP_NS and the audit goes red naming
+    // events.ts, which is the designed alarm, not an error.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def duckName(dt: DataType): String = dt match {
-      case IntegerType                       => "INTEGER"
-      case LongType                          => "BIGINT"
-      case FloatType                         => "FLOAT"
-      case DoubleType                        => "DOUBLE"
-      case StringType                        => "VARCHAR"
-      case BooleanType                       => "BOOLEAN"
-      case BinaryType                        => "BLOB"
-      case DateType                          => "DATE"
-      case TimestampType | TimestampNTZType  => "TIMESTAMP"
-      case ArrayType(e, _)                   => duckName(e) + "[]"
-      case other                             => other.sql
+      case IntegerType       => "INTEGER"
+      case LongType          => "BIGINT"
+      case FloatType         => "FLOAT"
+      case DoubleType        => "DOUBLE"
+      case StringType        => "VARCHAR"
+      case BooleanType       => "BOOLEAN"
+      case BinaryType        => "BLOB"
+      case DateType          => "DATE"
+      // DuckDB names the two parquet timestamp flavors differently:
+      // isAdjustedToUTC=true (Spark TimestampType) DESCRIBEs as TIMESTAMP
+      // WITH TIME ZONE; only the NTZ flavor is plain TIMESTAMP. Mapping
+      // both to TIMESTAMP would false-alarm on a tz-aware vintage that
+      // every other query (via Io.events) handles fine.
+      case TimestampType     => "TIMESTAMP WITH TIME ZONE"
+      case TimestampNTZType  => "TIMESTAMP"
+      case ArrayType(e, _)   => duckName(e) + "[]"
+      case other             => other.sql
     }
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")

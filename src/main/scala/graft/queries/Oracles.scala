@@ -2293,8 +2293,11 @@ object Oracles {
 
   // x111: RRF fusion — lexical side is per-term-rounded DECIMAL-summed
   // tf·(n_docs/df) over the corpus's own top-3 tokens; vector side is the
-  // x11 cosine arithmetic; both cut to top-20 before ranking, fused by
-  // 1/(60+rank) with a missing side contributing 0
+  // x11 cosine arithmetic but with floor-half-up rounding (cosines to the
+  // query vector go NEGATIVE for ~half the corpus, so bare round() would
+  // violate the stableRound pairing contract — x32's floor↔floor pattern,
+  // matching the Spark side's stableRound6); both cut to top-20 before
+  // ranking, fused by 1/(60+rank) with a missing side contributing 0
   val x111: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -2316,9 +2319,10 @@ object Oracles {
       |  FROM (SELECT doc_id, lex_score FROM lex ORDER BY lex_score DESC, doc_id LIMIT 20)),
       |cos AS (
       |  SELECT e.vec_id AS doc_id,
-      |         round(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q2.embedding[i.i] AS DOUBLE)) /
+      |         floor(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q2.embedding[i.i] AS DOUBLE)) /
       |           (sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))
-      |            * sqrt(sum(CAST(q2.embedding[i.i] AS DOUBLE) * CAST(q2.embedding[i.i] AS DOUBLE)))), 6) AS cos_score
+      |            * sqrt(sum(CAST(q2.embedding[i.i] AS DOUBLE) * CAST(q2.embedding[i.i] AS DOUBLE))))
+      |           * 1000000 + 0.5) / 1000000 AS cos_score
       |  FROM embeddings e,
       |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q2,
       |       range(1, 65) i(i)

@@ -28,4 +28,11 @@ trait SparkSpec extends AnyFunSuite {
   /** Rows of a 1-col DataFrame as a list (null-safe). */
   def col0[T](df: DataFrame): Seq[Any] =
     df.collect().toSeq.map(r => if (r.isNullAt(0)) null else r.get(0))
+
+  /** Lowercase-hex MD5 of the UTF-8 bytes — the portability convention every
+    * oracle hash uses (one definition; specs must not re-derive it).
+    */
+  def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 }

@@ -370,9 +370,6 @@ class LlmSpec extends SparkSpec {
       (1L, "call +14155552671 then +4930123456", "en", "s", 1L),
       (2L, "no pii in this document at all", "en", "s", 1L),
       (3L, "mail a@1.2.3.4.com today", "en", "s", 1L))) // IP inside the email's domain
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val out = LlmQueries.x64PiiScrub(spark, dir)
       .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
     val red0 = "contact <EMAIL> or <IP> now"

@@ -132,9 +132,6 @@ class NewOpsSpec extends SparkSpec {
     val out = LlmQueries.x107ChunkDedupClean(spark, dir)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     assert(out(0L) == ((1L, 1L, md5hex(a), a.length.toLong)))
     assert(out(1L) == ((2L, 1L, md5hex(b), b.length.toLong))) // chunk A dropped
     assert(out(2L) == ((1L, 1L, md5hex(c), c.length.toLong)))
@@ -148,9 +145,6 @@ class NewOpsSpec extends SparkSpec {
     val text = (1 to 800).map(i => s"t$i").mkString(" ")
     val dir = docsLike((0L until 5L).map(id => (id, text, "en")))
     val out = LlmQueries.x108TokenBudgetMix(spark, dir).collect()
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val hashOrder = (0L until 5L).sortBy(id => (md5hex(id.toString), id))
     assert(out.map(_.getLong(1)).toSeq == hashOrder.take(3))
     assert(out.map(_.getLong(3)).toSeq == Seq(800L, 1600L, 2400L))
@@ -159,9 +153,6 @@ class NewOpsSpec extends SparkSpec {
 
   test("x107 property: random planted-chunk corpora match a plain-Scala keep-first fold") {
     val rnd = new scala.util.Random(29)
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     for (trial <- 1 to 3) {
       // docs built from a tiny pool of 20-token blocks, so chunks repeat
       // across docs (and within one doc) at random; some docs get a short
@@ -433,9 +424,6 @@ class NewOpsSpec extends SparkSpec {
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // independent replay: plain-JVM md5 + the mod rules, no Spark involved
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val expected = docs.flatMap { case (id, text, _, source, nChars) =>
       val inOld = id % 7 != 0
       val inCur = id % 11 != 0
@@ -973,10 +961,6 @@ class NewOpsSpec extends SparkSpec {
       ("b", 2.5, 1.0, 4L, 1L), // even counts interpolate: med (2+3)/2, mad (0.5+1.5)/2
       ("c", 5.0, 0.0, 3L, 0L)))// MAD 0: fence at 0, strict > keeps equals in
   }
-
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   test("x94: chunk counts at the 32/33 boundary, overlap slices, content md5") {
     val dir = Files.createTempDirectory("x94").toString
