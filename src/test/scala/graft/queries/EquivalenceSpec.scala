@@ -96,4 +96,29 @@ class EquivalenceSpec extends SparkSpec {
       .as[(Long, String, Double)].collect().toSeq
     assert(v2.nonEmpty && v3 == v2)
   }
+
+  test("x53 measure and x107 removal share one chunk grammar on the real fixture") {
+    val sf = "/root/testdata/sf0.001"
+    // Per-doc chunk counts must be identical (same 20-token slicing), and
+    // the chunks x53 counts as globally unique must be exactly the chunks
+    // x107 keeps beyond each hash's first occurrence: n_kept ==
+    // n_chunks - (duplicate occurrences after the first). Computed from the
+    // two DECLARED queries only, so a grammar change in one of them that
+    // doesn't reach the other fails here before the oracle round.
+    val measure = LlmQueries.x53ChunkDedup(spark, sf)
+      .select("doc_id", "n_chunks").as[(Long, Long)].collect().toMap
+    val removal = LlmQueries.x107ChunkDedupClean(spark, sf)
+      .select("doc_id", "n_chunks", "n_kept").as[(Long, Long, Long)].collect()
+    assert(removal.nonEmpty && removal.forall { case (id, n, _) => measure(id) == n })
+    // global invariant: total kept == number of DISTINCT chunk strings in
+    // the corpus (keep-first retains exactly one occurrence per distinct
+    // chunk) — recomputed independently from the raw text
+    val distinctChunks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(explode(expr(
+        "transform(sequence(0, cast(ceil(size(toks) / 20.0) as int) - 1)," +
+          " c -> array_join(slice(toks, c * 20 + 1, 20), ' '))")).as("chunk"))
+      .distinct().count()
+    assert(removal.map(_._3).sum == distinctChunks)
+  }
 }
