@@ -962,14 +962,24 @@ object LlmQueries {
     * ReuseExchange, the x43 lesson); then one per-doc aggregate. Cost is
     * linear in corpus tokens; chunk rows are tokens/20-sized.
     */
-  def x53ChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val chunks = fanOut(Io.table(spark, sfDir, "documents"))
+  /** The ONE 20-token chunk grammar shared by the measure (x53) and removal
+    * (x107) queries — the x20/x57 cannot-drift pattern: a slicing change
+    * reaches both ends of the measure→act pair or neither (also pinned by
+    * EquivalenceSpec's cross-query consistency check). Emits one row per
+    * (doc_id, c, chunk).
+    */
+  private def chunks20(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("toks"), explode(
         expr("sequence(0, cast(ceil(size(toks) / 20.0) as int) - 1)")).as("c"))
-      .select(col("doc_id"),
-        md5(array_join(slice(col("toks"), col("c") * lit(20) + lit(1), lit(20)),
-          " ")).as("ch"))
+      .select(col("doc_id"), col("c"),
+        array_join(slice(col("toks"), col("c") * lit(20) + lit(1), lit(20)),
+          " ").as("chunk"))
+
+  def x53ChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = chunks20(fanOut(Io.table(spark, sfDir, "documents")))
+      .select(col("doc_id"), md5(col("chunk")).as("ch"))
     val wCh = org.apache.spark.sql.expressions.Window.partitionBy("ch")
     chunks
       .withColumn("cnt", count(lit(1)).over(wCh))
@@ -2624,13 +2634,7 @@ object LlmQueries {
   def x107ChunkDedupClean(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("chunk").orderBy("doc_id", "c")
-    fanOut(Io.table(spark, sfDir, "documents"))
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), col("toks"), explode(
-        expr("sequence(0, cast(ceil(size(toks) / 20.0) as int) - 1)")).as("c"))
-      .select(col("doc_id"), col("c"),
-        array_join(slice(col("toks"), col("c") * lit(20) + lit(1), lit(20)),
-          " ").as("chunk"))
+    chunks20(fanOut(Io.table(spark, sfDir, "documents")))
       .withColumn("keep", row_number().over(w) === 1)
       .groupBy("doc_id")
       .agg(
