@@ -1330,4 +1330,37 @@ object ExtendedQueries {
         countDistinct("user_id").as("n_users"))
       .orderBy("w_start")
   }
+
+  /** x112 — Z-ORDER layout audit: interleave the bits of (user_id, event
+    * day) into a Morton code, bucket the corpus by z-range, and report each
+    * bucket's row count and per-dimension extents. This is THE multi-dim
+    * data-layout primitive for a 100 TB lake: a table SORTED by z and
+    * written in z-bucket order gives every parquet row group a bounded
+    * min/max box in BOTH dimensions simultaneously, so scans filtered on
+    * user_id OR time (or both) prune row groups — a single-column sort can
+    * only ever prune one of them (Delta/Iceberg OPTIMIZE ZORDER's
+    * mechanism). The emitted extents ARE the row-group statistics such a
+    * write would produce; their boundedness per bucket (probed vs the
+    * single-dim sort in Scratch8) is the pruning guarantee, made visible
+    * and oracle-checked.
+    *
+    * All arithmetic is exact integer bit manipulation (16 bits per
+    * dimension → 32-bit Morton code, aggregate over a literal sequence —
+    * stays in codegen, no UDF); one shuffle total (the z-bucket aggregate).
+    */
+  def x112ZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val zExpr =
+      """aggregate(sequence(0, 15), bigint(0), (acc, i) ->
+        |  acc + (shiftright(u, i) % 2) * shiftleft(bigint(1), 2 * i)
+        |      + (shiftright(d, i) % 2) * shiftleft(bigint(1), 2 * i + 1))""".stripMargin
+    Io.eventsRaw(spark, sfDir)
+      .select((col("user_id") % 65536L).as("u"),
+        expr("(ts div 86400000000000) % 65536").as("d"))
+      .withColumn("z", expr(zExpr))
+      .groupBy(expr("z div 1048576").as("zbucket")) // 2^20-cell z ranges
+      .agg(count(lit(1)).as("n_rows"),
+        min("u").as("min_u"), max("u").as("max_u"),
+        min("d").as("min_d"), max("d").as("max_d"))
+      .orderBy("zbucket")
+  }
 }

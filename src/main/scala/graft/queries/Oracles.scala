@@ -2469,7 +2469,32 @@ object Oracles {
     "x96_time_weighted"   -> x96,
     "x97_mad_outliers"    -> x97,
     "x99_markov_transitions" -> x99,
-    "x102_interval_overlap" -> x102)
+    "x102_interval_overlap" -> x102,
+    "x112_zorder_layout"  -> x112)
+
+  // x112: Morton interleave as a list-comprehension sum — identical exact
+  // bit arithmetic to the Spark aggregate (epoch_ns//day matches `ts div`
+  // on the eventsRaw ns-long view; all values positive so // truncates).
+  // lazy: defined after the xGroup map that references it — a plain val
+  // would be null at map-initialization time (the round-8 NPE class)
+  lazy val x112: String =
+    """WITH b AS (
+      |  SELECT user_id % 65536 AS u,
+      |         (epoch_ns(ts) // 86400000000000) % 65536 AS d
+      |  FROM events),
+      |z AS (
+      |  SELECT u, d,
+      |         CAST(list_sum([((u >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+      |                      + ((d >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))
+      |                        for i in range(0, 16)]) AS BIGINT) AS z
+      |  FROM b)
+      |SELECT z // 1048576 AS zbucket,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       min(u) AS min_u, max(u) AS max_u,
+      |       min(d) AS min_d, max(d) AS max_d
+      |FROM z
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,

@@ -588,6 +588,15 @@ class PlanSpec extends SparkSpec {
       "query-term and df joins against the corpus must broadcast")
   }
 
+  test("x112: z-layout is one map-combining aggregate — single exchange, no UDF") {
+    val p = plan("x112_zorder_layout")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "the z-bucket aggregate is the only shuffle")
+    assert(p.contains("partial_count"), "bucket stats must be two-phase")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      "Morton interleave must stay a codegen'd higher-order aggregate")
+  }
+
   test("x108: ONE source exchange carries the running sum; scan pruned to 3 columns") {
     val p = plan("x108_token_budget_mix")
     assert("hashpartitioning\\(source".r.findAllIn(p).size >= 1)
