@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-8 scale probes (ad hoc, not part of the driver contract): the
@@ -70,6 +70,52 @@ object Scratch8 {
     }
     // x106 is a fixed-size golden check by design — probed once, expected flat
     time("x106")(queries.MultimodalQueries.x106MultimodalGolden(spark, sfDir).count())
+
+    // x112 pruning probe: empirical check of the z-order claim. 32
+    // equal-count buckets per layout; a bucket must be SCANNED iff its
+    // (min,max) box intersects the predicate box — exactly the parquet
+    // row-group min/max stats rule. Expectation: a day-range predicate
+    // scans ~all user-sorted buckets but only a fraction of z-ordered
+    // ones; a user-range predicate scans few of either (user-sort wins its
+    // own dimension, z stays bounded in BOTH).
+    {
+      import org.apache.spark.sql.expressions.Window
+      def zOf(a: String, b: String) =
+        s"""aggregate(sequence(0, 15), bigint(0), (acc, i) ->
+           |  acc + (shiftright($a, i) % 2) * shiftleft(bigint(1), 2 * i)
+           |      + (shiftright($b, i) % 2) * shiftleft(bigint(1), 2 * i + 1))""".stripMargin
+      val base = core.Io.eventsRaw(spark, sfDir)
+        .select((col("user_id") % 65536L).as("u"),
+          expr("(ts div 86400000000000) % 65536").as("d"))
+      val ext = base.agg(min("u").as("u0"), max("u").as("u1"),
+        min("d").as("d0"), max("d").as("d1"))
+      // zraw documents the pitfall the declared query's normalization fixes:
+      // the day dimension's ~30 distinct values leave its high interleaved
+      // bits constant, so raw z degenerates to a user sort
+      val ev = base.crossJoin(broadcast(ext))
+        .withColumn("nu", expr("((u - u0) * 65535) div greatest(1, u1 - u0)"))
+        .withColumn("nd", expr("((d - d0) * 65535) div greatest(1, d1 - d0)"))
+        .withColumn("z", expr(zOf("nu", "nd")))
+        .withColumn("zraw", expr(zOf("u", "d")))
+      def scanned(orderCol: String, dim: String, lo: Long, hi: Long): Long = {
+        // global ntile = one-partition window: probe-only shape, never a
+        // declared-query plan
+        val boxes = ev
+          .withColumn("bkt", ntile(32).over(Window.orderBy(col(orderCol))))
+          .groupBy("bkt")
+          .agg(min(dim).as("lo"), max(dim).as("hi"))
+        boxes.filter(col("lo") <= hi && col("hi") >= lo).count()
+      }
+      val Row(dLo: Long, dHi: Long) =
+        ev.agg(min("d"), max("d")).head()
+      val dMid = (dLo + dHi) / 2
+      println(s"PROBE x112prune day-range: z=${scanned("z", "d", dMid, dMid + 2)}/32 " +
+        s"zraw=${scanned("zraw", "d", dMid, dMid + 2)}/32 " +
+        s"userSort=${scanned("u", "d", dMid, dMid + 2)}/32")
+      println(s"PROBE x112prune user-range: z=${scanned("z", "u", 100, 300)}/32 " +
+        s"zraw=${scanned("zraw", "u", 100, 300)}/32 " +
+        s"userSort=${scanned("u", "u", 100, 300)}/32")
+    }
     // x110: summary rows are fold×split×type-bounded (≤45) whatever the
     // corpus; time should track the 3× exploded scan linearly.
     // x111: output is top-k-bounded (≤40 rows); both retrievers are linear

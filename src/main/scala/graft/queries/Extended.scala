@@ -1331,31 +1331,43 @@ object ExtendedQueries {
       .orderBy("w_start")
   }
 
-  /** x112 — Z-ORDER layout audit: interleave the bits of (user_id, event
-    * day) into a Morton code, bucket the corpus by z-range, and report each
-    * bucket's row count and per-dimension extents. This is THE multi-dim
-    * data-layout primitive for a 100 TB lake: a table SORTED by z and
-    * written in z-bucket order gives every parquet row group a bounded
-    * min/max box in BOTH dimensions simultaneously, so scans filtered on
-    * user_id OR time (or both) prune row groups — a single-column sort can
-    * only ever prune one of them (Delta/Iceberg OPTIMIZE ZORDER's
-    * mechanism). The emitted extents ARE the row-group statistics such a
-    * write would produce; their boundedness per bucket (probed vs the
-    * single-dim sort in Scratch8) is the pruning guarantee, made visible
-    * and oracle-checked.
+  /** x112 — Z-ORDER layout audit: RANGE-NORMALIZE (user_id, event day) to a
+    * full 16-bit width each, interleave the bits into a Morton code, bucket
+    * the corpus by z-range, and report each bucket's row count and
+    * per-dimension extents. This is THE multi-dim data-layout primitive for
+    * a 100 TB lake: a table SORTED by z and written in z-bucket order gives
+    * every parquet row group a bounded min/max box in BOTH dimensions
+    * simultaneously, so scans filtered on user_id OR time (or both) prune
+    * row groups — a single-column sort can only ever prune one of them
+    * (Delta/Iceberg OPTIMIZE ZORDER's mechanism). The emitted extents ARE
+    * the row-group statistics such a write would produce.
     *
-    * All arithmetic is exact integer bit manipulation (16 bits per
+    * The normalization is NOT optional: raw interleaving of a narrow-range
+    * dimension (the fixture's ~30 distinct days inside 16 bits) leaves its
+    * high interleaved bits CONSTANT, so z degenerates to a sort on the wide
+    * dimension and the narrow one gets zero pruning — measured before the
+    * fix by the Scratch8 probe (day-range predicate scanned 32/32 z-buckets
+    * raw; a fraction after min/max scaling; SURVEY §6.1h). Scaling is exact
+    * integer arithmetic from one broadcast min/max row (the x50
+    * 1-row-constant shape), so the oracle reproduces it bit-for-bit.
+    *
+    * All arithmetic stays exact integer bit manipulation (16 bits per
     * dimension → 32-bit Morton code, aggregate over a literal sequence —
-    * stays in codegen, no UDF); one shuffle total (the z-bucket aggregate).
+    * codegen, no UDF); one corpus shuffle total (the z-bucket aggregate).
     */
   def x112ZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
     val zExpr =
       """aggregate(sequence(0, 15), bigint(0), (acc, i) ->
-        |  acc + (shiftright(u, i) % 2) * shiftleft(bigint(1), 2 * i)
-        |      + (shiftright(d, i) % 2) * shiftleft(bigint(1), 2 * i + 1))""".stripMargin
-    Io.eventsRaw(spark, sfDir)
+        |  acc + (shiftright(nu, i) % 2) * shiftleft(bigint(1), 2 * i)
+        |      + (shiftright(nd, i) % 2) * shiftleft(bigint(1), 2 * i + 1))""".stripMargin
+    val base = Io.eventsRaw(spark, sfDir)
       .select((col("user_id") % 65536L).as("u"),
         expr("(ts div 86400000000000) % 65536").as("d"))
+    val ext = base.agg(min("u").as("u0"), max("u").as("u1"),
+      min("d").as("d0"), max("d").as("d1"))
+    base.crossJoin(broadcast(ext))
+      .withColumn("nu", expr("((u - u0) * 65535) div greatest(1, u1 - u0)"))
+      .withColumn("nd", expr("((d - d0) * 65535) div greatest(1, d1 - d0)"))
       .withColumn("z", expr(zExpr))
       .groupBy(expr("z div 1048576").as("zbucket")) // 2^20-cell z ranges
       .agg(count(lit(1)).as("n_rows"),

@@ -2482,12 +2482,18 @@ object Oracles {
       |  SELECT user_id % 65536 AS u,
       |         (epoch_ns(ts) // 86400000000000) % 65536 AS d
       |  FROM events),
+      |e AS (SELECT min(u) AS u0, max(u) AS u1, min(d) AS d0, max(d) AS d1 FROM b),
+      |n AS (
+      |  SELECT u, d,
+      |         ((u - u0) * 65535) // greatest(1, u1 - u0) AS nu,
+      |         ((d - d0) * 65535) // greatest(1, d1 - d0) AS nd
+      |  FROM b, e),
       |z AS (
       |  SELECT u, d,
-      |         CAST(list_sum([((u >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
-      |                      + ((d >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))
+      |         CAST(list_sum([((nu >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+      |                      + ((nd >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))
       |                        for i in range(0, 16)]) AS BIGINT) AS z
-      |  FROM b)
+      |  FROM n)
       |SELECT z // 1048576 AS zbucket,
       |       CAST(count(*) AS BIGINT) AS n_rows,
       |       min(u) AS min_u, max(u) AS max_u,

@@ -227,12 +227,16 @@ class NewOpsSpec extends SparkSpec {
     val dir = Files.createTempDirectory("x112").toString
     def dayTs(day: Long): java.sql.Timestamp = // epoch day → Timestamp
       new java.sql.Timestamp(day * 86400000L)
+    // corner rows (0,0) and (65535,65535) make the range normalization the
+    // IDENTITY, so z values are hand-computable:
     // (u=3, d=1): z = (1·1 + 1·4) | (1·2) = 7 → bucket 0
     // (u=0, d=0): z = 0 → bucket 0
     // (u=1024, d=1024): bit 10 each → z = 2^20 + 2^21 = 3·2^20 → bucket 3
+    // (u=65535, d=65535): z = 2^32 − 1 → bucket 4095
     Seq((1L, dayTs(1), 3L, "click", 1.0, "{}"),
         (2L, dayTs(0), 0L, "click", 1.0, "{}"),
-        (3L, dayTs(1024), 1024L, "click", 1.0, "{}"))
+        (3L, dayTs(1024), 1024L, "click", 1.0, "{}"),
+        (4L, dayTs(65535), 65535L, "click", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val out = ExtendedQueries.x112ZorderLayout(spark, dir).collect()
@@ -240,7 +244,8 @@ class NewOpsSpec extends SparkSpec {
         r.getLong(4), r.getLong(5)))).toMap
     assert(out == Map(
       0L -> ((2L, 0L, 3L, 0L, 1L)),     // rows=2, u∈[0,3], d∈[0,1]
-      3L -> ((1L, 1024L, 1024L, 1024L, 1024L))))
+      3L -> ((1L, 1024L, 1024L, 1024L, 1024L)),
+      4095L -> ((1L, 65535L, 65535L, 65535L, 65535L))))
   }
 
   test("x109: engine schema view — all 10 tables, ts is TIMESTAMP, embedding is FLOAT[]") {

@@ -147,11 +147,14 @@ class PlanSpec extends SparkSpec {
     // x105's is x11's 1-row query vector on the brute-force truth side
     // x111's are the 1-row n_docs constant onto the term frame (x50's
     // shape) and x11's 1-row query vector onto the cosine scan
+    // x112's is the 1-row dimension min/max frame broadcasting into the
+    // range normalization (x50's shape)
     val broadcastCrossOk = Set("x11_cosine_topk", "x32_ivf_ann", "x49_pq_ann",
       "x50_tfidf_terms", "x52_kmeans_step", "x54_domain_rebalance",
       "x56_knn_classify", "x56b_knn_ann", "x59_semdedup", "x59b_semdedup_wide",
       "x63_rarity_score", "x85_source_drift", "x87_bigram_lm",
-      "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion")
+      "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
+      "x112_zorder_layout")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
