@@ -80,23 +80,14 @@ object Scratch8 {
     // own dimension, z stays bounded in BOTH).
     {
       import org.apache.spark.sql.expressions.Window
-      def zOf(a: String, b: String) =
-        s"""aggregate(sequence(0, 15), bigint(0), (acc, i) ->
-           |  acc + (shiftright($a, i) % 2) * shiftleft(bigint(1), 2 * i)
-           |      + (shiftright($b, i) % 2) * shiftleft(bigint(1), 2 * i + 1))""".stripMargin
-      val base = core.Io.eventsRaw(spark, sfDir)
-        .select((col("user_id") % 65536L).as("u"),
-          expr("(ts div 86400000000000) % 65536").as("d"))
-      val ext = base.agg(min("u").as("u0"), max("u").as("u1"),
-        min("d").as("d0"), max("d").as("d1"))
-      // zraw documents the pitfall the declared query's normalization fixes:
-      // the day dimension's ~30 distinct values leave its high interleaved
-      // bits constant, so raw z degenerates to a user sort
-      val ev = base.crossJoin(broadcast(ext))
-        .withColumn("nu", expr("((u - u0) * 65535) div greatest(1, u1 - u0)"))
-        .withColumn("nd", expr("((d - d0) * 65535) div greatest(1, d1 - d0)"))
-        .withColumn("z", expr(zOf("nu", "nd")))
-        .withColumn("zraw", expr(zOf("u", "d")))
+      // the declared query's OWN grammar (zorderFrame), cached once for the
+      // six scanned() passes; zraw is the intentionally-divergent variant
+      // documenting the pitfall normalization fixes: the day dimension's
+      // ~30 distinct values leave its high interleaved bits constant, so
+      // raw z degenerates to a user sort
+      val ev = queries.ExtendedQueries.zorderFrame(spark, sfDir)
+        .withColumn("zraw", expr(queries.ExtendedQueries.zMorton("u", "d")))
+        .persist()
       def scanned(orderCol: String, dim: String, lo: Long, hi: Long): Long = {
         // global ntile = one-partition window: probe-only shape, never a
         // declared-query plan
@@ -115,6 +106,7 @@ object Scratch8 {
       println(s"PROBE x112prune user-range: z=${scanned("z", "u", 100, 300)}/32 " +
         s"zraw=${scanned("zraw", "u", 100, 300)}/32 " +
         s"userSort=${scanned("u", "u", 100, 300)}/32")
+      ev.unpersist()
     }
     // x110: summary rows are fold×split×type-bounded (≤45) whatever the
     // corpus; time should track the 3× exploded scan linearly.

@@ -1355,11 +1355,21 @@ object ExtendedQueries {
     * dimension → 32-bit Morton code, aggregate over a literal sequence —
     * codegen, no UDF); one corpus shuffle total (the z-bucket aggregate).
     */
-  def x112ZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
-    val zExpr =
-      """aggregate(sequence(0, 15), bigint(0), (acc, i) ->
-        |  acc + (shiftright(nu, i) % 2) * shiftleft(bigint(1), 2 * i)
-        |      + (shiftright(nd, i) % 2) * shiftleft(bigint(1), 2 * i + 1))""".stripMargin
+  /** The Morton-interleave expression over two named 16-bit columns —
+    * shared with the Scratch8 pruning probe (chunks20's cannot-drift
+    * reasoning: the probe's published pruning numbers must measure the
+    * SAME grammar the declared query ships).
+    */
+  private[graft] def zMorton(a: String, b: String): String =
+    s"""aggregate(sequence(0, 15), bigint(0), (acc, i) ->
+       |  acc + (shiftright($a, i) % 2) * shiftleft(bigint(1), 2 * i)
+       |      + (shiftright($b, i) % 2) * shiftleft(bigint(1), 2 * i + 1))""".stripMargin
+
+  /** Events projected to the z-order frame: raw 16-bit (u, d), their
+    * range-normalized (nu, nd), and the Morton code z. x112's grammar,
+    * reused verbatim by the probe.
+    */
+  private[graft] def zorderFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Io.eventsRaw(spark, sfDir)
       .select((col("user_id") % 65536L).as("u"),
         expr("(ts div 86400000000000) % 65536").as("d"))
@@ -1368,11 +1378,14 @@ object ExtendedQueries {
     base.crossJoin(broadcast(ext))
       .withColumn("nu", expr("((u - u0) * 65535) div greatest(1, u1 - u0)"))
       .withColumn("nd", expr("((d - d0) * 65535) div greatest(1, d1 - d0)"))
-      .withColumn("z", expr(zExpr))
+      .withColumn("z", expr(zMorton("nu", "nd")))
+  }
+
+  def x112ZorderLayout(spark: SparkSession, sfDir: String): DataFrame =
+    zorderFrame(spark, sfDir)
       .groupBy(expr("z div 1048576").as("zbucket")) // 2^20-cell z ranges
       .agg(count(lit(1)).as("n_rows"),
         min("u").as("min_u"), max("u").as("max_u"),
         min("d").as("min_d"), max("d").as("max_d"))
       .orderBy("zbucket")
-  }
 }
