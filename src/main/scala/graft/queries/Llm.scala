@@ -2758,6 +2758,44 @@ object LlmQueries {
       .orderBy(desc("rrf"), col("doc_id"))
   }
 
+  /** x113 — TOKENIZE to IDS: encode every document as its token-id sequence
+    * under a corpus-derived vocabulary — the step that actually EMITS the
+    * training corpus (x72 trains the merges, x65 measures coverage; this
+    * produces the encoded output those exist for). Vocabulary = top-25
+    * tokens by (count desc, token) with ids 1..25, everything else → 0
+    * (the OOV id); the cap is a PARAMETER sized to the fixture's 31-token
+    * vocabulary so the OOV path is exercised at every SF — at corpus scale
+    * it is the 50k-word tokenizer vocab, still broadcast-sized. Output
+    * carries the id sequence as an md5 over the position-ordered ids (the
+    * x107 trick: corpus-sized content pinned without a corpus-sized dump)
+    * plus token/OOV counts.
+    *
+    * Scale shape: ONE corpus-linear tokenize pass; the vocabulary is a
+    * top-k (TakeOrdered-sized) frame broadcast into the id join — no
+    * corpus shuffle for the lookup; the per-doc rebuild aggregate is the
+    * only corpus shuffle, with collect_list bounded by document length
+    * and array_sort on the unique position making it order-insensitive.
+    */
+  def x113TokenizeIds(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = fanOut(Io.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w")).limit(25)
+      .withColumn("id",
+        row_number().over(Window.orderBy(desc("n"), col("w"))).cast("long"))
+      .select("w", "id")
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .withColumn("id", coalesce(col("id"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((col("id") === 0L).cast("long")).as("n_oov"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, id))), s -> cast(s.id as string))"),
+          " ")).as("ids_md5"))
+      .orderBy("doc_id")
+  }
+
   /** x108 — TOKEN-BUDGET mix assembly: fill each source's quota in TOKENS,
     * not documents — the unit pre-training mixes are actually specified in
     * (x54 rebalances by document count; a source of long documents would

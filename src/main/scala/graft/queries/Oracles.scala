@@ -2350,7 +2350,32 @@ object Oracles {
         ") ORDER BY table_name, column_name")
   }
 
+  // x113: id-encode under the top-25 vocabulary — positions via the list-
+  // comprehension struct unnest (x107's pattern), ids via row_number over
+  // the same (count desc, token) total order Spark uses, OOV -> 0
+  val x113: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p0 AS (
+      |  SELECT doc_id, unnest([{'pos': i, 'w': toks[i]}
+      |                         for i in range(1, len(toks) + 1)]) AS s
+      |  FROM t),
+      |p AS (SELECT doc_id, s.pos AS pos, s.w AS w FROM p0),
+      |v AS (
+      |  SELECT w, CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS id
+      |  FROM (SELECT w, count(*) AS n FROM p GROUP BY 1
+      |        ORDER BY n DESC, w LIMIT 25)),
+      |j AS (SELECT doc_id, pos, coalesce(v.id, 0) AS id
+      |      FROM p LEFT JOIN v USING (w))
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |       md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos)) AS ids_md5
+      |FROM j
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x113_tokenize_ids" -> x113,
     "x109_schema_audit" -> x109,
     "x110_walkforward_split" -> x110,
     "x111_rrf_fusion" -> x111,

@@ -248,6 +248,27 @@ class NewOpsSpec extends SparkSpec {
       4095L -> ((1L, 65535L, 65535L, 65535L, 65535L))))
   }
 
+  test("x113: ids assigned by frequency then token; OOV -> 0; sequence md5 position-exact") {
+    // vocab (25-cap irrelevant at 3 types): "b" n=3 -> id 1, "a" n=2 -> id 2,
+    // "c" n=1 -> id 3; doc texts re-encode positionally
+    val dir = docsLike(Seq((0L, "a b b", "en"), (1L, "b a c", "en")))
+    val out = LlmQueries.x113TokenizeIds(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == Map(
+      0L -> ((3L, 0L, md5hex("2 1 1"))),
+      1L -> ((3L, 0L, md5hex("1 2 3")))))
+    // OOV path: cap is 25, so force >25 types — 26 rare singletons beyond
+    // the frequent pair push the last type out of the vocabulary
+    val rare = (1 to 26).map(i => s"r$i")
+    val dir2 = docsLike(Seq(
+      (0L, ("x " * 30).trim, "en"), (1L, rare.mkString(" "), "en")))
+    val got = LlmQueries.x113TokenizeIds(spark, dir2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0L) == ((30L, 0L)))
+    assert(got(1L)._1 == 26L && got(1L)._2 == 2L,
+      "27 types under a 25-cap: the 2 lexicographically-last singletons are OOV")
+  }
+
   test("x109: engine schema view — all 10 tables, ts is TIMESTAMP, embedding is FLOAT[]") {
     val rows = MultimodalQueries.x109SchemaAudit(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
