@@ -133,6 +133,21 @@ object Scratch8 {
         v100 = (v.getLong(1), v.getLong(2)); v.getLong(0)
       }
       println(s"PROBE x107vol dir=$hundredDir chunks=${v100._1} kept=${v100._2}")
+      // x108 at 100×: the budget bound must hold across two decades —
+      // 100× the docs, still ~quota-rows out per source
+      time(s"x108_$hundredDir")(
+        queries.LlmQueries.x108TokenBudgetMix(spark, hundredDir).count())
+      // x110 at 100×: events 100× (ns-long vintage); summary stays
+      // fold-bounded, Σn_events scales exactly 100×
+      (0 until 100).map { i =>
+        core.Io.eventsRaw(spark, sfDir)
+          .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+      }.reduce(_ union _).repartition(32)
+        .write.mode("overwrite").parquet(s"$hundredDir/events.parquet")
+      time(s"x110_$hundredDir")(
+        queries.LlmQueries.x110WalkForwardSplit(spark, hundredDir)
+          .agg(sum("n_events")).head().getLong(0))
     }
     spark.stop()
   }

@@ -591,6 +591,16 @@ class PlanSpec extends SparkSpec {
       "query-term and df joins against the corpus must broadcast")
   }
 
+  test("x113: vocabulary lookup broadcasts; encode is one corpus shuffle") {
+    val p = plan("x113_tokenize_ids")
+    assert(p.contains("BroadcastHashJoin"),
+      "the top-k vocab must broadcast into the id join")
+    assert(!p.contains("SortMergeJoin"),
+      "a corpus-side shuffle join for a 25-row vocab is the wrong plan")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the vocab cut must be top-k, not a global sort")
+  }
+
   test("x112: z-layout is one map-combining aggregate — single exchange, no UDF") {
     val p = plan("x112_zorder_layout")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
