@@ -2770,11 +2770,15 @@ object LlmQueries {
     * x107 trick: corpus-sized content pinned without a corpus-sized dump)
     * plus token/OOV counts.
     *
-    * Scale shape: ONE corpus-linear tokenize pass; the vocabulary is a
-    * top-k (TakeOrdered-sized) frame broadcast into the id join — no
-    * corpus shuffle for the lookup; the per-doc rebuild aggregate is the
-    * only corpus shuffle, with collect_list bounded by document length
-    * and array_sort on the unique position making it order-insensitive.
+    * Scale shape: TWO corpus-linear tokenize scans (the vocab-derivation
+    * subtree and the encode side each re-run the scan+split — self-lineages
+    * get no ReuseExchange, the x43 lesson; at corpus scale the vocab side
+    * is a prior/offline artifact, making the encode pass itself single-
+    * scan); the vocabulary is a top-k (TakeOrdered-sized) frame broadcast
+    * into the id join — no corpus shuffle for the lookup; the per-doc
+    * rebuild aggregate is the only corpus shuffle, with collect_list
+    * bounded by document length and array_sort on the unique position
+    * making it order-insensitive.
     */
   def x113TokenizeIds(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -263,10 +263,15 @@ class NewOpsSpec extends SparkSpec {
     val dir2 = docsLike(Seq(
       (0L, ("x " * 30).trim, "en"), (1L, rare.mkString(" "), "en")))
     val got = LlmQueries.x113TokenizeIds(spark, dir2).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(got(0L) == ((30L, 0L)))
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L)._1 == 30L && got(0L)._2 == 0L)
     assert(got(1L)._1 == 26L && got(1L)._2 == 2L,
       "27 types under a 25-cap: the 2 lexicographically-last singletons are OOV")
+    // the OOV ids must appear IN PLACE as 0 (a null-mapped regression would
+    // have array_join silently shorten the sequence while counts stay green)
+    val idOf = (("x" +: rare.sorted).take(25).zipWithIndex
+      .map { case (w, i) => w -> (i + 1L) }).toMap
+    assert(got(1L)._3 == md5hex(rare.map(w => idOf.getOrElse(w, 0L)).mkString(" ")))
   }
 
   test("x109: engine schema view — all 10 tables, ts is TIMESTAMP, embedding is FLOAT[]") {
