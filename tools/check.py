@@ -84,5 +84,27 @@ for name, sql in sorted(oracle.items()):
         fail += 1
     else:
         print(f"OK   {name} ({len(want)} rows)")
-print(f"{'ALL OK' if fail == 0 else f'{fail} FAILURES'} / {len(oracle)} queries")
+
+# Sortability smoke over EVERY dumped query, oracle or not: the driver's
+# harness does pandas sort_values over all columns before hashing, which
+# crashes on unhashable cells (array/struct) — round 8's x106 erred exactly
+# there, invisible to this script because rows-only queries were skipped
+# entirely. Mirror the driver's exact operation so an unsortable column goes
+# red locally first.
+import os
+dumped = sorted(d for d in os.listdir(OUT)
+                if os.path.isdir(f"{OUT}/{d}") and glob.glob(f"{OUT}/{d}/*.parquet"))
+rowsonly = [d for d in dumped if d not in oracle]
+for name in dumped:
+    try:
+        df = pd.read_parquet(f"{OUT}/{name}")
+        df.sort_values(by=list(df.columns), inplace=False)
+    except Exception as e:
+        print(f"FAIL {name}: driver-style sort_values would crash: {type(e).__name__}: {e}")
+        fail += 1
+        continue
+    if name in rowsonly:
+        print(f"ROWS {name} ({len(df)} rows, no oracle — rows-only)")
+print(f"{'ALL OK' if fail == 0 else f'{fail} FAILURES'} / "
+      f"{len(oracle)} oracle + {len(rowsonly)} rows-only queries")
 sys.exit(1 if fail else 0)
