@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-9 scale probes (ad hoc, not part of the driver contract):
+  *
+  *   - x111 RRF fusion and x113 tokenize-to-ids at 100× (500k docs) — the
+  *     round-8 verdict asked for one more decade on both linear claims
+  *     (they were probed at 10× only in §6.1h);
+  *   - x113 at 10× (never probed — declared late in round 8);
+  *   - x114 stream==batch replay at 10× (new this round: per-batch cost is
+  *     x13-shaped, so the 3-batch replay should track ~the x13 probe);
+  *   - the GreedyPack engine (x90's >10³-step path, new this round)
+  *     unbounded on real events at 1×/10×, plus a synthetic 32 users ×
+  *     100k events corpus — the depth regime where the recursive-CTE form
+  *     would cost 10⁵ Spark jobs and the fold costs one shuffle.
+  *
+  * Volumes over clocks per SURVEY §6.0; results recorded in §6.1i.
+  */
+object Scratch9 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tenDir = "/tmp/probe10x_r9"
+    val hundredDir = "/tmp/probe100x_r9"
+
+    def copies(n: Int, outDir: String): Unit =
+      (0 until n).map { i =>
+        core.Io.table(spark, sfDir, "documents")
+          .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+      }.reduce(_ union _).repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    copies(10, tenDir)
+    copies(100, hundredDir)
+    // embeddings for x111's vector retriever at both decades
+    def vecCopies(n: Int, outDir: String): Unit =
+      (0 until n).map { i =>
+        core.Io.table(spark, sfDir, "embeddings")
+          .withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+      }.reduce(_ union _).repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    vecCopies(10, tenDir)
+    vecCopies(100, hundredDir)
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE $name rows=$n%d t=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    time("warmup")(spark.range(1000000).count())
+
+    for (dir <- Seq(sfDir, tenDir, hundredDir)) {
+      time(s"x111_$dir")(queries.LlmQueries.x111RrfFusion(spark, dir).count())
+      // x113 volumes ride the timed pass: n_tokens scales with the corpus,
+      // OOV rate stays density-shaped (vocab is top-25 at any size)
+      var x113v = (0L, 0L)
+      time(s"x113_$dir") {
+        val v = queries.LlmQueries.x113TokenizeIds(spark, dir)
+          .agg(count(lit(1)), sum("n_tokens"), sum("n_oov")).head()
+        x113v = (v.getLong(1), v.getLong(2)); v.getLong(0)
+      }
+      println(s"PROBE x113vol dir=$dir toks=${x113v._1} oov=${x113v._2}")
+    }
+    // x114 at 1× and 10×: per-batch cost is x13-shaped (shingle + bucket
+    // joins); dup counts must equal x13's on the same corpus
+    for (dir <- Seq(sfDir, tenDir)) {
+      var dups = 0L
+      time(s"x114_$dir") {
+        val v = queries.LlmQueries.x114StreamBatchParity(spark, dir)
+          .agg(count(lit(1)), sum("is_dup")).head()
+        dups = v.getLong(1); v.getLong(0)
+      }
+      println(s"PROBE x114vol dir=$dir dups=$dups")
+    }
+
+    // GreedyPack unbounded on real events: every user packed to full
+    // sequence depth (~99 events/user at sf0.1) — the horizon the CTE form
+    // cannot lift (depth-bounded job count)
+    def packAll(dir: String): Long =
+      operators.GreedyPack.pack(
+        core.Io.eventsRaw(spark, dir)
+          .filter(col("value").isNotNull && col("value") >= 0)
+          .select("user_id", "event_id", "value"),
+        budget = 100.0).count()
+    time(s"gpack_$sfDir")(packAll(sfDir))
+    (0 until 10).map { i =>
+      core.Io.eventsRaw(spark, sfDir)
+        .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+    }.reduce(_ union _).repartition(32)
+      .write.mode("overwrite").parquet(s"$tenDir/events.parquet")
+    time(s"gpack_$tenDir")(packAll(tenDir))
+    // synthetic deep corpus: 32 users × 100k events — 10⁵ steps per key,
+    // 3.2M rows. The CTE engine would need 10⁵ UnionLoop jobs (~0.2s each,
+    // ~6h); the fold is one shuffle + one sorted walk.
+    val deep = spark.range(3200000).select(
+      (col("id") % 32).as("user_id"),
+      col("id").as("event_id"),
+      (pmod(hash(col("id")), lit(1000)) / lit(25.0)).as("value"))
+    var deepPacks = 0L
+    time("gpack_deep_32x100k") {
+      deepPacks = operators.GreedyPack.pack(deep, budget = 100.0).count()
+      deepPacks
+    }
+    println(s"PROBE gpackvol deep packs=$deepPacks")
+    spark.stop()
+  }
+}

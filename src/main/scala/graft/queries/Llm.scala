@@ -2827,4 +2827,89 @@ object LlmQueries {
       .select(col("source"), col("doc_id"), col("n_toks"), col("cum_toks"))
       .orderBy("source", "cum_toks", "doc_id")
   }
+
+  /** x114 — STREAM==BATCH parity as a DECLARED query: replay the streaming
+    * incremental near-dedup (`streaming/StreamingNearDedup.assignBatch`,
+    * the exact core its `foreachBatch` sink calls per micro-batch) over a
+    * fixed 3-batch doc_id-ordered split of `documents`, threading the
+    * band-bucket state from batch to batch, and emit the cumulative
+    * assignments. With ids monotone across batches — the split guarantees
+    * it — the union is IDENTICAL to batch x13's canonical assignment
+    * (StreamingNearDedup's documented parity contract), so the query runs
+    * under x13's own DuckDB oracle (minus the mh0 column, which the
+    * incremental path never materializes). The streaming surface was
+    * previously test-only; this row makes stream-vs-batch drift a per-round
+    * driver signal (round-8 verdict item 6).
+    *
+    * Scale shape: per batch, batch-sized shingling + one join against
+    * bucket state (≤ 4 rows per unique doc) — the incremental-ingest cost
+    * model x48 pins. The 3-way split is by doc_id RANGE from a 1-row
+    * min/max aggregate (the epoch-unit-detection O(1)-row driver-statistic
+    * precedent) — NOT a global ntile window, whose one-partition sort is a
+    * banned declared-plan shape; real ingest arrives pre-batched and skips
+    * the split entirely.
+    */
+  def x114StreamBatchParity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents").select("doc_id", "text")
+    val mm = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = hi - lo + 1
+    val (b1, b2) = (lo + span / 3, lo + 2 * span / 3)
+    val split = docs.withColumn("batch",
+      when(col("doc_id") < b1, 1).when(col("doc_id") < b2, 2).otherwise(3))
+    var state = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.streaming.StreamingNearDedup.stateSchema)
+    val outs = (1 to 3).map { b =>
+      val (out, next) = graft.streaming.StreamingNearDedup.assignBatch(
+        state, split.filter(col("batch") === b).drop("batch"))
+      state = next
+      out
+    }
+    outs.reduce(_.unionAll(_)).orderBy("doc_id")
+  }
+
+  /** x115 — BOILERPLATE STRIP (C4/CCNet's cross-document repeated-segment
+    * filter): a 20-token chunk appearing in ≥ 3 DISTINCT documents is
+    * boilerplate (headers, footers, license blocks — content repeated
+    * across pages, not within one); every occurrence is stripped from
+    * every document. Distinct from the dedup family on purpose: x107
+    * keeps a duplicated chunk's FIRST occurrence (dedup — the content
+    * survives once), x115 removes ALL occurrences of high-doc-frequency
+    * chunks (filtering — the content is noise); x53 counts raw occurrence
+    * multiplicity, which conflates within-doc repetition (x41's axis) with
+    * the cross-doc signal.
+    *
+    * Per doc: chunk count, boilerplate-chunk count, md5 + length of the
+    * reassembled cleaned text (the x107 no-corpus-dump golden trick).
+    *
+    * Scale shape: doc-frequency = groupBy(chunk, doc_id)→groupBy(chunk) —
+    * both map-combining, one chunk-keyed exchange chain; the flagged set
+    * (df ≥ 3) is the TOP of the frequency distribution — tiny by
+    * definition at any corpus size — so the flag join is an explicit
+    * broadcast (C4's production shape: a broadcast blocklist), and the
+    * only other shuffle is the per-doc reassembly. No all-pairs anything.
+    */
+  def x115BoilerplateStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val minDf = 3L
+    val chunks = chunks20(fanOut(Io.table(spark, sfDir, "documents")))
+    val boiler = chunks.groupBy("chunk", "doc_id").agg(count(lit(1)).as("n"))
+      .groupBy("chunk").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("chunk")
+    chunks
+      .join(broadcast(boiler).withColumn("boiler", lit(true)), Seq("chunk"), "left")
+      .withColumn("boiler", coalesce(col("boiler"), lit(false)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("boiler").cast("long")).as("n_boiler"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN NOT boiler THEN struct(c, chunk) END)), s -> s.chunk)"),
+          " ").as("clean"))
+      .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+        md5(col("clean")).as("clean_md5"),
+        length(col("clean")).cast("long").as("n_chars_clean"))
+      .orderBy("doc_id")
+  }
 }

@@ -283,6 +283,13 @@ object Oracles {
       |LEFT JOIN m0 ON d.doc_id = m0.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** x114's oracle: x13's projected to the columns the incremental
+    * (streaming-replay) path materializes. DuckDB permits the ordered
+    * subquery; the outer ORDER BY re-pins total order regardless.
+    */
+  val x114: String =
+    "SELECT doc_id, canonical_id, is_dup FROM (\n" + x13 + "\n) ORDER BY doc_id"
+
   val x14: String =
     """SELECT lang,
       |       CAST(count(*) AS BIGINT) AS n_docs,
@@ -2248,6 +2255,30 @@ object Oracles {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // x115: x107's chunk grammar verbatim; doc-frequency threshold flags
+  // boilerplate (≥3 distinct docs), ALL occurrences stripped, same
+  // coalesce-to-'' reassembly contract as x107
+  val x115: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |ch0 AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, CAST(ceil(len(toks) / 20.0) AS INT)),
+      |    c -> {'c': c,
+      |          'chunk': array_to_string(list_slice(toks, c * 20 + 1, c * 20 + 20), ' ')})) AS s
+      |  FROM t),
+      |ch AS (SELECT doc_id, s.c AS c, s.chunk AS chunk FROM ch0),
+      |bp AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 3),
+      |fl AS (SELECT ch.doc_id, ch.c, ch.chunk, bp.chunk IS NOT NULL AS boiler
+      |       FROM ch LEFT JOIN bp ON ch.chunk = bp.chunk)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |       md5(coalesce(string_agg(CASE WHEN NOT boiler THEN chunk END, ' ' ORDER BY c), '')) AS clean_md5,
+      |       CAST(length(coalesce(string_agg(CASE WHEN NOT boiler THEN chunk END, ' ' ORDER BY c), '')) AS BIGINT) AS n_chars_clean
+      |FROM fl
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // x108: token-budget fill — running token sum per source in the
   // deterministic md5 order (x54's), fill-then-stop: a doc is in while the
   // PRE-sum is under budget, so the crossing doc is included
@@ -2425,6 +2456,12 @@ object Oracles {
     // x13b computes x13's exact output through the native minhash_all
     // expression — the shared oracle pins the native hashes independently
     "x13b_minhash_native" -> x13,
+    // x114 replays the streaming incremental near-dedup over a monotone
+    // 3-batch split, whose cumulative output equals batch x13 (the
+    // StreamingNearDedup parity contract) — its oracle is x13's minus the
+    // mh0 column the incremental path never materializes
+    "x114_stream_batch_parity" -> x114,
+    "x115_boilerplate_strip" -> x115,
     "x40_jsonl_roundtrip" -> x40,
     "x41_repetition"      -> x41,
     "x42_stratified_sample" -> x42,

@@ -186,6 +186,67 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("x115: df>=3 chunks stripped everywhere; df=2 dups and uniques survive; all-boiler doc empties") {
+    // chunk A in docs 0,1,2 (boiler — every copy goes); chunk B in docs 0,1
+    // only (df=2 — dedup's territory, x115 keeps both); doc 3 is pure A so
+    // its cleaned text is EMPTY (the coalesce-to-'' contract); doc 4 unique
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = (1 to 20).map(i => s"b$i").mkString(" ")
+    val u = (1 to 9).map(i => s"u$i").mkString(" ")
+    val dir = docsLike(Seq(
+      (0L, s"$a $b", "en"), (1L, s"$b $a", "en"), (2L, s"$a $u", "en"),
+      (3L, a, "en"), (4L, (1 to 20).map(i => s"v$i").mkString(" "), "en")))
+    val out = LlmQueries.x115BoilerplateStrip(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(out(0L) == ((2L, 1L, md5hex(b), b.length.toLong)))
+    assert(out(1L) == ((2L, 1L, md5hex(b), b.length.toLong)))
+    assert(out(2L) == ((2L, 1L, md5hex(u), u.length.toLong)))
+    assert(out(3L) == ((1L, 1L, md5hex(""), 0L)))
+    assert(out(4L)._2 == 0L)
+  }
+
+  test("x115 property: random planted-chunk corpora match a plain-Scala df-threshold strip") {
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 3) {
+      val blocks = (0 until 5).map(b => (1 to 20).map(i => s"b${b}t$i").mkString(" "))
+      val docs = (0L until 15L).map { id =>
+        val body = (1 to 1 + rnd.nextInt(3)).map(_ => blocks(rnd.nextInt(blocks.size)))
+        val tail = if (rnd.nextBoolean()) Seq((1 to 5).map(i => s"u${id}t$i").mkString(" "))
+                   else Seq.empty
+        (id, (body ++ tail).mkString(" "), "en")
+      }
+      val dir = docsLike(docs)
+      val chunked = docs.map { case (id, text, _) =>
+        id -> text.split(" ").grouped(20).map(_.mkString(" ")).toSeq }
+      val df = chunked.flatMap { case (id, chs) => chs.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (ch, xs) => ch -> xs.size }
+      val expected = chunked.map { case (id, chs) =>
+        val kept = chs.filter(ch => df(ch) < 3)
+        val clean = kept.mkString(" ")
+        (id, chs.size.toLong, (chs.size - kept.size).toLong, md5hex(clean), clean.length.toLong)
+      }
+      val got = LlmQueries.x115BoilerplateStrip(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+        .toSeq
+      assert(got == expected, s"trial $trial")
+      assert(expected.exists(_._3 > 0), "fixture must strip some boilerplate")
+    }
+  }
+
+  test("x114: replay equality holds even with a doc_id-range split leaving an empty batch") {
+    // ids clustered in the lowest third: batches 2 and 3 are EMPTY — the
+    // replay must still emit every doc once with x13-equal canonicals
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val dir = docsLike(Seq(
+      (0L, a, "en"), (1L, a, "en"), (2L, s"$a zz", "en"), (90L, "q1 q2 q3 q4", "en")))
+    val replay = LlmQueries.x114StreamBatchParity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val batch = LlmQueries.x13MinhashNearDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(replay == batch && replay.count(_._3 == 1) >= 1)
+  }
+
   test("x110 property: random event times match a plain-Scala fold of the fold grammar") {
     val rnd = new scala.util.Random(31)
     val anchor = 1704067200000000L
