@@ -849,6 +849,31 @@ object ExtendedQueries {
         |ORDER BY user_id, pack_id""".stripMargin)
   }
 
+  /** x116 — FULL-HORIZON greedy packing through the `operators/GreedyPack`
+    * scale engine (round-9): the same reset-on-threshold fold as x90, but
+    * over every user's ENTIRE event sequence — the horizon the recursive-
+    * CTE surface cannot lift (each recursion step is a full Spark job, so
+    * the declared x90 caps at 12 events/user; §6.1i measured the fold at
+    * 10⁵ steps/key in 0.57 s where the CTE would need 10⁵ sequential
+    * jobs). One user_id shuffle + external sort + streaming mapPartitions
+    * walk, O(1) state per group.
+    *
+    * The oracle runs the UNCAPPED recursion in DuckDB (single-node
+    * columnar, ~10² iterations at sf0.01 — cheap where Spark's is not):
+    * the hash match pins the distributed fold's every accumulation and
+    * boundary against an independent sequential engine, upgrading
+    * GreedyPackSpec's fixture parity to a per-round driver signal. Same
+    * left-to-right double accumulation both sides → bit-identical totals
+    * (x90's contract).
+    */
+  def x116GreedyPackFull(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.GreedyPack.pack(
+      Io.eventsRaw(spark, sfDir)
+        .filter(col("value").isNotNull && col("value") >= 0)
+        .select("user_id", "event_id", "value"),
+      budget = 100.0)
+      .orderBy("user_id", "pack_id")
+
   def x81BurstDetect(spark: SparkSession, sfDir: String): DataFrame = {
     val fiveMinUs = 300000000L
     val ev = Io.eventsRaw(spark, sfDir)

@@ -2912,4 +2912,42 @@ object LlmQueries {
         length(col("clean")).cast("long").as("n_chars_clean"))
       .orderBy("doc_id")
   }
+
+  /** x117 — TEMPERATURE-SCALED mixture weights (α = 0.5): the multilingual/
+    * multi-source sampling rule (p_i ∝ n_i^α) that upsamples small sources
+    * relative to their natural share — the weight COMPUTATION step upstream
+    * of x54 (uniform rebalance executes a mix) and x108 (token-budget fill
+    * executes one); this derives the target weights themselves, plus each
+    * source's allocation under a 1M-token budget and its implied up/down-
+    * sampling factor vs natural share.
+    *
+    * Float discipline: per-source token counts are EXACT BIGINTs; sqrt is
+    * IEEE-correctly-rounded so identical on both engines; each sqrt is
+    * rounded once (stableRound6) then DECIMAL-summed (x85's
+    * round-then-exact-sum trick) so the denominator is order-independent;
+    * every derived ratio is one double op from exact inputs + one stable
+    * round. Scale shape: one map-combining corpus agg to ≤|sources| rows;
+    * everything after is constant-size (the 1-row denominator broadcast
+    * via a constant-size cross join).
+    */
+  def x117MixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val budget = 1000000.0
+    val src = fanOut(Io.table(spark, sfDir, "documents"))
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_toks"))
+      .withColumn("rsq", stableRound6(sqrt(col("n_toks").cast("double"))))
+    val denom = src.agg(
+      sum(col("rsq").cast("decimal(38,6)")).cast("double").as("denom"),
+      sum("n_toks").as("tot_toks"))
+    src.crossJoin(broadcast(denom))
+      .select(
+        col("source"), col("n_toks"),
+        stableRound6(col("n_toks").cast("double") / col("tot_toks")).as("nat_frac"),
+        stableRound6(col("rsq") / col("denom")).as("weight"),
+        floor(col("rsq") / col("denom") * budget).cast("long").as("alloc_toks"),
+        stableRound6((col("rsq") / col("denom")) /
+          (col("n_toks").cast("double") / col("tot_toks"))).as("sample_factor"))
+      .orderBy("source")
+  }
 }

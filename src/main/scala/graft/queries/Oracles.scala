@@ -1674,6 +1674,49 @@ object Oracles {
       |FROM r GROUP BY user_id, pack
       |ORDER BY user_id, pack_id""".stripMargin
 
+  // x116: x90's recursion UNCAPPED (no rn<=12) — DuckDB iterates ~10² deep
+  // at sf0.01 where each Spark UnionLoop step would be a full job; pins the
+  // GreedyPack mapPartitions fold against an independent sequential engine
+  val x116: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events WHERE value IS NOT NULL AND value >= 0),
+      |r(user_id, rn, acc, pack) AS (
+      |  SELECT user_id, rn, value, 1 FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn,
+      |         CASE WHEN r.acc + e.value > 100.0 THEN e.value
+      |              ELSE r.acc + e.value END,
+      |         CASE WHEN r.acc + e.value > 100.0 THEN r.pack + 1
+      |              ELSE r.pack END
+      |  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      |SELECT user_id, pack AS pack_id,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       floor(max(acc) * 1000000 + 0.5) / 1000000 AS pack_total
+      |FROM r GROUP BY user_id, pack
+      |ORDER BY user_id, pack_id""".stripMargin
+
+  // x117: exact BIGINT token counts; sqrt rounded once then DECIMAL-summed
+  // (order-independent denominator); every ratio one double op + one
+  // half-up round — the identical float discipline as the Spark side
+  val x117: String =
+    """WITH s AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+      |  FROM documents GROUP BY source),
+      |r AS (SELECT source, n_toks,
+      |        floor(sqrt(CAST(n_toks AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS rsq
+      |      FROM s),
+      |d AS (SELECT CAST(sum(CAST(rsq AS DECIMAL(38,6))) AS DOUBLE) AS denom,
+      |             CAST(sum(n_toks) AS BIGINT) AS tot_toks FROM r)
+      |SELECT source, n_toks,
+      |       floor(CAST(n_toks AS DOUBLE) / tot_toks * 1000000 + 0.5) / 1000000 AS nat_frac,
+      |       floor(rsq / denom * 1000000 + 0.5) / 1000000 AS weight,
+      |       CAST(floor(rsq / denom * 1000000.0) AS BIGINT) AS alloc_toks,
+      |       floor((rsq / denom) / (CAST(n_toks AS DOUBLE) / tot_toks) * 1000000 + 0.5) / 1000000 AS sample_factor
+      |FROM r, d
+      |ORDER BY source""".stripMargin
+
   // x91: DuckDB's native dual ASOF JOIN vs Spark's two-window union walk —
   // the hash match pins the formulations against each other in BOTH
   // directions. The ne dedup (max event_id per (user, instant)) gives the
@@ -2525,6 +2568,8 @@ object Oracles {
     "x78_compaction_roundtrip" -> x78,
     "x81_burst_detect"    -> x81,
     "x90_greedy_pack"     -> x90,
+    "x116_greedy_pack_full" -> x116,
+    "x117_mix_temperature" -> x117,
     "x91_nearest_event"   -> x91,
     "x92_temporal_lookup" -> x92,
     "x93_rolling_dau"     -> x93,

@@ -247,6 +247,30 @@ class NewOpsSpec extends SparkSpec {
     assert(replay == batch && replay.count(_._3 == 1) >= 1)
   }
 
+  test("x117: two-source mix — small source upsampled, weights sum to ~1, allocation floors") {
+    // source a: 400 tokens, source b: 100 tokens. sqrt ratio 2:1 → weights
+    // 2/3, 1/3 vs natural 0.8, 0.2 — b upsampled ~1.67×, a downsampled
+    val dirBase = Files.createTempDirectory("x117").toString
+    Seq(
+      (0L, (1 to 400).map(i => s"a$i").mkString(" "), "en", "src_a"),
+      (1L, (1 to 100).map(i => s"b$i").mkString(" "), "en", "src_b"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dirBase/documents.parquet")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val out = LlmQueries.x117MixTemperature(spark, dirBase).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    val (sa, sb) = (r6(math.sqrt(400)), r6(math.sqrt(100)))
+    val denom = sa + sb // exact at 6dp: 20.0 + 10.0
+    assert(out("src_a") == ((400L, 0.8, r6(sa / denom),
+      math.floor(sa / denom * 1e6).toLong, r6((sa / denom) / 0.8))))
+    assert(out("src_b") == ((100L, 0.2, r6(sb / denom),
+      math.floor(sb / denom * 1e6).toLong, r6((sb / denom) / 0.2))))
+    assert(out("src_b")._5 > 1.0 && out("src_a")._5 < 1.0,
+      "temperature must upsample the small source")
+  }
+
   test("x110 property: random event times match a plain-Scala fold of the fold grammar") {
     val rnd = new scala.util.Random(31)
     val anchor = 1704067200000000L
