@@ -149,12 +149,14 @@ class PlanSpec extends SparkSpec {
     // shape) and x11's 1-row query vector onto the cosine scan
     // x112's is the 1-row dimension min/max frame broadcasting into the
     // range normalization (x50's shape)
+    // x117's is the 1-row denominator/total frame crossing onto the
+    // ≤|sources|-row weight frame (x50's shape)
     val broadcastCrossOk = Set("x11_cosine_topk", "x32_ivf_ann", "x49_pq_ann",
       "x50_tfidf_terms", "x52_kmeans_step", "x54_domain_rebalance",
       "x56_knn_classify", "x56b_knn_ann", "x59_semdedup", "x59b_semdedup_wide",
       "x63_rarity_score", "x85_source_drift", "x87_bigram_lm",
       "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
-      "x112_zorder_layout")
+      "x112_zorder_layout", "x117_mix_temperature")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -608,6 +610,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "bucket stats must be two-phase")
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
       "Morton interleave must stay a codegen'd higher-order aggregate")
+  }
+
+  test("x115: boilerplate blocklist joins back as a BROADCAST; df agg is two-phase") {
+    val p = plan("x115_boilerplate_strip")
+    assert(p.contains("BroadcastHashJoin"),
+      "the df>=3 flag set is tiny by definition — it must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a corpus-side shuffle join for the blocklist is the wrong plan")
+    assert(p.contains("partial_count"), "doc-frequency must combine map-side")
+  }
+
+  test("x116: full-horizon pack is ONE exchange (the user_id repartition) + in-partition sort") {
+    val p = plan("x116_greedy_pack_full")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1,
+      "exactly one global sort: the output orderBy")
+    // the plan string prints outermost-first, so the output sort must
+    // appear ABOVE (before) the fold's MapPartitions, never under it
+    assert(p.indexOf("Exchange rangepartitioning") < p.indexOf("MapPartitions"),
+      "the global sort must sit above the fold")
+    assert(p.contains("PushedFilters: [IsNotNull(value), GreaterThanOrEqual(value,0.0)]"),
+      "the value filter must reach the parquet scan")
+  }
+
+  test("x117: one map-combining corpus agg; denominator joins as a constant-size broadcast") {
+    val p = plan("x117_mix_temperature")
+    assert(p.contains("partial_sum"), "token counts must combine map-side")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row denominator must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
   test("x108: ONE source exchange carries the running sum; scan pruned to 3 columns") {
