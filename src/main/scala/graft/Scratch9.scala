@@ -30,11 +30,12 @@ object Scratch9 {
     val hundredDir = "/tmp/probe100x_r9"
 
     def copies(n: Int, outDir: String): Unit =
-      (0 until n).map { i =>
-        core.Io.table(spark, sfDir, "documents")
-          .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
-      }.reduce(_ union _).repartition(32)
-        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      if (!new java.io.File(s"$outDir/documents.parquet").isDirectory)
+        (0 until n).map { i =>
+          core.Io.table(spark, sfDir, "documents")
+            .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        }.reduce(_ union _).repartition(32)
+          .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     copies(10, tenDir)
     copies(100, hundredDir)
     // embeddings for x111's vector retriever at both decades
@@ -76,6 +77,23 @@ object Scratch9 {
         dups = v.getLong(1); v.getLong(0)
       }
       println(s"PROBE x114vol dir=$dir dups=$dups")
+    }
+
+    // x115: n-fold copies multiply every chunk's doc-frequency by n, so the
+    // 10×/100× corpora are boilerplate-SATURATED (virtually every repeated
+    // chunk crosses df≥3) — the stress case for the broadcast blocklist:
+    // the flag set grows toward distinct-repeated-chunk count, wall time
+    // must stay chunk-scan-shaped
+    for (dir <- Seq(sfDir, tenDir, hundredDir)) {
+      var x115v = (0L, 0L)
+      time(s"x115_$dir") {
+        val v = queries.LlmQueries.x115BoilerplateStrip(spark, dir)
+          .agg(count(lit(1)), sum("n_chunks"), sum("n_boiler")).head()
+        x115v = (v.getLong(1), v.getLong(2)); v.getLong(0)
+      }
+      println(s"PROBE x115vol dir=$dir chunks=${x115v._1} boiler=${x115v._2}")
+      // x117: output is |sources|-bounded at any corpus; one agg pass
+      time(s"x117_$dir")(queries.LlmQueries.x117MixTemperature(spark, dir).count())
     }
 
     // GreedyPack unbounded on real events: every user packed to full
