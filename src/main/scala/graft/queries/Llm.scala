@@ -2913,6 +2913,51 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** x118 — CONTENT-DEFINED CHUNKING (CDC): variable-size chunk manifest
+    * where boundaries are decided by a rolling 3-token window hash
+    * (boundary when md5's leading byte ≡ 0 mod 8, expected chunk ~8
+    * tokens) instead of fixed offsets — the shift-resilient primitive
+    * storage dedup (LBFS/Venti lineage) and fine-grained corpus dedup use:
+    * prepend ONE token to a document and every fixed-stride chunk (x94's
+    * grammar, x107's dedup unit) changes, but CDC boundaries depend only
+    * on local window content, so chunks realign after the first boundary
+    * and the copy's chunks re-match (NewOpsSpec pins exactly this
+    * property). Emits (chunk_idx, start_pos, n_tok_chunk, chunk_md5) per
+    * doc — x94's manifest contract over content-defined spans.
+    *
+    * The boundary rule is deliberately POSITIONAL (a pure function of the
+    * 3 tokens ending at each position — gear-hash style), not a running
+    * recurrence, so both engines evaluate it independently per position:
+    * no sequential state, fully parallel. Scale shape: per-row
+    * filter/transform generators over the token array — NO shuffle before
+    * the output sort (x94's plan shape), cost linear in corpus tokens.
+    * Hex→int via the x80 conv/'0x'-cast precedent.
+    */
+  def x118CdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("starts", expr(
+        """filter(sequence(1L, n_tok), i -> i = 1L OR (i > 3L AND
+          |  pmod(cast(conv(substring(md5(concat_ws(' ',
+          |    element_at(toks, cast(i as int) - 2),
+          |    element_at(toks, cast(i as int) - 1),
+          |    element_at(toks, cast(i as int)))), 1, 2), 16, 10) as int), 8) = 0))"""
+          .stripMargin))
+      .withColumn("ch", expr(
+        """transform(starts, (st, j) ->
+          |  named_struct('chunk_idx', cast(j + 1 as bigint), 'start_pos', st,
+          |    'n_tok_chunk', (CASE WHEN j + 2 > size(starts) THEN n_tok + 1
+          |                    ELSE element_at(starts, j + 2) END) - st))""".stripMargin))
+      .select(col("doc_id"), col("toks"), explode(col("ch")).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.start_pos"),
+        col("c.n_tok_chunk"),
+        md5(array_join(slice(col("toks"), col("c.start_pos").cast("int"),
+          col("c.n_tok_chunk").cast("int")), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** x117 — TEMPERATURE-SCALED mixture weights (α = 0.5): the multilingual/
     * multi-source sampling rule (p_i ∝ n_i^α) that upsamples small sources
     * relative to their natural share — the weight COMPUTATION step upstream

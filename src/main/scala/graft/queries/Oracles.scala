@@ -1717,6 +1717,37 @@ object Oracles {
       |FROM r, d
       |ORDER BY source""".stripMargin
 
+  // x118: the identical positional 3-token-window boundary rule both sides
+  // (no running state, so both engines evaluate it per position); DuckDB
+  // list comprehension builds the span structs, inclusive-slice semantics
+  // matched to Spark's (start, length)
+  val x118: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents WHERE text IS NOT NULL),
+      |s AS (
+      |  SELECT doc_id, toks, n_tok,
+      |         list_filter(range(1, n_tok + 1), i -> i = 1 OR (i > 3 AND
+      |           ('0x' || substring(md5(concat_ws(' ',
+      |              toks[CAST(i AS INT) - 2], toks[CAST(i AS INT) - 1],
+      |              toks[CAST(i AS INT)])), 1, 2))::BIGINT % 8 = 0)) AS starts
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, toks, n_tok,
+      |         unnest([{'chunk_idx': j, 'start_pos': starts[j],
+      |                  'n_tok_chunk': coalesce(starts[j + 1], n_tok + 1) - starts[j]}
+      |                 for j in range(1, len(starts) + 1)]) AS ch
+      |  FROM s)
+      |SELECT doc_id,
+      |       CAST(ch.chunk_idx AS BIGINT) AS chunk_idx,
+      |       CAST(ch.start_pos AS BIGINT) AS start_pos,
+      |       CAST(ch.n_tok_chunk AS BIGINT) AS n_tok_chunk,
+      |       md5(array_to_string(
+      |         toks[CAST(ch.start_pos AS INT) :
+      |              CAST(ch.start_pos + ch.n_tok_chunk - 1 AS INT)], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // x91: DuckDB's native dual ASOF JOIN vs Spark's two-window union walk —
   // the hash match pins the formulations against each other in BOTH
   // directions. The ne dedup (max event_id per (user, instant)) gives the
@@ -2570,6 +2601,7 @@ object Oracles {
     "x90_greedy_pack"     -> x90,
     "x116_greedy_pack_full" -> x116,
     "x117_mix_temperature" -> x117,
+    "x118_cdc_chunks"     -> x118,
     "x91_nearest_event"   -> x91,
     "x92_temporal_lookup" -> x92,
     "x93_rolling_dau"     -> x93,

@@ -247,6 +247,47 @@ class NewOpsSpec extends SparkSpec {
     assert(replay == batch && replay.count(_._3 == 1) >= 1)
   }
 
+  test("x118: CDC chunks realign after a one-token shift; fixed-stride chunks all break") {
+    val rnd = new scala.util.Random(43)
+    val words = (1 to 200).map(_ => s"w${rnd.nextInt(500)}").mkString(" ")
+    // doc 1 = doc 0 with ONE token prepended — the shift every fixed-stride
+    // chunker is blind to
+    val dir = docsLike(Seq((0L, words, "en"), (1L, s"zz $words", "en")))
+    def md5sOf(df: org.apache.spark.sql.DataFrame, id: Long, c: String) =
+      df.filter(s"doc_id = $id").select(c).collect().map(_.getString(0)).toSet
+    val cdc = LlmQueries.x118CdcChunks(spark, dir)
+    val c0 = md5sOf(cdc, 0L, "chunk_md5"); val c1 = md5sOf(cdc, 1L, "chunk_md5")
+    val shared = (c0 intersect c1).size
+    assert(shared >= c0.size - 2,
+      s"CDC must realign: only ${c0.size - shared} of ${c0.size} chunks differ")
+    val fixed = LlmQueries.x94RagChunks(spark, dir)
+    val f0 = md5sOf(fixed, 0L, "chunk_md5"); val f1 = md5sOf(fixed, 1L, "chunk_md5")
+    assert((f0 intersect f1).isEmpty,
+      "fixed-stride chunks must ALL break under the shift — the gap x118 closes")
+  }
+
+  test("x118: spans tile each doc exactly — contiguous, full-cover, ~8-token mean") {
+    val rnd = new scala.util.Random(47)
+    val docs = (0L until 8L).map(id =>
+      (id, (1 to 30 + rnd.nextInt(200)).map(_ => s"t${rnd.nextInt(99)}").mkString(" "), "en"))
+    val dir = docsLike(docs)
+    val rows = LlmQueries.x118CdcChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    for ((id, text, _) <- docs) {
+      val n = text.split(" ").length
+      val spans = rows(id).sortBy(_._2).map(c => (c._3, c._4))
+      assert(spans.head._1 == 1L && spans.map(_._2).sum == n,
+        s"doc $id: spans must cover all $n tokens")
+      spans.sliding(2).foreach { case Array((s1, l1), (s2, _)) =>
+        assert(s1 + l1 == s2, s"doc $id: spans must be contiguous")
+      case _ => }
+    }
+    val all = rows.values.flatten
+    val mean = all.map(_._4).sum.toDouble / all.size
+    assert(mean > 4 && mean < 16, s"mean chunk $mean should sit near the 8-token target")
+  }
+
   test("x117: two-source mix — small source upsampled, weights sum to ~1, allocation floors") {
     // source a: 400 tokens, source b: 100 tokens. sqrt ratio 2:1 → weights
     // 2/3, 1/3 vs natural 0.8, 0.2 — b upsampled ~1.67×, a downsampled

@@ -612,6 +612,16 @@ class PlanSpec extends SparkSpec {
       "Morton interleave must stay a codegen'd higher-order aggregate")
   }
 
+  test("x118: CDC chunking is a generator map stage — no shuffle before the output sort") {
+    val p = plan("x118_cdc_chunks")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "boundary rule is positional — nothing may shuffle before the sort")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      "the rolling-window hash must stay codegen'd higher-order expressions")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to doc_id/text")
+  }
+
   test("x115: boilerplate blocklist joins back as a BROADCAST; df agg is two-phase") {
     val p = plan("x115_boilerplate_strip")
     assert(p.contains("BroadcastHashJoin"),
