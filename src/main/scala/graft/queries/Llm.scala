@@ -2890,9 +2890,14 @@ object LlmQueries {
     * broadcast (C4's production shape: a broadcast blocklist), and the
     * only other shuffle is the per-doc reassembly. No all-pairs anything.
     */
-  def x115BoilerplateStrip(spark: SparkSession, sfDir: String): DataFrame = {
+  /** x115's cleaning core, shared with x119 so the prep pipeline's
+    * boilerplate rule cannot drift from the declared query that pins it:
+    * per doc, chunk counts + the reassembled text with every df≥3 chunk
+    * removed. `docs` must carry (doc_id, text), pre-fanned.
+    */
+  private def boilerplateCleaned(docs: DataFrame): DataFrame = {
     val minDf = 3L
-    val chunks = chunks20(fanOut(Io.table(spark, sfDir, "documents")))
+    val chunks = chunks20(docs)
     val boiler = chunks.groupBy("chunk", "doc_id").agg(count(lit(1)).as("n"))
       .groupBy("chunk").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
@@ -2907,10 +2912,65 @@ object LlmQueries {
         array_join(expr(
           "transform(array_sort(collect_list(CASE WHEN NOT boiler THEN struct(c, chunk) END)), s -> s.chunk)"),
           " ").as("clean"))
+  }
+
+  def x115BoilerplateStrip(spark: SparkSession, sfDir: String): DataFrame =
+    boilerplateCleaned(fanOut(Io.table(spark, sfDir, "documents")))
       .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
         md5(col("clean")).as("clean_md5"),
         length(col("clean")).cast("long").as("n_chars_clean"))
       .orderBy("doc_id")
+
+  /** x119 — PREP v4 (round-9 capstone): the round's operators composed into
+    * the end-to-end training-data prep a 100 TB pipeline actually runs,
+    * summarized per source:
+    *
+    *   1. boilerplate strip ([[boilerplateCleaned]] — x115's exact rule,
+    *      shared code so pipeline and pinning query cannot drift);
+    *   2. quality gate: cleaned docs under 30 tokens drop (too little
+    *      content survived the strip);
+    *   3. exact content dedup on the CLEANED text (keep lowest doc_id —
+    *      docs identical after boilerplate removal are dupes even when
+    *      their raw bytes differ, which is why this stage must run after
+    *      the strip);
+    *   4. temperature mix (α = 0.5, x117's float discipline) over the
+    *      SURVIVORS' token mass → per-source weight + 1M-token allocation.
+    *
+    * The x34/x46/x69 composed-pipeline pattern one generation on: those
+    * compose quality scoring + near-dedup; this composes the round-9
+    * cross-doc ops. Output is ≤|sources| rows; the oracle rebuilds all
+    * four stages in SQL, so the hash match pins every stage boundary
+    * (strip → gate → dedup → mix) at once.
+    *
+    * Scale shape: x115's chunk chain (two map-combining aggs + broadcast
+    * blocklist), one doc_id join to recover source (doc-keyed equi), the
+    * dedup window on md5(clean) (one corpus shuffle), then
+    * |sources|-bounded arithmetic off a 1-row broadcast.
+    */
+  def x119PrepV4(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import ExtendedQueries.stableRound6
+    val budget = 1000000.0
+    val docs = fanOut(Io.table(spark, sfDir, "documents"))
+    val kept = boilerplateCleaned(docs)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .withColumn("n_toks", when(col("clean") === "", lit(0L))
+        .otherwise(size(split(col("clean"), " ")).cast("long")))
+      .filter(col("n_toks") >= 30)
+    val deduped = kept
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("clean"))).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val src = deduped.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_toks"))
+      .withColumn("rsq", stableRound6(sqrt(col("n_toks").cast("double"))))
+    val denom = src.agg(
+      sum(col("rsq").cast("decimal(38,6)")).cast("double").as("denom"))
+    src.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_docs"), col("n_toks"),
+        stableRound6(col("rsq") / col("denom")).as("weight"),
+        floor(col("rsq") / col("denom") * budget).cast("long").as("alloc_toks"))
+      .orderBy("source")
   }
 
   /** x118 — CONTENT-DEFINED CHUNKING (CDC): variable-size chunk manifest

@@ -1717,6 +1717,43 @@ object Oracles {
       |FROM r, d
       |ORDER BY source""".stripMargin
 
+  // x119: all four prep stages rebuilt in SQL — x115's strip CTEs, the
+  // 30-token gate (same CASE for the empty-clean edge), keep-first dedup
+  // on md5(clean), x117's round-then-DECIMAL-sum weight discipline
+  val x119: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |ch0 AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, CAST(ceil(len(toks) / 20.0) AS INT)),
+      |    c -> {'c': c,
+      |          'chunk': array_to_string(list_slice(toks, c * 20 + 1, c * 20 + 20), ' ')})) AS s
+      |  FROM t),
+      |ch AS (SELECT doc_id, s.c AS c, s.chunk AS chunk FROM ch0),
+      |bp AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 3),
+      |cl AS (SELECT ch.doc_id,
+      |         coalesce(string_agg(CASE WHEN bp.chunk IS NULL THEN ch.chunk END,
+      |                             ' ' ORDER BY ch.c), '') AS clean
+      |       FROM ch LEFT JOIN bp ON ch.chunk = bp.chunk GROUP BY ch.doc_id),
+      |k AS (SELECT cl.doc_id, d2.source, clean,
+      |             CASE WHEN clean = '' THEN 0
+      |                  ELSE CAST(len(string_split(clean, ' ')) AS BIGINT) END AS n_toks
+      |      FROM cl JOIN documents d2 ON cl.doc_id = d2.doc_id
+      |      WHERE CASE WHEN clean = '' THEN 0
+      |                 ELSE len(string_split(clean, ' ')) END >= 30),
+      |dd AS (SELECT doc_id, source, n_toks,
+      |              row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn
+      |       FROM k),
+      |src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |               CAST(sum(n_toks) AS BIGINT) AS n_toks,
+      |               floor(sqrt(CAST(sum(n_toks) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS rsq
+      |        FROM dd WHERE rn = 1 GROUP BY source),
+      |dn AS (SELECT CAST(sum(CAST(rsq AS DECIMAL(38,6))) AS DOUBLE) AS denom FROM src)
+      |SELECT source, n_docs, n_toks,
+      |       floor(rsq / denom * 1000000 + 0.5) / 1000000 AS weight,
+      |       CAST(floor(rsq / denom * 1000000.0) AS BIGINT) AS alloc_toks
+      |FROM src, dn
+      |ORDER BY source""".stripMargin
+
   // x118: the identical positional 3-token-window boundary rule both sides
   // (no running state, so both engines evaluate it per position); DuckDB
   // list comprehension builds the span structs, inclusive-slice semantics
@@ -2602,6 +2639,7 @@ object Oracles {
     "x116_greedy_pack_full" -> x116,
     "x117_mix_temperature" -> x117,
     "x118_cdc_chunks"     -> x118,
+    "x119_prep_v4"        -> x119,
     "x91_nearest_event"   -> x91,
     "x92_temporal_lookup" -> x92,
     "x93_rolling_dau"     -> x93,
