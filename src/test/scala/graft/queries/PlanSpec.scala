@@ -150,13 +150,14 @@ class PlanSpec extends SparkSpec {
     // x112's is the 1-row dimension min/max frame broadcasting into the
     // range normalization (x50's shape)
     // x117's is the 1-row denominator/total frame crossing onto the
-    // ≤|sources|-row weight frame (x50's shape)
+    // ≤|sources|-row weight frame (x50's shape); x119's mix stage reuses
+    // x117's exact denominator cross (shared rule, same 1-row side)
     val broadcastCrossOk = Set("x11_cosine_topk", "x32_ivf_ann", "x49_pq_ann",
       "x50_tfidf_terms", "x52_kmeans_step", "x54_domain_rebalance",
       "x56_knn_classify", "x56b_knn_ann", "x59_semdedup", "x59b_semdedup_wide",
       "x63_rarity_score", "x85_source_drift", "x87_bigram_lm",
       "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
-      "x112_zorder_layout", "x117_mix_temperature")
+      "x112_zorder_layout", "x117_mix_temperature", "x119_prep_v4")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
