@@ -129,3 +129,84 @@ object Scratch9 {
     spark.stop()
   }
 }
+
+/** Round-9 continuation probes (second pass, after x118/x119/x120 landed):
+  *
+  *   - x118 CDC chunking at 10×/100× — the boundary rule is positional
+  *     (pure function of 3 local tokens), so chunk volume must scale
+  *     exactly linearly and wall time scan-shaped;
+  *   - x119 prep_v4 at 10×/100× — the composed pipeline rides x115's
+  *     saturation behavior (§6.1i): on n-fold copies every chunk crosses
+  *     df≥3, virtually all docs strip to empty and fail the 30-token gate,
+  *     so survivor volume COLLAPSES — the probe pins that the pipeline
+  *     stays corpus-scan-shaped in wall time while output shrinks;
+  *   - x120 session replay at 1×/10× events (10× users, same per-user
+  *     stream) — cogroup cost is event-linear, state active-user-sized.
+  *
+  * Same corpora as [[Scratch9]] (shared dirs, same id-shift grammar).
+  */
+object Scratch9b {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tenDir = "/tmp/probe10x_r9"
+    val hundredDir = "/tmp/probe100x_r9"
+    def docCopies(n: Int, outDir: String): Unit =
+      if (!new java.io.File(s"$outDir/documents.parquet").isDirectory)
+        (0 until n).map { i =>
+          core.Io.table(spark, sfDir, "documents")
+            .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        }.reduce(_ union _).repartition(32)
+          .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    docCopies(10, tenDir)
+    docCopies(100, hundredDir)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE $name rows=$n%d t=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    time("warmup")(spark.range(1000000).count())
+
+    for (dir <- Seq(sfDir, tenDir, hundredDir)) {
+      var chunks = 0L
+      time(s"x118_$dir") {
+        val v = queries.LlmQueries.x118CdcChunks(spark, dir)
+          .agg(count(lit(1)), countDistinct("chunk_md5")).head()
+        chunks = v.getLong(1); v.getLong(0)
+      }
+      println(s"PROBE x118vol dir=$dir distinct_chunks=$chunks")
+      var surv = (0L, 0L)
+      time(s"x119_$dir") {
+        val v = queries.LlmQueries.x119PrepV4(spark, dir)
+          .agg(count(lit(1)), sum("n_docs"), sum("n_toks")).head()
+        surv = (v.getLong(1), v.getLong(2)); v.getLong(0)
+      }
+      println(s"PROBE x119vol dir=$dir surv_docs=${surv._1} surv_toks=${surv._2}")
+    }
+
+    // x120 on real events at 1×, then 10× (10× users via id shift — the
+    // Scratch9 gpack grammar; per-user stream unchanged so sessions
+    // scale exactly 10×)
+    if (!new java.io.File(s"$tenDir/events.parquet").isDirectory)
+      (0 until 10).map { i =>
+        core.Io.eventsRaw(spark, sfDir)
+          .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+      }.reduce(_ union _).repartition(32)
+        .write.mode("overwrite").parquet(s"$tenDir/events.parquet")
+    for (dir <- Seq(sfDir, tenDir)) {
+      var sess = 0L
+      time(s"x120_$dir") {
+        val v = queries.LlmQueries.x120SessionReplay(spark, dir)
+          .agg(count(lit(1)), sum("n_events")).head()
+        sess = v.getLong(0); v.getLong(1)
+      }
+      println(s"PROBE x120vol dir=$dir sessions=$sess")
+    }
+    spark.stop()
+  }
+}

@@ -160,6 +160,29 @@ object Io {
   def readOrc(spark: SparkSession, dir: String): DataFrame =
     spark.read.orc(dir)
 
+  /** XML interchange sink (Spark 4's BUILT-IN xml source — the spark-xml
+    * package donated to core in 4.0): one `<doc>` element per row, field
+    * elements per column, writer-escaped markup (`&amp;`/`&lt;`), one part
+    * per task like [[writeJsonl]]. XML is the interchange edge for
+    * feed/catalog/corpus drops (arXiv, PubMed, Wikipedia dumps are all
+    * XML); like jsonl it is row-based and schema-free on the wire, so the
+    * reader must supply the schema.
+    */
+  def writeXml(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").option("rowTag", "doc").format("xml").save(dir)
+
+  /** XML source. Caller-supplied schema for the same no-inference-scan
+    * reason as [[readJsonl]] (XML inference is an extra full pass plus
+    * type-guessing ambiguity). Wire contract (pinned by XmlSpec): an empty
+    * string writes as an empty element (`<f></f>`) and reads back as ""; a
+    * NULL field omits the element entirely and reads back null — Spark 4's
+    * built-in xml keeps the two distinct, so the roundtrip is exact even
+    * for empty-vs-null-sensitive columns.
+    */
+  def readXml(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("rowTag", "doc").format("xml").load(dir)
+
   /** JSON-lines source. A caller-supplied schema skips the inference scan
     * (a full extra pass over the corpus — never acceptable at scale) and is
     * REQUIRED here for exactly that reason; columns resolve by name, extra

@@ -650,6 +650,34 @@ object ExtendedQueries {
     roundtripAgg(Io.readOrc(spark, dir))
   }
 
+  private val x121LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x121 — XML corpus interchange (round-9), completing the row-format
+    * family: parquet (native), jsonl.gz (x40), ORC (x58), and now XML via
+    * Spark 4's BUILT-IN xml source — the format feed/catalog/dump
+    * ingestion actually arrives in (arXiv, PubMed, Wikipedia). documents →
+    * `<doc>` elements → read-back under the original schema → x40's
+    * roundtrip aggregate under x40's oracle: the hash match against the
+    * ORIGINAL parquet proves the XML write/read cycle lossless (markup
+    * escaping included). Same unique-dir + delete-previous contract as
+    * x40/x58; schema supplied on read (no inference pass — Io.readXml's
+    * contract). The wire keeps empty string and null distinct (empty
+    * element vs omitted element — XmlSpec-pinned), so losslessness needs
+    * no corpus caveat.
+    */
+  def x121XmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x121_xml_${System.nanoTime()}"
+    Option(x121LastDir.getAndSet(dir)).foreach { old =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(old)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      } catch { case _: Exception => () }
+    }
+    Io.writeXml(docs, dir)
+    roundtripAgg(Io.readXml(spark, dir, docs.schema))
+  }
+
   /** x61 — CDC MERGE (SCD-1 upsert): apply the latest event per user onto
     * the standing customer dimension as a full-outer merge — the MERGE INTO
     * a lakehouse ingest runs every batch, expressed as the join Spark

@@ -2869,6 +2869,77 @@ object LlmQueries {
     outs.reduce(_.unionAll(_)).orderBy("doc_id")
   }
 
+  /** x120 — SESSIONS stream==batch parity (x114's pattern for the STATEFUL
+    * engine): replay `streaming/StatefulSessions.replayBatch` — the exact
+    * `foldSorted` core both flatMapGroupsWithState update functions call —
+    * over a fixed 3-batch TIME-ordered split of `events`, threading the
+    * open-session state between batches and flushing the final state, then
+    * emit every session (start/end/n/sum per user). The gap rule is x6's
+    * 30-minute rule, so the whole fold is pinned by an independent
+    * window-SQL oracle (lag + running-sum session assignment — the
+    * DECLARATIVE formulation of sessionization, vs the engine's stateful
+    * fold): a hash match proves the custom-state path computes exactly what
+    * the SQL semantics say, per round. x114 pinned the foreachBatch face of
+    * the streaming surface; this pins the GroupState face.
+    *
+    * Float discipline: per-event values are pre-rounded to integer MICRO
+    * units (the x90 floor(v·1e6+0.5) rule) carried as whole-number doubles,
+    * so the fold's running double sum is EXACT (integers < 2^53 — at 10⁶×
+    * this fixture's value range the corpus total is still < 2^53) and
+    * summation order cannot diverge from the oracle's integer sum; one
+    * division by 1e6 at the edge reconstructs the value in both engines
+    * bit-identically.
+    *
+    * Scale shape: per batch, one userId hash-partition of the batch's
+    * events cogrouped with the active-user-sized state frame (one row per
+    * OPEN session); each batch's tagged output is pinned and
+    * lineage-truncated (x47's persist+truncate discipline) so the
+    * closed/open split never recomputes the cogroup chain. The 3-way split
+    * is by ts RANGE from a 1-row min/max aggregate (x114's precedent);
+    * real ingest arrives pre-batched and skips it.
+    */
+  def x120SessionReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.StatefulSessions
+    import StatefulSessions.{Event, Replayed}
+    val ev = Io.events(spark, sfDir).select(
+      col("user_id").as("userId"),
+      unix_micros(col("ts")).as("tsMicros"),
+      expr("cast(floor(coalesce(value, 0) * 1000000 + 0.5) as double)").as("value"))
+    val mm = ev.agg(min("tsMicros"), max("tsMicros")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = hi - lo + 1
+    val (t1, t2) = (lo + span / 3, lo + 2 * span / 3)
+    val batches = Seq(
+      ev.filter(col("tsMicros") < t1),
+      ev.filter(col("tsMicros") >= t1 && col("tsMicros") < t2),
+      ev.filter(col("tsMicros") >= t2))
+    def truncated(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    var state = spark.emptyDataset[Replayed]
+    var closed = List.empty[DataFrame]
+    val pins = Seq.newBuilder[DataFrame]
+    batches.foreach { b =>
+      val tagged = StatefulSessions.replayBatch(b.as[Event], state).toDF().persist()
+      tagged.count() // force the pin so both consumers read cached rows
+      pins += tagged
+      closed ::= truncated(tagged).filter(!col("open"))
+      state = truncated(tagged).filter(col("open")).as[Replayed]
+    }
+    repin(pins.result(): _*) // released by the next pinning query
+    // final flush: sessions still open after the last batch close here
+    val sessions = (state.toDF() :: closed).reduce(_.unionAll(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("userId").orderBy("start") // session starts are strictly increasing per user
+    sessions
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("userId").as("user_id"), col("session_id"),
+        col("start").as("start_us"), col("lastSeen").as("end_us"),
+        col("nEvents").as("n_events"),
+        (col("sumValue").cast("long") / lit(1000000.0)).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** x115 — BOILERPLATE STRIP (C4/CCNet's cross-document repeated-segment
     * filter): a 20-token chunk appearing in ≥ 3 DISTINCT documents is
     * boilerplate (headers, footers, license blocks — content repeated
@@ -2989,12 +3060,22 @@ object LlmQueries {
     * 3 tokens ending at each position — gear-hash style), not a running
     * recurrence, so both engines evaluate it independently per position:
     * no sequential state, fully parallel. Scale shape: per-row
-    * filter/transform generators over the token array — NO shuffle before
-    * the output sort (x94's plan shape), cost linear in corpus tokens.
-    * Hex→int via the x80 conv/'0x'-cast precedent.
+    * filter/transform generators over the token array — no COMPUTED
+    * shuffle before the output sort (x94's plan shape), cost linear in
+    * corpus tokens. TWO placement traps, both PlanSpec-pinned: (1) the
+    * per-position md5 is the minhash family's per-row CPU profile, so the
+    * scan MUST fan out ([[fanOut]]) — a single-file corpus reads as one
+    * partition; (2) the explode must be explode_OUTER — identical here
+    * since `ch` is never empty (split() yields ≥1 token so `starts` always
+    * holds position 1), but a plain explode lets InferFiltersFromGenerate
+    * synthesize `size(ch)>0 AND isnotnull(ch)`, which pushdown inlines —
+    * six copies of the md5 expression — into a Filter BELOW the fan-out
+    * exchange, serializing the corpus back onto one core (measured 57 s vs
+    * 2.5 s at sf0.1, 8 cores). Hex→int via the x80 conv/'0x'-cast
+    * precedent.
     */
   def x118CdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
-    Io.table(spark, sfDir, "documents")
+    fanOut(Io.table(spark, sfDir, "documents"))
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
@@ -3010,7 +3091,15 @@ object LlmQueries {
           |  named_struct('chunk_idx', cast(j + 1 as bigint), 'start_pos', st,
           |    'n_tok_chunk', (CASE WHEN j + 2 > size(starts) THEN n_tok + 1
           |                    ELSE element_at(starts, j + 2) END) - st))""".stripMargin))
-      .select(col("doc_id"), col("toks"), explode(col("ch")).as("c"))
+      // explode_OUTER, not explode — semantically identical here (`starts`
+      // always contains position 1, split() never yields an empty array, so
+      // `ch` is never empty/null) but explode would let
+      // InferFiltersFromGenerate synthesize `size(ch)>0 AND isnotnull(ch)`,
+      // which predicate pushdown then inlines — SIX copies of the per-
+      // position md5 expression — into a Filter BELOW the fan-out exchange,
+      // serializing the whole corpus onto the scan's one partition
+      // (measured: 57 s vs 2.5 s at sf0.1; PlanSpec pins the shape)
+      .select(col("doc_id"), col("toks"), explode_outer(col("ch")).as("c"))
       .select(col("doc_id"), col("c.chunk_idx"), col("c.start_pos"),
         col("c.n_tok_chunk"),
         md5(array_join(slice(col("toks"), col("c.start_pos").cast("int"),

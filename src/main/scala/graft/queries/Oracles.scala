@@ -1754,6 +1754,37 @@ object Oracles {
       |FROM src, dn
       |ORDER BY source""".stripMargin
 
+  // x120: sessionization as WINDOW SQL — lag gap flags + running-sum
+  // session assignment — pinning the engine's stateful flatMapGroups fold
+  // (replayed batch-wise in the declared query) against the declarative
+  // formulation. Values are pre-rounded to integer micro units (x90's
+  // floor rule) so both engines sum integers: summation order cannot
+  // split the hash. The running sum is ordered (us, event_id) to settle
+  // the one tie case (a user's first two events at the same microsecond);
+  // session membership itself depends only on the us gaps.
+  val x120: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |         CAST(floor(coalesce(value, 0) * 1000000 + 0.5) AS BIGINT) AS vmicro,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, us, vmicro,
+      |         sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM o)
+      |SELECT user_id,
+      |       CAST(sess AS BIGINT) AS session_id,
+      |       min(us) AS start_us,
+      |       max(us) AS end_us,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(vmicro) AS BIGINT) / 1000000.0 AS sum_value
+      |FROM s
+      |GROUP BY user_id, sess
+      |ORDER BY user_id, session_id""".stripMargin
+
   // x118: the identical positional 3-token-window boundary rule both sides
   // (no running state, so both engines evaluate it per position); DuckDB
   // list comprehension builds the span structs, inclusive-slice semantics
@@ -2626,6 +2657,10 @@ object Oracles {
     // x58 re-routes x40's roundtrip aggregate through ORC parts — the
     // shared original-parquet oracle proves THAT roundtrip lossless too
     "x58_orc_roundtrip"   -> x40,
+    // x121 routes the same aggregate through the XML interchange cycle —
+    // the shared original-parquet oracle proves the roundtrip lossless
+    // (x40/x58's pattern)
+    "x121_xml_roundtrip"  -> x40,
     "x61_merge_upsert"    -> x61,
     "x70_scd2_history"    -> x70,
     "x73_salted_join"     -> x73,
@@ -2640,6 +2675,7 @@ object Oracles {
     "x117_mix_temperature" -> x117,
     "x118_cdc_chunks"     -> x118,
     "x119_prep_v4"        -> x119,
+    "x120_session_replay" -> x120,
     "x91_nearest_event"   -> x91,
     "x92_temporal_lookup" -> x92,
     "x93_rolling_dau"     -> x93,

@@ -140,6 +140,50 @@ object StatefulSessions {
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(updateUser(withTimeout))
   }
 
+  /** One row of the batch-REPLAY frame: either a session the batch CLOSED
+    * (`open = false` — start/lastSeen are the session bounds) or the
+    * still-open per-user state to thread into the next batch
+    * (`open = true`). One tagged frame instead of a (closed, state) pair so
+    * a replay step is a single cogroup whose output the caller splits —
+    * the same shape `assignBatch` uses for the near-dedup state.
+    */
+  final case class Replayed(
+      userId: Long, open: Boolean,
+      start: Long, lastSeen: Long, nEvents: Long, sumValue: Double)
+
+  /** Replay ONE micro-batch of the streaming fold in batch mode: cogroup
+    * the batch's events with the carried open-session state by user and run
+    * [[foldSorted]] — the EXACT core both streaming update functions call —
+    * emitting the sessions this batch closed plus the new open state. With
+    * batches split in event-time order (every event of batch b+1 at or
+    * after every event of batch b for the same user), threading this over
+    * the batches and flushing the final state yields the identical session
+    * set to a single-batch pass — the stream==batch parity contract the
+    * declared x120 pins against the window-SQL oracle.
+    *
+    * Scale shape: both sides hash-partition on userId (state is one row per
+    * OPEN user — active-user-sized, not event-sized) and the fold streams
+    * each group; no driver-side state ever materializes.
+    */
+  def replayBatch(
+      events: Dataset[Event],
+      state: Dataset[Replayed]): Dataset[Replayed] = {
+    implicit val repEnc = Encoders.product[Replayed]
+    implicit val longEnc = Encoders.scalaLong
+    events.groupByKey(_.userId).cogroup(state.groupByKey(_.userId)) {
+      (uid, evs, sts) =>
+        val init =
+          if (sts.hasNext) { val r = sts.next()
+            Some(SessionState(r.start, r.lastSeen, r.nEvents, r.sumValue)) }
+          else None
+        val (closed, cur) = foldSorted(uid, evs.toSeq.sortBy(_.tsMicros), init)
+        (closed.reverse.map(so =>
+          Replayed(uid, open = false, so.startMicros, so.endMicros, so.nEvents, so.sumValue)) ++
+          cur.map(s =>
+            Replayed(uid, open = true, s.start, s.lastSeen, s.nEvents, s.sumValue))).iterator
+    }
+  }
+
   /** Event-time sessionization: watermark on the event timestamp +
     * EventTimeTimeout, so session closure follows the DATA's clock — exact
     * stream/batch parity with the x6 gap rule even when processing lags

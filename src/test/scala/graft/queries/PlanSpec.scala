@@ -613,14 +613,29 @@ class PlanSpec extends SparkSpec {
       "Morton interleave must stay a codegen'd higher-order aggregate")
   }
 
-  test("x118: CDC chunking is a generator map stage — no shuffle before the output sort") {
+  test("x118: CDC chunking is a generator map stage — no computed shuffle before the output sort") {
     val p = plan("x118_cdc_chunks")
-    assert(!p.contains("Exchange hashpartitioning"),
-      "boundary rule is positional — nothing may shuffle before the sort")
+    // the ONLY hash exchange allowed is the deliberate fanOut repartition
+    // (REPARTITION_BY_NUM — per-position md5 CPU must not serialize onto a
+    // single-file scan's one partition); a computed shuffle would show as
+    // ENSURE_REQUIREMENTS hashpartitioning
+    assert("""Exchange hashpartitioning\([^)]*\), ENSURE_REQUIREMENTS""".r.findFirstIn(p).isEmpty,
+      "boundary rule is positional — nothing may shuffle before the sort except the range sort itself")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      "the per-position md5 stage must fan out — one scan partition serializes the corpus onto one core")
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
       "the rolling-window hash must stay codegen'd higher-order expressions")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       "scan must prune to doc_id/text")
+    // the round-9 regression this test exists for: a plain explode lets
+    // InferFiltersFromGenerate synthesize size(ch)>0, which pushdown
+    // inlines — six copies of the per-position md5 — into a Filter BELOW
+    // the fan-out exchange, serializing the corpus onto the scan's one
+    // partition (57 s vs 2.5 s at sf0.1). explode_outer skips inference;
+    // no Filter may ever carry the md5 chunk expression.
+    assert(!p.split("\n").exists { l =>
+      l.replaceAll("""^[\s:+\-*()\d]*""", "").startsWith("Filter") && l.contains("md5")
+    }, "the md5 boundary expression leaked into a pre-exchange Filter (InferFiltersFromGenerate)")
   }
 
   test("x115: boilerplate blocklist joins back as a BROADCAST; df agg is two-phase") {

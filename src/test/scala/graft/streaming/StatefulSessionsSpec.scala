@@ -40,6 +40,71 @@ class StatefulSessionsSpec extends SparkSpec {
       (1L, min(45), min(45), 1L, 4.0))) // closed by batch 3's gap
   }
 
+  test("replayBatch: split replay equals one-shot replay and threads state across batches") {
+    // user 1: gap inside batch 1 AND a session spanning the batch boundary;
+    // user 2: single session entirely in batch 2
+    val b1 = Seq(
+      Event(1L, min(0), 1.0), Event(1L, min(5), 2.0), // session A (closed by gap)
+      Event(1L, min(45), 4.0))                        // session B opens
+    val b2 = Seq(
+      Event(1L, min(50), 8.0),                        // session B continues across the split
+      Event(2L, min(50), 16.0))                       // user 2 session
+    def run(batches: Seq[Seq[Event]]): Set[(Long, Long, Long, Long, Double)] = {
+      var state = spark.emptyDataset[StatefulSessions.Replayed]
+      var closed = List.empty[Seq[StatefulSessions.Replayed]]
+      batches.foreach { b =>
+        val tagged = StatefulSessions.replayBatch(b.toDS(), state).collect().toSeq
+        closed ::= tagged.filterNot(_.open)
+        state = tagged.filter(_.open).toDS()
+      }
+      (closed.flatten ++ state.collect())
+        .map(r => (r.userId, r.start, r.lastSeen, r.nEvents, r.sumValue)).toSet
+    }
+    val split = run(Seq(b1, b2))
+    val oneShot = run(Seq(b1 ++ b2))
+    val want = Set(
+      (1L, min(0), min(5), 2L, 3.0),    // closed inside batch 1
+      (1L, min(45), min(50), 2L, 12.0), // spans the batch boundary — state carried
+      (2L, min(50), min(50), 1L, 16.0))
+    assert(split == want)
+    assert(oneShot == want)
+  }
+
+  test("x120: batch replay of the stateful fold equals window-SQL sessionization") {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.expressions.Window
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.LlmQueries.x120SessionReplay(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    // independent declarative formulation (the oracle's shape, in Spark):
+    // lag-gap flags + running sum assign sessions, then per-session bounds
+    val wLag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = graft.core.Io.events(spark, sf)
+      .withColumn("us", F.unix_micros(F.col("ts")))
+      .withColumn("vmicro", F.expr("cast(floor(coalesce(value, 0) * 1000000 + 0.5) as bigint)"))
+      .withColumn("prev_us", F.lag(F.col("us"), 1).over(wLag))
+      .withColumn("new_s",
+        F.when(F.col("prev_us").isNull || F.col("us") - F.col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", F.sum("new_s").over(wRun))
+      .groupBy("user_id", "sess")
+      .agg(F.min("us").as("start_us"),
+        F.max("us").as("end_us"),
+        F.count(F.lit(1)).as("n_events"),
+        (F.sum("vmicro") / F.lit(1000000.0)).as("sum_value"))
+      .select(F.col("user_id"), F.col("sess").as("session_id"), F.col("start_us"),
+        F.col("end_us"), F.col("n_events"), F.col("sum_value"))
+      .orderBy("user_id", "session_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("processing-time timeout closes and emits the open session, then frees state") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
