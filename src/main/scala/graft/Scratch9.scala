@@ -181,8 +181,11 @@ object Scratch9b {
       println(s"PROBE x118vol dir=$dir distinct_chunks=$chunks")
       var surv = (0L, 0L)
       time(s"x119_$dir") {
+        // coalesce: on saturated copies every doc strips empty, the output
+        // is zero rows and the sums come back NULL
         val v = queries.LlmQueries.x119PrepV4(spark, dir)
-          .agg(count(lit(1)), sum("n_docs"), sum("n_toks")).head()
+          .agg(count(lit(1)), coalesce(sum("n_docs"), lit(0L)),
+            coalesce(sum("n_toks"), lit(0L))).head()
         surv = (v.getLong(1), v.getLong(2)); v.getLong(0)
       }
       println(s"PROBE x119vol dir=$dir surv_docs=${surv._1} surv_toks=${surv._2}")

@@ -1441,4 +1441,38 @@ object ExtendedQueries {
         min("u").as("min_u"), max("u").as("max_u"),
         min("d").as("min_d"), max("d").as("max_d"))
       .orderBy("zbucket")
+
+  /** x122 — TOP-K PER KEY through the custom physical operator
+    * (`plans/TopKPerKey`): each user's 3 highest-value events — the
+    * latest-N/top-N-per-group shape W1/x26 express with `row_number()`,
+    * executed instead by the two-phase plan the window form cannot produce:
+    * map-side bounded k-heaps per key, ONE hash exchange carrying only the
+    * partial winners (≤ partitions x keys x 3 rows, TopKPerKeySpec-
+    * measured), reduce-side merge to the exact per-key top-k. The window
+    * plan shuffles and external-sorts EVERY event for the same output —
+    * `TakeOrderedAndProject`'s map-side-heap argument (O2/x48), lifted from
+    * global top-k to per-key, via LogicalPlan + SparkStrategy + SparkPlan
+    * registered through `experimental.extraStrategies`.
+    *
+    * The oracle runs the window formulation in DuckDB, so the hash match
+    * pins the operator's retained SET against the declarative semantics
+    * per round. Determinism: desc_nulls_last on value (both engines
+    * spelled explicitly), then (ts_us, event_id) — a unique tie-break, the
+    * §2.10 discipline; output total-ordered by the unique
+    * (user_id, event_id).
+    *
+    * Memory contract at scale: map-side state is O(keys-per-partition x k)
+    * — the operator's documented fit is low-cardinality keys (users,
+    * sources, shards) where that is thousands of rows; near-unique keys
+    * belong to the window form's external sort instead.
+    */
+  def x122TopkPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Io.events(spark, sfDir).select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    graft.plans.TopKPerKey.topKPerKey(
+        ev, Seq("user_id"),
+        Seq(col("value").desc_nulls_last, col("ts_us").asc, col("event_id").asc), 3)
+      .orderBy("user_id", "event_id")
+  }
 }

@@ -1762,6 +1762,21 @@ object Oracles {
   // split the hash. The running sum is ordered (us, event_id) to settle
   // the one tie case (a user's first two events at the same microsecond);
   // session membership itself depends only on the us gaps.
+  // x122: the WINDOW formulation of per-key top-k — the declarative
+  // semantics the custom TopKPerKey physical operator must reproduce
+  // row-for-row. NULLS LAST spelled explicitly (Spark's desc_nulls_last);
+  // (ts, event_id) is the unique tie-break; raw parquet doubles pass
+  // through both engines bit-identically (no computed floats).
+  val x122: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY value DESC NULLS LAST, epoch_us(ts), event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id, ts_us, value
+      |FROM r WHERE rn <= 3
+      |ORDER BY user_id, event_id""".stripMargin
+
   val x120: String =
     """WITH o AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -2676,6 +2691,7 @@ object Oracles {
     "x118_cdc_chunks"     -> x118,
     "x119_prep_v4"        -> x119,
     "x120_session_replay" -> x120,
+    "x122_topk_per_key"   -> x122,
     "x91_nearest_event"   -> x91,
     "x92_temporal_lookup" -> x92,
     "x93_rolling_dau"     -> x93,

@@ -638,6 +638,17 @@ class PlanSpec extends SparkSpec {
     }, "the md5 boundary expression leaked into a pre-exchange Filter (InferFiltersFromGenerate)")
   }
 
+  test("x122: per-key top-k is the custom partial/final pair around one hash exchange — not a Window") {
+    val p = plan("x122_topk_per_key")
+    val fi = p.indexOf("TopKPerKeyFinal")
+    val pa = p.indexOf("TopKPerKeyPartial")
+    val ex = p.indexOf("Exchange hashpartitioning", fi)
+    assert(fi >= 0 && pa >= 0, s"expected the two-phase operator pair:\n$p")
+    assert(ex >= 0 && ex < pa, "the one hash exchange sits between final (above) and partial (below)")
+    assert(!p.contains("Window ") && !p.contains("WindowGroupLimit"),
+      "the row_number window plan is exactly what this operator replaces")
+  }
+
   test("x115: boilerplate blocklist joins back as a BROADCAST; df agg is two-phase") {
     val p = plan("x115_boilerplate_strip")
     assert(p.contains("BroadcastHashJoin"),
