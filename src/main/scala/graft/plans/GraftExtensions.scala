@@ -23,7 +23,28 @@ object GraftExtensions {
     (FunctionIdentifier("float_dot"), FloatDot.info,
       (children: Seq[Expression]) => FloatDot(children(0), children(1))),
     (FunctionIdentifier("minhash_all"), MinhashAll.info,
-      (children: Seq[Expression]) => MinhashAll(children(0), children(1))))
+      (children: Seq[Expression]) => MinhashAll(children(0), children(1))),
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain as INTERNAL
+    // expressions (the runtime-filter rule's machinery, not in the public
+    // registry) — surfacing them as session functions gives queries the
+    // build-once/probe-everywhere Bloom primitive (x123's contamination
+    // prefilter) with zero custom code: the aggregate emits the filter's
+    // serialized bytes, might_contain is a codegen'd probe.
+    (FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfoLike(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c)        => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n)     => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+        case Seq(c, n, b)  => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+      }),
+    (FunctionIdentifier("might_contain"),
+      new ExpressionInfoLike(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1))))
 
   private type ExpressionInfoLike = org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 

@@ -3144,4 +3144,120 @@ object LlmQueries {
           (col("n_toks").cast("double") / col("tot_toks"))).as("sample_factor"))
       .orderBy("source")
   }
+
+  /** x123 — BLOOM-PREFILTERED contamination (x43 at the 100 TB shape):
+    * same question — which held-out docs contain 5-grams from the
+    * benchmark split — but executed build-once/probe-everywhere: a Bloom
+    * filter aggregated over the benchmark's distinct gram hashes
+    * (`bloom_filter_agg`, Spark's internal runtime-filter aggregate
+    * surfaced as a session function by [[graft.plans.GraftExtensions]])
+    * broadcasts as ONE binary scalar, the corpus gram stream passes a
+    * codegen'd `might_contain` gate, and only the survivors — bloom-rate
+    * sized, not corpus sized — reach the exact broadcast join that removes
+    * false positives. x43's join shuffles the corpus gram stream on `gh`
+    * (right for same-scale sides); at a benchmark of 10⁶ grams vs a corpus
+    * of 10¹² the corpus-side shuffle is THE cost, and this plan never
+    * pays it: the only shuffles are the benchmark distinct and the
+    * hit-rows-only per-doc count. The exact join makes the Bloom
+    * invisible in the RESULT (false positives filtered, false negatives
+    * impossible), so the x43-style oracle pins the output row-for-row —
+    * the two-phase exactness argument, same as x21/x56b's ANN recall
+    * framing but with a zero-miss guarantee.
+    *
+    * Denominator discipline: per-doc gram totals come from
+    * `greatest(size(toks)-4, 0)` on the DOC row — never from aggregating
+    * the exploded gram stream (x43 pays that corpus shuffle; here the
+    * explosion exists only ahead of the codegen gate).
+    */
+  def x123BloomContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val docs = fanOut(Io.table(spark, sfDir, "documents"))
+    val g = gramHashes5(docs)
+    val bench = g.filter(col("doc_id") % 10 === 0).select("gh").distinct()
+    // SCALAR SUBQUERY, not a broadcast cross: might_contain requires its
+    // filter side constant-foldable, so the aggregate's one binary value is
+    // injected as a runtime literal into the codegen'd gate
+    val bloom = bench.agg(expr("bloom_filter_agg(xxhash64(gh))").as("bf")).scalar()
+    val survivors = g.filter(col("doc_id") % 10 =!= 0)
+      .filter(call_function("might_contain", bloom, xxhash64(col("gh"))))
+    val hits = survivors
+      .join(broadcast(bench), Seq("gh"), "inner") // exact: kills false positives
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"),
+        countDistinct(col("gh")).as("n_hit_distinct"))
+    val totals = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - 4, lit(0)).cast("long").as("n_grams"))
+    hits.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"), col("n_hit_distinct"),
+        ExtendedQueries.stableRound6(
+          col("n_hit").cast("double") / col("n_grams")).as("contamination_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** x124 — DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how target-like its HASHED-BIGRAM distribution is — the importance
+    * weight log p_target(doc)/p_raw(doc) under bag-of-hashed-ngram models
+    * — the production recipe for tilting a web-scale corpus toward a
+    * high-quality target domain without training a classifier. Target =
+    * `src0`'s docs; raw = the whole corpus; features = bigrams hashed into
+    * 128 buckets (the md5/conv portable-hash idiom, x30/x118); bucket
+    * models are add-one smoothed; per-doc score = mean per-bigram
+    * log2-likelihood ratio.
+    *
+    * Float discipline (x101's log precedent): each bucket's
+    * log2((t_b+1)/(T+B)) − log2((r_b+1)/(R+B)) is computed from EXACT
+    * integer counts and stableRound6'd once; per-doc aggregation multiplies
+    * by integer bigram counts and DECIMAL-sums the 6-dp terms (x85's
+    * round-then-exact-sum), so summation order cannot split the hash; one
+    * division + round at the edge.
+    *
+    * Scale shape: per-(doc,bucket) counts and the final per-doc fold both
+    * ride the fanOut doc_id partitioning (ClusteredDistribution(doc_id,b)
+    * is satisfied by hashpartitioning(doc_id) — NO extra corpus shuffle);
+    * the only computed exchanges are the two 128-row bucket aggregates,
+    * which broadcast back onto the doc-bucket frame; T/R totals are 1-row
+    * constant crosses (x117's shape). Corpus cost: ONE tokenize scan — the
+    * doc-bucket frame is pinned (x47's persist discipline) so its three
+    * consumers (raw model, target model, scorer) read cached rows instead
+    * of re-tokenizing.
+    */
+  def x124DsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val B = 128
+    val docs = fanOut(Io.table(spark, sfDir, "documents"))
+    // per-(doc, bucket) bigram counts; bucket = md5-hash of the bigram
+    val db = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"), col("toks"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(1, size(toks) - 1) END""".stripMargin)).as("i"))
+      .select(col("doc_id"), col("source"),
+        expr(s"""cast(conv(substring(md5(concat_ws(' ',
+          element_at(toks, i), element_at(toks, i + 1))), 1, 6), 16, 10)
+          as bigint) % $B""").as("b"))
+      .groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    db.count() // force the pin: raw/target/score consumers read cached rows
+    repin(db)  // released by the next pinning query
+    val target = db.filter(col("source") === "src0")
+      .groupBy("b").agg(sum("n").as("t_cnt"))
+    val raw = db.groupBy("b").agg(sum("n").as("r_cnt"))
+    val buckets = raw.join(target, Seq("b"), "left")
+      .withColumn("t_cnt", coalesce(col("t_cnt"), lit(0L)))
+    val tot = buckets.agg(sum("t_cnt").as("t_tot"), sum("r_cnt").as("r_tot"))
+    val terms = buckets.crossJoin(broadcast(tot))
+      .select(col("b"), stableRound6(
+        log2((col("t_cnt") + 1).cast("double") / (col("t_tot") + B)) -
+        log2((col("r_cnt") + 1).cast("double") / (col("r_tot") + B))).as("term"))
+    db.join(broadcast(terms), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        sum((col("n") * col("term")).cast("decimal(38,6)")).cast("double").as("lr_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        stableRound6(col("lr_sum") / col("n_bigrams")).as("dsir_score"))
+      .orderBy("doc_id")
+  }
 }

@@ -1777,6 +1777,67 @@ object Oracles {
       |FROM r WHERE rn <= 3
       |ORDER BY user_id, event_id""".stripMargin
 
+  // x123: x43's gram/bench grammar on the %10 split, exact semantics — the
+  // Bloom prefilter is invisible in the result (false positives removed by
+  // the exact join, false negatives impossible), so the oracle is the
+  // plain intersection. Denominator from the doc row (len-4), matching the
+  // Spark side's no-shuffle total.
+  val x123: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+      |    i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+      |             || ' ' || toks[i + 3] || ' ' || toks[i + 4]))) AS gh
+      |  FROM t),
+      |bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 0),
+      |hit AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+      |         CAST(count(DISTINCT gh) AS BIGINT) AS n_hit_distinct
+      |  FROM g JOIN bench USING (gh) WHERE doc_id % 10 <> 0 GROUP BY 1),
+      |tot AS (
+      |  SELECT doc_id, CAST(greatest(len(toks) - 4, 0) AS BIGINT) AS n_grams
+      |  FROM t WHERE doc_id % 10 <> 0)
+      |SELECT hit.doc_id, n_grams, n_hit, n_hit_distinct,
+      |       floor(CAST(n_hit AS DOUBLE) / n_grams * 1000000 + 0.5)
+      |         / 1000000 AS contamination_frac
+      |FROM hit JOIN tot ON hit.doc_id = tot.doc_id
+      |ORDER BY hit.doc_id""".stripMargin
+
+  // x124: the same hashed-bigram bucket models from exact integer counts;
+  // each bucket's log2 term floor-rounded once (x101's precedent), per-doc
+  // fold as DECIMAL sum of 6-dp terms x integer counts (order-independent),
+  // one division + floor-round at the edge. Hex->int via the x80/x118
+  // '0x'-cast idiom.
+  val x124: String =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |db AS (
+      |  SELECT doc_id, source,
+      |         ('0x' || substring(md5(toks[i] || ' ' || toks[i + 1]), 1, 6))::BIGINT
+      |           % 128 AS b,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM t, LATERAL unnest(range(1, len(toks))) AS g(i)
+      |  GROUP BY 1, 2, 3),
+      |raw AS (SELECT b, CAST(sum(n) AS BIGINT) AS r_cnt FROM db GROUP BY 1),
+      |tgt AS (SELECT b, CAST(sum(n) AS BIGINT) AS t_cnt FROM db
+      |        WHERE source = 'src0' GROUP BY 1),
+      |buckets AS (SELECT raw.b, coalesce(t_cnt, 0) AS t_cnt, r_cnt
+      |            FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+      |tot AS (SELECT CAST(sum(t_cnt) AS BIGINT) AS t_tot,
+      |               CAST(sum(r_cnt) AS BIGINT) AS r_tot FROM buckets),
+      |terms AS (
+      |  SELECT b,
+      |         floor((log2((t_cnt + 1) / CAST(t_tot + 128 AS DOUBLE)) -
+      |                log2((r_cnt + 1) / CAST(r_tot + 128 AS DOUBLE)))
+      |               * 1000000 + 0.5) / 1000000 AS term
+      |  FROM buckets, tot)
+      |SELECT db.doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+      |       floor(CAST(sum(CAST(n * term AS DECIMAL(38,6))) AS DOUBLE)
+      |             / sum(n) * 1000000 + 0.5) / 1000000 AS dsir_score
+      |FROM db JOIN terms USING (b)
+      |GROUP BY db.doc_id
+      |ORDER BY db.doc_id""".stripMargin
+
   val x120: String =
     """WITH o AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -2692,6 +2753,8 @@ object Oracles {
     "x119_prep_v4"        -> x119,
     "x120_session_replay" -> x120,
     "x122_topk_per_key"   -> x122,
+    "x123_bloom_contamination" -> x123,
+    "x124_dsir_weights"   -> x124,
     "x91_nearest_event"   -> x91,
     "x92_temporal_lookup" -> x92,
     "x93_rolling_dau"     -> x93,

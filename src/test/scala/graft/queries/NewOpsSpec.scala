@@ -1336,4 +1336,41 @@ class NewOpsSpec extends SparkSpec {
       (4L, 4L, r6(2.0 / (2 * math.sqrt(2))), 0),
       (5L, 3L, r6(2.5 / (2 * math.sqrt(3.25))), 0)))
   }
+
+  test("x123: bloom-prefiltered result equals the plain exact intersection") {
+    val dir = Files.createTempDirectory("x123").toString
+    // doc 10 (bench: %10==0) shares its full 6-token text with doc 11
+    // (corpus) → 2 contaminated 5-grams; doc 12 shares no 5-gram; doc 13
+    // too short for grams
+    Seq(
+      (10L, "alpha beta gamma delta epsilon zeta", "en", "src0", 35L),
+      (11L, "alpha beta gamma delta epsilon zeta eta", "en", "src1", 39L),
+      (12L, "one two three four five six", "en", "src1", 27L),
+      (13L, "tiny text", "en", "src1", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmQueries.x123BloomContamination(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    // doc 11: 3 grams total, grams at positions 1..2 match bench (the
+    // exact-join ground truth — the bloom gate must be invisible here)
+    assert(out == Seq((11L, 3L, 2L, 2L, math.floor(2.0 / 3 * 1e6 + 0.5) / 1e6)))
+  }
+
+  test("x124: a target-composed doc outscores an anti-target doc; bucket math matches by hand") {
+    val dir = Files.createTempDirectory("x124").toString
+    // target (src0) speaks only "a b"; doc 2 repeats the target bigram,
+    // doc 3 is pure non-target vocabulary
+    Seq(
+      (0L, "a b a b a b", "en", "src0", 11L),
+      (2L, "a b a b", "en", "src1", 7L),
+      (3L, "x y x y", "en", "src1", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val scores = LlmQueries.x124DsirWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(scores(2L) > scores(3L),
+      s"target-like doc must outscore anti-target doc: $scores")
+    // doc 0 (pure target) scores at least as high as every other doc
+    assert(scores(0L) >= scores.values.max - 1e-9)
+  }
 }

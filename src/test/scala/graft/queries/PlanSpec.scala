@@ -156,8 +156,11 @@ class PlanSpec extends SparkSpec {
       "x50_tfidf_terms", "x52_kmeans_step", "x54_domain_rebalance",
       "x56_knn_classify", "x56b_knn_ann", "x59_semdedup", "x59b_semdedup_wide",
       "x63_rarity_score", "x85_source_drift", "x87_bigram_lm",
+    // x124's is the 1-row T/R totals frame crossing onto the 128-row
+    // bucket table (x117's 1-row denominator shape)
       "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
-      "x112_zorder_layout", "x117_mix_temperature", "x119_prep_v4")
+      "x112_zorder_layout", "x117_mix_temperature", "x119_prep_v4",
+      "x124_dsir_weights")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -647,6 +650,40 @@ class PlanSpec extends SparkSpec {
     assert(ex >= 0 && ex < pa, "the one hash exchange sits between final (above) and partial (below)")
     assert(!p.contains("Window ") && !p.contains("WindowGroupLimit"),
       "the row_number window plan is exactly what this operator replaces")
+  }
+
+  test("x123: bloom gate is codegen'd ahead of a broadcast exact join — the corpus never shuffles on gh") {
+    val p = plan("x123_bloom_contamination")
+    assert(p.contains("might_contain"), "the Bloom probe must gate the corpus gram stream")
+    assert(p.contains("BroadcastHashJoin"), "the exact verify joins the tiny bench set as a broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a corpus-side shuffle join is exactly what the Bloom prefilter exists to avoid")
+    // every computed (ENSURE_REQUIREMENTS) hash exchange must be a BENCH-
+    // side gh distinct (the tiny split materializes twice: once under the
+    // bloom subquery, once as the exact-join broadcast side). The corpus
+    // stream rides the fanOut partitioning from scan through gate to the
+    // per-doc hit aggregate with NO further shuffle — the whole point.
+    val computed = """Exchange hashpartitioning\([^)]*\), ENSURE_REQUIREMENTS""".r.findAllIn(p).toSeq
+    assert(computed.nonEmpty && computed.forall(_.contains("(gh")),
+      s"only bench-side gh distincts may shuffle, got: $computed")
+    // ≤3 in STRING form: the one bloom-subquery exchange prints under each
+    // of its two might_contain references (same plan id), plus the exact-
+    // join broadcast side's distinct — 2 physical exchanges
+    assert(computed.size <= 3, s"bench distinct materializes at most twice, got ${computed.size}")
+  }
+
+  test("x124: bucket models broadcast; per-doc fold rides the pinned doc-bucket frame") {
+    val p = plan("x124_dsir_weights")
+    assert(p.contains("InMemoryTableScan"),
+      "the doc-bucket frame is pinned — consumers must read cache, not re-tokenize")
+    assert(p.contains("BroadcastHashJoin"), "the 128-row term table joins as a broadcast")
+    assert(!p.contains("SortMergeJoin"), "nothing here is big enough to sort-merge")
+    // only the two 128-row bucket aggregates may shuffle: the per-doc fold
+    // is satisfied by the pinned frame's doc_id partitioning
+    val computed = """Exchange hashpartitioning\([^)]*\), ENSURE_REQUIREMENTS""".r.findAllIn(p).toSeq
+    assert(computed.forall(_.contains("(b#")),
+      s"only the bucket aggs may shuffle, got: $computed")
+    assert(p.contains("partial_sum"), "bucket models must combine map-side")
   }
 
   test("x115: boilerplate blocklist joins back as a BROADCAST; df agg is two-phase") {
