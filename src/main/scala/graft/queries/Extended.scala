@@ -1442,6 +1442,48 @@ object ExtendedQueries {
         min("d").as("min_d"), max("d").as("max_d"))
       .orderBy("zbucket")
 
+  private val x125LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x125 — SCHEMA-EVOLUTION merge read (the lakehouse vintage-drift
+    * capability x109 ALARMS on, exercised as a read path): two parquet
+    * drops of `documents` with different column subsets — an "old vintage"
+    * (doc_id, text, lang) and a "new vintage" (doc_id, source, n_chars) —
+    * read back as ONE frame via `mergeSchema`, Spark's union-by-name with
+    * null-fill for columns a vintage lacks. The aggregate groups by
+    * (lang, source) — one of which is null in every row depending on the
+    * row's vintage — counting rows and null-fills per group, so the oracle
+    * (the same two projections UNION ALL'd in DuckDB over the ORIGINAL
+    * parquet) pins both the union-by-name alignment and the null-fill
+    * semantics exactly. Same unique-dir + delete-previous contract as
+    * x40/x58/x121.
+    *
+    * Scale note: mergeSchema reconciles footers across ALL files at
+    * planning time — right for a bounded number of vintage drops (the
+    * schema count, not the file count, is the real variable; Spark merges
+    * per-file schemas in a distributed job). The read itself stays one
+    * scan; the aggregate is one map-combining exchange.
+    */
+  def x125SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x125_${System.nanoTime()}"
+    Option(x125LastDir.getAndSet(dir)).foreach { old =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(old)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      } catch { case _: Exception => () }
+    }
+    docs.select("doc_id", "text", "lang").write.parquet(s"$dir/v1")
+    docs.select("doc_id", "source", "n_chars").write.parquet(s"$dir/v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+  }
+
   /** x122 — TOP-K PER KEY through the custom physical operator
     * (`plans/TopKPerKey`): each user's 3 highest-value events — the
     * latest-N/top-N-per-group shape W1/x26 express with `row_number()`,

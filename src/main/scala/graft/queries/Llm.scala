@@ -37,14 +37,18 @@ object LlmQueries {
     * and pass the fanned frame to every shingle/minhash helper — never
     * inside a helper that a query invokes twice.
     */
-  private def fanOut(docs: DataFrame): DataFrame = {
-    val p = docs.sparkSession.sparkContext.defaultParallelism
+  private def fanOut(docs: DataFrame): DataFrame = fanOut2(docs, "doc_id")
+
+  /** [[fanOut]] over an arbitrary unique key (x127 fans the embeddings
+    * scan on vec_id). */
+  private def fanOut2(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
     // hash-repartition on the unique key, NOT round-robin: round-robin
     // repartition sorts every row within a partition first
     // (spark.sql.execution.sortBeforeRepartition, kept for retry
     // determinism) and full document texts make that sort real work
-    if (docs.rdd.getNumPartitions < p) docs.repartition(p, col("doc_id"))
-    else docs
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key))
+    else df
   }
 
   /** Caches pinned by the LAST pinning query (x20's candidate/subset, x34's
@@ -3193,6 +3197,115 @@ object LlmQueries {
         ExtendedQueries.stableRound6(
           col("n_hit").cast("double") / col("n_grams")).as("contamination_frac"))
       .orderBy("doc_id")
+  }
+
+  /** x127 — INT8 scalar-quantization audit: per-dimension min/max
+    * quantization of the embedding corpus to 8-bit codes (the memory-4×
+    * compression step ANN serving layers apply before indexing — FAISS's
+    * ScalarQuantizer SQ8) plus the per-vector reconstruction-error report
+    * that tells you whether SQ8 is safe for your corpus: q = round255 of
+    * the min/max-normalized value, v' = min + q·scale, per-vector max
+    * |err| and MSE. Complements x49 (product quantization compresses by
+    * CODEBOOK; this compresses by RANGE — the two production layouts).
+    *
+    * Exactness: every arithmetic step (cast float→double, subtract,
+    * divide, floor(x+0.5), multiply-add) is a deterministic IEEE double
+    * op evaluated identically by both engines from identical inputs — no
+    * transcendentals — so errors agree bit-for-bit; err² terms are
+    * round-12'd then DECIMAL-summed (order-independent), one division +
+    * round-9 at the edge. q cannot exceed 255: (mx−mn)/scale lands within
+    * ulps of 255 and floor(·+0.5) of 255±ulp is 255.
+    *
+    * Scale shape: the per-dimension stats are a 64-row map-combining agg
+    * broadcast back onto the exploded stream; per-vector fold rides the
+    * vec_id partitioning of the explode (no extra corpus shuffle); one
+    * corpus scan, pinned (x124's discipline) so stats and audit share it.
+    */
+  def x127QuantizeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.{stableRound, stableRound6}
+    val pe = fanOut2(Io.table(spark, sfDir, "embeddings"), "vec_id")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+      .persist()
+    pe.count() // force: dims stats and the audit both read cached rows
+    repin(pe)
+    val dims = pe.groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+    pe.join(broadcast(dims), Seq("pos"))
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+      .withColumn("q", when(col("scale") === 0.0, lit(0L))
+        .otherwise(floor((col("v") - col("mn")) / col("scale") + 0.5).cast("long")))
+      .withColumn("err", col("v") -
+        (col("mn") + col("q").cast("double") * col("scale")))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dims"),
+        stableRound(max(abs(col("err"))), 9).as("max_abs_err"),
+        stableRound(
+          sum(stableRound(col("err") * col("err"), 12).cast("decimal(38,12)"))
+            .cast("double") / count(lit(1)), 9).as("mse"))
+      .orderBy("vec_id")
+  }
+
+  /** x126 — EXACT two-sample Kolmogorov–Smirnov drift per source: for each
+    * source, D = max over x of |F_src(x) − F_rest(x)| between the source's
+    * document-length (n_chars) distribution and the REST of the corpus —
+    * the distribution-free drift monitor that catches shape changes x85's
+    * chi-square histogram bins smear (KS sees any CDF divergence; binned
+    * chi-square only sees mass moved ACROSS its bin edges).
+    *
+    * Exactness discipline: the max is selected by INTEGER cross-
+    * multiplication — |cum_src·n_rest − cum_rest·n_src| over exact counts
+    * (< 2^63 at any realistic corpus: cum ≤ N, n ≤ N, product ≤ N² —
+    * guard documented at N ≤ 3·10⁹) — so no float ever participates in
+    * the argmax; one division + stableRound6 at the edge converts the
+    * winning numerator to the reported D. Ties in the max pick the
+    * smallest x (min over the argmax set — deterministic both engines).
+    *
+    * Scale shape: one (source, value) count aggregate (map-combining);
+    * global per-value counts derive from it by a second small agg; the
+    * per-source CDF walk is one window over the (sources × distinct
+    * values) frame — |sources|·|distinct lengths| rows, far below corpus
+    * size (lengths collapse heavily); corpus cost one scan.
+    */
+  def x126KsDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val docs = fanOut(Io.table(spark, sfDir, "documents"))
+    val sv = docs.filter(col("n_chars").isNotNull)
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      .persist()
+    sv.count() // force: the global-counts branch reads cached rows
+    repin(sv)
+    val totals = sv.groupBy("source").agg(sum("c").as("n_src"))
+    val global = sv.groupBy("n_chars").agg(sum("c").as("c_all"))
+    val nAll = global.agg(sum("c_all").as("n_all"))
+    // every (source, distinct value) cell, with that source's count at the
+    // value (0 when absent) — the union grid the two CDFs step on
+    val grid = totals.crossJoin(global.select("n_chars"))
+      .join(sv.select(col("source"), col("n_chars"), col("c")),
+        Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(global, Seq("n_chars"))
+      .crossJoin(broadcast(nAll))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("n_chars")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val walked = grid
+      .withColumn("cum_src", sum("c").over(w))
+      .withColumn("cum_all", sum("c_all").over(w))
+      .withColumn("n_rest", col("n_all") - col("n_src"))
+      .withColumn("cum_rest", col("cum_all") - col("cum_src"))
+      // integer KS numerator at this step: |cum_src*n_rest - cum_rest*n_src|
+      .withColumn("d_num", abs(col("cum_src") * col("n_rest") -
+        col("cum_rest") * col("n_src")))
+    val wm = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    walked.withColumn("d_max", max("d_num").over(wm))
+      .filter(col("d_num") === col("d_max"))
+      .groupBy("source", "n_src", "n_rest", "d_max")
+      .agg(min("n_chars").as("argmax_chars")) // deterministic tie-break
+      .select(col("source"), col("n_src"), col("n_rest"),
+        col("argmax_chars"),
+        stableRound6(col("d_max").cast("double") /
+          (col("n_src").cast("double") * col("n_rest").cast("double"))).as("ks_d"))
+      .orderBy("source")
   }
 
   /** x124 — DSIR importance weights (Xie et al. 2023, "Data Selection for

@@ -1838,6 +1838,89 @@ object Oracles {
       |GROUP BY db.doc_id
       |ORDER BY db.doc_id""".stripMargin
 
+  // x125: the two vintage projections UNION ALL'd over the ORIGINAL
+  // parquet — the hash match pins mergeSchema's union-by-name alignment
+  // and null-fill exactly (x40/x58/x121's shared-original-oracle pattern).
+  val x125: String =
+    """WITH merged AS (
+      |  SELECT doc_id, text, lang,
+      |         NULL::VARCHAR AS source, NULL::BIGINT AS n_chars
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, NULL::VARCHAR, NULL::VARCHAR, source, n_chars
+      |  FROM documents)
+      |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_null_text,
+      |       CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars,
+      |       min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM merged
+      |GROUP BY 1, 2
+      |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
+  // x126: same integer cross-multiplied KS selection — the max runs over
+  // exact BIGINT numerators, one double division + floor-round at the edge;
+  // argmax tie-break = smallest n_chars in both engines.
+  val x126: String =
+    """WITH sv AS (
+      |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM sv GROUP BY 1),
+      |gl AS (SELECT n_chars, CAST(sum(c) AS BIGINT) AS c_all FROM sv GROUP BY 1),
+      |nall AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all FROM gl),
+      |grid AS (
+      |  SELECT t.source, g.n_chars, coalesce(s.c, 0) AS c, g.c_all,
+      |         t.n_src, n.n_all
+      |  FROM tot t CROSS JOIN gl g
+      |  LEFT JOIN sv s ON s.source = t.source AND s.n_chars = g.n_chars
+      |  CROSS JOIN nall n),
+      |walked AS (
+      |  SELECT source, n_chars, n_src, n_all - n_src AS n_rest,
+      |         sum(c) OVER w AS cum_src, sum(c_all) OVER w AS cum_all
+      |  FROM grid
+      |  WINDOW w AS (PARTITION BY source ORDER BY n_chars ASC
+      |               ROWS UNBOUNDED PRECEDING)),
+      |d AS (
+      |  SELECT source, n_chars, n_src, n_rest,
+      |         abs(cum_src * n_rest - (cum_all - cum_src) * n_src) AS d_num
+      |  FROM walked),
+      |m AS (SELECT source, n_src, n_rest, max(d_num) AS d_max
+      |      FROM d GROUP BY 1, 2, 3)
+      |SELECT m.source, m.n_src, m.n_rest,
+      |       min(d.n_chars) AS argmax_chars,
+      |       floor(CAST(d_max AS DOUBLE)
+      |             / (CAST(m.n_src AS DOUBLE) * CAST(m.n_rest AS DOUBLE))
+      |             * 1000000 + 0.5) / 1000000 AS ks_d
+      |FROM m JOIN d ON d.source = m.source AND d.d_num = m.d_max
+      |GROUP BY m.source, m.n_src, m.n_rest, d_max
+      |ORDER BY m.source""".stripMargin
+
+  // x127: identical IEEE double arithmetic step-for-step (cast, subtract,
+  // divide, floor(x+0.5), multiply-add — no transcendentals), so errors
+  // agree bit-for-bit; err^2 round-12'd then DECIMAL-summed, round-9 edges.
+  val x127: String =
+    """WITH pe AS (
+      |  SELECT vec_id, CAST(i.i AS INT) AS pos,
+      |         CAST(embedding[i.i] AS DOUBLE) AS v
+      |  FROM embeddings, range(1, 65) i(i)),
+      |dims AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM pe GROUP BY 1),
+      |qd AS (
+      |  SELECT vec_id, v, mn, mx,
+      |         CASE WHEN mx = mn THEN 0
+      |              ELSE CAST(floor((v - mn) / ((mx - mn) / 255.0) + 0.5)
+      |                        AS BIGINT) END AS q
+      |  FROM pe JOIN dims USING (pos)),
+      |e AS (
+      |  SELECT vec_id,
+      |         v - (mn + q * ((mx - mn) / 255.0)) AS err
+      |  FROM qd)
+      |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+      |       floor(max(abs(err)) * 1e9 + 0.5) / 1e9 AS max_abs_err,
+      |       floor(CAST(sum(CAST(floor(err * err * 1e12 + 0.5) / 1e12
+      |                          AS DECIMAL(38,12))) AS DOUBLE)
+      |             / count(*) * 1e9 + 0.5) / 1e9 AS mse
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   val x120: String =
     """WITH o AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -2755,6 +2838,9 @@ object Oracles {
     "x122_topk_per_key"   -> x122,
     "x123_bloom_contamination" -> x123,
     "x124_dsir_weights"   -> x124,
+    "x125_schema_evolution" -> x125,
+    "x126_ks_drift"       -> x126,
+    "x127_quantize_audit" -> x127,
     "x91_nearest_event"   -> x91,
     "x92_temporal_lookup" -> x92,
     "x93_rolling_dau"     -> x93,

@@ -158,9 +158,11 @@ class PlanSpec extends SparkSpec {
       "x63_rarity_score", "x85_source_drift", "x87_bigram_lm",
     // x124's is the 1-row T/R totals frame crossing onto the 128-row
     // bucket table (x117's 1-row denominator shape)
+    // x126's are the |sources|-row totals frame crossing onto the distinct-
+    // length frame (building the CDF step grid) and the 1-row corpus total
       "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
       "x112_zorder_layout", "x117_mix_temperature", "x119_prep_v4",
-      "x124_dsir_weights")
+      "x124_dsir_weights", "x126_ks_drift")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -684,6 +686,34 @@ class PlanSpec extends SparkSpec {
     assert(computed.forall(_.contains("(b#")),
       s"only the bucket aggs may shuffle, got: $computed")
     assert(p.contains("partial_sum"), "bucket models must combine map-side")
+  }
+
+  test("x125: merged vintage read aggregates in one exchange") {
+    val p = plan("x125_schema_evolution")
+    assert(p.contains("partial_count"), "the vintage-union aggregate must combine map-side")
+    assert("""Exchange hashpartitioning""".r.findAllIn(p).size == 1,
+      "one (lang, source) aggregate exchange — the merged read itself must not shuffle")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "union-by-name is a read-path alignment, not a join")
+  }
+
+  test("x126: CDF walk reads the pinned (source,value) frame; KS max selected on integers") {
+    val p = plan("x126_ks_drift")
+    assert(p.contains("InMemoryTableScan"),
+      "the (source, n_chars) counts are pinned — totals/global/grid consumers read cache")
+    assert(!p.contains("SortMergeJoin"), "every join side here is sources- or values-sized")
+    assert(p.contains("partial_count"), "the base counts must combine map-side")
+  }
+
+  test("x127: dim stats broadcast onto the pinned exploded stream; per-vector fold rides vec_id") {
+    val p = plan("x127_quantize_audit")
+    assert(p.contains("InMemoryTableScan"),
+      "the exploded (vec,pos,v) stream is pinned — stats and audit share one scan")
+    assert(p.contains("BroadcastHashJoin"), "the 64-row dim stats join as a broadcast")
+    assert(!p.contains("SortMergeJoin"), "nothing here is big enough to sort-merge")
+    val computed = """Exchange hashpartitioning\([^)]*\), ENSURE_REQUIREMENTS""".r.findAllIn(p).toSeq
+    assert(computed.forall(_.contains("(pos")),
+      s"only the 64-row dim agg may shuffle — the per-vector fold rides the fan-out, got: $computed")
   }
 
   test("x115: boilerplate blocklist joins back as a BROADCAST; df agg is two-phase") {
