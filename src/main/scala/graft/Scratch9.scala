@@ -213,3 +213,62 @@ object Scratch9b {
     spark.stop()
   }
 }
+
+/** Round-9 third-pass probes, over the shared 10×/100× copy corpora:
+  *
+  *   - x122 top-k-per-key at 1×/10× events (10× users): the partial fold
+  *     bounds the shuffle at ≤ partitions·keys·k regardless of row count;
+  *   - x123 bloom contamination at 10×/100× docs: bench gram set constant
+  *     (copies add no content), corpus gram stream linear, wall
+  *     scan-shaped — the zero-corpus-shuffle claim's decade check;
+  *   - x124 DSIR at 10×/100×: bucket models see the same distribution, so
+  *     scores are copy-invariant; wall tracks the one tokenize scan;
+  *   - x126 KS at 10×: the (sources × distinct lengths) grid is constant,
+  *     wall tracks the one scan;
+  *   - x127 quantize audit at 1× (embeddings corpus has no copy variant —
+  *     dim stats & errors are content-determined).
+  */
+object Scratch9c {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tenDir = "/tmp/probe10x_r9"
+    val hundredDir = "/tmp/probe100x_r9"
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE $name rows=$n%d t=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    time("warmup")(spark.range(1000000).count())
+
+    // x122 needs events; 10x events built by Scratch9b (same dir contract).
+    // exists, not isDirectory: the sf fixtures ship events as a single FILE
+    for (dir <- Seq(sfDir, tenDir) if new java.io.File(s"$dir/events.parquet").exists)
+      time(s"x122_$dir")(queries.ExtendedQueries.x122TopkPerKey(spark, dir).count())
+
+    for (dir <- Seq(sfDir, tenDir, hundredDir)) {
+      var hits = 0L
+      time(s"x123_$dir") {
+        val v = queries.LlmQueries.x123BloomContamination(spark, dir)
+          .agg(count(lit(1)), coalesce(sum("n_hit"), lit(0L))).head()
+        hits = v.getLong(1); v.getLong(0)
+      }
+      println(s"PROBE x123vol dir=$dir hit_occurrences=$hits")
+      var toks = 0L
+      time(s"x124_$dir") {
+        val v = queries.LlmQueries.x124DsirWeights(spark, dir)
+          .agg(count(lit(1)), coalesce(sum("n_bigrams"), lit(0L))).head()
+        toks = v.getLong(1); v.getLong(0)
+      }
+      println(s"PROBE x124vol dir=$dir bigrams=$toks")
+    }
+    for (dir <- Seq(sfDir, tenDir))
+      time(s"x126_$dir")(queries.LlmQueries.x126KsDrift(spark, dir).count())
+    time(s"x127_$sfDir")(queries.LlmQueries.x127QuantizeAudit(spark, sfDir).count())
+    spark.stop()
+  }
+}

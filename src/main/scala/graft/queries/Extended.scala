@@ -1484,6 +1484,30 @@ object ExtendedQueries {
       .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
   }
 
+  /** x128 — UNPIVOT (wide → long): lineitem's four numeric measures melted
+    * to (id, metric, value) rows through Spark's native `Dataset.unpivot`
+    * — the schema-normalization step feature stores and metric pipelines
+    * run to get heterogeneous wide tables into one EAV-shaped stream.
+    * Contract pinned here (and by UnpivotSpec on a null fixture): Spark's
+    * unpivot KEEPS null measure values — SQL UNPIVOT's default is EXCLUDE
+    * NULLS, so the oracle is the explicit UNION ALL of the four
+    * projections, which has exactly Spark's keep-null semantics.
+    *
+    * Scale shape: unpivot plans as an Expand — a generator map stage
+    * multiplying rows by |measures| with NO shuffle (plan-asserted: the
+    * only exchange is the output sort's range partitioning); cost linear
+    * in rows × measures.
+    */
+  def x128Unpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Io.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
   /** x122 — TOP-K PER KEY through the custom physical operator
     * (`plans/TopKPerKey`): each user's 3 highest-value events — the
     * latest-N/top-N-per-group shape W1/x26 express with `row_number()`,

@@ -1921,6 +1921,23 @@ object Oracles {
       |             / count(*) * 1e9 + 0.5) / 1e9 AS mse
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // x128: explicit UNION ALL, which matches Spark unpivot's KEEP-null
+  // semantics (SQL UNPIVOT would default to excluding nulls).
+  val x128: String =
+    """WITH u AS (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+      |         l_quantity AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+      |SELECT * FROM u
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
   val x120: String =
     """WITH o AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -2841,6 +2858,7 @@ object Oracles {
     "x125_schema_evolution" -> x125,
     "x126_ks_drift"       -> x126,
     "x127_quantize_audit" -> x127,
+    "x128_unpivot"        -> x128,
     "x91_nearest_event"   -> x91,
     "x92_temporal_lookup" -> x92,
     "x93_rolling_dau"     -> x93,

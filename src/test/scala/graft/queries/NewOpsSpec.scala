@@ -1337,6 +1337,19 @@ class NewOpsSpec extends SparkSpec {
       (5L, 3L, r6(2.5 / (2 * math.sqrt(3.25))), 0)))
   }
 
+  test("x128: unpivot KEEPS null measures (the oracle's UNION ALL semantics, not SQL UNPIVOT's)") {
+    val dir = Files.createTempDirectory("x128").toString
+    Seq(
+      (1L, 1, Some(5.0), Some(100.0), Some(0.1), Some(0.02)),
+      (2L, 1, None, Some(200.0), None, Some(0.04)))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = ExtendedQueries.x128Unpivot(spark, dir).collect()
+    assert(out.length == 8, "2 rows x 4 measures — null values must NOT be dropped")
+    val nulls = out.filter(_.isNullAt(3)).map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(nulls == Set((2L, "l_quantity"), (2L, "l_discount")))
+  }
+
   test("x123: bloom-prefiltered result equals the plain exact intersection") {
     val dir = Files.createTempDirectory("x123").toString
     // doc 10 (bench: %10==0) shares its full 6-token text with doc 11

@@ -716,6 +716,15 @@ class PlanSpec extends SparkSpec {
       s"only the 64-row dim agg may shuffle — the per-vector fold rides the fan-out, got: $computed")
   }
 
+  test("x128: unpivot is an Expand map stage — no shuffle before the output sort") {
+    val p = plan("x128_unpivot")
+    assert(p.contains("Expand"), "unpivot must plan as the Expand generator")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "wide→long is per-row expansion — nothing may hash-shuffle")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double"),
+      "scan must prune to the id + measure columns")
+  }
+
   test("x115: boilerplate blocklist joins back as a BROADCAST; df agg is two-phase") {
     val p = plan("x115_boilerplate_strip")
     assert(p.contains("BroadcastHashJoin"),
