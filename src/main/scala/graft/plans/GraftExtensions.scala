@@ -14,8 +14,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   *    declared queries, since the driver owns session construction).
   */
 class GraftExtensions extends SparkSessionExtensionsProvider {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => TopKRewrite)
+    ext.injectPlannerStrategy(_ => TopKPerKey.Strategy)
+  }
 }
 
 object GraftExtensions {
@@ -48,9 +51,17 @@ object GraftExtensions {
 
   private type ExpressionInfoLike = org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-  /** Idempotent runtime registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent runtime registration on an existing session: the
+    * functions, the TopKPerKey strategy, and the (conf-gated) window→top-k
+    * rewrite rule via the public `experimental` escape hatches.
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    TopKPerKey.register(spark)
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewrite
+  }
 }
