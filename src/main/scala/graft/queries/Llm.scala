@@ -3245,6 +3245,49 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  /** x130 — TOP-K stream==batch parity (x114/x120's pattern for the
+    * per-key top-k engine): replay `streaming/StreamingTopK.replayBatch`
+    * — the exact `foldTopK` semigroup core the streaming update function
+    * calls — over a 3-batch split of `events`, threading the ≤ k-row
+    * per-key state; the final state IS the per-key top-3, emitted in
+    * x122's exact output shape and pinned by x122's window-SQL ORACLE, so
+    * one hash match proves streaming fold == custom batch operator ==
+    * declarative window semantics, per round. Unlike x120 the batches
+    * need NO time ordering — top-k under a fixed total order is a
+    * commutative idempotent fold — so the split here is by event_id HASH,
+    * deliberately scrambling time to exercise exactly that property.
+    *
+    * Scale shape: per batch one userId cogroup of batch rows against the
+    * ≤ k-rows-per-key state frame; each batch's state pinned +
+    * lineage-truncated (x120's discipline); the 3-way split is one
+    * pmod on the scan.
+    */
+  def x130TopkReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.StreamingTopK
+    import StreamingTopK.Ev
+    val k = 3
+    val ev = Io.events(spark, sfDir).select(
+      col("user_id").as("userId"), col("event_id").as("eventId"),
+      unix_micros(col("ts")).as("tsMicros"), col("value"))
+    def truncated(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    var state = spark.emptyDataset[Ev]
+    val pins = Seq.newBuilder[DataFrame]
+    (0 until 3).foreach { b =>
+      val batch = ev.filter(pmod(col("eventId"), lit(3)) === b).as[Ev]
+      val next = StreamingTopK.replayBatch(batch, state, k).toDF().persist()
+      next.count() // force the pin before the next round reads it
+      pins += next
+      state = truncated(next).as[Ev]
+    }
+    repin(pins.result(): _*) // released by the next pinning query
+    state.toDF()
+      .select(col("userId").as("user_id"), col("eventId").as("event_id"),
+        col("tsMicros").as("ts_us"), col("value"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** x129 — EXACT set-similarity join via PREFIX FILTERING (the
     * PPJoin/AllPairs family, Xiao et al. / Bayardo et al.): every document
     * pair with 3-shingle-set Jaccard ≥ 0.8, computed EXACTLY — no LSH

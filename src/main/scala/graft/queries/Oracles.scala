@@ -2889,6 +2889,10 @@ object Oracles {
     "x127_quantize_audit" -> x127,
     "x128_unpivot"        -> x128,
     "x129_prefix_join"    -> x129,
+    // x130 replays the streaming top-k fold batch-wise — the final state
+    // must equal the batch operator's output, so it shares x122's oracle
+    // (stream == operator == window semantics in one hash)
+    "x130_topk_replay"    -> x122,
     "x91_nearest_event"   -> x91,
     "x92_temporal_lookup" -> x92,
     "x93_rolling_dau"     -> x93,
