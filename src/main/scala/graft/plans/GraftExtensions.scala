@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FloatDot, MinhashAll}
+import graft.functions.{FloatDot, MinhashAll, NfcNormalize, StripAccents, UnicodeNorm}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions, SparkSessionExtensionsProvider}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -27,6 +27,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => FloatDot(children(0), children(1))),
     (FunctionIdentifier("minhash_all"), MinhashAll.info,
       (children: Seq[Expression]) => MinhashAll(children(0), children(1))),
+    (FunctionIdentifier("nfc_normalize"), UnicodeNorm.nfcInfo,
+      (children: Seq[Expression]) => NfcNormalize(children(0))),
+    (FunctionIdentifier("strip_accents"), UnicodeNorm.stripInfo,
+      (children: Seq[Expression]) => StripAccents(children(0))),
     // Spark ships BloomFilterAggregate/BloomFilterMightContain as INTERNAL
     // expressions (the runtime-filter rule's machinery, not in the public
     // registry) — surfacing them as session functions gives queries the

@@ -3485,4 +3485,218 @@ object LlmQueries {
         stableRound6(col("lr_sum") / col("n_bigrams")).as("dsir_score"))
       .orderBy("doc_id")
   }
+
+  /** x131 — EXACT duplicated-SUBSTRING span detection (round-9; the
+    * substring-level dedup of Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", re-expressed relationally): for
+    * every ordered doc pair, the LONGEST contiguous token span the two
+    * share, found by 5-gram seed matching + diagonal run-length merge —
+    * whole-doc dedup (x10) and near-dup (x13/x129) both miss the
+    * boilerplate-inside-otherwise-distinct-docs case this catches; pairs
+    * sharing a span ≥ 8 tokens are reported with the span length and the
+    * total matched-gram count.
+    *
+    * Exactness argument (why seed+merge is not an approximation): a common
+    * contiguous span of L ≥ 5 tokens contributes exactly L−4 CONSECUTIVE
+    * matched 5-gram positions on one (pa − pb) diagonal, so
+    * max-run-per-diagonal + 4 IS the longest common span — no extension
+    * step, no miss probability. Every quantity is an integer; the oracle
+    * is the identical gram join + gaps-and-islands in DuckDB, so the hash
+    * match pins seeding, diagonal bookkeeping, and run merging at once.
+    *
+    * Scale shape: grams are built array-side and explode in the SCAN
+    * stage (x124's per-row generate — no pre-join shuffle beyond fanOut);
+    * the self-join shuffles the pinned gram frame by gram CONTENT, so
+    * candidate volume is Σ_g df(g)² — duplicate-density-bounded, never
+    * all-pairs (measured sf0.01: 1 244 matches from 25 165 grams; 25
+    * emitted pairs = exactly x129's true near-dup pairs). The island
+    * window runs on the match stream (pair-bounded), partitioned by
+    * (da, db, diagonal). At corpus scale high-df grams are capped
+    * offline (the x129 rare-first argument); the fixture's 24k-distinct
+    * gram space needs no cap.
+    */
+  def x131DupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 5 // gram width
+    val docs = fanOut(Io.table(spark, sfDir, "documents"))
+    val grams = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= K)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (K - 1))).as("i"))
+      .select(col("doc_id"), col("i").as("pos"), expr(
+        """concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |element_at(toks, i + 2), element_at(toks, i + 3),
+          |element_at(toks, i + 4))""".stripMargin).as("g"))
+      .persist()
+    grams.count() // force: both sides of the self-join read cached rows
+    repin(grams)
+    val m = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        (col("a.pos") - col("b.pos")).as("diag"), col("a.pos").as("pa"))
+    // gaps-and-islands: consecutive pa on one diagonal share (pa - rn)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("da", "db", "diag").orderBy("pa")
+    m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("da", "db", "diag", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("da", "db")
+      .agg((max("run") + (K - 1)).as("span_tokens"),
+        sum("run").as("n_matched_grams"))
+      .filter(col("span_tokens") >= 8)
+      .orderBy("da", "db")
+  }
+
+  /** x132 — PERPLEXITY gate (round-9; CCNet's model-based quality filter,
+    * Wenzek et al. 2020): score every document by its cross-entropy in
+    * bits/bigram under the corpus's OWN add-one-smoothed bigram LM, then
+    * bucket head/middle/tail by fixed cutoffs — the model-based filter
+    * downstream of x87 (which TRAINS the LM and reports top transitions;
+    * this SCORES every doc under it) and orthogonal to x51 (heuristic
+    * feature percentiles) and x124 (target-vs-raw ratio; this is
+    * single-model absolute surprisal). p(w2|w1) = (c12+1)/(c1+V) with
+    * c1 = Σ_w2 c12 (bigram-start mass) and V = |vocab observed in bigram
+    * context| (w1 ∪ w2 of the model — derived from the model frame itself,
+    * NOT a second corpus scan).
+    *
+    * Float discipline (x124's): per distinct bigram the −log2 term is
+    * computed from EXACT integer counts and stableRound6'd once; the
+    * per-doc fold multiplies by integer counts and DECIMAL-sums the 6-dp
+    * terms, so summation order cannot split the hash; one division + round
+    * at the edge. Buckets compare the ROUNDED h_bits to literal cutoffs —
+    * a pure function of an engine-identical double, so bucket assignment
+    * can never diverge when h_bits matches.
+    *
+    * Scale shape: per-(doc, w1, w2) counts ride the fanOut doc_id
+    * partitioning and are pinned once (x47 discipline) for their two
+    * consumers (model, scorer); the model/starts/vocab subtree is
+    * observed-bigram-bounded (far below corpus tokens); the score join
+    * broadcasts while the LM fits and falls back to a shuffle join beyond
+    * (at 100 TB the LM is x113's offline artifact — trained once, pruned,
+    * broadcast); the per-doc fold keeps doc_id clustering under the
+    * broadcast join, so the corpus stream holds ONE computed exchange (the
+    * doc-bigram count).
+    */
+  def x132PerplexityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val docs = fanOut(Io.table(spark, sfDir, "documents"))
+    val bi = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(1, size(toks) - 1) END""".stripMargin)).as("i"))
+      .select(col("doc_id"), element_at(col("toks"), col("i")).as("w1"),
+        element_at(col("toks"), col("i") + 1).as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+      .persist()
+    bi.count() // force: model subtree and scorer read cached rows
+    repin(bi)
+    val model = bi.groupBy("w1", "w2").agg(sum("n").as("c12"))
+    val starts = model.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = model.select(col("w1").as("w"))
+      .union(model.select(col("w2").as("w")))
+      .distinct().agg(count(lit(1)).as("v"))
+    val terms = model.join(starts, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), stableRound6(
+        -log2((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
+        .as("term"))
+    bi.join(terms, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        sum((col("n") * col("term")).cast("decimal(38,6)")).as("h_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        stableRound6(col("h_sum").cast("double") / col("n_bigrams"))
+          .as("h_bits"))
+      .withColumn("bucket",
+        when(col("h_bits") < 4.85, lit("head"))
+          .when(col("h_bits") < 4.95, lit("middle"))
+          .otherwise(lit("tail")))
+      .orderBy("doc_id")
+  }
+
+  /** x133 — DETERMINISTIC weighted reservoir sample, 5 docs per source
+    * (round-9; Efraimidis–Spirakis 2006 A-ES): weighted sampling WITHOUT
+    * replacement as a per-key top-k over priorities ln(u)/w — the
+    * distributed form of reservoir sampling, where x30 (uniform hash gate)
+    * and x80 (weighted WITH replacement via cumulative inversion) leave the
+    * without-replacement size-proportional case open. Weight = n_chars
+    * (sample probability ∝ document size); u derives from md5(doc_id)
+    * ((h+1)/(2⁴⁸+1) ∈ (0,1], the x30 portable-uniform idiom), so the
+    * sample is a pure function of the data — re-runnable, auditable, and
+    * engine-independent.
+    *
+    * Float discipline: priority = stableRound6(ln(u)/w) with doc_id
+    * tie-break — u is an exact integer ratio both engines compute as the
+    * same double, ln is the only transcendental (x87/x124's log precedent)
+    * and the 6-dp round keeps last-ulp libm divergence out of the ranking;
+    * rank ties (two priorities rounding equal) resolve by doc_id ASC in
+    * both engines.
+    *
+    * Scale shape: executes through the [[graft.plans.TopKPerKey]] custom
+    * physical operator (x122's whole-operator extension face, second
+    * declared consumer) — map-side bounded 5-heaps per source, ONE exchange
+    * carrying ≤ partitions·|sources|·5 partial winners, reduce-side merge;
+    * the window formulation the oracle runs would shuffle + external-sort
+    * the whole corpus for the same ≤|sources|·5 output. The rank column is
+    * a window over the operator's constant-size result.
+    */
+  def x133ReservoirSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val C = 281474976710657.0 // 2^48 + 1: u = (h+1)/C ∈ (0, 1]
+    val scored = Io.table(spark, sfDir, "documents")
+      .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("""cast(conv(substring(md5(cast(doc_id as string)), 1, 12),
+          16, 10) as bigint)""").as("h"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        stableRound6(log((col("h") + 1).cast("double") / lit(C)) /
+          col("n_chars")).as("priority"))
+    val top = graft.plans.TopKPerKey.topKPerKey(
+      scored, Seq("source"),
+      Seq(col("priority").desc, col("doc_id").asc), 5)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("priority").desc, col("doc_id").asc)))
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy("source", "rank")
+  }
+
+  /** x134 — UNICODE normalization roundtrip through the native
+    * [[graft.functions.UnicodeNorm]] expressions (round-9): decompose the
+    * fixture text deterministically (combining acute after every 'a',
+    * combining diaeresis after every 'o' — the NFD spellings real crawls
+    * emit), then `nfc_normalize` (composes to á/ö) and `strip_accents`
+    * (folds back to the original) — the canonicalization step every
+    * tokenizer pipeline runs before hashing, without which the md5-keyed
+    * dedup family (x10/x107/x119) treats NFC and NFD spellings of the SAME
+    * text as distinct documents.
+    *
+    * The oracle runs DuckDB's OWN utf8proc-backed `nfc_normalize` /
+    * `strip_accents` on the same construction, so the hash match pins the
+    * JDK Normalizer implementation against an independent Unicode library
+    * byte-for-byte: composed length, composed md5, and the
+    * strip == original roundtrip all have to agree. Lengths count
+    * CODEPOINTS in both engines (UTF8String.numChars / DuckDB length).
+    *
+    * Scale shape: both expressions are null-preserving single-static-call
+    * codegen (the JDK Normalizer is the loop) — per-row map work riding
+    * the scan, zero shuffles before the output sort; no UDF, no
+    * serialization boundary.
+    */
+  def x134UnicodeNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        call_function("nfc_normalize",
+          regexp_replace(regexp_replace(col("text"),
+            lit("a"), lit("a\u0301")), lit("o"), lit("o\u0308"))).as("norm"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_raw"),
+        length(col("norm")).cast("long").as("n_nfc"),
+        md5(col("norm")).as("nfc_md5"),
+        (call_function("strip_accents", col("norm")) === col("text"))
+          .as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
 }

@@ -142,4 +142,72 @@ object MultimodalQueries {
         col("frame_md5"))
       .orderBy("asset_id")
   }
+
+  private val x135LastDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** x135 — BINARY-FILE ingestion (round-9): the actual media INGEST path
+    * at scale — Spark's `binaryFile` source reading a directory of raw
+    * asset files into (path, length, content) rows — closing the loop the
+    * in-memory x106 golden leaves open: x106 proves decode/resize/sample
+    * over synthesized frames; this proves the same payloads survive a real
+    * write-to-files → read-as-binary roundtrip byte-for-byte. Each
+    * synthetic asset ([[SyntheticMedia.assets]], the x106 set) is written
+    * as its own file FROM THE EXECUTORS (foreachPartition + Hadoop FS — no
+    * driver materialization), read back via
+    * `spark.read.format("binaryFile")` with a `pathGlobFilter`, id-parsed
+    * from the filename, and joined against the generator's payload md5;
+    * `match_ok` asserts md5 AND length equality per asset. The 4 null
+    * payloads produce no file — 16 rows, their absence itself pinned by
+    * the row count.
+    *
+    * Declared rows-only (no DuckDB surface reads a directory of binary
+    * files); the ScalaTest spec asserts every match_ok. Scale shape:
+    * binaryFile plans one task per file (bin-packed under
+    * `maxPartitionBytes`), filter pushdown on path/length — the standard
+    * 100 TB media-lake layout (many immutable blobs + a parquet metadata
+    * table, x106's mediaSchema). Temp dir is cleaned on the NEXT
+    * invocation (x121's AtomicReference pattern) so repeated
+    * Verify/Bench runs don't accumulate.
+    */
+  def x135BinaryIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_x135_bin_${System.nanoTime()}"
+    Option(x135LastDir.getAndSet(dir)).foreach { old =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(old)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      } catch { case _: Exception => () }
+    }
+    val assets = SyntheticMedia.assets(spark, 20)
+    assets.select(col("asset_id"), col("media"))
+      .where(col("media").isNotNull)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        // executor-side write; local-fs Configuration suffices here, a
+        // cluster deployment would ship the serialized hadoop conf
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        it.foreach { r =>
+          val out = fs.create(new org.apache.hadoop.fs.Path(
+            dir, f"asset_${r.getLong(0)}%05d.bin"), true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+        }
+      }
+    val read = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir)
+      .select(
+        regexp_extract(col("path"), "asset_(\\d+)\\.bin$", 1)
+          .cast("long").as("asset_id"),
+        col("length").as("n_bytes"), md5(col("content")).as("payload_md5"))
+    read.join(
+        assets.where(col("media").isNotNull).select(col("asset_id"),
+          col("kind"), md5(col("media")).as("gen_md5"),
+          length(col("media")).cast("long").as("gen_bytes")),
+        Seq("asset_id"))
+      .select(col("asset_id"), col("kind"), col("n_bytes"),
+        col("payload_md5"),
+        (col("payload_md5") === col("gen_md5") &&
+          col("n_bytes") === col("gen_bytes")).as("match_ok"))
+      .orderBy("asset_id")
+  }
 }

@@ -1967,6 +1967,116 @@ object Oracles {
       |WHERE 5 * i >= 4 * (na.n + nb.n - i)
       |ORDER BY da, db""".stripMargin
 
+  // x131: identical 5-gram seed join + gaps-and-islands run merge — every
+  // quantity an integer, so the hash pins seeding, the (pa − pb) diagonal
+  // bookkeeping, and the run-length merge at once. range(a, b) is [a, b),
+  // so positions run 1..len−4 inclusive, matching Spark's sequence(1, n−4).
+  val x131: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT doc_id, i AS pos,
+      |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |           toks[i+3] || ' ' || toks[i+4] AS g
+      |  FROM t, LATERAL unnest(range(1, len(toks) - 3)) AS r(i)
+      |  WHERE len(toks) >= 5),
+      |m AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |         a.pos - b.pos AS diag, a.pos AS pa
+      |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id),
+      |isl AS (
+      |  SELECT da, db, diag,
+      |         pa - row_number() OVER (PARTITION BY da, db, diag
+      |                                 ORDER BY pa) AS grp
+      |  FROM m),
+      |runs AS (
+      |  SELECT da, db, CAST(count(*) AS BIGINT) AS run
+      |  FROM isl GROUP BY da, db, diag, grp)
+      |SELECT da, db,
+      |       CAST(max(run) + 4 AS BIGINT) AS span_tokens,
+      |       CAST(sum(run) AS BIGINT) AS n_matched_grams
+      |FROM runs
+      |GROUP BY da, db
+      |HAVING max(run) + 4 >= 8
+      |ORDER BY da, db""".stripMargin
+
+  // x132: identical add-one bigram LM — V from the model's own w1 ∪ w2,
+  // per-bigram −log2 term floor-rounded once from exact integers, per-doc
+  // DECIMAL fold, one division + round at the edge; buckets are a pure
+  // function of the rounded h_bits.
+  val x132: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |bi AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM t, LATERAL unnest(range(1, len(toks))) AS r(i)
+      |  GROUP BY 1, 2, 3),
+      |model AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c12
+      |          FROM bi GROUP BY 1, 2),
+      |starts AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+      |           FROM model GROUP BY 1),
+      |vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM
+      |          (SELECT w1 AS w FROM model UNION SELECT w2 FROM model)),
+      |terms AS (
+      |  SELECT w1, w2,
+      |         floor(-log2((c12 + 1) / CAST(c1 + v AS DOUBLE))
+      |               * 1000000 + 0.5) / 1000000 AS term
+      |  FROM model JOIN starts USING (w1), vocab),
+      |doc AS (
+      |  SELECT bi.doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+      |         floor(CAST(sum(CAST(n * term AS DECIMAL(38,6))) AS DOUBLE)
+      |               / sum(n) * 1000000 + 0.5) / 1000000 AS h_bits
+      |  FROM bi JOIN terms USING (w1, w2)
+      |  GROUP BY 1)
+      |SELECT doc_id, n_bigrams, h_bits,
+      |       CASE WHEN h_bits < 4.85 THEN 'head'
+      |            WHEN h_bits < 4.95 THEN 'middle'
+      |            ELSE 'tail' END AS bucket
+      |FROM doc
+      |ORDER BY doc_id""".stripMargin
+
+  // x133: the oracle runs the window formulation of the same E-S priority
+  // ranking — identical u = (h+1)/(2^48+1) double, identical ln()/w with
+  // the floor-round, doc_id tie-break; the hash match pins the custom
+  // operator's retained set against the declarative semantics.
+  val x133: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars,
+      |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+      |           AS h
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |p AS (
+      |  SELECT doc_id, source, n_chars,
+      |         floor(ln((h + 1) / CAST(281474976710657 AS DOUBLE)) / n_chars
+      |               * 1000000 + 0.5) / 1000000 AS priority
+      |  FROM d),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |            ORDER BY priority DESC, doc_id ASC) AS rank
+      |  FROM p)
+      |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars, priority
+      |FROM r WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin
+
+  // x134: DuckDB's utf8proc-backed nfc_normalize/strip_accents against the
+  // JDK Normalizer expressions — the hash match pins the two Unicode
+  // implementations byte-for-byte on the exercised range. chr(769)/chr(776)
+  // are U+0301/U+0308 (combining acute / diaeresis).
+  val x134: String =
+    """WITH n AS (
+      |  SELECT doc_id, text,
+      |         nfc_normalize(replace(replace(text, 'a', 'a' || chr(769)),
+      |                               'o', 'o' || chr(776))) AS norm
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT doc_id,
+      |       CAST(length(text) AS BIGINT) AS n_raw,
+      |       CAST(length(norm) AS BIGINT) AS n_nfc,
+      |       md5(norm) AS nfc_md5,
+      |       strip_accents(norm) = text AS roundtrip_ok
+      |FROM n
+      |ORDER BY doc_id""".stripMargin
+
   val x120: String =
     """WITH o AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -2893,6 +3003,10 @@ object Oracles {
     // must equal the batch operator's output, so it shares x122's oracle
     // (stream == operator == window semantics in one hash)
     "x130_topk_replay"    -> x122,
+    "x131_dup_spans"      -> x131,
+    "x132_perplexity_gate" -> x132,
+    "x133_reservoir_sample" -> x133,
+    "x134_unicode_norm"   -> x134,
     "x91_nearest_event"   -> x91,
     "x92_temporal_lookup" -> x92,
     "x93_rolling_dau"     -> x93,

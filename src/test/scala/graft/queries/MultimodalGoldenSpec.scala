@@ -84,4 +84,17 @@ class MultimodalGoldenSpec extends SparkSpec {
       assert(dec.getAs[String]("feature") == want)
     }
   }
+
+  test("x135: binaryFile roundtrip — 16 files, every payload byte-identical") {
+    val out = MultimodalQueries.x135BinaryIngest(spark, "unused").collect()
+    // 20 assets, 4 null payloads (kind=missing) produce no file
+    assert(out.length == 16)
+    assert(out.map(_.getLong(0)).toSeq == out.map(_.getLong(0)).toSeq.sorted)
+    assert(out.forall(_.getBoolean(4)), "every payload must match its generator md5+length")
+    assert(out.map(r => r.getString(1)).toSet == Set("image", "audio", "video", "opaque"))
+    // deterministic across invocations (fresh temp dir each run)
+    val again = MultimodalQueries.x135BinaryIngest(spark, "unused").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(3))).toSeq ==
+      again.map(r => (r.getLong(0), r.getString(3))).toSeq)
+  }
 }

@@ -1386,4 +1386,93 @@ class NewOpsSpec extends SparkSpec {
     // doc 0 (pure target) scores at least as high as every other doc
     assert(scores(0L) >= scores.values.max - 1e-9)
   }
+
+  test("x131: longest shared span exact; 5-token overlap excluded; 8 is inclusive") {
+    val dir = Files.createTempDirectory("x131").toString
+    val s = (1 to 8).map(i => s"s$i")    // 8-token span
+    val t = (1 to 10).map(i => s"t$i")   // 10-token span
+    def doc(toks: Seq[String]) = toks.mkString(" ")
+    Seq(
+      // doc1 carries both spans; doc2 carries them in the OPPOSITE order,
+      // so the two shared spans land on different (pa - pb) diagonals
+      (1L, doc(s ++ Seq("f1", "f2", "f3", "f4", "f5") ++ t), "en", "src0", 0L),
+      (2L, doc(t ++ Seq("g1", "g2", "g3", "g4", "g5") ++ s), "en", "src0", 0L),
+      // doc3 shares only a 5-token span (one matched gram -> span 5 < 8)
+      (3L, doc(s.take(5) ++ Seq("h1", "h2", "h3", "h4", "h5")), "en", "src0", 0L),
+      // doc4 too short for any 5-gram
+      (4L, "u1 u2 u3", "en", "src0", 0L),
+      // doc5 shares exactly the 8-token span with 1 and 2 — boundary kept
+      (5L, doc(s ++ Seq("k1", "k2", "k3", "k4", "k5")), "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmQueries.x131DupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // (1,2): spans of 8 and 10 on two diagonals -> max 10, 4+6 matched grams
+    // (1,5)/(2,5): exactly the 8-token span -> 4 consecutive matched grams
+    assert(out == Seq(
+      (1L, 2L, 10L, 10L),
+      (1L, 5L, 8L, 4L),
+      (2L, 5L, 8L, 4L)))
+  }
+
+  test("x132: add-one bigram cross-entropy matches by hand; no-bigram doc absent") {
+    val dir = Files.createTempDirectory("x132").toString
+    Seq(
+      (1L, "a b a b", "en", "src0", 7L), // bigrams (a,b)x2 (b,a)x1
+      (2L, "a b c", "en", "src0", 5L),   // (a,b) (b,c)
+      (3L, "z", "en", "src0", 1L))       // no bigram -> absent
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmQueries.x132PerplexityGate(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    // model: c12 (a,b)=3 (b,a)=1 (b,c)=1; c1 a=3 b=2; V={a,b,c}=3
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val tAb = r6(-(math.log(4.0 / 6) / math.log(2)))  // p(b|a)=(3+1)/(3+3)
+    val tBa = r6(-(math.log(2.0 / 5) / math.log(2)))  // p(a|b)=(1+1)/(2+3)
+    val tBc = tBa                                     // p(c|b)=(1+1)/(2+3)
+    def fold(terms: Seq[(Long, Double)]): Double = {
+      val sum = terms.map { case (n, t) =>
+        BigDecimal(n) * BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      r6(sum.toDouble / terms.map(_._1).sum)
+    }
+    assert(!out.contains(3L))
+    assert(out(1L) == ((3L, fold(Seq((2L, tAb), (1L, tBa))), "head")))
+    assert(out(2L) == ((2L, fold(Seq((1L, tAb), (1L, tBc))), "head")))
+  }
+
+  test("x133: E-S priorities match an independent JVM md5/ln; zero/null weights drop") {
+    val dir = Files.createTempDirectory("x133").toString
+    val docs = Seq(
+      (1L, "t", "en", "srcA", 10L), (2L, "t", "en", "srcA", 200L),
+      (3L, "t", "en", "srcA", 30L), (4L, "t", "en", "srcA", 400L),
+      (5L, "t", "en", "srcA", 55L), (6L, "t", "en", "srcA", 600L),
+      (7L, "t", "en", "srcA", 7L),
+      (8L, "t", "en", "srcB", 80L), (9L, "t", "en", "srcB", 9L),
+      (10L, "t", "en", "srcB", 0L),                    // weight 0 -> dropped
+      (11L, "t", "en", "srcB", -1L))                   // negative -> dropped
+    (docs.map { case (id, t, l, s, n) => (id, t, l, s, Option(n)) } :+
+      ((12L, "t", "en", "srcB", Option.empty[Long]))) // null weight -> dropped
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent reimplementation: JVM MessageDigest md5, first 12 hex
+    // chars, u = (h+1)/(2^48+1), priority = round6(ln(u)/w)
+    def priority(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1) / 281474976710657.0
+      math.floor(math.log(u) / w * 1e6 + 0.5) / 1e6
+    }
+    val expect = docs.filter(_._5 > 0)
+      .map { case (id, _, _, s, w) => (s, id, w, priority(id, w)) }
+      .groupBy(_._1).toSeq.flatMap { case (s, rows) =>
+        rows.sortBy { case (_, id, _, p) => (-p, id) }.take(5).zipWithIndex
+          .map { case ((_, id, w, p), i) => (s, i + 1L, id, w, p) }
+      }.sortBy(r => (r._1, r._2))
+    val got = LlmQueries.x133ReservoirSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expect)
+  }
 }

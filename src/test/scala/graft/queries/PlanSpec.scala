@@ -160,9 +160,11 @@ class PlanSpec extends SparkSpec {
     // bucket table (x117's 1-row denominator shape)
     // x126's are the |sources|-row totals frame crossing onto the distinct-
     // length frame (building the CDF step grid) and the 1-row corpus total
+    // x132's is the 1-row vocabulary-size constant crossing onto the
+    // observed-bigram model frame (x87's shape)
       "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
       "x112_zorder_layout", "x117_mix_temperature", "x119_prep_v4",
-      "x124_dsir_weights", "x126_ks_drift")
+      "x124_dsir_weights", "x126_ks_drift", "x132_perplexity_gate")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -773,5 +775,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
       "scan must prune to doc_id/text/source")
+  }
+
+  test("x131: seed join reads the pinned gram frame on both sides — equi-join, never a cross") {
+    val p = plan("x131_dup_spans")
+    assert(p.contains("InMemoryTableScan"),
+      "the gram frame is pinned — both self-join sides must read cache, not re-tokenize")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates come from the gram-content EQUI-join; a cross is the all-pairs failure")
+    // the join's equi-key must be the gram content (g), not positions
+    assert("""(?s)(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[g#\d+\]"""
+      .r.findFirstIn(p).isDefined, s"join key must be the gram string:\n$p")
+  }
+
+  test("x132: LM terms broadcast onto the pinned doc-bigram frame; per-doc fold rides doc_id") {
+    val p = plan("x132_perplexity_gate")
+    assert(p.contains("InMemoryTableScan"),
+      "the doc-bigram counts are pinned — model subtree and scorer read cache")
+    assert(p.contains("BroadcastHashJoin"), "the fixture-size LM joins as a broadcast")
+    assert(!p.contains("SortMergeJoin"), "nothing here is big enough to sort-merge")
+    assert(p.contains("partial_sum"), "model counts must combine map-side")
+  }
+
+  test("x133: weighted reservoir executes through the TopKPerKey operator, not a Window sort") {
+    val p = plan("x133_reservoir_sample")
+    val fi = p.indexOf("TopKPerKeyFinal")
+    val pa = p.indexOf("TopKPerKeyPartial")
+    assert(fi >= 0 && pa >= 0, s"expected the two-phase operator pair:\n$p")
+    // the rank window is allowed — it runs over the operator's ≤|sources|·5
+    // output — but must sit ABOVE the final fold, never under it
+    val w = p.indexOf("Window")
+    assert(w < fi, "the rank window applies to the operator's constant-size result")
+  }
+
+  test("x134: unicode normalization is pure codegen map work — no shuffle, pruned scan") {
+    val p = plan("x134_unicode_norm")
+    assert(p.contains("nfc_normalize") && p.contains("strip_accents"),
+      "both native expressions must appear in the plan")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "per-row normalization must not shuffle before the output sort")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to doc_id/text")
   }
 }
