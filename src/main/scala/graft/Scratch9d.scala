@@ -50,7 +50,10 @@ object Scratch9d {
     for (dir <- Seq(sfDir, tenDir, hundredDir)) {
       time(s"x132_$dir")(queries.LlmQueries.x132PerplexityGate(spark, dir).count())
       time(s"x133_$dir")(queries.LlmQueries.x133ReservoirSample(spark, dir).count())
-      time(s"x134_$dir")(queries.LlmQueries.x134UnicodeNorm(spark, dir).count())
+      // count() would prune the normalize projection away — aggregate over
+      // the md5 so every row actually runs the two expressions
+      time(s"x134_$dir")(queries.LlmQueries.x134UnicodeNorm(spark, dir)
+        .agg(count(col("nfc_md5")), max(col("nfc_md5"))).head().getLong(0))
     }
     for (dir <- Seq(sfDir, tenDir)) {
       var spans = (0L, 0L)
@@ -60,6 +63,40 @@ object Scratch9d {
         spans = (v.getLong(1), v.getLong(2)); v.getLong(0)
       }
       println(s"PROBE x131vol dir=$dir max_span=${spans._1} matched=${spans._2}")
+    }
+    // batch-D probes: x136 CMS gate (survivor volume + wall vs decades),
+    // x137 SpaceSaving (O(m) exchange → wall should track the scan),
+    // x139 text roundtrip (write+read, linear)
+    for (dir <- Seq(sfDir, tenDir, hundredDir)) {
+      time(s"x136_$dir")(queries.LlmQueries.x136CmsHeavyHitters(spark, dir).count())
+      time(s"x137_$dir")(queries.LlmQueries.x137SpaceSavingTerms(spark, dir).count())
+    }
+    for (dir <- Seq(sfDir, tenDir)) {
+      time(s"x139_$dir")(queries.ExtendedQueries.x139TextRoundtrip(spark, dir).count())
+    }
+    // batch-E probes: x141 on suppkey-shifted lineitem copies, x143/x144
+    // on the shared events copies (Scratch9's construction), x145/x146 on
+    // the document copies
+    if (!new java.io.File(s"$tenDir/lineitem.parquet").isDirectory)
+      (0 until 10).map { i =>
+        core.Io.table(spark, sfDir, "lineitem")
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * 10000000L))
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
+      }.reduce(_ union _).repartition(32)
+        .write.mode("overwrite").parquet(s"$tenDir/lineitem.parquet")
+    if (!new java.io.File(s"$tenDir/events.parquet").isDirectory)
+      (0 until 10).map { i =>
+        core.Io.eventsRaw(spark, sfDir)
+          .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+      }.reduce(_ union _).repartition(32)
+        .write.mode("overwrite").parquet(s"$tenDir/events.parquet")
+    for (dir <- Seq(sfDir, tenDir)) {
+      time(s"x141_$dir")(queries.ExtendedQueries.x141IntervalMerge(spark, dir).count())
+      time(s"x143_$dir")(queries.ExtendedQueries.x143Ewma(spark, dir).count())
+      time(s"x144_$dir")(queries.ExtendedQueries.x144Regression(spark, dir).count())
+      time(s"x145_$dir")(queries.LlmQueries.x145PackBlocks(spark, dir).count())
+      time(s"x146_$dir")(queries.ExtendedQueries.x146Dsv2Read(spark, dir).count())
     }
     // 100×: candidate volume Σ C(df,2) from the gram df distribution — the
     // size the seed join's output WOULD be; quadratic in copy multiplicity

@@ -183,6 +183,45 @@ object Io {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("rowTag", "doc").format("xml").load(dir)
 
+  /** Plain-text TSV sink over the documents shape — the lowest common
+    * denominator the tokenizer-training and corpus-exchange tools actually
+    * consume (one document per line). Line = tab-joined
+    * doc_id, lang, source, n_chars, text with TEXT LAST, so the reader can
+    * split with a field limit and document text containing tabs survives;
+    * embedded NEWLINES are the one thing the format cannot carry (a line IS
+    * the record) — [[readText]]'s split contract documents that boundary.
+    * One part per task like [[writeJsonl]]; .text() writes a single string
+    * column.
+    */
+  def writeText(df: DataFrame, dir: String): Unit =
+    df.select(org.apache.spark.sql.functions.concat_ws("\t",
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("n_chars"),
+        org.apache.spark.sql.functions.col("text")).as("value"))
+      .write.mode("overwrite").text(dir)
+
+  /** Plain-text TSV source: split each line back into the documents shape.
+    * `split(value, "\t", 5)` caps the field count so tabs INSIDE the text
+    * column re-join losslessly; numeric fields re-cast via try_cast — a
+    * malformed line (e.g. the fragment after an embedded newline, the
+    * format's documented boundary) yields nulls instead of killing the
+    * whole read, the same corrupt-tolerance posture as [[readJsonl]]'s
+    * PERMISSIVE mode.
+    */
+  def readText(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.text(dir)
+      .select(split(col("value"), "\t", 5).as("f"))
+      .select(
+        try_element_at(col("f"), lit(1)).try_cast("bigint").as("doc_id"),
+        try_element_at(col("f"), lit(5)).as("text"),
+        try_element_at(col("f"), lit(2)).as("lang"),
+        try_element_at(col("f"), lit(3)).as("source"),
+        try_element_at(col("f"), lit(4)).try_cast("bigint").as("n_chars"))
+  }
+
   /** JSON-lines source. A caller-supplied schema skips the inference scan
     * (a full extra pass over the corpus — never acceptable at scale) and is
     * REQUIRED here for exactly that reason; columns resolve by name, extra

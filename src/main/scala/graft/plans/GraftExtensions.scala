@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FloatDot, MinhashAll, NfcNormalize, StripAccents, UnicodeNorm}
+import graft.functions.{CmsEstimate, FloatDot, MinhashAll, NfcNormalize, SpaceSavingTopK, StripAccents, UnicodeNorm}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions, SparkSessionExtensionsProvider}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -31,6 +31,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => NfcNormalize(children(0))),
     (FunctionIdentifier("strip_accents"), UnicodeNorm.stripInfo,
       (children: Seq[Expression]) => StripAccents(children(0))),
+    (FunctionIdentifier("cms_estimate"), CmsEstimate.info,
+      (children: Seq[Expression]) => CmsEstimate(children(0), children(1))),
+    (FunctionIdentifier("space_saving"), SpaceSavingTopK.info,
+      (children: Seq[Expression]) => SpaceSavingTopK(children(0), children(1))),
     // Spark ships BloomFilterAggregate/BloomFilterMightContain as INTERNAL
     // expressions (the runtime-filter rule's machinery, not in the public
     // registry) — surfacing them as session functions gives queries the

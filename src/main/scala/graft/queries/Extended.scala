@@ -678,6 +678,250 @@ object ExtendedQueries {
     roundtripAgg(Io.readXml(spark, dir, docs.schema))
   }
 
+  private val x139LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x139 — PLAIN-TEXT (TSV) corpus interchange (round-9), the fifth and
+    * lowest-common-denominator row format after parquet / jsonl.gz (x40) /
+    * ORC (x58) / XML (x121): one document per line, tab-joined with text
+    * LAST and a field-limited split on read so in-text tabs survive
+    * (`Io.writeText`/`readText`) — the format tokenizer-training corpora
+    * and classic NLP tooling actually exchange. Read-back feeds x40's
+    * roundtrip aggregate under x40's oracle: the hash match against the
+    * ORIGINAL parquet proves the text cycle lossless on this corpus
+    * (including bigint re-casts). The format's real boundary — embedded
+    * newlines cannot roundtrip, a line IS the record — is documented at
+    * the Io contract and spec-pinned; the fixture corpus carries none.
+    */
+  def x139TextRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x139_txt_${System.nanoTime()}"
+    Option(x139LastDir.getAndSet(dir)).foreach { old =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(old)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      } catch { case _: Exception => () }
+    }
+    Io.writeText(docs, dir)
+    roundtripAgg(Io.readText(spark, dir))
+  }
+
+  private val x146LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x146 — DataSourceV2 read path (round-9): the same TSV corpus as x139,
+    * read back through [[graft.sources.TsvDocs]] — the custom TABLE SOURCE
+    * (TableProvider/Scan/PartitionReader), the engine's fifth Catalyst
+    * extension face — then x40's roundtrip aggregate under x40's oracle:
+    * the hash match proves the connector's partition planning (one
+    * InputPartition per file), line parsing, and null contract agree
+    * byte-for-byte with the built-in text path. Column pruning
+    * (`SupportsPushDownRequiredColumns`) is plan-asserted in PlanSpec and
+    * behavior-pinned in TsvDocsSpec.
+    */
+  def x146Dsv2Read(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x146_dsv2_${System.nanoTime()}"
+    Option(x146LastDir.getAndSet(dir)).foreach { old =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(old)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      } catch { case _: Exception => () }
+    }
+    Io.writeText(docs, dir)
+    roundtripAgg(spark.read.format("graft.sources.TsvDocs").load(dir))
+  }
+
+  /** x141 — INTERVAL COALESCING (union) per supplier (round-9): merge each
+    * supplier's in-transit windows [ship_day, ship_day + transit] into
+    * maximal disjoint coverage islands and report per-supplier interval
+    * count, island count, total covered days, and longest island — the
+    * interval-UNION primitive (coverage/uptime/exposure analytics,
+    * genomics interval merge) that completes the interval family: x102
+    * answers pairwise OVERLAP (a join), x6/x120 GAP-based sessionization
+    * (points + timeout); neither can absorb an interval that starts inside
+    * an island and extends it, which is exactly the coalescing rule here.
+    * Transit is synthesized deterministically (1 + l_linenumber mod 7
+    * days) since the fixture carries ship dates only.
+    *
+    * Exactness: all arithmetic on exact epoch-DAY integers
+    * (unix_micros ÷ 86400·10⁶ — both engines integer-exact on the
+    * midnight-aligned fixture); island detection = start > running MAX of
+    * prior ends over a deterministic (start, end, orderkey, linenumber)
+    * order — the gaps-and-islands frame ROWS UNBOUNDED PRECEDING .. 1
+    * PRECEDING, identical in DuckDB.
+    *
+    * Scale shape: ONE hash exchange (suppkey) feeds both windows and the
+    * final aggregate — the window sort is in-partition; scan prunes to 4
+    * columns. At 100 TB per-supplier streams window independently; no
+    * pairwise join ever forms (the x102 shape would be Θ(n²) per key
+    * here).
+    */
+  def x141IntervalMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Io.table(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate").isNotNull && col("l_suppkey").isNotNull)
+      .select(col("l_suppkey"),
+        // the fixture ships l_shipdate as TIMESTAMP_NTZ: cast through
+        // TIMESTAMP under the UTC session zone (naive == UTC, matching
+        // DuckDB's epoch_us on naive values); `div` = INTEGER division
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+          .as("start_d"),
+        (expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000") +
+          (col("l_linenumber") % 7 + 1)).cast("long").as("end_d"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ord = Window.partitionBy("l_suppkey")
+      .orderBy(col("start_d"), col("end_d"), col("l_orderkey"), col("l_linenumber"))
+    val flagged = li
+      .withColumn("prev_max_end",
+        max(col("end_d")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+          col("start_d") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy("l_suppkey", "island")
+      .agg(count(lit(1)).as("n_iv"),
+        min("start_d").as("i_start"), max("end_d").as("i_end"))
+      .groupBy("l_suppkey")
+      .agg(sum("n_iv").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_days"),
+        max(col("i_end") - col("i_start")).as("max_island_days"))
+      .orderBy("l_suppkey")
+  }
+
+  private val x142LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x142 — DYNAMIC PARTITION PRUNING through a hive-partitioned sink
+    * (round-9): write events partitioned by `event_type` (one directory
+    * per value — the lakehouse layout x77 reads STATICALLY), write the
+    * type dimension as its own parquet, then join fact-to-dim with a
+    * selective dim filter (`length(type) ≥ 6` keeps 2 of 5 types). The
+    * fact side's partition filter is NOT known at plan time — Catalyst
+    * inserts a `dynamicpruning` subquery that evaluates the dim filter
+    * first and prunes fact PARTITIONS at runtime (plan-asserted), so the
+    * fact scan reads 2/5 of the data despite the query text carrying no
+    * literal partition predicate. This is THE mechanism that makes
+    * star-schema joins viable at 100 TB: the dim filter, not the fact
+    * query, decides what gets read. Completes the partition family: x77
+    * static pruning, x76 bucketing, this the runtime case.
+    *
+    * Exactness: the aggregate output is integer-only — per-row value
+    * micros (x120's floor rule) summed as BIGINT — so the oracle (the
+    * same filter+aggregate over the ORIGINAL events — the partitioned
+    * write is invisible in the result, x40's shared-original pattern)
+    * hash-matches without float discipline.
+    */
+  def x142DppPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Io.events(spark, sfDir)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x142_dpp_${System.nanoTime()}"
+    Option(x142LastDir.getAndSet(dir)).foreach { old =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(old)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      } catch { case _: Exception => () }
+    }
+    ev.select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.partitionBy("event_type").parquet(s"$dir/fact")
+    ev.select("event_type").distinct().write.parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim")
+      .filter(length(col("event_type")) >= 6)
+    fact.join(dim, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(coalesce(col("value"), lit(0.0)) * 1000000 + 0.5)
+          .cast("long")).as("sum_vmicro"))
+      .orderBy("event_type")
+  }
+
+  /** x143 — per-user EWMA, α = 0.25 (round-9): the exponentially-weighted
+    * moving average each user's value stream converges to — THE
+    * recursive smoother behind drift monitors and rate limiters, here in
+    * its CLOSED form S_n = Σ coef_i·v_i with coef_i = (1−α)^(n−i)·α (and
+    * the full (1−α)^(n−1) on the first observation), which turns the
+    * sequential recurrence into one window pass + one aggregate — the
+    * standard trick for running order-dependent recursions declaratively.
+    * Completes the smoother family: x44 sliding mean (uniform window),
+    * x96 time-weighted mean (duration weights), this exponential-decay
+    * weights (recency).
+    *
+    * Float discipline: v is pre-rounded to exact micros (x120's rule);
+    * each coef·v term is round6'd once then DECIMAL-summed (x124's
+    * order-independence), one round at the edge. power(0.75, k) is the
+    * lone transcendental (the x87/x124 log precedent) — both engines
+    * evaluate the same closed-form exponent, and the per-term round keeps
+    * last-ulp pow() divergence out of the hash.
+    *
+    * Scale shape: ONE user_id exchange feeds the rank window, the count
+    * window, and the final fold (same-partition windows); weights decay
+    * below 6-dp visibility after ~50 steps so long histories contribute
+    * zeros, not precision loss.
+    */
+  def x143Ewma(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = Io.eventsRaw(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t"),
+        (floor(col("value") * 1000000 + 0.5) / 1000000).as("v"))
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    obs.withColumn("i", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+      .withColumn("coef",
+        when(col("i") === 1, pow(lit(0.75), col("n") - 1))
+          .otherwise(lit(0.25) * pow(lit(0.75), col("n") - col("i"))))
+      .withColumn("term", stableRound6(col("coef") * col("v")))
+      .groupBy("user_id")
+      .agg(max("n").cast("long").as("n_obs"),
+        sum(col("term").cast("decimal(28,6)")).cast("double").as("s"))
+      .select(col("user_id"), col("n_obs"), stableRound6(col("s")).as("ewma"))
+      .orderBy("user_id")
+  }
+
+  /** x144 — grouped OLS regression (round-9): per event_type, the
+    * least-squares trend of value over time — slope (value-units/day) and
+    * intercept — the metric-drift TREND detector that complements the
+    * distribution monitors (x85 chi-square, x126 KS compare SHAPES; this
+    * fits the direction and rate of change). SQL's REGR_SLOPE exists in
+    * both engines but accumulates in floats (order-dependent — unusable
+    * for a cross-engine hash), so the moments are computed EXACTLY
+    * instead: x = whole days since the type's first event (integer
+    * division — day resolution by definition), y = value micros (x120's
+    * floor rule), and n/Σx/Σy/Σxy/Σx² are DECIMAL sums of exact integers.
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) evaluates the numerator and
+    * denominator exactly in DECIMAL (HUGEINT on the DuckDB side), then
+    * ONE double division + round at the edge; the intercept reuses the
+    * same exact moments. Magnitude guard (documented): nΣxy ≤ n²·x̄·ȳ ~
+    * 10¹⁸ at sf0.1 — decimal(38) carries it to ~10³⁸, far past any
+    * realistic per-group volume.
+    *
+    * Scale shape: ONE event_type exchange feeds the min-window and the
+    * moment aggregate (map-combining); output is |types| rows.
+    */
+  def x144Regression(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Io.eventsRaw(spark, sfDir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("ts div 1000").as("t"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("y"))
+    val c = o.withColumn("mint",
+        min("t").over(Window.partitionBy("event_type")))
+      .withColumn("x", expr("(t - mint) div 86400000000"))
+    val s = c.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(18,0)")).as("sx"),
+      sum(col("y").cast("decimal(18,0)")).as("sy"),
+      sum((col("x") * col("y")).cast("decimal(18,0)")).as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(18,0)")).as("sxx"))
+    val num = (col("n").cast("decimal(38,0)") * col("sxy") -
+      col("sx") * col("sy")).cast("double")
+    val den = (col("n").cast("decimal(38,0)") * col("sxx") -
+      col("sx") * col("sx")).cast("double")
+    s.select(col("event_type"), col("n"),
+        stableRound6(num / den / 1000000).as("slope_day"),
+        stableRound6((col("sy").cast("double") / col("n") -
+          num / den * col("sx").cast("double") / col("n")) / 1000000)
+          .as("intercept"))
+      .orderBy("event_type")
+  }
+
   /** x61 — CDC MERGE (SCD-1 upsert): apply the latest event per user onto
     * the standing customer dimension as a full-outer merge — the MERGE INTO
     * a lakehouse ingest runs every batch, expressed as the join Spark

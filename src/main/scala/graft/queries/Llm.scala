@@ -3699,4 +3699,219 @@ object LlmQueries {
           .as("roundtrip_ok"))
       .orderBy("doc_id")
   }
+
+  /** x136 — EXACT heavy-hitter shingles via a COUNT-MIN-SKETCH prefilter
+    * (round-9; Cormode–Muthukrishnan 2005, x123's build-once/probe-
+    * everywhere pattern with the CMS instead of the Bloom): every 3-shingle
+    * occurring ≥ 6 times in the corpus, with its EXACT count — found by
+    * building one constant-size sketch over the occurrence stream (Spark's
+    * built-in `count_min_sketch` aggregate — map-combining partial
+    * sketches, merged once), injecting it as a scalar subquery into a
+    * codegen'd [[graft.functions.CmsEstimate]] gate, and exact-recounting
+    * only the survivors. CMS estimates NEVER undercount, so the gate has
+    * no false negatives; false positives die at the exact `n ≥ T` filter —
+    * the sketch is invisible in the RESULT, which is why the plain
+    * GROUP/HAVING oracle pins it row-for-row.
+    *
+    * Scale shape: the full-distinct aggregate (x31's shape) shuffles every
+    * distinct key — at corpus scale that is the dominant exchange, and a
+    * threshold query discards almost all of it. Here the corpus stream
+    * rides its scan partitioning through sketch-build (constant-size
+    * state) and gate; the ONLY content-keyed exchange carries gate
+    * survivors — sized by the true heavy-hitter set plus the collision
+    * tail, which the sketch width controls (width 2/eps = 100k cells ⇒
+    * expected overcount N/width ≪ T at any fixture scale; at 100 TB width
+    * scales as N/T for the same sharpness, still megabytes).
+    */
+  def x136CmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val T = 6
+    val docs = fanOut(Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull))
+    val g = explodedShingles(docs).select("shingle").persist()
+    g.count() // force: sketch build and gated recount read cached rows
+    repin(g)
+    val sketch = g
+      .agg(expr("count_min_sketch(shingle, cast(0.00002 as double), " +
+        "cast(0.99 as double), 42)").as("cms")).scalar()
+    g.filter(call_function("cms_estimate", sketch, col("shingle")) >= T)
+      .groupBy("shingle").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= T)
+      .orderBy(col("n").desc, col("shingle").asc)
+  }
+
+  /** x137 — TOP TERMS per source through the custom SPACE-SAVING aggregate
+    * (round-9; Metwally et al. 2005, [[graft.functions.SpaceSavingTopK]]
+    * — the custom TypedImperativeAggregate face of the engine, completing
+    * the extension quartet: expression (FloatDot/CmsEstimate), physical
+    * operator (TopKPerKey), optimizer rule (TopKRewrite), and now
+    * AGGREGATE): each source's 5 most frequent tokens with exact counts.
+    * The aggregate holds ≤ m = 64 counters per group — O(m) state at every
+    * level, map-side partials and one O(m)-buffer-per-group exchange —
+    * where the exact groupBy(token) form (x31's shape) shuffles every
+    * distinct token.
+    *
+    * Oracle-exactness contract: the fixture vocabulary (≪ 64 distinct
+    * tokens per source) never triggers eviction or truncation, so counts
+    * are exact, errs 0, and the summary is merge-order-independent — the
+    * DuckDB row_number formulation pins the aggregate's retained set and
+    * ordering (cnt desc, item asc at both rank and output levels) per
+    * round. The under-pressure regime (distinct > m: eviction-inherit,
+    * err bounds, guaranteed retention above n/m) is spec-pinned
+    * single-partition where it is deterministic.
+    */
+  def x137SpaceSavingTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val docs = fanOut(Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull))
+    docs.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source")
+      .agg(expr("space_saving(tok, 64)").as("summary"))
+      .select(col("source"), posexplode(col("summary")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("token"), col("col.cnt").as("n"))
+      .filter(col("rank") <= 5)
+      .orderBy("source", "rank")
+  }
+
+  /** x138 — DQ-GATE stream==batch parity (round-9; the x114/x120/x130
+    * pattern for the FOURTH streaming face, `foreachBatch` quality
+    * gating): replay [[graft.core.Quality.profile]] — the exact per-batch
+    * core `streaming/StreamingQuality.gated` runs on every micro-batch —
+    * over a 3-batch event_id-ranged split of `events`, then combine the
+    * three profiles into one whole-corpus profile. Every profile counter
+    * is ADDITIVE (each row lands in exactly one batch; a row breaking k
+    * rules counts k in its batch and k in the whole), so the combined
+    * counts are provably identical to the one-shot batch profile and the
+    * query runs under r2's own DuckDB oracle — any drift in the per-batch
+    * profiling (null rules, negative-amount rule, double-count, epsilon)
+    * turns this row red. Conformity recomputes from the summed integers
+    * with r2's EXACT formula (max(0, 1 − fails/(total+1e-9)), BigDecimal
+    * half-up at scale 6) — same doubles from same ints.
+    *
+    * Scale shape: three single-pass aggregation jobs (one per batch — the
+    * streaming reality: each micro-batch profiles once) each with map-side
+    * partials; batch bounds come from a 1-row min/max aggregate; the
+    * driver holds three O(1) metric objects — exactly what the streaming
+    * gate's driver does per batch.
+    */
+  def x138DqReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Io.events(spark, sfDir).select(col("event_id"),
+      col("ts").as("timestamp"),
+      col("event_type").as("transaction_type"),
+      col("value").as("amount"),
+      col("user_id").cast("string").as("receiving_address"))
+    val mm = ev.agg(min("event_id").as("lo"), max("event_id").as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val step = (hi - lo) / 3 + 1
+    val metrics = (0 until 3).map { i =>
+      val b = ev.filter(col("event_id") >= lo + i * step &&
+          col("event_id") < lo + (i + 1) * step)
+        .drop("event_id")
+      Quality.profile(b, s"replay_$i")
+    }
+    val total = metrics.map(_.totalRows).sum
+    def nsum(c: String) = metrics.map(_.nulls(c)).sum
+    val fails = metrics.map(_.failedRowsEstimate).sum
+    val conformity = math.max(0.0, 1.0 - fails / (total + 1e-9))
+    import spark.implicits._
+    Seq((total, nsum("timestamp"), nsum("transaction_type"), nsum("amount"),
+      nsum("receiving_address"),
+      metrics.map(_.ruleViolations("amount_non_negative")).sum,
+      fails,
+      BigDecimal(conformity).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble))
+      .toDF("total_rows", "n_null_timestamp", "n_null_transaction_type",
+        "n_null_amount", "n_null_receiving_address", "v_amount_negative",
+        "failed_rows_estimate", "conformity_rate")
+  }
+
+  /** x140 — RETRIEVAL EVALUATION: nDCG@10 and MRR@10 of each of x111's two
+    * retrievers judged against the OTHER's top-10 as the relevance set
+    * (round-9) — the retriever-agreement metric suite (Järvelin &
+    * Kekäläinen's nDCG, the standard RAG-stack offline eval), completing
+    * the evaluation family: x105 audits ANN recall against brute force,
+    * x89 measures dedup-method agreement, this measures RANKING agreement
+    * with position discounts. Direction 'lex' scores the lexical ranking
+    * against vector relevance; 'vec' the reverse. Reuses x111's fused
+    * (doc_id, lex_rank, vec_rank) frame — the oracle embeds x111's own SQL
+    * as a CTE, so any retriever drift breaks both rows here too.
+    *
+    * Float discipline: each rank discount 1/log2(rank+1) is round6'd
+    * per-rank then DECIMAL-summed (x124's pattern — order-independent);
+    * nDCG's one division + round at the edge; MRR = 1/first-hit-rank is an
+    * exact rational, round6'd identically. IDCG sums the same rounded
+    * discounts over the ideal prefix, so the ratio is engine-identical.
+    *
+    * Scale shape: all metric arithmetic runs on x111's ≤40-row fused
+    * frame — corpus cost IS x111's (two linear retriever scans); the
+    * metrics add constant-size aggregation only.
+    */
+  def x140RetrievalEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val fused = x111RrfFusion(spark, sfDir)
+      .select("doc_id", "lex_rank", "vec_rank")
+    val dirs = fused.select(lit("lex").as("direction"),
+        col("lex_rank").as("my_rank"), col("vec_rank").as("rel_rank"))
+      .union(fused.select(lit("vec"), col("vec_rank"), col("lex_rank")))
+    def disc(r: Column): Column = stableRound6(lit(1.0) / log2(r + 1))
+    val rel = dirs.filter(col("rel_rank") <= 10)
+      .groupBy("direction").agg(count(lit(1)).as("n_rel"))
+    val hits = dirs.filter(col("rel_rank") <= 10 && col("my_rank") <= 10)
+    val dcg = hits.groupBy("direction").agg(
+      count(lit(1)).as("n_hits"),
+      sum(disc(col("my_rank")).cast("decimal(28,6)")).cast("double").as("dcg"),
+      min("my_rank").as("first_hit"))
+    val idcg = rel.select(col("direction"),
+        explode(sequence(lit(1), least(lit(10), col("n_rel")).cast("int")))
+          .as("i"))
+      .groupBy("direction")
+      .agg(sum(disc(col("i")).cast("decimal(28,6)")).cast("double").as("idcg"))
+    rel.join(dcg, Seq("direction"), "left").join(idcg, Seq("direction"))
+      .select(col("direction"), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        stableRound6(coalesce(lit(1.0) / col("first_hit"), lit(0.0)))
+          .as("mrr"),
+        stableRound6(coalesce(col("dcg") / col("idcg"), lit(0.0)))
+          .as("ndcg"))
+      .orderBy("direction")
+  }
+
+  /** x145 — TRAINING-BLOCK packing per source shard (round-9): fill
+    * 512-token blocks greedily with whole documents in doc_id order within
+    * each source — the final LAYOUT step of a pretraining pipeline (the
+    * "concatenate documents into fixed-length sequences" stage downstream
+    * of x113's encoding; x60/x116 pack per-user EVENT streams by value,
+    * this packs the CORPUS by token count into the block structure
+    * training jobs actually consume). Sharded by source because that is
+    * how production packs: document order matters within a shard,
+    * shards are independent. Oversize documents (> 512 tokens) form
+    * singleton over-budget blocks (the no-split contract — real packers
+    * route those to a splitter upstream).
+    *
+    * Executes through [[graft.operators.GreedyPack]] (third declared
+    * consumer after x90/x116): one shard-keyed shuffle, external sort,
+    * O(1)-state streaming fold — the engine whose recursive-CTE
+    * equivalent costs one Spark job PER STEP. The DuckDB oracle RUNS that
+    * sequential recursion (cheap single-node), so the hash match pins
+    * every accumulation and block boundary of the distributed fold
+    * against an independent sequential engine per round (x116's proof
+    * shape, now on the corpus). Token counts are exact integers riding
+    * the fold's double accumulator (integers ≤ 2⁵³ are exact doubles).
+    */
+  def x145PackBlocks(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents").filter(col("text").isNotNull)
+    val srcMap = docs.select("source").distinct()
+      .withColumn("sid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("source")).cast("long"))
+    val ev = docs.join(broadcast(srcMap), "source")
+      .select(col("sid").as("user_id"), col("doc_id").as("event_id"),
+        size(split(col("text"), " ")).cast("double").as("value"))
+    graft.operators.GreedyPack.pack(ev, 512.0)
+      .join(broadcast(srcMap.withColumnRenamed("sid", "user_id")), "user_id")
+      .select(col("source"), col("pack_id").cast("long").as("pack_id"),
+        col("n_events").as("n_docs"),
+        col("pack_total").cast("long").as("block_tokens"))
+      .orderBy("source", "pack_id")
+  }
 }

@@ -1697,6 +1697,30 @@ object Oracles {
       |FROM r GROUP BY user_id, pack
       |ORDER BY user_id, pack_id""".stripMargin
 
+  // x145: the same sequential reset-on-threshold recursion x116's oracle
+  // runs, on the corpus per source — every accumulation and block boundary
+  // of the distributed fold pinned by the CTE walk.
+  val x145: String =
+    """WITH RECURSIVE d0 AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS DOUBLE) AS v,
+      |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents WHERE text IS NOT NULL),
+      |r(source, rn, acc, pack) AS (
+      |  SELECT source, rn, v, 1 FROM d0 WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.source, e.rn,
+      |         CASE WHEN r.acc + e.v > 512.0 THEN e.v
+      |              ELSE r.acc + e.v END,
+      |         CASE WHEN r.acc + e.v > 512.0 THEN r.pack + 1
+      |              ELSE r.pack END
+      |  FROM r JOIN d0 e ON e.source = r.source AND e.rn = r.rn + 1)
+      |SELECT source, CAST(pack AS BIGINT) AS pack_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(max(acc) AS BIGINT) AS block_tokens
+      |FROM r
+      |GROUP BY source, pack
+      |ORDER BY source, pack_id""".stripMargin
+
   // x117: exact BIGINT token counts; sqrt rounded once then DECIMAL-summed
   // (order-independent denominator); every ratio one double op + one
   // half-up round — the identical float discipline as the Spark side
@@ -2076,6 +2100,38 @@ object Oracles {
       |       strip_accents(norm) = text AS roundtrip_ok
       |FROM n
       |ORDER BY doc_id""".stripMargin
+
+  // x136: plain exact GROUP/HAVING — the CMS prefilter is invisible in the
+  // result (no false negatives by construction, false positives removed by
+  // the exact recount), so the oracle needs no sketch at all.
+  val x136: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      |  FROM t, LATERAL unnest(range(1, len(toks) - 1)) AS r(i)
+      |  WHERE len(toks) >= 3)
+      |SELECT shingle, CAST(count(*) AS BIGINT) AS n
+      |FROM g
+      |GROUP BY shingle
+      |HAVING count(*) >= 6
+      |ORDER BY n DESC, shingle ASC""".stripMargin
+
+  // x137: exact per-source token ranking — valid as the space_saving
+  // oracle because the fixture vocabulary stays far below the aggregate's
+  // 64-counter capacity (no eviction → exact, merge-order-independent);
+  // identical (n desc, token asc) ordering at rank and output levels.
+  val x137: String =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+      |      FROM t GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY source
+      |              ORDER BY n DESC, token ASC) AS rank FROM c)
+      |SELECT source, CAST(rank AS BIGINT) AS rank, token, n
+      |FROM r WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin
 
   val x120: String =
     """WITH o AS (
@@ -2825,6 +2881,153 @@ object Oracles {
       |FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
       |ORDER BY rrf DESC, doc_id""".stripMargin
 
+  // x140: x111's own SQL embedded as the fused CTE (any retriever drift
+  // breaks both queries together); per-rank discounts round6'd then
+  // DECIMAL-summed, one division + round at each edge, everything double
+  // spelled CAST(1 AS DOUBLE) so DuckDB never routes through DECIMAL
+  // division.
+  lazy val x140: String =
+    s"""WITH fused AS (SELECT * FROM ($x111)),
+      |dirs AS (
+      |  SELECT 'lex' AS direction, lex_rank AS my_rank, vec_rank AS rel_rank
+      |  FROM fused
+      |  UNION ALL
+      |  SELECT 'vec', vec_rank, lex_rank FROM fused),
+      |rel AS (SELECT direction, CAST(count(*) AS BIGINT) AS n_rel
+      |        FROM dirs WHERE rel_rank <= 10 GROUP BY 1),
+      |hits AS (SELECT direction, my_rank FROM dirs
+      |         WHERE rel_rank <= 10 AND my_rank <= 10),
+      |dcg AS (
+      |  SELECT direction, CAST(count(*) AS BIGINT) AS n_hits,
+      |         CAST(sum(CAST(floor(CAST(1 AS DOUBLE) / log2(my_rank + 1)
+      |               * 1000000 + 0.5) / 1000000 AS DECIMAL(28,6))) AS DOUBLE)
+      |           AS dcg,
+      |         min(my_rank) AS first_hit
+      |  FROM hits GROUP BY 1),
+      |idcg AS (
+      |  SELECT r.direction,
+      |         CAST(sum(CAST(floor(CAST(1 AS DOUBLE) / log2(i.i + 1)
+      |               * 1000000 + 0.5) / 1000000 AS DECIMAL(28,6))) AS DOUBLE)
+      |           AS idcg
+      |  FROM rel r, LATERAL unnest(range(1, least(10, r.n_rel) + 1)) i(i)
+      |  GROUP BY 1)
+      |SELECT r.direction, r.n_rel,
+      |       coalesce(d.n_hits, 0) AS n_hits,
+      |       floor(coalesce(CAST(1 AS DOUBLE) / d.first_hit, CAST(0 AS DOUBLE))
+      |             * 1000000 + 0.5) / 1000000 AS mrr,
+      |       floor(coalesce(d.dcg / i.idcg, CAST(0 AS DOUBLE))
+      |             * 1000000 + 0.5) / 1000000 AS ndcg
+      |FROM rel r LEFT JOIN dcg d USING (direction) JOIN idcg i USING (direction)
+      |ORDER BY direction""".stripMargin
+
+  // x141: identical gaps-and-islands over exact epoch-day integers — same
+  // deterministic order, same exclusive-preceding running-max frame, same
+  // synthesized transit rule.
+  val x141: String =
+    """WITH iv AS (
+      |  SELECT l_suppkey,
+      |         epoch_us(l_shipdate) // 86400000000 AS start_d,
+      |         epoch_us(l_shipdate) // 86400000000
+      |           + (l_linenumber % 7 + 1) AS end_d,
+      |         l_orderkey, l_linenumber
+      |  FROM lineitem
+      |  WHERE l_shipdate IS NOT NULL AND l_suppkey IS NOT NULL),
+      |f AS (
+      |  SELECT l_suppkey, start_d, end_d, l_orderkey, l_linenumber,
+      |         CASE WHEN max(end_d) OVER w IS NULL
+      |                OR start_d > max(end_d) OVER w
+      |              THEN 1 ELSE 0 END AS new_island
+      |  FROM iv
+      |  WINDOW w AS (PARTITION BY l_suppkey
+      |               ORDER BY start_d, end_d, l_orderkey, l_linenumber
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |isl AS (
+      |  SELECT l_suppkey, start_d, end_d,
+      |         sum(new_island) OVER (PARTITION BY l_suppkey
+      |             ORDER BY start_d, end_d, l_orderkey, l_linenumber
+      |             ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM f),
+      |g AS (
+      |  SELECT l_suppkey, island, CAST(count(*) AS BIGINT) AS n_iv,
+      |         min(start_d) AS i_start, max(end_d) AS i_end
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT l_suppkey, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+      |       CAST(count(*) AS BIGINT) AS n_islands,
+      |       CAST(sum(i_end - i_start) AS BIGINT) AS covered_days,
+      |       CAST(max(i_end - i_start) AS BIGINT) AS max_island_days
+      |FROM g
+      |GROUP BY l_suppkey
+      |ORDER BY l_suppkey""".stripMargin
+
+  // x142: same filter + integer-micros aggregate over the ORIGINAL events
+  // — the partitioned write and the runtime pruning are invisible in the
+  // result (x40's shared-original pattern).
+  val x142: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(coalesce(value, 0) * 1000000 + 0.5)
+      |                     AS BIGINT)) AS BIGINT) AS sum_vmicro
+      |FROM events
+      |WHERE length(event_type) >= 6
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // x143: identical closed-form EWMA — same exact-micros v, same
+  // coef·v round6-then-DECIMAL-sum, same (epoch-µs, event_id) order;
+  // power(0.75, k) is the lone transcendental, neutralized per-term.
+  val x143: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t,
+      |         floor(value * 1000000 + 0.5) / 1000000 AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT user_id, v,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY t, event_id) AS i,
+      |         count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM o),
+      |t AS (
+      |  SELECT user_id, n,
+      |         floor((CASE WHEN i = 1 THEN power(0.75, n - 1)
+      |                     ELSE 0.25 * power(0.75, n - i) END) * v
+      |               * 1000000 + 0.5) / 1000000 AS term
+      |  FROM r)
+      |SELECT user_id, CAST(max(n) AS BIGINT) AS n_obs,
+      |       floor(CAST(sum(CAST(term AS DECIMAL(28,6))) AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS ewma
+      |FROM t
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // x144: exact integer/HUGEINT moments (DuckDB sums of BIGINT are HUGEINT
+  // — arbitrary-precision here), identical double division + round at the
+  // edge, identical intercept operation order.
+  val x144: String =
+    """WITH o AS (
+      |  SELECT event_type, epoch_us(ts) AS t,
+      |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |c AS (
+      |  SELECT event_type,
+      |         (t - min(t) OVER (PARTITION BY event_type)) // 86400000000 AS x,
+      |         y
+      |  FROM o),
+      |s AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         sum(x) AS sx, sum(y) AS sy,
+      |         sum(x * y) AS sxy, sum(x * x) AS sxx
+      |  FROM c GROUP BY 1)
+      |SELECT event_type, n,
+      |       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |             / CAST(n * sxx - sx * sx AS DOUBLE)
+      |             / 1000000 * 1000000 + 0.5) / 1000000 AS slope_day,
+      |       floor((CAST(sy AS DOUBLE) / n
+      |              - CAST(n * sxy - sx * sy AS DOUBLE)
+      |                / CAST(n * sxx - sx * sx AS DOUBLE)
+      |                * CAST(sx AS DOUBLE) / n) / 1000000
+      |             * 1000000 + 0.5) / 1000000 AS intercept
+      |FROM s
+      |ORDER BY event_type""".stripMargin
+
   // x109: both engines' raw schema views, column by column — DESCRIBE on
   // the same parquet the Spark side footer-reads; diverging views (the
   // round-7 TIMESTAMP(NANOS) class) break the hash on exactly this query
@@ -2976,6 +3179,8 @@ object Oracles {
     // the shared original-parquet oracle proves the roundtrip lossless
     // (x40/x58's pattern)
     "x121_xml_roundtrip"  -> x40,
+    "x139_text_roundtrip" -> x40,
+    "x146_dsv2_read"      -> x40,
     "x61_merge_upsert"    -> x61,
     "x70_scd2_history"    -> x70,
     "x73_salted_join"     -> x73,
@@ -3007,6 +3212,19 @@ object Oracles {
     "x132_perplexity_gate" -> x132,
     "x133_reservoir_sample" -> x133,
     "x134_unicode_norm"   -> x134,
+    "x136_cms_heavyhitters" -> x136,
+    "x137_spacesaving_terms" -> x137,
+    // x138 replays the streaming DQ gate's per-batch profile core over a
+    // 3-batch split and combines — additive counters make the cumulative
+    // profile provably equal to the one-shot batch profile, so it shares
+    // r2's oracle (stream gate == batch profile in one hash)
+    "x138_dq_replay"      -> r2,
+    "x140_retrieval_eval" -> x140,
+    "x141_interval_merge" -> x141,
+    "x142_dpp_prune"      -> x142,
+    "x143_ewma"           -> x143,
+    "x144_regression"     -> x144,
+    "x145_pack_blocks"    -> x145,
     "x91_nearest_event"   -> x91,
     "x92_temporal_lookup" -> x92,
     "x93_rolling_dau"     -> x93,

@@ -1475,4 +1475,116 @@ class NewOpsSpec extends SparkSpec {
         r.getDouble(4))).toSeq
     assert(got == expect)
   }
+
+  test("x136: threshold boundary exact — 6 kept, 5 dropped; count desc tie by shingle") {
+    val dir = Files.createTempDirectory("x136").toString
+    // "a b c" appears 6 times (boundary: kept), "x y z" 5 times (dropped),
+    // "p q r" 7 times (kept, ranks first)
+    val docs =
+      (1 to 6).map(i => (i.toLong, "a b c", "en", "s", 5L)) ++
+      (11 to 15).map(i => (i.toLong, "x y z", "en", "s", 5L)) ++
+      (21 to 27).map(i => (i.toLong, "p q r", "en", "s", 5L)) :+
+      ((31L, "q r", "en", "s", 3L)) // < 3 tokens: no shingle
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmQueries.x136CmsHeavyHitters(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("p q r", 7L), ("a b c", 6L)))
+  }
+
+  test("x138: 3-batch replayed DQ profile equals the one-shot r2 profile exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val replayed = LlmQueries.x138DqReplay(spark, sf).collect().toSeq
+    val oneShot = ReferenceQueries.r2DqProfile(spark, sf).collect().toSeq
+    assert(replayed == oneShot)
+  }
+
+  test("x140: both directions scored; metric invariants hold on the fixture") {
+    val out = LlmQueries.x140RetrievalEval(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.map(_._1).toSeq == Seq("lex", "vec"))
+    out.foreach { case (dir, nRel, nHits, mrr, ndcg) =>
+      assert(nRel == 10, s"$dir: the other retriever's top-10 is the relevance set")
+      assert(nHits >= 0 && nHits <= 10)
+      assert(mrr >= 0.0 && mrr <= 1.0, s"$dir mrr=$mrr")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"$dir ndcg=$ndcg")
+      // nDCG can't exceed what a perfect prefix of the same hit count gives
+      if (nHits == 0) assert(ndcg == 0.0 && mrr == 0.0)
+      else assert(ndcg > 0.0 && mrr > 0.0)
+    }
+  }
+
+  test("x141: a contained-start interval EXTENDS its island — the rule sessionization lacks") {
+    val dir = Files.createTempDirectory("x141").toString
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+    // transit = linenumber % 7 + 1
+    Seq(
+      // supp 1: [0,2] then [1,4] (starts INSIDE, extends to 4 -> same
+      // island), then [5,7] (5 > 4 -> new island)
+      (100L, 1L, 1, d(0)), // [0, 2]
+      (101L, 1L, 3, d(1)), // [1, 5]? no: 3 % 7 + 1 = 4 -> [1, 5]
+      (102L, 1L, 1, d(6)), // [6, 8]
+      // supp 2: one interval [10, 13]
+      (103L, 2L, 2, d(10)))
+      .toDF("l_orderkey", "l_suppkey", "l_linenumber", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = ExtendedQueries.x141IntervalMerge(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // supp 1: islands [0,5] (intervals [0,2]+[1,5]) and [6,8] ->
+    // covered 5+2=7, max 5; supp 2: [10,13] -> covered 3
+    assert(out == Seq(
+      (1L, 3L, 2L, 7L, 5L),
+      (2L, 1L, 1L, 3L, 3L)))
+  }
+
+  test("x143: closed-form EWMA equals the recursive fold by hand; singleton passes through") {
+    val dir = Files.createTempDirectory("x143").toString
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    Seq(
+      (1L, ts(0), 1L, "click", 10.0, "{}"),
+      (2L, ts(1), 1L, "click", 20.0, "{}"),
+      (3L, ts(2), 1L, "click", 40.0, "{}"),
+      (4L, ts(0), 2L, "click", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.x143Ewma(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // recursive: S1=10, S2=.75*10+.25*20=12.5, S3=.75*12.5+.25*40=19.375;
+    // every closed-form term is exact at 6 dp
+    assert(out == Map(1L -> ((3L, 19.375)), 2L -> ((1L, 7.0))))
+  }
+
+  test("x144: a perfect 2-per-day line recovers slope 2, intercept 1 exactly") {
+    val dir = Files.createTempDirectory("x144").toString
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+    Seq(
+      (1L, d(0), 1L, "lin", 1.0, "{}"),
+      (2L, d(1), 1L, "lin", 3.0, "{}"),
+      (3L, d(2), 1L, "lin", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.x144Regression(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(out == Seq(("lin", 3L, 2.0, 1.0)))
+  }
+
+  test("x145: blocks close at 512; oversize doc forms a singleton over-budget block") {
+    val dir = Files.createTempDirectory("x145").toString
+    def toks(n: Int) = Seq.fill(n)("w").mkString(" ")
+    Seq(
+      (1L, toks(30), "en", "s1", 0L),   // 30+400 = 430 fits
+      (2L, toks(400), "en", "s1", 0L),
+      (3L, toks(90), "en", "s1", 0L),   // 430+90 > 512 -> new block
+      (4L, toks(600), "en", "s1", 0L),  // oversize -> singleton block
+      (5L, toks(512), "en", "s2", 0L),  // exactly budget: kept whole
+      (6L, toks(1), "en", "s2", 0L))    // 512+1 > 512 -> next block
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmQueries.x145PackBlocks(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("s1", 1L, 2L, 430L), ("s1", 2L, 1L, 90L), ("s1", 3L, 1L, 600L),
+      ("s2", 1L, 1L, 512L), ("s2", 2L, 1L, 1L)))
+  }
 }

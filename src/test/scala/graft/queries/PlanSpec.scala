@@ -161,10 +161,12 @@ class PlanSpec extends SparkSpec {
     // x126's are the |sources|-row totals frame crossing onto the distinct-
     // length frame (building the CDF step grid) and the 1-row corpus total
     // x132's is the 1-row vocabulary-size constant crossing onto the
-    // observed-bigram model frame (x87's shape)
+    // observed-bigram model frame (x87's shape); x140 embeds x111's
+    // retrievers wholesale, inheriting exactly x111's 1-row crosses
       "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
       "x112_zorder_layout", "x117_mix_temperature", "x119_prep_v4",
-      "x124_dsir_weights", "x126_ks_drift", "x132_perplexity_gate")
+      "x124_dsir_weights", "x126_ks_drift", "x132_perplexity_gate",
+      "x140_retrieval_eval")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -806,6 +808,45 @@ class PlanSpec extends SparkSpec {
     // output — but must sit ABOVE the final fold, never under it
     val w = p.indexOf("Window")
     assert(w < fi, "the rank window applies to the operator's constant-size result")
+  }
+
+  test("x136: CMS gate sits under the one survivor exchange; stream pinned") {
+    val p = plan("x136_cms_heavyhitters")
+    assert(p.contains("cms_estimate"), "the codegen'd CMS probe must gate the stream")
+    assert(p.contains("InMemoryTableScan"),
+      "the shingle stream is pinned — sketch build and recount share one scan")
+    val exchanges = """Exchange hashpartitioning\(shingle""".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"exactly ONE content-keyed exchange (the gated recount), got $exchanges")
+    assert(p.indexOf("Exchange hashpartitioning(shingle") < p.indexOf("cms_estimate"),
+      "plan prints outermost-first: the gate must sit BELOW the exchange " +
+        "(filter before shuffle), so the exchange line comes first")
+  }
+
+  test("x137: space_saving aggregates map-side as an ObjectHashAggregate partial") {
+    val p = plan("x137_spacesaving_terms")
+    assert(p.contains("ObjectHashAggregate"),
+      "a TypedImperativeAggregate plans as object-hash aggregation")
+    assert(p.contains("partial_space_saving"),
+      "the O(m) summary must combine map-side before the exchange")
+  }
+
+  test("x141: ONE suppkey exchange feeds both windows and the aggregate; scan pruned") {
+    val p = plan("x141_interval_merge")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "windows and per-island aggregate must share the one suppkey exchange")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint," +
+      "l_linenumber:int,l_shipdate:timestamp"),
+      "scan must prune to the four interval columns")
+    assert(!p.contains("Join"), "interval union is windows, never a pairwise join")
+  }
+
+  test("x142: the fact scan carries a runtime dynamicpruning partition filter") {
+    val p = plan("x142_dpp_prune")
+    assert(p.contains("dynamicpruning"),
+      s"the dim filter must prune fact partitions at runtime:\n$p")
+    assert(p.contains("PartitionFilters"),
+      "the pruning must land in the fact scan's partition filters")
   }
 
   test("x134: unicode normalization is pure codegen map work — no shuffle, pruned scan") {
