@@ -1785,4 +1785,92 @@ object ExtendedQueries {
         Seq(col("value").desc_nulls_last, col("ts_us").asc, col("event_id").asc), 3)
       .orderBy("user_id", "event_id")
   }
+
+  /** x149 — the TopKRewrite OPTIMIZER RULE as a per-round driver signal
+    * (round-9): run x122's semantics in the WINDOW formulation
+    * (`row_number ≤ 3`) with `spark.graft.topk.rewrite=true`, so Catalyst
+    * rewrites the Project/Filter/Window idiom into the TopKPerKey partial
+    * fold ([[graft.plans.TopKRewrite]], the rule extension face — until
+    * now pinned only by TopKRewriteSpec, invisible to the driver). The
+    * query shares x122's DuckDB oracle: the hash match proves the
+    * REWRITTEN plan computes exactly the declarative window semantics on
+    * the full fixture every round; PlanSpec asserts the rewrite actually
+    * fired (TopKPerKey nodes present, Window gone).
+    *
+    * Conf scoping: the rewrite flag is session-wide and would silently
+    * change every OTHER declared query's row_number-top-k plans, so the
+    * query builds on `spark.newSession()` — same SparkContext, isolated
+    * conf/extensions — leaving the driver's session untouched (the x109
+    * ADVICE class: declared queries stay order-independent).
+    */
+  def x149TopkRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = spark.newSession()
+    graft.plans.GraftExtensions.register(s2)
+    s2.conf.set("spark.graft.topk.rewrite", "true")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    val ev = Io.events(s2, sfDir).select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("value").desc_nulls_last, col("ts_us").asc,
+        col("event_id").asc)
+    ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** x148 — EXACT pairwise Pearson correlation of lineitem's measures
+    * (round-9): corr over (quantity, extendedprice, discount) — the
+    * profiling primitive behind feature-redundancy checks and schema
+    * drift triage. Both engines ship `corr()`, but it accumulates in
+    * floats (order-dependent — the x144 REGR_SLOPE argument), so the
+    * moments are exact instead: measures pre-rounded to micros (x120's
+    * floor rule), Σx/Σx²/Σxy as DECIMAL sums (HUGEINT on the DuckDB
+    * side), r = (nΣxy − ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) with the
+    * numerator and both variance factors computed EXACTLY, then cast
+    * double — sqrt/divide/multiply are correctly-rounded IEEE ops on
+    * engine-identical inputs — and ONE round at the edge. Magnitude
+    * guard: n·Σp² ~ 10³⁴ at sf0.1 vs decimal(38) (documented, x144's
+    * class).
+    *
+    * Scale shape: ONE map-combining aggregation pass produces every
+    * moment; the three pair rows explode from the single 1-row result
+    * (no second scan, no join) — at 100 TB this is the one-pass
+    * sufficient-statistics pattern every profiler uses.
+    */
+  def x148Correlation(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = Io.table(spark, sfDir, "lineitem")
+      .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull &&
+        col("l_discount").isNotNull)
+      .select(
+        floor(col("l_quantity") * 1000000 + 0.5).cast("decimal(18,0)").as("q"),
+        floor(col("l_extendedprice") * 1000000 + 0.5).cast("decimal(18,0)").as("p"),
+        floor(col("l_discount") * 1000000 + 0.5).cast("decimal(18,0)").as("d"))
+    val m = b.agg(count(lit(1)).as("n"),
+      sum("q").as("sq"), sum("p").as("sp"), sum("d").as("sd"),
+      sum(col("q") * col("q")).as("sqq"), sum(col("p") * col("p")).as("spp"),
+      sum(col("d") * col("d")).as("sdd"),
+      sum(col("q") * col("p")).as("sqp"), sum(col("q") * col("d")).as("sqd"),
+      sum(col("p") * col("d")).as("spd"))
+    val nD = col("n").cast("decimal(38,0)")
+    def num(sxy: String, sx: String, sy: String) =
+      (nD * col(sxy) - col(sx) * col(sy)).cast("double")
+    def dvar(sxx: String, sx: String) =
+      (nD * col(sxx) - col(sx) * col(sx)).cast("double")
+    m.select(col("n"), explode(array(
+        struct(lit("quantity_extendedprice").as("pair"),
+          num("sqp", "sq", "sp").as("num"),
+          dvar("sqq", "sq").as("dx"), dvar("spp", "sp").as("dy")),
+        struct(lit("quantity_discount").as("pair"),
+          num("sqd", "sq", "sd").as("num"),
+          dvar("sqq", "sq").as("dx"), dvar("sdd", "sd").as("dy")),
+        struct(lit("extendedprice_discount").as("pair"),
+          num("spd", "sp", "sd").as("num"),
+          dvar("spp", "sp").as("dx"), dvar("sdd", "sd").as("dy"))))
+        .as("c"))
+      .select(col("c.pair").as("pair"), col("n"),
+        stableRound6(col("c.num") /
+          (sqrt(col("c.dx")) * sqrt(col("c.dy")))).as("corr"))
+      .orderBy("pair")
+  }
 }

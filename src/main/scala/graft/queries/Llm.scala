@@ -3914,4 +3914,51 @@ object LlmQueries {
         col("pack_total").cast("long").as("block_tokens"))
       .orderBy("source", "pack_id")
   }
+
+  /** x147 — DETOKENIZE roundtrip (round-9): decode x113's id sequences
+    * back through the vocabulary (OOV id 0 → `<unk>`) and compare with
+    * the original text — the encode⇄decode LOSSLESSNESS audit every
+    * tokenizer pipeline owes its corpus: a doc with zero OOV must decode
+    * byte-identical (`roundtrip_ok`), a doc with OOV must not (its unk
+    * positions are the information the cap destroyed — x65 measures that
+    * rate, this pins WHERE it bites). Same corpus-derived top-25
+    * vocabulary, same (count desc, token) id assignment as x113 — any
+    * drift in the vocab ranking or position ordering flips roundtrip
+    * flags and breaks the hash.
+    *
+    * Scale shape: x113's — one tokenize scan, vocab window on the
+    * vocab-sized frame, broadcast id map out AND back (decode joins the
+    * same broadcast), per-doc rebuild rides the doc_id fan-out; the
+    * decoded text is compared, never dumped (the x107 no-corpus-dump
+    * trick via the boolean).
+    */
+  def x147Detokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = fanOut(Io.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w")).limit(25)
+      .withColumn("id",
+        row_number().over(Window.orderBy(desc("n"), col("w"))).cast("long"))
+      .select("w", "id")
+    // encode: token → id (OOV → 0), DROPPING the source token — the
+    // decode below must recover text from the ID STREAM alone, or the
+    // roundtrip proves nothing
+    val enc = toks.join(broadcast(vocab), Seq("w"), "left")
+      .select(col("doc_id"), col("text"), col("pos"),
+        coalesce(col("id"), lit(0L)).as("id"))
+    // decode: id → token through the same broadcast map; id 0 → <unk>
+    val dec = enc.join(broadcast(
+        vocab.select(col("id").as("did"), col("w").as("dw"))),
+        col("id") === col("did"), "left")
+      .withColumn("dec", coalesce(col("dw"), lit("<unk>")))
+    dec.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((col("id") === 0L).cast("long")).as("n_oov"),
+        (array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, dec))), s -> s.dec)"),
+          " ") === first("text")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
 }

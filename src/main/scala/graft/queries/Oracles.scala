@@ -3028,6 +3028,48 @@ object Oracles {
       |FROM s
       |ORDER BY event_type""".stripMargin
 
+  // x148: exact HUGEINT moments, identical num/√dx·√dy operation order,
+  // one round at the edge — corr() itself is float-accumulated in both
+  // engines and deliberately unused.
+  val x148: String =
+    """WITH b AS (
+      |  SELECT CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) AS q,
+      |         CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS p,
+      |         CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT) AS d
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |    AND l_discount IS NOT NULL),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         sum(CAST(q AS HUGEINT)) AS sq, sum(CAST(p AS HUGEINT)) AS sp,
+      |         sum(CAST(d AS HUGEINT)) AS sd,
+      |         sum(CAST(q AS HUGEINT) * q) AS sqq,
+      |         sum(CAST(p AS HUGEINT) * p) AS spp,
+      |         sum(CAST(d AS HUGEINT) * d) AS sdd,
+      |         sum(CAST(q AS HUGEINT) * p) AS sqp,
+      |         sum(CAST(q AS HUGEINT) * d) AS sqd,
+      |         sum(CAST(p AS HUGEINT) * d) AS spd
+      |  FROM b),
+      |pairs AS (
+      |  SELECT 'quantity_extendedprice' AS pair, n,
+      |         CAST(n * sqp - sq * sp AS DOUBLE) AS num,
+      |         CAST(n * sqq - sq * sq AS DOUBLE) AS dx,
+      |         CAST(n * spp - sp * sp AS DOUBLE) AS dy
+      |  FROM m
+      |  UNION ALL
+      |  SELECT 'quantity_discount', n, CAST(n * sqd - sq * sd AS DOUBLE),
+      |         CAST(n * sqq - sq * sq AS DOUBLE),
+      |         CAST(n * sdd - sd * sd AS DOUBLE) FROM m
+      |  UNION ALL
+      |  SELECT 'extendedprice_discount', n, CAST(n * spd - sp * sd AS DOUBLE),
+      |         CAST(n * spp - sp * sp AS DOUBLE),
+      |         CAST(n * sdd - sd * sd AS DOUBLE) FROM m)
+      |SELECT pair, n,
+      |       floor(num / (sqrt(dx) * sqrt(dy)) * 1000000 + 0.5) / 1000000
+      |         AS corr
+      |FROM pairs
+      |ORDER BY pair""".stripMargin
+
   // x109: both engines' raw schema views, column by column — DESCRIBE on
   // the same parquet the Spark side footer-reads; diverging views (the
   // round-7 TIMESTAMP(NANOS) class) break the hash on exactly this query
@@ -3065,7 +3107,34 @@ object Oracles {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // x147: x113's encode CTEs + the decode join back through the SAME vocab
+  // (id 0 → <unk>), compared against the original text per doc.
+  val x147: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p0 AS (
+      |  SELECT doc_id, unnest([{'pos': i, 'w': toks[i]}
+      |                         for i in range(1, len(toks) + 1)]) AS s
+      |  FROM t),
+      |p AS (SELECT doc_id, s.pos AS pos, s.w AS w FROM p0),
+      |v AS (
+      |  SELECT w, CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS id
+      |  FROM (SELECT w, count(*) AS n FROM p GROUP BY 1
+      |        ORDER BY n DESC, w LIMIT 25)),
+      |j AS (SELECT doc_id, pos, coalesce(v.id, 0) AS id
+      |      FROM p LEFT JOIN v USING (w)),
+      |d AS (SELECT j.doc_id, j.pos, j.id, coalesce(v2.w, '<unk>') AS dec
+      |      FROM j LEFT JOIN v v2 ON v2.id = j.id)
+      |SELECT d.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN d.id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |       string_agg(d.dec, ' ' ORDER BY d.pos) = min(doc.text)
+      |         AS roundtrip_ok
+      |FROM d JOIN documents doc USING (doc_id)
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x147_detokenize"   -> x147,
     "x113_tokenize_ids" -> x113,
     "x109_schema_audit" -> x109,
     "x110_walkforward_split" -> x110,
@@ -3181,6 +3250,10 @@ object Oracles {
     "x121_xml_roundtrip"  -> x40,
     "x139_text_roundtrip" -> x40,
     "x146_dsv2_read"      -> x40,
+    // x149 runs x122's semantics through the window form under the
+    // TopKRewrite conf — same retained set, same oracle: one hash pins
+    // rule-rewritten plan == custom operator == declarative window
+    "x149_topk_rewrite"   -> x122,
     "x61_merge_upsert"    -> x61,
     "x70_scd2_history"    -> x70,
     "x73_salted_join"     -> x73,
@@ -3225,6 +3298,7 @@ object Oracles {
     "x143_ewma"           -> x143,
     "x144_regression"     -> x144,
     "x145_pack_blocks"    -> x145,
+    "x148_correlation"    -> x148,
     "x91_nearest_event"   -> x91,
     "x92_temporal_lookup" -> x92,
     "x93_rolling_dau"     -> x93,

@@ -74,6 +74,39 @@ object TsvDocs {
       }
     })
   }
+
+  /** Evaluate the pushed filters against the raw line with exactly the
+    * SQL semantics the parsed row would get: long columns compare by
+    * PARSED value (so a malformed field is null, and null fails every
+    * predicate — including IsNotNull), string columns by the wire bytes.
+    */
+  private[sources] def passes(line: String,
+      pushed: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    if (pushed.isEmpty) return true
+    val f = line.split("\t", 5)
+    val longCol = Set("doc_id", "n_chars")
+    def raw(a: String): String = {
+      val i = wirePos(a); if (i < f.length) f(i) else null
+    }
+    // the value AS THE ROW WOULD CARRY IT: null when missing or (for a
+    // long column) unparseable
+    def v(a: String): Any = {
+      val s = raw(a)
+      if (s == null) null
+      else if (longCol(a)) {
+        try java.lang.Long.valueOf(s.trim.toLong)
+        catch { case _: NumberFormatException => null }
+      } else s
+    }
+    import org.apache.spark.sql.sources._
+    pushed.forall {
+      case EqualTo(a, x) =>
+        val value = v(a)
+        value != null && String.valueOf(value) == String.valueOf(x)
+      case IsNotNull(a) => v(a) != null
+      case _            => true
+    }
+  }
 }
 
 private[sources] class TsvDocsTable(path: String) extends Table with SupportsRead {
@@ -86,8 +119,10 @@ private[sources] class TsvDocsTable(path: String) extends Table with SupportsRea
 }
 
 private[sources] class TsvScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = TsvDocs.schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty projection (e.g. count(*)) still needs row boundaries — keep
     // the narrowest column so the reader has something to emit
@@ -95,15 +130,36 @@ private[sources] class TsvScanBuilder(path: String)
       if (requiredSchema.fields.isEmpty)
         StructType(Seq(TsvDocs.schema("doc_id")))
       else requiredSchema
-  override def build(): Scan = new TsvScan(path, required)
+  /** Accept the filter shapes the reader can evaluate line-side
+    * (EqualTo / IsNotNull on any schema column); everything else stays
+    * with Spark. Pushed filters are evaluated DURING the scan — rows die
+    * before they ever become InternalRows Spark has to process — which
+    * for a text format is the whole saving: parse-and-drop at the source
+    * instead of materialize-then-filter.
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    val (accepted, rest) = filters.partition {
+      case EqualTo(a, _) => TsvDocs.wirePos.contains(a)
+      case IsNotNull(a)  => TsvDocs.wirePos.contains(a)
+      case _             => false
+    }
+    pushed = accepted
+    rest // Spark re-applies these above the scan
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = new TsvScan(path, required, pushed)
 }
 
-private[sources] class TsvScan(path: String, required: StructType)
+private[sources] class TsvScan(path: String, required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-tsv $path ReadSchema: ${required.simpleString}"
+    s"graft-tsv $path ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -115,12 +171,13 @@ private[sources] class TsvScan(path: String, required: StructType)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new TsvReaderFactory(required)
+    new TsvReaderFactory(required, pushed)
 }
 
 private[sources] case class TsvInputPartition(file: String) extends InputPartition
 
-private[sources] class TsvReaderFactory(required: StructType)
+private[sources] class TsvReaderFactory(required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[TsvInputPartition].file
@@ -130,7 +187,11 @@ private[sources] class TsvReaderFactory(required: StructType)
         p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p),
         "UTF-8"))
       private var line: String = _
-      override def next(): Boolean = { line = in.readLine(); line != null }
+      override def next(): Boolean = {
+        line = in.readLine()
+        while (line != null && !TsvDocs.passes(line, pushed)) line = in.readLine()
+        line != null
+      }
       override def get(): InternalRow = TsvDocs.parse(line, required)
       override def close(): Unit = in.close()
     }

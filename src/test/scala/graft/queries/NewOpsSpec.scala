@@ -1587,4 +1587,36 @@ class NewOpsSpec extends SparkSpec {
       ("s1", 1L, 2L, 430L), ("s1", 2L, 1L, 90L), ("s1", 3L, 1L, 600L),
       ("s2", 1L, 1L, 512L), ("s2", 2L, 1L, 1L)))
   }
+
+  test("x147: in-vocab doc decodes byte-identical; OOV doc flags false with exact unk count") {
+    val dir = Files.createTempDirectory("x147").toString
+    // vocab = top-25 by (count desc, token asc): a(2), b(2), then 23 of
+    // the 31 count-1 tokens alphabetically -> c, z01..z22; z23..z30 OOV
+    val rare = (1 to 30).map(i => f"z$i%02d").mkString(" ")
+    Seq(
+      (1L, "a b a b c", "en", "s", 9L),
+      (2L, rare, "en", "s", rare.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmQueries.x147Detokenize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(out == Seq((1L, 5L, 0L, true), (2L, 30L, 8L, false)))
+  }
+
+  test("x148: planted perfect correlations recover exactly +-1 at 6dp") {
+    val dir = Files.createTempDirectory("x148").toString
+    // price = 2*quantity (corr +1), discount = -quantity/100 (corr -1)
+    (1 to 20).map(i => (i.toLong, 1, i.toDouble, 2.0 * i, -i / 100.0, 0.0, "N", "O",
+        Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1L))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = ExtendedQueries.x148Correlation(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(
+      ("extendedprice_discount", 20L, -1.0),
+      ("quantity_discount", 20L, -1.0),
+      ("quantity_extendedprice", 20L, 1.0)))
+  }
 }

@@ -849,6 +849,13 @@ class PlanSpec extends SparkSpec {
       "the pruning must land in the fact scan's partition filters")
   }
 
+  test("x149: the rewrite fires — TopKPerKey pair present, the Window node gone") {
+    val p = plan("x149_topk_rewrite")
+    assert(p.contains("TopKPerKeyFinal") && p.contains("TopKPerKeyPartial"),
+      s"the conf-gated rule must rewrite the window form:\n$p")
+    assert(!p.contains("Window "), "the row_number Window must be replaced")
+  }
+
   test("x134: unicode normalization is pure codegen map work — no shuffle, pruned scan") {
     val p = plan("x134_unicode_norm")
     assert(p.contains("nfc_normalize") && p.contains("strip_accents"),

@@ -51,6 +51,44 @@ class TsvDocsSpec extends SparkSpec {
     assert(spark.read.format("graft.sources.TsvDocs").load(dir).count() == 10)
   }
 
+  test("EqualTo pushdown: filter evaluated at the source, result identical") {
+    val dir = writeDocs(30, 3)
+    val df = spark.read.format("graft.sources.TsvDocs").load(dir)
+      .filter(col("source") === "src1")
+    val p = df.queryExecution.executedPlan.toString
+    // Spark infers IsNotNull ahead of the equality; both push
+    assert(p.contains("PushedFilters: [IsNotNull(source), EqualTo(source,src1)]"),
+      s"the source must advertise the pushed filters:\n$p")
+    val expect = Io.readText(spark, dir).filter(col("source") === "src1")
+      .orderBy("doc_id").collect().toSeq
+    assert(df.orderBy("doc_id").collect().toSeq == expect && expect.nonEmpty)
+  }
+
+  test("pushed IsNotNull on a long column drops malformed lines — SQL null semantics") {
+    val dir = Files.createTempDirectory("tsvpush").toString + "/docs"
+    new java.io.File(dir).mkdirs()
+    val w = new java.io.PrintWriter(s"$dir/part-00000", "UTF-8")
+    w.println("1\ten\tsrc0\t10\tok")
+    w.println("oops\ten\tsrc0\t10\tmalformed id") // doc_id parses null
+    w.close()
+    val df = spark.read.format("graft.sources.TsvDocs").load(dir)
+      .filter(col("doc_id").isNotNull)
+    assert(df.queryExecution.executedPlan.toString.contains("IsNotNull(doc_id)"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "a line whose long field cannot parse must fail IsNotNull at the source")
+  }
+
+  test("unsupported filter shapes stay with Spark; result still correct") {
+    val dir = writeDocs(20, 2)
+    val df = spark.read.format("graft.sources.TsvDocs").load(dir)
+      .filter(col("n_chars") > 100)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("PushedFilters: [GreaterThan"),
+      "GreaterThan is not in the accepted set — it must stay above the scan")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      (11 to 20).map(_.toLong))
+  }
+
   test("malformed lines yield nulls, not task failures (the Io.readText contract)") {
     val dir = Files.createTempDirectory("tsvbad").toString + "/docs"
     new java.io.File(dir).mkdirs()
