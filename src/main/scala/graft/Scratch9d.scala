@@ -97,6 +97,15 @@ object Scratch9d {
       time(s"x144_$dir")(queries.ExtendedQueries.x144Regression(spark, dir).count())
       time(s"x145_$dir")(queries.LlmQueries.x145PackBlocks(spark, dir).count())
       time(s"x146_$dir")(queries.ExtendedQueries.x146Dsv2Read(spark, dir).count())
+      time(s"x147_$dir")(queries.LlmQueries.x147Detokenize(spark, dir).count())
+      time(s"x148_$dir")(queries.ExtendedQueries.x148Correlation(spark, dir).count())
+    }
+    // x150 on the 10× embedding copies (Scratch9's vecCopies corpus):
+    // anchors constant, corpus scan linear
+    for (dir <- Seq(sfDir, "/tmp/probe10x_r9")) {
+      if (new java.io.File(s"$dir/embeddings.parquet").isDirectory ||
+          new java.io.File(s"$dir/embeddings.parquet").isFile)
+        time(s"x150_$dir")(queries.LlmQueries.x150HardNegatives(spark, dir).count())
     }
     // 100×: candidate volume Σ C(df,2) from the gram df distribution — the
     // size the seed join's output WOULD be; quadratic in copy multiplicity

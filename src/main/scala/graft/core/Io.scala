@@ -14,6 +14,27 @@ object Io {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Fresh unique temp dir for a roundtrip/sink query. A FIXED shared path
+    * would let concurrent sessions (or a plan-building consumer racing an
+    * executing one) overwrite each other's parts mid-read, so every
+    * invocation gets `<tmp>/graft_<tag>_<nanos>` and the PREVIOUS
+    * invocation's dir — tracked in the caller's `ref` — is deleted here
+    * (bounded-leak contract, same as LlmQueries' pin registry: execute one
+    * result before building the next).
+    */
+  def freshTmpDir(spark: SparkSession,
+      ref: java.util.concurrent.atomic.AtomicReference[String],
+      tag: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${System.nanoTime()}"
+    Option(ref.getAndSet(dir)).foreach { old =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(old)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      } catch { case _: Exception => () }
+    }
+    dir
+  }
+
   /** Events reader — SCHEMA-ADAPTIVE on the physical type of `ts`, because
     * the driver's fixture generator has shipped two generations of this file
     * and a 100 TB lake never has just one file vintage either (the reference's
@@ -70,9 +91,23 @@ object Io {
   }
 
   private def eventsUnderlying(spark: SparkSession, sfDir: String): DataFrame = {
-    // Harmless no-op on µs fixtures; required to read ns-vintage files at all.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
+    // Try the clean read first: on µs/timestamp vintages (the current
+    // fixtures) NO conf is touched, so event-reading queries leave the
+    // session exactly as they found it (the x109 order-independence rule —
+    // a session-wide nanosAsLong would make a later raw read of a
+    // ns-vintage file silently see BIGINT). Only when the footer actually
+    // carries TIMESTAMP(NANOS) — which CANNOT be read at all without the
+    // legacy conf — is it set, session-wide and deliberately left on:
+    // restoring it after the lazy DataFrame returns would strand the
+    // execution-time scan, and on such a fixture every events consumer
+    // needs it anyway (the x109 canary reports the vintage that round).
+    try table(spark, sfDir, "events")
+    catch {
+      case e: Throwable
+          if String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        table(spark, sfDir, "events")
+    }
   }
 
   /** S4 — single-file HEADERED CSV with the exact target name, like the

@@ -21,9 +21,14 @@ import scala.collection.mutable
   * lexicographically-smallest of tied items survives — a deterministic
   * rule both partial and final levels apply) and inherits its count as
   * `err` (the overestimation bound: true count ∈ [cnt − err, cnt]).
-  * Partial merge is combine-then-truncate: counts and errs add for shared
-  * items, then the weakest counters drop to capacity (their loss is what
-  * `err` already bounds). Output: every retained counter, ordered
+  * Partial merge follows the mergeable-summaries rule (Agarwal et al.
+  * 2012): for each item in either summary, the side where it is ABSENT
+  * contributes its floor (min counter — the most that side could have
+  * seen of it before eviction) as both count and error, then the weakest
+  * counters truncate back to capacity. This keeps cnt ≥ true count for
+  * every retained item across arbitrary partition merges — the naive
+  * combine-then-truncate (no floor inheritance) can UNDERcount an item
+  * evicted from one partial. Output: every retained counter, ordered
   * (cnt desc, item asc).
   *
   * EXACTNESS contract the declared query (x137) relies on: while the
@@ -79,7 +84,21 @@ case class SpaceSavingTopK(
   }
 
   override def merge(b: SpaceSavingTopK.Summary, o: SpaceSavingTopK.Summary): SpaceSavingTopK.Summary = {
-    o.counters.foreach { case (item, (cnt, err)) => b.put(item, cnt, err) }
+    // mergeable-summaries rule (Agarwal et al.): an item ABSENT from one
+    // side may have been evicted there, so that side contributes its
+    // floor (min counter; 0 while under capacity) as both count and
+    // error — without it a merge UNDERcounts, the one failure mode
+    // SpaceSaving exists to exclude. Floors are captured before mutation.
+    val bFloor = b.floorCount
+    val oFloor = o.floorCount
+    val keys = b.counters.keySet ++ o.counters.keySet
+    val merged = keys.toSeq.map { k =>
+      val (bc, be) = b.counters.getOrElse(k, (bFloor, bFloor))
+      val (oc, oe) = o.counters.getOrElse(k, (oFloor, oFloor))
+      k -> ((bc + oc, be + oe))
+    }
+    b.counters.clear()
+    merged.foreach { case (k, v) => b.counters.update(k, v) }
     b.truncateToCapacity()
     b
   }
@@ -130,6 +149,11 @@ object SpaceSavingTopK {
   /** Mutable counter map with SpaceSaving eviction. */
   final class Summary(capacity: Int) extends Serializable {
     val counters: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+
+    /** The summary's floor: an item NOT in the map has true count ≤ this
+      * (0 while under capacity — nothing was ever evicted). */
+    def floorCount: Long =
+      if (counters.size < capacity) 0L else counters.valuesIterator.map(_._1).min
 
     /** One observation of `item`: increment, insert, or evict-and-inherit
       * per classic SpaceSaving. */

@@ -49,6 +49,8 @@ object GraftExtensions {
         case Seq(c)        => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
         case Seq(c, n)     => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
         case Seq(c, n, b)  => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+        case other => throw new IllegalArgumentException( // not MatchError
+          s"bloom_filter_agg expects 1-3 arguments, got ${other.size}")
       }),
     (FunctionIdentifier("might_contain"),
       new ExpressionInfoLike(

@@ -95,9 +95,18 @@ object TopKPerKey {
         val heaps = scala.collection.mutable.HashMap
           .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
         it.foreach { row =>
-          val heap = heaps.getOrElseUpdate(
-            keyProj(row).copy(),
-            scala.collection.mutable.PriorityQueue.empty[InternalRow](heapOrd))
+          // probe with the REUSED projection row; copy the key only on a
+          // map miss — the operator targets many-rows-per-key, where an
+          // eager per-row key copy is allocation on exactly the hot path
+          // this operator exists to shrink
+          val probe = keyProj(row)
+          val heap = heaps.get(probe) match {
+            case Some(h) => h
+            case None =>
+              val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](heapOrd)
+              heaps.update(probe.copy(), h)
+              h
+          }
           if (heap.size < limit) heap.enqueue(row.copy())
           else if (ord.compare(row, heap.head) < 0) {
             heap.dequeue(); heap.enqueue(row.copy())

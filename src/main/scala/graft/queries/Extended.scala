@@ -598,13 +598,7 @@ object ExtendedQueries {
     // overwrite each other's parts mid-read. The PREVIOUS invocation's dir
     // is deleted here instead (same bounded-leak contract as LlmQueries'
     // pin registry: execute one x40 result before building the next).
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x40_jsonl_${System.nanoTime()}"
-    Option(x40LastDir.getAndSet(dir)).foreach { old =>
-      try {
-        val p = new org.apache.hadoop.fs.Path(old)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-      } catch { case _: Exception => () }
-    }
+    val dir = Io.freshTmpDir(spark, x40LastDir, "x40_jsonl")
     Io.writeJsonl(docs, dir, compress = true)
     roundtripAgg(Io.readJsonl(spark, dir, docs.schema))
   }
@@ -639,13 +633,7 @@ object ExtendedQueries {
     */
   def x58OrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Io.table(spark, sfDir, "documents")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x58_orc_${System.nanoTime()}"
-    Option(x58LastDir.getAndSet(dir)).foreach { old =>
-      try {
-        val p = new org.apache.hadoop.fs.Path(old)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-      } catch { case _: Exception => () }
-    }
+    val dir = Io.freshTmpDir(spark, x58LastDir, "x58_orc")
     Io.writeOrc(docs, dir)
     roundtripAgg(Io.readOrc(spark, dir))
   }
@@ -667,13 +655,7 @@ object ExtendedQueries {
     */
   def x121XmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Io.table(spark, sfDir, "documents")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x121_xml_${System.nanoTime()}"
-    Option(x121LastDir.getAndSet(dir)).foreach { old =>
-      try {
-        val p = new org.apache.hadoop.fs.Path(old)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-      } catch { case _: Exception => () }
-    }
+    val dir = Io.freshTmpDir(spark, x121LastDir, "x121_xml")
     Io.writeXml(docs, dir)
     roundtripAgg(Io.readXml(spark, dir, docs.schema))
   }
@@ -694,13 +676,7 @@ object ExtendedQueries {
     */
   def x139TextRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Io.table(spark, sfDir, "documents")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x139_txt_${System.nanoTime()}"
-    Option(x139LastDir.getAndSet(dir)).foreach { old =>
-      try {
-        val p = new org.apache.hadoop.fs.Path(old)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-      } catch { case _: Exception => () }
-    }
+    val dir = Io.freshTmpDir(spark, x139LastDir, "x139_txt")
     Io.writeText(docs, dir)
     roundtripAgg(Io.readText(spark, dir))
   }
@@ -719,13 +695,7 @@ object ExtendedQueries {
     */
   def x146Dsv2Read(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Io.table(spark, sfDir, "documents")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x146_dsv2_${System.nanoTime()}"
-    Option(x146LastDir.getAndSet(dir)).foreach { old =>
-      try {
-        val p = new org.apache.hadoop.fs.Path(old)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-      } catch { case _: Exception => () }
-    }
+    val dir = Io.freshTmpDir(spark, x146LastDir, "x146_dsv2")
     Io.writeText(docs, dir)
     roundtripAgg(spark.read.format("graft.sources.TsvDocs").load(dir))
   }
@@ -813,13 +783,7 @@ object ExtendedQueries {
     */
   def x142DppPrune(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Io.events(spark, sfDir)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x142_dpp_${System.nanoTime()}"
-    Option(x142LastDir.getAndSet(dir)).foreach { old =>
-      try {
-        val p = new org.apache.hadoop.fs.Path(old)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-      } catch { case _: Exception => () }
-    }
+    val dir = Io.freshTmpDir(spark, x142LastDir, "x142_dpp")
     ev.select(col("event_id"), col("user_id"), col("value"), col("event_type"))
       .write.partitionBy("event_type").parquet(s"$dir/fact")
     ev.select("event_type").distinct().write.parquet(s"$dir/dim")
@@ -1215,13 +1179,7 @@ object ExtendedQueries {
     */
   def x78CompactionRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Io.table(spark, sfDir, "documents")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x78_compact_${System.nanoTime()}"
-    Option(x78LastDir.getAndSet(dir)).foreach { old =>
-      try {
-        val p = new org.apache.hadoop.fs.Path(old)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-      } catch { case _: Exception => () }
-    }
+    val dir = Io.freshTmpDir(spark, x78LastDir, "x78_compact")
     // the shatter: 64 parts of a ~500-row table = the pathological layout
     docs.repartition(64).write.parquet(s"$dir/shattered")
     Io.compactParquet(spark, s"$dir/shattered", s"$dir/compacted")
@@ -1254,13 +1212,7 @@ object ExtendedQueries {
   def x77PartitionedPrune(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Bucketing
     val docs = Io.table(spark, sfDir, "documents")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x77_part_${System.nanoTime()}"
-    Option(x77LastDir.getAndSet(dir)).foreach { old =>
-      try {
-        val p = new org.apache.hadoop.fs.Path(old)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-      } catch { case _: Exception => () }
-    }
+    val dir = Io.freshTmpDir(spark, x77LastDir, "x77_part")
     Bucketing.writePartitioned(docs, dir, "lang")
     spark.read.parquet(dir)
       .filter(col("lang") === "en")
@@ -1709,13 +1661,7 @@ object ExtendedQueries {
     */
   def x125SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Io.table(spark, sfDir, "documents")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x125_${System.nanoTime()}"
-    Option(x125LastDir.getAndSet(dir)).foreach { old =>
-      try {
-        val p = new org.apache.hadoop.fs.Path(old)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-      } catch { case _: Exception => () }
-    }
+    val dir = Io.freshTmpDir(spark, x125LastDir, "x125")
     docs.select("doc_id", "text", "lang").write.parquet(s"$dir/v1")
     docs.select("doc_id", "source", "n_chars").write.parquet(s"$dir/v2")
     spark.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")

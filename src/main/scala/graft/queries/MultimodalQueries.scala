@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Io
 import graft.functions.{Multimodal, SyntheticMedia}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -171,14 +172,7 @@ object MultimodalQueries {
     * Verify/Bench runs don't accumulate.
     */
   def x135BinaryIngest(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir =
-      s"${System.getProperty("java.io.tmpdir")}/graft_x135_bin_${System.nanoTime()}"
-    Option(x135LastDir.getAndSet(dir)).foreach { old =>
-      try {
-        val p = new org.apache.hadoop.fs.Path(old)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-      } catch { case _: Exception => () }
-    }
+    val dir = Io.freshTmpDir(spark, x135LastDir, "x135_bin")
     val assets = SyntheticMedia.assets(spark, 20)
     assets.select(col("asset_id"), col("media"))
       .where(col("media").isNotNull)

@@ -3133,7 +3133,36 @@ object Oracles {
       |GROUP BY d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // x150: x56's cosine arithmetic, per-(anchor, kind) top-1 on the
+  // ROUNDED cosine with vec_id tie-break.
+  val x150: String =
+    """WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qemb
+      |           FROM embeddings WHERE vec_id < 10),
+      |cos AS (
+      |  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+      |         floor(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qemb[i.i] AS DOUBLE)) /
+      |           (sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))
+      |            * sqrt(sum(CAST(q.qemb[i.i] AS DOUBLE) * CAST(q.qemb[i.i] AS DOUBLE))))
+      |           * 1000000 + 0.5) / 1000000 AS cosine
+      |  FROM embeddings e, q, range(1, 65) i(i)
+      |  WHERE e.vec_id <> q.qid
+      |  GROUP BY q.qid, q.qlabel, e.vec_id, e.label),
+      |k AS (
+      |  SELECT qid,
+      |         CASE WHEN label = qlabel THEN 'positive' ELSE 'negative' END
+      |           AS kind,
+      |         vec_id, cosine
+      |  FROM cos)
+      |SELECT qid, kind, CAST(count(*) OVER (PARTITION BY qid, kind) AS BIGINT)
+      |         AS n_cands,
+      |       vec_id AS best_id, cosine AS best_cos
+      |FROM k
+      |QUALIFY row_number() OVER (PARTITION BY qid, kind
+      |                           ORDER BY cosine DESC, vec_id) = 1
+      |ORDER BY qid, kind""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x150_hard_negatives" -> x150,
     "x147_detokenize"   -> x147,
     "x113_tokenize_ids" -> x113,
     "x109_schema_audit" -> x109,

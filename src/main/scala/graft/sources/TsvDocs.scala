@@ -107,6 +107,16 @@ object TsvDocs {
       case _            => true
     }
   }
+
+  /** Rebuild a Hadoop Configuration from the serialized session entries
+    * (loadDefaults = false: the captured entries ARE the effective view,
+    * defaults included). */
+  private[sources] def rebuild(entries: Array[(String, String)])
+      : org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 }
 
 private[sources] class TsvDocsTable(path: String) extends Table with SupportsRead {
@@ -149,11 +159,24 @@ private[sources] class TsvScanBuilder(path: String)
     rest // Spark re-applies these above the scan
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan = new TsvScan(path, required, pushed)
+  override def build(): Scan = {
+    // capture the SESSION's effective Hadoop configuration at plan time —
+    // a blank `new Configuration()` would drop fs.defaultFS / object-store
+    // credentials and resolve a different filesystem than every Io path
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val entries = {
+      val it = conf.iterator(); val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
+    new TsvScan(path, required, pushed, entries)
+  }
 }
 
 private[sources] class TsvScan(path: String, required: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter])
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    confEntries: Array[(String, String)])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -163,29 +186,37 @@ private[sources] class TsvScan(path: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .sortBy(_.getPath.getName)
+    val fs = p.getFileSystem(TsvDocs.rebuild(confEntries))
+    val status = fs.getFileStatus(p)
+    // a direct FILE path is one partition; a directory lists every
+    // non-hidden file (Spark's _SUCCESS/.crc convention) — restricting to
+    // part-* names would silently drop externally-produced TSVs
+    val files =
+      if (status.isFile) Seq(status)
+      else fs.listStatus(p).toSeq.filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    files.sortBy(_.getPath.getName)
       .map(s => TsvInputPartition(s.getPath.toString))
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new TsvReaderFactory(required, pushed)
+    new TsvReaderFactory(required, pushed, confEntries)
 }
 
 private[sources] case class TsvInputPartition(file: String) extends InputPartition
 
 private[sources] class TsvReaderFactory(required: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter])
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    confEntries: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[TsvInputPartition].file
     new PartitionReader[InternalRow] {
       private val p = new org.apache.hadoop.fs.Path(file)
       private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-        p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p),
-        "UTF-8"))
+        p.getFileSystem(TsvDocs.rebuild(confEntries)).open(p), "UTF-8"))
       private var line: String = _
       override def next(): Boolean = {
         line = in.readLine()

@@ -27,13 +27,23 @@ object StreamingTopK {
     * SortOrder sequence, so the streaming fold and the batch operator pick
     * the SAME rows whenever the tie-break is unique. */
   val ord: Ordering[Ev] = new Ordering[Ev] {
-    override def compare(a: Ev, b: Ev): Int = (a.value, b.value) match {
-      case (Some(x), Some(y)) if x != y => java.lang.Double.compare(y, x)
-      case (Some(_), None)              => -1
-      case (None, Some(_))              => 1
-      case _ =>
+    override def compare(a: Ev, b: Ev): Int = {
+      // Double.compare is a TOTAL order (NaN == NaN, NaN greatest — the
+      // same convention Spark's descending sort uses), so equal-compare
+      // values ALWAYS reach the unique tie-break: an `x != y` guard here
+      // would be true for (NaN, NaN) yet compare to 0, skipping the
+      // tie-break and breaking the commutative-replay guarantee
+      val v = (a.value, b.value) match {
+        case (Some(x), Some(y)) => java.lang.Double.compare(y, x) // desc
+        case (Some(_), None)    => -1                             // nulls last
+        case (None, Some(_))    => 1
+        case (None, None)       => 0
+      }
+      if (v != 0) v
+      else {
         val c = java.lang.Long.compare(a.tsMicros, b.tsMicros)
         if (c != 0) c else java.lang.Long.compare(a.eventId, b.eventId)
+      }
     }
   }
 

@@ -48,6 +48,26 @@ class SpaceSavingSpec extends SparkSpec {
     }
   }
 
+  test("distributed merge under pressure: no retained item ever undercounts") {
+    // m = 3, 8 partitions, items with very different masses — eviction and
+    // merge-truncation both fire; for every retained counter the classic
+    // bounds cnt >= true >= cnt - err must survive the partition merges
+    // (floor inheritance: an item absent from one partial contributes that
+    // partial's min, never zero)
+    val truth = Map("heavy" -> 400L, "mid" -> 60L, "low" -> 12L) ++
+      (1 to 40).map(i => s"n$i" -> 2L).toMap
+    val stream = scala.util.Random.shuffle(
+      truth.toSeq.flatMap { case (s, n) => Seq.fill(n.toInt)(s) })
+    val out = summarize(stream, 3, 8)
+    assert(out.size == 3)
+    out.foreach { case (item, cnt, err) =>
+      val t = truth.getOrElse(item, 0L)
+      assert(cnt >= t, s"$item undercounts: cnt=$cnt true=$t")
+      assert(cnt - err <= t, s"$item err bound broken: cnt=$cnt err=$err true=$t")
+    }
+    assert(out.exists(_._1 == "heavy"), "the dominant item must survive any merge order")
+  }
+
   test("eviction inherits the evicted minimum; smallest tied item survives") {
     // capacity 2: stream a, b, then c — c evicts the minimum; a and b tie
     // at count 1, rule evicts the lexicographically LARGEST (b), so a

@@ -1603,6 +1603,40 @@ class NewOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 5L, 0L, true), (2L, 30L, 8L, false)))
   }
 
+  test("x150: positives and hard negatives match an independent JVM ranking") {
+    val dir = Files.createTempDirectory("x150").toString
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val vecs: Seq[(Long, Int, Array[Float])] = Seq(
+      (0L, 1, v(1, 1, 1, 1)),
+      (1L, 1, v(1, 1, 1, 0.9)),    // near-dup of 0, same label
+      (2L, 2, v(1, 1, 0.8, 0.8)),  // closest other-label to 0
+      (3L, 2, v(-1, -1, -1, -1)),  // far
+      (11L, 1, v(0.9, 1, 1, 1)))   // another label-1
+    vecs.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // independent reimplementation with the exact float discipline
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.map(i => x(i).toDouble * y(i).toDouble).sum
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        * 1e6 + 0.5) / 1e6
+    }
+    val expect = (for {
+      (qid, ql, qe) <- vecs if qid < 10
+      kind <- Seq("negative", "positive")
+    } yield {
+      val cands = vecs.filter { case (id, l, _) =>
+        id != qid && (if (kind == "positive") l == ql else l != ql) }
+      val best = cands.map { case (id, _, e) => (id, cos(qe, e)) }
+        .minBy { case (id, c) => (-c, id) }
+      (qid, kind, cands.size.toLong, best._1, best._2)
+    }).sortBy(r => (r._1, r._2))
+    val got = LlmQueries.x150HardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expect)
+  }
+
   test("x148: planted perfect correlations recover exactly +-1 at 6dp") {
     val dir = Files.createTempDirectory("x148").toString
     // price = 2*quantity (corr +1), discount = -quantity/100 (corr -1)

@@ -163,10 +163,12 @@ class PlanSpec extends SparkSpec {
     // x132's is the 1-row vocabulary-size constant crossing onto the
     // observed-bigram model frame (x87's shape); x140 embeds x111's
     // retrievers wholesale, inheriting exactly x111's 1-row crosses
+    // x150's is x56's anchor batch (10 rows of embedding+norm)
+    // broadcasting into the brute-force cosine scan
       "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
       "x112_zorder_layout", "x117_mix_temperature", "x119_prep_v4",
       "x124_dsir_weights", "x126_ks_drift", "x132_perplexity_gate",
-      "x140_retrieval_eval")
+      "x140_retrieval_eval", "x150_hard_negatives")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -665,17 +667,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "a corpus-side shuffle join is exactly what the Bloom prefilter exists to avoid")
     // every computed (ENSURE_REQUIREMENTS) hash exchange must be a BENCH-
-    // side gh distinct (the tiny split materializes twice: once under the
-    // bloom subquery, once as the exact-join broadcast side). The corpus
-    // stream rides the fanOut partitioning from scan through gate to the
-    // per-doc hit aggregate with NO further shuffle — the whole point.
+    // side gh distinct. The corpus stream rides the fanOut partitioning
+    // from scan through gate to the per-doc hit aggregate with NO further
+    // shuffle — the whole point. With the bench frame PINNED, the cached
+    // plan (whose internal distinct exchange executes ONCE) prints under
+    // every InMemoryTableScan reference, so the string-form occurrence
+    // count is unbounded and only the gh-only property is asserted.
     val computed = """Exchange hashpartitioning\([^)]*\), ENSURE_REQUIREMENTS""".r.findAllIn(p).toSeq
     assert(computed.nonEmpty && computed.forall(_.contains("(gh")),
       s"only bench-side gh distincts may shuffle, got: $computed")
-    // ≤3 in STRING form: the one bloom-subquery exchange prints under each
-    // of its two might_contain references (same plan id), plus the exact-
-    // join broadcast side's distinct — 2 physical exchanges
-    assert(computed.size <= 3, s"bench distinct materializes at most twice, got ${computed.size}")
+    assert(p.contains("InMemoryTableScan"),
+      "the bench distinct is pinned — its consumers read cache, not a re-tokenize")
   }
 
   test("x124: bucket models broadcast; per-doc fold rides the pinned doc-bucket frame") {

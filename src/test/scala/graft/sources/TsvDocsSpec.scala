@@ -38,6 +38,15 @@ class TsvDocsSpec extends SparkSpec {
       "planInputPartitions must emit one partition per part- file")
   }
 
+  test("a direct FILE path reads as one partition (not silently zero rows)") {
+    val dir = writeDocs(10, 1)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val df = spark.read.format("graft.sources.TsvDocs").load(file.toString)
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 10)
+  }
+
   test("column pruning reaches the scan: only requested fields parse") {
     val dir = writeDocs(10, 1)
     val df = spark.read.format("graft.sources.TsvDocs").load(dir)
