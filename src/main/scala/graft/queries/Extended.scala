@@ -700,6 +700,28 @@ object ExtendedQueries {
     roundtripAgg(spark.read.format("graft.sources.TsvDocs").load(dir))
   }
 
+  private val x151LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x151 — DataSourceV2 WRITE path (round-9): documents written through
+    * [[graft.sources.TsvDocs]]'s full batch-commit protocol — per-task
+    * writers stream to INVISIBLE `.tmp` parts, task commit messages carry
+    * the final names, the driver's `commit()` renames them into place (a
+    * failed or speculated task can never leave a half-written part
+    * visible) — then read back through the same connector into x40's
+    * roundtrip aggregate under x40's oracle. With x146 (read) this
+    * completes the connector: a user can round-trip a corpus through the
+    * custom table source in both directions with exactly-once visibility
+    * semantics. Wire boundary (spec-pinned): null STRING columns write as
+    * empty — the fixture carries none, so the oracle is exact; null longs
+    * roundtrip via the parse-to-null path.
+    */
+  def x151Dsv2Write(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val dir = Io.freshTmpDir(spark, x151LastDir, "x151_dsv2w")
+    docs.write.format("graft.sources.TsvDocs").mode("append").save(dir)
+    roundtripAgg(spark.read.format("graft.sources.TsvDocs").load(dir))
+  }
+
   /** x141 — INTERVAL COALESCING (union) per supplier (round-9): merge each
     * supplier's in-transit windows [ship_day, ship_day + transit] into
     * maximal disjoint coverage islands and report per-supplier interval

@@ -3279,6 +3279,7 @@ object Oracles {
     "x121_xml_roundtrip"  -> x40,
     "x139_text_roundtrip" -> x40,
     "x146_dsv2_read"      -> x40,
+    "x151_dsv2_write"     -> x40,
     // x149 runs x122's semantics through the window form under the
     // TopKRewrite conf — same retained set, same oracle: one hash pins
     // rule-rewritten plan == custom operator == declarative window

@@ -119,13 +119,25 @@ object TsvDocs {
   }
 }
 
-private[sources] class TsvDocsTable(path: String) extends Table with SupportsRead {
+private[sources] class TsvDocsTable(path: String) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-tsv($path)"
   override def schema(): StructType = TsvDocs.schema
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.Collections.singleton(TableCapability.BATCH_READ)
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val s = new java.util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_READ)
+    s.add(TableCapability.BATCH_WRITE)
+    s.add(TableCapability.TRUNCATE) // SaveMode.Overwrite maps to truncate
+    s
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TsvScanBuilder(Option(path).getOrElse(options.get("path")))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new TsvWriteBuilder(Option(path).getOrElse(info.options.get("path")),
+      info.schema())
 }
 
 private[sources] class TsvScanBuilder(path: String)
@@ -225,6 +237,124 @@ private[sources] class TsvReaderFactory(required: StructType,
       }
       override def get(): InternalRow = TsvDocs.parse(line, required)
       override def close(): Unit = in.close()
+    }
+  }
+}
+
+/** The WRITE side of the connector — the full DSv2 batch-commit protocol:
+  * each task streams its rows to an INVISIBLE `.tmp` file and reports the
+  * final name in its commit MESSAGE; the driver's `commit(messages)`
+  * renames all of them into place in one pass, and `abort` deletes the
+  * orphans — so a failed/speculated task can never leave a half-written
+  * part visible to readers (the hidden-file filter in
+  * `planInputPartitions` is the other half of that contract: `.tmp`
+  * names are skipped even mid-write). Overwrite = the TRUNCATE
+  * capability: `truncate()` clears the directory before the new parts
+  * land. Columns are written in wire order via a projection from the
+  * incoming schema (which Spark guarantees to be the table schema for a
+  * BATCH_WRITE without capability ACCEPT_ANY_SCHEMA).
+  */
+private[sources] class TsvWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+        val conf = org.apache.spark.sql.SparkSession.active
+          .sessionState.newHadoopConf()
+        val entries = {
+          val it = conf.iterator(); val b = Array.newBuilder[(String, String)]
+          while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+          b.result()
+        }
+        new TsvBatchWrite(path, schema, doTruncate, entries)
+      }
+    }
+}
+
+private[sources] case class TsvCommit(tmp: String, dest: String)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class TsvBatchWrite(path: String, schema: StructType,
+    truncate: Boolean, confEntries: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : DataWriterFactory =
+    new TsvWriterFactory(path, schema, confEntries)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(TsvDocs.rebuild(confEntries))
+    if (truncate && fs.exists(p))
+      // only VISIBLE files: the new write's own pending .tmp-* parts (and
+      // their checksum shadows) already live in this directory — deleting
+      // them here would break the renames below
+      fs.listStatus(p)
+        .filter { s =>
+          val n = s.getPath.getName
+          !n.startsWith(".") && !n.startsWith("_")
+        }
+        .foreach(s => fs.delete(s.getPath, false))
+    fs.mkdirs(p)
+    messages.foreach { case TsvCommit(tmp, dest) =>
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(dest))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(TsvDocs.rebuild(confEntries))
+    messages.filter(_ != null).foreach { case TsvCommit(tmp, _) =>
+      try fs.delete(new org.apache.hadoop.fs.Path(tmp), false)
+      catch { case _: Exception => () }
+    }
+  }
+}
+
+private[sources] class TsvWriterFactory(path: String, schema: StructType,
+    confEntries: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] = {
+    // wire order: doc_id, lang, source, n_chars, text (text LAST — the
+    // read side's field-limited split depends on it)
+    val wireIdx = Seq("doc_id", "lang", "source", "n_chars", "text")
+      .map(n => schema.fieldIndex(n) -> schema(n).dataType)
+    val dest = f"$path/part-$partitionId%05d-$taskId.tsv"
+    val tmp = s"$path/.tmp-part-$partitionId-$taskId"
+    new DataWriter[InternalRow] {
+      private val tp = new org.apache.hadoop.fs.Path(tmp)
+      private val fs = tp.getFileSystem(TsvDocs.rebuild(confEntries))
+      private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        fs.create(tp, true), "UTF-8"))
+      override def write(row: InternalRow): Unit = {
+        val line = wireIdx.map { case (i, dt) =>
+          if (row.isNullAt(i)) ""
+          else dt match {
+            case LongType => row.getLong(i).toString
+            case _        => row.getUTF8String(i).toString
+          }
+        }.mkString("\t")
+        out.write(line); out.write("\n")
+      }
+      override def commit(): WriterCommitMessage = {
+        out.close(); TsvCommit(tmp, dest)
+      }
+      override def abort(): Unit = {
+        try out.close() catch { case _: Exception => () }
+        try fs.delete(tp, false) catch { case _: Exception => () }
+      }
+      override def close(): Unit = ()
     }
   }
 }
