@@ -4021,4 +4021,35 @@ object LlmQueries {
         col("vec_id").as("best_id"), col("cosine").as("best_cos"))
       .orderBy("qid", "kind")
   }
+
+  /** x152 — per-language CHARACTER-TRIGRAM profile through the custom
+    * GENERATOR (round-9; [[graft.functions.CharNgrams]], the engine's
+    * sixth extension face — the `explode` interface): each language's 5
+    * most frequent char trigrams with counts — the language-ID profile
+    * technique (Cavnar–Trenkle n-gram ranks) x15's word-heuristic
+    * approximates; char grams cross word boundaries and survive
+    * whitespace drift, which token shingles can't. The generator keeps
+    * the 1→(len−2) expansion INSIDE the plan (a Generate node streaming
+    * rows) instead of materializing a per-doc gram array first — the
+    * allocation difference at corpus scale.
+    *
+    * Scale shape: scan → Generate (per-row fan-out, no shuffle) → one
+    * map-combining (lang, gram) count aggregate → vocabulary-sized
+    * ranking window; exact integers throughout.
+    */
+  def x152CharTrigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val docs = fanOut(Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull))
+    val grams = docs.select(col("lang"),
+      expr("char_ngrams(text, 3)").as("gram"))
+    grams.groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(desc("n"), col("gram"))))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank").cast("long").as("rank"),
+        col("gram"), col("n"))
+      .orderBy("lang", "rank")
+  }
 }

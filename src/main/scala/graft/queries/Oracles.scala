@@ -3161,7 +3161,25 @@ object Oracles {
       |                           ORDER BY cosine DESC, vec_id) = 1
       |ORDER BY qid, kind""".stripMargin
 
+  // x152: DuckDB's char-positional substring — identical 1-based windows,
+  // exact counts, (n desc, gram asc) ranking both engines.
+  val x152: String =
+    """WITH g AS (
+      |  SELECT lang, substring(text, i, 3) AS gram
+      |  FROM documents, LATERAL unnest(range(1, length(text) - 1)) AS r(i)
+      |  WHERE text IS NOT NULL AND length(text) >= 3),
+      |c AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS n
+      |      FROM g GROUP BY 1, 2)
+      |SELECT lang,
+      |       CAST(row_number() OVER (PARTITION BY lang
+      |              ORDER BY n DESC, gram) AS BIGINT) AS rank,
+      |       gram, n
+      |FROM c
+      |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) <= 5
+      |ORDER BY lang, rank""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x152_char_trigrams"  -> x152,
     "x150_hard_negatives" -> x150,
     "x147_detokenize"   -> x147,
     "x113_tokenize_ids" -> x113,

@@ -858,6 +858,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window "), "the row_number Window must be replaced")
   }
 
+  test("x152: custom generator plans as Generate; one count exchange; pruned scan") {
+    val p = plan("x152_char_trigrams")
+    assert(p.contains("Generate") && p.contains("char_ngrams"),
+      "the expansion must stream through the Generate node, not an array explode")
+    assert(!p.contains("transform("),
+      "no per-doc gram array may materialize ahead of the generator")
+    assert("""Exchange hashpartitioning\(lang""".r.findAllIn(p).size >= 1)
+    assert(p.contains("partial_count"), "(lang, gram) counts must combine map-side")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      "scan must prune to doc_id (the fanOut key) + text/lang")
+  }
+
   test("x134: unicode normalization is pure codegen map work — no shuffle, pruned scan") {
     val p = plan("x134_unicode_norm")
     assert(p.contains("nfc_normalize") && p.contains("strip_accents"),
