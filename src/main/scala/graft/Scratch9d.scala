@@ -107,6 +107,11 @@ object Scratch9d {
           new java.io.File(s"$dir/embeddings.parquet").isFile)
         time(s"x150_$dir")(queries.LlmQueries.x150HardNegatives(spark, dir).count())
     }
+    // x151 (DSv2 write+read cycle) and x152 (generator expansion) at 10×
+    for (dir <- Seq(sfDir, tenDir)) {
+      time(s"x151_$dir")(queries.ExtendedQueries.x151Dsv2Write(spark, dir).count())
+      time(s"x152_$dir")(queries.LlmQueries.x152CharTrigrams(spark, dir).count())
+    }
     // 100×: candidate volume Σ C(df,2) from the gram df distribution — the
     // size the seed join's output WOULD be; quadratic in copy multiplicity
     // by construction (every 100-copy family is all-pairs duplicated)
