@@ -18,6 +18,7 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => TopKRewrite)
     ext.injectPlannerStrategy(_ => TopKPerKey.Strategy)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

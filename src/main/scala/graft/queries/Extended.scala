@@ -1841,4 +1841,37 @@ object ExtendedQueries {
           (sqrt(col("c.dx")) * sqrt(col("c.dy")))).as("corr"))
       .orderBy("pair")
   }
+
+  /** x153 — the PARSER extension face as a per-round driver signal
+    * (round-9; the seventh `SparkSessionExtensions` face after
+    * expression/aggregate/operator/rule/source/generator): content dedup
+    * of `documents` spoken in the extended SQL dialect
+    * `DEDUP x153_documents BY md5(text) ORDER BY doc_id` — the keep-first
+    * dedup (§2 D1, x10's semantics) as ONE statement instead of the
+    * window idiom. [[graft.plans.GraftSqlParser]] rewrites the statement
+    * into the standard `row_number`/`rn = 1` form and hands it to Spark's
+    * own parser, so Catalyst sees a plain analyzed window plan and every
+    * optimization (pruning, pushdown, `TopKRewrite`) applies untouched;
+    * sessions built with `spark.sql.extensions=graft.plans.GraftExtensions`
+    * run the statement through `spark.sql` directly (spec-pinned
+    * end-to-end in `GraftSqlParserSpec`; the driver-owned session here
+    * goes through `GraftSqlParser.sql`, which produces the identical
+    * rewrite — there is no runtime `injectParser` escape hatch).
+    *
+    * Oracle: the window idiom itself in DuckDB — a full hash match pins
+    * the dialect's semantics (NULL texts group together; first = smallest
+    * doc_id) against an independent engine.
+    *
+    * Scale shape: exactly x10's — one hash exchange on the 16-byte
+    * content key, in-partition sort, rn=1; the statement adds zero plan
+    * nodes over the hand-written form.
+    */
+  def x153DedupSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "documents").createOrReplaceTempView("x153_documents")
+    graft.plans.GraftSqlParser
+      .sql(spark, "DEDUP x153_documents BY md5(text) ORDER BY doc_id")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len"))
+      .orderBy("doc_id")
+  }
 }

@@ -3178,7 +3178,20 @@ object Oracles {
       |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) <= 5
       |ORDER BY lang, rank""".stripMargin
 
+  // x153: the DEDUP dialect statement's rewrite target — the window idiom
+  // itself — in DuckDB; NULL texts partition together in both engines,
+  // keep-first = smallest doc_id.
+  val x153: String =
+    """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len FROM (
+      |  SELECT doc_id, source, text,
+      |         row_number() OVER (PARTITION BY md5(text)
+      |                            ORDER BY doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x153_dedup_sql"      -> x153,
     "x152_char_trigrams"  -> x152,
     "x150_hard_negatives" -> x150,
     "x147_detokenize"   -> x147,
