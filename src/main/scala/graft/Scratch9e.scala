@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-9 fifth-pass probes (ad hoc, not part of the driver contract):
+  * x153–x157 plan audits plus 10×/100× scale runs on the copy corpora.
+  * Volumes over clocks per SURVEY §6.0; results recorded in §6.1m.
+  */
+object Scratch9e {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tenDir = "/tmp/probe10x_r9"
+    val hundredDir = "/tmp/probe100x_r9"
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE $name rows=$n%d t=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    time("warmup")(spark.range(1000000).count())
+
+    if (args.contains("plans")) {
+      for ((n, q) <- Seq(
+        "x153" -> queries.ExtendedQueries.x153DedupSql(spark, sfDir),
+        "x155" -> queries.LlmQueries.x155Curriculum(spark, sfDir),
+        "x156" -> queries.LlmQueries.x156EpochShuffle(spark, sfDir),
+        "x157" -> queries.LlmQueries.x157RejectionSample(spark, sfDir))) {
+        println(s"===== $n =====")
+        println(q.queryExecution.executedPlan.toString.take(4000))
+      }
+    } else {
+      // events.parquet exists at 10× only (Scratch9d's construction)
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x154_$dir")(queries.LlmQueries.x154WindowReplay(spark, dir).count())
+      }
+      for (dir <- Seq(sfDir, tenDir, hundredDir)) {
+        time(s"x153_$dir")(queries.ExtendedQueries.x153DedupSql(spark, dir).count())
+        time(s"x155_$dir")(queries.LlmQueries.x155Curriculum(spark, dir).count())
+        time(s"x156_$dir")(queries.LlmQueries.x156EpochShuffle(spark, dir).count())
+        time(s"x157_$dir")(queries.LlmQueries.x157RejectionSample(spark, dir).count())
+      }
+    }
+  }
+}

@@ -4052,4 +4052,183 @@ object LlmQueries {
         col("gram"), col("n"))
       .orderBy("lang", "rank")
   }
+
+  /** x154 — WATERMARKED-WINDOW stream==batch parity (round-9; the
+    * x114/x120/x130/x138 pattern for the FIFTH streaming face, append-mode
+    * `withWatermark` + `groupBy(window(…))`): replay
+    * [[graft.streaming.StreamingWindows.advance]] — whose emit/late-drop/
+    * watermark bookkeeping is spec-pinned against the REAL engine on a
+    * MemoryStream (`StreamingWindowsSpec`) — over a 3-batch TIME-ordered
+    * split of `events` (1-minute tumbling windows, 10-minute delay),
+    * then flush the still-open state. On a time-ordered split no event is
+    * ever late (every window end exceeds the prior batch's watermark by
+    * at least the delay), so emitted ∪ open provably equals the plain
+    * batch windowed count → the oracle is the DECLARATIVE tumbling-window
+    * aggregate in DuckDB, and one hash match per round pins window
+    * assignment, additive merge, eviction timing, and the flush.
+    *
+    * Scale shape: per batch one map-combining (window → count) aggregate
+    * of the batch plus a state-sized merge — the StateStore update shape;
+    * state is bounded by delay/W open windows regardless of stream
+    * length (eviction is what keeps unbounded streams finite-state). The
+    * two 1-row `head()` actions per batch mirror the engine's
+    * driver-tracked max-event-time statistic (x120's precedent).
+    */
+  def x154WindowReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingWindows
+    val W = 60_000_000L
+    val D = 600_000_000L
+    val ev = Io.events(spark, sfDir).filter(col("ts").isNotNull)
+      .select(unix_micros(col("ts")).as("ts_us"))
+    val mm = ev.agg(min("ts_us"), max("ts_us")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = hi - lo + 1
+    val (t1, t2) = (lo + span / 3, lo + 2 * span / 3)
+    var state = StreamingWindows.emptyState(spark)
+    var wm = Long.MinValue
+    val outs = Seq(
+      ev.filter(col("ts_us") < t1),
+      ev.filter(col("ts_us") >= t1 && col("ts_us") < t2),
+      ev.filter(col("ts_us") >= t2)).map { b =>
+      val (out, next, newWm) = StreamingWindows.advance(state, b, wm, W, D)
+      state = next
+      wm = newWm
+      out
+    }
+    outs.reduce(_.unionAll(_)).unionAll(state)
+      .select(expr("win_start_us div 1000").as("win_start_ms"), col("n"))
+      .orderBy("win_start_ms")
+  }
+
+  /** x155 — CURRICULUM assembly (round-9): phase the corpus into quality
+    * quartiles (easy→hard ordering for staged training) with a
+    * DETERMINISTIC within-phase shuffle — the data-ordering operator
+    * between scoring (x16) and mix assembly (x54/x117). Phase boundaries
+    * are the EXACT quartiles of the x16 quality score computed as one
+    * 1-row aggregate broadcast back onto the corpus (x25's
+    * percentile ↔ quantile_cont parity; boundary ties fall to the lower
+    * phase via strict `>`), NOT a global `ntile` window — ntile needs a
+    * single-partition global sort, which is exactly the plan that dies at
+    * 100 TB; threshold assignment is a map-side comparison. The
+    * within-phase order is the salted-hash permutation
+    * `md5('cur:' || doc_id)` (reproducible across runs and engines);
+    * each phase reports its first document under that order (`min_by`)
+    * plus size/score/token aggregates.
+    *
+    * Scale shape: score pass → 1-row exact-quantile aggregate (per-group
+    * value buffer is corpus-sized at the driver? no — single reduce of
+    * sorted-merge within Spark's percentile ImperativeAggregate; at true
+    * 100 TB swap in percentile_approx, x25b's documented relief path) →
+    * broadcast threshold join → ONE map-combining phase aggregate. No
+    * window, no global sort, output 4 rows.
+    */
+  def x155Curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = qualityScored(Io.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val bounds = scored.agg(
+      expr("percentile(quality_score, 0.25d)").as("q25"),
+      expr("percentile(quality_score, 0.5d)").as("q50"),
+      expr("percentile(quality_score, 0.75d)").as("q75"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("phase",
+        (lit(1) + (col("quality_score") > col("q25")).cast("int")
+          + (col("quality_score") > col("q50")).cast("int")
+          + (col("quality_score") > col("q75")).cast("int")).cast("long"))
+      .withColumn("ord",
+        md5(concat(lit("cur:"), col("doc_id").cast("string"))))
+      .groupBy("phase")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("quality_score").as("min_score"),
+        max("quality_score").as("max_score"),
+        sum("n_tokens").as("sum_tokens"),
+        min_by(col("doc_id"), col("ord")).as("first_doc"))
+      .orderBy("phase")
+  }
+
+  /** x156 — multi-EPOCH deterministic shuffle plan (round-9): the data
+    * ordering a trainer consumes — per epoch, every document lands in a
+    * pseudo-random shard via the salted content-free permutation
+    * `md5(epoch || ':' || doc_id)` (epoch-varying so consecutive epochs
+    * decorrelate, reproducible so any worker can recompute its shard
+    * membership without coordination — the "seeded global shuffle
+    * without a global sort" every large-scale training loader uses).
+    * Shard = first hex digit's value mod 8 (x19's
+    * instr-in-'0123456789abcdef' idiom); output per (epoch, shard):
+    * membership count, char volume, and the min-hash checksum that pins
+    * the exact membership against the oracle (any single document landing
+    * in a different shard moves a checksum).
+    *
+    * Scale shape: one scan fanned ×|epochs| by a streamed `explode`
+    * (Generate — no materialized per-row array), then ONE map-combining
+    * (epoch, shard) aggregate; output |epochs|·8 rows. No sort, no
+    * window, no join. The trainer-side contract at 100 TB: shard files
+    * are written bucketed by (epoch, shard) — the same expression becomes
+    * the bucketing key.
+    */
+  def x156EpochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).cast("long").as("nc"))
+    docs
+      .select(col("doc_id"), col("nc"),
+        explode(sequence(lit(1L), lit(3L))).as("epoch"))
+      .withColumn("h", md5(concat(col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string"))))
+      .withColumn("shard",
+        ((instr(lit("0123456789abcdef"), substring(col("h"), 1, 1)) - 1) % 8)
+          .cast("long"))
+      .groupBy("epoch", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("nc").as("sum_chars"),
+        min("h").as("checksum"))
+      .orderBy("epoch", "shard")
+  }
+
+  /** x157 — quality-weighted REJECTION SAMPLING (round-9): keep each
+    * document with probability equal to its x16 quality score — the soft
+    * curation between a hard gate (x51 drops everything under a
+    * threshold) and uniform sampling (x30 ignores quality): low-quality
+    * docs survive occasionally (coverage), high-quality docs almost
+    * always (signal), and the decision is a DETERMINISTIC coin —
+    * `u = md5('rs:' || doc_id)[0,6)` as a 24-bit uniform, accept iff
+    * `u < floor(min(q, 1) · 2²⁴)` compared LEXICOGRAPHICALLY on
+    * zero-padded lowercase hex (both engines' printf('%06x'); the
+    * q = 1.0 edge clamps to 0xffffff, documented −2⁻²⁴ acceptance bias).
+    * Per source: doc count, accepted count, acceptance rate, and the
+    * accepted docs' mean quality (which must exceed the corpus mean —
+    * the whole point of weighting).
+    *
+    * Exactness: the score is already 8-dp-rounded, so
+    * `floor(q·10⁸ + 0.5)` recovers an exact integer — accepted-quality
+    * sums are DECIMAL (order-independent), one stableRound6 at each
+    * output edge (the shared numeric-determinism contract).
+    *
+    * Scale shape: score pass → per-row codegen'd coin (no shuffle) → ONE
+    * map-combining source aggregate; the coin never needs the corpus
+    * (unlike quota sampling), so the operator streams.
+    */
+  def x157RejectionSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val scored = qualityScored(docs).select(col("doc_id"), col("quality_score"))
+    docs.select(col("doc_id"), col("source"))
+      .join(scored, "doc_id")
+      .withColumn("u6",
+        substring(md5(concat(lit("rs:"), col("doc_id").cast("string"))), 1, 6))
+      .withColumn("thr", format_string("%06x",
+        least(floor(col("quality_score") * 16777216.0), lit(16777215.0)).cast("int")))
+      .withColumn("accept", (col("u6") < col("thr")).cast("long"))
+      .withColumn("q8",
+        floor(col("quality_score") * 100000000.0 + 0.5).cast("decimal(18,0)"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("accept").as("n_accepted"),
+        ExtendedQueries.stableRound6(
+          sum("accept").cast("double") / count(lit(1))).as("accept_rate"),
+        when(sum("accept") > 0, ExtendedQueries.stableRound6(
+          (sum(col("q8") * col("accept")).cast("double") / lit(1e8)) /
+            sum("accept"))).as("avg_q_accepted"))
+      .orderBy("source")
+  }
 }

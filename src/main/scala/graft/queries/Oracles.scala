@@ -3190,7 +3190,97 @@ object Oracles {
       |WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
 
+  // x154: the flush of the watermark replay equals the declarative
+  // tumbling-window count — DuckDB `//` is floor division, epoch_us is
+  // non-negative on every fixture vintage, so both engines land on the
+  // identical epoch-minute-aligned window starts.
+  val x154: String =
+    """SELECT epoch_us(ts) // 60000000 * 60000 AS win_start_ms,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM events WHERE ts IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // x155: x16's score CTE verbatim + quantile_cont thresholds (x25's
+  // parity) + min_by under the salted-hash order; boundary ties fall low
+  // via strict `>` in both engines.
+  val x155: String =
+    """WITH t AS (
+      |  SELECT doc_id, length(replace(text, ' ', '')) AS n_alpha FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |st AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |         sum(CASE WHEN token IN ('the', 'a', 'of', 'to', 'and') THEN 1 ELSE 0 END) AS n_stop
+      |  FROM tok GROUP BY doc_id),
+      |sc AS (
+      |  SELECT s.doc_id, s.n_tokens,
+      |         floor((0.4 * least(CAST(s.n_tokens AS DOUBLE), 50.0) / 50.0
+      |             + 0.3 * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens)
+      |             + 0.3 * least(CAST(t.n_alpha AS DOUBLE) / s.n_tokens, 10.0) / 10.0)
+      |           * 100000000 + 0.5) / 100000000 AS q
+      |  FROM st s JOIN t ON s.doc_id = t.doc_id),
+      |b AS (SELECT quantile_cont(q, 0.25) AS q25, quantile_cont(q, 0.5) AS q50,
+      |             quantile_cont(q, 0.75) AS q75 FROM sc)
+      |SELECT CAST(1 + (q > q25)::INT + (q > q50)::INT + (q > q75)::INT AS BIGINT) AS phase,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       min(q) AS min_score, max(q) AS max_score,
+      |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |       min_by(doc_id, md5('cur:' || CAST(doc_id AS VARCHAR))) AS first_doc
+      |FROM sc, b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // x156: the salted per-epoch hash permutation — strpos-in-hex digit
+  // value (x19's idiom), shard = value mod 8; min(h) pins membership.
+  val x156: String =
+    """SELECT e.epoch,
+      |       CAST((strpos('0123456789abcdef', substr(h.h, 1, 1)) - 1) % 8 AS BIGINT) AS shard,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(h.nc) AS BIGINT) AS sum_chars,
+      |       min(h.h) AS checksum
+      |FROM (SELECT CAST(unnest(range(1, 4)) AS BIGINT) AS epoch) e
+      |CROSS JOIN LATERAL (
+      |  SELECT md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h,
+      |         coalesce(n_chars, 0) AS nc
+      |  FROM documents) h
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // x157: x16's score CTE + the 24-bit hex coin; zero-padded lowercase
+  // printf('%06x') in both engines makes the lexicographic compare a
+  // numeric compare; q8 integer sums are exact (HUGEINT / decimal).
+  val x157: String =
+    """WITH t AS (
+      |  SELECT doc_id, length(replace(text, ' ', '')) AS n_alpha FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |st AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |         sum(CASE WHEN token IN ('the', 'a', 'of', 'to', 'and') THEN 1 ELSE 0 END) AS n_stop
+      |  FROM tok GROUP BY doc_id),
+      |sc AS (
+      |  SELECT s.doc_id,
+      |         floor((0.4 * least(CAST(s.n_tokens AS DOUBLE), 50.0) / 50.0
+      |             + 0.3 * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens)
+      |             + 0.3 * least(CAST(t.n_alpha AS DOUBLE) / s.n_tokens, 10.0) / 10.0)
+      |           * 100000000 + 0.5) / 100000000 AS q
+      |  FROM st s JOIN t ON s.doc_id = t.doc_id),
+      |coin AS (
+      |  SELECT d.source, sc.q,
+      |         CASE WHEN substr(md5('rs:' || CAST(d.doc_id AS VARCHAR)), 1, 6)
+      |                   < printf('%06x', CAST(least(floor(sc.q * 16777216.0), 16777215.0) AS INTEGER))
+      |              THEN 1 ELSE 0 END AS accept,
+      |         CAST(floor(sc.q * 100000000 + 0.5) AS BIGINT) AS q8
+      |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(accept) AS BIGINT) AS n_accepted,
+      |       floor(CAST(sum(accept) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS accept_rate,
+      |       CASE WHEN sum(accept) > 0 THEN
+      |         floor(CAST(sum(q8 * accept) AS DOUBLE) / 100000000.0 / sum(accept)
+      |               * 1000000 + 0.5) / 1000000 END AS avg_q_accepted
+      |FROM coin GROUP BY source ORDER BY source""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x157_rejection_sample" -> x157,
+    "x156_epoch_shuffle"  -> x156,
+    "x155_curriculum"     -> x155,
+    "x154_window_replay"  -> x154,
     "x153_dedup_sql"      -> x153,
     "x152_char_trigrams"  -> x152,
     "x150_hard_negatives" -> x150,

@@ -1653,4 +1653,61 @@ class NewOpsSpec extends SparkSpec {
       ("quantity_discount", 20L, -1.0),
       ("quantity_extendedprice", 20L, 1.0)))
   }
+
+  test("x155: quartile phases partition the scored corpus; boundaries are monotone") {
+    val out = LlmQueries.x155Curriculum(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val scored = LlmQueries.x16QualityScore(spark, "/root/testdata/sf0.001").count()
+    assert(out.map(_._2).sum == scored, "every scored doc lands in exactly one phase")
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"phase ${a._1} max must not exceed phase ${b._1} min")
+    case _ => ()
+    }
+  }
+
+  test("x156: every epoch shards the whole corpus; epochs decorrelate") {
+    val sf = "/root/testdata/sf0.001"
+    val out = LlmQueries.x156EpochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    val docs = graft.core.Io.table(spark, sf, "documents").count()
+    (1L to 3L).foreach { e =>
+      val mine = out.filter(_._1 == e)
+      assert(mine.map(_._3).sum == docs, s"epoch $e must cover all $docs docs")
+      assert(mine.map(_._2).toSeq.sorted == (0L to 7L), s"epoch $e must hit all 8 shards")
+    }
+    // the salted hash makes shard contents differ between epochs: the
+    // per-shard min-hash checksums cannot all coincide
+    assert(out.filter(_._1 == 1L).map(_._4).toSeq !=
+      out.filter(_._1 == 2L).map(_._4).toSeq)
+  }
+
+  test("x157: acceptance weights by quality — accepted mean exceeds corpus mean") {
+    val sf = "/root/testdata/sf0.001"
+    val out = LlmQueries.x157RejectionSample(spark, sf).collect()
+    val corpusMean = LlmQueries.x16QualityScore(spark, sf)
+      .agg(org.apache.spark.sql.functions.avg("quality_score")).head().getDouble(0)
+    out.foreach { r =>
+      val (n, acc) = (r.getLong(1), r.getLong(2))
+      assert(acc >= 0 && acc <= n)
+      assert(math.abs(r.getDouble(3) - acc.toDouble / n) < 1e-6)
+    }
+    val weighted = out.map(r => r.getDouble(4) * r.getLong(2)).sum /
+      out.map(_.getLong(2)).sum
+    assert(weighted > corpusMean,
+      s"rejection sampling must lift mean quality: $weighted vs $corpusMean")
+  }
+
+  test("x154: watermark replay flush equals the plain batch windowed count") {
+    val sf = "/root/testdata/sf0.001"
+    val replayed = LlmQueries.x154WindowReplay(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = graft.core.Io.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("ts").isNotNull)
+      .selectExpr("unix_micros(ts) div 60000000 * 60000 as w")
+      .groupBy("w").count().orderBy("w").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(replayed.nonEmpty)
+    assert(replayed == batch)
+  }
 }

@@ -165,10 +165,13 @@ class PlanSpec extends SparkSpec {
     // retrievers wholesale, inheriting exactly x111's 1-row crosses
     // x150's is x56's anchor batch (10 rows of embedding+norm)
     // broadcasting into the brute-force cosine scan
+    // x155's is the 1-row exact-quartile bounds frame crossing onto the
+    // scored corpus (x117's 1-row denominator shape — the threshold
+    // assignment that replaces a global ntile window)
       "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
       "x112_zorder_layout", "x117_mix_temperature", "x119_prep_v4",
       "x124_dsir_weights", "x126_ks_drift", "x132_perplexity_gate",
-      "x140_retrieval_eval", "x150_hard_negatives")
+      "x140_retrieval_eval", "x150_hard_negatives", "x155_curriculum")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
