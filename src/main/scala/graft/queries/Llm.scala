@@ -4067,12 +4067,14 @@ object LlmQueries {
     * aggregate in DuckDB, and one hash match per round pins window
     * assignment, additive merge, eviction timing, and the flush.
     *
-    * Scale shape: per batch one map-combining (window → count) aggregate
-    * of the batch plus a state-sized merge — the StateStore update shape;
-    * state is bounded by delay/W open windows regardless of stream
-    * length (eviction is what keeps unbounded streams finite-state). The
-    * two 1-row `head()` actions per batch mirror the engine's
-    * driver-tracked max-event-time statistic (x120's precedent).
+    * Scale shape: ONE map-combining `cellsWithMax` aggregate per batch —
+    * pinned (x120's persist+truncate discipline) so it feeds the merge,
+    * the watermark statistic, and both splits without a second scan; the
+    * state-side merges are window-set-sized. State is bounded by delay/W
+    * open windows regardless of stream length (eviction is what keeps
+    * unbounded streams finite-state); the 1-row `cellsWatermark` head per
+    * batch mirrors the engine's driver-tracked max-event-time statistic
+    * (x120's precedent).
     */
   def x154WindowReplay(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.streaming.StreamingWindows
@@ -4084,17 +4086,28 @@ object LlmQueries {
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = hi - lo + 1
     val (t1, t2) = (lo + span / 3, lo + 2 * span / 3)
+    def truncated(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
     var state = StreamingWindows.emptyState(spark)
     var wm = Long.MinValue
+    val pins = Seq.newBuilder[DataFrame]
     val outs = Seq(
       ev.filter(col("ts_us") < t1),
       ev.filter(col("ts_us") >= t1 && col("ts_us") < t2),
       ev.filter(col("ts_us") >= t2)).map { b =>
-      val (out, next, newWm) = StreamingWindows.advance(state, b, wm, W, D)
-      state = next
-      wm = newWm
+      // pin the pre-aggregated cells once per batch (x120's
+      // persist+truncate discipline): ONE scan of batch b feeds the
+      // merge, the watermark statistic, and both splits
+      val cells = StreamingWindows.cellsWithMax(b, W).persist()
+      cells.count()
+      pins += cells
+      val merged = StreamingWindows.mergeCellFrame(state, truncated(cells), wm, W)
+      wm = StreamingWindows.cellsWatermark(truncated(cells), wm, D)
+      val (out, open) = StreamingWindows.splitClosed(merged, wm, W)
+      state = open
       out
     }
+    repin(pins.result(): _*) // released by the next pinning query
     outs.reduce(_.unionAll(_)).unionAll(state)
       .select(expr("win_start_us div 1000").as("win_start_ms"), col("n"))
       .orderBy("win_start_ms")

@@ -87,6 +87,26 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(emitted.nonEmpty && open.nonEmpty, "watermark must have closed some but not all")
   }
 
+  test("pre-aggregated cells path equals the raw advance path batch by batch") {
+    val batches = Seq(
+      Seq(T0 + 1, T0 + 2, T0 + W + 1),
+      Seq(T0 + 5 * W + 1, T0 + 2 * W + 3), // one late-ish row once wm moves
+      Seq(T0 + 9 * W))
+    var (sRaw, sCells) = (emptyState(spark), emptyState(spark))
+    var (wmRaw, wmCells) = (Long.MinValue, Long.MinValue)
+    batches.foreach { b =>
+      val (outR, nextR, newWmR) = advance(sRaw, batchDf(b), wmRaw, W, D)
+      val cells = cellsWithMax(batchDf(b), W)
+      val merged = mergeCellFrame(sCells, cells, wmCells, W)
+      val newWmC = cellsWatermark(cells, wmCells, D)
+      val (outC, nextC) = splitClosed(merged, newWmC, W)
+      assert(newWmR == newWmC)
+      assert(outR.collect().map(_.toSeq).toSet == outC.collect().map(_.toSeq).toSet)
+      assert(nextR.collect().map(_.toSeq).toSet == nextC.collect().map(_.toSeq).toSet)
+      sRaw = nextR; sCells = nextC; wmRaw = newWmR; wmCells = newWmC
+    }
+  }
+
   test("window assignment matches Spark's window() rule") {
     val ts = Seq(T0 + 1, T0 + W - 1, T0 + W, T0 + 3 * W + 17)
     val viaWindow = batchDf(ts)
