@@ -44,7 +44,17 @@ object Scratch9e {
         time(s"x155_$dir")(queries.LlmQueries.x155Curriculum(spark, dir).count())
         time(s"x156_$dir")(queries.LlmQueries.x156EpochShuffle(spark, dir).count())
         time(s"x157_$dir")(queries.LlmQueries.x157RejectionSample(spark, dir).count())
+        time(s"x159_$dir")(queries.LlmQueries.x159PaddingAudit(spark, dir).count())
       }
+      // x158 at 10×: tenDir already holds 10× lineitem (id-shifted —
+      // Scratch9d); stage the six unscaled tables beside it so the audit
+      // runs in the ORPHAN-HEAVY regime (9/10 of lineitem keys have no
+      // parent) — the adversarial load for the anti-join side
+      for (t <- Seq("customer", "part", "supplier", "nation", "region", "orders"))
+        if (!new java.io.File(s"$tenDir/$t.parquet").isDirectory)
+          core.Io.table(spark, sfDir, t).write.parquet(s"$tenDir/$t.parquet")
+      time(s"x158_$sfDir")(queries.ExtendedQueries.x158FkAudit(spark, sfDir).count())
+      time(s"x158_$tenDir")(queries.ExtendedQueries.x158FkAudit(spark, tenDir).count())
     }
   }
 }

@@ -1874,4 +1874,53 @@ object ExtendedQueries {
         length(col("text")).cast("long").as("len"))
       .orderBy("doc_id")
   }
+
+  /** x158 — REFERENTIAL-INTEGRITY audit (round-9): orphan/coverage counts
+    * for all seven FK relationships of the warehouse star (orders→customer,
+    * lineitem→{orders, part, supplier}, {customer, supplier}→nation,
+    * nation→region) — the cross-TABLE data-quality class the per-table
+    * profile (r2) cannot see: a load that drops half of `orders` leaves
+    * every table individually conformant while silently orphaning half of
+    * `lineitem`. Per relationship: child rows, null FKs (legal — not
+    * orphans), orphans (non-null FK with no parent), and the coverage
+    * ratio over non-null FKs.
+    *
+    * Scale shape: each relationship is one LEFT join of the child's FK
+    * column against the parent's distinct key — dimension parents
+    * broadcast; the one big-big pair (lineitem→orders) hash-joins on the
+    * key both tables would be bucketed by in a real lake, and x123's
+    * bloom-prefilter is the documented at-scale relief when even that
+    * join is too hot for an audit query. Seven 1-row aggregates union to
+    * the 7-row report — no cross-relationship shuffle.
+    */
+  def x158FkAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def rel(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val nonNull = count(lit(1)) - sum(col("fk").isNull.cast("long"))
+      child.select(col(fk).as("fk"))
+        .join(parent.select(col(pk).as("pk")).distinct(),
+          col("fk") === col("pk"), "left")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("fk").isNull.cast("long")).as("n_null_fk"),
+          sum((col("fk").isNotNull && col("pk").isNull).cast("long"))
+            .as("n_orphans"),
+          stableRound6(when(nonNull > 0,
+            lit(1.0) - sum((col("fk").isNotNull && col("pk").isNull)
+              .cast("long")).cast("double") / nonNull)).as("coverage"))
+        .select(lit(name).as("rel"), col("n_rows"), col("n_null_fk"),
+          col("n_orphans"), col("coverage"))
+    }
+    def t(n: String) = Io.table(spark, sfDir, n)
+    Seq(
+      rel("customer->nation", t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
+      rel("lineitem->orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+      rel("lineitem->part", t("lineitem"), "l_partkey", t("part"), "p_partkey"),
+      rel("lineitem->supplier", t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey"),
+      rel("nation->region", t("nation"), "n_regionkey", t("region"), "r_regionkey"),
+      rel("orders->customer", t("orders"), "o_custkey", t("customer"), "c_custkey"),
+      rel("supplier->nation", t("supplier"), "s_nationkey", t("nation"), "n_nationkey"))
+      .reduce(_.unionAll(_))
+      .orderBy("rel")
+  }
 }

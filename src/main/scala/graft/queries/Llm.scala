@@ -4113,6 +4113,54 @@ object LlmQueries {
       .orderBy("win_start_ms")
   }
 
+  /** x159 — PADDING-WASTE audit (round-9): the trainer-infra economics of
+    * three batch-assembly strategies over the corpus length distribution —
+    * `pad_max` (every sequence padded to the 256 context), `bucketed`
+    * (length buckets {16,32,64,128,256}, each sequence padded to its
+    * bucket — the dynamic-batching middle ground), `packed_lb` (x60-style
+    * concatenation packing; slot count is the ⌈Σused/256⌉ lower bound, so
+    * its waste row is the floor the real packer (x116/x145) is judged
+    * against). Sequences beyond 256 truncate in every strategy. The
+    * output quantifies WHY the packing operators exist: waste_pct
+    * typically drops an order of magnitude from pad_max to packed.
+    *
+    * Exactness: used/slot counts are pure integers (one token pass, the
+    * x14-proven whitespace split); one stableRound6 per rate at the edge.
+    *
+    * Scale shape: ONE scan computes every strategy's sums in a single
+    * map-combining aggregate (the bucket CASE is a codegen'd projection);
+    * the 3 strategy rows explode from the 1-row result (x148's pattern) —
+    * no second scan, no join, no window.
+    */
+  def x159PaddingAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val L = 256L
+    val docs = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .select(col("n"), least(col("n"), lit(L)).as("used"),
+        when(col("n") <= 16, 16L).when(col("n") <= 32, 32L)
+          .when(col("n") <= 64, 64L).when(col("n") <= 128, 128L)
+          .otherwise(L).as("bucket"))
+    val m = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum("used").as("sum_used"),
+      sum("bucket").as("sum_bucket"))
+    m.select(col("n_docs"), explode(array(
+        struct(lit("bucketed").as("strategy"),
+          col("sum_bucket").as("slots"), col("sum_used").as("used")),
+        struct(lit("packed_lb").as("strategy"),
+          (ceil(col("sum_used").cast("double") / L).cast("long") * L).as("slots"),
+          col("sum_used").as("used")),
+        struct(lit("pad_max").as("strategy"),
+          (col("n_docs") * L).as("slots"), col("sum_used").as("used"))))
+        .as("s"))
+      .select(col("s.strategy").as("strategy"), col("n_docs"),
+        col("s.slots").as("slots"), col("s.used").as("used"),
+        ExtendedQueries.stableRound6(lit(1.0) -
+          col("s.used").cast("double") / col("s.slots")).as("waste_pct"))
+      .orderBy("strategy")
+  }
+
   /** x155 — CURRICULUM assembly (round-9): phase the corpus into quality
     * quartiles (easy→hard ordering for staged training) with a
     * DETERMINISTIC within-phase shuffle — the data-ordering operator

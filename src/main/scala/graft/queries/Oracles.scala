@@ -3276,7 +3276,60 @@ object Oracles {
       |               * 1000000 + 0.5) / 1000000 END AS avg_q_accepted
       |FROM coin GROUP BY source ORDER BY source""".stripMargin
 
+  // x158: seven FK stanzas, each a LEFT join of the child FK against the
+  // parent's distinct key; null FKs are legal (not orphans); coverage
+  // floor-rounded over non-null FKs.
+  val x158: String = {
+    def stanza(name: String, child: String, fk: String,
+        parent: String, pk: String): String =
+      s"""SELECT '$name' AS rel,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+         |       CAST(sum(CASE WHEN fk IS NOT NULL AND pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+         |       CASE WHEN count(*) - sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) > 0 THEN
+         |         floor((1.0 - CAST(sum(CASE WHEN fk IS NOT NULL AND pk IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |                / (count(*) - sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END))) * 1000000 + 0.5) / 1000000
+         |       END AS coverage
+         |FROM (SELECT $fk AS fk FROM $child) c
+         |LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON c.fk = p.pk""".stripMargin
+    Seq(
+      stanza("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      stanza("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      stanza("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      stanza("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      stanza("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      stanza("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      stanza("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rel")
+  }
+
+  // x159: the single-pass integer sums + three strategy rows; len() of the
+  // x14-proven whitespace split, identical bucket CASE.
+  val x159: String =
+    """WITH n AS (
+      |  SELECT len(string_split(text, ' ')) AS n FROM documents WHERE text IS NOT NULL),
+      |d AS (
+      |  SELECT n, least(n, 256) AS used,
+      |         CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+      |              WHEN n <= 128 THEN 128 ELSE 256 END AS bucket
+      |  FROM n),
+      |m AS (SELECT count(*) AS n_docs, sum(used) AS sum_used, sum(bucket) AS sum_bucket FROM d)
+      |SELECT s.strategy,
+      |       CAST(m.n_docs AS BIGINT) AS n_docs,
+      |       CAST(s.slots AS BIGINT) AS slots,
+      |       CAST(m.sum_used AS BIGINT) AS used,
+      |       floor((1.0 - CAST(m.sum_used AS DOUBLE) / s.slots) * 1000000 + 0.5) / 1000000 AS waste_pct
+      |FROM m, LATERAL (
+      |  SELECT 'bucketed' AS strategy, m.sum_bucket AS slots
+      |  UNION ALL
+      |  SELECT 'packed_lb', CAST(ceil(CAST(m.sum_used AS DOUBLE) / 256) AS BIGINT) * 256
+      |  UNION ALL
+      |  SELECT 'pad_max', m.n_docs * 256) s
+      |ORDER BY s.strategy""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x159_padding_audit"  -> x159,
+    "x158_fk_audit"       -> x158,
     "x157_rejection_sample" -> x157,
     "x156_epoch_shuffle"  -> x156,
     "x155_curriculum"     -> x155,

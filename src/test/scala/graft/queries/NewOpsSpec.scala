@@ -1698,6 +1698,50 @@ class NewOpsSpec extends SparkSpec {
       s"rejection sampling must lift mean quality: $weighted vs $corpusMean")
   }
 
+  test("x158: a corrupted load shows up as orphans with exact counts") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/x158_corrupt_${System.nanoTime()}"
+    for (t <- Seq("customer", "lineitem", "part", "supplier", "nation", "region"))
+      graft.core.Io.table(spark, sf, t).write.parquet(s"$dir/$t.parquet")
+    // the corruption: half the orders vanish (a failed partition load)
+    graft.core.Io.table(spark, sf, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+      .write.parquet(s"$dir/orders.parquet")
+    try {
+      val out = ExtendedQueries.x158FkAudit(spark, dir).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val li = out("lineitem->orders")
+      val expectedOrphans = graft.core.Io.table(spark, sf, "lineitem")
+        .join(graft.core.Io.table(spark, sf, "orders")
+          .filter(col("o_orderkey") % 2 === 0),
+          col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+      assert(li.getLong(3) == expectedOrphans && expectedOrphans > 0)
+      assert(li.getDouble(4) < 1.0)
+      // unrelated relationships stay fully covered
+      assert(out("lineitem->part").getDouble(4) == 1.0)
+      assert(out("orders->customer").getDouble(4) == 1.0)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  test("x159: strategy economics — pad_max wastes most, packing's lower bound least") {
+    val out = LlmQueries.x159PaddingAudit(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (b, p, m) = (out("bucketed"), out("packed_lb"), out("pad_max"))
+    Seq(b, p, m).foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "used can never exceed slots")
+      assert(r.getLong(1) > 0)
+    }
+    assert(p.getDouble(4) < b.getDouble(4) && b.getDouble(4) < m.getDouble(4),
+      "waste must strictly improve pad_max -> bucketed -> packed_lb on this corpus")
+    assert(m.getLong(2) == m.getLong(1) * 256, "pad_max slots = n_docs * L")
+    assert(p.getLong(2) % 256 == 0 && p.getLong(2) >= p.getLong(3),
+      "packed_lb slots are whole blocks covering used")
+  }
+
   test("x154: watermark replay flush equals the plain batch windowed count") {
     val sf = "/root/testdata/sf0.001"
     val replayed = LlmQueries.x154WindowReplay(spark, sf).collect()
