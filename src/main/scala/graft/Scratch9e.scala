@@ -38,6 +38,7 @@ object Scratch9e {
       // events.parquet exists at 10× only (Scratch9d's construction)
       for (dir <- Seq(sfDir, tenDir)) {
         time(s"x154_$dir")(queries.LlmQueries.x154WindowReplay(spark, dir).count())
+        time(s"x160_$dir")(queries.LlmQueries.x160IntervalJoinReplay(spark, dir).count())
       }
       for (dir <- Seq(sfDir, tenDir, hundredDir)) {
         time(s"x153_$dir")(queries.ExtendedQueries.x153DedupSql(spark, dir).count())

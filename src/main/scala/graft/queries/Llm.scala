@@ -4113,6 +4113,83 @@ object LlmQueries {
       .orderBy("win_start_ms")
   }
 
+  /** x160 — STREAM-STREAM interval-join replay parity (round-9; the
+    * x114/x120/x130/x138/x154 pattern for the SIXTH streaming face, the
+    * two-sided symmetric-hash-join state machine): replay
+    * [[graft.streaming.StreamJoin.replayBatch]] — views joined to clicks
+    * by the same user within 2 hours AFTER the view (the attribution
+    * join) — over a 3-batch TIME-ordered split of `events`, with the
+    * engine's watermark eviction live (delay 4 h). Emit-exactly-once
+    * comes from the later-arrival rule (new rights × all lefts seen, new
+    * lefts × right STATE only); on a time-range split eviction is
+    * provably lossless for ANY delay (a future right within a left's
+    * window forces `wm < l.time + W` — see the replay core's scaladoc),
+    * so the union of batches equals the declarative batch interval join →
+    * the DuckDB oracle hash-pins pairing, the open-interval bounds, and
+    * both eviction rules per round. StreamJoinSpec additionally pins the
+    * HASH-split generality (unordered arrival, wm off) against the batch
+    * join.
+    *
+    * Scale shape: per batch the new-rows-vs-state joins are
+    * batch×state-sized — state is watermark-bounded (delay + window of
+    * stream history), never stream-length-bounded; per-batch states
+    * pinned + truncated (x120's discipline). Output aggregates to
+    * per-user pair counts and exact integer gap stats.
+    */
+  def x160IntervalJoinReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamJoin
+    val W = 7_200_000_000L
+    val D = 14_400_000_000L
+    val ev = Io.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id").as("key"), unix_micros(col("ts")).as("time_us"),
+        col("event_type"))
+    val mm = ev.agg(min("time_us"), max("time_us")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = hi - lo + 1
+    val (t1, t2) = (lo + span / 3, lo + 2 * span / 3)
+    def truncated(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("time_us",
+          org.apache.spark.sql.types.LongType))))
+    var (sL, sR) = (empty, empty)
+    var wm = Long.MinValue
+    val pins = Seq.newBuilder[DataFrame]
+    val outs = Seq(
+      col("time_us") < t1,
+      col("time_us") >= t1 && col("time_us") < t2,
+      col("time_us") >= t2).map { cond =>
+      val b = ev.filter(cond)
+      val bL = b.filter(col("event_type") === "view").select("key", "time_us")
+      val bR = b.filter(col("event_type") === "click").select("key", "time_us")
+      // engine rule: the join's watermark advances off the batch max
+      // event time (shared clock here — both streams split one source)
+      val bMax = b.agg(max("time_us")).head()
+      if (!bMax.isNullAt(0)) wm = math.max(wm, bMax.getLong(0) - D)
+      val (out, nL, nR) = StreamJoin.replayBatch(sL, sR, bL, bR, wm, W)
+      val (pL, pR) = (nL.persist(), nR.persist())
+      pL.count(); pR.count()
+      pins += pL; pins += pR
+      sL = truncated(pL); sR = truncated(pR)
+      out
+    }
+    repin(pins.result(): _*) // released by the next pinning query
+    outs.reduce(_.unionAll(_))
+      .select(col("key").as("user_id"),
+        (col("r_time_us") - col("l_time_us")).as("gap_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("gap_us").as("min_gap_us"),
+        max("gap_us").as("max_gap_us"),
+        sum("gap_us").as("sum_gap_us"))
+      .orderBy("user_id")
+  }
+
   /** x159 — PADDING-WASTE audit (round-9): the trainer-infra economics of
     * three batch-assembly strategies over the corpus length distribution —
     * `pad_max` (every sequence padded to the 256 context), `bucketed`

@@ -3327,7 +3327,28 @@ object Oracles {
       |  SELECT 'pad_max', m.n_docs * 256) s
       |ORDER BY s.strategy""".stripMargin
 
+  // x160: the declarative batch interval join the replay must equal —
+  // open lower bound (strictly after the view), closed upper (≤ 2 h);
+  // gaps are exact µs integers.
+  val x160: String =
+    """WITH v AS (
+      |  SELECT user_id, epoch_us(ts) AS t FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type = 'view'),
+      |c AS (
+      |  SELECT user_id, epoch_us(ts) AS t FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type = 'click')
+      |SELECT v.user_id,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(min(c.t - v.t) AS BIGINT) AS min_gap_us,
+      |       CAST(max(c.t - v.t) AS BIGINT) AS max_gap_us,
+      |       CAST(sum(c.t - v.t) AS BIGINT) AS sum_gap_us
+      |FROM v JOIN c ON v.user_id = c.user_id
+      |              AND c.t > v.t AND c.t <= v.t + 7200000000
+      |GROUP BY v.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x160_interval_join_replay" -> x160,
     "x159_padding_audit"  -> x159,
     "x158_fk_audit"       -> x158,
     "x157_rejection_sample" -> x157,

@@ -43,4 +43,44 @@ object StreamJoin {
     */
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Pure replay core for the two-sided interval-join state machine —
+    * what the engine's symmetric hash join does per micro-batch, as
+    * batch-mode DataFrames so x160 can pin it against the declarative
+    * batch join per round (the x114/x120/x130/x138/x154 pattern for the
+    * SIXTH streaming face).
+    *
+    * Inputs carry `(key, time_us)`. A pair (l, r) with equal keys and
+    * `r.time_us ∈ (l.time_us, l.time_us + windowUs]` is emitted EXACTLY
+    * once — in the batch where the LATER-arriving side lands: the new
+    * right rows join everything on the left seen so far (state ∪ this
+    * batch), and the new left rows join only the right STATE (earlier
+    * batches), so a same-batch pair is counted by the first term alone.
+    * Union-of-batches therefore equals the batch join for ANY split of
+    * either stream (spec-pinned on a hash split, no ordering needed).
+    *
+    * Eviction mirrors the engine's watermark rule, and is what bounds
+    * state on an unbounded stream: a left row is dead once
+    * `wm > time + windowUs` (every future right row has
+    * `time ≥ wm > l.time + W`), a right row once `wm > time` (every
+    * future left row has `time ≥ wm > r.time`, violating `l < r`).
+    */
+  def replayBatch(
+      stateL: DataFrame,
+      stateR: DataFrame,
+      batchL: DataFrame,
+      batchR: DataFrame,
+      wmUs: Long,
+      windowUs: Long): (DataFrame, DataFrame, DataFrame) = {
+    def pairs(l: DataFrame, r: DataFrame): DataFrame =
+      l.select(col("key"), col("time_us").as("l_time_us"))
+        .join(r.select(col("key"), col("time_us").as("r_time_us")), "key")
+        .filter(col("r_time_us") > col("l_time_us") &&
+          col("r_time_us") <= col("l_time_us") + lit(windowUs))
+    val allL = stateL.unionAll(batchL)
+    val out = pairs(allL, batchR).unionAll(pairs(batchL, stateR))
+    (out,
+      allL.filter(col("time_us") + lit(windowUs) >= lit(wmUs)),
+      stateR.unionAll(batchR).filter(col("time_us") >= lit(wmUs)))
+  }
 }

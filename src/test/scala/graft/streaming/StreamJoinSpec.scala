@@ -46,6 +46,67 @@ class StreamJoinSpec extends SparkSpec {
       (4L, ts(20), ts(50))))
   }
 
+  test("replayBatch: any hash split of both streams unions to the batch interval join") {
+    val W = 100L
+    val rng = new scala.util.Random(7)
+    val lefts = (1 to 80).map(_ => (rng.nextInt(4).toLong, rng.nextInt(1000).toLong))
+    val rights = (1 to 80).map(_ => (rng.nextInt(4).toLong, rng.nextInt(1000).toLong))
+    val batch = for {
+      (lk, lt) <- lefts; (rk, rt) <- rights
+      if lk == rk && rt > lt && rt <= lt + W
+    } yield (lk, lt, rt)
+    // arbitrary 3-way hash split, wm off (MinValue) — the ordering-free
+    // exactly-once claim: later-arrival accounting alone dedups pairs
+    def split(xs: Seq[(Long, Long)], i: Int) = xs.filter(x => (x._2 % 3) == i)
+    var sL = Seq.empty[(Long, Long)].toDF("key", "time_us")
+    var sR = Seq.empty[(Long, Long)].toDF("key", "time_us")
+    var got = Seq.empty[(Long, Long, Long)]
+    (0 until 3).foreach { i =>
+      val (out, nL, nR) = StreamJoin.replayBatch(sL, sR,
+        split(lefts, i).toDF("key", "time_us"),
+        split(rights, i).toDF("key", "time_us"), Long.MinValue, W)
+      got ++= out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      sL = nL; sR = nR
+    }
+    assert(got.sorted == batch.sorted)
+    assert(batch.nonEmpty)
+  }
+
+  test("replayBatch eviction is lossless on a time-ordered split with a live watermark") {
+    val W = 100L
+    val D = 50L
+    val rng = new scala.util.Random(11)
+    val all = (1 to 120).map(i =>
+      (rng.nextInt(3).toLong, rng.nextInt(2000).toLong, rng.nextBoolean()))
+      .sortBy(_._2)
+    val lefts = all.filter(_._3).map(x => (x._1, x._2))
+    val rights = all.filterNot(_._3).map(x => (x._1, x._2))
+    val expect = for {
+      (lk, lt) <- lefts; (rk, rt) <- rights
+      if lk == rk && rt > lt && rt <= lt + W
+    } yield (lk, lt, rt)
+    val bounds = Seq(700L, 1400L, Long.MaxValue)
+    var sL = Seq.empty[(Long, Long)].toDF("key", "time_us")
+    var sR = Seq.empty[(Long, Long)].toDF("key", "time_us")
+    var wm = Long.MinValue
+    var got = Seq.empty[(Long, Long, Long)]
+    var lo = Long.MinValue
+    bounds.foreach { hi =>
+      val bL = lefts.filter(x => x._2 >= lo && x._2 < hi)
+      val bR = rights.filter(x => x._2 >= lo && x._2 < hi)
+      val bMax = (bL ++ bR).map(_._2).maxOption
+      bMax.foreach(m => wm = math.max(wm, m - D))
+      val (out, nL, nR) = StreamJoin.replayBatch(sL, sR,
+        bL.toDF("key", "time_us"), bR.toDF("key", "time_us"), wm, W)
+      got ++= out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // eviction must actually fire — otherwise this test proves nothing
+      sL = nL; sR = nR
+      lo = hi
+    }
+    assert(got.sorted == expect.sorted)
+    assert(sR.count() < rights.size, "watermark must have evicted right-side state")
+  }
+
   test("stream-static enrich joins each batch against the dim with zero streaming state") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
