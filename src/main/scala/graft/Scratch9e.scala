@@ -39,6 +39,12 @@ object Scratch9e {
       for (dir <- Seq(sfDir, tenDir)) {
         time(s"x154_$dir")(queries.LlmQueries.x154WindowReplay(spark, dir).count())
         time(s"x160_$dir")(queries.LlmQueries.x160IntervalJoinReplay(spark, dir).count())
+        time(s"x161_$dir")(queries.ExtendedQueries.x161ThrottleDedup(spark, dir).count())
+        time(s"x162_$dir")(queries.ExtendedQueries.x162MvMaintain(spark, dir).count())
+        time(s"x165_$dir")(queries.ExtendedQueries.x165HoppingWindow(spark, dir).count())
+        time(s"x166_$dir")(queries.ExtendedQueries.x166SessionWindowNative(spark, dir).count())
+        time(s"x163_$dir")(queries.LlmQueries.x163DedupStateRestart(spark, dir).count())
+        time(s"x164_$dir")(queries.ExtendedQueries.x164CorruptQuarantine(spark, dir).count())
       }
       for (dir <- Seq(sfDir, tenDir, hundredDir)) {
         time(s"x153_$dir")(queries.ExtendedQueries.x153DedupSql(spark, dir).count())

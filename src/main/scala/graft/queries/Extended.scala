@@ -619,6 +619,55 @@ object ExtendedQueries {
         countDistinct("source").as("n_sources"))
       .orderBy("lang")
 
+  private val x164LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x164 — CORRUPT-RECORD quarantine (round-9): the malformed-input path
+    * of JSONL ingestion, the robustness face the roundtrip queries (x40/
+    * x58/x121/x139 — all clean-input) never exercise. The corpus is
+    * written as JSONL with every doc_id % 10 == 0 line deterministically
+    * MANGLED (a non-JSON prefix + truncation), read back PERMISSIVE with
+    * `columnNameOfCorruptRecord`, and reported as per-lang roundtrip
+    * aggregates over the parsed rows plus one `__quarantine__` bucket row
+    * counting the rejected lines.
+    *
+    * The oracle rebuilds both sides from the ORIGINAL parquet by the same
+    * doc_id rule, so the hash match proves the quarantine boundary is
+    * EXACT: every mangled line lands in `_corrupt_record` (a leak into the
+    * parsed side shifts a lang row), no healthy line is rejected (a loss
+    * shifts the quarantine count), and the survivors roundtrip losslessly
+    * (x40's witness). This is the ingest contract a 100 TB crawl load
+    * depends on — bad shards must quarantine row-by-row, not fail the job
+    * or silently vanish; PERMISSIVE parsing is per-row scan work, zero
+    * extra shuffles over the clean path.
+    */
+  def x164CorruptQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val docs = Io.table(spark, sfDir, "documents")
+    val dir = Io.freshTmpDir(spark, x164LastDir, "x164_jsonl")
+    docs.select(
+        to_json(struct(docs.columns.map(col): _*)).as("line"), col("doc_id"))
+      .select(when(col("doc_id") % 10 === 0,
+          concat(lit("{BAD "), substring(col("line"), 1, 20)))
+        .otherwise(col("line")).as("value"))
+      .write.mode("overwrite").text(dir)
+    val back = spark.read
+      .schema(docs.schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+    back
+      .select(when(col("_corrupt_record").isNull, col("lang"))
+          .otherwise(lit("__quarantine__")).as("bucket"),
+        col("doc_id"), col("text"), col("n_chars"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("n_chars"), lit(0L)).as("sum_chars"),
+        coalesce(sum(length(col("text"))), lit(0L)).as("sum_text_len"),
+        coalesce(min("doc_id"), lit(-1L)).as("min_id"),
+        coalesce(max("doc_id"), lit(-1L)).as("max_id"))
+      .orderBy("bucket")
+  }
+
   private val x58LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** x58 — ORC corpus interchange: documents → ORC parts → read-back →
@@ -1922,5 +1971,143 @@ object ExtendedQueries {
       rel("supplier->nation", t("supplier"), "s_nationkey", t("nation"), "n_nationkey"))
       .reduce(_.unionAll(_))
       .orderBy("rel")
+  }
+
+  /** x165 — HOPPING (sliding) window aggregate through Spark's NATIVE
+    * `window(ts, size, hop)` function (round-9): 10-minute windows every 5
+    * minutes, so each event lands in exactly size/hop = 2 windows — the
+    * multi-assign window face the family still lacked (x154 replays
+    * TUMBLING cells, x44/x93 are row/range frames over a sort, x6/x120
+    * sessions). Under the hood the native TimeWindow rewrites to an
+    * Expand in the scan stage — per-event fan-out is a projection, never a
+    * self-join or a range join — followed by one ordinary hash aggregate;
+    * at scale that is scan + one shuffle of (windows × keys) partials,
+    * identical shape to a tumbling count.
+    *
+    * The oracle rebuilds the window assignment arithmetically (each event's
+    * two window starts via integer µs division, DuckDB unnest over k∈{0,1})
+    * — the hash match pins Spark's TimeWindow bucket arithmetic (epoch
+    * alignment, half-open bounds) against an explicit reconstruction, and
+    * the DECIMAL(28,6) value sums make the two-window double-count exact.
+    */
+  def x165HoppingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Io.events(spark, sfDir).filter(col("ts").isNotNull)
+    ev.groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+      .select(unix_micros(col("w.start")).as("win_start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("win_start_us")
+  }
+
+  /** x166 — NATIVE session windows: `session_window(ts, gap)` (round-9),
+    * the dedicated updatable-session aggregation operator, pinned against
+    * the declarative lag/running-sum sessionization SQL (the x92/x91
+    * window-vs-dedicated-operator pattern). The boundary is INCLUSIVE —
+    * an event at exactly last_event + gap still merges (NewOpsSpec pins
+    * both sides of the boundary empirically), so the native rule IS x6's
+    * "new session when gap > 30 min" — the oracle encodes exactly that,
+    * and any drift in Spark's session merge logic turns this row red.
+    * Scale shape: one user_id shuffle + in-partition session merge (the
+    * operator sorts within groups), then a key-sized rollup — same cost
+    * envelope as the declarative double-window form but ONE aggregation
+    * operator, and the form Structured Streaming session state uses.
+    */
+  def x166SessionWindowNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Io.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n").as("max_session_events"),
+        sum("n").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** x162 — incremental MATERIALIZED-VIEW maintenance (round-9): a standing
+    * per-(event_type, day) rollup merged with a delta batch's partial
+    * aggregates must equal the full recompute — the partial-aggregate
+    * algebra every incremental lakehouse rollup AND every streaming
+    * aggregation state store relies on (Spark's own partial/final split is
+    * this algebra within one job; here it is declared ACROSS loads, where
+    * the standing side is a stored table the raw rows of which are never
+    * re-read). Counts and decimal sums add, min/max re-min/re-max, and avg
+    * is NON-mergeable as avg — it must travel as (sum, count) and divide
+    * only at the edge, the classic MV-maintenance trap this query pins.
+    *
+    * The oracle is the plain one-shot GROUP BY over all events, so the hash
+    * match proves merge(standing, delta) == recompute exactly: sums are
+    * DECIMAL(28,6) through both levels (double partial sums would drift by
+    * partition order — x33's discipline), day is exact epoch-ns integer
+    * division, the avg divides merged sum by merged non-null count with one
+    * terminal round6. Scale shape: the delta side aggregates delta-sized
+    * input; the merge touches only (keys × 2) aggregate rows, never the
+    * standing fact rows — the whole point of maintaining an MV.
+    */
+  def x162MvMaintain(spark: SparkSession, sfDir: String): DataFrame = {
+    val nsPerDay = 86_400_000_000_000L
+    val ev = Io.eventsRaw(spark, sfDir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr(s"ts div $nsPerDay").as("day"),
+        col("event_id"), col("value"))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("value")).as("n_valued"),
+        sum(col("value").cast("decimal(28,6)")).as("sum_dec"),
+        min("event_id").as("min_event_id"),
+        max("event_id").as("max_event_id"))
+    // standing MV = prior loads (event_id % 4 != 0), delta = today's load
+    val standing = partials(ev.filter(col("event_id") % 4 =!= 0))
+    val delta = partials(ev.filter(col("event_id") % 4 === 0))
+    standing.unionAll(delta)
+      .groupBy("event_type", "day")
+      .agg(sum("n_events").as("n_events"),
+        sum("n_valued").as("n_valued"),
+        sum("sum_dec").as("sum_dec"),
+        min("min_event_id").as("min_event_id"),
+        max("max_event_id").as("max_event_id"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("min_event_id"), col("max_event_id"),
+        col("sum_dec").cast("double").as("sum_value"),
+        when(col("n_valued") > 0,
+          stableRound6(col("sum_dec").cast("double") / col("n_valued")))
+          .as("avg_value"))
+      .orderBy("event_type", "day")
+  }
+
+  /** x161 — per-key event-time THROTTLE dedup (round-9, declaring
+    * `operators/Throttle`): keep at most one event per user per 1-hour
+    * refractory period — a row survives iff its time is strictly more than
+    * the period past the last KEPT row's time (first per user always
+    * survives; a row at exactly anchor+period is suppressed; equal-time
+    * rows collapse to the event_id-first). The alert-suppression /
+    * burst-collapse semantics of `dropDuplicatesWithinWatermark`, made
+    * batch-deterministic: the anchor advances only on keeps, so this is
+    * NOT gap sessionization (x6 anchors on every previous row) and NOT a
+    * window function — the chain is a sequential per-key recursion, x90's
+    * class.
+    *
+    * Scale engine is GreedyPack's shape (one user_id shuffle + external
+    * sort + streaming mapPartitions fold, O(1) state per key); the oracle
+    * runs the IDENTICAL recursion as a DuckDB recursive CTE (x116/x145's
+    * proof shape), so the hash match pins every keep/suppress decision of
+    * the distributed fold against an independent sequential engine. All
+    * time math is exact epoch-µs integers — no floats anywhere.
+    */
+  def x161ThrottleDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val periodUs = 3_600_000_000L
+    val ev = Io.eventsRaw(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("ts div 1000").as("t"), col("event_id"))
+    graft.operators.Throttle
+      .keepOnePerPeriod(ev, "user_id", "t", "event_id", periodUs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_kept"),
+        min("t").as("first_kept_us"),
+        max("t").as("last_kept_us"),
+        sum("t").as("sum_kept_us"))
+      .orderBy("user_id")
   }
 }

@@ -3347,7 +3347,121 @@ object Oracles {
       |GROUP BY v.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  // x161: the identical throttle recursion run sequentially — anchor
+  // advances only on keeps, strict > on the period boundary, (t, event_id)
+  // total order; every keep/suppress decision of the distributed fold is
+  // pinned by the CTE walk (x116/x145's proof shape on exact µs integers).
+  val x161: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, epoch_us(ts) AS t,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |r(user_id, rn, t, anchor, kept) AS (
+      |  SELECT user_id, rn, t, t, 1 FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, e.t,
+      |         CASE WHEN e.t > r.anchor + 3600000000 THEN e.t ELSE r.anchor END,
+      |         CASE WHEN e.t > r.anchor + 3600000000 THEN 1 ELSE 0 END
+      |  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      |SELECT user_id,
+      |       CAST(count(*) AS BIGINT) AS n_kept,
+      |       min(t) AS first_kept_us,
+      |       max(t) AS last_kept_us,
+      |       CAST(sum(t) AS BIGINT) AS sum_kept_us
+      |FROM r WHERE kept = 1
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // x162: the one-shot recompute the incremental merge must equal — exact
+  // integer day buckets, DECIMAL(28,6) sums (x33's discipline), avg divided
+  // once at the edge from sum/count with the shared terminal round6.
+  val x162: String =
+    """SELECT event_type,
+      |       epoch_ns(ts) // 86400000000000 AS day,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       min(event_id) AS min_event_id,
+      |       max(event_id) AS max_event_id,
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+      |       CASE WHEN count(value) > 0 THEN
+      |         floor(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+      |               / count(value) * 1000000 + 0.5) / 1000000
+      |       END AS avg_value
+      |FROM events
+      |WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |GROUP BY event_type, day
+      |ORDER BY event_type, day""".stripMargin
+
+  // x164: both sides of the quarantine boundary rebuilt from the ORIGINAL
+  // parquet by the same doc_id%10 rule — parsed-side per-lang roundtrip
+  // aggregates (x40's witness) + the __quarantine__ bucket counting the
+  // mangled lines, constants where the corrupt rows carry no fields.
+  val x164: String =
+    """SELECT lang AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       coalesce(CAST(sum(n_chars) AS BIGINT), 0) AS sum_chars,
+      |       coalesce(CAST(sum(length(text)) AS BIGINT), 0) AS sum_text_len,
+      |       min(doc_id) AS min_id,
+      |       max(doc_id) AS max_id
+      |FROM documents WHERE doc_id % 10 <> 0
+      |GROUP BY lang
+      |UNION ALL
+      |SELECT '__quarantine__',
+      |       CAST(count(*) AS BIGINT), 0, 0, -1, -1
+      |FROM documents WHERE doc_id % 10 = 0
+      |ORDER BY bucket""".stripMargin
+
+  // x165: each event's TWO hopping-window starts rebuilt by integer µs
+  // arithmetic (floor to the 5-min hop grid, minus k hops for k in {0,1});
+  // both memberships always hold for size = 2×hop, so no filter is needed.
+  val x165: String =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS t, value FROM events WHERE ts IS NOT NULL),
+      |w AS (
+      |  SELECT (t // 300000000 - k) * 300000000 AS win_start_us, value
+      |  FROM e, (SELECT unnest([0, 1]) AS k) ks)
+      |SELECT win_start_us,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY win_start_us
+      |ORDER BY win_start_us""".stripMargin
+
+  // x166: the NATIVE session rule — new session when the gap is strictly
+  // greater than the 30-min gap duration (an event at exactly
+  // last + gap still merges: session end is inclusive), which is x6's
+  // inclusive rule — the equivalence NewOpsSpec pins at the boundary.
+  val x166: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |f AS (
+      |  SELECT user_id, t,
+      |         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+      |                   > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f),
+      |g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid)
+      |SELECT user_id,
+      |       CAST(count(*) AS BIGINT) AS n_sessions,
+      |       CAST(max(n) AS BIGINT) AS max_session_events,
+      |       CAST(sum(n) AS BIGINT) AS n_events
+      |FROM g GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x166_session_window" -> x166,
+    "x165_hopping_window" -> x165,
+    "x164_corrupt_quarantine" -> x164,
+    // x163 shares x48's oracle VERBATIM (the x8b/x58 pattern): the
+    // recompute SQL knows nothing about restarts, so the hash match proves
+    // state -> parquet -> cold read -> assignment == the in-memory chain.
+    "x163_dedup_restart"  -> x48,
+    "x162_mv_maintain"    -> x162,
+    "x161_throttle_dedup" -> x161,
     "x160_interval_join_replay" -> x160,
     "x159_padding_audit"  -> x159,
     "x158_fk_audit"       -> x158,

@@ -1754,4 +1754,105 @@ class NewOpsSpec extends SparkSpec {
     assert(replayed.nonEmpty)
     assert(replayed == batch)
   }
+
+  test("x161: declared throttle equals an independent sequential JVM fold") {
+    val sf = "/root/testdata/sf0.001"
+    val got = ExtendedQueries.x161ThrottleDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val raw = graft.core.Io.eventsRaw(spark, sf)
+      .filter("ts is not null and user_id is not null")
+      .selectExpr("user_id", "ts div 1000 as t", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = raw.groupBy(_._1).toSeq.map { case (u, evs) =>
+      var anchor = Long.MinValue; var first = true
+      val kept = evs.sortBy(e => (e._2, e._3)).collect {
+        case (_, t, _) if first || t > anchor + 3_600_000_000L =>
+          anchor = t; first = false; t
+      }
+      (u, kept.size.toLong, kept.min, kept.max, kept.sum)
+    }.sortBy(_._1)
+    assert(got.nonEmpty && got == want)
+    // the throttle must actually suppress something, or the period is a no-op
+    assert(got.map(_._2).sum < raw.length)
+  }
+
+  test("x164: tricky-but-valid JSON lines never quarantine; the mangle rule exactly does") {
+    // texts with quotes, newlines, backslashes, unicode — the payloads that
+    // break naive line-oriented JSON handling; all must parse back clean
+    val dir = Files.createTempDirectory("x164t").toString
+    val docs = Seq(
+      (5L, "he said \"hi\"\nand left", "en", "web", 21L),
+      (1L, "back\\slash and \t tab", "en", "web", 20L),
+      (2L, "café — 中文", "fr", "web", 8L),
+      (3L, null.asInstanceOf[String], "en", "web", 0L),
+      (10L, "will be mangled", "en", "web", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ExtendedQueries.x164CorruptQuarantine(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    withClue(s"buckets: $out") {
+      assert(out("__quarantine__") == 1L) // exactly the doc_id%10==0 row
+      assert(out("en") == 3L && out("fr") == 1L)
+    }
+  }
+
+  test("x165: every event lands in exactly size/hop = 2 hopping windows") {
+    val sf = "/root/testdata/sf0.001"
+    val nEvents = graft.core.Io.events(spark, sf)
+      .filter("ts is not null").count()
+    val windowed = ExtendedQueries.x165HoppingWindow(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+    assert(nEvents > 0 && windowed == 2 * nEvents)
+  }
+
+  test("x166: native session boundary is INCLUSIVE — gap == duration merges, gap > splits") {
+    import org.apache.spark.sql.functions._
+    val gapUs = 1_800_000_000L
+    def sessions(ts: Seq[Long]): Long =
+      ts.map(t => Tuple1(new java.sql.Timestamp(t / 1000)))
+        .toDF("raw").select(to_timestamp(col("raw")).as("ts"))
+        .groupBy(session_window(col("ts"), "30 minutes")).count().count()
+    assert(sessions(Seq(0L, gapUs)) == 1L, "gap == duration must merge (inclusive end)")
+    assert(sessions(Seq(0L, gapUs + 1000)) == 2L, "gap > duration must split")
+  }
+
+  test("x162: incremental merge == recompute; naive avg-of-avgs would NOT") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val got = ExtendedQueries.x162MvMaintain(spark, sf)
+    val oneShot = graft.core.Io.eventsRaw(spark, sf)
+      .filter("ts is not null and event_type is not null")
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        col("event_id"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("min_event_id"),
+        max("event_id").as("max_event_id"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"),
+        when(count(col("value")) > 0, ExtendedQueries.stableRound6(
+          sum(col("value").cast("decimal(28,6)")).cast("double")
+            / count(col("value")))).as("avg_value"))
+      .orderBy("event_type", "day")
+    assert(got.collect().toSeq == oneShot.collect().toSeq)
+    // the trap the query exists to pin: averaging the two loads' averages
+    // (unweighted) diverges from the true avg on at least one group,
+    // because the standing and delta sides have unequal counts
+    val ev = graft.core.Io.eventsRaw(spark, sf)
+      .filter("ts is not null and event_type is not null and value is not null")
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        col("event_id"), col("value"))
+    def avgs(f: org.apache.spark.sql.Column) = ev.filter(f)
+      .groupBy("event_type", "day").agg(avg("value").as("a"))
+    val naive = avgs(col("event_id") % 4 =!= 0).withColumnRenamed("a", "a1")
+      .join(avgs(col("event_id") % 4 === 0).withColumnRenamed("a", "a2"),
+        Seq("event_type", "day"))
+      .select(ExtendedQueries.stableRound6((col("a1") + col("a2")) / 2).as("n"),
+        col("event_type"), col("day"))
+    val truth = ev.groupBy("event_type", "day")
+      .agg(ExtendedQueries.stableRound6(avg("value")).as("t"))
+    val diverging = naive.join(truth, Seq("event_type", "day"))
+      .filter(col("n") =!= col("t")).count()
+    assert(diverging > 0, "fixture must exhibit the avg-of-avgs trap")
+  }
 }
