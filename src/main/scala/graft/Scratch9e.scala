@@ -45,6 +45,9 @@ object Scratch9e {
         time(s"x166_$dir")(queries.ExtendedQueries.x166SessionWindowNative(spark, dir).count())
         time(s"x163_$dir")(queries.LlmQueries.x163DedupStateRestart(spark, dir).count())
         time(s"x164_$dir")(queries.ExtendedQueries.x164CorruptQuarantine(spark, dir).count())
+        time(s"x167_$dir")(queries.ExtendedQueries.x167LateDataAudit(spark, dir).count())
+        time(s"x168_$dir")(queries.ExtendedQueries.x168CsvRoundtrip(spark, dir).count())
+        time(s"x169_$dir")(queries.LlmQueries.x169FixpointRestart(spark, dir).count())
       }
       for (dir <- Seq(sfDir, tenDir, hundredDir)) {
         time(s"x153_$dir")(queries.ExtendedQueries.x153DedupSql(spark, dir).count())

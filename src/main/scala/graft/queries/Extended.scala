@@ -1973,6 +1973,88 @@ object ExtendedQueries {
       .orderBy("rel")
   }
 
+  /** x167 — LATE-DATA accounting (round-9): the observability face of
+    * watermarking. The replay-parity family (x154/x160) proves what the
+    * engine KEEPS is right; this query accounts for what it DROPS — per
+    * batch, the rows arriving below the watermark, which a stateful
+    * aggregation excludes from its state exactly as Spark's watermark rule
+    * prescribes. Arrival is modeled deterministically: batches are time
+    * thirds (x160's split), but every event_id % 50 == 0 row STRAGGLES one
+    * batch late — so batch b's watermark (max event time seen through
+    * batch b−1, minus a 30-min delay) has already passed most stragglers
+    * from the previous third, and the audit counts them.
+    *
+    * Everything is declarative: batch assignment, per-batch maxima, the
+    * running watermark (exclusive-preceding window over 3 rows), and the
+    * late/on-time split are all expressible in both engines, so the DuckDB
+    * oracle pins the exact drop rule (strict `t < wm`, wm from batch-end
+    * maxima). At scale the audit is one scan + a 3-row window — the
+    * monitoring query every watermark deployment should run next to its
+    * aggregation.
+    */
+  def x167LateDataAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val delayUs = 1_800_000_000L
+    val ev0 = Io.eventsRaw(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), expr("ts div 1000").as("t"))
+    val mm = ev0.agg(min("t"), max("t")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = hi - lo + 1
+    val (t1, t2) = (lo + span / 3, lo + 2 * span / 3)
+    val ev = ev0
+      .withColumn("b0",
+        when(col("t") < t1, 0).when(col("t") < t2, 1).otherwise(2))
+      .withColumn("b", least(
+        col("b0") + when(col("event_id") % 50 === 0, 1).otherwise(0), lit(2))
+        .cast("long"))
+    val m = ev.groupBy("b").agg(max("t").as("bmax"))
+    val w = m.select(col("b"),
+      max(col("bmax") - delayUs).over(Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)).as("wm"))
+    ev.join(w, Seq("b"), "left")
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("wm").isNotNull && col("t") < col("wm")).cast("long"))
+          .as("n_late"),
+        sum((col("wm").isNull || col("t") >= col("wm")).cast("long"))
+          .as("n_ontime"),
+        min("t").as("min_t_us"), max("t").as("max_t_us"))
+      .orderBy("b")
+  }
+
+  private val x168LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x168 — multi-part CSV corpus roundtrip with QUOTED-NEWLINE fields
+    * (round-9): documents → RFC-4180 CSV parts (escape = doubled quotes,
+    * `\N` null marker) → `multiLine` read-back → x40's roundtrip witness,
+    * sharing x40's original-parquet oracle. The format face the clean
+    * roundtrips skipped: corpus text embeds newlines and quotes, which
+    * naive line-splitting CSV readers shred — the hash match proves every
+    * embedded newline, doubled quote, and null-vs-empty distinction (the
+    * `\N` marker; empty string stays empty) survives the cycle.
+    *
+    * The documented at-scale trade: `multiLine` CSV is NOT splittable (a
+    * record boundary cannot be found mid-file), so read parallelism = part
+    * count from the write — x40's gzip rule; columnar formats (x58) or
+    * JSONL remain the right interchange at corpus scale, and this query is
+    * the proof the engine still ingests the CSV the outside world ships.
+    */
+  def x168CsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val dir = Io.freshTmpDir(spark, x168LastDir, "x168_csv")
+    docs.write.mode("overwrite")
+      .option("header", "true")
+      .option("nullValue", "\\N")
+      .option("escape", "\"")
+      .csv(dir)
+    roundtripAgg(spark.read.schema(docs.schema)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("nullValue", "\\N")
+      .option("escape", "\"")
+      .csv(dir))
+  }
+
   /** x165 — HOPPING (sliding) window aggregate through Spark's NATIVE
     * `window(ts, size, hop)` function (round-9): 10-minute windows every 5
     * minutes, so each event lands in exactly size/hop = 2 windows — the

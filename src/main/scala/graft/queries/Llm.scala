@@ -1318,41 +1318,50 @@ object LlmQueries {
   /** Rounds the last x47 run took to converge — probe/spec observability. */
   private[graft] val x47LastRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
-  def x47DedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Io.table(spark, sfDir, "documents")
+  /** x47/x169 shared band-bucket star edges (both directions, persisted —
+    * caller unpersists). */
+  private def dupStarEdges(docs: DataFrame): DataFrame = {
     val bands = bandHashes(minhashSignature(fanOut(docs), 16), bandsOf = 4, r = 4)
     val rep = bands.groupBy("band", "bh").agg(min("doc_id").as("rep"))
     val e0 = bands.join(rep, Seq("band", "bh"))
       .select(col("doc_id").as("a"), col("rep").as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b"))).persist()
-    // decimal sum: overflow-proof on arbitrary 64-bit ids (ANSI mode would
-    // throw on a long sum of xxhash-scale ids); min-label propagation only
-    // ever DECREASES labels, so an unchanged total sum == fixpoint
+    e0.union(e0.select(col("b").as("a"), col("a").as("b"))).persist()
+  }
+
+  /** x47/x169 shared min-label fixpoint over `edges` from `initial`
+    * (doc_id, label) — min-label propagation is CONFLUENT (labels only
+    * decrease, the min over any neighborhood order reaches the same
+    * fixpoint), which is exactly why a restart from any intermediate
+    * labeling is safe (x169's claim). Returns the PERSISTED final frame
+    * (caller must repin/unpersist) and the round count.
+    *
+    * // decimal sum: overflow-proof on arbitrary 64-bit ids (ANSI mode
+    * // would throw on a long sum of xxhash-scale ids); labels only ever
+    * // DECREASE, so an unchanged total sum == fixpoint.
+    * Two handles per round: `labelsPinned` is the PERSISTED frame (the
+    * thing unpersist actually frees — localCheckpoint was tried here and
+    * reverted: Dataset.unpersist is a no-op on checkpoint blocks, so 30
+    * rounds of frames would pile up until driver GC), and `labels` is a
+    * lineage-TRUNCATED view of it (a LogicalRDD over the cached rows), so
+    * each round's plan is constant-size instead of doubling with every
+    * jump self-join — the truncation that cut the sf0.1 time 10.2s→2.6s.
+    */
+  private def propagateLabels(
+      edges: DataFrame,
+      initial: DataFrame,
+      maxRounds: Int = 30): (DataFrame, Int) = {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty frame (dup-free corpus): sum is NULL
-    // iterate over the edge-connected subgraph ONLY: singletons (the vast
-    // majority of a real corpus) can never change label, so keeping them in
-    // the loop frame would make every round's join+agg scan corpus-sized;
-    // they rejoin as their own component after the fixpoint. Both edge
-    // directions are present, so `a` alone covers every endpoint.
-    // Two handles per round: `labelsPinned` is the PERSISTED frame (the
-    // thing unpersist actually frees — localCheckpoint was tried here and
-    // reverted: Dataset.unpersist is a no-op on checkpoint blocks, so 30
-    // rounds of frames would pile up until driver GC), and `labels` is a
-    // lineage-TRUNCATED view of it (a LogicalRDD over the cached rows), so
-    // each round's plan is constant-size instead of doubling with every
-    // jump self-join — the truncation that cut the sf0.1 time 10.2s→2.6s.
     def truncated(df: DataFrame): DataFrame =
       df.sparkSession.createDataFrame(df.rdd, df.schema)
-    var labelsPinned = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).persist()
+    var labelsPinned = initial.persist()
     var prevSum = labelSum(labelsPinned) // forces the pin
     var labels = truncated(labelsPinned)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 30) {
+    while (!converged && rounds < maxRounds) {
       val nbr = edges.join(labels.select(col("doc_id").as("b"), col("label")), "b")
         .select(col("a").as("doc_id"), col("label"))
       val half = labels.union(nbr).groupBy("doc_id").agg(min("label").as("label"))
@@ -1373,14 +1382,36 @@ object LlmQueries {
       prevSum = s
       rounds += 1
     }
+    (labelsPinned, rounds)
+  }
+
+  def x47DedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val edges = dupStarEdges(docs)
+    // iterate over the edge-connected subgraph ONLY: singletons (the vast
+    // majority of a real corpus) can never change label, so keeping them in
+    // the loop frame would make every round's join+agg scan corpus-sized;
+    // they rejoin as their own component after the fixpoint. Both edge
+    // directions are present, so `a` alone covers every endpoint.
+    val (labelsPinned, rounds) = propagateLabels(edges,
+      edges.select(col("a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
     x47LastRounds.set(rounds)
     edges.unpersist()
-    // register the PERSISTED handle (repin skips re-persisting it and the
-    // registry's later unpersist really frees it); the truncated view
-    // below reads the same cached blocks
+    componentReport(docs, labelsPinned)
+  }
+
+  /** x47/x169 shared report tail: registers the PERSISTED labels handle
+    * (repin skips re-persisting it and the registry's later unpersist
+    * really frees it; the truncated view below reads the same cached
+    * blocks), rejoins singletons — docs outside the edge set are their own
+    * component of size 1 (coalesce), no loop cost ever paid for them —
+    * and emits the per-doc component/size/canonical frame.
+    */
+  private def componentReport(docs: DataFrame, labelsPinned: DataFrame): DataFrame = {
     repin(labelsPinned) // released by the next pinning query, per the registry contract
-    // singletons rejoin here: docs outside the edge set are their own
-    // component of size 1 (coalesce), no loop cost ever paid for them
+    val labels = labelsPinned.sparkSession
+      .createDataFrame(labelsPinned.rdd, labelsPinned.schema)
     val all = docs.select("doc_id").join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("component"))
     val sz = all.groupBy("component").agg(count(lit(1)).as("n_members"))
@@ -1388,6 +1419,37 @@ object LlmQueries {
       .select(col("doc_id"), col("component"), col("n_members"),
         (col("doc_id") === col("component")).cast("int").as("is_canonical"))
       .orderBy("doc_id")
+  }
+
+  private val x169LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x169 — fixpoint RESTART (round-9; x163's restartability claim for the
+    * ITERATIVE engine): x47's min-label propagation interrupted after ONE
+    * round, the intermediate labels written to parquet, read back COLD
+    * (lineage gone, caches gone — what a killed-and-redeployed driver
+    * sees), and the fixpoint CONTINUED from the restored frame to
+    * convergence. Min-label propagation is confluent — labels only
+    * decrease and the fixpoint is the componentwise minimum regardless of
+    * the intermediate state it resumes from — so the restarted run must
+    * reach exactly x47's answer; sharing x47's oracle (the recursive-CTE
+    * full recompute, which knows nothing about restarts) makes that a
+    * per-round hash-checked fact rather than an argument. Long-running
+    * iterative jobs are the ones most likely to die mid-flight at 100 TB;
+    * checkpoint cost is one labels-sized write per saved round, and this
+    * query is the proof the checkpoint actually resumes.
+    */
+  def x169FixpointRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val edges = dupStarEdges(docs)
+    val identity0 = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    val (seg1, _) = propagateLabels(edges, identity0, maxRounds = 1)
+    val ckpt = Io.freshTmpDir(spark, x169LastDir, "x169_ckpt")
+    seg1.write.mode("overwrite").parquet(ckpt)
+    seg1.unpersist()
+    val (labelsPinned, _) = propagateLabels(edges, spark.read.parquet(ckpt))
+    edges.unpersist()
+    componentReport(docs, labelsPinned)
   }
 
   /** x49 — product-quantization ANN (ADC scan), completing the similarity

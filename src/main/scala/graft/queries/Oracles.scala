@@ -3452,7 +3452,48 @@ object Oracles {
       |FROM g GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // x167: the watermark drop rule rebuilt declaratively — x160's
+  // time-third split with event_id%50 stragglers shifted one batch late,
+  // per-batch maxima, the running wm over batch order (exclusive
+  // preceding), and the strict t < wm late test.
+  val x167: String =
+    """WITH e0 AS (
+      |  SELECT event_id, epoch_us(ts) AS t FROM events WHERE ts IS NOT NULL),
+      |s AS (SELECT min(t) AS lo, max(t) - min(t) + 1 AS span FROM e0),
+      |e AS (
+      |  SELECT event_id, t,
+      |         least(CASE WHEN t < lo + span // 3 THEN 0
+      |                    WHEN t < lo + (2 * span) // 3 THEN 1
+      |                    ELSE 2 END
+      |               + CASE WHEN event_id % 50 = 0 THEN 1 ELSE 0 END,
+      |               2) AS b
+      |  FROM e0, s),
+      |m AS (SELECT b, max(t) AS bmax FROM e GROUP BY b),
+      |w AS (
+      |  SELECT b, max(bmax - 1800000000) OVER (ORDER BY b
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+      |  FROM m)
+      |SELECT e.b,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CASE WHEN w.wm IS NOT NULL AND e.t < w.wm
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |       CAST(sum(CASE WHEN w.wm IS NULL OR e.t >= w.wm
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime,
+      |       min(e.t) AS min_t_us,
+      |       max(e.t) AS max_t_us
+      |FROM e JOIN w ON e.b = w.b
+      |GROUP BY e.b
+      |ORDER BY e.b""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    // x169 shares x47's oracle VERBATIM: the recursive-CTE recompute knows
+    // nothing about restarts, so the hash match proves the interrupted →
+    // checkpointed → cold-resumed fixpoint reaches the identical answer.
+    "x169_fixpoint_restart" -> x47,
+    "x167_late_data_audit" -> x167,
+    // x168 shares x40's oracle (the x58 pattern): aggregate the ORIGINAL
+    // parquet — the hash match proves the quoted-newline CSV cycle lossless.
+    "x168_csv_roundtrip"  -> x40,
     "x166_session_window" -> x166,
     "x165_hopping_window" -> x165,
     "x164_corrupt_quarantine" -> x164,

@@ -1817,6 +1817,56 @@ class NewOpsSpec extends SparkSpec {
     assert(sessions(Seq(0L, gapUs + 1000)) == 2L, "gap > duration must split")
   }
 
+  test("x167: late rows are exactly the straggler subset below the running watermark") {
+    val sf = "/root/testdata/sf0.001"
+    val got = ExtendedQueries.x167LateDataAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // independent JVM recompute of the whole rule
+    val raw = graft.core.Io.eventsRaw(spark, sf).filter("ts is not null")
+      .selectExpr("event_id", "ts div 1000 as t").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lo = raw.map(_._2).min; val span = raw.map(_._2).max - lo + 1
+    val (t1, t2) = (lo + span / 3, lo + 2 * span / 3)
+    def batch(id: Long, t: Long): Long = {
+      val b0 = if (t < t1) 0L else if (t < t2) 1L else 2L
+      math.min(b0 + (if (id % 50 == 0) 1 else 0), 2L)
+    }
+    val byB = raw.groupBy { case (id, t) => batch(id, t) }
+    val bmax = byB.view.mapValues(_.map(_._2).max).toMap
+    val wm = Map[Long, Option[Long]](0L -> None,
+      1L -> Some(bmax(0L) - 1_800_000_000L),
+      2L -> Some(math.max(bmax(0L), bmax(1L)) - 1_800_000_000L))
+    val want = (0L to 2L).map { b =>
+      val rows = byB(b)
+      val late = rows.count { case (_, t) => wm(b).exists(t < _) }
+      (b, rows.size.toLong, late.toLong, (rows.size - late).toLong)
+    }
+    assert(got == want)
+    // batch 0 can never see late data; the later batches must (the audit
+    // is vacuous otherwise), and every late row is a straggler by rule
+    assert(got.head._3 == 0 && got.drop(1).map(_._3).sum > 0)
+    val lateIds = (0L to 2L).flatMap { b =>
+      byB(b).filter { case (_, t) => wm(b).exists(t < _) }.map(_._1)
+    }
+    assert(lateIds.forall(_ % 50 == 0))
+  }
+
+  test("x168: null text, empty text, and quoted newlines survive the CSV cycle distinctly") {
+    val dir = Files.createTempDirectory("x168t").toString
+    Seq(
+      (1L, null.asInstanceOf[String], "en", "web", 0L),
+      (2L, "", "en", "web", 0L),
+      (3L, "line one\n\"quoted\" two", "en", "web", 21L),
+      (4L, "plain", "fr", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ExtendedQueries.x168CsvRoundtrip(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq // lang, n_docs, sum_text_len
+    // null skips the length sum; empty contributes 0 — if CSV collapsed
+    // null and empty either way, en's sum or count pattern would shift
+    assert(out == Seq(("en", 3L, 21L), ("fr", 1L, 5L)))
+  }
+
   test("x162: incremental merge == recompute; naive avg-of-avgs would NOT") {
     val sf = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
