@@ -48,6 +48,9 @@ object Scratch9e {
         time(s"x167_$dir")(queries.ExtendedQueries.x167LateDataAudit(spark, dir).count())
         time(s"x168_$dir")(queries.ExtendedQueries.x168CsvRoundtrip(spark, dir).count())
         time(s"x169_$dir")(queries.LlmQueries.x169FixpointRestart(spark, dir).count())
+        time(s"x171_$dir")(queries.ExtendedQueries.x171BucketedAgg(spark, dir).count())
+        time(s"x172_$dir")(queries.ExtendedQueries.x172UnionByName(spark, dir).count())
+        time(s"x173_$dir")(queries.ExtendedQueries.x173PivotDynamic(spark, dir).count())
       }
       for (dir <- Seq(sfDir, tenDir, hundredDir)) {
         time(s"x153_$dir")(queries.ExtendedQueries.x153DedupSql(spark, dir).count())
@@ -55,6 +58,7 @@ object Scratch9e {
         time(s"x156_$dir")(queries.LlmQueries.x156EpochShuffle(spark, dir).count())
         time(s"x157_$dir")(queries.LlmQueries.x157RejectionSample(spark, dir).count())
         time(s"x159_$dir")(queries.LlmQueries.x159PaddingAudit(spark, dir).count())
+        time(s"x170_$dir")(queries.LlmQueries.x170TextRank(spark, dir).count())
       }
       // x158 at 10×: tenDir already holds 10× lineitem (id-shifted —
       // Scratch9d); stage the six unscaled tables beside it so the audit

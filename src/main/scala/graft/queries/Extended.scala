@@ -2055,6 +2055,85 @@ object ExtendedQueries {
       .csv(dir))
   }
 
+  /** x171 — shuffle-free BUCKETED aggregation (round-9; x76's claim for
+    * the AGGREGATION side): events written as a user_id-bucketed managed
+    * table, then a per-user aggregate whose plan contains NO hash Exchange
+    * at all — the bucketed scan already satisfies the aggregate's required
+    * distribution, so the map-side and final aggregation fuse into one
+    * stage reading co-hashed bucket files. PlanSpec asserts `Bucketed:
+    * true` and zero `Exchange hashpartitioning`. The oracle aggregates the
+    * ORIGINAL parquet (x76's lossless-write proof composed with the plain
+    * GROUP BY), so the hash match proves the bucket routing dropped and
+    * dented nothing.
+    *
+    * At 100 TB this is THE daily-rollup pattern: pay the hash distribution
+    * once at ingest (the bucketed write), and every subsequent per-key
+    * aggregation — DAU, per-user billing, feature aggregation — runs as a
+    * pure scan-side job with no shuffle, no skew surface, no network.
+    */
+  def x171BucketedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Bucketing
+    val ev = Io.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select("user_id", "event_id", "value")
+    Bucketing.writeBucketed(ev, "graft_x171_events", "user_id", 8)
+    spark.table("graft_x171_events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"),
+        min("event_id").as("min_event_id"),
+        max("event_id").as("max_event_id"))
+      .orderBy("user_id")
+  }
+
+  /** x172 — UNION-BY-NAME schema reconciliation (round-9; the compute-side
+    * member of the schema-evolution family — x125 merges schemas at READ,
+    * this unions frames whose schemas already diverged): a pre-`source`
+    * vintage (doc_id, lang, n_chars) unioned with a post-`source` vintage
+    * (doc_id, lang, source) via `unionByName(allowMissingColumns = true)`,
+    * missing columns null-filled BY NAME — positional union would silently
+    * pair n_chars with source, the classic vintage-merge corruption. The
+    * aggregate separates the vintages' contributions (n_chars sums only
+    * from vintage A, source counts only from vintage B), so the oracle's
+    * CASE-rebuilt GROUP BY pins both the name alignment and the null fill.
+    *
+    * Scale shape: unionByName is a zero-cost plan rewrite (projections
+    * inserted, no data movement); the union feeds one map-combining
+    * aggregate — identical cost to scanning either vintage alone.
+    */
+  def x172UnionByName(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val a = docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang", "n_chars")
+    val b = docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "lang", "source")
+    a.unionByName(b, allowMissingColumns = true)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("n_chars"), lit(0L)).as("sum_chars_a"),
+        count(col("source")).as("n_with_source"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .orderBy("lang")
+  }
+
+  /** x173 — DYNAMIC pivot (round-9; x24's two-pass form): `.pivot(col)`
+    * with NO value list — Spark first runs a separate DISTINCT job, sorts
+    * the discovered values, collects them to the driver, and only then
+    * builds x24's exact conditional-aggregation plan. Declared because the
+    * discovery pass is the shape real report pipelines use (the category
+    * set isn't known at author time) and because its cost model deserves
+    * pinning: one extra corpus-scan job, a driver-held value list bounded
+    * by `spark.sql.pivotMaxValues` — fine for true categoricals, the
+    * documented anti-pattern for unbounded keys. Shares x24's oracle: the
+    * discovered-and-sorted columns must equal the static list exactly.
+    */
+  def x173PivotDynamic(spark: SparkSession, sfDir: String): DataFrame =
+    Io.events(spark, sfDir)
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .pivot("event_type")
+      .count()
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+      .orderBy("cohort")
+
   /** x165 — HOPPING (sliding) window aggregate through Spark's NATIVE
     * `window(ts, size, hop)` function (round-9): 10-minute windows every 5
     * minutes, so each event lands in exactly size/hop = 2 windows — the

@@ -1421,6 +1421,59 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** x170 — TEXTRANK keyword extraction (round-9; Mihalcea & Tarau 2004):
+    * PageRank over the corpus token CO-OCCURRENCE graph — vertices are
+    * tokens, undirected edges join adjacent tokens (distinct pairs, no
+    * self-loops), 3 damped iterations s'(u) = 0.15 + 0.85·Σ_{v∈N(u)}
+    * s(v)/deg(v) from s₀ = 1, top-20 tokens by final score. The
+    * GRAPH-NUMERIC member of the keyword/topic family (x50 TF-IDF counts,
+    * x63 rarity, x31/x87 bigram statistics): TextRank scores a token by
+    * the recursive importance of its neighborhood, which frequency alone
+    * cannot see — and it is the second iterative-graph engine next to
+    * x47's label propagation (numeric damped flow vs monotone min-fold).
+    *
+    * Float discipline: each contribution s(v)/deg(v) is ONE IEEE division
+    * round6'd, the neighborhood sum is DECIMAL(38,6) (order-independent),
+    * the damping step is one multiply+add round6'd — both engines run the
+    * identical sequence, so 3 iterations stay bit-identical and the DuckDB
+    * oracle (the same 3 steps as unrolled CTEs) hash-pins every score.
+    *
+    * Scale shape: the edge list is corpus-linear (distinct adjacent pairs)
+    * and PINNED once; each iteration is one vocab×avg-degree join + one
+    * map-combining decimal aggregate — the keyed-join cost envelope of a
+    * single x47 round, ×3 fixed. Iterations never touch the corpus again.
+    */
+  def x170TextRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+    val pairs = docs.withColumn("toks", split(col("text"), " "))
+      .select(col("toks"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(1, size(toks) - 1) END""".stripMargin)).as("i"))
+      .select(expr("element_at(toks, i)").as("u"),
+        expr("element_at(toks, i + 1)").as("v"))
+      .filter(col("u") =!= col("v"))
+    val edges = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist()
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg")).persist()
+    edges.count(); deg.count()
+    repin(edges, deg) // released by the next pinning query
+    val degTok = deg.select(col("u").as("tok"), col("deg"))
+    var scores = degTok.select(col("tok"), lit(1.0).as("score"))
+    for (_ <- 1 to 3) {
+      val contrib = scores.join(degTok, "tok")
+        .select(col("tok").as("v"),
+          ExtendedQueries.stableRound6(col("score") / col("deg")).as("c"))
+      scores = edges.join(contrib, "v")
+        .groupBy("u")
+        .agg(sum(col("c").cast("decimal(38,6)")).cast("double").as("cs"))
+        .select(col("u").as("tok"),
+          ExtendedQueries.stableRound6(lit(0.15) + lit(0.85) * col("cs"))
+            .as("score"))
+    }
+    scores.orderBy(desc("score"), col("tok")).limit(20)
+  }
+
   private val x169LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** x169 — fixpoint RESTART (round-9; x163's restartability claim for the

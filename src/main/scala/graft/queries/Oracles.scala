@@ -3485,7 +3485,77 @@ object Oracles {
       |GROUP BY e.b
       |ORDER BY e.b""".stripMargin
 
+  // x170: the identical 3 damped TextRank iterations as unrolled CTEs —
+  // same round6 per contribution, same DECIMAL neighborhood sum, same
+  // damping arithmetic; UNION (not UNION ALL) dedups the symmetric edges.
+  val x170: String = {
+    def step(prev: String, next: String): String =
+      s"""c_$next AS (
+         |  SELECT ed.u AS tok,
+         |         CAST(sum(CAST(floor(s.score / dg.deg * 1000000 + 0.5)
+         |                        / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS cs
+         |  FROM ed JOIN s_$prev s ON ed.v = s.tok JOIN dg ON dg.u = ed.v
+         |  GROUP BY ed.u),
+         |s_$next AS (
+         |  SELECT tok, floor((CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * cs)
+         |                    * 1000000 + 0.5) / 1000000 AS score
+         |  FROM c_$next)"""
+    s"""WITH t AS (
+       |  SELECT string_split(text, ' ') AS toks FROM documents
+       |  WHERE text IS NOT NULL),
+       |p0 AS (
+       |  SELECT unnest(list_transform(range(1, len(toks)),
+       |    i -> {'u': toks[i], 'v': toks[i + 1]})) AS e
+       |  FROM t),
+       |p AS (SELECT e.u AS u, e.v AS v FROM p0 WHERE e.u <> e.v),
+       |ed AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+       |dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY u),
+       |s_0 AS (SELECT u AS tok, CAST(1.0 AS DOUBLE) AS score FROM dg),
+       |${step("0", "1")},
+       |${step("1", "2")},
+       |${step("2", "3")}
+       |SELECT tok, score FROM s_3
+       |ORDER BY score DESC, tok
+       |LIMIT 20""".stripMargin
+  }
+
+  // x171: plain per-user GROUP BY over the ORIGINAL parquet — the hash
+  // match proves the bucketed write → catalog read → shuffle-free
+  // aggregate cycle lossless AND correct (x76's proof, aggregation side).
+  val x171: String =
+    """SELECT user_id,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+      |       min(event_id) AS min_event_id,
+      |       max(event_id) AS max_event_id
+      |FROM events
+      |WHERE user_id IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // x172: both vintages' contributions rebuilt with CASE — n_chars only
+  // from the even (pre-source) vintage, source presence only from the odd
+  // one; a positional union would corrupt exactly these separations.
+  val x172: String =
+    """SELECT lang,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       coalesce(CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars END)
+      |                     AS BIGINT), 0) AS sum_chars_a,
+      |       CAST(sum(CASE WHEN doc_id % 2 <> 0 AND source IS NOT NULL
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source,
+      |       min(doc_id) AS min_id,
+      |       max(doc_id) AS max_id
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x171_bucketed_agg"   -> x171,
+    "x172_union_by_name"  -> x172,
+    // x173 shares x24's oracle: the dynamically discovered-and-sorted
+    // pivot columns must equal the static value list exactly.
+    "x173_pivot_dynamic"  -> x24,
+    "x170_textrank"       -> x170,
     // x169 shares x47's oracle VERBATIM: the recursive-CTE recompute knows
     // nothing about restarts, so the hash match proves the interrupted →
     // checkpointed → cold-resumed fixpoint reaches the identical answer.

@@ -1817,6 +1817,23 @@ class NewOpsSpec extends SparkSpec {
     assert(sessions(Seq(0L, gapUs + 1000)) == 2L, "gap > duration must split")
   }
 
+  test("x170: a hub token outranks a frequency-matched token with one neighbor") {
+    // 'hub' touches 10 distinct neighbors; 'rep' repeats just as often but
+    // only ever neighbors 'pal' — frequency alone cannot separate them,
+    // recursive neighborhood importance must
+    val dir = Files.createTempDirectory("x170t").toString
+    val hubDoc = (1 to 10).map(i => s"hub n$i").mkString(" ")
+    val repDoc = Seq.fill(10)("rep pal").mkString(" ")
+    Seq((1L, hubDoc, "en", "web", hubDoc.length.toLong),
+      (2L, repDoc, "en", "web", repDoc.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val scores = LlmQueries.x170TextRank(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(scores("hub") > scores("rep"),
+      s"hub=${scores.get("hub")} rep=${scores.get("rep")}")
+  }
+
   test("x167: late rows are exactly the straggler subset below the running watermark") {
     val sf = "/root/testdata/sf0.001"
     val got = ExtendedQueries.x167LateDataAudit(spark, sf).collect()

@@ -181,6 +181,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x171: bucketed aggregation plans with zero hash Exchange") {
+    val p = plan("x171_bucketed_agg")
+    assert(p.contains("Bucketed: true"), "scan must read the bucketed table")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-user aggregate must be satisfied by the bucketed scan:\n$p")
+  }
+
   test("x42: per-stratum top-k is WindowGroupLimit-capped, never a global sort") {
     val p = plan("x42_stratified_sample")
     assert(p.contains("WindowGroupLimit"),
