@@ -51,6 +51,10 @@ object Scratch9e {
         time(s"x171_$dir")(queries.ExtendedQueries.x171BucketedAgg(spark, dir).count())
         time(s"x172_$dir")(queries.ExtendedQueries.x172UnionByName(spark, dir).count())
         time(s"x173_$dir")(queries.ExtendedQueries.x173PivotDynamic(spark, dir).count())
+        time(s"x174_$dir")(queries.ExtendedQueries.x174SkewAudit(spark, dir).count())
+        time(s"x175_$dir")(queries.LlmQueries.x175Collocations(spark, dir).count())
+        time(s"x176_$dir")(queries.LlmQueries.x176DatasetCard(spark, dir).count())
+        time(s"x177_$dir")(queries.LlmQueries.x177Bm25(spark, dir).count())
       }
       for (dir <- Seq(sfDir, tenDir, hundredDir)) {
         time(s"x153_$dir")(queries.ExtendedQueries.x153DedupSql(spark, dir).count())

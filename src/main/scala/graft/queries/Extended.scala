@@ -2055,6 +2055,48 @@ object ExtendedQueries {
       .csv(dir))
   }
 
+  /** x174 — JOIN-KEY SKEW audit (round-9): per join/aggregation key of the
+    * warehouse, the straggler forecast — key cardinality, max single-key
+    * row count, max-key share of the table, and the max/median skew ratio
+    * (the number that says how much longer the hottest reducer runs than
+    * the typical one). The OBSERVABILITY face of the skew family: x33/x73
+    * are the remedies (salted agg/join), AQE the runtime fallback — this
+    * is the audit that tells an operator WHERE to apply them before the
+    * 100 TB job stalls on one task. Medians are exact `percentile` over
+    * the per-key count distribution (x25's interpolation contract);
+    * divisions are single double ops round6'd.
+    *
+    * Scale shape: one map-combining count per audited key + a key-sized
+    * second aggregate — each audit costs what a plain GROUP BY costs, and
+    * the six 1-row results union without any cross-table shuffle.
+    */
+  def x174SkewAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(name: String, df: DataFrame, key: String): DataFrame =
+      df.select(col(key).as("k")).filter(col("k").isNotNull)
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum("n").as("n_rows"),
+          max("n").as("max_key_rows"),
+          expr("percentile(n, 0.5)").as("med"))
+        .select(lit(name).as("keycol"),
+          col("n_keys"), col("n_rows"), col("max_key_rows"),
+          stableRound6(col("max_key_rows").cast("double") / col("med"))
+            .as("skew_ratio"),
+          stableRound6(col("max_key_rows").cast("double")
+            / col("n_rows").cast("double")).as("max_share"))
+    val ev = Io.events(spark, sfDir)
+    val docs = Io.table(spark, sfDir, "documents")
+    Seq(
+      audit("documents.lang", docs, "lang"),
+      audit("documents.source", docs, "source"),
+      audit("events.event_type", ev, "event_type"),
+      audit("events.user_id", ev, "user_id"),
+      audit("lineitem.l_orderkey", Io.table(spark, sfDir, "lineitem"), "l_orderkey"),
+      audit("orders.o_custkey", Io.table(spark, sfDir, "orders"), "o_custkey"))
+      .reduce(_.unionAll(_))
+      .orderBy("keycol")
+  }
+
   /** x171 — shuffle-free BUCKETED aggregation (round-9; x76's claim for
     * the AGGREGATION side): events written as a user_id-bucketed managed
     * table, then a per-user aggregate whose plan contains NO hash Exchange

@@ -1421,6 +1421,125 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** x175 — COLLOCATION mining by LIFT (round-9): bigrams whose observed
+    * adjacency count exceeds what the unigram frequencies predict —
+    * lift(u,v) = c(u,v)·N / (c(u)·c(v)), the all-rational association
+    * score (PMI without its log — the x50/x87 no-transcendental rule), min
+    * support 5, top-20. The ASSOCIATION member of the n-gram family: x31
+    * ranks bigrams by raw count (dominated by frequent-word pairs), x87
+    * scores docs under a bigram LM — this finds the pairs that co-occur
+    * BECAUSE they belong together, the multi-word-expression /
+    * tokenizer-merge candidates.
+    *
+    * Arithmetic: integer counts end-to-end, ONE double division per
+    * surviving bigram round6'd (c_uv·N and c_u·c_v stay far inside long
+    * range at any plausible corpus). Scale shape: two linear token scans
+    * (unigram + adjacent-pair counts), the lift join touches only the
+    * support-gated bigram vocabulary, TakeOrdered top-20 — no global sort.
+    */
+  def x175Collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val toked = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+    val uni = toked.select(explode(col("toks")).as("tok"))
+    val uniCnt = uni.groupBy("tok").agg(count(lit(1)).as("c"))
+    val nTot = uni.agg(count(lit(1))).head().getLong(0) // O(1)-row global stat
+    val biCnt = toked
+      .select(col("toks"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(1, size(toks) - 1) END""".stripMargin)).as("i"))
+      .select(expr("element_at(toks, i)").as("u"),
+        expr("element_at(toks, i + 1)").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c_uv"))
+      .filter(col("c_uv") >= 5)
+    biCnt
+      .join(uniCnt.select(col("tok").as("u"), col("c").as("c_u")), "u")
+      .join(uniCnt.select(col("tok").as("v"), col("c").as("c_v")), "v")
+      .select(concat_ws(" ", col("u"), col("v")).as("bigram"),
+        col("c_uv").as("n_pair"),
+        ExtendedQueries.stableRound6(
+          (col("c_uv") * nTot).cast("double")
+            / (col("c_u") * col("c_v")).cast("double")).as("lift"))
+      .orderBy(desc("lift"), col("bigram"))
+      .limit(20)
+  }
+
+  /** x176 — DATASET CARD (round-9): the per-source datasheet a corpus
+    * release ships — volume (docs, tokens, null payloads), language
+    * spread, exact-duplicate fraction (md5 distinct vs non-null count),
+    * mean and exact-median document length — one query composing the
+    * library's profiling signals into the documentation artifact
+    * (Datasheets for Datasets, Gebru et al. 2021). Every number is either
+    * an exact integer, ONE round6'd division, or an exact interpolated
+    * percentile (x25's contract), so the whole card is DuckDB-pinned.
+    *
+    * Scale shape: one map-combining grouped aggregate over the corpus
+    * (count-distincts expand per group, the standard two-phase distinct
+    * plan); output is |sources| rows — the card is cheaper than any
+    * single dedup pass it summarizes.
+    */
+  def x176DatasetCard(spark: SparkSession, sfDir: String): DataFrame =
+    Io.table(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("text").isNull.cast("long")).as("n_null_text"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("text").isNotNull, size(split(col("text"), " ")))
+          .cast("long")).as("n_tokens"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"),
+        ExtendedQueries.stableRound6(lit(1.0)
+          - countDistinct(md5(col("text"))).cast("double")
+            / sum(col("text").isNotNull.cast("long"))).as("dup_frac"),
+        ExtendedQueries.stableRound6(
+          sum("n_chars").cast("double") / count(lit(1))).as("mean_chars"),
+        expr("percentile(n_chars, 0.5)").as("p50_chars"))
+      .orderBy("source")
+
+  /** x177 — BM25 scoring (round-9; Robertson–Spärck Jones, k1=1.2 b=0.75):
+    * the full Okapi ranking function over the corpus's 3 highest-df query
+    * terms — term saturation (tf/(tf+k1·…)) and document-length
+    * normalization (1−b+b·dl/avgdl), the two effects x111's tf·idf
+    * retriever deliberately lacks; completes the retrieval family (x79
+    * builds the index, x111 fuses retrievers, x140 evaluates them, this
+    * is the reference lexical scorer itself). idf is the RAW Robertson
+    * ratio (N−df+0.5)/(df+0.5) — no log, the x50 transcendental-free rule.
+    *
+    * Float discipline: avgdl round6'd once; per doc the length norm is
+    * round6'd, each term's full score is ONE rounded expression with
+    * identical parenthesization in both engines, and the ≤3 term scores
+    * DECIMAL-sum. Scale shape: df + tf aggregates are the inverted-index
+    * build cost (two token scans); the query side is a broadcast 3-row
+    * term list; TakeOrdered top-20 — per-query cost at index scale is
+    * posting-list-sized, never corpus-sized.
+    */
+  def x177Bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val toked = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+    val dl = toked.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val u = toked.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val stats = dl.agg(count(lit(1)), sum("dl")).head()
+    val (nDocs, nTok) = (stats.getLong(0), stats.getLong(1))
+    val dfs = u.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val q = dfs.orderBy(desc("df"), col("tok")).limit(3)
+    val tf = u.join(q.select("tok"), Seq("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val avgdlCol = ExtendedQueries.stableRound6(
+      lit(nTok).cast("double") / lit(nDocs))
+    val idf = ExtendedQueries.stableRound6(
+      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = ExtendedQueries.stableRound6(
+      lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdlCol))
+    val term = tf.join(q, Seq("tok")).join(dl, Seq("doc_id"))
+      .select(col("doc_id"), ExtendedQueries.stableRound6(
+        idf * (col("tf") * lit(2.2)) / (col("tf") + lit(1.2) * norm)).as("s"))
+    term.groupBy("doc_id")
+      .agg(sum(col("s").cast("decimal(38,6)")).cast("double").as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(20)
+  }
+
   /** x170 — TEXTRANK keyword extraction (round-9; Mihalcea & Tarau 2004):
     * PageRank over the corpus token CO-OCCURRENCE graph — vertices are
     * tokens, undirected edges join adjacent tokens (distinct pairs, no

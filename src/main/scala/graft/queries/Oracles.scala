@@ -3549,7 +3549,127 @@ object Oracles {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // x174: per audited key one plain count GROUP BY, then the key-sized
+  // skew statistics — exact interpolated median (quantile_cont == Spark
+  // percentile, the x25 contract), single round6'd divisions.
+  val x174: String = {
+    def one(name: String, table: String, key: String): String =
+      s"""SELECT '$name' AS keycol,
+         |       CAST(count(*) AS BIGINT) AS n_keys,
+         |       CAST(sum(n) AS BIGINT) AS n_rows,
+         |       CAST(max(n) AS BIGINT) AS max_key_rows,
+         |       floor(CAST(max(n) AS DOUBLE) / quantile_cont(n, 0.5)
+         |             * 1000000 + 0.5) / 1000000 AS skew_ratio,
+         |       floor(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+         |             * 1000000 + 0.5) / 1000000 AS max_share
+         |FROM (SELECT $key, count(*) AS n FROM $table
+         |      WHERE $key IS NOT NULL GROUP BY $key)"""
+    Seq(
+      one("documents.lang", "documents", "lang"),
+      one("documents.source", "documents", "source"),
+      one("events.event_type", "events", "event_type"),
+      one("events.user_id", "events", "user_id"),
+      one("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      one("orders.o_custkey", "orders", "o_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY keycol").stripMargin
+  }
+
+  // x175: identical unigram/adjacent-pair counts, the same support gate,
+  // and ONE rounded double division per surviving bigram.
+  val x175: String =
+    """WITH t AS (
+      |  SELECT string_split(text, ' ') AS toks FROM documents
+      |  WHERE text IS NOT NULL),
+      |u AS (SELECT unnest(toks) AS tok FROM t),
+      |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM u),
+      |p0 AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> {'u': toks[i], 'v': toks[i + 1]})) AS e
+      |  FROM t),
+      |bc AS (
+      |  SELECT e.u AS u, e.v AS v, CAST(count(*) AS BIGINT) AS c_uv
+      |  FROM p0 GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT bc.u || ' ' || bc.v AS bigram,
+      |       bc.c_uv AS n_pair,
+      |       floor(CAST(bc.c_uv * n.n_tot AS DOUBLE)
+      |             / CAST(cu.c * cv.c AS DOUBLE) * 1000000 + 0.5) / 1000000 AS lift
+      |FROM bc
+      |JOIN uc cu ON cu.tok = bc.u
+      |JOIN uc cv ON cv.tok = bc.v, n
+      |ORDER BY lift DESC, bigram
+      |LIMIT 20""".stripMargin
+
+  // x176: the per-source datasheet — exact integers, one rounded division
+  // each for dup fraction and mean length, exact interpolated median.
+  val x176: String =
+    """SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_null_text,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(sum(CASE WHEN text IS NOT NULL
+      |                     THEN len(string_split(text, ' ')) END) AS BIGINT)
+      |         AS n_tokens,
+      |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+      |       floor((1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+      |                    / sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END))
+      |             * 1000000 + 0.5) / 1000000 AS dup_frac,
+      |       floor(CAST(sum(n_chars) AS DOUBLE) / count(*)
+      |             * 1000000 + 0.5) / 1000000 AS mean_chars,
+      |       quantile_cont(n_chars, 0.5) AS p50_chars
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // x177: the identical BM25 arithmetic — rounded avgdl, rounded raw idf,
+  // rounded length norm, one rounded expression per term score with the
+  // same parenthesization, DECIMAL-summed per doc.
+  val x177: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE text IS NOT NULL),
+      |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+      |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(dl) AS BIGINT) AS n_tok
+      |  FROM d),
+      |a AS (
+      |  SELECT n_docs,
+      |         floor(CAST(n_tok AS DOUBLE) / n_docs * 1000000 + 0.5)
+      |           / 1000000 AS avgdl
+      |  FROM stats),
+      |df AS (
+      |  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM u GROUP BY tok),
+      |q AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 3),
+      |tf AS (
+      |  SELECT u.doc_id, u.tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM u JOIN q ON q.tok = u.tok GROUP BY 1, 2),
+      |term AS (
+      |  SELECT tf.doc_id,
+      |         floor(floor((a.n_docs - q.df + 0.5) / (q.df + 0.5)
+      |                     * 1000000 + 0.5) / 1000000
+      |               * (tf.tf * 2.2)
+      |               / (tf.tf + 1.2
+      |                  * (floor((0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / a.avgdl))
+      |                           * 1000000 + 0.5) / 1000000))
+      |               * 1000000 + 0.5) / 1000000 AS s
+      |  FROM tf
+      |  JOIN q ON q.tok = tf.tok
+      |  JOIN d ON d.doc_id = tf.doc_id, a)
+      |SELECT doc_id,
+      |       CAST(sum(CAST(s AS DECIMAL(38,6))) AS DOUBLE) AS bm25
+      |FROM term GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x174_skew_audit"     -> x174,
+    "x175_collocations"   -> x175,
+    "x176_dataset_card"   -> x176,
+    "x177_bm25"           -> x177,
     "x171_bucketed_agg"   -> x171,
     "x172_union_by_name"  -> x172,
     // x173 shares x24's oracle: the dynamically discovered-and-sorted

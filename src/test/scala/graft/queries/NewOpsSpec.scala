@@ -1817,6 +1817,32 @@ class NewOpsSpec extends SparkSpec {
     assert(sessions(Seq(0L, gapUs + 1000)) == 2L, "gap > duration must split")
   }
 
+  test("x175: a planted always-together pair outlifts a frequent independent pair") {
+    val dir = Files.createTempDirectory("x175t").toString
+    // 'alpha beta' only ever adjacent (lift = N/c since c_uv=c_u=c_v);
+    // 'the the' frequent but independent everywhere
+    val docs = (1 to 6).map(i => (i.toLong, "alpha beta", "en", "web", 10L)) ++
+      (7 to 18).map(i => (i.toLong, s"the w$i the v$i the u$i", "en", "web", 20L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val top = LlmQueries.x175Collocations(spark, dir).collect()
+    assert(top.head.getString(0) == "alpha beta",
+      s"top collocation: ${top.head.getString(0)}")
+  }
+
+  test("x177: BM25 length normalization — same tf, shorter doc scores higher") {
+    val dir = Files.createTempDirectory("x177t").toString
+    // q1..q3 have df=2 (the top-3 query terms); z* are df-1 fillers that
+    // can never enter the query, so doc 2 differs ONLY in length
+    Seq((1L, "q1 q2 q3", "en", "web", 8L),
+      (2L, "q1 q2 q3 z1 z2 z3 z4 z5", "en", "web", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val s = LlmQueries.x177Bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(s(1L) > s(2L), s"short=${s.get(1L)} long=${s.get(2L)}")
+  }
+
   test("x170: a hub token outranks a frequency-matched token with one neighbor") {
     // 'hub' touches 10 distinct neighbors; 'rep' repeats just as often but
     // only ever neighbors 'pal' — frequency alone cannot separate them,
