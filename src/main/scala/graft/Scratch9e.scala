@@ -25,6 +25,18 @@ object Scratch9e {
     }
     time("warmup")(spark.range(1000000).count())
 
+    if (args.contains("r9f")) {
+      // sixth-pass probes: x178–x181 only (10× copy corpus has documents
+      // and lineitem, which is all four need)
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x178_$dir")(queries.LlmQueries.x178FilterBank(spark, dir).count())
+        time(s"x179_$dir")(queries.LlmQueries.x179LshScurve(spark, dir).count())
+        time(s"x180_$dir")(queries.ExtendedQueries.x180RangeBalance(spark, dir).count())
+        time(s"x181_$dir")(queries.LlmQueries.x181NgramNovelty(spark, dir).count())
+        time(s"x182_$dir")(queries.ExtendedQueries.x182DynamicOverwrite(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("plans")) {
       for ((n, q) <- Seq(
         "x153" -> queries.ExtendedQueries.x153DedupSql(spark, sfDir),
@@ -55,6 +67,10 @@ object Scratch9e {
         time(s"x175_$dir")(queries.LlmQueries.x175Collocations(spark, dir).count())
         time(s"x176_$dir")(queries.LlmQueries.x176DatasetCard(spark, dir).count())
         time(s"x177_$dir")(queries.LlmQueries.x177Bm25(spark, dir).count())
+        time(s"x178_$dir")(queries.LlmQueries.x178FilterBank(spark, dir).count())
+        time(s"x179_$dir")(queries.LlmQueries.x179LshScurve(spark, dir).count())
+        time(s"x180_$dir")(queries.ExtendedQueries.x180RangeBalance(spark, dir).count())
+        time(s"x181_$dir")(queries.LlmQueries.x181NgramNovelty(spark, dir).count())
       }
       for (dir <- Seq(sfDir, tenDir, hundredDir)) {
         time(s"x153_$dir")(queries.ExtendedQueries.x153DedupSql(spark, dir).count())

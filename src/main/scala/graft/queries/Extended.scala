@@ -2097,6 +2097,97 @@ object ExtendedQueries {
       .orderBy("keycol")
   }
 
+  /** x180 — RANGE-PARTITION BALANCE audit (round-9): decile boundaries of
+    * `lineitem.l_extendedprice` estimated from a DETERMINISTIC 10% sample
+    * (`l_orderkey % 10 = 0` — exactly how Spark's RangePartitioner works:
+    * boundaries from a sample, data ranged by them), then the per-bucket
+    * row count, share, and value range measured on the FULL column. THE
+    * pre-flight for any 100 TB global sort / range join: x174 forecasts
+    * the hash-shuffle straggler (key skew), this forecasts the SORT
+    * straggler — a share far from 0.10 is either sampling error (benign,
+    * shrinks with the sample) or heavy boundary duplicates (the reducer
+    * that runs the whole job's tail).
+    *
+    * Why sampled: exact `percentile` materializes a value→count map of
+    * every distinct double (2.8 s over 600k distinct at sf0.1, unbounded
+    * at corpus scale); the sample keeps the percentile input 10× smaller
+    * while the audit stays honest — the measured shares INCLUDE the
+    * sampling error a real range shuffle would suffer. Boundaries are
+    * exact interpolated percentiles OF THE SAMPLE (x25 contract, round6'd
+    * once); bucket assignment counts boundaries strictly below the value;
+    * shares are one rounded division each. Scale shape: one sample-sized
+    * percentile aggregate, the 9-boundary array broadcast to one full
+    * scan, a 10-row aggregate — two scans, zero row-shuffles.
+    */
+  def x180RangeBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Io.table(spark, sfDir, "lineitem")
+    val li = raw.select(col("l_extendedprice").as("v"))
+      .filter(col("v").isNotNull)
+    val bnds = raw.filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_extendedprice").as("v")).filter(col("v").isNotNull)
+      .agg(expr(
+      "percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("raw"))
+      .select(expr("transform(raw, b -> floor(b * 1000000 + 0.5) / 1000000)")
+        .as("bnds"))
+    // the total comes from a ≤10-row window over the bucket counts, not a
+    // second full-column count scan
+    val wAll = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    li.crossJoin(broadcast(bnds))
+      .withColumn("bucket", expr("size(filter(bnds, b -> v > b))").cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min("v").as("min_v"), max("v").as("max_v"))
+      .select(col("bucket"), col("n_rows"),
+        stableRound6(col("n_rows").cast("double")
+          / sum("n_rows").over(wAll).cast("double")).as("share"),
+        col("min_v"), col("max_v"))
+      .orderBy("bucket")
+  }
+
+  private val x182LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x182 — DYNAMIC PARTITION OVERWRITE (round-9): the lakehouse
+    * incremental-reprocess primitive — a corpus partitioned by `lang`,
+    * then ONE partition's batch rewritten (`en`, with a visible
+    * transformation: upper-cased source) under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`, then the whole
+    * directory read back and aggregated per (lang, source). The oracle
+    * rebuilds the expected END STATE from the original table, so the hash
+    * match pins BOTH failure modes of partition overwrite at once: static
+    * overwrite semantics would clobber every other lang (rows vanish →
+    * mismatch), append semantics would double the `en` partition (rows
+    * duplicate → mismatch). Completes the write family: x61 merges rows,
+    * x162 maintains an MV, x77 prunes partitions at read — this is the
+    * partition-granular REWRITE a daily recrawl lands with.
+    *
+    * The conf is scoped set/restore (the x109 try/finally rule) so
+    * declared queries stay order-independent. Scale shape: two
+    * partitioned writes + one read-back aggregate; the overwrite's commit
+    * touches ONLY the partitions present in the batch — at 100 TB the
+    * rewrite costs the recrawled partition, never the lake.
+    */
+  def x182DynamicOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val dir = Io.freshTmpDir(spark, x182LastDir, "x182_dpo")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val batch = docs.filter(col("lang") === "en")
+      .withColumn("source", upper(col("source")))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try batch.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    spark.read.parquet(dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"))
+      .orderBy("lang", "source")
+  }
+
   /** x171 — shuffle-free BUCKETED aggregation (round-9; x76's claim for
     * the AGGREGATION side): events written as a user_id-bucketed managed
     * table, then a per-user aggregate whose plan contains NO hash Exchange

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Group L — LLM-training-data pipeline operators over the documents /
@@ -1538,6 +1539,180 @@ object LlmQueries {
       .agg(sum(col("s").cast("decimal(38,6)")).cast("double").as("bm25"))
       .orderBy(desc("bm25"), col("doc_id"))
       .limit(20)
+  }
+
+  /** x178 — QUALITY FILTER BANK (round-9; the Gopher rule set, Rae et al.
+    * 2021 §A1.1, thresholds tuned to this corpus's measured distributions):
+    * five NAMED boolean gates per document — token count in [20,90], mean
+    * word length in [4.1,4.9], ≥2 stopwords, duplicate-token fraction
+    * ≤0.6, ≤500 chars — reported per source as PER-RULE fail counts plus
+    * the all-rules pass count/fraction. Deliberately distinct from its
+    * neighbors: x16 collapses quality into ONE score (ranking), x41
+    * measures repetition signals (monitoring) — this is the production
+    * FILTER with per-rule attribution, the artifact an operator tunes
+    * (which rule is rejecting my corpus?).
+    *
+    * Arithmetic: every rule compares a ratio of exact integers against a
+    * literal threshold — both engines build the identical double from the
+    * identical longs, so the comparisons agree bit-for-bit; the only
+    * rounded value is the final pass fraction. Scale shape: all five rules
+    * are per-row array/length expressions (zero shuffle), one map-combining
+    * per-source aggregate — the whole bank costs one corpus scan.
+    */
+  def x178FilterBank(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(toks, t -> t IN ('the','a','of','to','and')))").cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_alpha", length(expr("replace(text, ' ', '')")).cast("long"))
+      .withColumn("mean_wl", col("n_alpha").cast("double") / col("n_tok"))
+      .withColumn("dup_frac",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_tok"))
+      .withColumn("f_len", (col("n_tok") < 20 || col("n_tok") > 90).cast("long"))
+      .withColumn("f_wordlen",
+        (col("mean_wl") < 4.1 || col("mean_wl") > 4.9).cast("long"))
+      .withColumn("f_stop", (col("n_stop") < 2).cast("long"))
+      .withColumn("f_dup", (col("dup_frac") > 0.6).cast("long"))
+      .withColumn("f_chars", (col("n_chars") > 500).cast("long"))
+    d.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("f_len").as("fail_len"),
+        sum("f_wordlen").as("fail_wordlen"),
+        sum("f_stop").as("fail_stop"),
+        sum("f_dup").as("fail_dup"),
+        sum("f_chars").as("fail_chars"),
+        sum((col("f_len") + col("f_wordlen") + col("f_stop") + col("f_dup")
+          + col("f_chars") === 0L).cast("long")).as("n_pass"))
+      .withColumn("pass_frac", ExtendedQueries.stableRound6(
+        col("n_pass").cast("double") / col("n_docs")))
+      .orderBy("source")
+  }
+
+  /** x179 — LSH S-CURVE audit (round-9): does x13's banding (k=16, 4 bands
+    * × r=4) collide at the similarities the analytic curve
+    * P(s) = 1 − (1 − s⁴)⁴ promises? Calibration by synthetic perturbation:
+    * each doc is paired with a DETERMINISTICALLY DECIMATED copy of itself
+    * (tokens at 1-based positions divisible by k dropped, k cycling
+    * through {2,3,4,5,6,8,10,14,20,40,∞} by doc_id), which injects
+    * known-similarity pairs spanning the whole Jaccard range — adjacent
+    * corpus pairs all sit near 0 and LSH candidates all collide, so only
+    * injected pairs can trace the curve. For each pair: exact
+    * distinct-shingle Jaccard (x20's convention), whether the two sides
+    * share ≥1 of the 4 band buckets (x13's exact signatures via the
+    * SHARED minhashSignature/bandHashes code), then per Jaccard decile
+    * the empirical collision rate next to the analytic value at the bin
+    * center. THE design audit for near-dedup tuning: before changing
+    * bands/rows on a 100 TB corpus, this one query says whether the
+    * threshold sits where the formula claims.
+    *
+    * Pair encoding: original doc_id d → 2d, its mutation → 2d+1, so a
+    * pair is (even, even+1) with no global offset to compute.
+    * Arithmetic: the analytic curve is an explicit multiply chain
+    * (s²=s·s, s⁴=s²·s², t=1−s⁴, t⁴=(t·t)·(t·t)) — no pow(), so both
+    * engines run the identical IEEE sequence; Jaccard is a single
+    * ints-ratio double and binning floors it, collision counts are exact.
+    * Scale shape: signature cost is 2× the x13 index build; the
+    * intersection join (keyed doc_id+1 × shingle) and band-collision join
+    * (keyed band × bh × doc_id+1) are O(corpus) equi-joins; the decile
+    * aggregate is 10 rows.
+    */
+  def x179LshScurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+    // k=1000000 is the identity mutation (nothing dropped, Jaccard 1.0)
+    val mutated = base.select((col("doc_id") * 2 + 1).as("doc_id"),
+      expr("""concat_ws(' ', transform(
+        |  filter(sequence(1, size(toks)),
+        |    i -> i % element_at(array(2,3,4,5,6,8,10,14,20,40,1000000),
+        |                        CAST(doc_id % 11 AS INT) + 1) != 0),
+        |  i -> element_at(toks, i)))""".stripMargin).as("text"))
+    val docs2 = base.select((col("doc_id") * 2).as("doc_id"), col("text"))
+      .unionAll(mutated)
+    val shd = explodedShingles(docs2).distinct()
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shd.as("a").join(shd.as("b"),
+        col("a.doc_id") + 1 === col("b.doc_id")
+          && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("a.doc_id").as("d1")).agg(count(lit(1)).as("n_inter"))
+    val bands = bandHashes(minhashSignature(docs2, 16), bandsOf = 4, r = 4)
+    val coll = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+          && col("x.doc_id") + 1 === col("y.doc_id"))
+      .select(col("x.doc_id").as("d1")).distinct()
+      .withColumn("hit", lit(1L))
+    val s = (col("bin").cast("double") + lit(0.5)) / lit(10.0)
+    val s4 = (s * s) * (s * s)
+    val t = lit(1.0) - s4
+    sizes.as("sa").join(sizes.as("sb"),
+        col("sa.doc_id") + 1 === col("sb.doc_id"))
+      .filter(col("sa.doc_id") % 2 === 0)
+      .select(col("sa.doc_id").as("d1"), col("sa.n").as("na"), col("sb.n").as("nb"))
+      .join(inter, Seq("d1"), "left")
+      .withColumn("ni", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("jac",
+        col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double"))
+      .join(coll, Seq("d1"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      .withColumn("bin", least(floor(col("jac") * 10).cast("bigint"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"), sum("hit").as("n_collide"))
+      .select(col("bin"), col("n_pairs"), col("n_collide"),
+        ExtendedQueries.stableRound6(
+          col("n_collide").cast("double") / col("n_pairs")).as("emp_collide"),
+        ExtendedQueries.stableRound6(
+          lit(1.0) - (t * t) * (t * t)).as("analytic_collide"))
+      .orderBy("bin")
+  }
+
+  /** x181 — N-GRAM NOVELTY curve (round-9): deciles of the doc_id key
+    * space, and per decile how many DISTINCT bigrams appear there for the
+    * FIRST time — the diminishing-returns curve of adding more of the same
+    * corpus (data-curation's "is the next 10 TB worth ingesting?" number;
+    * cf. the saturation analyses in scaling-law work). Distinct from its
+    * neighbors: x31 counts bigrams (frequency), x65 measures coverage
+    * against a FIXED vocab — this tracks the marginal NEW vocabulary each
+    * data increment contributes.
+    *
+    * Scale shape: one token scan + one bigram-keyed min-aggregate (the
+    * same exchange a bigram count pays), then a 10-row aggregate and a
+    * 10-row window for the cumulative share — all corpus cost is in the
+    * one keyed shuffle. Exact integer arithmetic everywhere; the only
+    * double is the final rounded cumulative fraction.
+    */
+  def x181NgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+    // O(1)-row global stat (x175/x177 pattern): the id-space upper bound,
+    // so buckets are deciles of [0, maxId] with no contiguity assumption
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val firstBucket = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(1, size(toks) - 1) END""".stripMargin)).as("i"))
+      .select(
+        least(expr(s"doc_id * 10 div ${maxId + 1}"), lit(9L)).as("bucket"),
+        expr("element_at(toks, i)").as("u"),
+        expr("element_at(toks, i + 1)").as("v"))
+      .groupBy("u", "v").agg(min("bucket").as("bucket"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    firstBucket.groupBy("bucket").agg(count(lit(1)).as("n_new"))
+      // the window frames run over ≤10 rows — the single-partition
+      // WindowExec is the right plan at any corpus size
+      .select(col("bucket"), col("n_new"),
+        sum("n_new").over(w).as("cum_new"),
+        ExtendedQueries.stableRound6(
+          sum("n_new").over(w).cast("double")
+            / sum("n_new").over(wAll).cast("double")).as("cum_frac"))
+      .orderBy("bucket")
   }
 
   /** x170 — TEXTRANK keyword extraction (round-9; Mihalcea & Tarau 2004):

@@ -3665,7 +3665,185 @@ object Oracles {
       |ORDER BY bm25 DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  // x178: each rule compares a ratio of exact integers to a literal
+  // threshold (identical doubles both engines); per-source fail counts are
+  // exact, only the pass fraction is rounded.
+  val x178: String =
+    """WITH s AS (
+      |  SELECT source, n_chars,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |           t -> list_contains(['the','a','of','to','and'], t))) AS BIGINT)
+      |           AS n_stop,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |           AS n_distinct,
+      |         CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_alpha
+      |  FROM documents WHERE text IS NOT NULL),
+      |f AS (
+      |  SELECT source,
+      |    CASE WHEN n_tok < 20 OR n_tok > 90 THEN 1 ELSE 0 END AS f_len,
+      |    CASE WHEN CAST(n_alpha AS DOUBLE) / n_tok < 4.1
+      |           OR CAST(n_alpha AS DOUBLE) / n_tok > 4.9
+      |         THEN 1 ELSE 0 END AS f_wordlen,
+      |    CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop,
+      |    CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE) / n_tok > 0.6
+      |         THEN 1 ELSE 0 END AS f_dup,
+      |    CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS f_chars
+      |  FROM s)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(f_len) AS BIGINT) AS fail_len,
+      |       CAST(sum(f_wordlen) AS BIGINT) AS fail_wordlen,
+      |       CAST(sum(f_stop) AS BIGINT) AS fail_stop,
+      |       CAST(sum(f_dup) AS BIGINT) AS fail_dup,
+      |       CAST(sum(f_chars) AS BIGINT) AS fail_chars,
+      |       CAST(sum(CASE WHEN f_len + f_wordlen + f_stop + f_dup + f_chars = 0
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |       floor(CAST(sum(CASE WHEN f_len + f_wordlen + f_stop + f_dup + f_chars = 0
+      |                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |             * 1000000 + 0.5) / 1000000 AS pass_frac
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
+  // x179: identical decimation schedule (k by original doc_id % 11,
+  // even/odd pair ids), x13's exact signature/band SQL, x20's
+  // distinct-shingle Jaccard, and the analytic curve as the identical
+  // explicit multiply chain (no pow()).
+  val x179: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE text IS NOT NULL),
+      |d2 AS (
+      |  SELECT doc_id * 2 AS doc_id, toks FROM base
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1 AS doc_id,
+      |         list_transform(
+      |           list_filter(range(1, len(toks) + 1),
+      |             i -> i % ([2,3,4,5,6,8,10,14,20,40,1000000]
+      |                       [CAST(doc_id % 11 AS INT) + 1]) != 0),
+      |           i -> toks[i]) AS toks
+      |  FROM base),
+      |sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+      |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingle
+      |  FROM d2),
+      |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, CAST(count(*) AS BIGINT) AS ni
+      |  FROM shd a JOIN shd b
+      |    ON a.doc_id + 1 = b.doc_id AND a.shingle = b.shingle
+      |  GROUP BY a.doc_id),
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+      |  FROM sh, range(0, 16) s(j) GROUP BY doc_id, j),
+      |band AS (
+      |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, ',' ORDER BY j)) AS bh
+      |  FROM mh GROUP BY doc_id, j // 4),
+      |coll AS (
+      |  SELECT DISTINCT x.doc_id AS d1
+      |  FROM band x JOIN band y
+      |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id + 1 = y.doc_id),
+      |pairs AS (
+      |  SELECT sa.doc_id AS d1, sa.n AS na, sb.n AS nb,
+      |         coalesce(i.ni, 0) AS ni,
+      |         CASE WHEN c.d1 IS NULL THEN 0 ELSE 1 END AS hit
+      |  FROM sizes sa
+      |  JOIN sizes sb ON sa.doc_id + 1 = sb.doc_id
+      |  LEFT JOIN inter i ON i.d1 = sa.doc_id
+      |  LEFT JOIN coll c ON c.d1 = sa.doc_id
+      |  WHERE sa.doc_id % 2 = 0),
+      |binned AS (
+      |  SELECT least(CAST(floor(CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE)
+      |                          * 10) AS BIGINT), 9) AS bin,
+      |         hit
+      |  FROM pairs),
+      |g AS (
+      |  SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+      |         CAST(sum(hit) AS BIGINT) AS n_collide
+      |  FROM binned GROUP BY bin),
+      |c1 AS (SELECT *, (CAST(bin AS DOUBLE) + 0.5) / 10.0 AS s FROM g),
+      |c2 AS (SELECT *, 1.0 - (s * s) * (s * s) AS t FROM c1)
+      |SELECT bin, n_pairs, n_collide,
+      |       floor(CAST(n_collide AS DOUBLE) / n_pairs * 1000000 + 0.5)
+      |         / 1000000 AS emp_collide,
+      |       floor((1.0 - (t * t) * (t * t)) * 1000000 + 0.5) / 1000000
+      |         AS analytic_collide
+      |FROM c2 ORDER BY bin""".stripMargin
+
+  // x180: quantile_cont == Spark percentile (the x25 contract) over the
+  // identical deterministic 10% sample, boundaries round6'd before the
+  // strictly-below bucket count, one rounded share.
+  val x180: String =
+    """WITH v AS (
+      |  SELECT l_extendedprice AS v FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL),
+      |b AS (
+      |  SELECT list_transform(
+      |    quantile_cont(l_extendedprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+      |    x -> floor(x * 1000000 + 0.5) / 1000000) AS bnds
+      |  FROM lineitem
+      |  WHERE l_orderkey % 10 = 0 AND l_extendedprice IS NOT NULL),
+      |r AS (
+      |  SELECT CAST(len(list_filter(b.bnds, x -> v.v > x)) AS BIGINT) AS bucket,
+      |         v.v AS v
+      |  FROM v, b),
+      |g AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+      |         min(v) AS min_v, max(v) AS max_v
+      |  FROM r GROUP BY bucket)
+      |SELECT bucket, n_rows,
+      |       floor(CAST(n_rows AS DOUBLE) / CAST(sum(n_rows) OVER () AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS share,
+      |       min_v, max_v
+      |FROM g ORDER BY bucket""".stripMargin
+
+  // x181: identical id-space decile (integer arithmetic), bigram-keyed min
+  // first-bucket, exact cumulative counts, one rounded cumulative share.
+  val x181: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE text IS NOT NULL),
+      |n AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS ub FROM t),
+      |p AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(toks)),
+      |           i -> {'u': toks[i], 'v': toks[i + 1]})) AS e
+      |  FROM t),
+      |fb AS (
+      |  SELECT e.u AS u, e.v AS v,
+      |         min(least((doc_id * 10) // n.ub, 9)) AS bucket
+      |  FROM p, n GROUP BY e.u, e.v),
+      |g AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_new
+      |  FROM fb GROUP BY bucket)
+      |SELECT bucket, n_new,
+      |       CAST(sum(n_new) OVER (ORDER BY bucket) AS BIGINT) AS cum_new,
+      |       floor(CAST(sum(n_new) OVER (ORDER BY bucket) AS DOUBLE)
+      |             / CAST(sum(n_new) OVER () AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS cum_frac
+      |FROM g ORDER BY bucket""".stripMargin
+
+  // x182: the expected END STATE of the partition-granular rewrite,
+  // rebuilt from the original table — static-overwrite clobbering or
+  // append duplication both break the row set, so the hash pins the
+  // dynamic semantics exactly.
+  val x182: String =
+    """SELECT lang,
+      |       CASE WHEN lang = 'en' THEN upper(source) ELSE source END AS source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(len(text)) AS BIGINT) AS sum_text_len
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY lang, source""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x182_dynamic_overwrite" -> x182,
+    "x178_filter_bank"    -> x178,
+    "x179_lsh_scurve"     -> x179,
+    "x180_range_balance"  -> x180,
+    "x181_ngram_novelty"  -> x181,
     "x174_skew_audit"     -> x174,
     "x175_collocations"   -> x175,
     "x176_dataset_card"   -> x176,

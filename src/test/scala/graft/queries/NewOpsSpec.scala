@@ -1843,6 +1843,85 @@ class NewOpsSpec extends SparkSpec {
     assert(s(1L) > s(2L), s"short=${s.get(1L)} long=${s.get(2L)}")
   }
 
+  test("x178: a doc violating only the length rule lands in fail_len alone") {
+    val dir = Files.createTempDirectory("x178t").toString
+    // both docs: 2 stopwords, distinct 5-char words, mean_wl in range,
+    // no duplicate tokens, < 500 chars — the short one fails ONLY f_len
+    def text(n: Int) = (Seq("the", "a") ++ (0 until n - 2).map(i => f"wd$i%03d"))
+      .mkString(" ")
+    val docs = Seq((1L, text(30), "en", "web"), (2L, text(10), "en", "web"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.replace(" ", "").length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = LlmQueries.x178FilterBank(spark, dir).collect().head
+    assert(r.getAs[Long]("n_docs") == 2 && r.getAs[Long]("fail_len") == 1
+      && r.getAs[Long]("fail_wordlen") == 0 && r.getAs[Long]("fail_stop") == 0
+      && r.getAs[Long]("fail_dup") == 0 && r.getAs[Long]("fail_chars") == 0
+      && r.getAs[Long]("n_pass") == 1, r.toString)
+  }
+
+  test("x179: identity mutation collides in bin 9, k=2 decimation does not collide") {
+    val dir = Files.createTempDirectory("x179t").toString
+    // doc_id 10 → k=1000000 (identity, Jaccard 1.0); doc_id 0 → k=2 (every
+    // 2nd token dropped: no 3 consecutive survivors, shingle Jaccard 0)
+    def words(tag: String) = (0 until 40).map(i => s"$tag$i").mkString(" ")
+    Seq((0L, words("lo"), "en", "web", 200L), (10L, words("hi"), "en", "web", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = LlmQueries.x179LshScurve(spark, dir).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_collide"))).toMap
+    assert(rows(9L) == (1L, 1L), s"bin9: $rows")
+    assert(rows(0L) == (1L, 0L), s"bin0: $rows")
+  }
+
+  test("x180: sample-estimated boundaries bucket the full column, all rows kept") {
+    val dir = Files.createTempDirectory("x180t").toString
+    // sample = orderkey%10==0 → values 10,20,…,100; quantile_cont gives
+    // boundaries 19,28,…,91, so bucket 0 holds 1..19 and the rest 9 each
+    (1 to 100).map(i => (i.toLong, i.toDouble))
+      .toDF("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = ExtendedQueries.x180RangeBalance(spark, dir).collect()
+    assert(rows.length == 10, s"buckets: ${rows.length}")
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == 100L, rows.mkString("; "))
+    val byBucket = rows.map(r =>
+      r.getAs[Long]("bucket") -> r.getAs[Long]("n_rows")).toMap
+    assert(byBucket(0L) == 19L && byBucket(5L) == 9L, byBucket.toString)
+  }
+
+  test("x181: bigrams count as new only in their first doc_id decile") {
+    val dir = Files.createTempDirectory("x181t").toString
+    // ids 0..9 → bucket == doc_id; doc 5 repeats 'a b' (seen in bucket 0)
+    // and introduces 'b c' / 'c d'
+    val filler = (0 until 8).map(i => (i.toLong, s"f$i g$i", "en", "web", 5L))
+      .filter(t => t._1 != 0L && t._1 != 5L)
+    val docs = Seq((0L, "a b a b", "en", "web", 7L),
+      (5L, "a b c d", "en", "web", 7L)) ++ filler ++
+      Seq((8L, "f8 g8", "en", "web", 5L), (9L, "f9 g9", "en", "web", 5L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = LlmQueries.x181NgramNovelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n_new")).toMap
+    // bucket 0: 'a b' + 'b a' = 2 new; bucket 5: 'b c' + 'c d' ('a b' is old)
+    assert(m(0L) == 2L, s"bucket0: $m")
+    assert(m(5L) == 2L, s"bucket5: $m")
+  }
+
+  test("x182: dynamic overwrite replaces only the en partition, others intact") {
+    val dir = Files.createTempDirectory("x182t").toString
+    Seq((1L, "aa bb", "en", "web", 5L), (2L, "cc dd", "fr", "web", 5L),
+      (3L, "ee ff", "fr", "news", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = ExtendedQueries.x182DynamicOverwrite(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"))
+        -> r.getAs[Long]("n_docs")).toMap
+    // en rewritten (upper-cased source, not duplicated), fr untouched
+    assert(rows == Map(("en", "WEB") -> 1L, ("fr", "web") -> 1L,
+      ("fr", "news") -> 1L), rows.toString)
+  }
+
   test("x170: a hub token outranks a frequency-matched token with one neighbor") {
     // 'hub' touches 10 distinct neighbors; 'rep' repeats just as often but
     // only ever neighbors 'pal' — frequency alone cannot separate them,

@@ -168,10 +168,13 @@ class PlanSpec extends SparkSpec {
     // x155's is the 1-row exact-quartile bounds frame crossing onto the
     // scored corpus (x117's 1-row denominator shape — the threshold
     // assignment that replaces a global ntile window)
+    // x180's is the 1-row sampled-boundary array broadcasting into the
+    // full-column bucket scan (x112's 1-row min/max shape)
       "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
       "x112_zorder_layout", "x117_mix_temperature", "x119_prep_v4",
       "x124_dsir_weights", "x126_ks_drift", "x132_perplexity_gate",
-      "x140_retrieval_eval", "x150_hard_negatives", "x155_curriculum")
+      "x140_retrieval_eval", "x150_hard_negatives", "x155_curriculum",
+      "x180_range_balance")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
