@@ -25,6 +25,17 @@ object Scratch9e {
     }
     time("warmup")(spark.range(1000000).count())
 
+    if (args.contains("r9g")) {
+      // seventh-pass probes: x183–x186 (10× copy corpus has documents,
+      // lineitem, orders, events — all four inputs)
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x183_$dir")(queries.LlmQueries.x183RecursiveChunks(spark, dir).count())
+        time(s"x184_$dir")(queries.ExtendedQueries.x184BloomJoin(spark, dir).count())
+        time(s"x185_$dir")(queries.ExtendedQueries.x185Dsv2AggPushdown(spark, dir).count())
+        time(s"x186_$dir")(queries.ExtendedQueries.x186JoinForecast(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("r9f")) {
       // sixth-pass probes: x178–x181 only (10× copy corpus has documents
       // and lineitem, which is all four need)

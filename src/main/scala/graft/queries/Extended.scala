@@ -2188,6 +2188,132 @@ object ExtendedQueries {
       .orderBy("lang", "source")
   }
 
+  private val x184LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x184 — RUNTIME BLOOM-FILTER join (round-9): Spark's InjectRuntimeFilter
+    * optimization — a selective dimension filter (urgent orders) builds a
+    * bloom filter at runtime that is pushed into the FACT side's scan
+    * filter (`might_contain(xxhash64(l_orderkey))`), so lineitem rows that
+    * can't join die before the shuffle — at 100 TB this is the difference
+    * between shuffling the whole fact table and shuffling the ~20% that
+    * survives. The query MATERIALIZES inside a scoped-conf window
+    * (broadcast disabled so the join is the shuffle join the 100 TB shape
+    * actually is; app-side size threshold lowered so injection fires at
+    * test scale — at real scale both conditions hold naturally) and
+    * SELF-ASSERTS `might_contain` is in the executed plan, so a silent
+    * injection regression fails the query rather than quietly degrading.
+    * The result is the plain join aggregate (bloom filters are
+    * semantics-free), so the oracle is an ordinary join — the hash match
+    * proves zero false NEGATIVES leaked into the result.
+    *
+    * Arithmetic: x2's decimal-exact revenue contract (DECIMAL(18,2)
+    * products summed exactly, one final round). Completes the join-
+    * physics family: x1 broadcast, x2 shuffle, x73 salted, x76 bucketed,
+    * x142 partition-pruned (DPP) — this is the ROW-LEVEL runtime prune.
+    */
+  def x184BloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val scoped = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prior = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    val dir = Io.freshTmpDir(spark, x184LastDir, "x184_bloom")
+    try {
+      val orders = Io.table(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val revenue = expr(
+        "cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))")
+      val joined = Io.table(spark, sfDir, "lineitem")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum(revenue).cast("double"), 2).as("urgent_revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_returnflag", "l_linestatus")
+      // optimization happens at ACTION time, which must fall inside the
+      // conf window — hence materialize-now (x182's pattern), not lazy
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("might_contain"),
+        "runtime bloom filter was not injected — InjectRuntimeFilter regression")
+      joined.write.mode("overwrite").parquet(dir)
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    spark.read.parquet(dir).orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val x185LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x185 — DataSourceV2 AGGREGATE PUSHDOWN (round-9): the per-source
+    * corpus profile (count / min / max / sum of n_chars) computed BY THE
+    * CONNECTOR — [[graft.sources.TsvDocs]] now implements
+    * `SupportsPushDownAggregates`, so each file-partition reader emits one
+    * pre-aggregated row per group and Spark's final aggregate merges the
+    * partials (COUNT→SUM, MIN→MIN, MAX→MAX, SUM→SUM). With x146 (filter +
+    * column pushdown) and x151 (batch-commit write) this completes the
+    * connector's V2 surface; at 100 TB it is THE scan-side saver — what
+    * crosses the source boundary is |files|×|sources| rows, not the
+    * corpus. SELF-ASSERTS `PushedAggregates` is in the plan, so a silent
+    * fallback to a row scan fails loudly (results would still be correct —
+    * only the shape claim would rot).
+    *
+    * Arithmetic: all four aggregates are exact 64-bit integer ops in both
+    * the reader and Spark's re-merge; the oracle runs the same aggregate
+    * on the parquet table the TSV was written from.
+    */
+  def x185Dsv2AggPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val dir = Io.freshTmpDir(spark, x185LastDir, "x185_dsv2agg")
+    Io.writeText(docs, dir)
+    val agged = spark.read.format("graft.sources.TsvDocs").load(dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+    assert(agged.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"),
+      "aggregate was not pushed into the TSV source — V2 pushdown regression")
+    agged
+  }
+
+  /** x186 — JOIN-CARDINALITY FORECAST (round-9): the exact output row count
+    * of the events-by-user_id SELF-join, computed WITHOUT running the join
+    * — per-key counts n, Σn² total, and the top-10 keys by n² contribution
+    * with their share. THE pre-flight before any key-join on unknown data:
+    * x174 forecasts the shuffle straggler (per-side skew), this forecasts
+    * the OUTPUT explosion (a join that multiplies) — at 100 TB you run
+    * this one grouped count (cost: one aggregate at key cardinality)
+    * before committing a join whose output could be petabytes. Σn² is
+    * exactly |A ⋈ B| for a self-equi-join; for two tables it is Σ nᵃ·nᵇ —
+    * same query, two count frames.
+    *
+    * Arithmetic: exact 64-bit integers (counts, squares, sum); share is
+    * the one rounded division. Scale shape: one map-combining grouped
+    * count, a 1-row Σn² frame crossed (x117's 1-row denominator shape)
+    * onto a TakeOrdered top-10 — zero joins over row data.
+    */
+  def x186JoinForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyCounts = Io.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .withColumn("contrib", (col("n") * col("n")).cast("long"))
+    val tot = keyCounts.agg(
+      sum("contrib").cast("long").as("total_join_rows"),
+      count(lit(1)).as("n_keys"))
+    keyCounts
+      .orderBy(col("contrib").desc, col("user_id"))
+      .limit(10)
+      .crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n"), col("contrib"),
+        stableRound6(col("contrib").cast("double")
+          / col("total_join_rows").cast("double")).as("share"),
+        col("total_join_rows"), col("n_keys"))
+      .orderBy(col("contrib").desc, col("user_id"))
+  }
+
   /** x171 — shuffle-free BUCKETED aggregation (round-9; x76's claim for
     * the AGGREGATION side): events written as a user_id-bucketed managed
     * table, then a per-user aggregate whose plan contains NO hash Exchange

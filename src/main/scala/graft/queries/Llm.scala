@@ -1715,6 +1715,53 @@ object LlmQueries {
       .orderBy("bucket")
   }
 
+  /** x183 — RECURSIVE-CTE document bisection chunker (round-9): split every
+    * document's token range [1, n_tok] by recursive halving until each
+    * chunk is ≤32 tokens, reported per (source, final depth) as chunk
+    * count, token sum, and max chunk length — hierarchical chunking, the
+    * balanced-split alternative to x94's fixed-stride RAG windows and
+    * x118's content-defined boundaries. The NOVELTY is the execution
+    * engine: the recursion runs INSIDE Catalyst via Spark 4's
+    * `WITH RECURSIVE` (UnionLoop), where x47/x90/x169's fixpoints are
+    * driver-iterated loops — this is the eighth extension face exercised
+    * from the SQL surface, engine-native recursion with no driver round
+    * trips. The token-conservation invariant (Σ chunk lengths per source ==
+    * Σ n_tok) is pinned by the oracle hash since sum_tokens is exact.
+    *
+    * Arithmetic: pure 64-bit integer recursion — mid = (lo+hi) div 2 both
+    * engines (DuckDB `//`), identical CASE split, depth a counter; no
+    * doubles anywhere. Scale shape: recursion depth is log₂(len/32) (≤3 on
+    * this corpus, bounded by the longest document, NOT corpus size); each
+    * iteration is one narrow (id, range) frame double-joined to a 2-row
+    * constant — per-round work tracks the surviving oversized-chunk count,
+    * and the final aggregate is one map-combining grouped agg.
+    */
+  def x183RecursiveChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .createOrReplaceTempView("x183_docs")
+    spark.sql(
+      """WITH RECURSIVE chunks(doc_id, source, lo, hi, depth) AS (
+        |  SELECT doc_id, source, CAST(1 AS BIGINT), n_tok, 0 FROM x183_docs
+        |  UNION ALL
+        |  SELECT c.doc_id, c.source,
+        |         CASE WHEN s.s = 0 THEN c.lo ELSE (c.lo + c.hi) div 2 + 1 END,
+        |         CASE WHEN s.s = 0 THEN (c.lo + c.hi) div 2 ELSE c.hi END,
+        |         c.depth + 1
+        |  FROM chunks c CROSS JOIN (SELECT 0 AS s UNION ALL SELECT 1) s
+        |  WHERE c.hi - c.lo + 1 > 32
+        |)
+        |SELECT source, CAST(depth AS BIGINT) AS depth,
+        |       CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(hi - lo + 1) AS BIGINT) AS sum_tokens,
+        |       CAST(max(hi - lo + 1) AS BIGINT) AS max_chunk
+        |FROM chunks WHERE hi - lo + 1 <= 32
+        |GROUP BY source, depth
+        |ORDER BY source, depth""".stripMargin)
+  }
+
   /** x170 — TEXTRANK keyword extraction (round-9; Mihalcea & Tarau 2004):
     * PageRank over the corpus token CO-OCCURRENCE graph — vertices are
     * tokens, undirected edges join adjacent tokens (distinct pairs, no

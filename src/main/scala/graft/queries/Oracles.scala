@@ -3838,7 +3838,81 @@ object Oracles {
       |GROUP BY 1, 2
       |ORDER BY lang, source""".stripMargin
 
+  // x183: identical 64-bit integer recursion in both engines — anchor
+  // (1, n_tok), step mid = (lo+hi) integer-div 2 (DuckDB `//` = Spark
+  // `div` on positives), CASE split, depth counter; no doubles anywhere.
+  val x183: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents WHERE text IS NOT NULL),
+      |chunks(doc_id, source, lo, hi, depth) AS (
+      |  SELECT doc_id, source, CAST(1 AS BIGINT), n_tok, 0 FROM d
+      |  UNION ALL
+      |  SELECT c.doc_id, c.source,
+      |         CASE WHEN s.s = 0 THEN c.lo ELSE (c.lo + c.hi) // 2 + 1 END,
+      |         CASE WHEN s.s = 0 THEN (c.lo + c.hi) // 2 ELSE c.hi END,
+      |         c.depth + 1
+      |  FROM chunks c CROSS JOIN (SELECT 0 AS s UNION ALL SELECT 1) s
+      |  WHERE c.hi - c.lo + 1 > 32)
+      |SELECT source, CAST(depth AS BIGINT) AS depth,
+      |       CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(sum(hi - lo + 1) AS BIGINT) AS sum_tokens,
+      |       CAST(max(hi - lo + 1) AS BIGINT) AS max_chunk
+      |FROM chunks WHERE hi - lo + 1 <= 32
+      |GROUP BY source, depth
+      |ORDER BY source, depth""".stripMargin
+
+  // x184: the bloom filter is semantics-free, so the oracle is the plain
+  // join aggregate (x2's decimal-exact revenue contract); a hash match
+  // proves the runtime filter produced zero false negatives.
+  val x184: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS urgent_revenue,
+      |       CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // x185: the connector's line-side partial aggregation re-merged by Spark
+  // must equal the same aggregate over the parquet table the TSV was
+  // written from — exact 64-bit integers end to end.
+  val x185: String =
+    """SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |       CAST(max(n_chars) AS BIGINT) AS max_chars,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // x186: exact integer counts/squares/sums; the only double is the
+  // round6'd share (identical division both engines).
+  val x186: String =
+    """WITH k AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT) AS contrib
+      |  FROM events WHERE user_id IS NOT NULL
+      |  GROUP BY user_id),
+      |t AS (
+      |  SELECT CAST(sum(contrib) AS BIGINT) AS total_join_rows,
+      |         CAST(count(*) AS BIGINT) AS n_keys FROM k)
+      |SELECT user_id, n, contrib,
+      |       floor(CAST(contrib AS DOUBLE) / CAST(total_join_rows AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS share,
+      |       total_join_rows, n_keys
+      |FROM k CROSS JOIN t
+      |ORDER BY contrib DESC, user_id
+      |LIMIT 10""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x183_recursive_chunks"  -> x183,
+    "x184_bloom_join"        -> x184,
+    "x185_dsv2_agg_pushdown" -> x185,
+    "x186_join_forecast"     -> x186,
     "x182_dynamic_overwrite" -> x182,
     "x178_filter_bank"    -> x178,
     "x179_lsh_scurve"     -> x179,

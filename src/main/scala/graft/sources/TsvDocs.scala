@@ -117,6 +117,49 @@ object TsvDocs {
     entries.foreach { case (k, v) => c.set(k, v) }
     c
   }
+
+  /** One InputPartition per file: a direct FILE path is one partition; a
+    * directory lists every non-hidden file (Spark's _SUCCESS/.crc
+    * convention) — restricting to part-* names would silently drop
+    * externally-produced TSVs. Shared by the row scan and the agg scan. */
+  private[sources] def listPartitions(path: String,
+      confEntries: Array[(String, String)])
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(rebuild(confEntries))
+    val status = fs.getFileStatus(p)
+    val files =
+      if (status.isFile) Seq(status)
+      else fs.listStatus(p).toSeq.filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    files.sortBy(_.getPath.getName)
+      .map(s => TsvInputPartition(s.getPath.toString))
+      .toArray
+  }
+
+  /** A pushed-down aggregation the reader can compute line-side: group
+    * columns (string wire fields) and (op, column) aggregate slots with
+    * op ∈ count_star | count | min | max | sum — exactly the function set
+    * Spark's partial-aggregate pushdown can re-merge above the scan
+    * (COUNT→SUM, MIN→MIN, MAX→MAX, SUM→SUM). */
+  private[sources] case class AggSpec(groups: Seq[String],
+      aggs: Seq[(String, String)]) {
+    def readSchema: StructType = StructType(
+      groups.map(g => StructField(g, StringType)) ++
+        aggs.zipWithIndex.map { case ((op, c), i) =>
+          StructField(s"agg_${i}_${op}_$c", LongType)
+        })
+    override def toString: String = {
+      val fs = aggs.map {
+        case ("count_star", _) => "COUNT(*)"
+        case (op, c)           => s"${op.toUpperCase}($c)"
+      }
+      s"PushedAggregates: [${fs.mkString(", ")}], " +
+        s"PushedGroupBy: [${groups.mkString(", ")}]"
+    }
+  }
 }
 
 private[sources] class TsvDocsTable(path: String) extends Table
@@ -142,9 +185,50 @@ private[sources] class TsvDocsTable(path: String) extends Table
 
 private[sources] class TsvScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = TsvDocs.schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var pushedAgg: Option[TsvDocs.AggSpec] = None
+
+  /** PARTIAL aggregate pushdown (`supportCompletePushDown` stays false):
+    * each file-partition reader emits one pre-aggregated row per group it
+    * saw, and Spark's final aggregate merges them (COUNT→SUM, MIN→MIN,
+    * MAX→MAX, SUM→SUM) — the V2 contract that turns a full-corpus scan
+    * into |files|×|groups| rows crossing the scan boundary. Accepted
+    * shapes: GROUP BY on string wire columns; COUNT(*) / COUNT(col) /
+    * and MIN / MAX / SUM on the long wire columns (exact in 64-bit —
+    * the only arithmetic the line reader performs). Anything else is
+    * declined and Spark plans the aggregate itself above the row scan.
+    */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    val longCols = Set("doc_id", "n_chars")
+    val strCols = Set("lang", "source")
+    def name(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    val groups = aggregation.groupByExpressions.toSeq.map(name)
+    if (groups.exists(g => g.isEmpty || !strCols(g.get))) return false
+    val aggs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(("count_star", ""))
+      case c: Count if !c.isDistinct =>
+        name(c.column).filter(TsvDocs.wirePos.contains).map(("count", _))
+      case m: Min => name(m.column).filter(longCols).map(("min", _))
+      case m: Max => name(m.column).filter(longCols).map(("max", _))
+      case s: Sum if !s.isDistinct =>
+        name(s.column).filter(longCols).map(("sum", _))
+      case _ => None
+    }
+    if (aggs.exists(_.isEmpty)) return false
+    pushedAgg = Some(TsvDocs.AggSpec(groups.map(_.get), aggs.map(_.get)))
+    true
+  }
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty projection (e.g. count(*)) still needs row boundaries — keep
     // the narrowest column so the reader has something to emit
@@ -182,7 +266,10 @@ private[sources] class TsvScanBuilder(path: String)
       while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
       b.result()
     }
-    new TsvScan(path, required, pushed, entries)
+    pushedAgg match {
+      case Some(spec) => new TsvAggScan(path, spec, pushed, entries)
+      case None       => new TsvScan(path, required, pushed, entries)
+    }
   }
 }
 
@@ -196,25 +283,104 @@ private[sources] class TsvScan(path: String, required: StructType,
     s"graft-tsv $path ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(TsvDocs.rebuild(confEntries))
-    val status = fs.getFileStatus(p)
-    // a direct FILE path is one partition; a directory lists every
-    // non-hidden file (Spark's _SUCCESS/.crc convention) — restricting to
-    // part-* names would silently drop externally-produced TSVs
-    val files =
-      if (status.isFile) Seq(status)
-      else fs.listStatus(p).toSeq.filter { s =>
-        val n = s.getPath.getName
-        s.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
-    files.sortBy(_.getPath.getName)
-      .map(s => TsvInputPartition(s.getPath.toString))
-      .toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    TsvDocs.listPartitions(path, confEntries)
   override def createReaderFactory(): PartitionReaderFactory =
     new TsvReaderFactory(required, pushed, confEntries)
+}
+
+/** The scan [[TsvScanBuilder.pushAggregation]] builds: same per-file
+  * partitioning, but each reader aggregates its file line-side and emits
+  * one row PER GROUP — group columns first, then one long per aggregate
+  * slot, exactly the order Spark's partial-pushdown re-merge expects. */
+private[sources] class TsvAggScan(path: String, spec: TsvDocs.AggSpec,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    confEntries: Array[(String, String)])
+    extends Scan with Batch {
+  override def readSchema(): StructType = spec.readSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-tsv $path $spec, PushedFilters: [${pushed.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    TsvDocs.listPartitions(path, confEntries)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TsvAggReaderFactory(spec, pushed, confEntries)
+}
+
+private[sources] class TsvAggReaderFactory(spec: TsvDocs.AggSpec,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    confEntries: Array[(String, String)])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[TsvInputPartition].file
+    new PartitionReader[InternalRow] {
+      // one streaming pass over the file on FIRST next(): the group map is
+      // bounded by this file's group cardinality, never its row count
+      private lazy val rows: Iterator[InternalRow] = {
+        val p = new org.apache.hadoop.fs.Path(file)
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          p.getFileSystem(TsvDocs.rebuild(confEntries)).open(p), "UTF-8"))
+        // per group: one slot per aggregate; null means "no value seen yet"
+        // (so an all-null column yields SQL's null MIN/MAX, count 0)
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[Seq[String], Array[java.lang.Long]]
+        try {
+          var line = in.readLine()
+          while (line != null) {
+            if (TsvDocs.passes(line, pushed)) {
+              val f = line.split("\t", 5)
+              def str(c: String): String = {
+                val i = TsvDocs.wirePos(c); if (i < f.length) f(i) else null
+              }
+              def lng(c: String): java.lang.Long = {
+                val s = str(c)
+                if (s == null) null
+                else try java.lang.Long.valueOf(s.trim.toLong)
+                catch { case _: NumberFormatException => null }
+              }
+              val key = spec.groups.map(str)
+              val slots = acc.getOrElseUpdate(key,
+                Array.fill[java.lang.Long](spec.aggs.length)(null))
+              spec.aggs.zipWithIndex.foreach { case ((op, c), i) =>
+                def upd(f2: (Long, Long) => Long, v: Long): Unit =
+                  slots(i) =
+                    if (slots(i) == null) java.lang.Long.valueOf(v)
+                    else java.lang.Long.valueOf(f2(slots(i).longValue, v))
+                op match {
+                  case "count_star" => upd(_ + _, 1L)
+                  case "count" =>
+                    val v = str(c)
+                    val ok =
+                      if (Set("doc_id", "n_chars")(c)) lng(c) != null
+                      else v != null
+                    if (ok) upd(_ + _, 1L) else if (slots(i) == null)
+                      slots(i) = java.lang.Long.valueOf(0L)
+                  case "min" =>
+                    val v = lng(c); if (v != null) upd(math.min, v.longValue)
+                  case "max" =>
+                    val v = lng(c); if (v != null) upd(math.max, v.longValue)
+                  case "sum" =>
+                    val v = lng(c); if (v != null) upd(_ + _, v.longValue)
+                }
+              }
+            }
+            line = in.readLine()
+          }
+        } finally in.close()
+        acc.iterator.map { case (key, slots) =>
+          InternalRow.fromSeq(
+            key.map(s => if (s == null) null else UTF8String.fromString(s)) ++
+              slots.map(v => if (v == null) null else v.longValue: Any))
+        }
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] case class TsvInputPartition(file: String) extends InputPartition

@@ -170,11 +170,13 @@ class PlanSpec extends SparkSpec {
     // assignment that replaces a global ntile window)
     // x180's is the 1-row sampled-boundary array broadcasting into the
     // full-column bucket scan (x112's 1-row min/max shape)
+    // x186's is the 1-row Σn²/n_keys totals frame crossing onto the
+    // 10-row top-contributor frame (x117's 1-row denominator shape)
       "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
       "x112_zorder_layout", "x117_mix_temperature", "x119_prep_v4",
       "x124_dsir_weights", "x126_ks_drift", "x132_perplexity_gate",
       "x140_retrieval_eval", "x150_hard_negatives", "x155_curriculum",
-      "x180_range_balance")
+      "x180_range_balance", "x186_join_forecast")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -182,6 +184,23 @@ class PlanSpec extends SparkSpec {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unintended BroadcastNestedLoopJoin")
     }
+  }
+
+  test("x185: the aggregate reaches the TSV source; only pre-aggregated rows cross the scan") {
+    val p = plan("x185_dsv2_agg_pushdown")
+    assert(p.contains("PushedAggregates: [COUNT(*), MIN(n_chars), MAX(n_chars), SUM(n_chars)]"),
+      s"aggregates must push into the connector:\n$p")
+    assert(p.contains("PushedGroupBy: [source]"), s"group-by must push:\n$p")
+    // what crosses the boundary is the agg schema, not document rows
+    assert(!p.contains("text#"), s"the scan must not materialize text:\n$p")
+  }
+
+  test("x186: forecast is one grouped count + TakeOrdered — no row-data join anywhere") {
+    val p = plan("x186_join_forecast")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not be a global sort")
+    assert(p.contains("partial_count"), "per-key counts must combine map-side")
+    assert(!p.contains("SortMergeJoin"),
+      "the forecast must never join row data — that's the job it replaces")
   }
 
   test("x171: bucketed aggregation plans with zero hash Exchange") {

@@ -141,4 +141,80 @@ class TsvDocsSpec extends SparkSpec {
     assert(rows(1).getLong(0) == 1L && rows(1).getString(1) == "good line")
     assert(rows(2).getLong(0) == 7L && rows(2).isNullAt(1) && rows(2).isNullAt(4))
   }
+
+  test("aggregate pushdown: partials from multiple files merge to the exact result") {
+    val dir = writeDocs(60, 4) // 4 part files, sources src0/src1/src2
+    val agg = spark.read.format("graft.sources.TsvDocs").load(dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), min("n_chars").as("mn"),
+        max("n_chars").as("mx"), sum("n_chars").as("sm"))
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregates: [COUNT(*), MIN(n_chars), MAX(n_chars), SUM(n_chars)]"),
+      s"aggregates must reach the scan:\n$p")
+    val got = agg.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // ground truth straight from the generator: doc i → src(i%3), n_chars 10i
+    val want = (1 to 60).groupBy(i => s"src${i % 3}").map { case (s, is) =>
+      s -> (is.size.toLong, is.min * 10L, is.max * 10L, is.map(_ * 10L).sum)
+    }
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("aggregate pushdown skips null values: MIN/MAX/SUM of an all-null group is null") {
+    val dir = Files.createTempDirectory("tsvaggnull").toString + "/docs"
+    new java.io.File(dir).mkdirs()
+    val w = new java.io.PrintWriter(s"$dir/part-00000", "UTF-8")
+    w.println("1\ten\tsrc0\t10\ta")
+    w.println("2\ten\tsrc0\tbad\tb") // malformed n_chars -> null
+    w.println("3\ten\tsrc1\tbad\tc") // src1: ONLY null n_chars
+    w.close()
+    val rows = spark.read.format("graft.sources.TsvDocs").load(dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), min("n_chars").as("mn"), sum("n_chars").as("sm"))
+      .orderBy("source").collect()
+    assert(rows(0).getString(0) == "src0" && rows(0).getLong(1) == 2L
+      && rows(0).getLong(2) == 10L && rows(0).getLong(3) == 10L)
+    assert(rows(1).getString(0) == "src1" && rows(1).getLong(1) == 1L
+      && rows(1).isNullAt(2) && rows(1).isNullAt(3))
+  }
+
+  test("unsupported aggregate shapes are declined and Spark computes them — result still correct") {
+    val dir = writeDocs(30, 2)
+    // count(DISTINCT …) is not partially pushable: the builder declines the
+    // WHOLE aggregation and the plan falls back to a row scan
+    val agg = spark.read.format("graft.sources.TsvDocs").load(dir)
+      .groupBy("source").agg(countDistinct("n_chars").as("d"))
+    val p = agg.queryExecution.executedPlan.toString
+    assert(!p.contains("PushedAggregates"), s"count distinct must not push:\n$p")
+    val got = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = (1 to 30).groupBy(i => s"src${i % 3}")
+      .map { case (s, is) => s -> is.map(_ * 10L).distinct.size.toLong }
+    assert(got == want)
+  }
+
+  test("avg() pushes as its SUM+COUNT decomposition (Spark's rewrite), result exact") {
+    val dir = writeDocs(30, 2)
+    val agg = spark.read.format("graft.sources.TsvDocs").load(dir)
+      .groupBy("source").agg(avg("n_chars").as("a"))
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregates: [SUM(n_chars), COUNT(n_chars)]"),
+      s"avg must push as sum+count:\n$p")
+    val got = agg.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = (1 to 30).groupBy(i => s"src${i % 3}")
+      .map { case (s, is) => s -> is.map(_ * 10.0).sum / is.size }
+    assert(got == want)
+  }
+
+  test("aggregate pushdown composes with pushed filters: only matching lines aggregate") {
+    val dir = writeDocs(30, 2)
+    val agg = spark.read.format("graft.sources.TsvDocs").load(dir)
+      .filter(col("source") === "src1")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregates") && p.contains("EqualTo(source,src1)"),
+      s"both the filter and the aggregate must reach the scan:\n$p")
+    val rows = agg.collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "en"
+      && rows(0).getLong(1) == (1 to 30).count(_ % 3 == 1).toLong)
+  }
 }
