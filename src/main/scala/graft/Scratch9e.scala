@@ -25,6 +25,16 @@ object Scratch9e {
     }
     time("warmup")(spark.range(1000000).count())
 
+    if (args.contains("r9h")) {
+      // eighth-pass probes: x187–x190 (documents + events)
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x187_$dir")(queries.LlmQueries.x187SqlUdf(spark, dir).count())
+        time(s"x188_$dir")(queries.LlmQueries.x188SqlTvf(spark, dir).count())
+        time(s"x189_$dir")(queries.ExtendedQueries.x189StateInspect(spark, dir).count())
+        time(s"x190_$dir")(queries.ExtendedQueries.x190TakedownDelete(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("r9g")) {
       // seventh-pass probes: x183–x186 (10× copy corpus has documents,
       // lineitem, orders, events — all four inputs)

@@ -2314,6 +2314,125 @@ object ExtendedQueries {
       .orderBy(col("contrib").desc, col("user_id"))
   }
 
+  private val x189InDir = new java.util.concurrent.atomic.AtomicReference[String]()
+  private val x189CkDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x189 — CHECKPOINT STATE INSPECTION (round-9): run a REAL Structured
+    * Streaming aggregation (file source → groupBy user → count/sum →
+    * AvailableNow → noop sink) against a REAL checkpoint, then read the
+    * checkpoint's state store back as a BATCH DataFrame via the
+    * `statestore` source and report the per-user aggregates FROM THE STATE
+    * ITSELF. The oracle computes the same aggregate from the input table,
+    * so the hash match proves the on-disk state is exactly the aggregate —
+    * the observability primitive for the ops question "what does this
+    * stream believe right now?" asked WITHOUT stopping or instrumenting
+    * the stream. The replay-parity queries (x114/x120/x130/x154/x160) pin
+    * the UPDATE LOGIC against batch semantics; this pins the PERSISTED
+    * STATE — the other half of trusting a 100 TB streaming deployment,
+    * reading checkpoint files a running cluster is actively writing.
+    *
+    * Arithmetic: values are pre-rounded to integer micro-units (the x90
+    * floor(v·1e6+0.5) rule) so the streaming sum is EXACT 64-bit integer
+    * arithmetic — state values cannot drift from the oracle by float
+    * summation order. Scale shape: state read cost is state-sized (key
+    * cardinality), never input-sized; the stream itself is one
+    * AvailableNow pass.
+    */
+  def x189StateInspect(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Io.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("v_micro"))
+    val inDir = Io.freshTmpDir(spark, x189InDir, "x189_in")
+    val ckDir = Io.freshTmpDir(spark, x189CkDir, "x189_ck")
+    ev.write.mode("overwrite").parquet(inDir)
+    val q = spark.readStream.schema(ev.schema).parquet(inDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("v_micro").as("sum_micro"))
+      .writeStream.format("noop").outputMode("update")
+      .option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // key/value struct field names are engine-internal — bind by POSITION
+    // (group key, then aggs in declaration order), which IS the contract
+    spark.read.format("statestore").load(ckDir)
+      .select(col("key.*"), col("value.*"))
+      .toDF("user_id", "n_events", "sum_micro")
+      .orderBy("user_id")
+  }
+
+  private val x190LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x190 — TAKEDOWN DELETE with rewrite minimization (round-9): the
+    * GDPR/opt-out primitive a training-data lake actually runs — an
+    * opt-out ID list (doc_id ≡ 0 mod 997, discovered from data) must be
+    * physically deleted from a (lang, source)-partitioned parquet lake,
+    * rewriting ONLY the partitions that contain a match: affected
+    * partitions are discovered first (a broadcast semi-join-sized frame),
+    * their SURVIVORS are rewritten in ONE dynamic-partition-overwrite
+    * write (x182's mechanism as the minimal-rewrite engine), a partition
+    * whose docs were ALL opted out is removed explicitly (dynamic
+    * overwrite can't express an empty partition — the mechanism's one
+    * hole, handled not assumed), and the lake is read back. Report per
+    * original partition: surviving docs (0 for fully-deleted partitions,
+    * via the left join), deleted count, rewritten flag, surviving
+    * payload. The oracle rebuilds the same report from the original
+    * table, so the hash pins both failure modes: a surviving opt-out row
+    * inflates n_docs; an over-deleted partition deflates it.
+    *
+    * Scale shape: at 100 TB the rewrite cost is (takedown locality) ×
+    * (partition size) — partitions without matches are never read for
+    * rewrite, never written; discovery is one aggregate over the ID
+    * column. All counts exact integers.
+    */
+  def x190TakedownDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+    val dir = Io.freshTmpDir(spark, x190LastDir, "x190_lake")
+    // one file per partition dir (not one per task × dir): the lake build
+    // and the rewrite below both shuffle once on the partition key instead
+    // of spraying |tasks|×|partitions| small files
+    docs.repartition(col("lang"), col("source"))
+      .write.partitionBy("lang", "source").parquet(dir)
+    val affected = docs.filter(col("doc_id") % 997 === 0)
+      .select("lang", "source").distinct()
+    val survivors = docs.join(broadcast(affected), Seq("lang", "source"))
+      .filter(col("doc_id") % 997 =!= 0)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try survivors.repartition(col("lang"), col("source"))
+      .write.mode("overwrite").partitionBy("lang", "source").parquet(dir)
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    // dynamic overwrite replaces only partitions PRESENT in the batch: a
+    // partition whose every doc opted out has no survivor rows, so its old
+    // files would silently survive — delete those partition dirs explicitly
+    val fullyGone = affected.join(
+        survivors.select("lang", "source").distinct(),
+        Seq("lang", "source"), "left_anti").collect()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fullyGone.foreach { r =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/lang=${r.getString(0)}/source=${r.getString(1)}"), true)
+    }
+    val after = spark.read.parquet(dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    docs.groupBy("lang", "source")
+      .agg(sum((col("doc_id") % 997 === 0).cast("long")).as("deleted"))
+      .join(after, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("deleted"),
+        (col("deleted") > 0).cast("long").as("rewritten"),
+        col("sum_chars"))
+      .orderBy("lang", "source")
+  }
+
   /** x171 — shuffle-free BUCKETED aggregation (round-9; x76's claim for
     * the AGGREGATION side): events written as a user_id-bucketed managed
     * table, then a per-user aggregate whose plan contains NO hash Exchange

@@ -1762,6 +1762,88 @@ object LlmQueries {
         |ORDER BY source, depth""".stripMargin)
   }
 
+  /** x187 — SQL-DEFINED FUNCTIONS (round-9; Spark 4 `CREATE FUNCTION …
+    * RETURN expr`): the corpus quality profile computed through TWO
+    * catalog-registered SQL UDFs — a per-row boolean GATE
+    * (`x187_is_quality`: ≥2 stopwords and ≥20 tokens) and a group-level
+    * ratio (`x187_density(sum_stops, sum_toks)`) — the ninth extension
+    * face: where FloatDot/MinhashAll extend the engine in JVM code, this
+    * is the DECLARATIVE extension path an analyst actually has on a shared
+    * cluster (no jar, no deploy; the function body is catalyst-inlined and
+    * codegen'd like any expression, NOT a black-box UDF). Oracle inlines
+    * the same expressions, so the hash pins that registration + inlining
+    * changes nothing semantically.
+    *
+    * Arithmetic: the gate is pure integer comparisons; per-source sums are
+    * exact 64-bit ints; density is ONE rounded division per group (never a
+    * float sum). Scale shape: one corpus scan into a map-combining grouped
+    * agg — identical plan to writing the expressions inline.
+    */
+  def x187SqlUdf(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .createOrReplaceTempView("x187_docs")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION x187_is_quality(text STRING)
+        |RETURNS BOOLEAN
+        |RETURN size(filter(split(text, ' '),
+        |         t -> t IN ('the','a','of','to','and'))) >= 2
+        |   AND size(split(text, ' ')) >= 20""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION x187_density(stops BIGINT, toks BIGINT)
+        |RETURNS DOUBLE
+        |RETURN floor(CAST(stops AS DOUBLE) / toks * 1000000 + 0.5) / 1000000""".stripMargin)
+    spark.sql(
+      """SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN x187_is_quality(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |       x187_density(
+        |         sum(CAST(size(filter(split(text, ' '),
+        |               t -> t IN ('the','a','of','to','and'))) AS BIGINT)),
+        |         sum(CAST(size(split(text, ' ')) AS BIGINT))) AS stop_density
+        |FROM x187_docs
+        |GROUP BY source
+        |ORDER BY source""".stripMargin)
+  }
+
+  /** x188 — SQL TABLE FUNCTION + LATERAL (round-9): fixed-stride chunking
+    * declared as a catalog-registered TABLE-VALUED function
+    * (`x188_chunks(n, sz) RETURNS TABLE(lo, hi)`) applied per document via
+    * a correlated `LATERAL` join — the set-returning counterpart of x187's
+    * scalar SQL UDF, and the third chunker (x94 fixed-stride via explode,
+    * x118 content-defined, x183 recursive bisection) — here the chunk
+    * GEOMETRY itself is a reusable catalog object any SQL user can call.
+    * Per source: chunk count, token conservation sum, and the count of
+    * short tail chunks (< half stride).
+    *
+    * Arithmetic: pure 64-bit integer sequence/least arithmetic, identical
+    * in DuckDB's lateral generate_series form; zero doubles. Scale shape:
+    * the TVF is inlined into the plan (explode over a sequence — a
+    * Generator, not a subquery-per-row), so the whole query is one scan +
+    * one map-combining grouped agg; chunk rows ≈ Σ n_tok/40 ≤ corpus
+    * token count.
+    */
+  def x188SqlTvf(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .createOrReplaceTempView("x188_docs")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION x188_chunks(n BIGINT, sz BIGINT)
+        |RETURNS TABLE(lo BIGINT, hi BIGINT)
+        |RETURN SELECT i * sz + 1, least((i + 1) * sz, n)
+        |FROM (SELECT explode(sequence(CAST(0 AS BIGINT), (n - 1) div sz)) AS i)""".stripMargin)
+    spark.sql(
+      """SELECT d.source,
+        |       CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(c.hi - c.lo + 1) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(CASE WHEN c.hi - c.lo + 1 < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_tail
+        |FROM x188_docs d, LATERAL x188_chunks(d.n_tok, 40) c
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin)
+  }
+
   /** x170 — TEXTRANK keyword extraction (round-9; Mihalcea & Tarau 2004):
     * PageRank over the corpus token CO-OCCURRENCE graph — vertices are
     * tokens, undirected edges join adjacent tokens (distinct pairs, no

@@ -3908,7 +3908,78 @@ object Oracles {
       |ORDER BY contrib DESC, user_id
       |LIMIT 10""".stripMargin
 
+  // x187: the oracle inlines the two SQL-UDF bodies — gate comparisons are
+  // pure integers, the density is one round6'd division per group.
+  val x187: String =
+    """WITH s AS (
+      |  SELECT source,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |           t -> list_contains(['the','a','of','to','and'], t))) AS BIGINT)
+      |           AS n_stop,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN n_stop >= 2 AND n_tok >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      |       floor(CAST(sum(n_stop) AS DOUBLE) / sum(n_tok) * 1000000 + 0.5) / 1000000 AS stop_density
+      |FROM s
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // x188: DuckDB's unnest(range(…)) is the TVF's inlined form (this DuckDB
+  // build's generate_series rejects lateral column refs) — identical
+  // 64-bit sequence/least arithmetic, zero doubles.
+  val x188: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents WHERE text IS NOT NULL),
+      |e AS (
+      |  SELECT source, n_tok,
+      |         unnest(range(0, (n_tok - 1) // 40 + 1)) AS i
+      |  FROM d),
+      |c AS (
+      |  SELECT source, i * 40 + 1 AS lo, least((i + 1) * 40, n_tok) AS hi
+      |  FROM e)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(sum(hi - lo + 1) AS BIGINT) AS sum_tokens,
+      |       CAST(sum(CASE WHEN hi - lo + 1 < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_tail
+      |FROM c
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // x189: the on-disk streaming state must equal the plain grouped
+  // aggregate of the input — counts and micro-unit sums are exact 64-bit
+  // integers, so the state cannot drift by float summation order.
+  val x189: String =
+    """SELECT user_id,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro
+      |FROM events
+      |WHERE user_id IS NOT NULL AND value IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // x190: end-state report rebuilt from the original table — a surviving
+  // opt-out row would inflate n_docs, an over-deleted partition would
+  // deflate it; sum over zero survivors is NULL in both engines.
+  val x190: String =
+    """SELECT lang, source,
+      |       CAST(count(CASE WHEN doc_id % 997 != 0 THEN 1 END) AS BIGINT) AS n_docs,
+      |       CAST(count(CASE WHEN doc_id % 997 = 0 THEN 1 END) AS BIGINT) AS deleted,
+      |       CAST(CASE WHEN count(CASE WHEN doc_id % 997 = 0 THEN 1 END) > 0
+      |            THEN 1 ELSE 0 END AS BIGINT) AS rewritten,
+      |       CAST(sum(CASE WHEN doc_id % 997 != 0 THEN n_chars END) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x187_sql_udf"           -> x187,
+    "x188_sql_tvf"           -> x188,
+    "x189_state_inspect"     -> x189,
+    "x190_takedown_delete"   -> x190,
     "x183_recursive_chunks"  -> x183,
     "x184_bloom_join"        -> x184,
     "x185_dsv2_agg_pushdown" -> x185,

@@ -1963,6 +1963,66 @@ class NewOpsSpec extends SparkSpec {
     assert(byUser == Map(10L -> 9L, 20L -> 4L, 30L -> 1L), byUser.toString)
   }
 
+  test("x187: the SQL-UDF gate counts exactly the docs passing both rules") {
+    val dir = Files.createTempDirectory("x187t").toString
+    // doc 1: 2 stopwords + 20 tokens (passes); doc 2: 2 stopwords but only
+    // 10 tokens (fails the length rule alone)
+    def text(n: Int) = (Seq("the", "a") ++ (0 until n - 2).map(i => s"w$i"))
+      .mkString(" ")
+    Seq((1L, text(20), "en", "web", 50L), (2L, text(10), "en", "web", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = LlmQueries.x187SqlUdf(spark, dir).collect().head
+    assert(r.getAs[Long]("n_docs") == 2L && r.getAs[Long]("n_quality") == 1L)
+    // density = (2+2)/(20+10) = 0.1333333… → round6 0.133333
+    assert(r.getAs[Double]("stop_density") == 0.133333, r.toString)
+  }
+
+  test("x188: TVF chunk geometry — full strides plus the short tail, tokens conserved") {
+    val dir = Files.createTempDirectory("x188t").toString
+    def text(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // 100 tokens → 40+40+20 (tail 20, NOT short); 87 → 40+40+7 (short tail)
+    Seq((1L, text(100), "en", "web", 100L), (2L, text(87), "en", "web", 87L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = LlmQueries.x188SqlTvf(spark, dir).collect().head
+    assert(r.getAs[Long]("n_chunks") == 6L && r.getAs[Long]("sum_tokens") == 187L
+      && r.getAs[Long]("n_short_tail") == 1L, r.toString)
+  }
+
+  test("x189: the checkpoint's state store holds exactly the grouped aggregate") {
+    val dir = Files.createTempDirectory("x189t").toString
+    val ev = Seq((1L, 10L, 1.25), (2L, 10L, 2.5), (3L, 20L, 0.125))
+    ev.map { case (eid, u, v) =>
+      (eid, new java.sql.Timestamp(1700000000000L + eid * 1000), u, "click", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = ExtendedQueries.x189StateInspect(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("sum_micro"))).toMap
+    assert(rows == Map(10L -> (2L, 3750000L), 20L -> (1L, 125000L)), rows.toString)
+  }
+
+  test("x190: opt-out rows are physically gone; a fully-opted-out partition vanishes to 0") {
+    val dir = Files.createTempDirectory("x190t").toString
+    // partition (en, tiny): BOTH docs opt out (ids 997, 1994) — dynamic
+    // overwrite alone can't empty it, the explicit dir delete must
+    val docs = Seq(
+      (997L, "gone one", "en", "tiny", 8L), (1994L, "gone two", "en", "tiny", 8L),
+      (1L, "keep a", "en", "web", 6L), (2991L, "drop me", "en", "web", 7L),
+      (5L, "safe", "fr", "web", 4L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = ExtendedQueries.x190TakedownDelete(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("deleted"),
+          r.getAs[Long]("rewritten"))).toMap
+    assert(rows == Map(
+      ("en", "tiny") -> (0L, 2L, 1L),
+      ("en", "web")  -> (1L, 1L, 1L),
+      ("fr", "web")  -> (1L, 0L, 0L)), rows.toString)
+  }
+
   test("x182: dynamic overwrite replaces only the en partition, others intact") {
     val dir = Files.createTempDirectory("x182t").toString
     Seq((1L, "aa bb", "en", "web", 5L), (2L, "cc dd", "fr", "web", 5L),

@@ -203,6 +203,22 @@ class PlanSpec extends SparkSpec {
       "the forecast must never join row data — that's the job it replaces")
   }
 
+  test("x187: SQL UDFs are catalyst-inlined — no black-box UDF node in the plan") {
+    val p = plan("x187_sql_udf")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"SQL-defined functions must inline, not wrap:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the grouped profile must combine map-side")
+  }
+
+  test("x188: the SQL TVF inlines to a Generate — no per-row subquery, no join") {
+    val p = plan("x188_sql_tvf")
+    assert(p.contains("Generate explode"),
+      s"the TVF body must plan as a Generator:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"LATERAL over a TVF must not become a join:\n$p")
+  }
+
   test("x171: bucketed aggregation plans with zero hash Exchange") {
     val p = plan("x171_bucketed_agg")
     assert(p.contains("Bucketed: true"), "scan must read the bucketed table")
