@@ -25,6 +25,12 @@ object Scratch9e {
     }
     time("warmup")(spark.range(1000000).count())
 
+    if (args.contains("r9i")) {
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x191_$dir")(queries.ExtendedQueries.x191BudgetGate(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("r9h")) {
       // eighth-pass probes: x187–x190 (documents + events)
       for (dir <- Seq(sfDir, tenDir)) {

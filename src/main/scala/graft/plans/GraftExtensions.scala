@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CharNgrams, CmsEstimate, FloatDot, MinhashAll, NfcNormalize, SpaceSavingTopK, StripAccents, UnicodeNorm}
+import graft.functions.{CharNgrams, CmsEstimate, FloatDot, MinhashAll, MultiMatch, NfcNormalize, SpaceSavingTopK, StripAccents, UnicodeNorm}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions, SparkSessionExtensionsProvider}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -38,6 +38,8 @@ object GraftExtensions {
       (children: Seq[Expression]) => SpaceSavingTopK(children(0), children(1))),
     (FunctionIdentifier("char_ngrams"), CharNgrams.info,
       (children: Seq[Expression]) => CharNgrams(children(0), children(1))),
+    (FunctionIdentifier("multi_match"), MultiMatch.info,
+      (children: Seq[Expression]) => MultiMatch(children(0), children(1))),
     // Spark ships BloomFilterAggregate/BloomFilterMightContain as INTERNAL
     // expressions (the runtime-filter rule's machinery, not in the public
     // registry) — surfacing them as session functions gives queries the

@@ -1891,6 +1891,54 @@ object ExtendedQueries {
       .orderBy("pair")
   }
 
+  /** x193 — CHI-SQUARE INDEPENDENCE + Cramér's V between `lang` and
+    * `source` (round-9): the CATEGORICAL member of the statistical-audit
+    * family (x126 pins distribution drift on a numeric column, x148 pins
+    * linear association between measures — this pins whether two discrete
+    * corpus facets are independent, the "is language balance uniform
+    * across crawl sources?" question every dataset card answers before a
+    * mix is trusted). χ² = Σ (o−e)²/e over the contingency cells with
+    * e = rowTotal·colTotal/N; V = √(χ²/(N·min(R−1,C−1))) normalizes it to
+    * [0,1] so thresholds survive corpus growth.
+    *
+    * Float discipline: counts and marginals are exact 64-bit; each cell's
+    * e and (o−e)²/e is the identical IEEE sequence in both engines on
+    * engine-identical doubles, rounded per-cell (stableRound6) and summed
+    * as DECIMAL(38,6) — order-independent — then ONE cast to double feeds
+    * both outputs; V's sqrt/divide are correctly-rounded IEEE ops on that
+    * shared value.
+    *
+    * Scale shape: one map-combining corpus aggregation to R×C cells, then
+    * windows over the DIMENSION-SIZED cell table (marginals never rescan
+    * the corpus) — the global window moves R×C rows, not data.
+    */
+  def x193Chi2(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Io.table(spark, sfDir, "documents")
+      .filter(col("lang").isNotNull && col("source").isNotNull)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val t = cells
+      .withColumn("rt", sum("o").over(Window.partitionBy("lang")).cast("double"))
+      .withColumn("ct", sum("o").over(Window.partitionBy("source")).cast("double"))
+      .withColumn("n", sum("o").over(Window.partitionBy()).cast("double"))
+    val od = col("o").cast("double")
+    val e = col("rt") * col("ct") / col("n")
+    val term = stableRound6(((od - e) * (od - e)) / e)
+    t.agg(
+        max(col("n")).cast("long").as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(term.cast("decimal(38,6)")).cast("double").as("chi2raw"))
+      .select(
+        col("n_docs"), col("n_langs"), col("n_sources"),
+        ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
+        stableRound6(col("chi2raw")).as("chi2"),
+        stableRound6(sqrt(col("chi2raw") /
+          (col("n_docs").cast("double") *
+            least(col("n_langs") - 1, col("n_sources") - 1).cast("double"))))
+          .as("cramers_v"))
+  }
+
   /** x153 — the PARSER extension face as a per-round driver signal
     * (round-9; the seventh `SparkSessionExtensions` face after
     * expression/aggregate/operator/rule/source/generator): content dedup
@@ -2359,6 +2407,66 @@ object ExtendedQueries {
     spark.read.format("statestore").load(ckDir)
       .select(col("key.*"), col("value.*"))
       .toDF("user_id", "n_events", "sum_micro")
+      .orderBy("user_id")
+  }
+
+  private val x191InDir = new java.util.concurrent.atomic.AtomicReference[String]()
+  private val x191CkDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x191 — `transformWithState` BUDGET GATE (round-9): per-user
+    * contribution capping on Spark 4's NEW arbitrary-state API
+    * ([[graft.streaming.BudgetGate]]: StatefulProcessor + typed ValueState
+    * on the RocksDB provider) run as a REAL streaming query (file source →
+    * AvailableNow → memory sink, real checkpoint) — with
+    * `StatefulSessions`' flatMapGroupsWithState this covers BOTH
+    * generations of the custom-state surface. Gate semantics are
+    * close-on-crossing (accept while the running total of ALL prior
+    * events < 2000 units), deliberately chosen to be a WINDOW PREDICATE —
+    * `sum(v) OVER (… 1 PRECEDING) < B` — so the DuckDB oracle pins the
+    * stateful fold exactly: a hash match proves the processor's
+    * incremental decisions equal the declarative batch semantics.
+    *
+    * Arithmetic: values in integer micro-units (x90 rule), the budget an
+    * integer literal — every comparison and sum is exact 64-bit. Order:
+    * (tsMicros, event_id) — unique, so both engines sort identically.
+    * Scale shape: state is one 4-long struct per key (O(keys), RocksDB),
+    * per-batch work is batch-sized; the single AvailableNow batch here is
+    * the replay discipline, not a scalability assumption.
+    */
+  def x191BudgetGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Io.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        unix_micros(col("ts")).as("tsMicros"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("vMicro"))
+    val inDir = Io.freshTmpDir(spark, x191InDir, "x191_in")
+    val ckDir = Io.freshTmpDir(spark, x191CkDir, "x191_ck")
+    ev.write.mode("overwrite").parquet(inDir)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      spark.catalog.dropTempView("x191_out") // rerun-safe (bench reps)
+      val stream = spark.readStream.schema(ev.schema).parquet(inDir)
+        .as[graft.streaming.BudgetGate.Ev]
+      val q = graft.streaming.BudgetGate(stream, budgetMicro = 2000000000L)
+        .writeStream.format("memory").queryName("x191_out")
+        .outputMode("update")
+        .option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+    // single AvailableNow batch → one emission per key; orderBy total
+    spark.table("x191_out")
+      .select(col("userId").as("user_id"), col("nAccepted").as("n_accepted"),
+        col("nRejected").as("n_rejected"),
+        col("sumAcceptedMicro").as("sum_accepted_micro"))
       .orderBy("user_id")
   }
 

@@ -1844,6 +1844,49 @@ object LlmQueries {
         |ORDER BY d.source""".stripMargin)
   }
 
+  /** The x192 blocklist: multi-word phrases over the corpus vocabulary,
+    * deliberately including nested patterns (`fast` ⊂ `fast sort`) and a
+    * self-overlapping one (`a a`) so the automaton's failure links and the
+    * first-pos tie-break (two patterns starting at the same offset) are
+    * exercised on real data, not just in the spec. Shared verbatim with
+    * the oracle's VALUES list. */
+  val X192Terms: Seq[String] = Seq(
+    "fast", "fast sort", "sort key", "table table", "query key",
+    "stream window", "the line", "merge batch", "big query", "key scan",
+    "scan slow", "row fast", "value fast", "part filter", "group value",
+    "order data", "customer join", "window spark", "hash value",
+    "join small", "agg row", "a a")
+
+  /** x192 — MULTI-PATTERN SCAN (round-9): every document screened against
+    * a 22-phrase blocklist in ONE pass via the native Aho–Corasick
+    * expression [[graft.functions.MultiMatch]] (`multi_match`, registered
+    * through `injectFunction` like `float_dot`/`minhash_all`): per doc the
+    * count of distinct phrases present, the first match's 1-based offset,
+    * and the phrase matching there (offset ties — nested patterns starting
+    * together — break to `min(term)`). This is the blocklist/PII-screening
+    * primitive x64's regex stages can't scale to: a `contains` (or regex
+    * alternation backtrack) per phrase rescans the text P times, while the
+    * automaton is O(len) regardless of P — at 100 TB with a realistic
+    * blocklist of hundreds of phrases, one corpus scan instead of
+    * hundreds. The oracle IS the per-phrase `strpos` form (P rescans),
+    * so the hash pins the single-pass automaton against the naive
+    * semantics exactly.
+    *
+    * Shape: one codegen'd corpus scan (the automaton rides a plan
+    * reference like a compiled regex), zero joins, final order by doc_id.
+    */
+  def x192MultiMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val termsSql = X192Terms.map(t => s"'$t'").mkString(", ")
+    Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr(s"multi_match(text, array($termsSql))").as("m"))
+      .select(col("doc_id"), col("m.n_matched").as("n_matched"),
+        col("m.first_pos").as("first_pos"), col("m.first_term").as("first_term"))
+      .orderBy("doc_id")
+  }
+
   /** x170 — TEXTRANK keyword extraction (round-9; Mihalcea & Tarau 2004):
     * PageRank over the corpus token CO-OCCURRENCE graph — vertices are
     * tokens, undirected edges join adjacent tokens (distinct pairs, no

@@ -3975,7 +3975,99 @@ object Oracles {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  // x191: the gate's close-on-crossing rule IS a window predicate — prior
+  // running total (exact micro ints) below the integer budget; order by
+  // (ts-micros, event_id) is unique so both engines sort identically.
+  val x191: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |g AS (
+      |  SELECT user_id, v_micro,
+      |         COALESCE(sum(v_micro) OVER (PARTITION BY user_id
+      |           ORDER BY ts_us, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS c_before
+      |  FROM e)
+      |SELECT user_id,
+      |       CAST(sum(CASE WHEN c_before < 2000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+      |       CAST(sum(CASE WHEN c_before < 2000000000 THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected,
+      |       CAST(sum(CASE WHEN c_before < 2000000000 THEN v_micro ELSE 0 END) AS BIGINT) AS sum_accepted_micro
+      |FROM g
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // x192: the naive P-rescans form — one strpos per (doc, term) — is the
+  // semantic ground truth the one-pass automaton must reproduce; VALUES
+  // list shared verbatim with LlmQueries.X192Terms. n_matched counts
+  // DISTINCT terms present (one hits row per present term), offset ties
+  // break to min(term).
+  val x192: String =
+    """WITH terms(term) AS (VALUES ('fast'), ('fast sort'), ('sort key'),
+      |  ('table table'), ('query key'), ('stream window'), ('the line'),
+      |  ('merge batch'), ('big query'), ('key scan'), ('scan slow'),
+      |  ('row fast'), ('value fast'), ('part filter'), ('group value'),
+      |  ('order data'), ('customer join'), ('window spark'), ('hash value'),
+      |  ('join small'), ('agg row'), ('a a')),
+      |docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |hits AS (
+      |  SELECT d.doc_id, t.term, strpos(d.text, t.term) AS pos
+      |  FROM docs d CROSS JOIN terms t
+      |  WHERE strpos(d.text, t.term) > 0),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS INT) AS n_matched,
+      |         CAST(min(pos) AS INT) AS first_pos
+      |  FROM hits GROUP BY doc_id),
+      |ft AS (
+      |  SELECT h.doc_id, min(h.term) AS first_term
+      |  FROM hits h JOIN agg a ON h.doc_id = a.doc_id AND h.pos = a.first_pos
+      |  GROUP BY h.doc_id)
+      |SELECT d.doc_id,
+      |       COALESCE(a.n_matched, 0) AS n_matched,
+      |       COALESCE(a.first_pos, 0) AS first_pos,
+      |       COALESCE(ft.first_term, '') AS first_term
+      |FROM docs d
+      |LEFT JOIN agg a USING (doc_id)
+      |LEFT JOIN ft USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // x193: identical per-cell IEEE sequence (marginals cast double first,
+  // e = rt*ct/n left-assoc), per-cell stableRound6, DECIMAL(38,6) sum.
+  val x193: String =
+    """WITH cells AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+      |  GROUP BY lang, source),
+      |t AS (
+      |  SELECT o, lang, source,
+      |         CAST(sum(o) OVER (PARTITION BY lang) AS DOUBLE) AS rt,
+      |         CAST(sum(o) OVER (PARTITION BY source) AS DOUBLE) AS ct,
+      |         CAST(sum(o) OVER () AS DOUBLE) AS n
+      |  FROM cells),
+      |terms AS (
+      |  SELECT n, lang, source,
+      |         floor((CAST(o AS DOUBLE) - rt * ct / n) * (CAST(o AS DOUBLE) - rt * ct / n)
+      |               / (rt * ct / n) * 1000000 + 0.5) / 1000000 AS term
+      |  FROM t),
+      |agg AS (
+      |  SELECT CAST(max(n) AS BIGINT) AS n_docs,
+      |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |         CAST(sum(CAST(term AS DECIMAL(38,6))) AS DOUBLE) AS chi2raw
+      |  FROM terms)
+      |SELECT n_docs, n_langs, n_sources,
+      |       (n_langs - 1) * (n_sources - 1) AS dof,
+      |       floor(chi2raw * 1000000 + 0.5) / 1000000 AS chi2,
+      |       floor(sqrt(chi2raw / (CAST(n_docs AS DOUBLE) *
+      |             least(n_langs - 1, n_sources - 1))) * 1000000 + 0.5) / 1000000 AS cramers_v
+      |FROM agg""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x193_chi2_independence" -> x193,
+    "x192_multi_match"       -> x192,
+    "x191_budget_gate"       -> x191,
     "x187_sql_udf"           -> x187,
     "x188_sql_tvf"           -> x188,
     "x189_state_inspect"     -> x189,
