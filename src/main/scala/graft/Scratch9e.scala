@@ -25,6 +25,15 @@ object Scratch9e {
     }
     time("warmup")(spark.range(1000000).count())
 
+    if (args.contains("r9j")) {
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x192_$dir")(queries.LlmQueries.x192MultiMatch(spark, dir).count())
+        time(s"x193_$dir")(queries.ExtendedQueries.x193Chi2(spark, dir).count())
+      }
+      // 100× for the automaton scan (documents-only corpus)
+      time(s"x192_$hundredDir")(queries.LlmQueries.x192MultiMatch(spark, hundredDir).count())
+      spark.stop(); return
+    }
     if (args.contains("r9i")) {
       for (dir <- Seq(sfDir, tenDir)) {
         time(s"x191_$dir")(queries.ExtendedQueries.x191BudgetGate(spark, dir).count())

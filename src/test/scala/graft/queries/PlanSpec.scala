@@ -918,6 +918,26 @@ class PlanSpec extends SparkSpec {
       "scan must prune to doc_id (the fanOut key) + text/lang")
   }
 
+  test("x192: one codegen'd corpus scan — multi_match rides the plan, no join, no pre-sort shuffle") {
+    val p = plan("x192_multi_match")
+    assert(p.contains("multi_match"), "the native automaton expression must be in the plan")
+    assert(!p.contains("Join"), "the blocklist must not become a pattern-table join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "per-row scanning must not shuffle before the output sort")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to doc_id/text")
+    // codegen itself is pinned by MultiMatchSpec's CODEGEN_ONLY factory-mode
+    // pass (the pre-AQE plan string here never shows WholeStageCodegen)
+  }
+
+  test("x193: marginal windows run over the dimension-sized cell table, not the corpus") {
+    val p = plan("x193_chi2_independence")
+    assert(p.contains("partial_count"), "cell counts must combine map-side")
+    assert(!p.contains("Join"), "marginals must come from windows, not self-joins")
+    assert(p.contains("ReadSchema: struct<lang:string,source:string>"),
+      "scan must prune to the two categorical columns")
+  }
+
   test("x134: unicode normalization is pure codegen map work — no shuffle, pruned scan") {
     val p = plan("x134_unicode_norm")
     assert(p.contains("nfc_normalize") && p.contains("strip_accents"),
