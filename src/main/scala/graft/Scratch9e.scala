@@ -34,6 +34,12 @@ object Scratch9e {
       time(s"x192_$hundredDir")(queries.LlmQueries.x192MultiMatch(spark, hundredDir).count())
       spark.stop(); return
     }
+    if (args.contains("r9k")) {
+      for (dir <- Seq(sfDir, sfDir, tenDir)) {
+        time(s"x194_$dir")(queries.ExtendedQueries.x194TimerSessions(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("r9i")) {
       for (dir <- Seq(sfDir, tenDir)) {
         time(s"x191_$dir")(queries.ExtendedQueries.x191BudgetGate(spark, dir).count())

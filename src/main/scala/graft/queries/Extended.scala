@@ -2470,6 +2470,100 @@ object ExtendedQueries {
       .orderBy("user_id")
   }
 
+  private val x194InDir = new java.util.concurrent.atomic.AtomicReference[String]()
+  private val x194CkDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x194 — EVENT-TIME TIMERS on `transformWithState` as a REAL streaming
+    * query (round-9): x6's 30-minute gap sessionization run through
+    * [[graft.streaming.TimerSessions]] (registerTimer / deleteTimer /
+    * handleExpiredTimer under `TimeMode.EventTime`) over `events` (file
+    * source, AvailableNow, real checkpoint, memory sink): the data batch
+    * folds sessions and registers horizons, then the watermark advances
+    * and the engine's no-data batch FIRES the expired timers — completing
+    * the custom-state matrix the driver can see: x120 pins the OLD API's
+    * fold by replay, x191 pins the NEW API without timers, this pins the
+    * NEW API's TIMER path, where sessions of users who go quiet are closed
+    * by the WATERMARK proving the gap, not by a later event. The fold core
+    * is `StatefulSessions.foldSorted` — the same function x120 replays —
+    * so the four state engines cannot drift apart (multi-batch horizon
+    * re-registration is pinned by TimerSessionsSpec's MemoryStream
+    * scenarios; the emission contract is batch-count-invariant).
+    *
+    * Emission contract (what the oracle pins): a session is in the output
+    * iff a later event of the same user gap-closed it, OR its horizon
+    * (end + 30 min) lies strictly below the FINAL watermark (global max
+    * event time − 600.5 s). Event times are floored to whole seconds and
+    * the delay carries a .5 s fraction, so horizon-vs-watermark equality
+    * is impossible in ms space — the strictness convention of the engine's
+    * timer comparison can never flip a row. Values are pre-rounded integer
+    * micro-units (x120's rule): the fold's double sum is exact, emitted as
+    * BIGINT.
+    *
+    * Scale shape: state and live timers are both O(open users) (one
+    * ValueState + one registered timer per key — handleInputRows deletes
+    * the prior horizon before registering the new one); per-batch work is
+    * batch-sized. The ts-range split comes from a 1-row min/max aggregate
+    * (x114's precedent); real ingest arrives pre-batched.
+    */
+  def x194TimerSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.{StatefulSessions, TimerSessions}
+    import StatefulSessions.Event
+    val ev = Io.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id").as("userId"),
+        expr("(unix_micros(ts) div 1000000) * 1000000").as("tsMicros"),
+        expr("cast(floor(coalesce(value, 0) * 1000000 + 0.5) as double)").as("value"))
+    val inDir = Io.freshTmpDir(spark, x194InDir, "x194_in")
+    val ckDir = Io.freshTmpDir(spark, x194CkDir, "x194_ck")
+    ev.write.mode("overwrite").parquet(inDir)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.getOption(provKey)
+    val priorParts = spark.conf.get(partKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // state-store parallelism is pinned at the checkpoint's first batch and
+    // every micro-batch commits one RocksDB instance per partition: 8
+    // stores amortize the two batches' fixed cost far better than 32 here,
+    // and at real scale this knob is sized to executors, not inherited
+    spark.conf.set(partKey, "8")
+    try {
+      spark.catalog.dropTempView("x194_out") // rerun-safe (bench reps)
+      // ONE data batch + the engine's no-data batch: the data batch folds
+      // sessions and registers horizons against wm=0, the watermark then
+      // advances to max−600.5s and the no-data batch FIRES the expired
+      // timers — so the timer path runs cross-batch even here. Multi-batch
+      // session EXTENSION (in-gap events arriving batches later, horizons
+      // re-registered) is pinned by TimerSessionsSpec's MemoryStream
+      // scenarios; the emission contract below is batch-count-invariant,
+      // which is exactly why the oracle can state it declaratively.
+      val stream = spark.readStream.schema(ev.schema).parquet(inDir)
+        .as[Event]
+      val q = TimerSessions(stream, delay = "600500 milliseconds")
+        .writeStream.format("memory").queryName("x194_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set(partKey, priorParts)
+      prior match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("userId").orderBy("startMicros")
+    spark.table("x194_out")
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("userId").as("user_id"), col("session_id"),
+        col("startMicros").as("start_us"), col("endMicros").as("end_us"),
+        col("nEvents").as("n_events"), col("sumValue").cast("long").as("sum_micro"))
+      .orderBy("user_id", "session_id")
+  }
+
   private val x190LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** x190 — TAKEDOWN DELETE with rewrite minimization (round-9): the

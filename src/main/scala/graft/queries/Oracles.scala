@@ -4064,7 +4064,46 @@ object Oracles {
       |             least(n_langs - 1, n_sources - 1))) * 1000000 + 0.5) / 1000000 AS cramers_v
       |FROM agg""".stripMargin
 
+  // x194: x6's gap rule + the watermark-closure predicate. A session is
+  // emitted iff a later event gap-closed it OR its horizon (end + 30 min)
+  // is strictly below the final watermark (max ts − 600.5 s). Event times
+  // floored to whole seconds; the .5 s delay fraction makes horizon ==
+  // watermark impossible, so engine strictness conventions can't flip rows.
+  val x194: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |         (epoch_us(ts) // 1000000) * 1000000 AS ts_us,
+      |         CAST(floor(coalesce(value, 0) * 1000000 + 0.5) AS BIGINT) AS v_micro
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |g AS (
+      |  SELECT user_id, ts_us, v_micro,
+      |         CASE WHEN lag(ts_us) OVER w IS NULL
+      |                OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |s AS (
+      |  SELECT user_id, ts_us, v_micro,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+      |           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, sid, min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |         CAST(count(*) AS BIGINT) AS n_events,
+      |         CAST(sum(v_micro) AS BIGINT) AS sum_micro
+      |  FROM s GROUP BY user_id, sid),
+      |wm AS (SELECT max(ts_us) - 600500000 AS wm_us FROM e),
+      |closed AS (
+      |  SELECT c.user_id, c.start_us, c.end_us, c.n_events, c.sum_micro
+      |  FROM sess c, wm
+      |  WHERE c.sid < (SELECT max(sid) FROM sess m WHERE m.user_id = c.user_id)
+      |     OR c.end_us + 1800000000 < wm.wm_us)
+      |SELECT user_id,
+      |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_us) AS BIGINT) AS session_id,
+      |       start_us, end_us, n_events, sum_micro
+      |FROM closed
+      |ORDER BY user_id, session_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x194_timer_sessions"    -> x194,
     "x193_chi2_independence" -> x193,
     "x192_multi_match"       -> x192,
     "x191_budget_gate"       -> x191,

@@ -31,7 +31,7 @@ object StatefulSessions {
     * the wall-clock and event-time update functions so the gap rule cannot
     * drift between them (or from the batch x6 query).
     */
-  private def foldSorted(
+  private[streaming] def foldSorted(
       userId: Long,
       sorted: Seq[Event],
       init: Option[SessionState]): (List[SessionOut], Option[SessionState]) = {
