@@ -40,6 +40,12 @@ object Scratch9e {
       }
       spark.stop(); return
     }
+    if (args.contains("r9l")) {
+      for (dir <- Seq(sfDir, sfDir, tenDir)) {
+        time(s"x195_$dir")(queries.ExtendedQueries.x195StateProfile(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("r9i")) {
       for (dir <- Seq(sfDir, tenDir)) {
         time(s"x191_$dir")(queries.ExtendedQueries.x191BudgetGate(spark, dir).count())

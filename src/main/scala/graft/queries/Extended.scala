@@ -2564,6 +2564,66 @@ object ExtendedQueries {
       .orderBy("user_id", "session_id")
   }
 
+  private val x195InDir = new java.util.concurrent.atomic.AtomicReference[String]()
+  private val x195CkDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x195 — COMPOSITE STATE (`MapState` + `ListState`) on
+    * `transformWithState` as a REAL streaming query (round-9): per-user
+    * activity profiles via [[graft.streaming.StateProfile]] — a typed
+    * MapState holding per-event-type running aggregates (point-wise RocksDB
+    * updates, not a ValueState blob rewritten per event) and a typed
+    * ListState holding the 3-most-recent-event buffer with explicit
+    * eviction (truncated to K BEFORE write-back, so list state is O(1) per
+    * key). Completes the new-API state-type matrix the driver can see:
+    * x191 ValueState, x194 ValueState+timers, this MapState+ListState.
+    * Every profile field is a deterministic SQL aggregate (distinct-type
+    * count, totals, top type by (count desc, type asc), recent ids by
+    * (ts, id) desc) — so the DuckDB oracle pins the composite-state fold
+    * exactly; cross-batch accumulation is pinned by StateProfileSpec.
+    *
+    * Arithmetic: integer micro-units throughout (exact 64-bit). Scale
+    * shape: state O(types + K) per user; the single AvailableNow batch is
+    * the replay discipline, per-batch work batch-sized.
+    */
+  def x195StateProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.StateProfile
+    val ev = Io.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("ts").isNotNull)
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        unix_micros(col("ts")).as("tsMicros"), col("event_type").as("eventType"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("vMicro"))
+    val inDir = Io.freshTmpDir(spark, x195InDir, "x195_in")
+    val ckDir = Io.freshTmpDir(spark, x195CkDir, "x195_ck")
+    ev.write.mode("overwrite").parquet(inDir)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      spark.catalog.dropTempView("x195_out") // rerun-safe (bench reps)
+      val stream = spark.readStream.schema(ev.schema).parquet(inDir)
+        .as[StateProfile.Ev]
+      val q = StateProfile(stream)
+        .writeStream.format("memory").queryName("x195_out")
+        .outputMode("update")
+        .option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+    spark.table("x195_out")
+      .select(col("userId").as("user_id"), col("nTypes").as("n_types"),
+        col("nEvents").as("n_events"), col("sumMicro").as("sum_micro"),
+        col("topType").as("top_type"), col("topTypeN").as("top_type_n"),
+        col("recentIds").as("recent_ids"))
+      .orderBy("user_id")
+  }
+
   private val x190LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** x190 — TAKEDOWN DELETE with rewrite minimization (round-9): the

@@ -4102,7 +4102,47 @@ object Oracles {
       |FROM closed
       |ORDER BY user_id, session_id""".stripMargin
 
+  // x195: every profile field as a declarative aggregate — the composite
+  // MapState/ListState fold must equal these exactly.
+  val x195: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+      |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |    AND value IS NOT NULL AND ts IS NOT NULL),
+      |t AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(v_micro) AS BIGINT) AS s
+      |  FROM e GROUP BY user_id, event_type),
+      |prof AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+      |         CAST(sum(n) AS BIGINT) AS n_events,
+      |         CAST(sum(s) AS BIGINT) AS sum_micro
+      |  FROM t GROUP BY user_id),
+      |top AS (
+      |  SELECT user_id, event_type AS top_type, n AS top_type_n
+      |  FROM (SELECT user_id, event_type, n,
+      |          row_number() OVER (PARTITION BY user_id
+      |            ORDER BY n DESC, event_type) AS rn FROM t)
+      |  WHERE rn = 1),
+      |rec AS (
+      |  SELECT user_id,
+      |         string_agg(CAST(event_id AS VARCHAR), ','
+      |           ORDER BY ts_us DESC, event_id DESC) AS recent_ids
+      |  FROM (SELECT user_id, event_id, ts_us,
+      |          row_number() OVER (PARTITION BY user_id
+      |            ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
+      |  WHERE rn <= 3 GROUP BY user_id)
+      |SELECT p.user_id, p.n_types, p.n_events, p.sum_micro,
+      |       tp.top_type, tp.top_type_n, r.recent_ids
+      |FROM prof p
+      |JOIN top tp USING (user_id)
+      |JOIN rec r USING (user_id)
+      |ORDER BY p.user_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x195_state_profile"     -> x195,
     "x194_timer_sessions"    -> x194,
     "x193_chi2_independence" -> x193,
     "x192_multi_match"       -> x192,
