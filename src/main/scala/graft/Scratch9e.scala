@@ -46,6 +46,13 @@ object Scratch9e {
       }
       spark.stop(); return
     }
+    if (args.contains("r9m")) {
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x196_$dir")(queries.ExtendedQueries.x196Observe(spark, dir).count())
+        time(s"x197_$dir")(queries.ExtendedQueries.x197TypedUdaf(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("r9i")) {
       for (dir <- Seq(sfDir, tenDir)) {
         time(s"x191_$dir")(queries.ExtendedQueries.x191BudgetGate(spark, dir).count())

@@ -2624,6 +2624,69 @@ object ExtendedQueries {
       .orderBy("user_id")
   }
 
+  private val x196OutDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x196 — OBSERVED METRICS (`Dataset.observe` + `Observation`,
+    * round-9): pipeline instrumentation that rides the SAME job as the
+    * work. A cleaned corpus (non-null text) is WRITTEN to parquet — the
+    * real action — with a `CollectMetrics` node observing doc count,
+    * token sum, en-doc count and max doc length in-flight; the declared
+    * row IS the observed metrics. This is the operational face every
+    * production write needs (row counts and profile WITHOUT a second
+    * scan): the 100 TB alternative — rescan-to-count after the write —
+    * doubles the pipeline's cost; `observe` makes the metrics free,
+    * exactly once per row, collected on the driver via the blocking
+    * `Observation.get` (no listener races).
+    *
+    * The oracle recomputes the same aggregates declaratively, so the hash
+    * pins that in-flight observation equals after-the-fact aggregation —
+    * all counts/sums exact 64-bit integers.
+    */
+  def x196Observe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation(s"x196_${System.nanoTime()}")
+    val outDir = Io.freshTmpDir(spark, x196OutDir, "x196_out")
+    Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .observe(obs,
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        count(when(col("lang") === "en", 1)).as("n_en"),
+        max(col("n_chars").cast("long")).as("max_chars"))
+      .write.mode("overwrite").parquet(outDir) // the real action the metrics ride
+    val m = obs.get
+    Seq((m("n_docs").asInstanceOf[Long], m("n_tokens").asInstanceOf[Long],
+      m("n_en").asInstanceOf[Long], m("max_chars").asInstanceOf[Long]))
+      .toDF("n_docs", "n_tokens", "n_en", "max_chars")
+  }
+
+  /** x197 — TYPED `Aggregator` UDAF, SQL-registered (round-9): exact
+    * per-event-type mean/variance through
+    * [[graft.functions.TypedMoments]] — `spark.udf.register(...,
+    * functions.udaf(...))`, called FROM SQL, returning a struct — the
+    * user-space custom-aggregate path (no custom Spark build), next to the
+    * engine-internal native aggregates (x137) and declarative SQL UDFs
+    * (x187). The aggregator carries exact integer moments (cents + manual
+    * 128-bit Σc²), so unlike built-in `avg`/`var_pop` the result is
+    * independent of partition merge order — which is precisely what lets
+    * the DuckDB oracle (HUGEINT moments, identical final float sequence)
+    * hash-pin a variance.
+    */
+  def x197TypedUdaf(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.udf.register("x197_moments",
+      org.apache.spark.sql.functions.udaf(
+        graft.functions.TypedMoments, org.apache.spark.sql.Encoders.scalaDouble))
+    Io.events(spark, sfDir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select("event_type", "value")
+      .createOrReplaceTempView("x197_events")
+    spark.sql(
+      """SELECT event_type, m.n AS n, m.mean AS mean, m.varPop AS var_pop
+        |FROM (SELECT event_type, x197_moments(value) AS m
+        |      FROM x197_events GROUP BY event_type)
+        |ORDER BY event_type""".stripMargin)
+  }
+
   private val x190LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** x190 — TAKEDOWN DELETE with rewrite minimization (round-9): the

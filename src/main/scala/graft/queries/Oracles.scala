@@ -4141,7 +4141,39 @@ object Oracles {
       |JOIN rec r USING (user_id)
       |ORDER BY p.user_id""".stripMargin
 
+  // x196: the observed in-flight metrics must equal the declarative
+  // after-the-fact aggregation. DuckDB len(string_split(..)) mirrors
+  // Spark size(split(..)) on the space-tokenized fixture text.
+  val x196: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |       CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_en,
+      |       CAST(max(n_chars) AS BIGINT) AS max_chars
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  // x197: HUGEINT moments, then the identical final float sequence the
+  // Aggregator's finish runs — (s/n)/100 and (n·Σc²−s²)/(n·n)/10000, each
+  // round6'd once.
+  val x197: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |a AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(c) AS BIGINT) AS s,
+      |         sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS q
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, n,
+      |       floor(((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0)
+      |             * 1000000 + 0.5) / 1000000 AS mean,
+      |       floor(((CAST(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE)
+      |               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 10000.0)
+      |             * 1000000 + 0.5) / 1000000 AS var_pop
+      |FROM a ORDER BY event_type""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x197_typed_udaf"        -> x197,
+    "x196_observe"           -> x196,
     "x195_state_profile"     -> x195,
     "x194_timer_sessions"    -> x194,
     "x193_chi2_independence" -> x193,
