@@ -46,6 +46,14 @@ object Scratch9e {
       }
       spark.stop(); return
     }
+    if (args.contains("r9n")) {
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x198_$dir")(queries.ExtendedQueries.x198RangeWindow(spark, dir).count())
+        time(s"x199_$dir")(queries.LlmQueries.x199PrepV5(spark, dir).count())
+        time(s"x200_$dir")(queries.ExtendedQueries.x200StreamDedupNative(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("r9m")) {
       for (dir <- Seq(sfDir, tenDir)) {
         time(s"x196_$dir")(queries.ExtendedQueries.x196Observe(spark, dir).count())

@@ -2687,6 +2687,81 @@ object ExtendedQueries {
         |ORDER BY event_type""".stripMargin)
   }
 
+  /** x198 — RANGE-frame window (round-9): per event, the count and exact
+    * micro-unit sum of the SAME user's events in the PRECEDING HOUR —
+    * `rangeBetween(-3600s, 0)` over the event-time axis. The frame is
+    * defined by the ORDER-BY VALUE, not row offsets: x44's `rowsBetween`
+    * frame ("last 4 rows") cannot express "last hour" when event density
+    * varies, and ties at the current timestamp are ALL peers of the frame
+    * (standard RANGE semantics, identical in both engines) — this is the
+    * velocity/rate-limit feature every abuse screen computes. Completes
+    * the window-frame matrix: rows frames (x44), unbounded running (x5),
+    * rank/row_number family (x26), and now value-range frames.
+    *
+    * Scale shape: one hash shuffle on user_id + per-key sort — the same
+    * envelope as any keyed window; the range frame is evaluated by a
+    * sliding lower-bound pointer, linear per key. All arithmetic exact
+    * 64-bit.
+    */
+  def x198RangeWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    Io.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("v_micro"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum("v_micro").over(w))
+      .select("user_id", "event_id", "ts_us", "n_1h", "sum_1h")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val x200InDir = new java.util.concurrent.atomic.AtomicReference[String]()
+  private val x200CkDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x200 — NATIVE streaming dedup (`dropDuplicatesWithinWatermark`) as a
+    * REAL streaming query (round-9): the ENGINE-built dedup operator the
+    * custom-state family (x48 incremental, x161 throttle, x163 restart)
+    * deliberately does not use — content dedup of `documents` keyed on
+    * (lang, md5(text)) with a synthetic doc_id-derived event time and a
+    * 1-day tolerance, memory sink, AvailableNow, real checkpoint; the
+    * declared output is the per-lang KEPT count, which is deterministic
+    * (count of distinct keys) even though WHICH duplicate row survives a
+    * within-batch tie is not — exactly why the aggregate, not the row set,
+    * is the oracle-able contract. `StreamingDedup.byContentHash` (spec-
+    * pinned) is the library wrapper; this declares the operator itself.
+    *
+    * Scale shape: dedup state is one 32-byte md5 entry per key bounded by
+    * the WATERMARK window, not the corpus — the property that makes
+    * native dedup runnable on an unbounded 100 TB ingest where the
+    * unbounded-key `dropDuplicates` would grow forever. Runs on the
+    * default (HDFS-backed) state store — no RocksDB requirement.
+    */
+  def x200StreamDedupNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("lang"), md5(col("text")).as("k"),
+        expr("timestamp_micros(1700000000000000 + doc_id)").as("et"))
+    val inDir = Io.freshTmpDir(spark, x200InDir, "x200_in")
+    val ckDir = Io.freshTmpDir(spark, x200CkDir, "x200_ck")
+    docs.write.mode("overwrite").parquet(inDir)
+    spark.catalog.dropTempView("x200_out") // rerun-safe (bench reps)
+    val q = spark.readStream.schema(docs.schema).parquet(inDir)
+      .withWatermark("et", "1 day")
+      .dropDuplicatesWithinWatermark("lang", "k")
+      .writeStream.format("memory").queryName("x200_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("x200_out")
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
   private val x190LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** x190 — TAKEDOWN DELETE with rewrite minimization (round-9): the

@@ -1887,6 +1887,58 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** x199 — PREP PIPELINE v5 (round-9): the flagship composition updated
+    * with this round's native operator — documents screened by the
+    * Aho–Corasick `multi_match` expression (x192's 22-phrase blocklist, ONE
+    * codegen'd scan) with a phrase-density gate (≤ 8 distinct blocklist
+    * phrases) and a ≥ 20-token length gate, exact-deduped keep-first per
+    * (lang, md5(text)), then per (lang, source): doc/token counts, the
+    * blocklist HIT-RATE (mean distinct phrases per doc — the
+    * screening-telemetry every filter stage ships), and a per-LANG
+    * sqrt-temperature token allocation (x119's rule, partitioned by lang:
+    * each language's 1M-token budget split across its sources ∝ √tokens).
+    * vs v4: the quality gate is the automaton (not boilerplate heuristics)
+    * and the allocation is language-local, so adding a language never
+    * shifts another's mix.
+    *
+    * Float discipline: hit-rate and weights are single round6'd divisions
+    * of exact integers; the per-lang denominator is a DECIMAL(38,6) window
+    * sum of round6'd √tokens (order-free). Scale shape: one corpus scan
+    * (automaton + gates codegen'd) → one dedup window → one grouped agg →
+    * windows over the DIMENSION-SIZED (lang, source) table.
+    */
+  def x199PrepV5(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import ExtendedQueries.stableRound6
+    graft.plans.GraftExtensions.register(spark)
+    val budget = 1000000.0
+    val termsSql = X192Terms.map(t => s"'$t'").mkString(", ")
+    val screened = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        expr(s"multi_match(text, array($termsSql))").as("m"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .filter(col("n_toks") >= 20 && col("m.n_matched") <= 8)
+    val deduped = screened
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), md5(col("text"))).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val src = deduped.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_toks"),
+        sum(col("m.n_matched").cast("long")).as("n_hits"))
+      .withColumn("hit_rate",
+        stableRound6(col("n_hits").cast("double") / col("n_docs").cast("double")))
+      .withColumn("rsq", stableRound6(sqrt(col("n_toks").cast("double"))))
+    src
+      .withColumn("denom", sum(col("rsq").cast("decimal(38,6)"))
+        .over(Window.partitionBy("lang")).cast("double"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_toks"),
+        col("hit_rate"),
+        stableRound6(col("rsq") / col("denom")).as("weight"),
+        floor(col("rsq") / col("denom") * budget).cast("long").as("alloc_toks"))
+      .orderBy("lang", "source")
+  }
+
   /** x170 — TEXTRANK keyword extraction (round-9; Mihalcea & Tarau 2004):
     * PageRank over the corpus token CO-OCCURRENCE graph — vertices are
     * tokens, undirected edges join adjacent tokens (distinct pairs, no

@@ -4171,7 +4171,79 @@ object Oracles {
       |             * 1000000 + 0.5) / 1000000 AS var_pop
       |FROM a ORDER BY event_type""".stripMargin
 
+  // x198: RANGE frame over the event-time axis — ties at the current
+  // timestamp are all peers of the frame in both engines.
+  val x198: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL)
+      |SELECT user_id, event_id, ts_us,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      |       CAST(sum(v_micro) OVER w AS BIGINT) AS sum_1h
+      |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // x199: x192's per-phrase strpos form feeds the gates; per-lang
+  // sqrt-temperature allocation mirrors x119's arithmetic partitioned by
+  // lang. VALUES list shared verbatim with LlmQueries.X192Terms.
+  val x199: String =
+    """WITH terms(term) AS (VALUES ('fast'), ('fast sort'), ('sort key'),
+      |  ('table table'), ('query key'), ('stream window'), ('the line'),
+      |  ('merge batch'), ('big query'), ('key scan'), ('scan slow'),
+      |  ('row fast'), ('value fast'), ('part filter'), ('group value'),
+      |  ('order data'), ('customer join'), ('window spark'), ('hash value'),
+      |  ('join small'), ('agg row'), ('a a')),
+      |docs AS (
+      |  SELECT doc_id, lang, source, text,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |nm AS (
+      |  SELECT d.doc_id, CAST(count(t.term) AS BIGINT) AS n_matched
+      |  FROM docs d LEFT JOIN terms t ON strpos(d.text, t.term) > 0
+      |  GROUP BY d.doc_id),
+      |scr AS (
+      |  SELECT d.doc_id, d.lang, d.source, d.text, d.n_toks, n.n_matched
+      |  FROM docs d JOIN nm n USING (doc_id)
+      |  WHERE d.n_toks >= 20 AND n.n_matched <= 8),
+      |ded AS (
+      |  SELECT * FROM (
+      |    SELECT s.*, row_number() OVER (PARTITION BY lang, md5(text)
+      |      ORDER BY doc_id) AS rn FROM scr s)
+      |  WHERE rn = 1),
+      |src AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_toks) AS BIGINT) AS n_toks,
+      |         CAST(sum(n_matched) AS BIGINT) AS n_hits
+      |  FROM ded GROUP BY lang, source),
+      |s2 AS (
+      |  SELECT lang, source, n_docs, n_toks,
+      |         floor(CAST(n_hits AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |               * 1000000 + 0.5) / 1000000 AS hit_rate,
+      |         floor(sqrt(CAST(n_toks AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS rsq
+      |  FROM src),
+      |s3 AS (
+      |  SELECT *, CAST(sum(CAST(rsq AS DECIMAL(38,6)))
+      |         OVER (PARTITION BY lang) AS DOUBLE) AS denom
+      |  FROM s2)
+      |SELECT lang, source, n_docs, n_toks, hit_rate,
+      |       floor(rsq / denom * 1000000 + 0.5) / 1000000 AS weight,
+      |       CAST(floor(rsq / denom * 1000000) AS BIGINT) AS alloc_toks
+      |FROM s3 ORDER BY lang, source""".stripMargin
+
+  // x200: which duplicate row survives is engine-internal; the KEPT count
+  // per lang (= distinct content keys) is the deterministic contract.
+  val x200: String =
+    """SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS n_kept
+      |FROM documents WHERE text IS NOT NULL
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x200_stream_dedup_native" -> x200,
+    "x199_prep_v5"           -> x199,
+    "x198_range_window"      -> x198,
     "x197_typed_udaf"        -> x197,
     "x196_observe"           -> x196,
     "x195_state_profile"     -> x195,

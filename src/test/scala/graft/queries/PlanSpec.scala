@@ -938,6 +938,22 @@ class PlanSpec extends SparkSpec {
       "scan must prune to the two categorical columns")
   }
 
+  test("x198: range-frame window is one user_id exchange + window, no join") {
+    val p = plan("x198_range_window")
+    assert("""Exchange hashpartitioning\(user_id""".r.findAllIn(p).size == 1)
+    assert(p.contains("RANGE BETWEEN") || p.contains("specifiedwindowframe(RangeFrame"),
+      s"frame must be RANGE, not ROWS:\n${p.take(2000)}")
+    assert(!p.contains("Join"))
+  }
+
+  test("x199: prep v5 keeps the automaton in-plan and never joins a pattern table") {
+    val p = plan("x199_prep_v5")
+    assert(p.contains("multi_match"), "the blocklist screen must be the native expression")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "(lang, source) aggregates must combine map-side")
+  }
+
   test("x134: unicode normalization is pure codegen map work — no shuffle, pruned scan") {
     val p = plan("x134_unicode_norm")
     assert(p.contains("nfc_normalize") && p.contains("strip_accents"),
