@@ -46,6 +46,15 @@ object Scratch9e {
       }
       spark.stop(); return
     }
+    if (args.contains("r9o")) {
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x201_$dir")(queries.ExtendedQueries.x201Benford(spark, dir).count())
+        time(s"x202_$dir")(queries.ExtendedQueries.x202MannWhitney(spark, dir).count())
+        time(s"x203_$dir")(queries.ExtendedQueries.x203CalendarHeatmap(spark, dir).count())
+        time(s"x204_$dir")(queries.MultimodalQueries.x204AvAlign(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("r9n")) {
       for (dir <- Seq(sfDir, tenDir)) {
         time(s"x198_$dir")(queries.ExtendedQueries.x198RangeWindow(spark, dir).count())

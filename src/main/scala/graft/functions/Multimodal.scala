@@ -241,6 +241,25 @@ object Multimodal {
       Some(out)
     }
 
+  /** Sample count of a decodable PCM payload via the REAL javax.sound
+    * container parse — the duration primitive AV alignment needs (samples /
+    * rate = duration). None for null/undecodable payloads; channel-aware so
+    * a stereo container reports frames, not interleaved samples.
+    */
+  def audioSampleCount(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return None }
+    try {
+      val f = ais.getFormat
+      val bytesPerSample = f.getSampleSizeInBits / 8
+      if (bytesPerSample <= 0 || f.getChannels <= 0) None
+      else Some(ais.readAllBytes().length.toLong / bytesPerSample / f.getChannels)
+    } finally ais.close()
+  }
+
   /** Feature extraction over a media table: mapPartitions so any per-decoder
     * setup cost (codec context, model handle) is paid once per PARTITION,
     * not per row — the Scala analog of a batched Pandas UDF. Output schema:

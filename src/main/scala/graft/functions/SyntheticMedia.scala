@@ -102,6 +102,27 @@ object SyntheticMedia {
     * driver-side materialization, so the generator doubles as the
     * distributed-plumbing proof.
     */
+  /** n audio/video PAIRS for alignment queries: pair_id → an AVI of
+    * 2 + pair_id % 4 real PNG frames and a WAV of 800 + (pair_id·37 % 400)
+    * samples at 8 kHz. The geometry formulas are the x204 oracle's
+    * contract: the query must recover these counts from the BYTES via the
+    * real container parses, so a decode regression breaks the hash.
+    */
+  def avPairs(spark: SparkSession, n: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("pair_id", LongType, nullable = false),
+      StructField("video", BinaryType, nullable = true),
+      StructField("audio", BinaryType, nullable = true)))
+    val rdd = spark.range(0, n, 1, 4).rdd.map { id =>
+      val k = 2 + (id % 4).toInt
+      val s = 800 + (id * 37 % 400).toInt
+      Row(id,
+        aviBytes((0 until k).map(f => pngBytes(8, 6, id * 1000 + f))),
+        wavBytes(s, id))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   def assets(spark: SparkSession, n: Int): DataFrame = {
     val schema = StructType(Multimodal.mediaSchema.fields :+
       StructField("kind", StringType, nullable = false))

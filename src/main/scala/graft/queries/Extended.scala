@@ -2762,6 +2762,135 @@ object ExtendedQueries {
       .orderBy("lang")
   }
 
+  /** x201 — BENFORD FIRST-DIGIT AUDIT (round-9): the fraud-screening
+    * classic on the reference's own domain (`events.value` plays
+    * `df_fraud_credit.amount`): organically-generated amounts follow
+    * log10(1+1/d) first-digit shares; fabricated ones usually don't. Per
+    * digit 1–9: count, observed share, Benford expectation, deviation —
+    * the audit row a compliance pipeline thresholds on.
+    *
+    * Determinism: the value is made an exact micro-unit INTEGER first
+    * (floor(|v|·10⁶+0.5)); its first significant digit is the first
+    * character of that integer's decimal string — pure string arithmetic,
+    * no log10/power on data (engine libm differences can't bite); the
+    * Benford expectations are shared 6-decimal literals, not computed
+    * logs, for the same reason. Shares are single round6'd divisions of
+    * exact counts.
+    *
+    * Scale shape: one map-combining aggregation to 9 digit rows; the
+    * total arrives by a window over the DIGIT table (9 rows), never a
+    * second scan.
+    */
+  def x201Benford(spark: SparkSession, sfDir: String): DataFrame = {
+    // round6(log10(1 + 1/d)) as shared literals — see determinism note
+    val expected = Map(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+      4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+      8 -> 0.051153, 9 -> 0.045757)
+    val expectedCol = expected.foldLeft(lit(0.0)) { case (acc, (d, e)) =>
+      when(col("digit") === d, lit(e)).otherwise(acc)
+    }
+    val digits = Io.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(floor(abs(col("value")) * 1000000 + 0.5).cast("long").as("m"))
+      .filter(col("m") > 0)
+      .select(substring(col("m").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    digits
+      .withColumn("total", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("freq",
+        stableRound6(col("n").cast("double") / col("total").cast("double")))
+      .withColumn("expected", expectedCol)
+      .select(col("digit"), col("n"), col("freq"), col("expected"),
+        stableRound6(col("freq") - col("expected")).as("dev"))
+      .orderBy("digit")
+  }
+
+  /** x202 — MANN-WHITNEY U drift test (round-9): the NONPARAMETRIC
+    * two-sample member of the statistical-audit family — x126's KS pins
+    * max-CDF-distance, this pins rank-sum location shift (more powerful
+    * against median drift, robust to outliers): values of the EARLY half
+    * of `events` (by time) vs the LATE half, exact tie-corrected U and
+    * z-score — the "did the distribution move?" gate a data-quality
+    * monitor runs per ingest window.
+    *
+    * Exactness: values are rounded once to integer UNITS (ordinal binning
+    * — the textbook treatment for tied/banded data, and what bounds the
+    * distinct-value cardinality); tie-averaged ranks are carried DOUBLED
+    * (2·rank + (ties−1) — an integer), so every rank sum is an exact
+    * BIGINT and division by 2 happens once at the edge. The tie-correction
+    * Σ(t³−t) is exact integer too; z's float sequence (μ, σ, one sqrt,
+    * one divide) is engine-identical on those integers, round6'd once.
+    * Split point = the (min+max)/2 TIME midpoint from a 1-row aggregate
+    * (x114's O(1)-row precedent), so both engines partition identically.
+    *
+    * Scale shape (x126's discipline): ranks come from prefix sums over
+    * the DISTINCT-VALUE table (groupBy value → counts, then windows over
+    * value-cardinality rows), so the corpus is touched by exactly one
+    * map-combining aggregation — there is NO event-sized global window
+    * anywhere in the plan.
+    */
+  def x202MannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Io.events(spark, sfDir)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") + 0.5).cast("long").as("m"))
+    val mm = ev.agg(min("ts_us"), max("ts_us")).head() // O(1)-row driver stat
+    val tMid = (mm.getLong(0) + mm.getLong(1)) / 2
+    val vals = ev
+      .withColumn("early", (col("ts_us") <= tMid).cast("long"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("c"), sum("early").as("ce"))
+    val w = Window.orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = vals
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("r2", lit(2L) * (col("cum") - col("c") + 1L) + col("c") - 1L)
+    val agg = ranked.agg(
+      sum("ce").as("n1"),
+      (sum("c") - sum("ce")).as("n2"),
+      sum(col("ce") * col("r2")).as("sr2_1"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("tie3"))
+    agg
+      .select(
+        col("n1"), col("n2"),
+        ((col("sr2_1") - col("n1") * (col("n1") + 1)) / lit(2.0)).as("u1"),
+        col("tie3"))
+      .select(col("n1"), col("n2"), col("u1"),
+        stableRound6(
+          (col("u1") - col("n1").cast("double") * col("n2").cast("double") / lit(2.0)) /
+            sqrt(
+              (col("n1").cast("double") * col("n2").cast("double") / lit(12.0)) *
+                ((col("n1") + col("n2") + lit(1)).cast("double") -
+                  col("tie3").cast("double") /
+                    ((col("n1") + col("n2")).cast("double") *
+                      (col("n1") + col("n2") - 1).cast("double")))))
+          .as("z"))
+  }
+
+  /** x203 — CALENDAR ACTIVITY HEATMAP (round-9): events bucketed by
+    * (day-of-week, hour-of-day) with exact counts and micro-unit sums —
+    * the seasonality profile behind x81's burst detection and every
+    * capacity/anomaly baseline. Determinism: PURE integer epoch
+    * arithmetic — day = ts_us div 86 400·10⁶, dow = (day+4) mod 7 (epoch
+    * day 0 was a Thursday), hour = (ts_us mod day) div 3600·10⁶ — no
+    * engine calendar functions (Spark counts Sunday=1, DuckDB Sunday=0;
+    * integer arithmetic can't disagree). One map-combining aggregation to
+    * ≤ 168 cells.
+    */
+  def x203CalendarHeatmap(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("v_micro"))
+      .withColumn("dow", expr("(ts_us div 86400000000 + 4) % 7"))
+      .withColumn("hour", expr("(ts_us % 86400000000) div 3600000000"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n"), sum("v_micro").as("sum_micro"))
+      .orderBy("dow", "hour")
+  }
+
   private val x190LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** x190 — TAKEDOWN DELETE with rewrite minimization (round-9): the

@@ -11,6 +11,48 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  /** x204 — AV ALIGNMENT (round-9): the multimodal stack's first
+    * HASH-PINNED driver signal (x106/x135 are rows-only — binary md5s have
+    * no SQL oracle; this query's columns are chosen so an oracle EXISTS).
+    * 24 synthetic audio/video pairs ([[SyntheticMedia.avPairs]]: byte-valid
+    * AVI + WAV containers, geometry a pure function of pair_id), decoded by
+    * the REAL parsers — AVI frame walk ([[Multimodal.sampleVideoFrames]])
+    * and javax.sound PCM parse ([[Multimodal.audioSampleCount]]) — then
+    * each video frame (5 fps → frame i at i·200 ms) assigned to its 125 ms
+    * audio chunk (1000 samples at 8 kHz) by integer arithmetic; per pair:
+    * decoded frame count, decoded sample count, chunk count, and how many
+    * frames land inside the audio's span. The oracle recomputes every
+    * column from the GENERATOR formulas alone — so a regression in either
+    * real container parse (frame walk losing a frame, PCM math dropping
+    * samples) breaks the hash, which is exactly the per-round decode
+    * signal the rows-only queries cannot give.
+    *
+    * Scale shape: decode is per-row mapPartitions work (the batched-UDF
+    * pattern), alignment is a per-frame integer map + one grouped agg —
+    * no shuffle beyond the count aggregation; 100 TB of media scans
+    * linearly with decode cost, never with pair count².
+    */
+  def x204AvAlign(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = SyntheticMedia.avPairs(spark, 24)
+    val vFrames = Multimodal.sampleVideoFrames(
+        pairs.select(col("pair_id").as("asset_id"), col("video").as("media")),
+        every = 1)
+      .select(col("asset_id").as("pair_id"), col("frame_no"))
+    val aCounts = pairs.select("pair_id", "audio")
+      .as[(Long, Array[Byte])]
+      .map { case (id, b) => (id, Multimodal.audioSampleCount(b).getOrElse(0L)) }
+      .toDF("pair_id", "n_samples")
+      .withColumn("n_chunks", expr("(n_samples + 999) div 1000"))
+    vFrames.join(aCounts, "pair_id")
+      .withColumn("aligned",
+        (expr("(8 * frame_no) div 5").cast("long") < col("n_chunks")).cast("long"))
+      .groupBy("pair_id")
+      .agg(count(lit(1)).as("n_frames"), max("n_samples").as("n_samples"),
+        max("n_chunks").as("n_chunks"), sum("aligned").as("n_aligned"))
+      .orderBy("pair_id")
+  }
+
   /** x109 — SCHEMA AUDIT: both engines' raw views of every fixture table,
     * column by column, as one declared query — the standing canary for the
     * round-7 failure class (the driver regenerated `events.ts` from

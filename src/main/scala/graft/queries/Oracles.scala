@@ -4240,7 +4240,100 @@ object Oracles {
       |FROM documents WHERE text IS NOT NULL
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // x201: first significant digit via the integer's decimal STRING (no
+  // log/power on data); Benford expectations are shared literals.
+  val x201: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM (SELECT CAST(floor(abs(value) * 1000000 + 0.5) AS BIGINT) AS m
+      |        FROM events WHERE value IS NOT NULL)
+      |  WHERE m > 0),
+      |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+      |t AS (SELECT digit, n, sum(n) OVER () AS total FROM c),
+      |f AS (SELECT digit, n,
+      |        floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 1000000 + 0.5) / 1000000 AS freq
+      |      FROM t),
+      |bexp(digit, expected) AS (VALUES (1, 0.301030), (2, 0.176091),
+      |  (3, 0.124939), (4, 0.096910), (5, 0.079181), (6, 0.066947),
+      |  (7, 0.057992), (8, 0.051153), (9, 0.045757))
+      |SELECT f.digit, f.n, f.freq, b.expected,
+      |       floor((f.freq - b.expected) * 1000000 + 0.5) / 1000000 AS dev
+      |FROM f JOIN bexp b USING (digit)
+      |ORDER BY f.digit""".stripMargin
+
+  // x202: doubled tie-averaged ranks (2·rank + ties − 1: exact BIGINT sums),
+  // identical final float sequence for U and the tie-corrected z.
+  val x202: String =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS ts_us,
+      |         CAST(floor(value + 0.5) AS BIGINT) AS m
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      |mm AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS t_mid FROM e),
+      |v AS (
+      |  SELECT m, CAST(count(*) AS BIGINT) AS c,
+      |         CAST(sum(CASE WHEN ts_us <= (SELECT t_mid FROM mm)
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS ce
+      |  FROM e GROUP BY m),
+      |r AS (
+      |  SELECT m, c, ce,
+      |         sum(c) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM v),
+      |r2 AS (SELECT c, ce, 2 * (cum - c + 1) + c - 1 AS r2 FROM r),
+      |a AS (
+      |  SELECT CAST(sum(ce) AS BIGINT) AS n1,
+      |         CAST(sum(c) - sum(ce) AS BIGINT) AS n2,
+      |         CAST(sum(ce * r2) AS BIGINT) AS sr2_1,
+      |         CAST(sum(c * c * c - c) AS BIGINT) AS tie3
+      |  FROM r2),
+      |u AS (
+      |  SELECT n1, n2, tie3,
+      |         CAST(sr2_1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1
+      |  FROM a)
+      |SELECT n1, n2, u1,
+      |       floor(((u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+      |         / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) *
+      |                (CAST(n1 + n2 + 1 AS DOUBLE) -
+      |                 CAST(tie3 AS DOUBLE) /
+      |                   (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))))
+      |         * 1000000 + 0.5) / 1000000 AS z
+      |FROM u""".stripMargin
+
+  // x203: pure integer epoch arithmetic — engine calendar conventions
+  // (Sunday=0 vs 1) can't disagree. Epoch day 0 was a Thursday (dow 4).
+  val x203: String =
+    """SELECT (ts_us // 86400000000 + 4) % 7 AS dow,
+      |       (ts_us % 86400000000) // 3600000000 AS hour,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(v_micro) AS BIGINT) AS sum_micro
+      |FROM (SELECT epoch_us(ts) AS ts_us,
+      |             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro
+      |      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+      |GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin
+
+  // x204: every column recomputed from the GENERATOR formulas alone — the
+  // Spark side must recover them from the real AVI/WAV container parses.
+  val x204: String =
+    """WITH p AS (SELECT range AS pair_id FROM range(0, 24)),
+      |d AS (SELECT pair_id,
+      |        CAST(2 + pair_id % 4 AS BIGINT) AS n_frames,
+      |        CAST(800 + (pair_id * 37) % 400 AS BIGINT) AS n_samples
+      |      FROM p),
+      |f AS (SELECT pair_id, n_frames, n_samples,
+      |        CAST((n_samples + 999) // 1000 AS BIGINT) AS n_chunks
+      |      FROM d),
+      |a AS (SELECT f.pair_id, f.n_frames, f.n_samples, f.n_chunks,
+      |        CAST(sum(CASE WHEN (8 * i.range) // 5 < f.n_chunks
+      |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned
+      |      FROM f JOIN range(0, 8) i ON i.range < f.n_frames
+      |      GROUP BY f.pair_id, f.n_frames, f.n_samples, f.n_chunks)
+      |SELECT pair_id, n_frames, n_samples, n_chunks, n_aligned
+      |FROM a ORDER BY pair_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x204_av_align"          -> x204,
+    "x203_calendar_heatmap"  -> x203,
+    "x202_mann_whitney"      -> x202,
+    "x201_benford"           -> x201,
     "x200_stream_dedup_native" -> x200,
     "x199_prep_v5"           -> x199,
     "x198_range_window"      -> x198,
