@@ -70,6 +70,16 @@ class MultiMatchSpec extends SparkSpec {
     assert(bad(s"array($many)").contains("64"))
   }
 
+  test("adversarial nested repeats: every chain pattern found, counts exact") {
+    // "aa".."aaaaa" on "aaaaaa": all present; first_pos 1 for all; tie-break
+    // to the shortest (lexicographically smallest) chain member
+    val pats = Seq("aa", "aaa", "aaaa", "aaaaa")
+    assert(mm("aaaaaa", pats) == ((4, 1, "aa")))
+    assert(mm("a", pats) == ((0, 0, "")))
+    // alternating text defeats the chain beyond length 2
+    assert(mm("ababab", Seq("aa", "ab", "ba", "bab")) == ((3, 1, "ab")))
+  }
+
   test("automaton equals per-pattern strpos on random word-bag text (codegen and interpreted)") {
     GraftExtensions.register(spark)
     val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table", "a", "the")
