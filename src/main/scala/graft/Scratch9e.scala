@@ -46,6 +46,53 @@ object Scratch9e {
       }
       spark.stop(); return
     }
+    if (args.contains("r9p")) {
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x205_$dir")(queries.ExtendedQueries.x205Spearman(spark, dir).count())
+        time(s"x206_$dir")(queries.ExtendedQueries.x206KruskalWallis(spark, dir).count())
+        time(s"x207_$dir")(queries.ExtendedQueries.x207Cusum(spark, dir).count())
+        time(s"x208_$dir")(queries.ExtendedQueries.x208Acf(spark, dir).count())
+      }
+      spark.stop(); return
+    }
+    if (args.contains("r9s")) {
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x217_$dir")(queries.ExtendedQueries.x217KAnonymity(spark, dir).count())
+        time(s"x218_$dir")(queries.ExtendedQueries.x218Gini(spark, dir).count())
+        time(s"x219_$dir")(queries.LlmQueries.x219BigramEntropyRate(spark, dir).count())
+        time(s"x220_$dir")(queries.ExtendedQueries.x220WindowRankFamily(spark, dir).count())
+      }
+      spark.stop(); return
+    }
+    if (args.contains("r9r")) {
+      // 10× embeddings (id-shifted copies, Scratch9d's construction)
+      if (!new java.io.File(s"$tenDir/embeddings.parquet").isDirectory) {
+        val e = core.Io.table(spark, sfDir, "embeddings")
+        (0 until 10).map(k => e.withColumn("vec_id",
+            col("vec_id") + lit(k.toLong * 10000000L)))
+          .reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$tenDir/embeddings.parquet")
+      }
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x213_$dir")(queries.LlmQueries.x213LogisticQuality(spark, dir).count())
+        time(s"x214_$dir")(queries.LlmQueries.x214EmbeddingProfile(spark, dir).count())
+        time(s"x215_$dir")(queries.LlmQueries.x215JsdSources(spark, dir).count())
+        time(s"x216_$dir")(queries.LlmQueries.x216DupQualityCorr(spark, dir).count())
+      }
+      spark.stop(); return
+    }
+    if (args.contains("r9q")) {
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x209_$dir")(queries.ExtendedQueries.x209LateralTopk(spark, dir).count())
+        time(s"x210_$dir")(queries.ExtendedQueries.x210ParamSql(spark, dir).count())
+        time(s"x211_$dir")(queries.ExtendedQueries.x211GraphBackbone(spark, dir).count())
+        time(s"x212_$dir")(queries.LlmQueries.x212ConversationTemplates(spark, dir).count())
+      }
+      println("===== x209 decorrelated plan =====")
+      println(queries.ExtendedQueries.x209LateralTopk(spark, sfDir)
+        .queryExecution.executedPlan.toString.take(3000))
+      spark.stop(); return
+    }
     if (args.contains("r9o")) {
       for (dir <- Seq(sfDir, tenDir)) {
         time(s"x201_$dir")(queries.ExtendedQueries.x201Benford(spark, dir).count())

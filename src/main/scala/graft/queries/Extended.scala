@@ -3178,4 +3178,432 @@ object ExtendedQueries {
         sum("t").as("sum_kept_us"))
       .orderBy("user_id")
   }
+
+  /** Doubled tie-averaged rank table for one integer-valued column: one
+    * row per DISTINCT value with r2 = 2·rank + (ties−1) — an exact BIGINT
+    * (x202's trick: carrying ranks doubled defers the one /2 to the edge).
+    * The window runs over the value-cardinality table, never the corpus.
+    */
+  private def doubledRankTable(df: DataFrame, valueCol: String,
+      rankName: String): DataFrame = {
+    val w = Window.orderBy(valueCol).rowsBetween(Window.unboundedPreceding, 0)
+    df.groupBy(valueCol).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+      .select(col(valueCol),
+        (lit(2L) * (col("cum") - col("c") + 1L) + col("c") - 1L).as(rankName))
+  }
+
+  /** x205 — SPEARMAN rank correlation (round-9): ρ between lineitem
+    * quantity and extendedprice — the monotone-association member of the
+    * statistical-audit family (x148 pins Pearson/linear, x202 pins
+    * two-sample location, this pins "do they move together at all?", the
+    * feature-redundancy screen that survives nonlinearity and outliers).
+    *
+    * Exactness: both measures rounded once to integer UNITS (bounding
+    * distinct cardinality by the VALUE RANGE, not the corpus — ~50
+    * quantities, ~10⁵ unit prices at any sf), tie-averaged ranks carried
+    * DOUBLED (x202's exact-BIGINT trick), then Pearson over the doubled
+    * ranks with exact DECIMAL moments (x148's machinery — doubling scales
+    * both variables linearly, so ρ is unchanged). One float sequence at
+    * the edge (two sqrt, one divide), round6'd. Magnitude guard:
+    * n·Σab ~ 5·10²³ at sf0.1 vs decimal(38) (x144/x148's documented
+    * class — headroom to ~10⁹ rows).
+    *
+    * Scale shape: ONE corpus aggregation for each rank table (map-
+    * combining groupBy), windows over value-cardinality rows only, rank
+    * tables BROADCAST back onto the corpus (they are range-bounded), one
+    * final map-combining moments pass — no corpus-sized window, sort, or
+    * shuffle beyond the two groupBys.
+    */
+  def x205Spearman(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Io.table(spark, sfDir, "lineitem")
+      .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull)
+      .select(floor(col("l_quantity") + 0.5).cast("long").as("q"),
+        floor(col("l_extendedprice") + 0.5).cast("long").as("p"))
+    val rq = doubledRankTable(base, "q", "ra")
+    val rp = doubledRankTable(base, "p", "rb")
+    val ranked = base
+      .join(broadcast(rq), "q").join(broadcast(rp), "p")
+      .select(col("ra").cast("decimal(18,0)").as("a"),
+        col("rb").cast("decimal(18,0)").as("b"))
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum("a").as("sa"), sum("b").as("sb"),
+      sum(col("a") * col("a")).as("saa"),
+      sum(col("b") * col("b")).as("sbb"),
+      sum(col("a") * col("b")).as("sab"))
+    val nD = col("n").cast("decimal(38,0)")
+    m.select(col("n"),
+      stableRound6((nD * col("sab") - col("sa") * col("sb")).cast("double") /
+        (sqrt((nD * col("saa") - col("sa") * col("sa")).cast("double")) *
+          sqrt((nD * col("sbb") - col("sb") * col("sb")).cast("double"))))
+        .as("rho"))
+  }
+
+  /** x206 — KRUSKAL-WALLIS H (round-9): the k-sample extension of x202's
+    * Mann-Whitney — "does events.value differ in location across the k
+    * event_types?" — the one-shot drift screen across ALL sources/types at
+    * once (pairwise x202 needs k² runs and a multiple-testing correction).
+    * Output: one row per event_type with its size, exact rank sum and
+    * mean rank, plus the shared H and tie-corrected H on every row.
+    *
+    * Exactness: unit-rounded values, doubled tie-averaged ranks from the
+    * distinct-value table (x202's machinery), per-group rank sums as
+    * exact BIGINTs. The cross-group float sum the textbook formula wants
+    * (Σ Rj²/nj — k float divisions summed in engine-dependent group
+    * order) is replaced by the exact INTEGER sum Σ (Rj2² div 4nj): each
+    * term truncates < 1, so H absorbs error < 12k/(N(N+1)) ~ 10⁻⁸ —
+    * below round6 — while integer division makes both engines bit-equal.
+    * Rj2² ~ 10¹⁹ needs decimal(38) before the div (x144's magnitude
+    * class). Σ(t³−t) tie correction exact integer.
+    *
+    * Scale shape: one corpus map-combining agg to the (value, group)
+    * table, distinct-value window only, k-row finale; the 1-row global
+    * frame broadcast-crossed back (x117's shared-denominator precedent).
+    */
+  def x206KruskalWallis(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Io.events(spark, sfDir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), floor(col("value") + 0.5).cast("long").as("m"))
+    val vt = e.groupBy("m", "event_type").agg(count(lit(1)).as("cg"))
+    val v = vt.groupBy("m").agg(sum("cg").as("c"))
+    val w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    val r2 = v.withColumn("cum", sum("c").over(w))
+      .select(col("m"),
+        (lit(2L) * (col("cum") - col("c") + 1L) + col("c") - 1L).as("r2"),
+        (col("c") * col("c") * col("c") - col("c")).as("t3"))
+    val byGrp = vt.join(broadcast(r2.select("m", "r2")), "m")
+      .groupBy("event_type")
+      .agg(sum("cg").as("nj"), sum(col("cg") * col("r2")).as("rj2"))
+    val g = byGrp
+      .agg(sum("nj").as("nn"),
+        sum(expr("(cast(rj2 as decimal(38,0)) * rj2) div (4 * nj)")).as("t_int"))
+      .crossJoin(r2.agg(sum("t3").as("tie3")))
+    val nD = col("nn").cast("double")
+    val h = lit(12.0) * col("t_int").cast("double") /
+      (nD * (col("nn") + 1).cast("double")) -
+      lit(3.0) * (col("nn") + 1).cast("double")
+    val hTie = h / (lit(1.0) - col("tie3").cast("double") /
+      (col("nn") * col("nn") * col("nn") - col("nn")).cast("double"))
+    byGrp.crossJoin(broadcast(g))
+      .select(col("event_type"), col("nj"),
+        (col("rj2").cast("double") / lit(2.0)).as("rank_sum"),
+        stableRound6(col("rj2").cast("double") /
+          (lit(2.0) * col("nj").cast("double"))).as("mean_rank"),
+        stableRound6(h).as("h"), stableRound6(hTie).as("h_tie"))
+      .orderBy("event_type")
+  }
+
+  /** x207 — CUSUM CHANGEPOINT (round-9): where did the daily event-value
+    * level shift? The classic cumulative-sum statistic S_i = Σ_{j≤i}
+    * (x_j − x̄) over the daily totals, whose |max| locates the most likely
+    * single changepoint — the monitoring primitive behind "which day did
+    * the pipeline start emitting garbage?". Top-5 days by |S|, exact
+    * tie-break on day.
+    *
+    * Exactness: x̄ is rational, so S is carried n-SCALED: S'_i = n·cum_i
+    * − i·Σx — every term an exact BIGINT (daily sums in micro units,
+    * n·cum ~ 10¹⁵ at sf0.1), no float anywhere in the ranking. The
+    * driver-visible statistic IS the scaled integer (callers divide by n
+    * for the textbook value; ordering and argmax are identical).
+    *
+    * Scale shape: one corpus map-combining agg to day-cardinality rows;
+    * the window and top-k run over days only (x126/x202's distinct-table
+    * discipline). At 100 TB the day table is still ~10³ rows.
+    */
+  def x207Cusum(spark: SparkSession, sfDir: String): DataFrame = {
+    val day = Io.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("v"))
+      .groupBy("day").agg(sum("v").as("x"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val g = day.agg(count(lit(1)).as("nd"), sum("x").as("sx"))
+    day
+      .withColumn("cum", sum("x").over(w))
+      .withColumn("i", count(lit(1)).over(w))
+      .crossJoin(broadcast(g))
+      .select(col("day"), col("x"), col("nd"),
+        (col("nd") * col("cum") - col("i") * col("sx")).as("s_scaled"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(abs(col("s_scaled")).desc, col("day").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("rank").cast("long").as("rank"), col("day"), col("x"),
+        col("s_scaled"), col("nd").as("n_days"))
+      .orderBy("rank")
+  }
+
+  /** x208 — AUTOCORRELATION function (round-9): lag-1..7 ACF of the daily
+    * event-value totals — the seasonality detector behind x203's calendar
+    * heatmap (a weekly cycle shows as an r₇ spike) and the independence
+    * check every forecasting/monitoring pipeline runs before trusting
+    * confidence intervals. r_k = Σ(d_t·d_{t+k})/Σd_t² over the
+    * time-ordered day series (standard full-sum denominator).
+    *
+    * Exactness: deviations carried n-SCALED (d = n·x − Σx, exact BIGINT —
+    * x207's trick; the n² factor cancels in the ratio), products and sums
+    * as exact DECIMALs (d² ~ 10²⁷ at sf0.1 vs decimal(38)), ONE division
+    * at the edge, round6'd. Gaps: the series is the observed-day sequence
+    * in day order (lead over day rank), documented rather than gap-filled
+    * — x45 owns gap-filling.
+    *
+    * Scale shape: one corpus map-combining agg to day rows, then lead
+    * windows + moments over day-cardinality rows only; 7 output rows
+    * explode from the single 1-row moments result (x148's pattern).
+    */
+  def x208Acf(spark: SparkSession, sfDir: String): DataFrame = {
+    val day = Io.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("v"))
+      .groupBy("day").agg(sum("v").as("x"))
+    val g = day.agg(count(lit(1)).as("nd"), sum("x").as("sx"))
+    val w = Window.orderBy("day")
+    val dev = day.crossJoin(broadcast(g))
+      .select(col("day"),
+        (col("nd") * col("x") - col("sx")).cast("decimal(18,0)").as("d"))
+    val led = dev.select(col("d") +:
+      (1 to 7).map(k => lead(col("d"), k).over(w).as(s"d$k")): _*)
+    val aggs = sum(col("d") * col("d")).as("den") +:
+      (1 to 7).flatMap(k => Seq(
+        sum(col("d") * col(s"d$k")).as(s"num$k"),
+        count(col(s"d$k")).as(s"np$k")))
+    val m = led.agg(aggs.head, aggs.tail: _*)
+    m.select(explode(array((1 to 7).map(k =>
+        struct(lit(k.toLong).as("lag"), col(s"np$k").as("n_pairs"),
+          stableRound6(col(s"num$k").cast("double") /
+            col("den").cast("double")).as("r"))): _*)).as("s"))
+      .select(col("s.lag"), col("s.n_pairs"), col("s.r"))
+      .orderBy("lag")
+  }
+
+  /** x209 — LATERAL correlated SUBQUERY top-k (round-9): per-nation top-2
+    * customers by balance expressed as `FROM nation, LATERAL (SELECT …
+    * WHERE correlated ORDER BY … LIMIT 2)` — the SQL-surface face of
+    * per-group top-k (x122 is the custom physical operator, x149 the
+    * optimizer rewrite, x26 the window form; this is the ANSI lateral
+    * form a SQL user writes). x188 covers LATERAL over a TVF; this covers
+    * the correlated-subquery-with-LIMIT shape Catalyst plans via
+    * DecorrelateInnerQuery. Ties broken by name — fully deterministic.
+    *
+    * Scale shape: Catalyst decorrelates to a ranked join (the x26 plan),
+    * so the lateral form inherits the distributed window strategy rather
+    * than N per-group scans — exactly why the declarative surface matters
+    * at 100 TB.
+    */
+  def x209LateralTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "nation").createOrReplaceTempView("x209_nation")
+    Io.table(spark, sfDir, "customer").createOrReplaceTempView("x209_customer")
+    spark.sql(
+      """SELECT n.n_name AS nation, t.c_name AS customer, t.c_acctbal AS acctbal
+        |FROM x209_nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM x209_customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY nation, acctbal DESC, customer""".stripMargin)
+  }
+
+  /** x210 — PARAMETERIZED SQL (round-9): the injection-safe query surface
+    * — stage 1 runs through `spark.sql(text, args)` NAMED parameter
+    * markers (`:qmin`), stage 2 through SQL-scripting `EXECUTE IMMEDIATE
+    * … USING` with a positional `?` marker — both faces of the
+    * parameter-binding API a production query service uses instead of
+    * string interpolation. Semantics: per returnflag, the count of
+    * high-quantity (≥ :qmin) and low-quantity (≤ ?) lineitems; the oracle
+    * runs the same SQL with the parameters INLINED, so the hash match
+    * pins that binding is value-identical to literal substitution.
+    *
+    * Scale shape: parameters bind at parse time — the plan is the same
+    * pushed-filter aggregate as the literal form (no UDF wall, no
+    * re-parse per value).
+    */
+  def x210ParamSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "lineitem").createOrReplaceTempView("x210_lineitem")
+    spark.sql(
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_hi
+        |FROM x210_lineitem WHERE l_quantity >= :qmin
+        |GROUP BY l_returnflag""".stripMargin,
+      Map("qmin" -> 40))
+      .createOrReplaceTempView("x210_hi")
+    spark.sql(
+      """EXECUTE IMMEDIATE
+        |'SELECT h.flag, h.n_hi, CAST(count(*) AS BIGINT) AS n_lo
+        | FROM x210_lineitem l JOIN x210_hi h ON l.l_returnflag = h.flag
+        | WHERE l.l_quantity <= ?
+        | GROUP BY h.flag, h.n_hi
+        | ORDER BY h.flag'
+        |USING 10""".stripMargin)
+  }
+
+  /** x211 — CO-OCCURRENCE GRAPH BACKBONE + triangle census (round-9):
+    * parts are linked when they appear in the same order; the SUPPORT-
+    * THRESHOLDED backbone (edge weight = co-order count, kept at w ≥ t
+    * for t = 2..5) is profiled per threshold: nodes, edges, wedges,
+    * triangles, global clustering coefficient — the motif/shape audit
+    * behind co-occurrence features (collocation graphs, co-citation,
+    * basket analysis). Support pruning is the POINT, not a shortcut: the
+    * w≥1 graph at sf0.1 has 148M wedges (measured) and is never
+    * materialized as a join input; the frequent-pairs discipline (the
+    * A-Priori insight) bounds the backbone by the support threshold.
+    *
+    * Determinism: everything is an exact integer except gcc = 3T/W,
+    * round6'd (0.0 when W = 0). Per-threshold stats derive from ONE
+    * backbone: an edge serves all t ≤ w, a triangle all t ≤ min edge
+    * weight — so the corpus is touched by exactly one pair aggregation.
+    *
+    * Scale shape: pair generation is a self-join co-partitioned on
+    * orderkey (volume Σ lines-per-order², bounded by order size, never
+    * N²); the backbone is support-gated to ~10³ edges and BROADCAST into
+    * the wedge/triangle joins; the t-spine left-joins keep the 4-row
+    * output shape even on empty backbones.
+    */
+  def x211GraphBackbone(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Io.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val eB = broadcast(e)
+    val tSpine = spark.range(2, 6).select(col("id").as("t"))
+    val edges = tSpine.join(eB, col("w") >= col("t"), "inner")
+      .groupBy("t").agg(count(lit(1)).as("edges"))
+    val nodeWedge = tSpine
+      .join(eB.select(col("x").as("n"), col("w"))
+        .unionAll(eB.select(col("y").as("n"), col("w"))),
+        col("w") >= col("t"), "inner")
+      .groupBy("t", "n").agg(count(lit(1)).as("d"))
+      .groupBy("t").agg(count(lit(1)).as("nodes"),
+        sum(expr("d * (d - 1) div 2")).as("wedges"))
+    val tri = eB.as("e1")
+      .join(eB.as("e2"), col("e1.y") === col("e2.x"))
+      .join(eB.as("e3"),
+        col("e3.x") === col("e1.x") && col("e3.y") === col("e2.y"))
+      .select(least(col("e1.w"), col("e2.w"), col("e3.w")).as("mw"))
+    val triT = tSpine.join(tri, col("mw") >= col("t"), "inner")
+      .groupBy("t").agg(count(lit(1)).as("triangles"))
+    tSpine
+      .join(edges, Seq("t"), "left")
+      .join(nodeWedge, Seq("t"), "left")
+      .join(triT, Seq("t"), "left")
+      .select(col("t"),
+        coalesce(col("nodes"), lit(0L)).as("nodes"),
+        coalesce(col("edges"), lit(0L)).as("edges"),
+        coalesce(col("wedges"), lit(0L)).as("wedges"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("gcc", when(col("wedges") > 0,
+        stableRound6(lit(3.0) * col("triangles").cast("double") /
+          col("wedges").cast("double"))).otherwise(lit(0.0)))
+      .orderBy("t")
+  }
+
+  /** x217 — K-ANONYMITY risk profile (round-9): how many documents sit in
+    * quasi-identifier equivalence classes smaller than k, for k ∈
+    * {2,5,10,20} — the re-identification audit a privacy review runs
+    * before release (x64 scrubs direct identifiers; this measures the
+    * INDIRECT ones: a (lang, source, length-bin) combination shared by
+    * only one document fingerprints that document). Per k: undersized
+    * classes, documents at risk, risk fraction.
+    *
+    * All exact integers except the one risk ratio (round6'd). The k-spine
+    * left-joins the class-size table so the 4-row shape survives even a
+    * fully-anonymous corpus.
+    *
+    * Scale shape: ONE map-combining groupBy to the QI-class table
+    * (dimension-bounded, not corpus-bounded), then k-spine joins over
+    * class-cardinality rows; the 1-row total broadcast-crossed (x117's
+    * precedent).
+    */
+  def x217KAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+      .filter(col("lang").isNotNull && col("source").isNotNull &&
+        col("n_chars").isNotNull)
+    val cls = docs
+      .groupBy(col("lang"), col("source"), expr("n_chars div 100").as("len_bin"))
+      .agg(count(lit(1)).as("s"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val kSpine = spark.range(0, 4).select(
+      element_at(array(lit(2L), lit(5L), lit(10L), lit(20L)),
+        (col("id") + 1).cast("int")).as("k"))
+    kSpine.join(cls, col("s") < col("k"), "left")
+      .groupBy("k")
+      .agg(count(col("s")).as("n_small_classes"),
+        coalesce(sum("s"), lit(0L)).as("n_risk_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("n_small_classes"), col("n_risk_docs"),
+        stableRound6(col("n_risk_docs").cast("double") /
+          col("n_total").cast("double")).as("risk_frac"))
+      .orderBy("k")
+  }
+
+  /** x218 — GINI concentration of event values per type (round-9): is the
+    * value mass spread across events or concentrated in a few? — the
+    * inequality audit behind "one heavy account dominates this stream"
+    * alerts and corpus-curation token-concentration checks. Tie-aware:
+    * G = Σrx·2/(nΣx) − (n+1)/n with tie-averaged ranks — Σrx is invariant
+    * under tie ordering (tied values are equal), so the doubled-rank sum
+    * Σ m·c·r2 (exact BIGINT, x202's machinery) computes it exactly:
+    * G = sr2/(n·Σx) − (n+1)/n, one float chain round6'd.
+    *
+    * Scale shape: one corpus map-combining agg to the (type, unit-value)
+    * table, per-type windows over value-cardinality rows only (~561
+    * distinct units — range-bounded), k-row finale. n·Σx ~ 5·10¹² stays
+    * double-exact (< 2⁵³); at 10⁹+ rows the sums move to decimal (x144's
+    * documented class).
+    */
+  def x218Gini(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Io.events(spark, sfDir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), floor(col("value") + 0.5).cast("long").as("m"))
+    val vt = e.groupBy("event_type", "m").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    vt.withColumn("cum", sum("c").over(w))
+      .withColumn("r2", lit(2L) * (col("cum") - col("c") + 1L) + col("c") - 1L)
+      .groupBy("event_type")
+      .agg(sum("c").as("n"), sum(col("c") * col("m")).as("sx"),
+        sum(col("m") * col("c") * col("r2")).as("sr2"))
+      .select(col("event_type"), col("n"),
+        stableRound6(col("sx").cast("double") / col("n").cast("double"))
+          .as("mean_units"),
+        stableRound6(col("sr2").cast("double") /
+          (col("n").cast("double") * col("sx").cast("double")) -
+          (col("n") + 1).cast("double") / col("n").cast("double")).as("gini"))
+      .orderBy("event_type")
+  }
+
+  /** x220 — WINDOW RANK-FAMILY faces (round-9): ntile(4), percent_rank
+    * and cume_dist in one declared query — the three ANSI ranking
+    * functions the suite had not yet driver-pinned (x26 pins
+    * rank/dense_rank/row_number, x198 the RANGE frame): per (returnflag,
+    * quartile): row count, exact money sum, min/max price, and the
+    * quartile's max percent_rank / cume_dist. The window order includes
+    * (orderkey, linenumber) so the permutation — and therefore every
+    * ntile boundary — is unique; percent_rank = (rank−1)/(n−1) and
+    * cume_dist = peers≤/n are exact-integer ratios under a unique order.
+    *
+    * Scale shape: one keyed shuffle + sort per returnflag partition, all
+    * three functions ride the SAME window (one Window node in the plan),
+    * 12-row finale.
+    */
+  def x220WindowRankFamily(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("flag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Io.table(spark, sfDir, "lineitem")
+      .filter(col("l_extendedprice").isNotNull)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("q", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("flag"), col("q").cast("long").as("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+          2).as("sum_price"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        stableRound6(max("pr")).as("max_pct_rank"),
+        stableRound6(max("cd")).as("max_cume_dist"))
+      .orderBy("flag", "quartile")
+  }
 }

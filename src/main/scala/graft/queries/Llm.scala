@@ -5041,4 +5041,300 @@ object LlmQueries {
             sum("accept"))).as("avg_q_accepted"))
       .orderBy("source")
   }
+
+  /** x212 — CONVERSATION TEMPLATE dedup (round-9): per (user, day) the
+    * time-ordered event_type sequence becomes a TEMPLATE string, and
+    * templates are ranked by how many sessions repeat them — the
+    * instruction/chat-data analogue of content dedup, where what repeats
+    * is the INTERACTION SHAPE (the "Sure, here's X" scaffold, the retry
+    * loop, the bot spiral), not the text; the top templates are exactly
+    * what a conversation-data curator caps or downweights (x53/x107 dedup
+    * repeated chunks, this dedups repeated DIALOGUE STRUCTURE). Top-20 by
+    * session count, template string tie-break.
+    *
+    * Determinism: the sequence is ordered by (ts_µs, event_id) — event_id
+    * unique ⇒ a total order; Spark sorts the collected struct array
+    * (array_sort is lexicographic on struct fields), DuckDB uses
+    * string_agg ORDER BY — same string. All counts exact.
+    *
+    * Scale shape: ONE shuffle on (user_id, day) with collect_list bounded
+    * by events-per-user-day (a session, not the corpus), one map-combining
+    * template aggregate, top-20 via TakeOrdered. At 100 TB the template
+    * table is long-tailed but the heavy head — the thing being audited —
+    * combines map-side.
+    */
+  def x212ConversationTemplates(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Io.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val sessions = ev.groupBy("user_id", "day")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+            col("event_type")))),
+          s => s.getField("event_type")), ">").as("template"),
+        count(lit(1)).as("n_steps"))
+    sessions.groupBy("template")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct("user_id").as("n_users"),
+        max("n_steps").as("n_steps"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("template").asc)))
+      .filter(col("rank") <= 20)
+      .select(col("rank").cast("long").as("rank"), col("template"),
+        col("n_steps"), col("n_sessions"), col("n_users"))
+      .orderBy("rank")
+  }
+
+  /** x213 — LOGISTIC QUALITY SCORER + calibration histogram (round-9):
+    * documents scored by a FIXED-WEIGHT logistic model over exact text
+    * features (ln(1+tokens), stopword ratio, capped chars-per-token —
+    * x16's feature family behind a sigmoid), then bucketed into score
+    * deciles with per-bin counts and mean score — the "run the quality
+    * classifier over the corpus and look at its calibration curve" pass
+    * every filtered-data pipeline runs (the fastText/DSIR-classifier
+    * deployment shape; training the weights is offline, APPLYING them is
+    * the corpus-scale job this declares).
+    *
+    * Determinism: features are exact-integer ratios (identical doubles
+    * both engines); ln/exp are the only transcendentals (x87/x124/x133's
+    * log precedent — identical IEEE inputs, correctly-rounded-in-practice
+    * libm, and the score is immediately integer-quantized to micros so a
+    * last-ulp divergence must land exactly on a .5·10⁻⁶ boundary to
+    * matter); binning and sums run on the EXACT micro integers (p6 div
+    * 100000, Σp6), so bins and averages can't drift once p6 agrees.
+    *
+    * Scale shape: one token aggregate per doc (map-combining), one
+    * codegen'd scoring map (weights are literals — broadcast-free), one
+    * ≤10-row aggregate. No shuffle beyond the token groupBy.
+    */
+  def x213LogisticQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents").filter(col("text").isNotNull)
+    val st = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("token").isin(Stopwords: _*).cast("long")).as("n_stop"))
+    val alpha = docs.select(col("doc_id"),
+      length(expr("replace(text, ' ', '')")).as("n_alpha"))
+    val nTok = col("n_tokens").cast("double")
+    val z = lit(-1.5) + lit(0.4) * log(nTok + lit(1.0)) -
+      lit(2.5) * (col("n_stop").cast("double") / nTok) +
+      lit(0.05) * least(col("n_alpha").cast("double") / nTok, lit(10.0))
+    st.join(alpha, "doc_id")
+      .select(floor(lit(1.0) / (lit(1.0) + exp(-z)) * 1000000 + 0.5)
+        .cast("long").as("p6"))
+      .groupBy(least(expr("p6 div 100000"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        ExtendedQueries.stableRound6(
+          sum("p6").cast("double") / lit(1e6) / count(lit(1))).as("avg_score"))
+      .orderBy("bin")
+  }
+
+  /** x214 — EMBEDDING DIMENSION PROFILE (round-9): per-dimension n /
+    * mean / population variance / min / max over the embedding column —
+    * the vector-space health check behind every ANN/semantic-dedup
+    * deployment (a dead dimension means a broken encoder shard; a
+    * variance spike means un-normalized inputs; this is the profile an
+    * index build validates before committing 10⁹ vectors).
+    *
+    * Determinism: each float32 is widened exactly to double, quantized
+    * once to micro INTEGERS, and every moment is an exact sum (variance
+    * numerator n·Σv² − (Σv)² as decimal — ~10¹⁸ at fixture scale,
+    * decimal(38) headroom to ~10⁹ vectors); min/max are exact integers
+    * rescaled at the edge. Two divides + round6 at the edge only.
+    *
+    * Scale shape: posexplode then ONE map-combining aggregate keyed by
+    * dimension index — 64 output rows regardless of corpus size; no
+    * window, no join. (Spark's posexplode is 0-based, DuckDB's
+    * generate_subscripts 1-based — aligned by +1 on the Spark side.)
+    */
+  def x214EmbeddingProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        floor(col("v").cast("double") * 1000000 + 0.5).cast("long").as("v6"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum("v6").as("sv"),
+        sum(col("v6").cast("decimal(18,0)") * col("v6")).as("svv"),
+        min("v6").as("minv6"), max("v6").as("maxv6"))
+      .select(col("dim"), col("n"),
+        ExtendedQueries.stableRound6(
+          col("sv").cast("double") / lit(1e6) / col("n").cast("double"))
+          .as("mean"),
+        ExtendedQueries.stableRound6(
+          (col("n").cast("decimal(38,0)") * col("svv") -
+            col("sv").cast("decimal(38,0)") * col("sv")).cast("double") /
+            (col("n").cast("double") * col("n").cast("double")) / lit(1e12))
+          .as("variance"),
+        (col("minv6").cast("double") / lit(1e6)).as("min_v"),
+        (col("maxv6").cast("double") / lit(1e6)).as("max_v"))
+      .orderBy("dim")
+  }
+
+  /** x219 — BIGRAM ENTROPY RATE per source (round-9): conditional entropy
+    * H(W₂|W₁) = H(bigrams) − H(first-tokens) — the compressibility proxy
+    * that separates templated/boilerplate text (near-deterministic next
+    * token ⇒ low rate) from natural prose, complementing x101's unigram
+    * entropy (which a shuffled corpus can't fool this one way: x101 sees
+    * the same bag, the rate sees the broken sequence structure).
+    *
+    * Both entropies use x101's order-free discipline: per-term
+    * stableRound6(−p·log2 p), DECIMAL(28,6) sum, round6 at the edge; the
+    * first-token distribution aggregates the SAME bigram table (its
+    * total equals the bigram total by construction — no second corpus
+    * scan), so p is an exact-count ratio in both.
+    *
+    * Scale shape: one corpus bigram explosion → map-combining (source,
+    * bigram) agg; the first-token table derives from it (vocab-sized
+    * input); totals via per-source windows over vocab rows; k-row join
+    * finale.
+    */
+  def x219BigramEntropyRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val wSrc = Window.partitionBy("source")
+    val bg = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("source"), col("toks"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(1, size(toks) - 1) END""".stripMargin)).as("i"))
+      .select(col("source"), expr("element_at(toks, i)").as("w1"),
+        concat_ws(" ", expr("element_at(toks, i)"),
+          expr("element_at(toks, i + 1)")).as("bg"))
+    val bgCounts = bg.groupBy("source", "w1", "bg")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("total", sum("c").over(wSrc))
+    def entropy(cnt: Column, tot: Column): Column =
+      sum(ExtendedQueries.stableRound6(-(cnt.cast("double") / tot.cast("double")) *
+        log2(cnt.cast("double") / tot.cast("double"))).cast("decimal(28,6)"))
+    val hB = bgCounts.groupBy("source")
+      .agg(max("total").as("n_bigrams"),
+        stableRound6(entropy(col("c"), col("total"))
+          .cast("double")).as("h_bigram"))
+    val w1Counts = bgCounts.groupBy("source", "w1")
+      .agg(sum("c").as("c"), max("total").as("total"))
+    val hU = w1Counts.groupBy("source")
+      .agg(stableRound6(entropy(col("c"), col("total"))
+        .cast("double")).as("h_first"))
+    hB.join(hU, "source")
+      .select(col("source"), col("n_bigrams"), col("h_bigram"), col("h_first"),
+        stableRound6(col("h_bigram") - col("h_first")).as("h_cond"))
+      .orderBy("source")
+  }
+
+  /** x215 — JENSEN-SHANNON drift between source token distributions
+    * (round-9): pairwise JSD (base 2, ∈ [0,1]) between every pair of
+    * sources' unigram distributions — the distribution-level counterpart
+    * of x85's per-feature source drift and the standard "how different is
+    * this crawl from that one?" meter behind mixing decisions (DoReMi-
+    * style domain weights start from exactly this matrix).
+    *
+    * Decomposition that keeps it one join: for words in P∩Q the term is
+    * p·log2(2p/(p+q)) (and symmetrically q); a word only in P contributes
+    * ½p·log2(2) = ½p, so the P-only mass needs NO anti-join —
+    * JSD = ½[Σ_∩ p·log2(2p/(p+q)) + (1 − mass_∩(P))] + symmetric, where
+    * mass_∩ is an exact integer ratio. Per-term stableRound6 then
+    * DECIMAL(28,6) sum (x101's order-free entropy discipline); p, q are
+    * exact-count ratios — identical doubles both engines.
+    *
+    * Scale shape: one token aggregate to the (source, word) table, one
+    * vocab-bounded self-join on word (shuffle keyed by word — the right
+    * key: vocabulary, not corpus), k²/2-row finale. Totals via a window
+    * over the (source, word) table partitioned by source.
+    */
+  def x215JsdSources(spark: SparkSession, sfDir: String): DataFrame = {
+    val wSrc = Window.partitionBy("source")
+    val counts = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .withColumn("total", sum("c").over(wSrc))
+    val a = counts.select(col("source").as("source_a"), col("w"),
+      col("c").as("ca"), col("total").as("ta"))
+    val b = counts.select(col("source").as("source_b"), col("w"),
+      col("c").as("cb"), col("total").as("tb"))
+    val p = col("ca").cast("double") / col("ta").cast("double")
+    val q = col("cb").cast("double") / col("tb").cast("double")
+    a.join(b, Seq("w")).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("ca"), col("cb"),
+        col("ta"), col("tb"),
+        ExtendedQueries.stableRound6(
+          p * log2(lit(2.0) * p / (p + q))).as("tp"),
+        ExtendedQueries.stableRound6(
+          q * log2(lit(2.0) * q / (p + q))).as("tq"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common"),
+        sum("ca").as("sca"), sum("cb").as("scb"),
+        max("ta").as("ta"), max("tb").as("tb"),
+        sum(col("tp").cast("decimal(28,6)")).as("stp"),
+        sum(col("tq").cast("decimal(28,6)")).as("stq"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        ExtendedQueries.stableRound6(
+          lit(0.5) * (col("stp").cast("double") +
+            (lit(1.0) - col("sca").cast("double") / col("ta").cast("double"))) +
+          lit(0.5) * (col("stq").cast("double") +
+            (lit(1.0) - col("scb").cast("double") / col("tb").cast("double"))))
+          .as("jsd"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** x216 — POINT-BISERIAL dup↔quality correlation (round-9): "are
+    * documents that share content lower-quality?" — the correlation
+    * between the binary shared-chunk flag (the doc contains a 20-token
+    * chunk — x53's chunk lineage — appearing in MORE THAN ONE doc) and
+    * x16's quality score, the analysis that decides whether dedup doubles
+    * as a quality filter (it usually does: boilerplate both repeats and
+    * scores low). r_pb = (m₁−m₀)/σ·√(n₁n₀/n²) over the exact
+    * micro-quantized scores. (The flag is chunk-level, not md5(text):
+    * the fixtures repeat CHUNKS across docs, never whole texts — an
+    * exact-text flag has zero positives and the statistic degenerates.)
+    *
+    * Determinism: the flag is a distinct-doc count comparison, the score
+    * is x16's 8-dp-rounded value re-quantized to micro INTEGERS, so every
+    * moment (n₁, n₀, Σq, Σq², Σq·flag) is an exact BIGINT/DECIMAL and the
+    * one float chain (two sqrt, two divides) runs on engine-identical
+    * inputs, round6'd. Magnitude: n·Σq² ~ 10¹⁷ at sf0.1 vs decimal(38).
+    *
+    * Scale shape: one chunk-hash groupBy for the shared set (x53's
+    * shape), a semi-join back for the flag, one token aggregate for the
+    * score, one map-combining moments pass to a single row.
+    */
+  def x216DupQualityCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents").filter(col("text").isNotNull)
+    val chunks = chunks20(fanOut(docs))
+      .select(col("doc_id"), md5(col("chunk")).as("ch"))
+    val shared = chunks.groupBy("ch")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") > 1).select("ch")
+    val dupDocs = chunks.join(shared, Seq("ch"), "left_semi")
+      .select("doc_id").distinct().withColumn("is_dup", lit(1L))
+    val dupFlag = docs.select("doc_id")
+      .join(dupDocs, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+    val q6 = qualityScored(docs)
+      .select(col("doc_id"),
+        floor(col("quality_score") * 1000000 + 0.5).cast("long").as("q6"))
+    val m = q6.join(dupFlag, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum("is_dup").as("n1"),
+        sum("q6").as("sq"),
+        sum(col("q6").cast("decimal(18,0)") * col("q6")).as("sqq"),
+        sum(col("q6") * col("is_dup")).as("sq1"))
+    val nD = col("n").cast("double")
+    val n1D = col("n1").cast("double")
+    val n0D = (col("n") - col("n1")).cast("double")
+    val m1 = col("sq1").cast("double") / n1D
+    val m0 = (col("sq") - col("sq1")).cast("double") / n0D
+    val sd = sqrt((col("n").cast("decimal(38,0)") * col("sqq") -
+      col("sq").cast("decimal(38,0)") * col("sq")).cast("double")) / nD
+    m.select(col("n"), col("n1").as("n_dup"),
+      ExtendedQueries.stableRound6((m1 - m0) / sd *
+        sqrt(n1D * n0D / (nD * nD))).as("r_pb"),
+      ExtendedQueries.stableRound6(m1 / lit(1e6)).as("mean_q_dup"),
+      ExtendedQueries.stableRound6(m0 / lit(1e6)).as("mean_q_uniq"))
+  }
 }

@@ -4329,9 +4329,443 @@ object Oracles {
       |SELECT pair_id, n_frames, n_samples, n_chunks, n_aligned
       |FROM a ORDER BY pair_id""".stripMargin
 
+  // x205: doubled tie-averaged ranks (x202's exact-BIGINT trick) per
+  // column, then x148's exact-moment Pearson over the ranks.
+  val x205: String =
+    """WITH base AS (
+      |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+      |         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS p
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |rq AS (
+      |  SELECT q, 2 * (cum - c + 1) + c - 1 AS ra
+      |  FROM (SELECT q, c, sum(c) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS cum
+      |        FROM (SELECT q, count(*) AS c FROM base GROUP BY q))),
+      |rp AS (
+      |  SELECT p, 2 * (cum - c + 1) + c - 1 AS rb
+      |  FROM (SELECT p, c, sum(c) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS cum
+      |        FROM (SELECT p, count(*) AS c FROM base GROUP BY p))),
+      |r AS (SELECT ra AS a, rb AS b FROM base JOIN rq USING (q) JOIN rp USING (p)),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(a) AS sa, sum(b) AS sb,
+      |             sum(a * a) AS saa, sum(b * b) AS sbb, sum(a * b) AS sab
+      |      FROM r)
+      |SELECT n,
+      |       floor(CAST(n * sab - sa * sb AS DOUBLE) /
+      |             (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) *
+      |              sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+      |             * 1000000 + 0.5) / 1000000 AS rho
+      |FROM m""".stripMargin
+
+  // x206: the cross-group float sum is replaced by the exact integer
+  // Σ (Rj2² div 4nj) — truncation < 1 per group keeps H's error below
+  // round6 while making both engines bit-identical.
+  val x206: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(floor(value + 0.5) AS BIGINT) AS m
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |vt AS (SELECT m, event_type, CAST(count(*) AS BIGINT) AS cg
+      |       FROM e GROUP BY m, event_type),
+      |v AS (SELECT m, CAST(sum(cg) AS BIGINT) AS c FROM vt GROUP BY m),
+      |r AS (SELECT m, c, CAST(sum(c) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM v),
+      |r2 AS (SELECT m, 2 * (cum - c + 1) + c - 1 AS r2, c * c * c - c AS t3 FROM r),
+      |bg AS (
+      |  SELECT event_type, CAST(sum(cg) AS BIGINT) AS nj,
+      |         CAST(sum(cg * r2.r2) AS BIGINT) AS rj2
+      |  FROM vt JOIN r2 USING (m) GROUP BY event_type),
+      |g AS (
+      |  SELECT CAST(sum(nj) AS BIGINT) AS nn,
+      |         CAST(sum((CAST(rj2 AS HUGEINT) * rj2) // (4 * nj)) AS BIGINT) AS t_int
+      |  FROM bg),
+      |tt AS (SELECT CAST(sum(t3) AS BIGINT) AS tie3 FROM r2),
+      |hh AS (
+      |  SELECT nn, tie3,
+      |         12.0 * CAST(t_int AS DOUBLE) /
+      |           (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))
+      |           - 3.0 * CAST(nn + 1 AS DOUBLE) AS h
+      |  FROM g, tt)
+      |SELECT bg.event_type, bg.nj,
+      |       CAST(bg.rj2 AS DOUBLE) / 2.0 AS rank_sum,
+      |       floor(CAST(bg.rj2 AS DOUBLE) / (2.0 * CAST(bg.nj AS DOUBLE))
+      |             * 1000000 + 0.5) / 1000000 AS mean_rank,
+      |       floor(h * 1000000 + 0.5) / 1000000 AS h,
+      |       floor(h / (1.0 - CAST(tie3 AS DOUBLE) /
+      |                  CAST(nn * nn * nn - nn AS DOUBLE))
+      |             * 1000000 + 0.5) / 1000000 AS h_tie
+      |FROM bg, hh
+      |ORDER BY event_type""".stripMargin
+
+  // x207: n-scaled CUSUM — S' = n·cum − i·Σx, exact BIGINT throughout.
+  val x207: String =
+    """WITH day AS (
+      |  SELECT ts_us // 86400000000 AS day, CAST(sum(v) AS BIGINT) AS x
+      |  FROM (SELECT epoch_us(ts) AS ts_us,
+      |               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+      |        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+      |  GROUP BY 1),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(x) AS BIGINT) AS sx
+      |      FROM day),
+      |c AS (SELECT day, x,
+      |             CAST(sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |             CAST(count(*) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS i
+      |      FROM day),
+      |s AS (SELECT day, x, nd, nd * cum - i * sx AS s_scaled FROM c, g),
+      |r AS (SELECT day, x, nd, s_scaled,
+      |             row_number() OVER (ORDER BY abs(s_scaled) DESC, day) AS rank
+      |      FROM s)
+      |SELECT CAST(rank AS BIGINT) AS rank, day, x,
+      |       CAST(s_scaled AS BIGINT) AS s_scaled, nd AS n_days
+      |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin
+
+  // x213: ln/exp on exact-integer-derived doubles (x133's log precedent),
+  // immediately quantized to micro ints — bins and sums run on integers.
+  val x213: String =
+    """WITH t AS (SELECT doc_id, length(replace(text, ' ', '')) AS n_alpha
+      |           FROM documents WHERE text IS NOT NULL),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents WHERE text IS NOT NULL),
+      |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |              CAST(sum(CASE WHEN token IN ('the','a','of','to','and')
+      |                            THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+      |       FROM tok GROUP BY doc_id),
+      |z AS (SELECT -1.5 + 0.4 * ln(CAST(s.n_tokens AS DOUBLE) + 1.0)
+      |           - 2.5 * (CAST(s.n_stop AS DOUBLE) / s.n_tokens)
+      |           + 0.05 * least(CAST(t.n_alpha AS DOUBLE) / s.n_tokens, 10.0) AS z
+      |      FROM st s JOIN t ON s.doc_id = t.doc_id),
+      |p AS (SELECT CAST(floor(1.0 / (1.0 + exp(-z)) * 1000000 + 0.5) AS BIGINT) AS p6
+      |      FROM z)
+      |SELECT CAST(least(p6 // 100000, 9) AS BIGINT) AS bin,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       floor(CAST(sum(p6) AS DOUBLE) / 1000000.0 / count(*)
+      |             * 1000000 + 0.5) / 1000000 AS avg_score
+      |FROM p GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // x214: zipped unnest + generate_subscripts (1-based, matching Spark's
+  // posexplode + 1); exact micro-int moments, HUGEINT variance numerator.
+  val x214: String =
+    """WITH v AS (
+      |  SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+      |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+      |              AS BIGINT) AS v6
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |m AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(v6) AS BIGINT) AS sv,
+      |             sum(CAST(v6 AS HUGEINT) * v6) AS svv,
+      |             CAST(min(v6) AS BIGINT) AS minv6,
+      |             CAST(max(v6) AS BIGINT) AS maxv6
+      |      FROM v GROUP BY dim)
+      |SELECT dim, n,
+      |       floor(CAST(sv AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS mean,
+      |       floor(CAST(n * svv - CAST(sv AS HUGEINT) * sv AS DOUBLE) /
+      |             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1000000000000.0
+      |             * 1000000 + 0.5) / 1000000 AS variance,
+      |       CAST(minv6 AS DOUBLE) / 1000000.0 AS min_v,
+      |       CAST(maxv6 AS DOUBLE) / 1000000.0 AS max_v
+      |FROM m ORDER BY dim""".stripMargin
+
+  // x215: intersection-only join — a P-only word contributes exactly ½p,
+  // so its mass is recovered from the exact ratio Σ_∩ca/ta with no
+  // anti-join; per-term round6 + DECIMAL(28,6) sum (x101's discipline).
+  val x215: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |             FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+      |ct AS (SELECT source, w, c,
+      |              CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS total
+      |       FROM c),
+      |j AS (SELECT a.source AS source_a, b.source AS source_b,
+      |             a.c AS ca, b.c AS cb, a.total AS ta, b.total AS tb,
+      |             CAST(a.c AS DOUBLE) / a.total AS p,
+      |             CAST(b.c AS DOUBLE) / b.total AS q
+      |      FROM ct a JOIN ct b ON a.w = b.w AND a.source < b.source),
+      |t AS (SELECT source_a, source_b, ca, cb, ta, tb,
+      |             floor(p * log2(2.0 * p / (p + q)) * 1000000 + 0.5) / 1000000 AS tp,
+      |             floor(q * log2(2.0 * q / (p + q)) * 1000000 + 0.5) / 1000000 AS tq
+      |      FROM j),
+      |g AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_common,
+      |             CAST(sum(ca) AS BIGINT) AS sca, CAST(sum(cb) AS BIGINT) AS scb,
+      |             max(ta) AS ta, max(tb) AS tb,
+      |             sum(CAST(tp AS DECIMAL(28,6))) AS stp,
+      |             sum(CAST(tq AS DECIMAL(28,6))) AS stq
+      |      FROM t GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_common,
+      |       floor((0.5 * (CAST(stp AS DOUBLE)
+      |                + (1.0 - CAST(sca AS DOUBLE) / CAST(ta AS DOUBLE)))
+      |            + 0.5 * (CAST(stq AS DOUBLE)
+      |                + (1.0 - CAST(scb AS DOUBLE) / CAST(tb AS DOUBLE))))
+      |             * 1000000 + 0.5) / 1000000 AS jsd
+      |FROM g ORDER BY source_a, source_b""".stripMargin
+
+  // x216: x16's score CTE (x157's fragment) + the x53 chunk lineage as
+  // the shared-content flag; every moment exact, one float chain round6'd.
+  val x216: String =
+    """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |            FROM documents WHERE text IS NOT NULL),
+      |chk AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, CAST(ceil(len(toks) / 20.0) AS INT)),
+      |    c -> md5(array_to_string(list_slice(toks, c * 20 + 1, c * 20 + 20), ' ')))) AS ch
+      |  FROM t0),
+      |sh AS (SELECT ch FROM chk GROUP BY ch HAVING count(DISTINCT doc_id) > 1),
+      |fl AS (SELECT d.doc_id,
+      |              CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+      |       FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+      |       LEFT JOIN (SELECT DISTINCT chk.doc_id FROM chk JOIN sh USING (ch)) m
+      |         ON d.doc_id = m.doc_id),
+      |t AS (SELECT doc_id, length(replace(text, ' ', '')) AS n_alpha
+      |      FROM documents WHERE text IS NOT NULL),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents WHERE text IS NOT NULL),
+      |st AS (SELECT doc_id, count(*) AS n_tokens,
+      |              sum(CASE WHEN token IN ('the','a','of','to','and')
+      |                       THEN 1 ELSE 0 END) AS n_stop
+      |       FROM tok GROUP BY doc_id),
+      |sc AS (SELECT s.doc_id,
+      |              floor((0.4 * least(CAST(s.n_tokens AS DOUBLE), 50.0) / 50.0
+      |                  + 0.3 * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens)
+      |                  + 0.3 * least(CAST(t.n_alpha AS DOUBLE) / s.n_tokens, 10.0) / 10.0)
+      |                * 100000000 + 0.5) / 100000000 AS q
+      |       FROM st s JOIN t ON s.doc_id = t.doc_id),
+      |q6t AS (SELECT CAST(floor(q * 1000000 + 0.5) AS BIGINT) AS q6, fl.is_dup
+      |        FROM sc JOIN fl ON sc.doc_id = fl.doc_id),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(is_dup) AS BIGINT) AS n1,
+      |             CAST(sum(q6) AS BIGINT) AS sq,
+      |             sum(CAST(q6 AS HUGEINT) * q6) AS sqq,
+      |             CAST(sum(q6 * is_dup) AS BIGINT) AS sq1
+      |      FROM q6t)
+      |SELECT n, n1 AS n_dup,
+      |       floor(((CAST(sq1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |               - CAST(sq - sq1 AS DOUBLE) / CAST(n - n1 AS DOUBLE))
+      |              / (sqrt(CAST(n * sqq - CAST(sq AS HUGEINT) * sq AS DOUBLE))
+      |                 / CAST(n AS DOUBLE))
+      |              * sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+      |                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |             * 1000000 + 0.5) / 1000000 AS r_pb,
+      |       floor(CAST(sq1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000000.0
+      |             * 1000000 + 0.5) / 1000000 AS mean_q_dup,
+      |       floor(CAST(sq - sq1 AS DOUBLE) / CAST(n - n1 AS DOUBLE) / 1000000.0
+      |             * 1000000 + 0.5) / 1000000 AS mean_q_uniq
+      |FROM m""".stripMargin
+
+  // x217: k-spine left-joins the QI-class table; exact counts, one ratio.
+  val x217: String =
+    """WITH d AS (SELECT lang, source, n_chars FROM documents
+      |           WHERE lang IS NOT NULL AND source IS NOT NULL
+      |             AND n_chars IS NOT NULL),
+      |cls AS (SELECT lang, source, n_chars // 100 AS len_bin,
+      |               CAST(count(*) AS BIGINT) AS s
+      |        FROM d GROUP BY 1, 2, 3),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d),
+      |ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (2),(5),(10),(20)) v(k))
+      |SELECT ks.k,
+      |       CAST(count(cls.s) AS BIGINT) AS n_small_classes,
+      |       CAST(coalesce(sum(cls.s), 0) AS BIGINT) AS n_risk_docs,
+      |       floor(CAST(coalesce(sum(cls.s), 0) AS DOUBLE) /
+      |             CAST(n_total AS DOUBLE) * 1000000 + 0.5) / 1000000 AS risk_frac
+      |FROM ks CROSS JOIN tot LEFT JOIN cls ON cls.s < ks.k
+      |GROUP BY ks.k, n_total ORDER BY ks.k""".stripMargin
+
+  // x218: Σrx is tie-order-invariant, so the doubled-rank sum computes
+  // the tie-averaged Gini exactly; one float chain at the edge.
+  val x218: String =
+    """WITH e AS (SELECT event_type, CAST(floor(value + 0.5) AS BIGINT) AS m
+      |           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |vt AS (SELECT event_type, m, CAST(count(*) AS BIGINT) AS c
+      |       FROM e GROUP BY 1, 2),
+      |r AS (SELECT event_type, m, c,
+      |             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY m
+      |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM vt),
+      |g AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+      |             CAST(sum(c * m) AS BIGINT) AS sx,
+      |             CAST(sum(m * c * (2 * (cum - c + 1) + c - 1)) AS BIGINT) AS sr2
+      |      FROM r GROUP BY 1)
+      |SELECT event_type, n,
+      |       floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS mean_units,
+      |       floor((CAST(sr2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+      |              - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |             * 1000000 + 0.5) / 1000000 AS gini
+      |FROM g ORDER BY event_type""".stripMargin
+
+  // x219: zipped unnests build (w1, bigram) in one pass; x101's per-term
+  // round6 + DECIMAL(28,6) entropy discipline for both distributions.
+  val x219: String =
+    """WITH t AS (SELECT source, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |bg AS (SELECT source,
+      |              unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+      |              unnest(list_transform(range(1, len(toks)),
+      |                i -> concat_ws(' ', toks[i], toks[i + 1]))) AS bg
+      |       FROM t),
+      |c AS (SELECT source, w1, bg, CAST(count(*) AS BIGINT) AS c
+      |      FROM bg GROUP BY 1, 2, 3),
+      |ct AS (SELECT source, w1, bg, c,
+      |              CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS total
+      |       FROM c),
+      |hb AS (SELECT source, CAST(max(total) AS BIGINT) AS n_bigrams,
+      |              floor(CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+      |                  * log2(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+      |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(28,6))) AS DOUBLE)
+      |                * 1000000 + 0.5) / 1000000 AS h_bigram
+      |       FROM ct GROUP BY source),
+      |w1c AS (SELECT source, w1, CAST(sum(c) AS BIGINT) AS c,
+      |               CAST(max(total) AS BIGINT) AS total
+      |        FROM ct GROUP BY 1, 2),
+      |hu AS (SELECT source,
+      |              floor(CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+      |                  * log2(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+      |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(28,6))) AS DOUBLE)
+      |                * 1000000 + 0.5) / 1000000 AS h_first
+      |       FROM w1c GROUP BY source)
+      |SELECT hb.source, n_bigrams, h_bigram, h_first,
+      |       floor((h_bigram - h_first) * 1000000 + 0.5) / 1000000 AS h_cond
+      |FROM hb JOIN hu USING (source) ORDER BY source""".stripMargin
+
+  // x220: all three rank functions over one named window with a unique
+  // order; percent_rank/cume_dist are exact-integer ratios under it.
+  val x220: String =
+    """WITH b AS (SELECT l_returnflag AS flag, l_extendedprice, l_orderkey,
+      |                  l_linenumber
+      |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |w AS (SELECT flag, l_extendedprice,
+      |             ntile(4) OVER win AS q,
+      |             percent_rank() OVER win AS pr,
+      |             cume_dist() OVER win AS cd
+      |      FROM b WINDOW win AS (PARTITION BY flag
+      |        ORDER BY l_extendedprice, l_orderkey, l_linenumber))
+      |SELECT flag, CAST(q AS BIGINT) AS quartile, CAST(count(*) AS BIGINT) AS n,
+      |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |         AS sum_price,
+      |       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+      |       floor(max(pr) * 1000000 + 0.5) / 1000000 AS max_pct_rank,
+      |       floor(max(cd) * 1000000 + 0.5) / 1000000 AS max_cume_dist
+      |FROM w GROUP BY flag, q ORDER BY flag, quartile""".stripMargin
+
+  // x209: identical LATERAL SQL — DuckDB plans the correlated subquery
+  // directly; Spark decorrelates to a ranked join. Same rows either way.
+  val x209: String =
+    """SELECT n.n_name AS nation, t.c_name AS customer, t.c_acctbal AS acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      |ORDER BY nation, acctbal DESC, customer""".stripMargin
+
+  // x210: the Spark side binds :qmin = 40 and ? = 10 through parameter
+  // markers; the oracle inlines the literals — the hash match pins that
+  // binding is value-identical to substitution.
+  val x210: String =
+    """WITH hi AS (
+      |  SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_hi
+      |  FROM lineitem WHERE l_quantity >= 40 GROUP BY l_returnflag)
+      |SELECT h.flag, h.n_hi, CAST(count(*) AS BIGINT) AS n_lo
+      |FROM lineitem l JOIN hi h ON l.l_returnflag = h.flag
+      |WHERE l.l_quantity <= 10
+      |GROUP BY h.flag, h.n_hi
+      |ORDER BY h.flag""".stripMargin
+
+  // x211: per-threshold stats derive from one support-gated backbone;
+  // integer div for wedges (d(d−1) always even), least() min edge weight
+  // for triangle thresholds.
+  val x211: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT a.p AS x, b.p AS y, CAST(count(*) AS BIGINT) AS w
+      |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |ts AS (SELECT CAST(t AS BIGINT) AS t FROM (VALUES (2),(3),(4),(5)) AS v(t)),
+      |et AS (SELECT t, CAST(count(*) AS BIGINT) AS edges
+      |       FROM ts JOIN e ON e.w >= ts.t GROUP BY t),
+      |nd AS (SELECT t, n, CAST(count(*) AS BIGINT) AS d
+      |       FROM ts JOIN (SELECT x AS n, w FROM e UNION ALL SELECT y, w FROM e) u
+      |         ON u.w >= ts.t
+      |       GROUP BY t, n),
+      |nw AS (SELECT t, CAST(count(*) AS BIGINT) AS nodes,
+      |              CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges
+      |       FROM nd GROUP BY t),
+      |tri AS (SELECT least(e1.w, e2.w, e3.w) AS mw
+      |        FROM e e1 JOIN e e2 ON e1.y = e2.x
+      |        JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+      |tt AS (SELECT t, CAST(count(*) AS BIGINT) AS triangles
+      |       FROM ts JOIN tri ON mw >= ts.t GROUP BY t)
+      |SELECT ts.t, coalesce(nodes, 0) AS nodes, coalesce(edges, 0) AS edges,
+      |       coalesce(wedges, 0) AS wedges, coalesce(triangles, 0) AS triangles,
+      |       CASE WHEN coalesce(wedges, 0) > 0
+      |            THEN floor(3.0 * CAST(coalesce(triangles, 0) AS DOUBLE) /
+      |                       CAST(wedges AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |            ELSE 0.0 END AS gcc
+      |FROM ts LEFT JOIN et USING (t) LEFT JOIN nw USING (t) LEFT JOIN tt USING (t)
+      |ORDER BY ts.t""".stripMargin
+
+  // x212: (ts_µs, event_id) is a total order (event_id unique), so
+  // string_agg ORDER BY and Spark's sorted-struct-array join agree.
+  val x212: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+      |         epoch_us(ts) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
+      |s AS (SELECT user_id, day,
+      |             string_agg(event_type, '>' ORDER BY ts_us, event_id) AS template,
+      |             CAST(count(*) AS BIGINT) AS n_steps
+      |      FROM ev GROUP BY user_id, day),
+      |t AS (SELECT template, CAST(count(*) AS BIGINT) AS n_sessions,
+      |             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |             CAST(max(n_steps) AS BIGINT) AS n_steps
+      |      FROM s GROUP BY template),
+      |r AS (SELECT *, row_number() OVER (ORDER BY n_sessions DESC, template) AS rank
+      |      FROM t)
+      |SELECT CAST(rank AS BIGINT) AS rank, template, n_steps, n_sessions, n_users
+      |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  // x208: n-scaled deviations (the n² factor cancels in the ratio),
+  // exact HUGEINT moments, one divide at the edge.
+  val x208: String = {
+    val m = (1 to 7).map(k =>
+      s"sum(d * d$k) AS num$k, CAST(count(d$k) AS BIGINT) AS np$k").mkString(", ")
+    val leads = (1 to 7).map(k =>
+      s"lead(d, $k) OVER (ORDER BY day) AS d$k").mkString(", ")
+    val rows = (1 to 7).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS lag, np$k AS n_pairs,
+         |       floor(CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE)
+         |             * 1000000 + 0.5) / 1000000 AS r FROM m""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH day AS (
+       |  SELECT ts_us // 86400000000 AS day, CAST(sum(v) AS BIGINT) AS x
+       |  FROM (SELECT epoch_us(ts) AS ts_us,
+       |               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+       |        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+       |  GROUP BY 1),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(x) AS BIGINT) AS sx
+       |      FROM day),
+       |dev AS (SELECT day, CAST(nd * x - sx AS HUGEINT) AS d FROM day, g),
+       |led AS (SELECT d, $leads FROM dev),
+       |m AS (SELECT sum(d * d) AS den, $m FROM led)
+       |$rows
+       |ORDER BY lag""".stripMargin
+  }
+
   val lGroup: Map[String, String] = Map(
     "x204_av_align"          -> x204,
     "x203_calendar_heatmap"  -> x203,
+    "x220_window_rank_family" -> x220,
+    "x219_bigram_entropy_rate" -> x219,
+    "x218_gini"              -> x218,
+    "x217_k_anonymity"       -> x217,
+    "x216_dup_quality_corr"  -> x216,
+    "x215_jsd_sources"       -> x215,
+    "x214_embedding_profile" -> x214,
+    "x213_logistic_quality"  -> x213,
+    "x212_conversation_dedup" -> x212,
+    "x211_graph_backbone"    -> x211,
+    "x210_param_sql"         -> x210,
+    "x209_lateral_topk"      -> x209,
+    "x208_acf"               -> x208,
+    "x207_cusum"             -> x207,
+    "x206_kruskal_wallis"    -> x206,
+    "x205_spearman"          -> x205,
     "x202_mann_whitney"      -> x202,
     "x201_benford"           -> x201,
     "x200_stream_dedup_native" -> x200,
