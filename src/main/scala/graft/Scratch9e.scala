@@ -55,6 +55,29 @@ object Scratch9e {
       }
       spark.stop(); return
     }
+    if (args.contains("r9v")) {
+      for (dir <- Seq(sfDir, sfDir, tenDir)) {
+        time(s"x220_$dir")(queries.ExtendedQueries.x220WindowRankFamily(spark, dir).count())
+        time(s"x227_$dir")(queries.ExtendedQueries.x227RangeRank(spark, dir).count())
+      }
+      spark.stop(); return
+    }
+    if (args.contains("r9u")) {
+      for (dir <- Seq(sfDir, sfDir, tenDir)) {
+        time(s"x225_$dir")(queries.ExtendedQueries.x225StateBootstrap(spark, dir).count())
+        time(s"x226_$dir")(queries.LlmQueries.x226OuterJoinReplay(spark, dir).count())
+      }
+      spark.stop(); return
+    }
+    if (args.contains("r9t")) {
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x221_$dir")(queries.ExtendedQueries.x221PipeSql(spark, dir).count())
+        time(s"x222_$dir")(queries.ExtendedQueries.x222Collation(spark, dir).count())
+        time(s"x223_$dir")(queries.ExtendedQueries.x223SqlVariables(spark, dir).count())
+        time(s"x224_$dir")(queries.ExtendedQueries.x224JoinHints(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("r9s")) {
       for (dir <- Seq(sfDir, tenDir)) {
         time(s"x217_$dir")(queries.ExtendedQueries.x217KAnonymity(spark, dir).count())

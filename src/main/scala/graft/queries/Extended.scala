@@ -3606,4 +3606,241 @@ object ExtendedQueries {
         stableRound6(max("cd")).as("max_cume_dist"))
       .orderBy("flag", "quartile")
   }
+
+  /** x227 — RANGE-PARTITIONED two-pass ranking (round-9, declaring
+    * `operators/RangeRank`): x220's EXACT output recomputed through the
+    * scale path its probe row flags — a ranking window over 3 returnflags
+    * hash-partitions into 3 tasks (parallelism = |keys|), while RangeRank
+    * range-partitions on (key, order), computes metadata-sized
+    * per-(partition, key) offsets, and sweeps — parallelism = partition
+    * count. ntile/percent_rank/cume_dist are then EXACT integer
+    * arithmetic on the rank (ntile's remainder-to-first-buckets rule
+    * implemented literally; pr = (r−1)/(n−1), cd = r/n under the unique
+    * order), and the query SHARES x220's oracle verbatim (the x92/x91
+    * dedicated-operator pinning pattern): one hash proves
+    * window-free ranking ≡ the window, boundary by boundary.
+    *
+    * Scale shape: one range shuffle + per-partition sort (corpus-linear,
+    * partition-parallel), one metadata collect (≤ partitions + keys − 1
+    * entries), one broadcast, one sweep — the 100 TB form of per-key
+    * ranking over few keys.
+    */
+  def x227RangeRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Io.table(spark, sfDir, "lineitem")
+      .filter(col("l_extendedprice").isNotNull)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ranked = graft.operators.RangeRank.rankWithin(base, "flag",
+      Seq("l_extendedprice", "l_orderkey", "l_linenumber"), "rnk")
+    val totals = ranked.groupBy("flag").agg(count(lit(1)).as("nk"))
+    ranked.join(broadcast(totals), "flag")
+      .withColumn("big", col("nk") % 4)
+      .withColumn("szb", expr("nk div 4 + 1"))
+      .withColumn("szs", expr("nk div 4"))
+      .withColumn("q",
+        when(col("rnk") <= col("big") * col("szb"),
+          expr("(rnk - 1) div szb + 1"))
+          .otherwise(col("big") + expr("(rnk - big * szb - 1) div szs") + 1))
+      .withColumn("pr",
+        when(col("nk") > 1, (col("rnk") - 1).cast("double") /
+          (col("nk") - 1).cast("double")).otherwise(lit(0.0)))
+      .withColumn("cd",
+        col("rnk").cast("double") / col("nk").cast("double"))
+      .groupBy(col("flag"), col("q").cast("long").as("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+          2).as("sum_price"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        stableRound6(max("pr")).as("max_pct_rank"),
+        stableRound6(max("cd")).as("max_cume_dist"))
+      .orderBy("flag", "quartile")
+  }
+
+  private val x225InDir = new java.util.concurrent.atomic.AtomicReference[String]()
+  private val x225CkDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** x225 — transformWithState with INITIAL STATE (round-9, declaring
+    * `streaming/StateBootstrap`): the batch→streaming MIGRATION face —
+    * per-user profiles aggregated OFFLINE over the historical ¾ of events
+    * (event_id % 4 ≠ 0) seed the state store through
+    * `StatefulProcessorWithInitialState`, and the live ¼ streams on top;
+    * the declared output (stream-ACTIVE users only — seeded-but-silent
+    * users never emit, by design) must equal the WHOLE-corpus per-user
+    * aggregate, with n_boot proving the seed contributed. The fourth
+    * new-API state face next to x191 (ValueState), x194 (timers), x195
+    * (MapState/ListState).
+    *
+    * Scale shape: the bootstrap is one map-combining batch aggregate,
+    * shipped through the engine's initial-state channel (co-partitioned
+    * with the first batch, never a driver collect); per-event work is an
+    * O(1) ValueState read+write; all arithmetic exact 64-bit.
+    */
+  def x225StateBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.StateBootstrap
+    val ev = Io.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("vMicro"))
+    val boot = ev.filter(col("eventId") % 4 =!= 0)
+      .groupBy("userId")
+      .agg(count(lit(1)).as("nEvents"), sum("vMicro").as("sumMicro"),
+        max("eventId").as("maxId"), count(lit(1)).as("nBoot"))
+      .as[StateBootstrap.BootRow]
+    val streamed = ev.filter(col("eventId") % 4 === 0)
+    val inDir = Io.freshTmpDir(spark, x225InDir, "x225_in")
+    val ckDir = Io.freshTmpDir(spark, x225CkDir, "x225_ck")
+    streamed.write.mode("overwrite").parquet(inDir)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      spark.catalog.dropTempView("x225_out") // rerun-safe (bench reps)
+      val stream = spark.readStream.schema(streamed.schema).parquet(inDir)
+        .as[StateBootstrap.Ev]
+      val q = StateBootstrap(stream,
+          boot.map(b => b.userId -> StateBootstrap.Boot(
+            b.nEvents, b.sumMicro, b.maxId, b.nBoot))
+            .groupByKey(_._1).mapValues(_._2))
+        .writeStream.format("memory").queryName("x225_out")
+        .outputMode("update")
+        .option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+    // counts are monotone: the final (max) emission per key is the answer
+    spark.table("x225_out")
+      .groupBy(col("userId").as("user_id"))
+      .agg(max("nEvents").as("n_events"), max("sumMicro").as("sum_micro"),
+        max("maxEventId").as("max_event_id"), max("nBoot").as("n_boot"))
+      .orderBy("user_id")
+  }
+
+  /** x221 — SQL PIPE syntax (round-9): the Spark 4 `|>` operator-chain
+    * surface — `FROM … |> WHERE … |> AGGREGATE … GROUP BY … |> WHERE
+    * (post-agg) |> ORDER BY` — the linear query style (from GoogleSQL's
+    * pipe proposal) that reads in execution order; the oracle runs the
+    * equivalent nested ANSI form, so the hash match pins that the pipe
+    * surface is pure syntax (same plan, same rows) and not a semantic
+    * fork.
+    *
+    * Scale shape: identical to the ANSI form — pushed filter, map-side
+    * combining aggregate, post-agg filter, sort of a k-row result.
+    */
+  def x221PipeSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "lineitem").createOrReplaceTempView("x221_lineitem")
+    spark.sql(
+      """FROM x221_lineitem
+        ||> WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        ||> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> WHERE n >= 10
+        ||> SELECT l_returnflag AS flag, l_linestatus AS status, n, sum_qty
+        ||> ORDER BY flag, status""".stripMargin)
+  }
+
+  /** x222 — COLLATION-aware grouping (round-9): Spark 4 string collations
+    * — a case-scrambled event_type column grouped under `UTF8_LCASE`
+    * reunifies exactly to the original type counts, the
+    * case-insensitive-key semantics every entity-resolution / log-triage
+    * pipeline wants WITHOUT lower()-materializing the key. The group
+    * REPRESENTATIVE under a collation is engine-chosen (first-seen —
+    * nondeterministic), so the declared output carries min(raw) instead;
+    * the oracle groups by lower() — the hash match pins that UTF8_LCASE
+    * grouping ≡ lowercase grouping on this data.
+    *
+    * Scale shape: one map-combining aggregate; the collated comparison is
+    * a codegen'd string op, no second pass, no key materialization.
+    */
+  def x222Collation(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.events(spark, sfDir)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_id"),
+        when(col("event_id") % 2 === 0, upper(col("event_type")))
+          .otherwise(col("event_type")).as("s"))
+      .createOrReplaceTempView("x222_ev")
+    spark.sql(
+      """SELECT min(s) AS type_min, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(event_id) AS BIGINT) AS first_id
+        |FROM x222_ev
+        |GROUP BY collate(s, 'UTF8_LCASE')
+        |ORDER BY type_min""".stripMargin)
+  }
+
+  /** x223 — SQL session VARIABLES (round-9): `DECLARE VARIABLE` + `SET
+    * VARIABLE … = (scalar subquery)` + use in a later statement — the
+    * third parameter-binding face (x210 binds at the API and via EXECUTE
+    * IMMEDIATE; this binds server-side state across statements, the
+    * pattern SQL-scripting ETL uses for data-derived thresholds). The
+    * threshold is the mean quantity computed FROM DATA into the variable;
+    * the oracle inlines the same subquery — the hash match pins that
+    * variable indirection is value-identical to inlining.
+    *
+    * Scale shape: the threshold is a 1-row aggregate; the main query is
+    * the same pushed-filter aggregate as the literal form (variables
+    * resolve at parse time, like x210's markers).
+    */
+  def x223SqlVariables(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "lineitem").createOrReplaceTempView("x223_lineitem")
+    spark.sql("DECLARE OR REPLACE VARIABLE x223_qmean DOUBLE DEFAULT 0.0")
+    spark.sql(
+      """SET VARIABLE x223_qmean =
+        |  (SELECT floor(CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE)
+        |                / count(*) * 1000000 + 0.5) / 1000000
+        |   FROM x223_lineitem WHERE l_quantity IS NOT NULL)""".stripMargin)
+    spark.sql(
+      """SELECT l_returnflag AS flag,
+        |       CAST(count(*) AS BIGINT) AS n_above,
+        |       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty_above
+        |FROM x223_lineitem
+        |WHERE l_quantity IS NOT NULL AND l_quantity > x223_qmean
+        |GROUP BY l_returnflag
+        |ORDER BY flag""".stripMargin)
+  }
+
+  private def x224PlanMust(df: DataFrame, needle: String): DataFrame = {
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains(needle),
+      s"x224: hint did not produce $needle in the physical plan")
+    df
+  }
+
+  /** x224 — JOIN STRATEGY HINT matrix (round-9): the same
+    * customer⋈nation⋈region aggregate executed under BROADCAST, MERGE,
+    * and SHUFFLE_HASH hints — the optimizer-control face (x1/x2 let
+    * Catalyst choose; this PINS each strategy). Each run is
+    * plan-ASSERTED (`require` on the physical operator — a hint that
+    * stops binding fails the query loudly, so strategy drift is a red
+    * driver row, not a silent replan) and the three results must be
+    * row-identical: the oracle emits the same aggregate three times, so
+    * the hash match pins that execution strategy never changes answers.
+    *
+    * Scale shape: the POINT — broadcast ships the dim table (no shuffle),
+    * merge sorts both sides, shuffle-hash builds in-memory tables; on a
+    * dim-sized side broadcast wins at any corpus scale, and this query is
+    * the harness that proves all three stay semantically interchangeable.
+    */
+  def x224JoinHints(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "customer").createOrReplaceTempView("x224_customer")
+    Io.table(spark, sfDir, "nation").createOrReplaceTempView("x224_nation")
+    def run(hint: String, needle: String, label: String): DataFrame =
+      x224PlanMust(spark.sql(
+        s"""SELECT /*+ $hint(n) */ '$label' AS strategy, n.n_name AS nation,
+           |       CAST(count(*) AS BIGINT) AS n_customers,
+           |       CAST(sum(CAST(c.c_custkey AS BIGINT)) AS BIGINT) AS key_sum
+           |FROM x224_customer c JOIN x224_nation n
+           |  ON c.c_nationkey = n.n_nationkey
+           |GROUP BY n.n_name""".stripMargin), needle)
+    run("BROADCAST", "BroadcastHashJoin", "broadcast")
+      .unionAll(run("MERGE", "SortMergeJoin", "merge"))
+      .unionAll(run("SHUFFLE_HASH", "ShuffledHashJoin", "shuffle_hash"))
+      .orderBy("strategy", "nation")
+  }
 }

@@ -4862,6 +4862,81 @@ object LlmQueries {
       .orderBy("user_id")
   }
 
+  /** x226 — stream-stream LEFT OUTER interval-join replay (round-9): the
+    * x160 machinery extended with the engine's OUTER rule — a left (view)
+    * row that reaches watermark eviction unmatched emits once with a NULL
+    * right time — completing the stream-join family (x160 inner,
+    * StreamJoin.enrich stream-static). After the three data batches a
+    * FINAL empty batch with wm = +∞ flushes all trailing state (the
+    * sentinel that makes the replay a TOTAL left outer join), so the
+    * oracle is the plain batch LEFT JOIN: matched pairs aggregate exactly
+    * as x160, never-matched views surface in n_unmatched — one hash
+    * pinning both the pair emission AND the eviction-time null emission.
+    *
+    * Scale shape: per batch cost is (batch × state) joins exactly as
+    * x160; the matched flag rides left state as one boolean column
+    * (the engine's per-row matched bit), state stays watermark-bounded.
+    */
+  def x226OuterJoinReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamJoin
+    val W = 7_200_000_000L
+    val D = 14_400_000_000L
+    val ev = Io.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id").as("key"), unix_micros(col("ts")).as("time_us"),
+        col("event_type"))
+    val mm = ev.agg(min("time_us"), max("time_us")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = hi - lo + 1
+    val (t1, t2) = (lo + span / 3, lo + 2 * span / 3)
+    def truncated(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, BooleanType}
+    def empty(schema: StructType): DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val lSchema = StructType(Seq(StructField("key", LongType),
+      StructField("time_us", LongType), StructField("matched", BooleanType)))
+    val rSchema = StructType(Seq(StructField("key", LongType),
+      StructField("time_us", LongType)))
+    var (sL, sR) = (empty(lSchema), empty(rSchema))
+    var wm = Long.MinValue
+    val pins = Seq.newBuilder[DataFrame]
+    val conds = Seq(
+      Some(col("time_us") < t1),
+      Some(col("time_us") >= t1 && col("time_us") < t2),
+      Some(col("time_us") >= t2),
+      None) // the wm = +∞ flush batch
+    val outs = conds.flatMap { cond =>
+      val b = cond.map(ev.filter).getOrElse(ev.limit(0))
+      val bL = b.filter(col("event_type") === "view")
+        .select(col("key"), col("time_us"), lit(false).as("matched"))
+      val bR = b.filter(col("event_type") === "click").select("key", "time_us")
+      wm = cond match {
+        case Some(_) =>
+          val bMax = b.agg(max("time_us")).head()
+          if (!bMax.isNullAt(0)) math.max(wm, bMax.getLong(0) - D) else wm
+        case None => Long.MaxValue
+      }
+      val (inner, outer, nL, nR) =
+        StreamJoin.replayBatchOuter(sL, sR, bL, bR, wm, W)
+      val (pL, pR) = (nL.persist(), nR.persist())
+      pL.count(); pR.count()
+      pins += pL; pins += pR
+      sL = truncated(pL); sR = truncated(pR)
+      Seq(inner.select(col("key"), col("l_time_us"), col("r_time_us")),
+        outer.select(col("key"), col("l_time_us"), col("r_time_us")))
+    }
+    repin(pins.result(): _*) // released by the next pinning query
+    outs.reduce(_.unionAll(_))
+      .groupBy(col("key").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("r_time_us").isNull.cast("long")).as("n_unmatched"),
+        count(col("r_time_us")).as("n_pairs"),
+        sum(when(col("r_time_us").isNotNull,
+          col("r_time_us") - col("l_time_us"))).as("sum_gap_us"))
+      .orderBy("user_id")
+  }
+
   /** x159 — PADDING-WASTE audit (round-9): the trainer-infra economics of
     * three batch-assembly strategies over the corpus length distribution —
     * `pad_max` (every sequence padded to the 256 context), `bucketed`

@@ -4549,6 +4549,86 @@ object Oracles {
       |             * 1000000 + 0.5) / 1000000 AS mean_q_uniq
       |FROM m""".stripMargin
 
+  // x226: the replay's sentinel flush makes it a TOTAL left outer join,
+  // so the oracle is the plain batch LEFT JOIN — pairs as x160, plus
+  // never-matched views as the NULL rows.
+  val x226: String =
+    """WITH e AS (SELECT user_id AS key, epoch_us(ts) AS t, event_type
+      |           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |v AS (SELECT key, t FROM e WHERE event_type = 'view'),
+      |c AS (SELECT key, t FROM e WHERE event_type = 'click'),
+      |j AS (SELECT v.key, v.t AS lt, c.t AS rt
+      |      FROM v LEFT JOIN c ON v.key = c.key AND c.t > v.t
+      |        AND c.t <= v.t + 7200000000)
+      |SELECT key AS user_id, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CASE WHEN rt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+      |       CAST(count(rt) AS BIGINT) AS n_pairs,
+      |       CAST(sum(rt - lt) AS BIGINT) AS sum_gap_us
+      |FROM j GROUP BY key ORDER BY user_id""".stripMargin
+
+  // x225: whole-corpus per-user aggregate restricted to stream-active
+  // users — seeded state + streamed fold must reconstruct it exactly;
+  // n_boot pins that the initial-state channel actually contributed.
+  val x225: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+      |           FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |su AS (SELECT DISTINCT user_id FROM e WHERE event_id % 4 = 0)
+      |SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(v) AS BIGINT) AS sum_micro,
+      |       CAST(max(event_id) AS BIGINT) AS max_event_id,
+      |       CAST(sum(CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_boot
+      |FROM e JOIN su USING (user_id)
+      |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
+
+  // x221: the ANSI form of the pipe query — the hash match pins the |>
+  // surface as pure syntax. (Quantities are integral-valued doubles, so
+  // CAST AS BIGINT agrees between the engines' truncate-vs-round rules.)
+  val x221: String =
+    """SELECT l_returnflag AS flag, l_linestatus AS status,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+      |GROUP BY 1, 2 HAVING count(*) >= 10
+      |ORDER BY flag, status""".stripMargin
+
+  // x222: UTF8_LCASE grouping ≡ lowercase grouping; min(raw) is the
+  // deterministic representative (the collated group's own pick is
+  // first-seen).
+  val x222: String =
+    """WITH s AS (SELECT event_id,
+      |                  CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+      |                       ELSE event_type END AS s
+      |           FROM events WHERE event_type IS NOT NULL)
+      |SELECT min(s) AS type_min, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(event_id) AS BIGINT) AS first_id
+      |FROM s GROUP BY lower(s) ORDER BY type_min""".stripMargin
+
+  // x223: the variable's defining subquery inlined — variable indirection
+  // must be value-identical to inlining.
+  val x223: String =
+    """WITH qm AS (
+      |  SELECT floor(CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE)
+      |               / count(*) * 1000000 + 0.5) / 1000000 AS qmean
+      |  FROM lineitem WHERE l_quantity IS NOT NULL)
+      |SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_above,
+      |       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty_above
+      |FROM lineitem, qm
+      |WHERE l_quantity IS NOT NULL AND l_quantity > qmean
+      |GROUP BY l_returnflag ORDER BY flag""".stripMargin
+
+  // x224: one aggregate × three strategy labels — execution strategy must
+  // never change answers.
+  val x224: String =
+    """WITH j AS (SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers,
+      |                  CAST(sum(CAST(c.c_custkey AS BIGINT)) AS BIGINT) AS key_sum
+      |           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |           GROUP BY n.n_name),
+      |s AS (SELECT * FROM (VALUES ('broadcast'),('merge'),('shuffle_hash')) v(strategy))
+      |SELECT s.strategy, j.nation, j.n_customers, j.key_sum
+      |FROM s CROSS JOIN j ORDER BY strategy, nation""".stripMargin
+
   // x217: k-spine left-joins the QI-class table; exact counts, one ratio.
   val x217: String =
     """WITH d AS (SELECT lang, source, n_chars FROM documents
@@ -4750,6 +4830,16 @@ object Oracles {
   val lGroup: Map[String, String] = Map(
     "x204_av_align"          -> x204,
     "x203_calendar_heatmap"  -> x203,
+    // x227 shares x220's oracle VERBATIM (the x92/x91 pattern): the
+    // two-pass range-partitioned ranking must reproduce the window's
+    // ntile/percent_rank/cume_dist boundary for boundary.
+    "x227_range_rank"        -> x220,
+    "x226_outer_join_replay" -> x226,
+    "x225_state_bootstrap"   -> x225,
+    "x224_join_hints"        -> x224,
+    "x223_sql_variables"     -> x223,
+    "x222_collation"         -> x222,
+    "x221_pipe_sql"          -> x221,
     "x220_window_rank_family" -> x220,
     "x219_bigram_entropy_rate" -> x219,
     "x218_gini"              -> x218,

@@ -83,4 +83,55 @@ object StreamJoin {
       allL.filter(col("time_us") + lit(windowUs) >= lit(wmUs)),
       stateR.unionAll(batchR).filter(col("time_us") >= lit(wmUs)))
   }
+
+  /** LEFT-OUTER replay core — [[replayBatch]] plus the engine's outer
+    * rule: a left row that reaches EVICTION (`wm > time + window` — no
+    * future right can ever pair with it) without having matched emits
+    * once with a NULL right time, in the batch whose watermark killed it.
+    * Left state therefore carries a `matched` flag, flipped (never
+    * cleared) whenever any batch pairs the row; the flag rides the state
+    * exactly like the engine's per-row matched bit in the symmetric hash
+    * join. Callers flush trailing state by sending one final empty batch
+    * with `wmUs = Long.MaxValue` — the sentinel that turns the replay
+    * into a TOTAL left outer join (every never-matched left emits).
+    *
+    * Inputs: left rows `(key, time_us, matched)` (new rows enter with
+    * `matched = false`), right rows `(key, time_us)`. Returns
+    * (innerPairs, outerRows, newStateL, newStateR).
+    */
+  def replayBatchOuter(
+      stateL: DataFrame,
+      stateR: DataFrame,
+      batchL: DataFrame,
+      batchR: DataFrame,
+      wmUs: Long,
+      windowUs: Long): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    def pairs(l: DataFrame, r: DataFrame): DataFrame =
+      l.select(col("key"), col("time_us").as("l_time_us"))
+        .join(r.select(col("key"), col("time_us").as("r_time_us")), "key")
+        .filter(col("r_time_us") > col("l_time_us") &&
+          col("r_time_us") <= col("l_time_us") + lit(windowUs))
+    val allL = stateL.unionAll(batchL)
+    val inner = pairs(allL, batchR).unionAll(pairs(batchL, stateR))
+    // (key, time_us) identities of allL rows that have a partner among
+    // EVERYTHING seen so far — distinct, so the flag join can't multiply
+    // rows (a left row's identity may repeat in state)
+    val allR = stateR.unionAll(batchR)
+    val matchedKeys = allL.as("l")
+      .join(allR.select(col("key").as("rk"), col("time_us").as("rt")),
+        col("l.key") === col("rk") && col("rt") > col("l.time_us") &&
+          col("rt") <= col("l.time_us") + lit(windowUs), "left_semi")
+      .select(col("key"), col("time_us")).distinct()
+      .withColumn("m_now", lit(true))
+    val flagged = allL.join(matchedKeys, Seq("key", "time_us"), "left")
+      .select(col("key"), col("time_us"),
+        (col("matched") || coalesce(col("m_now"), lit(false))).as("matched"))
+    val dead = flagged.filter(col("time_us") + lit(windowUs) < lit(wmUs))
+    val outer = dead.filter(!col("matched"))
+      .select(col("key"), col("time_us").as("l_time_us"),
+        lit(null).cast("long").as("r_time_us"))
+    (inner, outer,
+      flagged.filter(col("time_us") + lit(windowUs) >= lit(wmUs)),
+      allR.filter(col("time_us") >= lit(wmUs)))
+  }
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** RangeRank's two-pass offset ranking must equal the ranking window for
+  * any partition count — including keys that span many range partitions
+  * (the whole point: parallelism decoupled from |keys|).
+  */
+class RangeRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def expect(rows: Seq[(String, Long, Long)]): Set[(String, Long, Long, Long)] =
+    rows.groupBy(_._1).flatMap { case (k, g) =>
+      g.sortBy(t => (t._2, t._3)).zipWithIndex
+        .map { case ((_, v, id), i) => (k, v, id, i + 1L) }
+    }.toSet
+
+  test("rankWithin == row_number over (key, order) with keys spanning 16 partitions") {
+    val rng = new scala.util.Random(5)
+    val rows = (1 to 5000).map(i =>
+      (rng.nextInt(3).toString, rng.nextInt(100000).toLong, i.toLong))
+    val got = RangeRank.rankWithin(rows.toDF("k", "v", "id"), "k",
+        Seq("v", "id"), "rnk", 16)
+      .select("k", "v", "id", "rnk")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == expect(rows))
+  }
+
+  test("single partition and single key degenerate correctly") {
+    val rows = Seq(("a", 3L, 1L), ("a", 1L, 2L), ("a", 2L, 3L))
+    val got = RangeRank.rankWithin(rows.toDF("k", "v", "id"), "k",
+        Seq("v", "id"), "rnk", 1)
+      .select("k", "v", "id", "rnk")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 2L, 1L), ("a", 2L, 3L, 2L), ("a", 3L, 1L, 3L)))
+  }
+
+  test("duplicate order values rank by the tie-break column") {
+    val rows = Seq(("a", 5L, 2L), ("a", 5L, 1L), ("b", 5L, 9L))
+    val got = RangeRank.rankWithin(rows.toDF("k", "v", "id"), "k",
+        Seq("v", "id"), "rnk", 4)
+      .select("k", "id", "rnk").as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 9L, 1L)))
+  }
+}

@@ -172,11 +172,20 @@ class PlanSpec extends SparkSpec {
     // full-column bucket scan (x112's 1-row min/max shape)
     // x186's is the 1-row Σn²/n_keys totals frame crossing onto the
     // 10-row top-contributor frame (x117's 1-row denominator shape)
+    // x206/x207/x208's are the 1-row global-stats frame crossing onto the
+    // k-group / day-cardinality table (x117's 1-row denominator shape)
+    // x211's are the 4-row threshold spine theta-joined (w >= t) onto the
+    // support-gated backbone, and the backbone broadcast into its own
+    // wedge/triangle joins — all broadcast-tiny by construction
+    // x217's is the 4-row k-spine theta-joined (s < k) onto the QI-class
+    // table plus the 1-row total cross (x117's shape)
       "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
       "x112_zorder_layout", "x117_mix_temperature", "x119_prep_v4",
       "x124_dsir_weights", "x126_ks_drift", "x132_perplexity_gate",
       "x140_retrieval_eval", "x150_hard_negatives", "x155_curriculum",
-      "x180_range_balance", "x186_join_forecast")
+      "x180_range_balance", "x186_join_forecast",
+      "x206_kruskal_wallis", "x207_cusum", "x208_acf",
+      "x211_graph_backbone", "x217_k_anonymity")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -185,6 +185,18 @@ class StatAuditSpec extends SparkSpec {
     assert(out.map(_._5) == Seq(0.25, 0.5, 0.75, 1.0))
   }
 
+  test("x227 == x220 on the ntile remainder case (10 rows -> 3,3,2,2)") {
+    val dir = tmp("x227")
+    writeLineitem(dir, (1 to 10).map(i => (1.0, i.toDouble * 7)))
+    val viaWindow = ExtendedQueries.x220WindowRankFamily(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val viaRangeRank = ExtendedQueries.x227RangeRank(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaRangeRank == viaWindow)
+    // SQL ntile's remainder-to-first-buckets rule: 10 rows → 3,3,2,2
+    assert(viaWindow.map(_(2)) == Seq(3L, 3L, 2L, 2L))
+  }
+
   test("x214: two 2-d vectors give exact per-dimension moments") {
     val dir = tmp("x214")
     Seq((1L, Array(1.0f, 3.0f), 0), (2L, Array(2.0f, 4.0f), 1))

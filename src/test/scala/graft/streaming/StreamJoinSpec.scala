@@ -107,6 +107,55 @@ class StreamJoinSpec extends SparkSpec {
     assert(sR.count() < rights.size, "watermark must have evicted right-side state")
   }
 
+  test("replayBatchOuter with a final wm=+inf flush equals the batch LEFT OUTER join") {
+    val W = 100L
+    val D = 50L
+    val rng = new scala.util.Random(13)
+    val all = (1 to 120).map(i =>
+      (rng.nextInt(3).toLong, rng.nextInt(2000).toLong, rng.nextBoolean()))
+      .sortBy(_._2)
+    val lefts = all.filter(_._3).map(x => (x._1, x._2)).distinct
+    val rights = all.filterNot(_._3).map(x => (x._1, x._2)).distinct
+    val inner = for {
+      (lk, lt) <- lefts; (rk, rt) <- rights
+      if lk == rk && rt > lt && rt <= lt + W
+    } yield (lk, lt, Some(rt))
+    val outer = lefts
+      .filterNot { case (lk, lt) =>
+        rights.exists { case (rk, rt) => lk == rk && rt > lt && rt <= lt + W } }
+      .map { case (lk, lt) => (lk, lt, None: Option[Long]) }
+    val expect = inner ++ outer
+    val bounds = Seq(700L, 1400L, Long.MaxValue)
+    var sL = Seq.empty[(Long, Long, Boolean)].toDF("key", "time_us", "matched")
+    var sR = Seq.empty[(Long, Long)].toDF("key", "time_us")
+    var wm = Long.MinValue
+    var got = Seq.empty[(Long, Long, Option[Long])]
+    var lo = Long.MinValue
+    (bounds.map(Some(_)) :+ None).foreach { hiOpt =>
+      val hi = hiOpt.getOrElse(Long.MinValue) // flush batch carries no data
+      val bL = lefts.filter(x => hiOpt.isDefined && x._2 >= lo && x._2 < hi)
+        .map(x => (x._1, x._2, false))
+      val bR = rights.filter(x => hiOpt.isDefined && x._2 >= lo && x._2 < hi)
+      wm = hiOpt match {
+        case Some(_) =>
+          (bL.map(_._2) ++ bR.map(_._2)).maxOption
+            .map(m => math.max(wm, m - D)).getOrElse(wm)
+        case None => Long.MaxValue
+      }
+      val (i9, o9, nL, nR) = StreamJoin.replayBatchOuter(sL, sR,
+        bL.toDF("key", "time_us", "matched"),
+        bR.toDF("key", "time_us"), wm, W)
+      got ++= i9.collect().map(r => (r.getLong(0), r.getLong(1), Some(r.getLong(2))))
+      got ++= o9.collect().map(r => (r.getLong(0), r.getLong(1), None: Option[Long]))
+      sL = nL; sR = nR
+      hiOpt.foreach(h => lo = h)
+    }
+    assert(got.sortBy(t => (t._1, t._2, t._3.getOrElse(-1L))) ==
+      expect.sortBy(t => (t._1, t._2, t._3.getOrElse(-1L))))
+    assert(outer.nonEmpty, "fixture must exercise the outer path")
+    assert(sL.count() == 0, "the +inf flush must evict all left state")
+  }
+
   test("stream-static enrich joins each batch against the dim with zero streaming state") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
