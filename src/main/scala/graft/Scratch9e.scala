@@ -55,6 +55,28 @@ object Scratch9e {
       }
       spark.stop(); return
     }
+    if (args.contains("r9x")) {
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x230_$dir")(queries.ExtendedQueries.x230AnalyzeCbo(spark, dir).count())
+        time(s"x231_$dir")(queries.ExtendedQueries.x231CachedReuse(spark, dir).count())
+      }
+      spark.stop(); return
+    }
+    if (args.contains("r9w")) {
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x228_$dir")(queries.ExtendedQueries.x228DynamicSessions(spark, dir).count())
+        time(s"x229_$dir")(queries.ExtendedQueries.x229GroupByAll(spark, dir).count())
+      }
+      // one more decade for the documents-based statistical family
+      // (the 100× corpus carries documents only)
+      for (dir <- Seq(hundredDir)) {
+        time(s"x213_$dir")(queries.LlmQueries.x213LogisticQuality(spark, dir).count())
+        time(s"x215_$dir")(queries.LlmQueries.x215JsdSources(spark, dir).count())
+        time(s"x216_$dir")(queries.LlmQueries.x216DupQualityCorr(spark, dir).count())
+        time(s"x219_$dir")(queries.LlmQueries.x219BigramEntropyRate(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("r9v")) {
       for (dir <- Seq(sfDir, sfDir, tenDir)) {
         time(s"x220_$dir")(queries.ExtendedQueries.x220WindowRankFamily(spark, dir).count())

@@ -3657,6 +3657,147 @@ object ExtendedQueries {
       .orderBy("flag", "quartile")
   }
 
+  /** x228 — DYNAMIC-GAP session windows (round-9): `session_window` with a
+    * PER-EVENT gap expression (view 45 min, click 30 min, else 15 min) —
+    * the real-world sessionization rule ("a page view holds a session open
+    * longer than a heartbeat") that static-gap x166 can't express. Engine
+    * semantics are merged half-open intervals [t, t+gap): an event at
+    * exactly the running end starts a NEW session. The oracle computes the
+    * same merge relationally — running max of (t + gap) per user, boundary
+    * when t ≥ it (interval-merge, x141's machinery as a window) — so the
+    * hash pins the engine's merge rule boundary for boundary.
+    *
+    * Scale shape: one keyed shuffle + sort (the engine's session merge),
+    * per-user finale; gap is a codegen'd CASE, no join.
+    */
+  def x228DynamicSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Io.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+    ev.groupBy(col("user_id"), session_window(col("ts"), expr(
+        """CASE WHEN event_type = 'view' THEN make_interval(0,0,0,0,0,45,0)
+          |WHEN event_type = 'click' THEN make_interval(0,0,0,0,0,30,0)
+          |ELSE make_interval(0,0,0,0,0,15,0) END""".stripMargin)).as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n").as("max_session_events"),
+        sum("n").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** x229 — GROUP BY ALL / ORDER BY ALL / SELECT * EXCEPT (round-9): the
+    * Spark 4 SQL ergonomics trio in one declared query — the inner
+    * aggregate groups by every non-aggregate select item (`GROUP BY
+    * ALL`), the outer projection drops the helper column by exclusion
+    * (`* EXCEPT`), and the result orders by every output column left to
+    * right (`ORDER BY ALL`); the oracle spells all three out explicitly —
+    * the hash match pins each shorthand's binding rule.
+    *
+    * Scale shape: sugar only — the plan is the same map-combining
+    * aggregate + k-row sort as the explicit form.
+    */
+  def x229GroupByAll(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "lineitem").createOrReplaceTempView("x229_lineitem")
+    spark.sql(
+      """SELECT * EXCEPT (qty_sq) FROM (
+        |  SELECT l_returnflag AS flag, l_linestatus AS status,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty,
+        |         CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT) AS qty_sq
+        |  FROM x229_lineitem WHERE l_quantity IS NOT NULL
+        |  GROUP BY ALL
+        |)
+        |ORDER BY ALL""".stripMargin)
+  }
+
+  /** x230 — ANALYZE TABLE statistics → cost-based broadcast (round-9):
+    * the CBO face — a managed dimension table (nations joined to their
+    * region names) gets `ANALYZE TABLE … COMPUTE STATISTICS`, and the
+    * subsequent UNHINTED customer join must plan as a BroadcastHashJoin
+    * BECAUSE the catalog now knows the table is small (`require`-asserted,
+    * x224's loud-failure pattern — if stats stop driving the strategy the
+    * driver sees a red row, not a silent SortMergeJoin). The oracle runs
+    * the equivalent joins on the raw tables — collected statistics must
+    * never change answers, only plans.
+    *
+    * Scale shape: the POINT of ANALYZE at 100 TB — a dimension whose
+    * smallness the planner can't see from file sizes alone (views,
+    * post-filter tables) broadcasts only if stats say so; this declares
+    * the collect-stats → plan-change → same-answer contract.
+    */
+  def x230AnalyzeCbo(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "nation").createOrReplaceTempView("x230_nation_raw")
+    Io.table(spark, sfDir, "region").createOrReplaceTempView("x230_region_raw")
+    // drop what the catalog knows AND the stale warehouse location a
+    // previous JVM may have left (Bucketing.writeBucketed's idempotence rule)
+    spark.sql("DROP TABLE IF EXISTS x230_dim")
+    val x230Loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, "x230_dim")
+    val x230Fs = x230Loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (x230Fs.exists(x230Loc)) x230Fs.delete(x230Loc, true)
+    spark.sql(
+      """CREATE TABLE x230_dim USING parquet AS
+        |SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+        |       r.r_name AS region
+        |FROM x230_nation_raw n JOIN x230_region_raw r
+        |  ON n.n_regionkey = r.r_regionkey""".stripMargin)
+    spark.sql("ANALYZE TABLE x230_dim COMPUTE STATISTICS")
+    Io.table(spark, sfDir, "customer").createOrReplaceTempView("x230_customer")
+    val out = spark.sql(
+      """SELECT d.region, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(count(DISTINCT d.nation) AS BIGINT) AS n_nations
+        |FROM x230_customer c JOIN x230_dim d ON c.c_nationkey = d.nationkey
+        |GROUP BY d.region ORDER BY d.region""".stripMargin)
+    require(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "x230: ANALYZE statistics must drive an unhinted broadcast")
+    out
+  }
+
+  /** x231 — EXPLICIT CACHING (round-9): `persist(MEMORY_AND_DISK)` on a
+    * cleaned projection consumed by TWO aggregates — the interactive/
+    * iterative workload face (notebooks, ML loops) where re-scanning the
+    * lake per query is the cost that kills you. Both consumers are
+    * `require`-asserted to read `InMemoryTableScan` (a broken cache is a
+    * loud red row), the cache is materialized by the first action and
+    * RELEASED (unpersist) after the result is computed — rerun-safe. The
+    * oracle recomputes both aggregates from the raw table: caching must
+    * never change answers.
+    *
+    * Scale shape: the cached projection is column-pruned BEFORE persist
+    * (cache bytes = needed columns only); at 100 TB you cache curated
+    * projections, never raw scans — which is exactly what this declares.
+    */
+  def x231CachedReuse(spark: SparkSession, sfDir: String): DataFrame = {
+    val cleaned = Io.table(spark, sfDir, "lineitem")
+      .filter(col("l_quantity").isNotNull && col("l_discount").isNotNull)
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_quantity") + 0.5).cast("long").as("qty"),
+        floor(col("l_discount") * 1000000 + 0.5).cast("long").as("disc_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val byFlag = cleaned.groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
+      val totals = cleaned.agg(
+        sum("disc_micro").as("sum_disc_micro"),
+        countDistinct("qty").as("n_distinct_qty"))
+      for (df <- Seq(byFlag, totals))
+        require(df.queryExecution.executedPlan.toString
+            .contains("InMemoryTableScan"),
+          "x231: both consumers must read the cache")
+      // pin the k-row RESULT, materialize it through the corpus cache,
+      // then release the corpus cache — callers read the tiny result pin
+      // (bounded at |flags| rows), never a recompute of the raw scan
+      val out = byFlag.crossJoin(broadcast(totals))
+        .select(col("flag"), col("n"), col("sum_qty"),
+          col("sum_disc_micro"), col("n_distinct_qty"))
+        .orderBy("flag")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally cleaned.unpersist()
+  }
+
   private val x225InDir = new java.util.concurrent.atomic.AtomicReference[String]()
   private val x225CkDir = new java.util.concurrent.atomic.AtomicReference[String]()
 

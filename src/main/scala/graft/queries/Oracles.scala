@@ -4566,6 +4566,72 @@ object Oracles {
       |       CAST(sum(rt - lt) AS BIGINT) AS sum_gap_us
       |FROM j GROUP BY key ORDER BY user_id""".stripMargin
 
+  // x230: raw-table joins — collected statistics must never change
+  // answers, only plans (the plan side is require-asserted in the query).
+  val x230: String =
+    """WITH d AS (SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+      |                  r.r_name AS region
+      |           FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey)
+      |SELECT d.region, CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(count(DISTINCT d.nation) AS BIGINT) AS n_nations
+      |FROM customer c JOIN d ON c.c_nationkey = d.nationkey
+      |GROUP BY d.region ORDER BY d.region""".stripMargin
+
+  // x231: both aggregates recomputed from the raw table — caching must
+  // never change answers (the InMemoryTableScan is require-asserted).
+  val x231: String =
+    """WITH b AS (SELECT l_returnflag AS flag,
+      |                  CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+      |                  CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT) AS disc_micro
+      |           FROM lineitem
+      |           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+      |f AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(qty) AS BIGINT) AS sum_qty
+      |      FROM b GROUP BY flag),
+      |t AS (SELECT CAST(sum(disc_micro) AS BIGINT) AS sum_disc_micro,
+      |             CAST(count(DISTINCT qty) AS BIGINT) AS n_distinct_qty
+      |      FROM b)
+      |SELECT f.flag, f.n, f.sum_qty, t.sum_disc_micro, t.n_distinct_qty
+      |FROM f CROSS JOIN t ORDER BY f.flag""".stripMargin
+
+  // x228: the engine's merged half-open intervals computed relationally —
+  // running max of (t + gap) per user, new session when t >= it.
+  val x228: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+      |                  CASE WHEN event_type = 'view' THEN 2700000000
+      |                       WHEN event_type = 'click' THEN 1800000000
+      |                       ELSE 900000000 END AS gap
+      |           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |             AND event_type IS NOT NULL),
+      |o AS (SELECT user_id, t,
+      |             max(t + gap) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end,
+      |             event_id
+      |      FROM e),
+      |s AS (SELECT user_id,
+      |             CAST(sum(CASE WHEN prev_end IS NULL OR t >= prev_end
+      |                           THEN 1 ELSE 0 END)
+      |               OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |      FROM o),
+      |c AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n
+      |      FROM s GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+      |       CAST(max(n) AS BIGINT) AS max_session_events,
+      |       CAST(sum(n) AS BIGINT) AS n_events
+      |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // x229: all three shorthands spelled out — GROUP BY ALL binds the
+  // non-aggregate items, * EXCEPT drops by exclusion, ORDER BY ALL
+  // orders by every output column left to right.
+  val x229: String =
+    """SELECT l_returnflag AS flag, l_linestatus AS status,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem WHERE l_quantity IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+
   // x225: whole-corpus per-user aggregate restricted to stream-active
   // users — seeded state + streamed fold must reconstruct it exactly;
   // n_boot pins that the initial-state channel actually contributed.
@@ -4830,6 +4896,10 @@ object Oracles {
   val lGroup: Map[String, String] = Map(
     "x204_av_align"          -> x204,
     "x203_calendar_heatmap"  -> x203,
+    "x231_cached_reuse"      -> x231,
+    "x230_analyze_cbo"       -> x230,
+    "x229_group_by_all"      -> x229,
+    "x228_dynamic_sessions"  -> x228,
     // x227 shares x220's oracle VERBATIM (the x92/x91 pattern): the
     // two-pass range-partitioned ranking must reproduce the window's
     // ntile/percent_rank/cume_dist boundary for boundary.

@@ -179,13 +179,15 @@ class PlanSpec extends SparkSpec {
     // wedge/triangle joins — all broadcast-tiny by construction
     // x217's is the 4-row k-spine theta-joined (s < k) onto the QI-class
     // table plus the 1-row total cross (x117's shape)
+    // x231's is the 1-row corpus-totals frame crossing onto the |flags|-row
+    // per-flag aggregate (x117's 1-row denominator shape, both cached)
       "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
       "x112_zorder_layout", "x117_mix_temperature", "x119_prep_v4",
       "x124_dsir_weights", "x126_ks_drift", "x132_perplexity_gate",
       "x140_retrieval_eval", "x150_hard_negatives", "x155_curriculum",
       "x180_range_balance", "x186_join_forecast",
       "x206_kruskal_wallis", "x207_cusum", "x208_acf",
-      "x211_graph_backbone", "x217_k_anonymity")
+      "x211_graph_backbone", "x217_k_anonymity", "x231_cached_reuse")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
