@@ -55,6 +55,14 @@ object Scratch9e {
       }
       spark.stop(); return
     }
+    if (args.contains("r9y")) {
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x232_$dir")(queries.ExtendedQueries.x232ColumnDefaults(spark, dir).count())
+        time(s"x233_$dir")(queries.ExtendedQueries.x233IdentifierClause(spark, dir).count())
+        time(s"x234_$dir")(queries.ExtendedQueries.x234SqlScripting(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("r9x")) {
       for (dir <- Seq(sfDir, tenDir)) {
         time(s"x230_$dir")(queries.ExtendedQueries.x230AnalyzeCbo(spark, dir).count())

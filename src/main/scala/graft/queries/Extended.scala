@@ -3798,6 +3798,119 @@ object ExtendedQueries {
     } finally cleaned.unpersist()
   }
 
+  /** x232 — COLUMN DEFAULT VALUES (round-9): both DEFAULT paths of the
+    * schema-evolution lifecycle on one managed table — (1) INSERT-time: a
+    * column omitted from the insert list takes its declared default; (2)
+    * ADD-COLUMN backfill: `ALTER TABLE … ADD COLUMN … DEFAULT` makes every
+    * EXISTING row read the "exists default" without rewriting a byte —
+    * the metadata-only backfill that makes schema evolution free at
+    * 100 TB (x125 pins mergeSchema nulls; this pins the non-null
+    * alternative). Rows land from lineitem in two generations (before and
+    * after the ALTER, the second with an explicit tier), and the declared
+    * aggregate groups by (flag, status, tier) — the hash breaks if either
+    * default path yields a wrong value anywhere.
+    */
+  def x232ColumnDefaults(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "lineitem").createOrReplaceTempView("x232_lineitem")
+    spark.sql("DROP TABLE IF EXISTS x232_t")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, "x232_t")
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
+    spark.sql(
+      """CREATE TABLE x232_t (
+        |  flag STRING, qty BIGINT,
+        |  status STRING DEFAULT 'unreviewed') USING parquet""".stripMargin)
+    // generation 1: status omitted → insert-time default
+    spark.sql(
+      """INSERT INTO x232_t (flag, qty)
+        |SELECT l_returnflag, CAST(floor(l_quantity + 0.5) AS BIGINT)
+        |FROM x232_lineitem
+        |WHERE l_quantity IS NOT NULL AND l_orderkey % 2 = 0""".stripMargin)
+    // metadata-only backfill: every generation-1 row reads 'bronze'
+    spark.sql("ALTER TABLE x232_t ADD COLUMN tier STRING DEFAULT 'bronze'")
+    // generation 2: explicit tier, status still defaulted
+    spark.sql(
+      """INSERT INTO x232_t (flag, qty, tier)
+        |SELECT l_returnflag, CAST(floor(l_quantity + 0.5) AS BIGINT), 'silver'
+        |FROM x232_lineitem
+        |WHERE l_quantity IS NOT NULL AND l_orderkey % 2 = 1""".stripMargin)
+    spark.sql(
+      """SELECT flag, status, tier, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM x232_t GROUP BY flag, status, tier
+        |ORDER BY flag, status, tier""".stripMargin)
+  }
+
+  /** x233 — IDENTIFIER clause (round-9): injection-safe DYNAMIC table
+    * dispatch — the table name arrives as a named PARAMETER and binds
+    * through `IDENTIFIER(:tbl)`, never string concatenation; the name is
+    * DATA-derived (the larger of two registered views by row count — the
+    * "route the query to this month's biggest shard" pattern). Completes
+    * the parameter family: x210 binds VALUES, x223 binds server-side
+    * variables, this binds IDENTIFIERS. The oracle aggregates the table
+    * that is larger on the fixtures — a routing flip breaks the hash.
+    */
+  def x233IdentifierClause(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "documents").createOrReplaceTempView("x233_documents")
+    Io.table(spark, sfDir, "nation").createOrReplaceTempView("x233_nation")
+    val bigger =
+      if (spark.table("x233_documents").count() >=
+        spark.table("x233_nation").count()) "x233_documents" else "x233_nation"
+    spark.sql(
+      """SELECT source AS grp, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM IDENTIFIER(:tbl)
+        |WHERE n_chars IS NOT NULL
+        |GROUP BY source ORDER BY grp""".stripMargin,
+      Map("tbl" -> bigger))
+  }
+
+  /** x234 — SQL SCRIPTING (round-9): a compound `BEGIN … END` block —
+    * DECLARE, SET from a scalar subquery (the data-derived threshold),
+    * an IF/ELSE choosing the aggregation granularity by corpus size, and
+    * a WHILE loop computing the comparison constant iteratively (2¹⁰ by
+    * doubling — the loop face; the engine must thread variable state
+    * through every iteration). The block's final SELECT is the result.
+    * The oracle inlines the branch the fixtures take (row count > 1000 ⇒
+    * fine granularity — documented) and the loop's closed form (1024) —
+    * control flow must be value-identical to the straight-line query.
+    */
+  def x234SqlScripting(spark: SparkSession, sfDir: String): DataFrame = {
+    Io.table(spark, sfDir, "lineitem").createOrReplaceTempView("x234_lineitem")
+    spark.sql(
+      """BEGIN
+        |  DECLARE qmean DOUBLE;
+        |  DECLARE lim BIGINT DEFAULT 1;
+        |  DECLARE i INT DEFAULT 0;
+        |  SET qmean = (SELECT floor(CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE)
+        |                            / count(*) * 1000000 + 0.5) / 1000000
+        |               FROM x234_lineitem WHERE l_quantity IS NOT NULL);
+        |  WHILE i < 10 DO
+        |    SET lim = lim * 2;
+        |    SET i = i + 1;
+        |  END WHILE;
+        |  IF (SELECT count(*) FROM x234_lineitem) > 1000 THEN
+        |    SELECT l_returnflag AS flag, l_linestatus AS status,
+        |           CAST(count(*) AS BIGINT) AS n_above,
+        |           CAST(sum(CASE WHEN CAST(floor(l_extendedprice + 0.5) AS BIGINT) > lim
+        |                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above_lim
+        |    FROM x234_lineitem
+        |    WHERE l_quantity IS NOT NULL AND l_quantity > qmean
+        |    GROUP BY l_returnflag, l_linestatus
+        |    ORDER BY flag, status;
+        |  ELSE
+        |    SELECT l_returnflag AS flag, 'ALL' AS status,
+        |           CAST(count(*) AS BIGINT) AS n_above,
+        |           CAST(0 AS BIGINT) AS n_above_lim
+        |    FROM x234_lineitem
+        |    WHERE l_quantity IS NOT NULL AND l_quantity > qmean
+        |    GROUP BY l_returnflag
+        |    ORDER BY flag, status;
+        |  END IF;
+        |END""".stripMargin)
+  }
+
   private val x225InDir = new java.util.concurrent.atomic.AtomicReference[String]()
   private val x225CkDir = new java.util.concurrent.atomic.AtomicReference[String]()
 

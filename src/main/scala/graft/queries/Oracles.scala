@@ -4566,6 +4566,48 @@ object Oracles {
       |       CAST(sum(rt - lt) AS BIGINT) AS sum_gap_us
       |FROM j GROUP BY key ORDER BY user_id""".stripMargin
 
+  // x232: both DEFAULT paths reconstructed — generation 1 reads the
+  // insert-time status default AND the exists-default tier backfill.
+  val x232: String =
+    """WITH g1 AS (SELECT l_returnflag AS flag,
+      |                   CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+      |                   'unreviewed' AS status, 'bronze' AS tier
+      |            FROM lineitem
+      |            WHERE l_quantity IS NOT NULL AND l_orderkey % 2 = 0),
+      |g2 AS (SELECT l_returnflag, CAST(floor(l_quantity + 0.5) AS BIGINT),
+      |              'unreviewed', 'silver'
+      |       FROM lineitem
+      |       WHERE l_quantity IS NOT NULL AND l_orderkey % 2 = 1),
+      |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+      |SELECT flag, status, tier, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(qty) AS BIGINT) AS sum_qty
+      |FROM u GROUP BY flag, status, tier
+      |ORDER BY flag, status, tier""".stripMargin
+
+  // x233: documents IS the larger view on every fixture — a routing flip
+  // on the Spark side breaks loudly (nation has no source/n_chars).
+  val x233: String =
+    """SELECT source AS grp, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE n_chars IS NOT NULL
+      |GROUP BY source ORDER BY grp""".stripMargin
+
+  // x234: the branch the fixtures take (>1000 rows ⇒ fine granularity)
+  // and the loop's closed form (2¹⁰ = 1024) inlined — scripting control
+  // flow must be value-identical to the straight-line query.
+  val x234: String =
+    """WITH qm AS (
+      |  SELECT floor(CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE)
+      |               / count(*) * 1000000 + 0.5) / 1000000 AS qmean
+      |  FROM lineitem WHERE l_quantity IS NOT NULL)
+      |SELECT l_returnflag AS flag, l_linestatus AS status,
+      |       CAST(count(*) AS BIGINT) AS n_above,
+      |       CAST(sum(CASE WHEN CAST(floor(l_extendedprice + 0.5) AS BIGINT) > 1024
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above_lim
+      |FROM lineitem, qm
+      |WHERE l_quantity IS NOT NULL AND l_quantity > qmean
+      |GROUP BY 1, 2 ORDER BY flag, status""".stripMargin
+
   // x230: raw-table joins — collected statistics must never change
   // answers, only plans (the plan side is require-asserted in the query).
   val x230: String =
@@ -4896,6 +4938,9 @@ object Oracles {
   val lGroup: Map[String, String] = Map(
     "x204_av_align"          -> x204,
     "x203_calendar_heatmap"  -> x203,
+    "x234_sql_scripting"     -> x234,
+    "x233_identifier_clause" -> x233,
+    "x232_column_defaults"   -> x232,
     "x231_cached_reuse"      -> x231,
     "x230_analyze_cbo"       -> x230,
     "x229_group_by_all"      -> x229,
