@@ -55,6 +55,13 @@ object Scratch9e {
       }
       spark.stop(); return
     }
+    if (args.contains("r9z")) {
+      for (dir <- Seq(sfDir, sfDir)) {
+        time(s"x235_$dir")(queries.MultimodalQueries.x235ImagePixels(spark, dir).count())
+        time(s"x236_$dir")(queries.MultimodalQueries.x236AudioSamples(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("r9y")) {
       for (dir <- Seq(sfDir, tenDir)) {
         time(s"x232_$dir")(queries.ExtendedQueries.x232ColumnDefaults(spark, dir).count())

@@ -29,10 +29,16 @@ import org.apache.spark.storage.StorageLevel
   *
   * The sorted RDD is persisted (MEMORY_AND_DISK) because both passes
   * consume it — the standard cache-or-double-sort trade of two-pass
-  * ranking; the pin is released by the ContextCleaner when the result
-  * goes out of scope.
+  * ranking. A lazy result can't unpersist its own input (the sweep
+  * executes after this returns), so each call releases the PREVIOUS
+  * call's pin instead — the leak is bounded at one ranking's sorted
+  * input, not one per call (LlmQueries' repin discipline).
   */
 object RangeRank {
+
+  private val lastPinned =
+    new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.rdd.RDD[Row]]()
 
   def rankWithin(df: DataFrame, keyCol: String, orderCols: Seq[String],
       rankName: String, numPartitions: Int = 0): DataFrame = {
@@ -44,6 +50,8 @@ object RangeRank {
       .sortWithinPartitions(sortCols: _*)
     val keyIdx = sorted.schema.fieldIndex(keyCol)
     val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val prev = lastPinned.getAndSet(rdd)
+    if (prev != null && (prev ne rdd)) prev.unpersist(blocking = false)
     // pass 1: per-(partition, key) counts — metadata-sized by construction
     val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]

@@ -53,6 +53,78 @@ object MultimodalQueries {
       .orderBy("pair_id")
   }
 
+  /** x235 — IMAGE PIXEL roundtrip (round-9): x204's hash-pinned pattern
+    * for the IMAGE path — 24 synthetic PNGs ([[SyntheticMedia.pngBytes]]:
+    * every pixel channel a closed-form integer function of (x, y, id),
+    * dimensions pure functions of id, losslessly encoded by the JDK PNG
+    * writer) are decoded by the REAL ImageIO reader and reduced to exact
+    * per-image facts: width, height, and the three exact channel sums.
+    * The oracle re-derives every column from the GENERATOR formulas alone
+    * (a range×range pixel grid summed in SQL) — any regression in the
+    * real PNG decode (a shifted row, a swapped channel, a truncated
+    * scanline) breaks the hash. With x204 (AV containers) this gives the
+    * multimodal stack hash-pinned coverage of all three media paths.
+    *
+    * Scale shape: decode is per-row mapPartitions work (the batched-UDF
+    * pattern); per-image output is O(1) facts — media volume scans
+    * linearly with decode cost.
+    */
+  def x235ImagePixels(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.range(0, 24, 1, 4).rdd
+      .map { id =>
+        val bytes = SyntheticMedia.pngBytes(
+          8 + (id % 5).toInt, 6 + (id % 3).toInt, id)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val v = img.getRGB(x, y)
+            sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (id, img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb)
+      }
+      .toDF("img_id", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy("img_id")
+  }
+
+  /** x236 — AUDIO WAVEFORM roundtrip (round-9): the sample-VALUE
+    * counterpart of x204's sample-count pin — 24 synthetic WAVs
+    * ([[SyntheticMedia.wavBytes]]: each 16-bit PCM sample the closed form
+    * (i·13 + id·7) mod 2001 − 1000) decoded through the REAL javax.sound
+    * stack back to raw little-endian shorts, reduced to exact Σ sample
+    * and Σ |sample|; the oracle recomputes both from the formula over
+    * range(n). A byte-order bug, header mis-parse, or dropped frame in
+    * the PCM path moves an exact integer — x204 would miss a value-level
+    * corruption that preserves counts; this can't.
+    */
+  def x236AudioSamples(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.range(0, 24, 1, 4).rdd
+      .map { id =>
+        val n = 400 + (id * 7 % 100).toInt
+        val bytes = SyntheticMedia.wavBytes(n, id)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val raw = ais.readAllBytes()
+        var s = 0L; var sa = 0L; var i = 0
+        while (i + 1 < raw.length) {
+          val v = ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort.toLong
+          s += v; sa += math.abs(v)
+          i += 2
+        }
+        (id, raw.length.toLong / 2, s, sa)
+      }
+      .toDF("wav_id", "n_samples", "sum_s", "sum_abs_s")
+      .orderBy("wav_id")
+  }
+
   /** x109 — SCHEMA AUDIT: both engines' raw views of every fixture table,
     * column by column, as one declared query — the standing canary for the
     * round-7 failure class (the driver regenerated `events.ts` from

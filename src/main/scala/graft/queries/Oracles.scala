@@ -4566,6 +4566,36 @@ object Oracles {
       |       CAST(sum(rt - lt) AS BIGINT) AS sum_gap_us
       |FROM j GROUP BY key ORDER BY user_id""".stripMargin
 
+  // x235: every pixel channel re-derived from the generator formulas over
+  // a range×range grid — the real PNG decode must recover them exactly.
+  val x235: String =
+    """WITH p AS (SELECT range AS img_id FROM range(0, 24)),
+      |d AS (SELECT img_id, 8 + img_id % 5 AS w, 6 + img_id % 3 AS h FROM p),
+      |px AS (SELECT d.img_id, d.w, d.h, x.range AS x, y.range AS y
+      |       FROM d JOIN range(0, 13) x ON x.range < d.w
+      |              JOIN range(0, 9) y ON y.range < d.h),
+      |s AS (SELECT img_id, w, h,
+      |             CAST(sum((x * 7 + img_id * 13 + 3) % 256) AS BIGINT) AS sum_r,
+      |             CAST(sum((y * 11 + img_id * 5 + 7) % 256) AS BIGINT) AS sum_g,
+      |             CAST(sum((x + y + img_id * 3) % 256) AS BIGINT) AS sum_b
+      |      FROM px GROUP BY 1, 2, 3)
+      |SELECT img_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       sum_r, sum_g, sum_b
+      |FROM s ORDER BY img_id""".stripMargin
+
+  // x236: Σ sample and Σ|sample| from the closed form — a PCM byte-order
+  // or header bug moves an exact integer.
+  val x236: String =
+    """WITH p AS (SELECT range AS wav_id FROM range(0, 24)),
+      |d AS (SELECT wav_id, 400 + (wav_id * 7) % 100 AS n FROM p),
+      |sm AS (SELECT d.wav_id, d.n,
+      |              (i.range * 13 + d.wav_id * 7) % 2001 - 1000 AS v
+      |       FROM d JOIN range(0, 500) i ON i.range < d.n)
+      |SELECT wav_id, CAST(max(n) AS BIGINT) AS n_samples,
+      |       CAST(sum(v) AS BIGINT) AS sum_s,
+      |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs_s
+      |FROM sm GROUP BY wav_id ORDER BY wav_id""".stripMargin
+
   // x232: both DEFAULT paths reconstructed — generation 1 reads the
   // insert-time status default AND the exists-default tier backfill.
   val x232: String =
@@ -4938,6 +4968,8 @@ object Oracles {
   val lGroup: Map[String, String] = Map(
     "x204_av_align"          -> x204,
     "x203_calendar_heatmap"  -> x203,
+    "x236_audio_samples"     -> x236,
+    "x235_image_pixels"      -> x235,
     "x234_sql_scripting"     -> x234,
     "x233_identifier_clause" -> x233,
     "x232_column_defaults"   -> x232,
