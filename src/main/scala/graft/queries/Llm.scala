@@ -5335,7 +5335,7 @@ object LlmQueries {
       col("c").as("cb"), col("total").as("tb"))
     val p = col("ca").cast("double") / col("ta").cast("double")
     val q = col("cb").cast("double") / col("tb").cast("double")
-    a.join(b, Seq("w")).filter(col("source_a") < col("source_b"))
+    val paired = a.join(b, Seq("w")).filter(col("source_a") < col("source_b"))
       .select(col("source_a"), col("source_b"), col("ca"), col("cb"),
         col("ta"), col("tb"),
         ExtendedQueries.stableRound6(
@@ -5355,6 +5355,17 @@ object LlmQueries {
           lit(0.5) * (col("stq").cast("double") +
             (lit(1.0) - col("scb").cast("double") / col("tb").cast("double"))))
           .as("jsd"))
+    // pair SPINE: a source pair sharing zero words would otherwise be
+    // ABSENT from the matrix — and the disjoint pair (JSD exactly 1) is
+    // the maximally-drifted one a mixing decision most needs to see
+    val srcs = counts.select("source").distinct()
+    val spine = srcs.as("sa").join(srcs.as("sb"),
+        col("sa.source") < col("sb.source"))
+      .select(col("sa.source").as("source_a"), col("sb.source").as("source_b"))
+    broadcast(spine).join(paired, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("jsd"), lit(1.0)).as("jsd"))
       .orderBy("source_a", "source_b")
   }
 

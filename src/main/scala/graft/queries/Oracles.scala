@@ -4283,7 +4283,7 @@ object Oracles {
       |  SELECT CAST(sum(ce) AS BIGINT) AS n1,
       |         CAST(sum(c) - sum(ce) AS BIGINT) AS n2,
       |         CAST(sum(ce * r2) AS BIGINT) AS sr2_1,
-      |         CAST(sum(c * c * c - c) AS BIGINT) AS tie3
+      |         sum(CAST(c AS HUGEINT) * c * c - c) AS tie3
       |  FROM r2),
       |u AS (
       |  SELECT n1, n2, tie3,
@@ -4368,7 +4368,8 @@ object Oracles {
       |v AS (SELECT m, CAST(sum(cg) AS BIGINT) AS c FROM vt GROUP BY m),
       |r AS (SELECT m, c, CAST(sum(c) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       |      FROM v),
-      |r2 AS (SELECT m, 2 * (cum - c + 1) + c - 1 AS r2, c * c * c - c AS t3 FROM r),
+      |r2 AS (SELECT m, 2 * (cum - c + 1) + c - 1 AS r2,
+      |              CAST(c AS HUGEINT) * c * c - c AS t3 FROM r),
       |bg AS (
       |  SELECT event_type, CAST(sum(cg) AS BIGINT) AS nj,
       |         CAST(sum(cg * r2.r2) AS BIGINT) AS rj2
@@ -4377,7 +4378,7 @@ object Oracles {
       |  SELECT CAST(sum(nj) AS BIGINT) AS nn,
       |         CAST(sum((CAST(rj2 AS HUGEINT) * rj2) // (4 * nj)) AS BIGINT) AS t_int
       |  FROM bg),
-      |tt AS (SELECT CAST(sum(t3) AS BIGINT) AS tie3 FROM r2),
+      |tt AS (SELECT sum(t3) AS tie3 FROM r2),
       |hh AS (
       |  SELECT nn, tie3,
       |         12.0 * CAST(t_int AS DOUBLE) /
@@ -4390,7 +4391,7 @@ object Oracles {
       |             * 1000000 + 0.5) / 1000000 AS mean_rank,
       |       floor(h * 1000000 + 0.5) / 1000000 AS h,
       |       floor(h / (1.0 - CAST(tie3 AS DOUBLE) /
-      |                  CAST(nn * nn * nn - nn AS DOUBLE))
+      |                  CAST(CAST(nn AS HUGEINT) * nn * nn - nn AS DOUBLE))
       |             * 1000000 + 0.5) / 1000000 AS h_tie
       |FROM bg, hh
       |ORDER BY event_type""".stripMargin
@@ -4488,14 +4489,22 @@ object Oracles {
       |             max(ta) AS ta, max(tb) AS tb,
       |             sum(CAST(tp AS DECIMAL(28,6))) AS stp,
       |             sum(CAST(tq AS DECIMAL(28,6))) AS stq
-      |      FROM t GROUP BY 1, 2)
-      |SELECT source_a, source_b, n_common,
-      |       floor((0.5 * (CAST(stp AS DOUBLE)
-      |                + (1.0 - CAST(sca AS DOUBLE) / CAST(ta AS DOUBLE)))
-      |            + 0.5 * (CAST(stq AS DOUBLE)
-      |                + (1.0 - CAST(scb AS DOUBLE) / CAST(tb AS DOUBLE))))
-      |             * 1000000 + 0.5) / 1000000 AS jsd
-      |FROM g ORDER BY source_a, source_b""".stripMargin
+      |      FROM t GROUP BY 1, 2),
+      |gg AS (SELECT source_a, source_b, n_common,
+      |              floor((0.5 * (CAST(stp AS DOUBLE)
+      |                       + (1.0 - CAST(sca AS DOUBLE) / CAST(ta AS DOUBLE)))
+      |                   + 0.5 * (CAST(stq AS DOUBLE)
+      |                       + (1.0 - CAST(scb AS DOUBLE) / CAST(tb AS DOUBLE))))
+      |                    * 1000000 + 0.5) / 1000000 AS jsd
+      |       FROM g),
+      |sp AS (SELECT a.source AS source_a, b.source AS source_b
+      |       FROM (SELECT DISTINCT source FROM c) a
+      |       JOIN (SELECT DISTINCT source FROM c) b ON a.source < b.source)
+      |SELECT sp.source_a, sp.source_b,
+      |       CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+      |       coalesce(jsd, 1.0) AS jsd
+      |FROM sp LEFT JOIN gg USING (source_a, source_b)
+      |ORDER BY source_a, source_b""".stripMargin
 
   // x216: x16's score CTE (x157's fragment) + the x53 chunk lineage as
   // the shared-content flag; every moment exact, one float chain round6'd.

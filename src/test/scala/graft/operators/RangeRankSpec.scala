@@ -35,6 +35,18 @@ class RangeRankSpec extends SparkSpec {
     assert(got == Set(("a", 1L, 2L, 1L), ("a", 2L, 3L, 2L), ("a", 3L, 1L, 3L)))
   }
 
+  test("a NULL key and the literal string \"null\" rank as SEPARATE groups") {
+    val rows = Seq((null.asInstanceOf[String], 1L, 1L), ("null", 1L, 2L),
+      (null.asInstanceOf[String], 2L, 3L), ("null", 2L, 4L))
+    val got = RangeRank.rankWithin(rows.toDF("k", "v", "id"), "k",
+        Seq("v", "id"), "rnk", 4)
+      .select("k", "id", "rnk").collect()
+      .map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0),
+        r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("<null>", 1L, 1L), ("<null>", 3L, 2L),
+      ("null", 2L, 1L), ("null", 4L, 2L)))
+  }
+
   test("duplicate order values rank by the tie-break column") {
     val rows = Seq(("a", 5L, 2L), ("a", 5L, 1L), ("b", 5L, 9L))
     val got = RangeRank.rankWithin(rows.toDF("k", "v", "id"), "k",

@@ -181,13 +181,16 @@ class PlanSpec extends SparkSpec {
     // table plus the 1-row total cross (x117's shape)
     // x231's is the 1-row corpus-totals frame crossing onto the |flags|-row
     // per-flag aggregate (x117's 1-row denominator shape, both cached)
+    // x215's is the |sources|² pair SPINE (self theta-join of the distinct
+    // source list, ≤ 20 rows a side) that surfaces disjoint pairs as jsd=1
       "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
       "x112_zorder_layout", "x117_mix_temperature", "x119_prep_v4",
       "x124_dsir_weights", "x126_ks_drift", "x132_perplexity_gate",
       "x140_retrieval_eval", "x150_hard_negatives", "x155_curriculum",
       "x180_range_balance", "x186_join_forecast",
       "x206_kruskal_wallis", "x207_cusum", "x208_acf",
-      "x211_graph_backbone", "x217_k_anonymity", "x231_cached_reuse")
+      "x211_graph_backbone", "x215_jsd_sources", "x217_k_anonymity",
+      "x231_cached_reuse")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
