@@ -55,6 +55,14 @@ object Scratch9e {
       }
       spark.stop(); return
     }
+    if (args.contains("r9aa")) {
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x237_$dir")(queries.LlmQueries.x237NormHistogram(spark, dir).count())
+        time(s"x238_$dir")(queries.LlmQueries.x238ComponentSizes(spark, dir).count())
+        time(s"x239_$dir")(queries.LlmQueries.x239ZipfSlope(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("r9z")) {
       for (dir <- Seq(sfDir, sfDir)) {
         time(s"x235_$dir")(queries.MultimodalQueries.x235ImagePixels(spark, dir).count())

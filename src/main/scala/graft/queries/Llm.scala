@@ -5302,6 +5302,103 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** x237 — EMBEDDING NORM histogram (round-9): the distribution of L2
+    * norms in 0.1-wide bins — the one-glance answer to "are these vectors
+    * normalized?", the precondition every cosine-based component (x11 /
+    * x21 / x28 / x59) silently assumes; a bimodal or off-1 histogram
+    * means mixed encoder versions or a missing normalization pass.
+    *
+    * Exactness: components quantized once to micro ints (x214's rule),
+    * Σv² an exact BIGINT per vector, ONE sqrt (correctly-rounded IEEE on
+    * an engine-identical double), then the norm is re-quantized to micro
+    * ints so BINNING IS INTEGER (norm6 div 10⁵) and min/max are exact —
+    * a boundary norm can't land in different bins across engines.
+    *
+    * Scale shape: one posexplode + per-vector map-combining agg, then a
+    * ≤ ~20-bin aggregate — no window, no join.
+    */
+  def x237NormHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val perVec = Io.table(spark, sfDir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"),
+        floor(col("v").cast("double") * 1000000 + 0.5).cast("long").as("v6"))
+      .groupBy("vec_id")
+      .agg(sum(col("v6") * col("v6")).as("n2"))
+      .select(floor(sqrt(col("n2").cast("double")) + 0.5).cast("long")
+        .as("norm6"))
+    perVec
+      .groupBy(expr("norm6 div 100000").as("bin"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min("norm6").as("min_norm6"), max("norm6").as("max_norm6"))
+      .select(col("bin"), col("n_vectors"),
+        (col("min_norm6").cast("double") / lit(1e6)).as("min_norm"),
+        (col("max_norm6").cast("double") / lit(1e6)).as("max_norm"))
+      .orderBy("bin")
+  }
+
+  /** x238 — DUP-COMPONENT SIZE distribution (round-9): the histogram of
+    * x47's transitive near-dup cluster sizes — the curation stat that
+    * decides dedup POLICY (a corpus of pairs wants keep-best, x66; a few
+    * giant boilerplate clusters want chunk-level treatment, x53/x107) and
+    * the first thing to audit when dedup removal rates look wrong. Reuses
+    * x47's pointer-jumped component engine verbatim (the x104 cannot-
+    * drift rule); the oracle wraps x47's own recursive-CTE closure — one
+    * hash pins the full size spectrum, not just per-doc labels.
+    *
+    * Scale shape: x47's cost + two component-cardinality aggregates.
+    */
+  def x238ComponentSizes(spark: SparkSession, sfDir: String): DataFrame = {
+    x47DedupComponents(spark, sfDir)
+      .groupBy("component").agg(count(lit(1)).as("size"))
+      .groupBy("size")
+      .agg(count(lit(1)).as("n_components"))
+      .select(col("size"), col("n_components"),
+        (col("size") * col("n_components")).as("n_docs"))
+      .orderBy("size")
+  }
+
+  /** x239 — ZIPF SLOPE of the term distribution (round-9): OLS fit of
+    * ln(count) against ln(rank) over the top-50 terms — the corpus-health
+    * scalar behind "does this crawl look like natural language?" (natural
+    * text sits near slope −1; a flat slope means templated/synthetic
+    * text, a cliff means boilerplate dominance). Composes x144's exact-
+    * moment OLS with x101's transcendental discipline: ln on engine-
+    * identical inputs (exact counts, exact ranks), per-term round6, then
+    * DECIMAL moments and ONE float chain for slope/intercept, round6'd.
+    *
+    * Scale shape: one token aggregate, top-50 via TakeOrdered (count
+    * desc, word asc — a total order), a 50-row moments pass.
+    */
+  def x239ZipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val top = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(50)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("w").asc)))
+      .select(
+        // micro-integer ln values: every OLS moment is then an exact
+        // BIGINT (the 10⁶ scale factors cancel in the slope ratio)
+        floor(log(col("rank").cast("double")) * 1000000 + 0.5).cast("long")
+          .as("x6"),
+        floor(log(col("c").cast("double")) * 1000000 + 0.5).cast("long")
+          .as("y6"))
+    val m = top.agg(count(lit(1)).as("n"),
+      sum("x6").as("sx"), sum("y6").as("sy"),
+      sum(col("x6") * col("y6")).as("sxy"),
+      sum(col("x6") * col("x6")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.select(col("n").as("n_terms"),
+      stableRound6(slope).as("slope"),
+      stableRound6((col("sy").cast("double") - slope * col("sx").cast("double")) /
+        (lit(1e6) * col("n").cast("double"))).as("intercept"))
+  }
+
   /** x215 — JENSEN-SHANNON drift between source token distributions
     * (round-9): pairwise JSD (base 2, ∈ [0,1]) between every pair of
     * sources' unigram distributions — the distribution-level counterpart

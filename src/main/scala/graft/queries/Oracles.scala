@@ -4575,6 +4575,59 @@ object Oracles {
       |       CAST(sum(rt - lt) AS BIGINT) AS sum_gap_us
       |FROM j GROUP BY key ORDER BY user_id""".stripMargin
 
+  // x237: exact Σv6² per vector, one correctly-rounded sqrt, integer
+  // binning on the re-quantized norm.
+  val x237: String =
+    """WITH v AS (SELECT vec_id,
+      |                  CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+      |                             * 1000000 + 0.5) AS BIGINT) AS v6
+      |           FROM embeddings WHERE embedding IS NOT NULL),
+      |n2 AS (SELECT vec_id, CAST(sum(v6 * v6) AS BIGINT) AS n2
+      |       FROM v GROUP BY vec_id),
+      |nn AS (SELECT CAST(floor(sqrt(CAST(n2 AS DOUBLE)) + 0.5) AS BIGINT) AS norm6
+      |       FROM n2)
+      |SELECT norm6 // 100000 AS bin, CAST(count(*) AS BIGINT) AS n_vectors,
+      |       CAST(min(norm6) AS DOUBLE) / 1000000.0 AS min_norm,
+      |       CAST(max(norm6) AS DOUBLE) / 1000000.0 AS max_norm
+      |FROM nn GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // x238: x47's own recursive closure, histogrammed — the full size
+  // spectrum pinned, not just per-doc labels.
+  val x238: String =
+    s"""WITH $componentCtes,
+      |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+      |       FROM r GROUP BY component),
+      |h AS (SELECT size, CAST(count(*) AS BIGINT) AS n_components
+      |      FROM cs GROUP BY size)
+      |SELECT size, n_components, size * n_components AS n_docs
+      |FROM h ORDER BY size""".stripMargin
+
+  // x239: micro-integer ln values make every OLS moment an exact BIGINT;
+  // the 10⁶ scale factors cancel in the slope ratio.
+  val x239: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+      |             FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+      |top AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rank
+      |        FROM c QUALIFY rank <= 50),
+      |p AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x6,
+      |             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y6
+      |      FROM top),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x6) AS BIGINT) AS sx,
+      |             CAST(sum(y6) AS BIGINT) AS sy,
+      |             CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+      |             CAST(sum(x6 * x6) AS BIGINT) AS sxx
+      |      FROM p)
+      |SELECT n AS n_terms,
+      |       floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |             CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5) / 1000000 AS slope,
+      |       floor((CAST(sy AS DOUBLE) -
+      |              (CAST(n * sxy - sx * sy AS DOUBLE) /
+      |               CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+      |             / (1000000.0 * CAST(n AS DOUBLE))
+      |             * 1000000 + 0.5) / 1000000 AS intercept
+      |FROM m""".stripMargin
+
   // x235: every pixel channel re-derived from the generator formulas over
   // a range×range grid — the real PNG decode must recover them exactly.
   val x235: String =
@@ -4977,6 +5030,9 @@ object Oracles {
   val lGroup: Map[String, String] = Map(
     "x204_av_align"          -> x204,
     "x203_calendar_heatmap"  -> x203,
+    "x239_zipf_slope"        -> x239,
+    "x238_component_sizes"   -> x238,
+    "x237_norm_histogram"    -> x237,
     "x236_audio_samples"     -> x236,
     "x235_image_pixels"      -> x235,
     "x234_sql_scripting"     -> x234,
