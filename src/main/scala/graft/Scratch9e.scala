@@ -55,6 +55,12 @@ object Scratch9e {
       }
       spark.stop(); return
     }
+    if (args.contains("r9ab")) {
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x240_$dir")(queries.LlmQueries.x240LangIdMetrics(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("r9aa")) {
       for (dir <- Seq(sfDir, tenDir)) {
         time(s"x237_$dir")(queries.LlmQueries.x237NormHistogram(spark, dir).count())

@@ -236,7 +236,10 @@ object LlmQueries {
     * length-difference / 2), predict the argmax with lexicographic
     * tie-break, and emit the confusion matrix against the labeled `lang`.
     */
-  def x15LanguageId(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (lang, predicted) per doc — x15's n-gram argmax classifier, shared
+    * with x240's metrics so the audit cannot drift from the classifier.
+    */
+  private def langPredictions(spark: SparkSession, sfDir: String): DataFrame = {
     def occurrences(bigram: String): Column =
       (length(col("text")) - length(expr(s"replace(text, '$bigram', '')"))) / 2
     val scored = LangSignatures.foldLeft(Io.table(spark, sfDir, "documents")) {
@@ -252,10 +255,54 @@ object LlmQueries {
           .map(l => col(s"s_$lang") >= col(s"s_$l")).reduce(_ && _)
         when(geAllLater, lit(lang)).otherwise(elseCol)
     }
-    scored.withColumn("predicted", predicted)
+    scored.withColumn("predicted", predicted).select("lang", "predicted")
+  }
+
+  def x15LanguageId(spark: SparkSession, sfDir: String): DataFrame =
+    langPredictions(spark, sfDir)
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted")
+
+  /** x240 — CLASSIFIER METRICS for the language ID (round-9): per true
+    * lang — support, predicted volume, true positives, precision, recall,
+    * F1 — the evaluation face the suite had for retrieval (x105/x140) but
+    * not for CLASSIFIERS; x15 emits the raw confusion cells, this derives
+    * the decision numbers ("is the lang gate safe to filter on?"). Shares
+    * x15's prediction machinery verbatim (the x89 cannot-drift rule).
+    *
+    * Exactness: all counts exact; precision/recall are single
+    * exact-integer ratios; F1 avoids the compound float via the harmonic
+    * identity F1 = 2·tp/(n_pred + n_true) — also one ratio. Zero-guards
+    * to 0.0 per the degenerate-class convention.
+    *
+    * Scale shape: one codegen'd scoring scan (no UDF), one cell
+    * aggregate, then |langs|-row joins — the cells table is k²-bounded.
+    */
+  def x240LangIdMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val cells = langPredictions(spark, sfDir)
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+    val tl = cells.groupBy("lang").agg(sum("n").as("n_true"))
+    val pl = cells.groupBy(col("predicted").as("lang"))
+      .agg(sum("n").as("n_pred"))
+    val tp = cells.filter(col("lang") === col("predicted"))
+      .select(col("lang"), col("n").as("tp"))
+    tl.join(pl, Seq("lang"), "left").join(tp, Seq("lang"), "left")
+      .select(col("lang"), col("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("lang"), col("n_true"), col("n_pred"), col("tp"),
+        when(col("n_pred") > 0, stableRound6(
+          col("tp").cast("double") / col("n_pred").cast("double")))
+          .otherwise(lit(0.0)).as("prec"),
+        stableRound6(col("tp").cast("double") / col("n_true").cast("double"))
+          .as("rec"),
+        when(col("n_pred") + col("n_true") > 0, stableRound6(
+          lit(2.0) * col("tp").cast("double") /
+            (col("n_pred") + col("n_true")).cast("double")))
+          .otherwise(lit(0.0)).as("f1"))
+      .orderBy("lang")
   }
 
   private val Stopwords = Seq("the", "a", "of", "to", "and")

@@ -4575,6 +4575,53 @@ object Oracles {
       |       CAST(sum(rt - lt) AS BIGINT) AS sum_gap_us
       |FROM j GROUP BY key ORDER BY user_id""".stripMargin
 
+  // x240: x15's s/p CTEs verbatim, then per-class metrics; F1 via the
+  // harmonic identity 2tp/(n_pred + n_true) — one exact-integer ratio.
+  val x240: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    (length(text) - length(replace(text, 'ch', ''))) / 2
+      |      + (length(text) - length(replace(text, 'ei', ''))) / 2 AS s_de,
+      |    (length(text) - length(replace(text, 'th', ''))) / 2
+      |      + (length(text) - length(replace(text, 'he', ''))) / 2 AS s_en,
+      |    (length(text) - length(replace(text, 'de', ''))) / 2
+      |      + (length(text) - length(replace(text, 'la', ''))) / 2 AS s_es,
+      |    (length(text) - length(replace(text, 'le', ''))) / 2
+      |      + (length(text) - length(replace(text, 'ou', ''))) / 2 AS s_fr,
+      |    (length(text) - length(replace(text, 'zh', ''))) / 2
+      |      + (length(text) - length(replace(text, 'ng', ''))) / 2 AS s_zh
+      |  FROM documents),
+      |p AS (
+      |  SELECT lang,
+      |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |         WHEN s_fr >= s_zh THEN 'fr'
+      |         ELSE 'zh' END AS predicted
+      |  FROM s),
+      |cells AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+      |          FROM p GROUP BY 1, 2),
+      |tl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true FROM cells GROUP BY lang),
+      |pl AS (SELECT predicted AS lang, CAST(sum(n) AS BIGINT) AS n_pred
+      |       FROM cells GROUP BY 1),
+      |tpx AS (SELECT lang, n AS tp FROM cells WHERE lang = predicted)
+      |SELECT tl.lang, tl.n_true,
+      |       CAST(coalesce(pl.n_pred, 0) AS BIGINT) AS n_pred,
+      |       CAST(coalesce(tpx.tp, 0) AS BIGINT) AS tp,
+      |       CASE WHEN coalesce(pl.n_pred, 0) > 0
+      |            THEN floor(CAST(coalesce(tpx.tp, 0) AS DOUBLE)
+      |                       / CAST(pl.n_pred AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |            ELSE 0.0 END AS prec,
+      |       floor(CAST(coalesce(tpx.tp, 0) AS DOUBLE)
+      |             / CAST(tl.n_true AS DOUBLE) * 1000000 + 0.5) / 1000000 AS rec,
+      |       CASE WHEN coalesce(pl.n_pred, 0) + tl.n_true > 0
+      |            THEN floor(2.0 * CAST(coalesce(tpx.tp, 0) AS DOUBLE)
+      |                       / CAST(coalesce(pl.n_pred, 0) + tl.n_true AS DOUBLE)
+      |                       * 1000000 + 0.5) / 1000000
+      |            ELSE 0.0 END AS f1
+      |FROM tl LEFT JOIN pl USING (lang) LEFT JOIN tpx USING (lang)
+      |ORDER BY tl.lang""".stripMargin
+
   // x237: exact Σv6² per vector, one correctly-rounded sqrt, integer
   // binning on the re-quantized norm.
   val x237: String =
@@ -5030,6 +5077,7 @@ object Oracles {
   val lGroup: Map[String, String] = Map(
     "x204_av_align"          -> x204,
     "x203_calendar_heatmap"  -> x203,
+    "x240_langid_metrics"    -> x240,
     "x239_zipf_slope"        -> x239,
     "x238_component_sizes"   -> x238,
     "x237_norm_histogram"    -> x237,
