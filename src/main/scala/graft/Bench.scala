@@ -62,7 +62,12 @@ object Bench {
     // x47_rounds stays -1 when x47 never ran this process (e.g. a filtered
     // query set) — emit the field only when it carries a real value.
     val x47Rounds = graft.queries.LlmQueries.x47LastRounds.get()
-    val x47Field = if (x47Rounds >= 0) s""","x47_rounds":$x47Rounds""" else ""
+    // memo hits across x47/x104/x238/x248 (r10): attribution for the bench
+    // drop — consumers after the first ride one converged fixpoint per
+    // (dir, fixture stamp) instead of re-running the propagation.
+    val x47Hits = graft.queries.LlmQueries.x47MemoHits.get()
+    val x47Field = (if (x47Rounds >= 0) s""","x47_rounds":$x47Rounds""" else "") +
+      (if (x47Hits > 0) s""","x47_memo_hits":$x47Hits""" else "")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failures.size},"failures":${arr(failures)},"flaky":${arr(flaky)}$x47Field,"reps":$reps,"sf":"$sfDir"}"""
     println(fullJson)
     // The driver keeps only the LAST 2000 chars of stdout; with 120+ queries

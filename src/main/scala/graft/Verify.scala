@@ -39,6 +39,16 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A name-filtered run dumps a SUBSET into the same outDir layout as a
+    // full gate run; without a marker, a consumer that assumes the dump is
+    // complete could read a partial green as full coverage (ADVICE r9). A
+    // full run DELETES any stale marker so a reused outDir can't stay
+    // flagged partial after a genuine full pass.
+    val partialMarker = Paths.get(s"$outDir/_partial.json")
+    if (only.nonEmpty)
+      Files.writeString(partialMarker,
+        only.toSeq.sorted.map(q).mkString("{\"only\": [", ",", "]}"))
+    else Files.deleteIfExists(partialMarker)
     // verify_errors.json is written FIRST as an empty object and rewritten
     // after every failure: a query error must never silently shrink the
     // correctness file again (round 7: a broken events reader dropped 24

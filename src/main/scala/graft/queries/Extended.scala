@@ -1597,6 +1597,114 @@ object ExtendedQueries {
       .orderBy("from_type", "to_type")
   }
 
+  /** x247 — SEQUENTIAL-PATTERN mining, contiguous event-type trigrams
+    * (round-10; the PrefixSpan-lite member of the sequence family): per
+    * user, order events by event_id (the exact CDC sequence — x99/x61's
+    * never-the-ns-truncating-ts rule), slide a 3-gram window over the
+    * event-type stream, and rank patterns by SUPPORT (distinct users
+    * exhibiting the trigram) with total occurrences beside it — the
+    * user-journey motif detector one step beyond x99's first-order
+    * transition matrix (a Markov chain cannot see that A→B→C is common
+    * while A→B→D never happens when both share the A→B edge). Null event
+    * types are filtered BEFORE windowing (declared semantics: the pattern
+    * alphabet is the non-null types; engines disagree on null ordering,
+    * so nulls in group keys would also break output-order parity).
+    *
+    * Scale shape: ONE user_id exchange carries both leads (same window
+    * spec); the trigram aggregate collapses to ≤ |types|³ rows in its
+    * map-side partials; top-20 via TakeOrderedAndProject under the total
+    * order (support desc, n_occ desc, trigram asc) — no global sort.
+    */
+  def x247SeqTrigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val seq = Window.partitionBy("user_id").orderBy("event_id")
+    Io.eventsRaw(spark, sfDir)
+      .filter(col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type").as("t1"))
+      .withColumn("t2", lead("t1", 1).over(seq))
+      .withColumn("t3", lead("t1", 2).over(seq))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3")
+      .agg(countDistinct("user_id").as("support"), count(lit(1)).as("n_occ"))
+      .orderBy(desc("support"), desc("n_occ"), col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
+  /** x254 — HILL TAIL-INDEX estimator (round-10): α̂ = k / Σᵢ ln(x₍ᵢ₎ /
+    * x₍ₖ₊₁₎) over the k = 100 largest doc lengths — the standard
+    * heavy-tail exponent estimate, closing the power-law triptych (x239
+    * Zipf slope = rank-frequency, x251 Heaps β = vocabulary growth, Hill
+    * α = SIZE-distribution tail). Operationally: α near 1–2 means "your
+    * longest documents carry a huge share of tokens" — the packing (x60/
+    * x116) and per-task-skew planning signal.
+    *
+    * Exactness: the top-(k+1) order statistics are selected by the exact
+    * (n_chars desc, doc_id asc) total order; each ln(xᵢ/x₍ₖ₊₁₎) is ONE ln
+    * of an exact integer ratio, round6'd, DECIMAL-summed (x101), one
+    * final division round6'd.
+    *
+    * Scale shape: TakeOrderedAndProject(101) — map-side bounded heaps,
+    * never a global sort; everything after runs on 101 rows.
+    */
+  def x254HillTail(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 100
+    val top = Io.table(spark, sfDir, "documents")
+      .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars").cast("long").as("x"))
+      .orderBy(col("x").desc, col("doc_id").asc).limit(k + 1)
+    val xk1 = top.agg(min("x").as("xk1"), count(lit(1)).as("m"))
+    top.crossJoin(broadcast(xk1))
+      .filter(col("m") === k + 1) // undefined below k+1 docs: emit nothing
+      .select(col("xk1"),
+        stableRound6(log(col("x").cast("double") / col("xk1").cast("double")))
+          .cast("decimal(18,6)").as("t"))
+      .groupBy("xk1")
+      .agg(count(lit(1)).as("m2"), sum("t").as("st"))
+      .select(lit(k.toLong).as("k"), col("xk1").as("x_k1"),
+        stableRound6(lit(k.toDouble) / col("st").cast("double")).as("alpha"))
+  }
+
+  /** x255 — HASH-UNIFORMITY KS audit (round-10): the exact one-sample
+    * Kolmogorov–Smirnov statistic of the repo's own md5-derived uniforms
+    * (u = 32-bit md5 prefix / 2³²) against U(0,1) — the audit UNDER the
+    * auditors: x30/x80/x133/x157/x243 all assume the md5 draw is uniform;
+    * this query measures it (D·√n ≈ 0.5–1 is healthy; a biased extractor
+    * would climb). D = maxᵢ max(i/n − u₍ᵢ₎, u₍ᵢ₎ − (i−1)/n) needs the
+    * GLOBAL rank of every u — corpus-linear, exactly the frame shape that
+    * must NOT be a single-task window (the x129 lesson), so the rank
+    * comes from [[graft.operators.RangeRank]]'s two-pass offset scheme
+    * (second declared consumer) and the argmax is integer-exact:
+    * max(r·2³² − n·h, n·h − (r−1)·2³²) over exact longs.
+    *
+    * Scale shape: one hash scan, RangeRank (range-partitioned sort +
+    * metadata offsets), one map-combining 1-row max aggregate; n·h ≤
+    * n·2³² — decimal guard documented past n ≈ 2·10⁹.
+    */
+  def x255HashUniformity(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Io.table(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(
+        """cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)
+          as bigint)""").as("h"))
+      .withColumn("g", lit(1))
+    // rotation-pinned form: Verify/Bench materialize each declared query
+    // before building the next, satisfying the consume-before-next-call
+    // contract (RangeRank doc)
+    val ranked = graft.operators.RangeRank.rankWithin(
+      d, "g", Seq("h", "doc_id"), "r")
+    val n = d.agg(count(lit(1)).as("n"))
+    val out = ranked.crossJoin(broadcast(n))
+      .select(col("n"), greatest(
+        col("r") * lit(4294967296L) - col("n") * col("h"),
+        col("n") * col("h") - (col("r") - 1) * lit(4294967296L)).as("dnum"))
+      .groupBy("n").agg(max("dnum").as("dmax"))
+      .select(col("n"),
+        stableRound6(col("dmax").cast("double") /
+          (col("n").cast("double") * lit(4294967296.0))).as("d"),
+        stableRound6(col("dmax").cast("double") /
+          (col("n").cast("double") * lit(4294967296.0)) *
+          sqrt(col("n").cast("double"))).as("d_sqrt_n"))
+    out
+  }
+
   /** x102 — INTERVAL-OVERLAP join, the one temporal-join class the family
     * still lacked (x22 as-of = latest-before, x29 range = point-in-interval,
     * x91 nearest = closest-point): two sets of INTERVALS joined on
@@ -4121,5 +4229,162 @@ object ExtendedQueries {
       .unionAll(run("MERGE", "SortMergeJoin", "merge"))
       .unionAll(run("SHUFFLE_HASH", "ShuffledHashJoin", "shuffle_hash"))
       .orderBy("strategy", "nation")
+  }
+
+  /** x242 — WELCH'S t-TEST per source vs rest (round-10): does this
+    * source's document-length mean differ from the remaining corpus,
+    * WITHOUT assuming equal variances (the realistic case — a crawl
+    * source's length distribution has its own spread)? Emits n, both
+    * means, Welch t, and the Welch–Satterthwaite degrees of freedom —
+    * the parametric MEAN-shift companion to x126's distribution-free KS
+    * (KS sees any CDF divergence; t answers "is the average different,
+    * and with how much evidence").
+    *
+    * Exactness discipline: per-source moments (n, Σx, Σx²) are exact
+    * DECIMAL(38,0) (x² ≤ 10⁸ per row — decimal survives any corpus
+    * size where long would wrap); rest-side moments are global − source
+    * (one aggregate, no second scan). Variance numerator q·n − s² stays
+    * exact in decimal; each variance is ONE division from exact ints,
+    * then the t / df chain is a FIXED float expression mirrored
+    * token-for-token in the oracle, stableRound6 at the edge.
+    *
+    * Scale shape: one map-combining source aggregate + a 1-row global
+    * aggregate broadcast back — output |sources| rows; no window, no
+    * second corpus scan.
+    */
+  def x242WelchTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Io.table(spark, sfDir, "documents")
+      .filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").cast("decimal(38,0)").as("x"))
+    val per = d.groupBy("source").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n1"),
+      sum("x").as("s1"), sum(col("x") * col("x")).as("q1"))
+    val g = per.agg(sum("n1").as("n"), sum("s1").as("s"), sum("q1").as("q"))
+    val j = per.crossJoin(broadcast(g))
+      .select(col("source"), col("n1"), col("s1"), col("q1"),
+        (col("n") - col("n1")).as("n2"), (col("s") - col("s1")).as("s2"),
+        (col("q") - col("q1")).as("q2"))
+    def dbl(c: Column): Column = c.cast("double")
+    val m1 = dbl(col("s1")) / dbl(col("n1"))
+    val m2 = dbl(col("s2")) / dbl(col("n2"))
+    val v1 = dbl(col("q1") * col("n1") - col("s1") * col("s1")) /
+      dbl(col("n1") * (col("n1") - 1))
+    val v2 = dbl(col("q2") * col("n2") - col("s2") * col("s2")) /
+      dbl(col("n2") * (col("n2") - 1))
+    val a = v1 / dbl(col("n1"))
+    val b = v2 / dbl(col("n2"))
+    val t = (m1 - m2) / sqrt(a + b)
+    val df = (a + b) * (a + b) /
+      (a * a / dbl(col("n1") - 1) + b * b / dbl(col("n2") - 1))
+    j.select(col("source"), col("n1").cast("bigint").as("n_src"),
+        stableRound6(m1).as("mean_src"), stableRound6(m2).as("mean_rest"),
+        stableRound6(t).as("t"), stableRound6(df).as("df"))
+      .orderBy("source")
+  }
+
+  /** x243 — MULTIPLIER-BOOTSTRAP confidence interval (round-10): per
+    * source, a 95% CI for mean document length from B = 100 deterministic
+    * resamples — the uncertainty meter the point estimates x85/x242 lack
+    * (a 2-source mean gap means nothing without "how much would the mean
+    * wobble under resampling"). Replicate b reweights every doc by
+    * w = md5('boot|b|doc_id') mod 3 ∈ {0,1,2} — a mean-1 multiplier
+    * bootstrap whose weights both engines derive bit-identically (the
+    * fixture-seed discipline; production swaps Poisson(1) RNG weights,
+    * the plan is unchanged); CI bounds are the 3rd and 98th order
+    * statistics of the 100 replicate means (ceil-index percentile
+    * convention, 2.5%/97.5%).
+    *
+    * Exactness: each replicate mean is Σw·x / Σw — two exact longs, one
+    * division, stableRound6; order statistics are selected by a window
+    * over the (sources × 100)-row replicate frame — a BOUNDED frame
+    * (B is a constant), the x205 bounded-window rule.
+    *
+    * Scale shape: the corpus scan is amplified ×B by the replicate
+    * explode, then collapsed IN THE MAP-SIDE PARTIALS of one (source, b)
+    * aggregate — shuffle carries |sources|·B partial rows, not B corpora;
+    * everything after runs on the bounded replicate frame. At 100 TB the
+    * ×B read amplification is the knob: B trades off against per-pass
+    * cost by re-using one scan for all B weights (as here — ONE scan,
+    * B weights per row).
+    */
+  def x243BootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 100
+    val d = Io.table(spark, sfDir, "documents")
+      .filter(col("n_chars").isNotNull)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("x"))
+    val rep = d.select(col("source"), col("doc_id"), col("x"),
+        explode(expr(s"sequence(1, $B)")).as("b"))
+      .select(col("source"), col("b"), col("x"),
+        expr("""cast(conv(substring(md5(concat('boot|', cast(b as string),
+          '|', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 3""")
+          .as("w"))
+      .groupBy("source", "b")
+      .agg(sum(col("w") * col("x")).as("wx"), sum("w").as("sw"))
+      .select(col("source"), col("b"),
+        stableRound6(col("wx").cast("double") / col("sw").cast("double"))
+          .as("rm"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("rm").asc, col("b").asc)
+    val ranked = rep.withColumn("rn", row_number().over(wr))
+    val ci = ranked.filter(col("rn") === 3 || col("rn") === 98)
+      .groupBy("source")
+      .agg(min(when(col("rn") === 3, col("rm"))).as("ci_lo"),
+        min(when(col("rn") === 98, col("rm"))).as("ci_hi"))
+    val pt = d.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      .select(col("source"), col("n"),
+        stableRound6(col("sx").cast("double") / col("n").cast("double"))
+          .as("mean"))
+    pt.join(ci, "source")
+      .select(col("source"), col("n"), col("mean"), col("ci_lo"), col("ci_hi"))
+      .orderBy("source")
+  }
+
+  /** x244 — POPULATION STABILITY INDEX drift per source (round-10): PSI
+    * between the even-doc_id and odd-doc_id halves of each source's
+    * length distribution over fixed 100-char bins — THE industry drift
+    * gauge (scorecard monitoring's 0.1 / 0.25 action thresholds),
+    * completing the drift quartet: x85 chi² (bin counts), x126 KS (any
+    * CDF shift), x215 JSD (symmetric, bounded), PSI (the one ops teams
+    * alarm on, sided by construction toward the bins that MOVED).
+    *
+    * Exactness: +1 Laplace smoothing on exact counts (PSI is undefined
+    * on empty bins; the smoothed probabilities stay exact rationals);
+    * ln(pa/pb) collapses to ONE ln of an exact integer ratio
+    * ((ca+1)(nb+K)) / ((cb+1)(na+K)) — products ≤ n·n exact in long at
+    * fixture scale, decimal at corpus scale; each bin term
+    * (pa−pb)·ln(ratio) is rounded once and DECIMAL-summed
+    * (order-independent, the x101 rule).
+    *
+    * Scale shape: one map-combining (source, bin) aggregate — the frame
+    * after it is (sources × occupied bins), value-range-bounded (fixed
+    * 100-char bin width), so the per-source bin-count join and term sum
+    * are dimension-sized; no window touches corpus-sized data.
+    */
+  def x244PsiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Io.table(spark, sfDir, "documents")
+      .filter(col("n_chars").isNotNull)
+      .select(col("source"),
+        expr("cast(n_chars as bigint) div 100").as("bin"), // integer div: `/` would be double division
+        (col("doc_id") % 2 === 0).cast("long").as("isa"))
+    val bins = d.groupBy("source", "bin")
+      .agg(sum("isa").as("ca"), sum(lit(1L) - col("isa")).as("cb"))
+    val tot = bins.groupBy("source")
+      .agg(count(lit(1)).as("kk"), sum("ca").as("na"), sum("cb").as("nb"))
+    val t = bins.join(tot, "source")
+      .select(col("source"), col("kk"), col("na"), col("nb"),
+        col("ca"), col("cb"),
+        ((col("ca") + 1).cast("double") / (col("na") + col("kk")).cast("double") -
+          (col("cb") + 1).cast("double") / (col("nb") + col("kk")).cast("double"))
+          .as("dp"),
+        log(((col("ca") + 1) * (col("nb") + col("kk"))).cast("double") /
+          ((col("cb") + 1) * (col("na") + col("kk"))).cast("double")).as("lr"))
+      .select(col("source"), col("kk"), col("na"), col("nb"),
+        stableRound6(col("dp") * col("lr")).cast("decimal(18,6)").as("term"))
+    t.groupBy("source")
+      .agg(max("kk").as("n_bins"), max("na").as("n_a"), max("nb").as("n_b"),
+        sum("term").cast("double").as("psi"))
+      .select(col("source"), col("n_bins"), col("n_a"), col("n_b"), col("psi"))
+      .orderBy("source")
   }
 }

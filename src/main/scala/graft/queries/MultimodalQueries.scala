@@ -125,6 +125,57 @@ object MultimodalQueries {
       .orderBy("wav_id")
   }
 
+  /** x252 — IMAGE DIFFERENCE-HASH (dHash) fingerprints (round-10): per
+    * synthetic PNG, the horizontal-gradient signature — bit(x,y) =
+    * gray(x+1,y) > gray(x,y) in row-major order, packed into the first 63
+    * comparisons as a BIGINT plus the total set-bit count — the
+    * perceptual-dedup primitive for image corpora (near-identical frames
+    * share dHash bits; the multimodal member of the fingerprint family
+    * next to x118's text rolling hash). gray = r+g+b (integer sum, no
+    * division — exactness needs no luma weights).
+    *
+    * The Spark side REALLY decodes (ImageIO over executor-synthesized
+    * PNGs — the x235 contract: a decoder/byte-order bug moves the hash);
+    * the oracle re-derives every bit from the generator formulas alone,
+    * so the pinned value crosses the full encode→decode→compare chain.
+    *
+    * Scale shape: embarrassingly parallel per-image map — the signature
+    * is O(w·h) integer work in the scan, output one row per image.
+    */
+  def x252ImageDhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.range(0, 24, 1, 4).rdd
+      .map { id =>
+        val w = 8 + (id % 5).toInt
+        val h = 6 + (id % 3).toInt
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(SyntheticMedia.pngBytes(w, h, id)))
+        def gray(x: Int, y: Int): Int = {
+          val v = img.getRGB(x, y)
+          ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+        }
+        var bits = 0L
+        var ones = 0L
+        var idx = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w - 1) {
+            if (gray(x + 1, y) > gray(x, y)) {
+              ones += 1
+              if (idx < 63) bits |= 1L << idx
+            }
+            idx += 1
+            x += 1
+          }
+          y += 1
+        }
+        (id, w.toLong, h.toLong, ones, bits)
+      }
+      .toDF("img_id", "width", "height", "n_ones", "dhash63")
+      .orderBy("img_id")
+  }
+
   /** x109 — SCHEMA AUDIT: both engines' raw views of every fixture table,
     * column by column, as one declared query — the standing canary for the
     * round-7 failure class (the driver regenerated `events.ts` from
@@ -135,7 +186,9 @@ object MultimodalQueries {
     * same files. While both engines resolve every parquet file to the same
     * logical column types the hashes match; any future physical-type drift
     * turns exactly this one query red, naming the table and column, instead
-    * of erroring a fifth of the query surface.
+    * of erroring a fifth of the query surface. Each table also carries a
+    * '#rows' canary row (footer record counts vs the oracle's count(*)),
+    * so a regen that changes CARDINALITY is one named red row too.
     *
     * Driver-side metadata only (footer reads, zero distributed work) — the
     * one query class where a driver-side loop IS the right plan; O(tables ×
@@ -179,12 +232,35 @@ object MultimodalQueries {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     import spark.implicits._
+    // Per-table row count from the parquet FOOTERS (still metadata-only,
+    // zero distributed work): the r7 failure class was a dtype regen, but a
+    // fixture regen that changes CARDINALITY — or silently drops a part
+    // file — would otherwise surface as N mysterious hash mismatches
+    // instead of one named '#rows' canary row (r9 verdict ask #5).
+    def footerRows(path: String): Long = {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val parts =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(s => s.isFile &&
+              !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+            .map(_.getPath).toSeq
+        else Seq(p)
+      parts.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    }
     // Footer reads are eager at analysis time, so the conf window can close
     // as soon as the schemas are collected into this local Seq.
     val audited =
       try tables.flatMap { t =>
         spark.read.parquet(s"$sfDir/$t.parquet").schema.fields
-          .map(f => (t, f.name, duckName(f.dataType)))
+          .map(f => (t, f.name, duckName(f.dataType))) :+
+          ((t, "#rows", footerRows(s"$sfDir/$t.parquet").toString))
       }
       finally nanosPrior match {
         case Some(v) => spark.conf.set(nanosKey, v)

@@ -3078,7 +3078,11 @@ object Oracles {
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.map(t =>
       s"SELECT '$t' AS table_name, column_name, column_type AS dtype " +
-        s"FROM (DESCRIBE SELECT * FROM $t)")
+        s"FROM (DESCRIBE SELECT * FROM $t) " +
+        // cardinality canary row (r9 verdict ask #5): a fixture regen that
+        // changes row counts (or silently drops a file) goes red HERE as
+        // one named row instead of as N mysterious hash mismatches
+        s"UNION ALL SELECT '$t', '#rows', CAST(count(*) AS VARCHAR) FROM $t")
       .mkString("SELECT * FROM (", " UNION ALL ",
         ") ORDER BY table_name, column_name")
   }
@@ -4675,6 +4679,396 @@ object Oracles {
       |             * 1000000 + 0.5) / 1000000 AS intercept
       |FROM m""".stripMargin
 
+  // x241: the k-th smallest 32-bit md5 prefix is a deterministic VALUE,
+  // so the sketch estimate itself hash-matches — ('0x'||hex)::BIGINT is
+  // the exact conv(...,16,10) parse (x80/x104 precedent); the estimate
+  // divides exact ints once and rounds once, mirrored token-for-token.
+  val x241: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT source,
+      |         ('0x' || substring(md5(w), 1, 8))::BIGINT AS h
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+      |        FROM documents WHERE text IS NOT NULL)),
+      |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_hashes
+      |       FROM tok GROUP BY source),
+      |rk AS (SELECT source, h,
+      |              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |       FROM tok),
+      |hk AS (SELECT source,
+      |              max(CASE WHEN rn <= 64 THEN h END) AS hk,
+      |              CAST(count(*) FILTER (WHERE rn <= 64) AS BIGINT) AS m
+      |       FROM rk GROUP BY source)
+      |SELECT ex.source, ex.n_hashes,
+      |       CASE WHEN hk.m < 64 THEN CAST(ex.n_hashes AS DOUBLE)
+      |            ELSE floor(63.0 * 4294967296.0 / CAST(hk.hk AS DOUBLE)
+      |                       * 1000000 + 0.5) / 1000000 END AS kmv_estimate,
+      |       CASE WHEN hk.m < 64 THEN 0.0
+      |            ELSE floor((63.0 * 4294967296.0 / CAST(hk.hk AS DOUBLE)
+      |                        - CAST(ex.n_hashes AS DOUBLE))
+      |                       / CAST(ex.n_hashes AS DOUBLE)
+      |                       * 1000000 + 0.5) / 1000000 END AS rel_err
+      |FROM ex JOIN hk USING (source)
+      |ORDER BY source""".stripMargin
+
+  // x242: HUGEINT moments mirror Spark's DECIMAL(38,0); every variance is
+  // one exact-int division; the t/df float chain is mirrored
+  // token-for-token (left-assoc divisions), round6 at the edge.
+  val x242: String =
+    """WITH d AS (SELECT source, CAST(n_chars AS HUGEINT) AS x
+      |           FROM documents WHERE n_chars IS NOT NULL),
+      |per AS (SELECT source, CAST(count(*) AS HUGEINT) AS n1,
+      |               sum(x) AS s1, sum(x * x) AS q1
+      |        FROM d GROUP BY source),
+      |g AS (SELECT sum(n1) AS n, sum(s1) AS s, sum(q1) AS q FROM per),
+      |j AS (SELECT source, n1, s1, q1,
+      |             n - n1 AS n2, s - s1 AS s2, q - q1 AS q2
+      |      FROM per, g),
+      |c AS (SELECT source, n1,
+      |             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+      |             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+      |             CAST(q1 * n1 - s1 * s1 AS DOUBLE)
+      |               / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE) AS a,
+      |             CAST(q2 * n2 - s2 * s2 AS DOUBLE)
+      |               / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE) AS b,
+      |             CAST(n1 - 1 AS DOUBLE) AS f1, CAST(n2 - 1 AS DOUBLE) AS f2
+      |      FROM j)
+      |SELECT source, CAST(n1 AS BIGINT) AS n_src,
+      |       floor(m1 * 1000000 + 0.5) / 1000000 AS mean_src,
+      |       floor(m2 * 1000000 + 0.5) / 1000000 AS mean_rest,
+      |       floor((m1 - m2) / sqrt(a + b) * 1000000 + 0.5) / 1000000 AS t,
+      |       floor((a + b) * (a + b) / (a * a / f1 + b * b / f2)
+      |             * 1000000 + 0.5) / 1000000 AS df
+      |FROM c ORDER BY source""".stripMargin
+
+  // x243: the replicate weights are md5-derived ints both engines compute
+  // identically; each replicate mean is one exact-int division round6'd;
+  // CI bounds are order statistics of the bounded 100-row-per-source frame.
+  val x243: String =
+    """WITH d AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS x
+      |           FROM documents WHERE n_chars IS NOT NULL),
+      |w AS (SELECT d.source, d.x, t.b,
+      |             ('0x' || substring(md5('boot|' || CAST(t.b AS VARCHAR)
+      |                 || '|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |               % 3 AS w
+      |      FROM d, range(1, 101) t(b)),
+      |rep AS (SELECT source, b,
+      |               floor(CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+      |                     * 1000000 + 0.5) / 1000000 AS rm
+      |        FROM w GROUP BY source, b),
+      |rk AS (SELECT source, b, rm,
+      |              row_number() OVER (PARTITION BY source ORDER BY rm, b) AS rn
+      |       FROM rep),
+      |ci AS (SELECT source, min(CASE WHEN rn = 3 THEN rm END) AS ci_lo,
+      |              min(CASE WHEN rn = 98 THEN rm END) AS ci_hi
+      |       FROM rk GROUP BY source),
+      |pt AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |              floor(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |                    * 1000000 + 0.5) / 1000000 AS mean
+      |       FROM d GROUP BY source)
+      |SELECT pt.source, pt.n, pt.mean, ci.ci_lo, ci.ci_hi
+      |FROM pt JOIN ci USING (source)
+      |ORDER BY source""".stripMargin
+
+  // x244: +1-smoothed probabilities are exact rationals; ln collapses to
+  // ONE ln of an exact integer ratio; per-bin terms round6 then
+  // DECIMAL-sum (order-independent).
+  val x244: String =
+    """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) // 100 AS bin,
+      |                  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS isa
+      |           FROM documents WHERE n_chars IS NOT NULL),
+      |bins AS (SELECT source, bin, CAST(sum(isa) AS BIGINT) AS ca,
+      |                CAST(sum(1 - isa) AS BIGINT) AS cb
+      |         FROM d GROUP BY source, bin),
+      |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS kk,
+      |               CAST(sum(ca) AS BIGINT) AS na,
+      |               CAST(sum(cb) AS BIGINT) AS nb
+      |        FROM bins GROUP BY source),
+      |t AS (SELECT bins.source, kk, na, nb,
+      |             CAST(ca + 1 AS DOUBLE) / CAST(na + kk AS DOUBLE)
+      |               - CAST(cb + 1 AS DOUBLE) / CAST(nb + kk AS DOUBLE) AS dp,
+      |             ln(CAST((ca + 1) * (nb + kk) AS DOUBLE)
+      |                / CAST((cb + 1) * (na + kk) AS DOUBLE)) AS lr
+      |      FROM bins JOIN tot USING (source)),
+      |r AS (SELECT source, kk, na, nb,
+      |             CAST(floor(dp * lr * 1000000 + 0.5) / 1000000
+      |                  AS DECIMAL(18,6)) AS term
+      |      FROM t)
+      |SELECT source, max(kk) AS n_bins, max(na) AS n_a, max(nb) AS n_b,
+      |       CAST(sum(term) AS DOUBLE) AS psi
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  // x245: regexp_extract_all lengths are exact counts (the alternation has
+  // no engine-ambiguous backtracking); both ratios are one long/long IEEE
+  // division round6'd.
+  val x245: String =
+    """WITH d AS (
+      |  SELECT lang, n_chars,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+      |         CAST(len(regexp_extract_all(lower(text),
+      |              '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS nt
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(nw) AS BIGINT) AS n_words,
+      |       CAST(sum(nt) AS BIGINT) AS n_subtokens,
+      |       floor(CAST(sum(nt) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS fertility,
+      |       floor(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS chars_per_word
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // x247: identical lead windows; null event types filtered BEFORE
+  // windowing in both engines (null group keys would also break
+  // output-order parity between the engines' null orderings).
+  val x247: String =
+    """WITH e AS (SELECT user_id, event_id, event_type AS t1
+      |           FROM events WHERE event_type IS NOT NULL),
+      |tri AS (
+      |  SELECT user_id, t1,
+      |         lead(t1, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS t2,
+      |         lead(t1, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS t3
+      |  FROM e)
+      |SELECT t1, t2, t3, CAST(count(DISTINCT user_id) AS BIGINT) AS support,
+      |       CAST(count(*) AS BIGINT) AS n_occ
+      |FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      |GROUP BY t1, t2, t3
+      |ORDER BY support DESC, n_occ DESC, t1, t2, t3
+      |LIMIT 20""".stripMargin
+
+  // x248: x47's closure + the pool/pair md5 hashes — both engine-identical
+  // integer parses (x104's precedent); the per-anchor rank is a window
+  // over the ≤64-row pool frame.
+  val x248: String =
+    s"""WITH $componentCtes,
+      |pool AS (
+      |  SELECT doc_id AS neg_id, component AS neg_comp
+      |  FROM (SELECT doc_id, component,
+      |               ('0x' || substring(md5('pool|' || CAST(doc_id AS VARCHAR)),
+      |                  1, 8))::BIGINT AS ph
+      |        FROM r)
+      |  ORDER BY ph, doc_id LIMIT 64),
+      |cand AS (
+      |  SELECT a.doc_id, p.neg_id,
+      |         ('0x' || substring(md5('neg|' || CAST(a.doc_id AS VARCHAR)
+      |            || '|' || CAST(p.neg_id AS VARCHAR)), 1, 8))::BIGINT AS pairh
+      |  FROM r a, pool p
+      |  WHERE a.doc_id % 50 = 0 AND a.component <> p.neg_comp
+      |    AND a.doc_id <> p.neg_id),
+      |rk AS (SELECT doc_id, neg_id,
+      |              row_number() OVER (PARTITION BY doc_id
+      |                                 ORDER BY pairh, neg_id) AS rank
+      |       FROM cand)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, neg_id
+      |FROM rk WHERE rank <= 5
+      |ORDER BY doc_id, rank""".stripMargin
+
+  // x249: x100's element-indexing form; per-element round6 -> DECIMAL sums
+  // make the float reduction order-independent; one division round6'd.
+  val x249: String =
+    """WITH s AS (
+      |  SELECT CAST(vec_id AS BIGINT) // 10 AS gid, CAST(i.i AS INT) AS pos,
+      |         CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1e6 + 0.5)
+      |           / 1e6 AS DECIMAL(18,6)) AS v6
+      |  FROM embeddings, range(1, 65) i(i))
+      |SELECT gid, pos, CAST(count(*) AS BIGINT) AS n_chunks,
+      |       floor(CAST(sum(v6) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS pooled
+      |FROM s GROUP BY gid, pos ORDER BY gid, pos""".stripMargin
+
+  // x250: all KN counts are bigram-TYPE aggregates (exact ints); the
+  // probability chain is mirrored token-for-token (left-assoc divisions),
+  // per-bigram round6 -> DECIMAL sum -> mean round6 (x87's reduction).
+  val x250: String =
+    """WITH bg0 AS (
+      |  SELECT doc_id,
+      |         unnest(range(1, greatest(len(string_split(text, ' ')), 1))) AS i,
+      |         string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM bg0),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      |       FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+      |              CAST(count(*) AS BIGINT) AS n1p
+      |       FROM c2 GROUP BY w1),
+      |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc FROM c2 GROUP BY w2),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM c2),
+      |p AS (
+      |  SELECT bg.doc_id,
+      |         CAST(floor(((CAST(c2.c2 AS DOUBLE) - 0.75) / CAST(c1.c1 AS DOUBLE)
+      |                + 0.75 * CAST(c1.n1p AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+      |                  * (CAST(cont.nc AS DOUBLE) / CAST(nt AS DOUBLE)))
+      |               * 1000000 + 0.5) / 1000000 AS DECIMAL(28,6)) AS p6
+      |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      |       JOIN cont USING (w2), tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       floor(CAST(sum(p6) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS kn_score
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // x251: x129's shingle CTE; prefix indices from integer fractions of
+  // max(doc_id); running sums over the 5-row prefix frame; x239's
+  // micro-int OLS chain for beta.
+  val x251: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |tok AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(CASE WHEN len(toks) < 3
+      |                THEN [array_to_string(toks, ' ')]
+      |                ELSE [array_to_string(toks[i:i+2], ' ')
+      |                      for i in range(1, len(toks) - 1)] END) AS w
+      |  FROM t),
+      |mm AS (SELECT max(doc_id) AS m FROM documents),
+      |occ AS (
+      |  SELECT CASE WHEN doc_id <= m // 16 THEN 1 WHEN doc_id <= m // 8 THEN 2
+      |              WHEN doc_id <= m // 4 THEN 3 WHEN doc_id <= m // 2 THEN 4
+      |              ELSE 5 END AS p, CAST(count(*) AS BIGINT) AS dn
+      |  FROM tok, mm GROUP BY 1),
+      |fv AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
+      |voc AS (
+      |  SELECT CASE WHEN fd <= m // 16 THEN 1 WHEN fd <= m // 8 THEN 2
+      |              WHEN fd <= m // 4 THEN 3 WHEN fd <= m // 2 THEN 4
+      |              ELSE 5 END AS p, CAST(count(*) AS BIGINT) AS dv
+      |  FROM fv, mm GROUP BY 1),
+      |sp AS (
+      |  SELECT p, coalesce(dn, 0) AS dn, coalesce(dv, 0) AS dv
+      |  FROM occ FULL JOIN voc USING (p)),
+      |cs AS (
+      |  SELECT p,
+      |         CAST(sum(dn) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_shingles,
+      |         CAST(sum(dv) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+      |  FROM sp),
+      |pt AS (SELECT p, n_shingles, vocab,
+      |              CAST(floor(ln(CAST(n_shingles AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x6,
+      |              CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y6
+      |       FROM cs),
+      |mo AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(x6) AS BIGINT) AS sx,
+      |              CAST(sum(y6) AS BIGINT) AS sy,
+      |              CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+      |              CAST(sum(x6 * x6) AS BIGINT) AS sxx
+      |       FROM pt)
+      |SELECT pt.p AS prefix_idx, pt.n_shingles, pt.vocab,
+      |       floor(CAST(k * sxy - sx * sy AS DOUBLE)
+      |             / CAST(k * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+      |         / 1000000 AS beta
+      |FROM pt, mo ORDER BY prefix_idx""".stripMargin
+
+  // x252: every dHash bit re-derived from the PNG generator formulas
+  // alone (x235's contract) — the pinned value crosses the full
+  // encode -> ImageIO decode -> compare chain on the Spark side.
+  val x252: String =
+    """WITH p AS (SELECT range AS img_id FROM range(0, 24)),
+      |d AS (SELECT img_id, 8 + img_id % 5 AS w, 6 + img_id % 3 AS h FROM p),
+      |px AS (SELECT d.img_id, d.w, d.h, x.range AS x, y.range AS y
+      |       FROM d JOIN range(0, 12) x ON x.range < d.w - 1
+      |              JOIN range(0, 9) y ON y.range < d.h),
+      |b AS (SELECT img_id, w, h, y * (w - 1) + x AS idx,
+      |             CASE WHEN ((x+1)*7 + img_id*13 + 3) % 256
+      |                       + (y*11 + img_id*5 + 7) % 256
+      |                       + ((x+1)+y+img_id*3) % 256
+      |                     > (x*7 + img_id*13 + 3) % 256
+      |                       + (y*11 + img_id*5 + 7) % 256
+      |                       + (x+y+img_id*3) % 256
+      |                  THEN 1 ELSE 0 END AS bit
+      |      FROM px)
+      |SELECT img_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(sum(bit) AS BIGINT) AS n_ones,
+      |       CAST(sum(CASE WHEN bit = 1 AND idx <= 62
+      |                     THEN CAST(1 AS BIGINT) << idx ELSE 0 END)
+      |            AS BIGINT) AS dhash63
+      |FROM b GROUP BY img_id, w, h ORDER BY img_id""".stripMargin
+
+  // x253: z² enters as CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) — the
+  // IEEE product, NOT the decimal literal 3.8416 (DuckDB decimal
+  // arithmetic would differ in the last ulp); the center/half chain is
+  // mirrored token-for-token.
+  val x253: String =
+    """WITH d AS (SELECT doc_id, source, md5(text) AS h
+      |           FROM documents WHERE text IS NOT NULL),
+      |dup AS (SELECT h FROM d GROUP BY h HAVING count(*) > 1),
+      |f AS (SELECT d.doc_id, d.source,
+      |             CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END AS fl
+      |      FROM d LEFT JOIN dup USING (h)),
+      |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |               CAST(sum(fl) AS BIGINT) AS x
+      |        FROM f GROUP BY source),
+      |c AS (SELECT source, n, x,
+      |             CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+      |             CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2,
+      |             CAST(n AS DOUBLE) AS nd
+      |      FROM per),
+      |w AS (SELECT source, n, x, p,
+      |             (p + z2 / (2.0 * nd)) / (1.0 + z2 / nd) AS center,
+      |             CAST(1.96 AS DOUBLE) / (1.0 + z2 / nd)
+      |               * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd)) AS half
+      |      FROM c)
+      |SELECT source, n, x AS n_dup,
+      |       floor(p * 1000000 + 0.5) / 1000000 AS p_hat,
+      |       floor((center - half) * 1000000 + 0.5) / 1000000 AS ci_lo,
+      |       floor((center + half) * 1000000 + 0.5) / 1000000 AS ci_hi
+      |FROM w ORDER BY source""".stripMargin
+
+  // x254: exact top-101 under (x desc, doc_id); each term ONE ln of an
+  // exact integer ratio, round6 -> DECIMAL sum; the x_{k+1} row's own
+  // ln(1)=0 term is summed in both engines (harmless, identical).
+  val x254: String =
+    """WITH top AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x
+      |             FROM documents
+      |             WHERE n_chars IS NOT NULL AND n_chars > 0
+      |             ORDER BY x DESC, doc_id LIMIT 101),
+      |mm AS (SELECT min(x) AS xk1, count(*) AS m FROM top),
+      |t AS (SELECT mm.xk1,
+      |             CAST(floor(ln(CAST(top.x AS DOUBLE) / CAST(mm.xk1 AS DOUBLE))
+      |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS t
+      |      FROM top, mm WHERE mm.m = 101)
+      |SELECT CAST(100 AS BIGINT) AS k, xk1 AS x_k1,
+      |       floor(100.0 / CAST(sum(t) AS DOUBLE) * 1000000 + 0.5)
+      |         / 1000000 AS alpha
+      |FROM t GROUP BY xk1""".stripMargin
+
+  // x255: the oracle MAY use the global rank window (DuckDB, fixture
+  // scale); the Spark side must not (RangeRank) — the argmax is
+  // integer-exact in both engines.
+  val x255: String =
+    """WITH d AS (SELECT doc_id,
+      |                  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      |           FROM documents),
+      |r AS (SELECT h, row_number() OVER (ORDER BY h, doc_id) AS r FROM d),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |m AS (SELECT n.n,
+      |             max(greatest(r.r * 4294967296 - n.n * r.h,
+      |                          n.n * r.h - (r.r - 1) * 4294967296)) AS dmax
+      |      FROM r, n GROUP BY n.n)
+      |SELECT n,
+      |       floor(CAST(dmax AS DOUBLE) / (CAST(n AS DOUBLE) * 4294967296.0)
+      |             * 1000000 + 0.5) / 1000000 AS d,
+      |       floor(CAST(dmax AS DOUBLE) / (CAST(n AS DOUBLE) * 4294967296.0)
+      |             * sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS d_sqrt_n
+      |FROM m""".stripMargin
+
+  // x246: u and the chain up to ln's argument are EXACT in IEEE (52-bit
+  // int + 1/2 over a power-of-two divisor); ln ulp divergence absorbed by
+  // round6 (x101/x133 precedent); 1.0 must be CAST to DOUBLE (DuckDB
+  // decimal literal would fail the dtype gate).
+  val x246: String =
+    """WITH g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(least(coalesce(n_chars, 0), 1000)) AS BIGINT) AS cs
+      |  FROM documents GROUP BY source),
+      |u AS (SELECT source, n, cs,
+      |        (('0x' || substring(md5('dp1|' || source), 1, 13))::BIGINT + 0.5)
+      |          / 4503599627370496.0 AS u1,
+      |        (('0x' || substring(md5('dp2|' || source), 1, 13))::BIGINT + 0.5)
+      |          / 4503599627370496.0 AS u2
+      |      FROM g)
+      |SELECT source, CAST(1.0 AS DOUBLE) AS epsilon,
+      |       floor((CAST(n AS DOUBLE)
+      |              + (-1.0) * sign(u1 - 0.5) * ln(1.0 - 2.0 * abs(u1 - 0.5)))
+      |             * 1000000 + 0.5) / 1000000 AS n_released,
+      |       floor((CAST(cs AS DOUBLE)
+      |              + (-1000.0) * sign(u2 - 0.5) * ln(1.0 - 2.0 * abs(u2 - 0.5)))
+      |             * 1000000 + 0.5) / 1000000 AS chars_released
+      |FROM u ORDER BY source""".stripMargin
+
   // x235: every pixel channel re-derived from the generator formulas over
   // a range×range grid — the real PNG decode must recover them exactly.
   val x235: String =
@@ -5077,6 +5471,21 @@ object Oracles {
   val lGroup: Map[String, String] = Map(
     "x204_av_align"          -> x204,
     "x203_calendar_heatmap"  -> x203,
+    "x255_hash_uniformity"   -> x255,
+    "x254_hill_tail"         -> x254,
+    "x253_wilson_ci"         -> x253,
+    "x252_image_dhash"       -> x252,
+    "x251_heaps_law"         -> x251,
+    "x250_kneser_ney"        -> x250,
+    "x249_chunk_pool"        -> x249,
+    "x248_negative_sampling" -> x248,
+    "x247_seq_trigrams"      -> x247,
+    "x246_dp_release"        -> x246,
+    "x245_tokenizer_fertility" -> x245,
+    "x244_psi_drift"         -> x244,
+    "x243_bootstrap_ci"      -> x243,
+    "x242_welch_ttest"       -> x242,
+    "x241_kmv_distinct"      -> x241,
     "x240_langid_metrics"    -> x240,
     "x239_zipf_slope"        -> x239,
     "x238_component_sizes"   -> x238,

@@ -47,7 +47,12 @@ object TimerSessions {
       cur.foreach { s =>
         state.update(s)
         getHandle.listTimers().foreach(getHandle.deleteTimer)
-        val horizonMs = (s.lastSeen + GapMicros) / 1000
+        // CEILING to ms: flooring a µs horizon would let the timer fire up
+        // to 999µs before the true gap boundary, so a sub-ms in-gap event
+        // still above the watermark could find its session already emitted
+        // — splitting one session into two and breaking batch/stream gap
+        // parity (ADVICE r9)
+        val horizonMs = (s.lastSeen + GapMicros + 999) / 1000
         getHandle.registerTimer(
           math.max(horizonMs, timerValues.getCurrentWatermarkInMs + 1))
       }

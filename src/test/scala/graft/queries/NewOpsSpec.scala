@@ -409,6 +409,10 @@ class NewOpsSpec extends SparkSpec {
     assert(rows(("embeddings", "embedding")) == "FLOAT[]")
     assert(rows(("nation", "n_nationkey")) == "INTEGER")
     assert(rows(("documents", "text")) == "VARCHAR")
+    // cardinality canary: one '#rows' row per table, counted from footers
+    val nDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(rows(("documents", "#rows")) == nDocs.toString)
+    assert(rows(("nation", "#rows")) == "25")
   }
 
   test("x110: fold boundaries — train/embargo/test assignment per fold, beyond-window excluded") {

@@ -183,6 +183,19 @@ class PlanSpec extends SparkSpec {
     // per-flag aggregate (x117's 1-row denominator shape, both cached)
     // x215's is the |sources|² pair SPINE (self theta-join of the distinct
     // source list, ≤ 20 rows a side) that surfaces disjoint pairs as jsd=1
+    // x242's is the 1-row global-moments frame crossing onto the
+    // |sources|-row per-source moments (x206's 1-row global-stats shape)
+    // x248's is the 64-row negative POOL broadcasting into the anchor
+    // frame under the component-exclusion theta predicate — pool-bounded
+    // per-anchor work is the point of the shared-pool design
+    // x250's is the 1-row bigram-type total crossing onto the scoring
+    // join (x50's 1-row corpus-size-constant shape)
+    // x251's are the 1-row max(doc_id) frame crossing onto the shingle
+    // stream / first-doc frame and the 1-row OLS moments onto the 5-row
+    // prefix spine (x117's 1-row denominator shape)
+    // x254's is the 1-row (x_{k+1}, m) frame crossing onto the 101-row
+    // top frame; x255's is the 1-row corpus count onto the ranked stream
+    // (x50's shape)
       "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
       "x112_zorder_layout", "x117_mix_temperature", "x119_prep_v4",
       "x124_dsir_weights", "x126_ks_drift", "x132_perplexity_gate",
@@ -190,7 +203,9 @@ class PlanSpec extends SparkSpec {
       "x180_range_balance", "x186_join_forecast",
       "x206_kruskal_wallis", "x207_cusum", "x208_acf",
       "x211_graph_backbone", "x215_jsd_sources", "x217_k_anonymity",
-      "x231_cached_reuse")
+      "x231_cached_reuse", "x242_welch_ttest", "x248_negative_sampling",
+      "x250_kneser_ney", "x251_heaps_law", "x254_hill_tail",
+      "x255_hash_uniformity")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -801,6 +816,11 @@ class PlanSpec extends SparkSpec {
       "candidates must come from the prefix EQUI-join, never a cross")
     assert(p.contains("array_intersect"),
       "the exact verify is a codegen'd array intersection on the ranked sets")
+    assert(!p.contains("Window"),
+      "the rare-first vocabulary rank must NOT be a window: the frame is " +
+        "the corpus-linear distinct-shingle set, so any Window over it " +
+        "(partitioned or not) is the r9 scale-killer — RangeRank's " +
+        "two-pass offset scheme replaces it")
   }
 
   test("x115: boilerplate blocklist joins back as a BROADCAST; df agg is two-phase") {

@@ -22,6 +22,12 @@ con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
+import os
+if os.path.exists(f"{OUT}/_partial.json"):
+    only = json.load(open(f"{OUT}/_partial.json")).get("only", [])
+    print(f"NOTE: PARTIAL dump ({len(only)} queries: {', '.join(only[:8])}"
+          f"{', …' if len(only) > 8 else ''}) — green here is NOT full coverage")
+
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 fail = 0
 try:
