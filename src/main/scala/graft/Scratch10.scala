@@ -92,6 +92,39 @@ object Scratch10 {
       }
       spark.stop(); return
     }
+    if (args.contains("r10g")) {
+      // batch-4 queries at 1×/10× + document-scan members at 100×
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x256_$dir")(queries.LlmQueries.x256Rep5gram(spark, dir).count())
+        time(s"x257_$dir")(queries.LlmQueries.x257MatryoshkaRecall(spark, dir).count())
+        time(s"x258_$dir")(queries.LlmQueries.x258DoremiStep(spark, dir).count())
+        time(s"x259_$dir")(queries.ExtendedQueries.x259Assortativity(spark, dir).count())
+      }
+      for ((q, f) <- Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](
+          ("x256", queries.LlmQueries.x256Rep5gram),
+          ("x258", queries.LlmQueries.x258DoremiStep),
+          ("x259", queries.ExtendedQueries.x259Assortativity))) {
+        time(s"${q}_$hundredDir")(f(spark, hundredDir).count())
+      }
+      spark.stop(); return
+    }
+    if (args.contains("r10h")) {
+      // batch-5 queries at 1×/10×/100×
+      for (dir <- Seq(sfDir, tenDir, hundredDir)) {
+        time(s"x260_$dir")(queries.LlmQueries.x260BpeTrain5(spark, dir).count())
+        time(s"x261_$dir")(queries.LlmQueries.x261NgramCoverage(spark, dir).count())
+        time(s"x262_$dir")(queries.LlmQueries.x262CompressRatio(spark, dir).count())
+      }
+      spark.stop(); return
+    }
+    if (args.contains("r10i")) {
+      // separate the memo-cold fixpoint from x261's own gram machinery
+      for (dir <- Seq(sfDir, hundredDir)) {
+        time(s"x47_$dir")(queries.LlmQueries.x47DedupComponents(spark, dir).count())
+        time(s"x261warm_$dir")(queries.LlmQueries.x261NgramCoverage(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("r10b")) {
       // memo amortization: x47 + x104 + x238 back to back, then repeated
       for (rep <- 1 to 2; dir <- Seq(sfDir)) {

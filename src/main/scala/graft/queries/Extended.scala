@@ -1629,6 +1629,67 @@ object ExtendedQueries {
       .limit(20)
   }
 
+  /** x259 — DEGREE ASSORTATIVITY of the shingle-adjacency graph
+    * (round-10; Newman 2002): Pearson correlation of endpoint degrees
+    * over the support-≥2 edge set linking ADJACENT 3-shingles (overlap
+    * 2 tokens — the 4-gram structure graph) — the one-number answer to
+    * "do hub contexts attach to hubs (r > 0, templated/formulaic text)
+    * or to rare continuations (r < 0, natural language's disassortative
+    * signature)?", completing the graph-audit pair with x211's triangle
+    * census (local clustering) by measuring GLOBAL mixing. Shingle
+    * nodes, not tokens: the fixture's 31-word vocabulary makes the
+    * token graph COMPLETE (uniform degrees, zero variance, undefined r);
+    * the 16k-shingle graph is sparse with real degree spread.
+    *
+    * Exactness: degrees are exact integers; each undirected edge is
+    * counted in BOTH orientations (the standard symmetric estimator, so
+    * x-moments equal y-moments by construction and one pass suffices);
+    * r = (m·Σxy − Σx·Σy) / (m·Σxx − Σx²) on exact BIGINT moments
+    * (symmetric denominator), ONE division round6'd; zero variance →
+    * NULL in both engines (stated, the degenerate-graph contract).
+    *
+    * Scale shape: one shingle-pair aggregate to the support-gated edge
+    * list (vocabulary-sized), one degree aggregate, two joins keyed on
+    * the edge endpoints, a 1-row moments aggregate — no window.
+    */
+  def x259Assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val toked = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+    val e0 = toked
+      .select(col("toks"), explode(expr(
+        """CASE WHEN size(toks) < 4 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(1, size(toks) - 3) END""".stripMargin)).as("i"))
+      .select(
+        expr("""concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))""").as("s1"),
+        expr("""concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3))""").as("s2"))
+      .select(least(col("s1"), col("s2")).as("u"),
+        greatest(col("s1"), col("s2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("u", "v")
+    val edges = e0.select(col("u").as("a"), col("v").as("b"))
+      .union(e0.select(col("v").as("a"), col("u").as("b")))
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("d"))
+    val m = edges
+      .join(deg.select(col("a"), col("d").as("dx")), Seq("a"))
+      .join(deg.select(col("a").as("b"), col("d").as("dy")), Seq("b"))
+      .agg(count(lit(1)).as("m"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"))
+    m.select(col("m").as("n_directed_edges"),
+        when(col("m") * col("sxx") - col("sx") * col("sx") === 0,
+          lit(null).cast("double"))
+          .otherwise(ExtendedQueries.stableRound6(
+            (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")))
+          .as("assortativity"))
+  }
+
   /** x254 — HILL TAIL-INDEX estimator (round-10): α̂ = k / Σᵢ ln(x₍ᵢ₎ /
     * x₍ₖ₊₁₎) over the k = 100 largest doc lengths — the standard
     * heavy-tail exponent estimate, closing the power-law triptych (x239

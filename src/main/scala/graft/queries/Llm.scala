@@ -5743,6 +5743,278 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** x260 — BPE TRAINER, 5 real merges (round-10; Sennrich et al. 2016):
+    * the actual byte-pair-encoding training loop — not x72's single
+    * pair-count step — run to 5 merges over the cleaned lowercase word
+    * vocabulary: count adjacent unit pairs (weighted by word frequency),
+    * pick the most frequent (count desc, pair asc — a total order),
+    * APPLY the merge to every word, repeat. Emits the learned merge
+    * table (rank, pair, count at selection) — the artifact a tokenizer
+    * ships.
+    *
+    * Merge application trick shared with the oracle: a word's units are
+    * kept as a delimiter-wrapped STRING ('.c..a..t.'), so applying merge
+    * (a,b) is `replace(s, '.a..b.', '.ab.')` — both engines' replace()
+    * substitutes left-to-right non-overlapping, which IS BPE's greedy
+    * application order, and the per-unit wrapping means a replacement
+    * never consumes a neighbor's delimiter. Pair counting parses units
+    * back with one split — no per-word state, no UDF.
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct-word
+    * frequency frame (vocabulary-sized); each of the 5 rounds is one
+    * vocab-sized pair aggregate + a 1-ROW driver argmax (the x47
+    * convergence-metric precedent) + one codegen'd replace map. At 100 TB
+    * the loop cost is merges × vocab, independent of corpus size.
+    */
+  def x260BpeTrain5(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(explode(split(lower(col("text")), " ")).as("w0"))
+      .select(regexp_replace(col("w0"), "[^a-z0-9]", "").as("wd"))
+      .filter(length(col("wd")) > 0)
+      .groupBy("wd").agg(count(lit(1)).as("c"))
+      .persist()
+    words.count() // corpus collapses to the vocab ONCE; rounds read cache
+    repin(words)
+    var cur = words.select(expr(
+      """concat_ws('', transform(sequence(1, length(wd)),
+        |  i -> concat('.', substring(wd, i, 1), '.')))""".stripMargin).as("s"),
+      col("c"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (k <- 1 to 5) {
+      val top = cur
+        .select(col("c"), expr(
+          """split(substring(s, 2, length(s) - 2), '\\.\\.')""").as("us"))
+        .select(col("c"), explode(expr(
+          """CASE WHEN size(us) < 2
+            |THEN CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)
+            |ELSE transform(sequence(1, size(us) - 1),
+            |  i -> struct(element_at(us, i) AS a, element_at(us, i + 1) AS b))
+            |END""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("ua"), col("p.b").as("ub"))
+        .agg(sum("c").as("n"))
+        .orderBy(desc("n"), col("ua"), col("ub")).limit(1)
+        .collect() // 1-row merge decision per round (x47's driver-metric class)
+      if (top.nonEmpty) {
+        val (ua, ub, n) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        merges += ((k, ua, ub, n))
+        cur = cur.select(call_function("replace", col("s"),
+          lit(s".$ua..$ub."), lit(s".$ua$ub.")).as("s"), col("c"))
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_idx", "unit_a", "unit_b", "pair_count")
+      .orderBy("merge_idx")
+  }
+
+  /** x256 — WITHIN-DOCUMENT 5-gram repetition ratio (round-10; the
+    * Gopher/MassiveText repetition rule, Rae et al. 2021): per doc, total
+    * positional 5-grams vs distinct 5-grams, rep = 1 − distinct/total —
+    * the self-repetition filter signal (boilerplate loops, keyword
+    * stuffing, decode-loop artifacts) that x55's type-token ratio sees
+    * only at the unigram level and x53/x107 only ACROSS documents. Docs
+    * with < 5 tokens have no 5-gram and emit no row (stated; the
+    * filter's domain is real sentences).
+    *
+    * Scale shape: entirely PER-ROW — the 5-gram array, its distinct
+    * form and both sizes are one codegen'd expression chain in the scan
+    * (no explode, no shuffle of n-grams); output rides the doc frame.
+    */
+  def x256Rep5gram(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, size(toks) - 4),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |       element_at(toks, i + 2), element_at(toks, i + 3),
+          |       element_at(toks, i + 4)))""".stripMargin).as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_5grams"),
+        size(array_distinct(col("gs"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_5grams"), col("n_distinct"),
+        stableRound6(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_5grams").cast("double")).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** x257 — MATRYOSHKA truncation recall audit (round-10): recall@5 of
+    * brute-force cosine retrieval when the 64-dim embeddings are
+    * TRUNCATED to the first 32/16/8 dimensions — the deployment question
+    * behind Matryoshka-style representations ("how much of the neighbor
+    * structure survives a cheaper prefix?") and the third member of the
+    * index-quality family (x105 audits bucket pruning, x150 mines hard
+    * negatives, this audits DIMENSIONAL pruning). Ground truth = x11's
+    * full-dim top-5 for the standard query vector (vec_id 0), query
+    * excluded from candidates.
+    *
+    * Determinism: cosines are round(·,6) with vec_id tie-break (x11's
+    * exact contract, per truncation width); recall counts are exact
+    * integers over the joined 5-row frames.
+    *
+    * Scale shape: one corpus scan per width (4 total — the audit is
+    * O(widths) scans by construction), each ending in
+    * TakeOrderedAndProject(5); the intersection joins are 5×5.
+    */
+  def x257MatryoshkaRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val nd = ExtendedQueries.nativeDot _
+    val emb = Io.table(spark, sfDir, "embeddings")
+    def top5(d: Int): DataFrame = {
+      val q = emb.filter(col("vec_id") === 0)
+        .select(slice(col("embedding"), 1, d).as("q_emb"))
+        .withColumn("q_norm", sqrt(nd(col("q_emb"), col("q_emb"))))
+      emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), slice(col("embedding"), 1, d).as("e"))
+        .crossJoin(broadcast(q))
+        .withColumn("cosine", round(nd(col("e"), col("q_emb")) /
+          (sqrt(nd(col("e"), col("e"))) * col("q_norm")), 6))
+        .orderBy(desc("cosine"), col("vec_id")).limit(5)
+        .select("vec_id")
+    }
+    val full = top5(64)
+    Seq(32, 16, 8).map { d =>
+      top5(d).join(full, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d.toLong).as("trunc_dim"), col("n_hits"),
+          ExtendedQueries.stableRound6(col("n_hits").cast("double") / lit(5.0))
+            .as("recall5"))
+    }.reduce(_ unionAll _).orderBy("trunc_dim")
+  }
+
+  /** x258 — DoReMi-style MIXTURE-WEIGHT step (round-10; Xie et al. 2023):
+    * one exponentiated-gradient update of per-source mixture weights from
+    * per-source excess-loss proxies — the domain-reweighting move between
+    * x117's static temperature mix and a trained DoReMi run. Loss proxy =
+    * 1 − mean x16 quality score (shared machinery, the x89 cannot-drift
+    * rule); w'_j ∝ (1/k)·exp(η·loss_j), η = 1 — sources whose docs score
+    * WORSE get MORE weight (DoReMi's excess-loss logic: upweight domains
+    * the proxy model finds hard).
+    *
+    * Exactness: quality scores are 1e-8-floored doubles → recovered as
+    * exact micro-ints; the per-source mean is ONE exact-int division;
+    * loss round6'd, exp on engine-identical inputs round6'd → DECIMAL
+    * normalization sum (x101), final weight one division round6'd.
+    *
+    * Scale shape: x16's token aggregate + a |sources|-row frame; the EG
+    * step itself is dimension-sized arithmetic.
+    */
+  def x258DoremiStep(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.{stableRound6}
+    val docs = Io.table(spark, sfDir, "documents")
+    val q8 = qualityScored(fanOut(docs))
+      .select(col("doc_id"),
+        floor(col("quality_score") * 100000000 + 0.5).cast("long").as("q8"))
+    val per = docs.select("doc_id", "source").join(q8, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("q8").as("sq"))
+      .select(col("source"), col("n"),
+        stableRound6(lit(1.0) - col("sq").cast("double") /
+          col("n").cast("double") / lit(1.0e8)).as("loss"))
+      .select(col("source"), col("n"), col("loss"),
+        stableRound6(exp(col("loss"))).cast("decimal(18,6)").as("e6"))
+    val tot = per.agg(sum("e6").as("se"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n"), col("loss"),
+        stableRound6(col("e6").cast("double") / col("se").cast("double"))
+          .as("weight"))
+      .orderBy("source")
+  }
+
+  /** x261 — CROSS-SPLIT n-gram COVERAGE (round-10): of the val and test
+    * splits' distinct 4-grams, what fraction also occurs in train? —
+    * the generalization-vs-memorization meter for the x104 split (a
+    * val set whose 4-grams are ~all in train measures recall of the
+    * training distribution, not generalization; one far BELOW the
+    * corpus baseline signals distribution shift across the split).
+    * FIFTH consumer of the memoized component engine (the coverage is
+    * only meaningful over the leakage-safe component split — computing
+    * it over a random doc split would answer a different question).
+    *
+    * Scale shape: one 4-gram explode + per-split DISTINCT (the n-gram
+    * vocabulary frame), a left-semi join of val/test vocab against
+    * train vocab, two map-combining counts — all vocab-sized after the
+    * first aggregate; the split itself rides the memo.
+    */
+  def x261NgramCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val splitOf = x104SplitAssign(spark, sfDir).select("doc_id", "split")
+    val grams = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      // materialize toks ONCE: element_at over a re-split inside the
+      // lambda is O(len) per access — the r10 probe read 9.8s for what
+      // is a 1s explode
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) < 4 THEN CAST(array() AS ARRAY<STRING>)
+          |ELSE array_distinct(transform(sequence(1, size(toks) - 3),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |       element_at(toks, i + 2), element_at(toks, i + 3)))) END""".stripMargin)).as("g"))
+      .join(splitOf, "doc_id")
+    val vocab = grams.select("split", "g").distinct()
+    val train = vocab.filter(col("split") === "train").select("g")
+    vocab.filter(col("split") =!= "train")
+      .join(train.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_covered"))
+      .select(col("split"), col("n_distinct"), col("n_covered"),
+        stableRound6(col("n_covered").cast("double") /
+          col("n_distinct").cast("double")).as("coverage"))
+      .orderBy("split")
+  }
+
+
+  /** x262 — DEFLATE COMPRESSIBILITY per source (round-10; rows-only):
+    * mean zlib-deflate ratio of each source's text — THE cheap
+    * model-free junk detector (highly compressible = repetitive
+    * boilerplate/template spam; near-incompressible = encoded blobs or
+    * random noise; natural prose sits in between) used as a standing
+    * corpus-quality gate where a perplexity model is too expensive.
+    * ROWS-ONLY by design: DuckDB has no deflate, so there is no
+    * SQL-expressible oracle — the numeric behavior is pinned by
+    * Round10Spec on fixed strings instead (level-6 Deflater output
+    * length is deterministic for identical input in one JVM class
+    * library), and the driver records spark_rows.
+    *
+    * Scale shape: per-row Deflater work inside one mapPartitions (a
+    * fresh Deflater per partition, reused across rows — allocation, not
+    * compression, is the overhead to avoid), then one map-combining
+    * source aggregate; exact byte counts, ONE division round6'd.
+    */
+  def x262CompressRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val spark2 = spark
+    import spark2.implicits._
+    val per = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("text")).as[(String, String)]
+      .mapPartitions { it =>
+        // one Deflater per partition, reset() per row — allocation, not
+        // compression, is the per-row overhead to avoid; native memory is
+        // reclaimed by the finalizer after the partition completes
+        val d = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (src, text) =>
+          val in = text.getBytes("UTF-8")
+          d.reset(); d.setInput(in); d.finish()
+          var out = 0L
+          while (!d.finished()) out += d.deflate(buf)
+          (src, in.length.toLong, out)
+        }
+      }.toDF("source", "n_raw", "n_deflate")
+    per.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_raw").as("raw_bytes"), sum("n_deflate").as("deflate_bytes"))
+      .select(col("source"), col("n_docs"), col("raw_bytes"),
+        col("deflate_bytes"),
+        stableRound6(col("deflate_bytes").cast("double") /
+          col("raw_bytes").cast("double")).as("ratio"))
+      .orderBy("source")
+  }
+
   /** x251 — HEAPS'-LAW vocabulary growth over 3-shingles (round-10):
     * distinct-shingle count V(n) at nested corpus prefixes (doc_id ≤
     * M·{1/16,1/8,1/4,1/2,1}) with the OLS slope β of ln V on ln n — the

@@ -4904,6 +4904,190 @@ object Oracles {
       |             * 1000000 + 0.5) / 1000000 AS kn_score
       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // x260: the 5-round BPE loop unrolled — each stage parses the
+  // delimiter-wrapped unit strings back, counts weighted adjacent pairs,
+  // argmaxes under the (n desc, pair asc) total order, and applies the
+  // merge with the SAME left-to-right non-overlapping replace() the
+  // Spark side uses.
+  val x260: String = {
+    def stage(k: Int): String = {
+      val prev = if (k == 1) "s0" else s"s${k - 1}"
+      s"""u$k AS (SELECT c, string_split(substring(s, 2, length(s) - 2), '..') AS us
+        |       FROM $prev),
+        |p$k AS (SELECT ua, ub, CAST(sum(c) AS BIGINT) AS n FROM (
+        |         SELECT c, us[i] AS ua, us[i + 1] AS ub
+        |         FROM (SELECT c, us, unnest(range(1, greatest(len(us), 1))) AS i
+        |               FROM u$k))
+        |       GROUP BY ua, ub),
+        |t$k AS (SELECT ua, ub, n FROM p$k ORDER BY n DESC, ua, ub LIMIT 1),
+        |s$k AS (SELECT replace($prev.s, '.' || t$k.ua || '..' || t$k.ub || '.',
+        |                       '.' || t$k.ua || t$k.ub || '.') AS s, $prev.c
+        |       FROM $prev, t$k)""".stripMargin
+    }
+    s"""WITH t0 AS (SELECT unnest(string_split(lower(text), ' ')) AS w0
+      |            FROM documents WHERE text IS NOT NULL),
+      |w AS (SELECT wd, CAST(count(*) AS BIGINT) AS c FROM (
+      |        SELECT regexp_replace(w0, '[^a-z0-9]', '', 'g') AS wd FROM t0)
+      |      WHERE length(wd) > 0 GROUP BY wd),
+      |s0 AS (SELECT array_to_string(list_transform(range(1, length(wd) + 1),
+      |                i -> '.' || wd[i] || '.'), '') AS s, c
+      |       FROM w),
+      |${stage(1)},
+      |${stage(2)},
+      |${stage(3)},
+      |${stage(4)},
+      |${stage(5)}
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS INTEGER) AS merge_idx, ua AS unit_a, ub AS unit_b,
+      |         n AS pair_count FROM t1
+      |  UNION ALL SELECT 2, ua, ub, n FROM t2
+      |  UNION ALL SELECT 3, ua, ub, n FROM t3
+      |  UNION ALL SELECT 4, ua, ub, n FROM t4
+      |  UNION ALL SELECT 5, ua, ub, n FROM t5)
+      |ORDER BY merge_idx""".stripMargin
+  }
+
+  // x261: x104's component-split hash + the 4-gram slice comprehension;
+  // coverage is one exact-int ratio per non-train split.
+  val x261: String =
+    s"""WITH $componentCtes,
+      |h0 AS (SELECT doc_id,
+      |              ('0x' || substring(md5('split|' || CAST(component AS VARCHAR)),
+      |                 1, 8))::BIGINT % 10 AS hv
+      |       FROM r),
+      |h AS (SELECT doc_id, CASE WHEN hv <= 7 THEN 'train'
+      |                          WHEN hv = 8 THEN 'val'
+      |                          ELSE 'test' END AS split
+      |      FROM h0),
+      |g0 AS (SELECT doc_id,
+      |              unnest(CASE WHEN len(toks) < 4 THEN []::VARCHAR[]
+      |                     ELSE list_distinct([array_to_string(toks[i:i+3], ' ')
+      |                          for i in range(1, len(toks) - 2)]) END) AS g
+      |       FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |             FROM documents WHERE text IS NOT NULL)),
+      |v AS (SELECT DISTINCT h.split, g0.g FROM g0 JOIN h USING (doc_id)),
+      |tr AS (SELECT g FROM v WHERE split = 'train')
+      |SELECT v.split, CAST(count(*) AS BIGINT) AS n_distinct,
+      |       CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_covered,
+      |       floor(CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS coverage
+      |FROM v LEFT JOIN tr USING (g)
+      |WHERE v.split <> 'train'
+      |GROUP BY v.split ORDER BY v.split""".stripMargin
+
+  // x256: per-row list arithmetic only — the 5-gram slice form mirrors
+  // x129's shingle comprehension at width 5.
+  val x256: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id,
+      |             [array_to_string(toks[i:i+4], ' ')
+      |              for i in range(1, len(toks) - 3)] AS gs
+      |      FROM t WHERE len(toks) >= 5)
+      |SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_5grams,
+      |       CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+      |       floor((1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
+      |              / CAST(len(gs) AS DOUBLE)) * 1000000 + 0.5)
+      |         / 1000000 AS rep_ratio
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // x257: x11's dot/round idiom per truncation width; recall counts are
+  // exact integers over the two 5-row top frames.
+  val x257: String = {
+    def top(d: Int, name: String): String =
+      s"""$name AS (SELECT vec_id FROM (
+        |    SELECT e.vec_id,
+        |           round(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) /
+        |             (sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))
+        |              * sqrt(sum(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)))), 6) AS cosine
+        |    FROM embeddings e, q, range(1, ${d + 1}) i(i)
+        |    WHERE e.vec_id <> 0
+        |    GROUP BY e.vec_id)
+        |  ORDER BY cosine DESC, vec_id LIMIT 5)""".stripMargin
+    def row(d: Int, name: String): String =
+      s"""SELECT CAST($d AS BIGINT) AS trunc_dim,
+        |       CAST((SELECT count(*) FROM $name JOIN top64 USING (vec_id)) AS BIGINT) AS n_hits,
+        |       floor(CAST((SELECT count(*) FROM $name JOIN top64 USING (vec_id)) AS DOUBLE)
+        |             / 5.0 * 1000000 + 0.5) / 1000000 AS recall5""".stripMargin
+    s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      |${top(64, "top64")},
+      |${top(32, "top32")},
+      |${top(16, "top16")},
+      |${top(8, "top8")}
+      |SELECT * FROM (
+      |${row(32, "top32")}
+      |UNION ALL
+      |${row(16, "top16")}
+      |UNION ALL
+      |${row(8, "top8")})
+      |ORDER BY trunc_dim""".stripMargin
+  }
+
+  // x258: x16's quality CTEs verbatim (shared machinery, the x89 rule);
+  // q8 recovers the 1e-8-floored score as an exact integer; the EG step
+  // is one rounded exp per source + a DECIMAL normalization sum.
+  val x258: String =
+    """WITH t AS (
+      |  SELECT doc_id, length(replace(text, ' ', '')) AS n_alpha FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |st AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |         sum(CASE WHEN token IN ('the', 'a', 'of', 'to', 'and') THEN 1 ELSE 0 END) AS n_stop
+      |  FROM tok GROUP BY doc_id),
+      |q AS (
+      |  SELECT s.doc_id,
+      |         CAST(floor((0.4 * least(CAST(s.n_tokens AS DOUBLE), 50.0) / 50.0
+      |             + 0.3 * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens)
+      |             + 0.3 * least(CAST(t.n_alpha AS DOUBLE) / s.n_tokens, 10.0) / 10.0)
+      |           * 100000000 + 0.5) AS BIGINT) AS q8
+      |  FROM st s JOIN t ON s.doc_id = t.doc_id),
+      |per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n,
+      |               CAST(sum(q.q8) AS BIGINT) AS sq
+      |        FROM documents d JOIN q USING (doc_id) GROUP BY d.source),
+      |l AS (SELECT source, n,
+      |             floor((1.0 - CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+      |                    / 100000000.0) * 1000000 + 0.5) / 1000000 AS loss
+      |      FROM per),
+      |e AS (SELECT source, n, loss,
+      |             CAST(floor(exp(loss) * 1000000 + 0.5) / 1000000
+      |                  AS DECIMAL(18,6)) AS e6
+      |      FROM l),
+      |s AS (SELECT sum(e6) AS se FROM e)
+      |SELECT source, n, loss,
+      |       floor(CAST(e6 AS DOUBLE) / CAST(se AS DOUBLE) * 1000000 + 0.5)
+      |         / 1000000 AS weight
+      |FROM e, s ORDER BY source""".stripMargin
+
+  // x259: both orientations of every backbone edge (symmetric estimator);
+  // all moments exact BIGINTs, ONE division round6'd.
+  val x259: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |pr0 AS (SELECT array_to_string(toks[i:i+2], ' ') AS s1,
+      |               array_to_string(toks[i+1:i+3], ' ') AS s2
+      |        FROM (SELECT toks,
+      |                unnest(range(1, greatest(len(toks) - 2, 1))) AS i FROM t)),
+      |pr AS (SELECT least(s1, s2) AS u, greatest(s1, s2) AS v FROM pr0),
+      |e0 AS (SELECT u, v FROM pr WHERE u <> v
+      |       GROUP BY u, v HAVING count(*) >= 2),
+      |ed AS (SELECT u AS a, v AS b FROM e0
+      |       UNION ALL SELECT v AS a, u AS b FROM e0),
+      |dg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY a),
+      |j AS (SELECT dx.d AS dx, dy.d AS dy
+      |      FROM ed JOIN dg dx ON ed.a = dx.a JOIN dg dy ON ed.b = dy.a),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+      |             CAST(sum(dx * dy) AS BIGINT) AS sxy,
+      |             CAST(sum(dx * dx) AS BIGINT) AS sxx
+      |      FROM j)
+      |SELECT m AS n_directed_edges,
+      |       CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+      |            ELSE floor(CAST(m * sxy - sx * sy AS DOUBLE)
+      |                  / CAST(m * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+      |                  / 1000000 END AS assortativity
+      |FROM m""".stripMargin
+
   // x251: x129's shingle CTE; prefix indices from integer fractions of
   // max(doc_id); running sums over the 5-row prefix frame; x239's
   // micro-int OLS chain for beta.
@@ -5471,6 +5655,12 @@ object Oracles {
   val lGroup: Map[String, String] = Map(
     "x204_av_align"          -> x204,
     "x203_calendar_heatmap"  -> x203,
+    "x261_ngram_coverage"    -> x261,
+    "x260_bpe_train5"        -> x260,
+    "x259_assortativity"     -> x259,
+    "x258_doremi_step"       -> x258,
+    "x257_matryoshka_recall" -> x257,
+    "x256_rep_5gram"         -> x256,
     "x255_hash_uniformity"   -> x255,
     "x254_hill_tail"         -> x254,
     "x253_wilson_ci"         -> x253,

@@ -196,6 +196,9 @@ class PlanSpec extends SparkSpec {
     // x254's is the 1-row (x_{k+1}, m) frame crossing onto the 101-row
     // top frame; x255's is the 1-row corpus count onto the ranked stream
     // (x50's shape)
+    // x257's are x11's 1-row query-vector crosses, once per truncation
+    // width; x258's is the 1-row normalization sum onto the |sources|-row
+    // frame (x117's 1-row denominator shape)
       "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
       "x112_zorder_layout", "x117_mix_temperature", "x119_prep_v4",
       "x124_dsir_weights", "x126_ks_drift", "x132_perplexity_gate",
@@ -205,7 +208,7 @@ class PlanSpec extends SparkSpec {
       "x211_graph_backbone", "x215_jsd_sources", "x217_k_anonymity",
       "x231_cached_reuse", "x242_welch_ttest", "x248_negative_sampling",
       "x250_kneser_ney", "x251_heaps_law", "x254_hill_tail",
-      "x255_hash_uniformity")
+      "x255_hash_uniformity", "x257_matryoshka_recall", "x258_doremi_step")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -680,6 +683,39 @@ class PlanSpec extends SparkSpec {
       "exactly one SMJ — the constant-size rank fusion")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       "query-term and df joins against the corpus must broadcast")
+  }
+
+  test("x241: KMV bottom-64 executes through TopKPerKey — no per-source window sort") {
+    val p = plan("x241_kmv_distinct")
+    val fi = p.indexOf("TopKPerKeyFinal")
+    val pa = p.indexOf("TopKPerKeyPartial")
+    assert(fi >= 0 && pa >= 0,
+      "the k smallest hashes per source must come from the bounded-heap operator")
+    assert(!p.contains("Window"),
+      "a row_number window over the distinct-hash frame is the plan this operator replaces")
+  }
+
+  test("x243: the ×B replicate explode collapses in map-side partials") {
+    val p = plan("x243_bootstrap_ci")
+    assert(p.contains("partial_sum"),
+      "the (source, b) aggregate must combine map-side — the shuffle carries " +
+        "|sources|·B partial rows, never B corpora")
+  }
+
+  test("x250: Kneser-Ney scoring has no window — type-frame counts only") {
+    val p = plan("x250_kneser_ney")
+    assert(!p.contains("Window"),
+      "all KN counts are group-by aggregates over the bigram-type frame")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "type counts must combine map-side")
+  }
+
+  test("x256: repetition ratio is per-row codegen — only the fanOut exchange") {
+    val p = plan("x256_rep_5gram")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "the 5-gram arithmetic must ride the scan (the one allowed hash " +
+        "exchange is the deliberate fanOut repartition)")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"))
   }
 
   test("x113: vocabulary lookup broadcasts; encode is one corpus shuffle") {

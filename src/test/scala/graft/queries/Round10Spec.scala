@@ -270,6 +270,108 @@ class Round10Spec extends SparkSpec {
     assert(r.getDouble(1) == r6(dmax.toDouble / (n.toDouble * 4294967296.0)))
   }
 
+  test("x256: 5-gram repetition on a hand-countable doc; short docs absent") {
+    // 11 tokens, 7 positional 5-grams, 5 distinct -> rep = 1 - 5/7
+    val rows = Seq((1L, "a b c d e a b c d e a", "en", "s", 21L),
+      (2L, "p q r s t u", "en", "s", 11L), // 2 distinct 5-grams, no repeat
+      (3L, "x y z", "en", "s", 5L)) // < 5 tokens: no row
+    val out = LlmQueries.x256Rep5gram(spark, docsDir(rows)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(1L) == ((7L, 5L, r6(1.0 - 5.0 / 7.0))))
+    assert(out(2L) == ((2L, 2L, 0.0)))
+    assert(!out.contains(3L))
+  }
+
+  test("x257: truncation recall on a hand-built +/-1 geometry") {
+    val dir = Files.createTempDirectory("x257").toString
+    def v(f: Int => Double): Array[Float] =
+      (0 until 64).map(i => f(i).toFloat).toArray
+    Seq(
+      (0L, v(_ => 1.0), "q"),
+      (1L, v(_ => 1.0), "a"),                            // cos 1 everywhere
+      (2L, v(i => if (i < 32) 1.0 else -1.0), "a"),      // 1 below dim 32
+      (3L, v(i => if (i < 8) -1.0 else 1.0), "a"),       // worse at low dims
+      (4L, v(i => if (i % 2 == 0) 1.0 else -1.0), "a"),  // cos 0 everywhere
+      (5L, v(_ => 2.0), "a"),                            // cos 1 everywhere
+      (6L, v(_ => -1.0), "a"),                           // cos -1
+      (7L, v(i => if (i < 16) 1.0 else -1.0), "a"))      // 1 below dim 16
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = LlmQueries.x257MatryoshkaRecall(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // full top5 {1,5,3,2,4}; d=32 -> {1,2,5,3,4} (5 hits);
+    // d=16 -> {1,2,5,7,3} (4); d=8 -> {1,2,4,5,7} (4)
+    assert(out(32L) == ((5L, 1.0)))
+    assert(out(16L) == ((4L, 0.8)))
+    assert(out(8L) == ((4L, 0.8)))
+  }
+
+  test("x258: equal-quality sources get equal weights summing to ~1") {
+    val rows = (1L to 10L).map(i =>
+      (i, "the quick brown fox jumps", "en", if (i % 2 == 0) "a" else "b", 25L))
+    val out = LlmQueries.x258DoremiStep(spark, docsDir(rows)).collect()
+    assert(out.length == 2)
+    assert(out(0).getDouble(2) == out(1).getDouble(2), "identical text -> equal loss")
+    assert(out(0).getDouble(3) == 0.5 && out(1).getDouble(3) == 0.5)
+  }
+
+  test("x259: path graph gives the textbook r = -0.5") {
+    // 6-token doc twice -> shingle path s1-s2-s3-s4 at support 2:
+    // degrees 1,2,2,1 -> assortativity -0.5
+    val rows = Seq((1L, "w1 w2 w3 w4 w5 w6", "en", "s", 17L),
+      (2L, "w1 w2 w3 w4 w5 w6", "en", "s", 17L))
+    val r = ExtendedQueries.x259Assortativity(spark, docsDir(rows)).collect().head
+    assert(r.getLong(0) == 6, "3 undirected edges, both orientations")
+    assert(r.getDouble(1) == -0.5)
+  }
+
+  test("x260: the textbook low/lower/lowest merge sequence") {
+    val rows = Seq((1L, "low lower lowest low", "en", "s", 20L))
+    val out = LlmQueries.x260BpeTrain5(spark, docsDir(rows)).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // pair ties break (count desc, pair asc): (l,o)=4 beats (o,w)=4
+    assert(out.toSeq == Seq((1, "l", "o", 4L), (2, "lo", "w", 4L),
+      (3, "low", "e", 2L), (4, "lowe", "r", 1L), (5, "lowe", "s", 1L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("x261: coverage is a proper fraction over the non-train splits") {
+    val out = LlmQueries.x261NgramCoverage(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set("val", "test"))
+    out.foreach { case (_, (nd, nc, cov)) =>
+      assert(nd > 0 && nc >= 0 && nc <= nd)
+      assert(cov == math.floor(nc.toDouble / nd.toDouble * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("x262: deflate byte counts equal an independent Deflater(6) run") {
+    val a = "spam " * 40 // highly repetitive
+    val b = (1 to 40).map(i => md5hex(i.toString).take(4)).mkString(" ")
+    val rows = Seq((1L, a, "en", "rep", a.length.toLong),
+      (2L, b, "en", "mix", b.length.toLong))
+    val out = LlmQueries.x262CompressRatio(spark, docsDir(rows)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    def defl(s: String): Long = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf)
+      d.end(); out
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out("rep") == ((a.length.toLong, defl(a),
+      r6(defl(a).toDouble / a.length))))
+    assert(out("mix") == ((b.length.toLong, defl(b),
+      r6(defl(b).toDouble / b.length))))
+    assert(out("rep")._3 < out("mix")._3,
+      "repetitive text must compress better than hash soup")
+  }
+
   test("x246: noise chain exact vs plain-Scala recompute; deterministic") {
     val rows = (1L to 30L).map(i => (i, "t", "en", "src", 500L + i))
     val dir = docsDir(rows)
