@@ -125,6 +125,15 @@ object Scratch10 {
       }
       spark.stop(); return
     }
+    if (args.contains("r10j")) {
+      for (dir <- Seq(sfDir, tenDir, hundredDir)) {
+        time(s"x263_$dir")(queries.ExtendedQueries.x263ExactQuantiles(spark, dir).count())
+      }
+      for (dir <- Seq(sfDir, tenDir)) {
+        time(s"x264_$dir")(queries.ExtendedQueries.x264DecayVolume(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("r10b")) {
       // memo amortization: x47 + x104 + x238 back to back, then repeated
       for (rep <- 1 to 2; dir <- Seq(sfDir)) {

@@ -1690,6 +1690,79 @@ object ExtendedQueries {
           .as("assortativity"))
   }
 
+  /** x263 — EXACT DISTRIBUTED QUANTILES (round-10): p50/p90/p99/p999 of
+    * doc length as true order statistics (value at rank ⌈q·n⌉ under the
+    * (x, doc_id) total order) — the SCALE path for exact percentiles:
+    * x25's `percentile()` holds a per-group sort buffer (single-node at
+    * corpus scale, the x25b/x180 documented swap-point), while this
+    * computes the global rank with [[graft.operators.RangeRank]]'s
+    * two-pass offset scheme (THIRD declared consumer) and reads the four
+    * target ranks with one broadcast equi-join — no global sort, no
+    * per-group buffer, no approximation.
+    *
+    * Exactness: ranks and ⌈q·n⌉ = (n·num + den − 1) div den are pure
+    * integer arithmetic; the output is the selected exact values.
+    *
+    * Scale shape: one scan + the range-partitioned rank (parallelism
+    * decoupled from n) + a 4-row broadcast target join + output 4 rows.
+    */
+  def x263ExactQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Io.table(spark, sfDir, "documents")
+      .filter(col("n_chars").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("x"))
+      .withColumn("g", lit(1))
+    val ranked = graft.operators.RangeRank.rankWithin(
+      d, "g", Seq("x", "doc_id"), "r")
+    val n = d.agg(count(lit(1)).as("n"))
+    val spine = spark.range(1).select(explode(array(
+        struct(lit("p50").as("ql"), lit(1L).as("num"), lit(2L).as("den")),
+        struct(lit("p90").as("ql"), lit(9L).as("num"), lit(10L).as("den")),
+        struct(lit("p99").as("ql"), lit(99L).as("num"), lit(100L).as("den")),
+        struct(lit("p999").as("ql"), lit(999L).as("num"), lit(1000L).as("den"))
+      )).as("q"))
+      .select(col("q.ql").as("ql"), col("q.num").as("num"), col("q.den").as("den"))
+      .crossJoin(broadcast(n))
+      .select(col("ql"), expr("(n * num + den - 1) div den").as("t"))
+    ranked.join(broadcast(spine), col("r") === col("t"))
+      .select(col("ql").as("quantile"), col("t").as("target_rank"),
+        col("x").as("value"))
+      .orderBy("quantile")
+  }
+
+  /** x264 — FRESHNESS-DECAYED volume per event type (round-10): Σ
+    * exp(−age/30d) over each type's events — the recency weighting
+    * behind corpus-refresh decisions (news/code corpora value a document
+    * by a decaying clock, not a count; the half-life view of "how much
+    * CURRENT signal does this stream carry"), next to x75's cohort
+    * retention (which counts users, not mass) and x207's CUSUM (which
+    * locates shifts, not weights them).
+    *
+    * Exactness: age is exact epoch-µs integer arithmetic against the
+    * corpus max; each per-row exp runs on the engine-identical double
+    * age/2592000e6, round6'd, DECIMAL-summed (x101's order-free rule);
+    * the per-type mean is one division round6'd.
+    *
+    * Scale shape: one 1-row max broadcast cross (allow-listed) + one
+    * map-combining type aggregate — codegen'd per-row exp in the scan.
+    */
+  def x264DecayVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Io.events(spark, sfDir)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"))
+    val mx = e.agg(max("t").as("mx"))
+    e.crossJoin(broadcast(mx))
+      .select(col("event_type"),
+        stableRound6(exp((col("t") - col("mx")).cast("double") /
+          lit(2592000.0e6))).cast("decimal(18,6)").as("w"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("w").cast("decimal(28,6)").as("sw"))
+      .select(col("event_type"), col("n_events"),
+        col("sw").cast("double").as("decayed_mass"),
+        stableRound6(col("sw").cast("double") / col("n_events").cast("double"))
+          .as("mean_freshness"))
+      .orderBy("event_type")
+  }
+
   /** x254 — HILL TAIL-INDEX estimator (round-10): α̂ = k / Σᵢ ln(x₍ᵢ₎ /
     * x₍ₖ₊₁₎) over the k = 100 largest doc lengths — the standard
     * heavy-tail exponent estimate, closing the power-law triptych (x239

@@ -4904,6 +4904,39 @@ object Oracles {
       |             * 1000000 + 0.5) / 1000000 AS kn_score
       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // x263: the oracle MAY use the global rank window (fixture scale); the
+  // Spark side must not (RangeRank, third consumer); target ranks are
+  // pure integer ceil-division.
+  val x263: String =
+    """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x
+      |           FROM documents WHERE n_chars IS NOT NULL),
+      |r AS (SELECT x, row_number() OVER (ORDER BY x, doc_id) AS r FROM d),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+      |                            ('p99', 99, 100), ('p999', 999, 1000))
+      |      t(ql, num, den)),
+      |tq AS (SELECT ql, (n.n * num + den - 1) // den AS t FROM q, n)
+      |SELECT tq.ql AS quantile, CAST(tq.t AS BIGINT) AS target_rank,
+      |       r.x AS value
+      |FROM tq JOIN r ON r.r = tq.t
+      |ORDER BY quantile""".stripMargin
+
+  // x264: age in exact epoch-µs against the corpus max; per-row exp on
+  // engine-identical doubles, round6 -> DECIMAL sum (x101's rule).
+  val x264: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS t
+      |           FROM events WHERE event_type IS NOT NULL),
+      |mx AS (SELECT max(t) AS mx FROM e),
+      |w AS (SELECT event_type,
+      |             CAST(floor(exp(CAST(t - mx AS DOUBLE) / 2592000000000.0)
+      |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS w
+      |      FROM e, mx)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(w) AS DOUBLE) AS decayed_mass,
+      |       floor(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS mean_freshness
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // x260: the 5-round BPE loop unrolled — each stage parses the
   // delimiter-wrapped unit strings back, counts weighted adjacent pairs,
   // argmaxes under the (n desc, pair asc) total order, and applies the
@@ -5655,6 +5688,8 @@ object Oracles {
   val lGroup: Map[String, String] = Map(
     "x204_av_align"          -> x204,
     "x203_calendar_heatmap"  -> x203,
+    "x264_decay_volume"      -> x264,
+    "x263_exact_quantiles"   -> x263,
     "x261_ngram_coverage"    -> x261,
     "x260_bpe_train5"        -> x260,
     "x259_assortativity"     -> x259,

@@ -199,6 +199,8 @@ class PlanSpec extends SparkSpec {
     // x257's are x11's 1-row query-vector crosses, once per truncation
     // width; x258's is the 1-row normalization sum onto the |sources|-row
     // frame (x117's 1-row denominator shape)
+    // x263's is the 1-row corpus count crossing onto the 4-row quantile
+    // spine; x264's is the 1-row max-timestamp cross (x50's shape)
       "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
       "x112_zorder_layout", "x117_mix_temperature", "x119_prep_v4",
       "x124_dsir_weights", "x126_ks_drift", "x132_perplexity_gate",
@@ -208,7 +210,8 @@ class PlanSpec extends SparkSpec {
       "x211_graph_backbone", "x215_jsd_sources", "x217_k_anonymity",
       "x231_cached_reuse", "x242_welch_ttest", "x248_negative_sampling",
       "x250_kneser_ney", "x251_heaps_law", "x254_hill_tail",
-      "x255_hash_uniformity", "x257_matryoshka_recall", "x258_doremi_step")
+      "x255_hash_uniformity", "x257_matryoshka_recall", "x258_doremi_step",
+      "x263_exact_quantiles", "x264_decay_volume")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

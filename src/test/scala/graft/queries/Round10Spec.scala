@@ -372,6 +372,33 @@ class Round10Spec extends SparkSpec {
       "repetitive text must compress better than hash soup")
   }
 
+  test("x263: order statistics at the exact ceil(q*n) ranks") {
+    val rows = (1L to 1000L).map(i => (i, "t", "en", "s", i))
+    val out = ExtendedQueries.x263ExactQuantiles(spark, docsDir(rows))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("p50" -> ((500L, 500L)), "p90" -> ((900L, 900L)),
+      "p99" -> ((990L, 990L)), "p999" -> ((999L, 999L))))
+  }
+
+  test("x264: decay weights equal the closed form at exact month offsets") {
+    val dir = Files.createTempDirectory("x264").toString
+    val base = 1704067200000000L // 2024-01-01 UTC epoch-µs
+    val month = 2592000000000L // 30 days in µs
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    Seq((1L, ts(base + 2 * month), 1L, "click", 1.0, "{}"),
+        (2L, ts(base + month), 1L, "click", 1.0, "{}"),
+        (3L, ts(base), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = ExtendedQueries.x264DecayVolume(spark, dir).collect().head
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val micro = Seq(0.0, -1.0, -2.0).map(a => math.round(r6(math.exp(a)) * 1e6)).sum
+    assert(r.getLong(1) == 3)
+    assert(r.getDouble(2) == micro.toDouble / 1e6,
+      s"decayed mass must be the decimal sum of rounded exp terms")
+    assert(r.getDouble(3) == r6(micro.toDouble / 1e6 / 3.0))
+  }
+
   test("x246: noise chain exact vs plain-Scala recompute; deterministic") {
     val rows = (1L to 30L).map(i => (i, "t", "en", "src", 500L + i))
     val dir = docsDir(rows)
