@@ -1696,7 +1696,7 @@ object ExtendedQueries {
     * x25's `percentile()` holds a per-group sort buffer (single-node at
     * corpus scale, the x25b/x180 documented swap-point), while this
     * computes the global rank with [[graft.operators.RangeRank]]'s
-    * two-pass offset scheme (THIRD declared consumer) and reads the four
+    * two-pass offset scheme (FOURTH declared RangeRank consumer) and reads the four
     * target ranks with one broadcast equi-join — no global sort, no
     * per-group buffer, no approximation.
     *
@@ -1806,7 +1806,7 @@ object ExtendedQueries {
     * GLOBAL rank of every u — corpus-linear, exactly the frame shape that
     * must NOT be a single-task window (the x129 lesson), so the rank
     * comes from [[graft.operators.RangeRank]]'s two-pass offset scheme
-    * (second declared consumer) and the argmax is integer-exact:
+    * (third declared RangeRank consumer, after x227 and x129) and the argmax is integer-exact:
     * max(r·2³² − n·h, n·h − (r−1)·2³²) over exact longs.
     *
     * Scale shape: one hash scan, RangeRank (range-partitioned sort +
@@ -4454,6 +4454,11 @@ object ExtendedQueries {
           .as("w"))
       .groupBy("source", "b")
       .agg(sum(col("w") * col("x")).as("wx"), sum("w").as("sw"))
+      // all-zero-weight replicates (possible for tiny sources: P ≈ (1/3)^n
+      // per replicate) are DROPPED, not 0/0'd — Spark NaN vs DuckDB NULL
+      // would diverge at the order statistics; both engines filter the
+      // same replicates, so the rank indices stay engine-identical
+      .filter(col("sw") > 0)
       .select(col("source"), col("b"),
         stableRound6(col("wx").cast("double") / col("sw").cast("double"))
           .as("rm"))

@@ -1469,12 +1469,15 @@ object LlmQueries {
     * swap, cardinality change) moves at least one of the three, so a
     * stale fixpoint can never be served against fresh data. */
   private def docsStamp(sfDir: String): String = {
-    val f = new java.io.File(s"$sfDir/documents.parquet")
-    val files: Array[java.io.File] =
+    // recursive walk: a partitioned fixture (part files one level down)
+    // must not stamp as 0|0|0, or an in-place regen would serve a STALE
+    // memoized fixpoint (review r10)
+    def walk(f: java.io.File): Array[java.io.File] =
       if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).filter(_.isFile)
+        Option(f.listFiles()).getOrElse(Array.empty).flatMap(walk)
       else if (f.isFile) Array(f)
       else Array.empty
+    val files = walk(new java.io.File(s"$sfDir/documents.parquet"))
     val maxM = if (files.isEmpty) 0L else files.map(_.lastModified).max
     s"${files.length}|$maxM|${files.map(_.length).sum}"
   }
@@ -1514,7 +1517,12 @@ object LlmQueries {
     x47LastRounds.set(rounds)
     edges.unpersist()
     componentMemo.synchronized {
-      componentMemo.put(key, (labelsPinned, rounds))
+      // two concurrent misses both compute (acceptable: work is wasted,
+      // results identical); the LOSER's frame must not leak — put()
+      // returns the displaced entry, whose pin we release (review r10)
+      val prev = componentMemo.put(key, (labelsPinned, rounds))
+      if (prev != null && (prev._1 ne labelsPinned))
+        try prev._1.unpersist() catch { case _: Throwable => () }
     }
     labelsPinned
   }
@@ -4173,7 +4181,7 @@ object LlmQueries {
     // probe's disk kill; collapsed, pair work is base-corpus-sized and
     // only the FINAL compact (da, db, ints) expansion is clique-quadratic
     // — the intrinsic OUTPUT size (x131's argument), not a plan artifact.
-    val grp = sets.groupBy("rs").agg(min("doc_id").as("uid"), count(lit(1)).as("cnt"))
+    val grp = sets.groupBy("rs").agg(min("doc_id").as("uid"))
     val mem = sets.join(grp, Seq("rs")).persist()
     mem.count() // force while `sets` is still pinned (one lineage ride)
     repin(sets, mem)
@@ -5993,16 +6001,26 @@ object LlmQueries {
       .select(col("source"), col("text")).as[(String, String)]
       .mapPartitions { it =>
         // one Deflater per partition, reset() per row — allocation, not
-        // compression, is the per-row overhead to avoid; native memory is
-        // reclaimed by the finalizer after the partition completes
+        // compression, is the per-row overhead to avoid; end() fires
+        // DETERMINISTICALLY on exhaustion (native zlib state must not
+        // wait for a GC cycle — review r10)
         val d = new java.util.zip.Deflater(6)
         val buf = new Array[Byte](1 << 16)
-        it.map { case (src, text) =>
-          val in = text.getBytes("UTF-8")
-          d.reset(); d.setInput(in); d.finish()
-          var out = 0L
-          while (!d.finished()) out += d.deflate(buf)
-          (src, in.length.toLong, out)
+        var ended = false
+        new Iterator[(String, Long, Long)] {
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !ended) { ended = true; d.end() }
+            h
+          }
+          def next(): (String, Long, Long) = {
+            val (src, text) = it.next()
+            val in = text.getBytes("UTF-8")
+            d.reset(); d.setInput(in); d.finish()
+            var out = 0L
+            while (!d.finished()) out += d.deflate(buf)
+            (src, in.length.toLong, out)
+          }
         }
       }.toDF("source", "n_raw", "n_deflate")
     per.groupBy("source")

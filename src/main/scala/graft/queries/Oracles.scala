@@ -4754,7 +4754,8 @@ object Oracles {
       |rep AS (SELECT source, b,
       |               floor(CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
       |                     * 1000000 + 0.5) / 1000000 AS rm
-      |        FROM w GROUP BY source, b),
+      |        FROM w GROUP BY source, b
+      |        HAVING sum(w) > 0),
       |rk AS (SELECT source, b, rm,
       |              row_number() OVER (PARTITION BY source ORDER BY rm, b) AS rn
       |       FROM rep),
