@@ -32,22 +32,16 @@ import org.apache.spark.storage.StorageLevel
   * The sorted RDD is persisted (MEMORY_AND_DISK) because both passes
   * consume it — the standard cache-or-double-sort trade of two-pass
   * ranking. A lazy result can't unpersist its own input (the sweep
-  * executes after this returns), so ownership of the pin must live
-  * SOMEWHERE outside the result:
-  *
-  *   - [[rankWithinOwned]] hands the caller a [[Ranking]] whose
-  *     `release()` frees the sorted input — call it after the result has
-  *     been materialized (count/persist/write). This is the safe form
-  *     when rankings interleave: each ranking's pin has one owner, and no
-  *     other call can evict it mid-flight.
-  *   - [[rankWithin]] (legacy) rotates a single static pin: each call
-  *     releases the PREVIOUS call's. CONTRACT: materialize a ranking's
-  *     result before invoking rankWithin again — an unconsumed ranking
-  *     whose input has been evicted recomputes the range-partition sort,
-  *     and pass-1/pass-2 consistency then rests on Spark's deterministic
-  *     shuffle-replay (sortBeforeRepartition + fixed sampling seed)
-  *     rather than on cached blocks. Verify/Bench satisfy the contract
-  *     (each declared query is executed before the next is built).
+  * executes after this returns), so ownership of the pin lives OUTSIDE
+  * the result: [[rankWithinOwned]] hands the caller a [[Ranking]] whose
+  * `release()` frees the sorted input — call it after the result has
+  * been materialized (count/persist/write). Each ranking's pin has ONE
+  * owner, so interleaved rankings can never evict each other mid-flight
+  * (the r9/r10 advice hazard of the deleted rotation-pinned form, pinned
+  * by RangeRankSpec's interleaving test). Releasing BEFORE materializing
+  * is still correct — the sweep then recomputes the range sort from
+  * deterministic shuffle replay (fixed sampling seed over deterministic
+  * input) — it just pays the sort twice.
   */
 object RangeRank {
 
@@ -58,19 +52,6 @@ object RangeRank {
     /** Free the sorted input's cached blocks. Call AFTER materializing
       * `df`; afterwards re-executing `df` recomputes the sort. */
     def release(): Unit = pin.unpersist(blocking = false)
-  }
-
-  private val lastPinned =
-    new java.util.concurrent.atomic.AtomicReference[
-      org.apache.spark.rdd.RDD[Row]]()
-
-  /** Rotation-pinned form — see the contract in the object doc. */
-  def rankWithin(df: DataFrame, keyCol: String, orderCols: Seq[String],
-      rankName: String, numPartitions: Int = 0): DataFrame = {
-    val r = rankWithinOwned(df, keyCol, orderCols, rankName, numPartitions)
-    val prev = lastPinned.getAndSet(r.pin)
-    if (prev != null && (prev ne r.pin)) prev.unpersist(blocking = false)
-    r.df
   }
 
   def rankWithinOwned(df: DataFrame, keyCol: String, orderCols: Seq[String],

@@ -21,6 +21,15 @@ class RangeRankPropertySpec extends SparkSpec {
         .map { case ((_, v, id), i) => (k, v, id, i + 1L) }
     }.toSet
 
+  /** Owned form, pin released pre-materialization (the recompute path —
+    * see RangeRankSpec's helper). */
+  private def rankWithin(df: org.apache.spark.sql.DataFrame, key: String,
+      order: Seq[String], name: String, parts: Int): org.apache.spark.sql.DataFrame = {
+    val r = RangeRank.rankWithinOwned(df, key, order, name, parts)
+    r.release()
+    r.df
+  }
+
   private val genCase: Gen[(Seq[(String, Long, Long)], Int)] = for {
     nKeys <- Gen.choose(1, 6)
     n <- Gen.choose(1, 300)
@@ -34,7 +43,7 @@ class RangeRankPropertySpec extends SparkSpec {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(12),
       Prop.forAll(genCase) { case (rows, parts) =>
-        val got = RangeRank.rankWithin(rows.toDF("k", "v", "id"), "k",
+        val got = rankWithin(rows.toDF("k", "v", "id"), "k",
             Seq("v", "id"), "rnk", parts)
           .select("k", "v", "id", "rnk")
           .as[(String, Long, Long, Long)].collect().toSet

@@ -15,11 +15,22 @@ class RangeRankSpec extends SparkSpec {
         .map { case ((_, v, id), i) => (k, v, id, i + 1L) }
     }.toSet
 
+  /** Owned form with the pin released BEFORE materialization — the
+    * documented recompute path (deterministic shuffle replay), so every
+    * fixed case here also exercises pass-1/pass-2 consistency without
+    * cached blocks. */
+  private def rankWithin(df: org.apache.spark.sql.DataFrame, key: String,
+      order: Seq[String], name: String, parts: Int): org.apache.spark.sql.DataFrame = {
+    val r = RangeRank.rankWithinOwned(df, key, order, name, parts)
+    r.release()
+    r.df
+  }
+
   test("rankWithin == row_number over (key, order) with keys spanning 16 partitions") {
     val rng = new scala.util.Random(5)
     val rows = (1 to 5000).map(i =>
       (rng.nextInt(3).toString, rng.nextInt(100000).toLong, i.toLong))
-    val got = RangeRank.rankWithin(rows.toDF("k", "v", "id"), "k",
+    val got = rankWithin(rows.toDF("k", "v", "id"), "k",
         Seq("v", "id"), "rnk", 16)
       .select("k", "v", "id", "rnk")
       .as[(String, Long, Long, Long)].collect().toSet
@@ -28,7 +39,7 @@ class RangeRankSpec extends SparkSpec {
 
   test("single partition and single key degenerate correctly") {
     val rows = Seq(("a", 3L, 1L), ("a", 1L, 2L), ("a", 2L, 3L))
-    val got = RangeRank.rankWithin(rows.toDF("k", "v", "id"), "k",
+    val got = rankWithin(rows.toDF("k", "v", "id"), "k",
         Seq("v", "id"), "rnk", 1)
       .select("k", "v", "id", "rnk")
       .as[(String, Long, Long, Long)].collect().toSet
@@ -38,7 +49,7 @@ class RangeRankSpec extends SparkSpec {
   test("a NULL key and the literal string \"null\" rank as SEPARATE groups") {
     val rows = Seq((null.asInstanceOf[String], 1L, 1L), ("null", 1L, 2L),
       (null.asInstanceOf[String], 2L, 3L), ("null", 2L, 4L))
-    val got = RangeRank.rankWithin(rows.toDF("k", "v", "id"), "k",
+    val got = rankWithin(rows.toDF("k", "v", "id"), "k",
         Seq("v", "id"), "rnk", 4)
       .select("k", "id", "rnk").collect()
       .map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0),
@@ -49,9 +60,32 @@ class RangeRankSpec extends SparkSpec {
 
   test("duplicate order values rank by the tie-break column") {
     val rows = Seq(("a", 5L, 2L), ("a", 5L, 1L), ("b", 5L, 9L))
-    val got = RangeRank.rankWithin(rows.toDF("k", "v", "id"), "k",
+    val got = rankWithin(rows.toDF("k", "v", "id"), "k",
         Seq("v", "id"), "rnk", 4)
       .select("k", "id", "rnk").as[(String, Long, Long)].collect().toSet
     assert(got == Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 9L, 1L)))
+  }
+
+  test("interleaved rankings own separate pins — neither evicts the other") {
+    // the hazard the deleted rotation-pinned form had (advice r9/r10):
+    // starting ranking B before consuming ranking A evicted A's sorted
+    // input. Owned pins: build BOTH rankings, materialize A after B was
+    // built and B after A was consumed — both must still be exact, and
+    // both inputs must still be cached when their sweep runs.
+    val rng = new scala.util.Random(11)
+    val rowsA = (1 to 2000).map(i =>
+      (rng.nextInt(2).toString, rng.nextInt(500).toLong, i.toLong))
+    val rowsB = (1 to 1500).map(i =>
+      ("z" + rng.nextInt(4), rng.nextInt(90).toLong, i.toLong))
+    val ra = RangeRank.rankWithinOwned(rowsA.toDF("k", "v", "id"), "k",
+      Seq("v", "id"), "rnk", 8)
+    val rb = RangeRank.rankWithinOwned(rowsB.toDF("k", "v", "id"), "k",
+      Seq("v", "id"), "rnk", 8)
+    def got(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "v", "id", "rnk")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got(ra.df) == expect(rowsA))
+    assert(got(rb.df) == expect(rowsB))
+    ra.release(); rb.release()
   }
 }
