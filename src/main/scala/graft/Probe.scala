@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared scale-probe main (verdict r10 #1): the SURVEY §6.1 10×/100×
+  * probes as ONE `runMain graft.Probe`, emitting a machine-readable
+  * `probe_last.json` (per probe: rows, candidate/pair volumes, wall, dir)
+  * instead of prose tables backed by ad-hoc `Scratch*` mains. The r9→r10
+  * x129 disk-kill was caught only because a human ran a scratch harness;
+  * this makes that signal per-round and diffable, the same shape as
+  * `bench_last.json`. Volume INVARIANTS (candidates == unique-set prefix
+  * matches; LSH candidate volume derives from bucket sizes, never
+  * all-pairs) are pinned by ProbeSpec against the exposed stage frames.
+  *
+  * Probe corpora (the pinned r9 recipe, regenerated only when missing):
+  *   - 10× — every base table's documents/embeddings with N=10 exact
+  *     copies under shifted ids;
+  *   - 100× — documents-only, N=100 copies: dup-SATURATED by construction
+  *     (every doc sits in a 100-clique), the adversarial regime for pair
+  *     machinery.
+  * Args: probe names to restrict (default all). Env: SPARK_GRAFT_SF_DIR
+  * (organic base, default sf0.1), GRAFT_PROBE_10X / GRAFT_PROBE_100X
+  * (corpus dirs, default /tmp/probe{10,100}x_r9).
+  */
+object Probe {
+
+  final case class Rec(probe: String, dir: String, rows: Long,
+      wall: Double, vols: Seq[(String, Long)])
+
+  /** probe_last.json body — pure, so ProbeSpec can pin shape + parse.
+    * A name-filtered run stamps itself `"partial": true` (the Verify
+    * `_partial.json` discipline): a subset regeneration must never read
+    * as full §6.1 coverage. */
+  def renderJson(sfDir: String, recs: Seq[Rec],
+      partial: Boolean = false): String = {
+    def one(x: Rec): String = {
+      val vols = x.vols.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val tail = if (x.vols.isEmpty) "" else "," + vols
+      s"""{"probe":"${x.probe}","dir":"${x.dir}","rows":${x.rows}""" +
+        s""","wall_s":${math.round(x.wall * 1000) / 1000.0}$tail}"""
+    }
+    val p = if (partial) """"partial":true,""" else ""
+    s"""{$p"sf":"$sfDir","probes":[${recs.map(one).mkString(",")}]}"""
+  }
+
+  /** Exact-copy corpora: N copies of the sfDir table under shifted ids.
+    * Copies, not samples — volumes at 10×/100× are then EXACTLY 10×/100×
+    * the base, so a probe row reads as a scaling exponent directly. */
+  def ensureCorpora(spark: SparkSession, sfDir: String,
+      tenDir: String, hundredDir: String): Unit = {
+    def copies(n: Int, outDir: String, table: String, idCol: String): Unit =
+      if (!new java.io.File(s"$outDir/$table.parquet").isDirectory)
+        (0 until n).map { i =>
+          core.Io.table(spark, sfDir, table)
+            .withColumn(idCol, col(idCol) + lit(i * 10000000L))
+        }.reduce(_ union _).repartition(32)
+          .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    copies(10, tenDir, "documents", "doc_id")
+    copies(10, tenDir, "embeddings", "vec_id")
+    copies(100, hundredDir, "documents", "doc_id")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tenDir = sys.env.getOrElse("GRAFT_PROBE_10X", "/tmp/probe10x_r9")
+    val hundredDir = sys.env.getOrElse("GRAFT_PROBE_100X", "/tmp/probe100x_r9")
+    val only = args.toSet
+    def want(n: String) = only.isEmpty || only(n)
+    ensureCorpora(spark, sfDir, tenDir, hundredDir)
+    spark.range(1000000).count() // JVM/codegen warmup outside all timings
+
+    val recs = scala.collection.mutable.Buffer.empty[Rec]
+    def run(probe: String, dir: String)(f: => (Long, Seq[(String, Long)])): Unit =
+      if (want(probe)) {
+        val t0 = System.nanoTime()
+        val (rows, vols) = f
+        val wall = (System.nanoTime() - t0) / 1e9
+        recs += Rec(probe, dir, rows, wall, vols)
+        println(f"PROBE $probe dir=$dir rows=$rows%d wall=$wall%.2f " +
+          vols.map { case (k, v) => s"$k=$v" }.mkString(" "))
+      }
+
+    // x129 exact set-similarity join — the round-10 scale fix under
+    // per-round watch: candidate volume must track unique sets, and the
+    // dup-saturated 100× must COMPLETE (pre-collapse it spilled ~80 GB
+    // and died). Volumes come from the query's OWN stage frames. Each
+    // regime is codegen-warmed at sf0.001 first (the Bench discipline):
+    // without it the FIRST x129 run eats this query shape's whole JIT
+    // bill and the collapse-vs-no-collapse walls are incomparable.
+    val warmDir = "/root/testdata/sf0.001"
+    if (want("x129")) queries.LlmQueries.x129Parts(spark, warmDir).out.count()
+    for (dir <- Seq(sfDir, tenDir, hundredDir)) run("x129", dir) {
+      val p = queries.LlmQueries.x129Parts(spark, dir)
+      val u = p.setsU.count(); val c = p.cand.count()
+      (p.out.count(), Seq("unique_sets" -> u, "cand_pairs" -> c))
+    }
+    // the adaptive collapse gate's two FORCED sides on the organic corpus
+    // (verdict r10 #6): their wall gap is what the gate saves (collapse
+    // skipped when <10% of sets are duplicates) and what it would cost to
+    // guess wrong. The no-collapse side is never run at 100× (that is the
+    // documented disk-kill regime).
+    if (want("x129_collapse_forced"))
+      queries.LlmQueries.x129Parts(spark, warmDir, Some(true)).out.count()
+    run("x129_collapse_forced", sfDir) {
+      val p = queries.LlmQueries.x129Parts(spark, sfDir, Some(true))
+      val u = p.setsU.count(); val c = p.cand.count()
+      (p.out.count(), Seq("unique_sets" -> u, "cand_pairs" -> c))
+    }
+    if (want("x129_nocollapse"))
+      queries.LlmQueries.x129Parts(spark, warmDir, Some(false)).out.count()
+    run("x129_nocollapse", sfDir) {
+      val p = queries.LlmQueries.x129Parts(spark, sfDir, Some(false))
+      val c = p.cand.count()
+      (p.out.count(), Seq("cand_pairs" -> c))
+    }
+    // x13 MinHash-LSH: candidate volume is Σ c·(c−1)/2 over band buckets —
+    // derived from bucket SIZES (one aggregate), never materialized pairs;
+    // all_pairs is the bound the banded design must stay far under.
+    for (dir <- Seq(sfDir, tenDir, hundredDir)) run("x13_lsh", dir) {
+      val docs = core.Io.table(spark, dir, "documents")
+      val n = docs.count()
+      val b = queries.LlmQueries.bandBuckets(docs)
+        .groupBy("band", "bh").agg(count(lit(1)).as("c"))
+      val a = b.agg(count(lit(1)).as("buckets"),
+        sum(expr("c * (c - 1) div 2")).as("cand")).head()
+      (n, Seq("buckets" -> a.getLong(0), "cand_pairs" -> a.getLong(1),
+        "all_pairs" -> n * (n - 1) / 2))
+    }
+    // x47 component fixpoint (memo-cold here: Probe is its own process)
+    // then x261 riding the now-warm memo — separates the fixpoint cost
+    // from the consumer's own machinery (the r10i probe discipline).
+    for (dir <- Seq(sfDir, hundredDir)) {
+      run("x47_fixpoint", dir) {
+        val rows = queries.LlmQueries.x47DedupComponents(spark, dir).count()
+        (rows, Seq("rounds" -> queries.LlmQueries.x47LastRounds.get().toLong))
+      }
+      run("x261_coverage_warm", dir) {
+        (queries.LlmQueries.x261NgramCoverage(spark, dir).count(), Nil)
+      }
+    }
+    // RangeRank consumers: corpus-linear global ranks with parallelism
+    // decoupled from n — walls here are the no-single-task-window proof.
+    for (dir <- Seq(sfDir, tenDir, hundredDir)) {
+      run("x263_quantiles", dir) {
+        (queries.ExtendedQueries.x263ExactQuantiles(spark, dir).count(), Nil)
+      }
+      run("x255_hash_ks", dir) {
+        (queries.ExtendedQueries.x255HashUniformity(spark, dir).count(), Nil)
+      }
+    }
+    // x260 BPE trainer: corpus collapses to the vocab once — must be FLAT
+    // across decades (the driver-metric class).
+    for (dir <- Seq(sfDir, hundredDir)) run("x260_bpe_train", dir) {
+      (queries.LlmQueries.x260BpeTrain5(spark, dir).count(), Nil)
+    }
+    // round-11 members with pair machinery or corpus-linear grams: x269's
+    // fingerprint self-join at the dup-saturated 100× is sources²-bounded
+    // per fingerprint BY CONSTRUCTION (docs collapse to counts first) —
+    // the probe watches that bound; x267/x268 are vocabulary-sized aggs
+    // whose walls must stay scan-shaped.
+    for (dir <- Seq(sfDir, hundredDir)) {
+      run("x269_dup_leakage", dir) {
+        (queries.Round11Queries.x269DupLeakage(spark, dir).count(), Nil)
+      }
+      run("x267_pmi", dir) {
+        (queries.Round11Queries.x267PmiCollocations(spark, dir).count(), Nil)
+      }
+      run("x268_burstiness", dir) {
+        (queries.Round11Queries.x268Burstiness(spark, dir).count(), Nil)
+      }
+    }
+
+    // x271 is candidate-bounded — at the dup-saturated 100× the audit
+    // itself is pair-heavy (run on a sample at corpus scale, documented),
+    // so the probe stops at 10×; x273/x275 are RangeRank consumers whose
+    // walls must stay FLAT to 100× like x263/x255.
+    for (dir <- Seq(sfDir, tenDir)) run("x271_lsh_fp", dir) {
+      (queries.Round11Queries.x271LshFpAudit(spark, dir).count(), Nil)
+    }
+    for (dir <- Seq(sfDir, hundredDir)) {
+      run("x273_fd_histogram", dir) {
+        (queries.Round11Queries.x273FdHistogram(spark, dir).count(), Nil)
+      }
+      run("x275_dup_by_length", dir) {
+        (queries.Round11Queries.x275DupByLength(spark, dir).count(), Nil)
+      }
+    }
+
+    val json = renderJson(sfDir, recs.toSeq, partial = only.nonEmpty)
+    try {
+      val w = new java.io.PrintWriter("probe_last.json", "UTF-8")
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => () } // read-only CWD must not fail the probe
+    println(json.take(4000))
+    spark.stop()
+  }
+}
