@@ -4723,7 +4723,7 @@ object Oracles {
       |j AS (SELECT source, n1, s1, q1,
       |             n - n1 AS n2, s - s1 AS s2, q - q1 AS q2
       |      FROM per, g),
-      |c AS (SELECT source, n1,
+      |c AS (SELECT source, n1, n2,
       |             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
       |             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
       |             CAST(q1 * n1 - s1 * s1 AS DOUBLE)
@@ -4734,10 +4734,14 @@ object Oracles {
       |      FROM j)
       |SELECT source, CAST(n1 AS BIGINT) AS n_src,
       |       floor(m1 * 1000000 + 0.5) / 1000000 AS mean_src,
-      |       floor(m2 * 1000000 + 0.5) / 1000000 AS mean_rest,
-      |       floor((m1 - m2) / sqrt(a + b) * 1000000 + 0.5) / 1000000 AS t,
-      |       floor((a + b) * (a + b) / (a * a / f1 + b * b / f2)
-      |             * 1000000 + 0.5) / 1000000 AS df
+      |       CASE WHEN n2 > 0
+      |            THEN floor(m2 * 1000000 + 0.5) / 1000000 END AS mean_rest,
+      |       CASE WHEN n1 > 1 AND n2 > 1
+      |            THEN floor((m1 - m2) / sqrt(a + b) * 1000000 + 0.5) / 1000000
+      |            END AS t,
+      |       CASE WHEN n1 > 1 AND n2 > 1
+      |            THEN floor((a + b) * (a + b) / (a * a / f1 + b * b / f2)
+      |                 * 1000000 + 0.5) / 1000000 END AS df
       |FROM c ORDER BY source""".stripMargin
 
   // x243: the replicate weights are md5-derived ints both engines compute
@@ -4757,10 +4761,12 @@ object Oracles {
       |        FROM w GROUP BY source, b
       |        HAVING sum(w) > 0),
       |rk AS (SELECT source, b, rm,
-      |              row_number() OVER (PARTITION BY source ORDER BY rm, b) AS rn
+      |              row_number() OVER (PARTITION BY source ORDER BY rm, b) AS rn,
+      |              count(*) OVER (PARTITION BY source) AS m
       |       FROM rep),
-      |ci AS (SELECT source, min(CASE WHEN rn = 3 THEN rm END) AS ci_lo,
-      |              min(CASE WHEN rn = 98 THEN rm END) AS ci_hi
+      |ci AS (SELECT source,
+      |              min(CASE WHEN rn = (m + 39) // 40 THEN rm END) AS ci_lo,
+      |              min(CASE WHEN rn = (39 * m + 39) // 40 THEN rm END) AS ci_hi
       |       FROM rk GROUP BY source),
       |pt AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
       |              floor(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
@@ -5239,8 +5245,9 @@ object Oracles {
       |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS t
       |      FROM top, mm WHERE mm.m = 101)
       |SELECT CAST(100 AS BIGINT) AS k, xk1 AS x_k1,
-      |       floor(100.0 / CAST(sum(t) AS DOUBLE) * 1000000 + 0.5)
-      |         / 1000000 AS alpha
+      |       CASE WHEN sum(t) <> 0
+      |            THEN floor(100.0 / CAST(sum(t) AS DOUBLE) * 1000000 + 0.5)
+      |                 / 1000000 END AS alpha
       |FROM t GROUP BY xk1""".stripMargin
 
   // x255: the oracle MAY use the global rank window (DuckDB, fixture
@@ -5686,9 +5693,301 @@ object Oracles {
        |ORDER BY lag""".stripMargin
   }
 
+  // x265: sqrt-weights round6 to DECIMAL then sum exactly (x101); ESS
+  // contributions round9 (6 digits would quantize W^2/n to zero for large
+  // sources); the two final divisions are float, round6, NULL when the
+  // contribution sum quantizes to 0.
+  val x265: String =
+    """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+      |             FROM documents GROUP BY source),
+      |r AS (SELECT source, n,
+      |             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5)
+      |                  / 1000000 AS DECIMAL(18,6)) AS r6 FROM per),
+      |s AS (SELECT CAST(sum(r6) AS DECIMAL(28,6)) AS s,
+      |             CAST(sum(n) AS BIGINT) AS nt FROM r),
+      |w AS (SELECT source, n, nt,
+      |             CAST(floor(CAST(r6 AS DOUBLE) / CAST(s AS DOUBLE)
+      |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS w6
+      |      FROM r, s),
+      |c AS (SELECT source, n, nt, w6,
+      |             CAST(floor(CAST(w6 AS DOUBLE) * CAST(w6 AS DOUBLE)
+      |                  / CAST(n AS DOUBLE) * 1000000000 + 0.5)
+      |                  / 1000000000 AS DECIMAL(18,9)) AS c9 FROM w),
+      |g AS (SELECT CAST(sum(w6) AS DECIMAL(28,6)) AS sw,
+      |             CAST(sum(c9) AS DECIMAL(28,9)) AS sc FROM c)
+      |SELECT source, n AS n_docs, CAST(w6 AS DOUBLE) AS weight,
+      |       CASE WHEN sc <> 0 THEN
+      |         floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+      |               / CAST(sc AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |       END AS ess,
+      |       CASE WHEN sc <> 0 THEN
+      |         floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+      |               / CAST(sc AS DOUBLE) / CAST(nt AS DOUBLE)
+      |               * 1000000 + 0.5) / 1000000
+      |       END AS ess_ratio
+      |FROM c, g ORDER BY source""".stripMargin
+
+  // x266: the 2x2 contingency is exact; po/pe/kappa are each ONE division
+  // from exact integer products; pe = 1 pins kappa to NULL (mirrored).
+  val x266: String =
+    """WITH d AS (SELECT CASE WHEN n_chars >= 120 THEN 1 ELSE 0 END AS a,
+      |                  CASE WHEN len(string_split(text, ' ')) >= 24
+      |                       THEN 1 ELSE 0 END AS b
+      |           FROM documents
+      |           WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(a * b) AS BIGINT) AS n11,
+      |             CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+      |             CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+      |             CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      |      FROM d),
+      |p AS (SELECT n, n11, n10, n01, n00,
+      |             (n11 + n10) * (n11 + n01)
+      |               + (n01 + n00) * (n10 + n00) AS pen
+      |      FROM m)
+      |SELECT n, n11, n10, n01, n00,
+      |       floor(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS po,
+      |       floor(CAST(pen AS DOUBLE) / CAST(n * n AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS pe,
+      |       CASE WHEN n * n <> pen THEN
+      |         floor(CAST(n * (n11 + n00) - pen AS DOUBLE)
+      |               / CAST(n * n - pen AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |       END AS kappa
+      |FROM p""".stripMargin
+
+  // x267: counts exact; the PMI products ride HUGEINT (Spark DECIMAL(38,0))
+  // and collapse to ONE ln of the exact integer ratio (x244's rule).
+  val x267: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |uc AS (SELECT w, CAST(count(*) AS HUGEINT) AS cw
+      |       FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+      |bc AS (SELECT bigram, CAST(count(*) AS HUGEINT) AS cab
+      |       FROM (SELECT unnest(list_transform(range(1, len(toks)),
+      |                    i -> concat_ws(' ', toks[i], toks[i + 1])))
+      |               AS bigram FROM t)
+      |       GROUP BY bigram),
+      |nu AS (SELECT CAST(sum(cw) AS HUGEINT) AS nu FROM uc),
+      |nb AS (SELECT CAST(sum(cab) AS HUGEINT) AS nb FROM bc)
+      |SELECT bigram, CAST(cab AS BIGINT) AS cab,
+      |       CAST(a.cw AS BIGINT) AS c1, CAST(b.cw AS BIGINT) AS c2,
+      |       floor(ln(CAST(cab * nu.nu * nu.nu AS DOUBLE)
+      |                / CAST(nb.nb * a.cw * b.cw AS DOUBLE))
+      |             * 1000000 + 0.5) / 1000000 AS pmi
+      |FROM bc
+      |JOIN uc a ON split_part(bc.bigram, ' ', 1) = a.w
+      |JOIN uc b ON split_part(bc.bigram, ' ', 2) = b.w, nu, nb
+      |WHERE cab >= 5
+      |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
+
+  // x268: zero-count docs enter the moments implicitly (contribute 0 to
+  // both sums); VMR is ONE division from exact integers.
+  val x268: String =
+    """WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |           FROM documents WHERE text IS NOT NULL),
+      |pd AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+      |       FROM d GROUP BY w, doc_id),
+      |st AS (SELECT w, CAST(sum(c) AS BIGINT) AS sc,
+      |              CAST(sum(c * c) AS BIGINT) AS scc,
+      |              CAST(count(*) AS BIGINT) AS df
+      |       FROM pd GROUP BY w),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nn
+      |      FROM documents WHERE text IS NOT NULL)
+      |SELECT w AS token, sc AS n_occurrences, df AS doc_freq,
+      |       floor(CAST(sc AS DOUBLE) / CAST(nn AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS mean_per_doc,
+      |       CASE WHEN sc > 0 AND nn > 1 THEN
+      |         floor(CAST(nn * scc - sc * sc AS DOUBLE)
+      |               / CAST(sc * (nn - 1) AS DOUBLE) * 1000000 + 0.5)
+      |           / 1000000
+      |       END AS vmr
+      |FROM st, n
+      |ORDER BY n_occurrences DESC, token LIMIT 10""".stripMargin
+
+  // x269: the fingerprint string (sorted distinct tokens, space-joined)
+  // is byte-identical in both engines; counts only.
+  val x269: String =
+    """WITH g AS (SELECT md5(array_to_string(list_sort(list_distinct(
+      |                    string_split(text, ' '))), ' ')) AS fp,
+      |                  source, CAST(count(*) AS BIGINT) AS c
+      |           FROM documents WHERE text IS NOT NULL
+      |           GROUP BY 1, 2)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |       CAST(count(*) AS BIGINT) AS n_shared_fp,
+      |       CAST(sum(a.c * b.c) AS BIGINT) AS n_doc_pairs
+      |FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
+      |GROUP BY a.source, b.source
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // x270: window counts are pure integer arithmetic; the amplification is
+  // one division of exact longs.
+  val x270: String =
+    """WITH d AS (SELECT source,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |           FROM documents WHERE text IS NOT NULL),
+      |w AS (SELECT source, n,
+      |             CASE WHEN n <= 64 THEN 1
+      |                  ELSE (n - 64 + 47) // 48 + 1 END AS nw
+      |      FROM d)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n) AS BIGINT) AS raw_tokens,
+      |       CAST(sum(nw) AS BIGINT) AS n_windows,
+      |       CAST(sum(nw * 64) AS BIGINT) AS emitted_tokens,
+      |       floor(CAST(sum(nw * 64) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS amplification
+      |FROM w GROUP BY source ORDER BY source""".stripMargin
+
+  // x271: x13's minhash/band CTEs verbatim (pins the band hashes a second
+  // way); candidates DISTINCT per band; intersections exact via shingle
+  // equi-join on the DISTINCT shingle sets; threshold test integer.
+  val x271: String =
+    s"""WITH $shingleCte,
+      |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY doc_id),
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+      |  FROM sh, range(0, 16) s(j) GROUP BY doc_id, j),
+      |band AS (
+      |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, ',' ORDER BY j)) AS bh
+      |  FROM mh GROUP BY doc_id, j // 4),
+      |cand AS (SELECT DISTINCT a.band, a.doc_id AS da, b.doc_id AS db
+      |         FROM band a JOIN band b
+      |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |iv AS (SELECT c.band, c.da, c.db, CAST(count(*) AS BIGINT) AS i
+      |       FROM cand c
+      |       JOIN dsh x ON x.doc_id = c.da
+      |       JOIN dsh y ON y.doc_id = c.db AND y.shingle = x.shingle
+      |       GROUP BY c.band, c.da, c.db),
+      |jj AS (SELECT c.band, coalesce(iv.i, 0) AS i,
+      |              sa.n + sb.n - coalesce(iv.i, 0) AS u
+      |       FROM cand c
+      |       LEFT JOIN iv ON iv.band = c.band AND iv.da = c.da AND iv.db = c.db
+      |       JOIN sz sa ON sa.doc_id = c.da
+      |       JOIN sz sb ON sb.doc_id = c.db)
+      |SELECT band, CAST(count(*) AS BIGINT) AS n_cand,
+      |       CAST(sum(CASE WHEN 5 * i >= 4 * u THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_true,
+      |       floor(CAST(count(*) - sum(CASE WHEN 5 * i >= 4 * u THEN 1 ELSE 0 END)
+      |             AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5)
+      |         / 1000000 AS fp_rate
+      |FROM jj GROUP BY band ORDER BY band""".stripMargin
+
+  // x272: empty shards contribute 0 to the moments implicitly; rel-var
+  // and skew are exact-long ratios, one division + sqrt each.
+  val x272: String =
+    """WITH d AS (SELECT doc_id,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |                  doc_id % 32 AS shard_mod,
+      |                  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |                    % 32 AS shard_hash
+      |           FROM documents WHERE text IS NOT NULL),
+      |am AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+      |              CAST(sum(x * x) AS BIGINT) AS sxx,
+      |              CAST(max(x) AS BIGINT) AS mx
+      |       FROM (SELECT shard_mod, sum(nt) AS x FROM d GROUP BY shard_mod)),
+      |ah AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+      |              CAST(sum(x * x) AS BIGINT) AS sxx,
+      |              CAST(max(x) AS BIGINT) AS mx
+      |       FROM (SELECT shard_hash, sum(nt) AS x FROM d GROUP BY shard_hash))
+      |SELECT * FROM (
+      |  SELECT 'mod' AS strategy, CAST(32 AS BIGINT) AS n_shards,
+      |         sx AS total_tokens, mx AS max_shard_tokens,
+      |         floor(sqrt(CAST(32 * sxx - sx * sx AS DOUBLE)
+      |               / CAST(sx * sx AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS cv,
+      |         floor(CAST(32 * mx AS DOUBLE) / CAST(sx AS DOUBLE)
+      |               * 1000000 + 0.5) / 1000000 AS skew
+      |  FROM am
+      |  UNION ALL
+      |  SELECT 'hash', CAST(32 AS BIGINT), sx, mx,
+      |         floor(sqrt(CAST(32 * sxx - sx * sx AS DOUBLE)
+      |               / CAST(sx * sx AS DOUBLE)) * 1000000 + 0.5) / 1000000,
+      |         floor(CAST(32 * mx AS DOUBLE) / CAST(sx AS DOUBLE)
+      |               * 1000000 + 0.5) / 1000000
+      |  FROM ah)
+      |ORDER BY strategy""".stripMargin
+
+  // x273: the oracle MAY use the global rank window (fixture scale, the
+  // x255 note); n^(1/3) is exp(ln(n)/3) explicitly in both engines; the
+  // width snaps to an integer so bins are exact.
+  val x273: String =
+    """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x
+      |           FROM documents WHERE n_chars IS NOT NULL),
+      |r AS (SELECT x, row_number() OVER (ORDER BY x, doc_id) AS r FROM d),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |q AS (SELECT n.n,
+      |             min(CASE WHEN r.r = (n.n + 3) // 4 THEN r.x END) AS q1,
+      |             min(CASE WHEN r.r = (3 * n.n + 3) // 4 THEN r.x END) AS q3
+      |      FROM r, n GROUP BY n.n),
+      |w AS (SELECT n, q1, q3,
+      |             greatest(1, CAST(floor(
+      |               floor(2.0 * CAST(q3 - q1 AS DOUBLE)
+      |                     / exp(ln(CAST(n AS DOUBLE)) / 3.0)
+      |                     * 1000000 + 0.5) / 1000000 + 0.5) AS BIGINT)) AS h
+      |      FROM q)
+      |SELECT x // h AS bin, (x // h) * h AS bin_lo, (x // h + 1) * h AS bin_hi,
+      |       h AS bin_width, q1, q3, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM d, w
+      |GROUP BY x // h, h, q1, q3
+      |ORDER BY bin""".stripMargin
+
+  // x274: N/N1/N2 exact counts; each output ONE division, NULL at N1=0.
+  val x274: String =
+    """WITH tc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      |            FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+      |                  FROM documents WHERE text IS NOT NULL)
+      |            GROUP BY source, w),
+      |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |             CAST(count(*) AS BIGINT) AS n_types,
+      |             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |      FROM tc GROUP BY source)
+      |SELECT source, n_tokens, n_types, n1, n2,
+      |       floor(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS p_unseen,
+      |       CASE WHEN n1 > 0 THEN
+      |         floor(2.0 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |               * 1000000 + 0.5) / 1000000
+      |       END AS r_star_1
+      |FROM g ORDER BY source""".stripMargin
+
+  // x275: quartile = ceil(4r/n) on the exact rank; dup = fingerprint
+  // multiplicity > 1; one division per quartile.
+  val x275: String =
+    """WITH d AS (SELECT doc_id,
+      |                  md5(array_to_string(list_sort(list_distinct(
+      |                    string_split(text, ' '))), ' ')) AS fp,
+      |                  CAST(n_chars AS BIGINT) AS x
+      |           FROM documents
+      |           WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |r AS (SELECT doc_id, fp, x,
+      |             row_number() OVER (ORDER BY x, doc_id) AS r FROM d),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |m AS (SELECT fp, CAST(count(*) AS BIGINT) AS m FROM d GROUP BY fp),
+      |q AS (SELECT (4 * r.r + n.n - 1) // n.n AS quartile, r.x, m.m
+      |      FROM r JOIN m ON r.fp = m.fp, n)
+      |SELECT quartile, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |       CAST(min(x) AS BIGINT) AS min_len, CAST(max(x) AS BIGINT) AS max_len,
+      |       floor(CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |         AS dup_rate
+      |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x204_av_align"          -> x204,
     "x203_calendar_heatmap"  -> x203,
+    "x275_dup_by_length"     -> x275,
+    "x274_good_turing"       -> x274,
+    "x273_fd_histogram"      -> x273,
+    "x272_shard_balance"     -> x272,
+    "x271_lsh_fp_audit"      -> x271,
+    "x270_stride_windows"    -> x270,
+    "x269_dup_leakage"       -> x269,
+    "x268_burstiness"        -> x268,
+    "x267_pmi_collocations"  -> x267,
+    "x266_cohen_kappa"       -> x266,
+    "x265_mix_ess"           -> x265,
     "x264_decay_volume"      -> x264,
     "x263_exact_quantiles"   -> x263,
     "x261_ngram_coverage"    -> x261,

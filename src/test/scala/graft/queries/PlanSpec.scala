@@ -201,6 +201,11 @@ class PlanSpec extends SparkSpec {
     // frame (x117's 1-row denominator shape)
     // x263's is the 1-row corpus count crossing onto the 4-row quantile
     // spine; x264's is the 1-row max-timestamp cross (x50's shape)
+    // x265's are the 1-row sqrt-weight denominator and the 1-row
+    // (sw, sc) totals crossing onto the |sources|-row frame (x117's
+    // 1-row denominator shape); x267's are the 1-row unigram/bigram
+    // totals onto the gated bigram frame; x268's is the 1-row corpus
+    // count onto the vocabulary-sized moment frame (x50's shape)
       "x102_interval_overlap", "x105_recall_audit", "x111_rrf_fusion",
       "x112_zorder_layout", "x117_mix_temperature", "x119_prep_v4",
       "x124_dsir_weights", "x126_ks_drift", "x132_perplexity_gate",
@@ -211,7 +216,12 @@ class PlanSpec extends SparkSpec {
       "x231_cached_reuse", "x242_welch_ttest", "x248_negative_sampling",
       "x250_kneser_ney", "x251_heaps_law", "x254_hill_tail",
       "x255_hash_uniformity", "x257_matryoshka_recall", "x258_doremi_step",
-      "x263_exact_quantiles", "x264_decay_volume")
+      "x263_exact_quantiles", "x264_decay_volume", "x265_mix_ess",
+      "x267_pmi_collocations", "x268_burstiness",
+      // x273's are the 1-row corpus count onto the 2-rank spine and the
+      // 1-row snapped-width frame onto the bin scan; x275's is the 1-row
+      // corpus count onto the ranked stream (x263's shapes)
+      "x273_fd_histogram", "x275_dup_by_length")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
