@@ -192,6 +192,30 @@ object Probe {
       }
     }
 
+    // round-11 batch 2: x276's token self-join is the x269 class
+    // (sources²-bounded per token — the probe watches that bound at dup
+    // saturation); x281 rides the same fingerprint collapse; x285 is two
+    // vocabulary-sized aggregates + a vocab join; x278 explodes the vocab
+    // 16× then collapses to 16 partials; x283 is RangeRank consumer #7
+    // (must stay FLAT like x263/x255 — rank parallelism decoupled from n).
+    for (dir <- Seq(sfDir, hundredDir)) {
+      run("x276_wjaccard", dir) {
+        (queries.Round11Queries.x276WeightedJaccard(spark, dir).count(), Nil)
+      }
+      run("x281_data_constrained", dir) {
+        (queries.Round11Queries.x281DataConstrained(spark, dir).count(), Nil)
+      }
+      run("x285_source_xent", dir) {
+        (queries.Round11Queries.x285SourceXent(spark, dir).count(), Nil)
+      }
+      run("x278_ams_f2", dir) {
+        (queries.Round11Queries.x278AmsF2(spark, dir).count(), Nil)
+      }
+      run("x283_systematic", dir) {
+        (queries.Round11Queries.x283SystematicSample(spark, dir).count(), Nil)
+      }
+    }
+
     val json = renderJson(sfDir, recs.toSeq, partial = only.nonEmpty)
     try {
       val w = new java.io.PrintWriter("probe_last.json", "UTF-8")

@@ -5974,9 +5974,246 @@ object Oracles {
       |         AS dup_rate
       |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin
 
+  // x276: Σmin over shared tokens via the token equi-join; Σmax by the
+  // identity Na + Nb − Σmin. Exact longs, one division, round6.
+  val x276: String =
+    """WITH grp AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      |             FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+      |                   FROM documents WHERE text IS NOT NULL)
+      |             GROUP BY source, w),
+      |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM grp GROUP BY source),
+      |p AS (SELECT a.source AS source_a, b.source AS source_b,
+      |             CAST(count(*) AS BIGINT) AS shared_types,
+      |             CAST(sum(least(a.c, b.c)) AS BIGINT) AS sum_min
+      |      FROM grp a JOIN grp b ON a.w = b.w AND a.source < b.source
+      |      GROUP BY a.source, b.source)
+      |SELECT source_a, source_b, shared_types, sum_min, ta.n AS na, tb.n AS nb,
+      |       floor(CAST(sum_min AS DOUBLE) / CAST(ta.n + tb.n - sum_min AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS wjaccard
+      |FROM p JOIN tot ta ON p.source_a = ta.source
+      |       JOIN tot tb ON p.source_b = tb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // x277: pure integer counting over the 50-token gated graph; top-50 is
+  // the (df desc, w) total order; one division, NULL when wedges = 0.
+  val x277: String =
+    """WITH dt AS (SELECT DISTINCT doc_id, w
+      |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |                  FROM documents WHERE text IS NOT NULL)),
+      |top AS (SELECT w FROM (SELECT w, count(*) AS df FROM dt GROUP BY w)
+      |        ORDER BY df DESC, w LIMIT 50),
+      |g AS (SELECT dt.doc_id, dt.w FROM dt JOIN top ON dt.w = top.w),
+      |e AS (SELECT DISTINCT a.w AS u, b.w AS v
+      |      FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.w < b.w),
+      |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+      |        FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
+      |wed AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |               CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+      |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |                  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
+      |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |       CASE WHEN n_wedges > 0 THEN
+      |         floor(3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+      |               * 1000000 + 0.5) / 1000000 END AS transitivity
+      |FROM ne, wed, tri""".stripMargin
+
+  // x278: md5-parity signs (the x272 '0x'-cast pattern); Z and F2 exact
+  // longs; the mean estimate and relative error are one division each.
+  val x278: String =
+    """WITH cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+      |             FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |                   FROM documents WHERE text IS NOT NULL)
+      |             GROUP BY w),
+      |est AS (SELECT j, CAST(sum(CASE WHEN
+      |               ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || w),
+      |                1, 1))::BIGINT % 2 = 0 THEN c ELSE -c END) AS BIGINT) AS z
+      |        FROM cnt, (SELECT unnest(generate_series(0, 15)) AS j)
+      |        GROUP BY j),
+      |f2 AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM cnt),
+      |m AS (SELECT CAST(sum(z * z) AS BIGINT) AS se FROM est)
+      |SELECT CAST(j AS BIGINT) AS j, z, CAST(z * z AS BIGINT) AS est, f2_exact,
+      |       floor(CAST(se AS DOUBLE) / 16.0 * 1000000 + 0.5) / 1000000
+      |         AS f2_est_mean,
+      |       floor(abs(CAST(se AS DOUBLE) / 16.0 - CAST(f2_exact AS DOUBLE))
+      |             / CAST(f2_exact AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |         AS rel_err
+      |FROM est, f2, m ORDER BY j""".stripMargin
+
+  // x279: word/syllable totals exact longs (vowel-group count per word,
+  // min 1); the ratios and score are float-from-exact-longs, round6.
+  val x279: String =
+    """WITH d AS (SELECT source,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+      |                  CAST(list_sum(list_transform(string_split(text, ' '),
+      |                    w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+      |                    AS BIGINT) AS ny
+      |           FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(nw) AS BIGINT) AS n_words,
+      |             CAST(sum(ny) AS BIGINT) AS n_syllables
+      |      FROM d GROUP BY source)
+      |SELECT source, n_docs, n_words, n_syllables,
+      |       floor(CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS words_per_doc,
+      |       floor(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS syllables_per_word,
+      |       floor((206.835 - 1.015 * CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |              - 84.6 * CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+      |             * 1000000 + 0.5) / 1000000 AS flesch
+      |FROM g ORDER BY source""".stripMargin
+
+  // x283: the oracle MAY use the global rank window (fixture scale, the
+  // x255 note); md5 hex strings order identically in both engines.
+  val x283: String =
+    """WITH d AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+      |           FROM documents),
+      |r AS (SELECT doc_id, source, h,
+      |             row_number() OVER (ORDER BY h, doc_id) AS r FROM d)
+      |SELECT r, doc_id, source, h FROM r WHERE (r - 1) % 25 = 0
+      |ORDER BY r""".stripMargin
+
+  // x280: the six log-weights are pre-rounded literal decimals (identical
+  // in both engines — no runtime ln); the score is an exact decimal sum.
+  val x280: String =
+    """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+      |                  CAST(floor(c_acctbal) AS BIGINT) // 100 AS bb,
+      |                  substring(c_name, -1, 1) AS nd,
+      |                  c_acctbal < 0 AS neg
+      |           FROM customer
+      |           WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL)
+      |SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+      |       CAST(a.bb = b.bb AS INT) AS agree_balance,
+      |       CAST(a.nd = b.nd AS INT) AS agree_name_digit,
+      |       CAST(a.neg = b.neg AS INT) AS agree_sign,
+      |       CAST(CAST(
+      |         (CASE WHEN a.bb = b.bb THEN CAST(2.890372 AS DECIMAL(18,6))
+      |               ELSE CAST(-2.251292 AS DECIMAL(18,6)) END)
+      |         + (CASE WHEN a.nd = b.nd THEN CAST(2.140066 AS DECIMAL(18,6))
+      |                 ELSE CAST(-1.791759 AS DECIMAL(18,6)) END)
+      |         + (CASE WHEN a.neg = b.neg THEN CAST(0.641854 AS DECIMAL(18,6))
+      |                 ELSE CAST(-2.302585 AS DECIMAL(18,6)) END)
+      |         AS DECIMAL(18,6)) AS DOUBLE) AS score
+      |FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+      |                 AND a.c_mktsegment = b.c_mktsegment
+      |                 AND a.c_custkey < b.c_custkey
+      |ORDER BY score DESC, custkey_a, custkey_b LIMIT 20""".stripMargin
+
+  // x281: U/N exact longs (min_by canonical doc per fingerprint); the
+  // decay-law float chain is written in the identical op order as Spark.
+  val x281: String =
+    """WITH d AS (SELECT source, doc_id,
+      |                  md5(list_aggr(list_sort(list_distinct(string_split(text, ' '))),
+      |                      'string_agg', ' ')) AS fp,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |           FROM documents WHERE text IS NOT NULL),
+      |pf AS (SELECT source, fp, CAST(sum(nt) AS BIGINT) AS raw,
+      |              min_by(nt, doc_id) AS u1
+      |       FROM d GROUP BY source, fp),
+      |per AS (SELECT source, CAST(sum(raw) AS BIGINT) AS n_raw,
+      |               CAST(sum(u1) AS BIGINT) AS n_unique
+      |        FROM pf GROUP BY source),
+      |bud AS (SELECT CAST(max(n_raw) AS BIGINT) AS b FROM per),
+      |e AS (SELECT source, n_raw, n_unique, b,
+      |             CAST(b AS DOUBLE) / CAST(n_unique AS DOUBLE) - 1.0 AS r_epochs
+      |      FROM per, bud),
+      |f AS (SELECT *, CAST(n_unique AS DOUBLE) *
+      |             (1.0 + 15.0 * (1.0 - exp(-(r_epochs / 15.0)))) AS deff FROM e)
+      |SELECT source, n_raw, n_unique, b AS budget,
+      |       floor(r_epochs * 1000000 + 0.5) / 1000000 AS repeat_epochs,
+      |       floor(deff * 1000000 + 0.5) / 1000000 AS d_eff,
+      |       floor(deff / CAST(b AS DOUBLE) * 1000000 + 0.5) / 1000000 AS efficiency
+      |FROM f ORDER BY source""".stripMargin
+
+  // x282: doubled medians make |2v − med2| exact; the two SS use the x206
+  // integer-div rule (mirrored //); one division at the edge, NULL at 0.
+  val x282: String =
+    """WITH obs AS (SELECT event_type,
+      |                  CAST(floor(value + 0.5) AS BIGINT) AS v
+      |             FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |med AS (SELECT event_type, CAST(2.0 * median(v) AS BIGINT) AS med2
+      |        FROM obs GROUP BY event_type),
+      |z AS (SELECT obs.event_type, abs(2 * v - med2) AS z
+      |      FROM obs JOIN med ON obs.event_type = med.event_type),
+      |grp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |               CAST(sum(z) AS BIGINT) AS s, CAST(sum(z * z) AS BIGINT) AS q
+      |        FROM z GROUP BY event_type),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+      |               CAST(sum(q) AS BIGINT) AS qq,
+      |               CAST(sum((s * s) // n) AS BIGINT) AS a,
+      |               CAST(count(*) AS BIGINT) AS k
+      |        FROM grp)
+      |SELECT g.event_type, g.n, m.med2, g.s AS sum_dev2,
+      |       CASE WHEN qq - a > 0 THEN
+      |         floor(CAST((nn - k) * (a - (ss * ss) // nn) AS DOUBLE)
+      |               / CAST((k - 1) * (qq - a) AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |       END AS f_stat
+      |FROM grp g JOIN med m ON g.event_type = m.event_type, tot
+      |ORDER BY g.event_type""".stripMargin
+
+  // x284: per-doc terms round6 to DECIMAL then sum exactly (x101); the ln
+  // argument is an exact-long ratio (one division, the x244 parity rule).
+  val x284: String =
+    """WITH d AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+      |           FROM documents WHERE text IS NOT NULL),
+      |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |               CAST(sum(x) AS BIGINT) AS nt
+      |        FROM d GROUP BY source),
+      |t AS (SELECT d.source, n, nt,
+      |             CAST(floor((CAST(x * n AS DOUBLE) / CAST(nt AS DOUBLE))
+      |                  * ln(CAST(x * n AS DOUBLE) / CAST(nt AS DOUBLE))
+      |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS t6
+      |      FROM d JOIN tot ON d.source = tot.source)
+      |SELECT source, min(n) AS n_docs, min(nt) AS n_tokens,
+      |       floor(CAST(CAST(sum(t6) AS DECIMAL(28,6)) AS DOUBLE)
+      |             / CAST(min(n) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS theil
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  // x285: every ln argument is a ratio of exact longs; per-token terms
+  // round6 to DECIMAL, multiply by the exact long count, sum exactly.
+  val x285: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |            FROM documents WHERE text IS NOT NULL),
+      |gl AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM tok GROUP BY w),
+      |ntot AS (SELECT CAST(sum(cw) AS BIGINT) AS nn FROM gl),
+      |per AS (SELECT source, w, CAST(count(*) AS BIGINT) AS csw
+      |        FROM tok GROUP BY source, w),
+      |ns AS (SELECT source, CAST(sum(csw) AS BIGINT) AS nsrc FROM per GROUP BY source),
+      |terms AS (SELECT per.source, nsrc, csw,
+      |                 csw * CAST(floor(ln(CAST(nn AS DOUBLE) / CAST(cw AS DOUBLE))
+      |                       * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS tx,
+      |                 csw * CAST(floor(ln(CAST(csw * nn AS DOUBLE)
+      |                       / CAST(nsrc * cw AS DOUBLE))
+      |                       * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS tk
+      |          FROM per JOIN gl ON per.w = gl.w
+      |                   JOIN ns ON per.source = ns.source, ntot),
+      |hc AS (SELECT floor(CAST(CAST(sum(cw * CAST(floor(ln(CAST(nn AS DOUBLE)
+      |                / CAST(cw AS DOUBLE)) * 1000000 + 0.5) / 1000000
+      |                AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+      |              / CAST(max(nn) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS h_corpus
+      |       FROM gl, ntot)
+      |SELECT source, min(nsrc) AS n_tokens,
+      |       floor(CAST(CAST(sum(tx) AS DECIMAL(38,6)) AS DOUBLE)
+      |             / CAST(min(nsrc) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS xent,
+      |       floor(CAST(CAST(sum(tk) AS DECIMAL(38,6)) AS DOUBLE)
+      |             / CAST(min(nsrc) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS kl,
+      |       h_corpus
+      |FROM terms, hc GROUP BY source, h_corpus ORDER BY source""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x204_av_align"          -> x204,
     "x203_calendar_heatmap"  -> x203,
+    "x285_source_xent"       -> x285,
+    "x284_theil_index"       -> x284,
+    "x282_brown_forsythe"    -> x282,
+    "x281_data_constrained"  -> x281,
+    "x280_fellegi_sunter"    -> x280,
+    "x283_systematic_sample" -> x283,
+    "x279_flesch_source"     -> x279,
+    "x278_ams_f2"            -> x278,
+    "x277_triangle_census"   -> x277,
+    "x276_weighted_jaccard"  -> x276,
     "x275_dup_by_length"     -> x275,
     "x274_good_turing"       -> x274,
     "x273_fd_histogram"      -> x273,

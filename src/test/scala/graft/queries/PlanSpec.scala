@@ -221,7 +221,18 @@ class PlanSpec extends SparkSpec {
       // x273's are the 1-row corpus count onto the 2-rank spine and the
       // 1-row snapped-width frame onto the bin scan; x275's is the 1-row
       // corpus count onto the ranked stream (x263's shapes)
-      "x273_fd_histogram", "x275_dup_by_length")
+      "x273_fd_histogram", "x275_dup_by_length",
+      // x277's are the 1-row wedge and triangle totals crossing onto the
+      // 1-row edge count (all three ≤1-row aggregates of the ≤1225-row
+      // edge list); x278's are the 1-row exact-F2 and 1-row estimator-sum
+      // frames onto the 16-row estimator table (x117's denominator shape)
+      // x281's is the 1-row max-budget frame onto the |sources|-row decay
+      // frame; x282's is the 1-row pooled-moments frame onto the k-group
+      // table (x206's 1-row global-stats shape); x285's are the 1-row
+      // corpus-token total onto the vocab join and the 1-row corpus-
+      // entropy frame onto the |sources|-row finale (x50's shape)
+      "x277_triangle_census", "x278_ams_f2", "x281_data_constrained",
+      "x282_brown_forsythe", "x285_source_xent")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -180,6 +180,166 @@ class Round11Spec extends SparkSpec {
     assert(deg.getDouble(5) == 0.0)
   }
 
+  test("x276: weighted Jaccard is sum-min over sum-max of token multisets") {
+    val rows = Seq(
+      (1L, "a a b", "en", "sa", 5L),      // counts a:2 b:1, N = 3
+      (2L, "a b b c", "en", "sb", 7L),    // counts a:1 b:2 c:1, N = 4
+      (3L, "z", "en", "sc", 1L))          // disjoint from both
+    val out = Round11Queries.x276WeightedJaccard(spark, docsDir(rows)).collect()
+    assert(out.length == 1, "only (sa, sb) share any token")
+    val row = out.head
+    // sum_min = min(2,1) + min(1,2) = 2; union mass = 3 + 4 - 2 = 5
+    assert(row.getString(0) == "sa" && row.getString(1) == "sb" &&
+      row.getLong(2) == 2L && row.getLong(3) == 2L &&
+      row.getLong(4) == 3L && row.getLong(5) == 4L &&
+      row.getDouble(6) == 0.4)
+  }
+
+  test("x277: triangle and wedge census on a hand-built 4-node graph") {
+    // d1 closes (a,b,c); d2/d3 add edges (a,d) and (b,d) -> triangle (a,b,d)
+    val rows = Seq((1L, "a b c", "en", "s", 5L), (2L, "a d", "en", "s", 3L),
+      (3L, "b d", "en", "s", 3L))
+    val got = Round11Queries.x277TriangleCensus(spark, docsDir(rows)).head()
+    // edges: ab ac bc ad bd; degrees a3 b3 c2 d2 -> wedges 3+3+1+1 = 8
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      == ((4L, 5L, 8L, 2L)))
+    assert(got.getDouble(4) == 0.75) // 3*2/8
+    // wedges = 0 (single edge): transitivity NULL
+    val deg = Round11Queries.x277TriangleCensus(spark,
+      docsDir(Seq((1L, "a b", "en", "s", 3L)))).head()
+    assert(deg.getLong(2) == 0L && deg.isNullAt(4))
+  }
+
+  test("x278: AMS signs come from md5 parity; Z and F2 match the recompute") {
+    val rows = Seq((1L, "a a b", "en", "s", 5L))
+    val out = Round11Queries.x278AmsF2(spark, docsDir(rows)).collect()
+    assert(out.length == 16)
+    def sign(j: Int, w: String): Long =
+      if (Integer.parseInt(md5hex(s"$j:$w").substring(0, 1), 16) % 2 == 0) 1L
+      else -1L
+    val zs = (0 until 16).map(j => sign(j, "a") * 2L + sign(j, "b") * 1L)
+    val se = zs.map(z => z * z).sum
+    out.zipWithIndex.foreach { case (row, j) =>
+      assert(row.getLong(0) == j.toLong && row.getLong(1) == zs(j) &&
+        row.getLong(2) == zs(j) * zs(j) && row.getLong(3) == 5L)
+      assert(row.getDouble(4) == r(se / 16.0))
+      assert(row.getDouble(5) == r(math.abs(se / 16.0 - 5.0) / 5.0))
+    }
+  }
+
+  test("x279: syllables are vowel groups (min 1/word); score is the formula") {
+    val rows = Seq(
+      (1L, "spark go", "en", "s", 8L),   // 1 + 1 syllable groups
+      (2L, "aeiou bcd", "en", "s", 9L))  // 1 group + vowel-less min-1
+    val got = Round11Queries.x279FleschSource(spark, docsDir(rows)).head()
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((2L, 4L, 4L)))
+    assert(got.getDouble(4) == 2.0 && got.getDouble(5) == 1.0)
+    assert(got.getDouble(6) == r(206.835 - 1.015 * 2.0 - 84.6 * 1.0))
+  }
+
+  test("x283: every 25th rank in (md5, doc_id) order is kept, exactly") {
+    val rows = (1L to 26L).map(i => (i, "t", "en", "s", 1L))
+    val out = Round11Queries.x283SystematicSample(spark, docsDir(rows))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val ordered = (1L to 26L).map(i => (md5hex(i.toString), i)).sorted
+    assert(out.toSeq == Seq((1L, ordered(0)._2), (26L, ordered(25)._2)))
+  }
+
+  private def custDir(rows: Seq[(Long, String, Int, Double, String)]): String = {
+    val dir = Files.createTempDirectory("r11c").toString
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    dir
+  }
+
+  test("x280: FS scores are exact sums of the pre-rounded literal weights") {
+    val rows = Seq(
+      (1L, "Customer#1", 1, 150.0, "AUTO"),
+      (2L, "Customer#1", 1, 199.0, "AUTO"),   // agrees with 1 on all three
+      (3L, "Customer#2", 1, -50.0, "AUTO"),   // disagrees on all three
+      (4L, "Customer#9", 2, 150.0, "AUTO"))   // other block: never paired
+    val out = Round11Queries.x280FellegiSunter(spark, custDir(rows))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2),
+        x.getInt(3), x.getInt(4), x.getDouble(5)))
+    assert(out.length == 3)
+    // all-agree: ln(18) + ln(8.5) + ln(1.9), each pre-round6'd
+    assert(out(0) == ((1L, 2L, 1, 1, 1, 5.672292)))
+    // floor(-50) div 100 = 0 (truncating div) vs 1 -> balance disagrees too
+    assert(out(1) == ((1L, 3L, 0, 0, 0, -6.345636)))
+    assert(out(2) == ((2L, 3L, 0, 0, 0, -6.345636)))
+  }
+
+  test("x281: decay law over the fingerprint-unique mass, budget = max raw") {
+    val rows = Seq(
+      (1L, "a b", "en", "sa", 3L), (2L, "b a", "en", "sa", 3L), // same SET
+      (3L, "c", "en", "sa", 1L), (4L, "x", "en", "sb", 1L))
+    val out = Round11Queries.x281DataConstrained(spark, docsDir(rows))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4), x.getDouble(5), x.getDouble(6))).toMap
+    def expect(u: Long, b: Long): (Double, Double, Double) = {
+      val rp = b.toDouble / u.toDouble - 1.0
+      val deff = u.toDouble * (1.0 + 15.0 * (1.0 - math.exp(-(rp / 15.0))))
+      (r(rp), r(deff), r(deff / b.toDouble))
+    }
+    val (ra, da, ea) = expect(3L, 5L)
+    assert(out("sa") == ((5L, 3L, 5L, ra, da, ea)))
+    val (rb, db, eb) = expect(1L, 5L)
+    assert(out("sb") == ((1L, 1L, 5L, rb, db, eb)))
+  }
+
+  private def eventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = Files.createTempDirectory("r11e").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("x282: Brown-Forsythe F from doubled medians and integer-div SS") {
+    val rows = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1000L * i, 1L, "a", v) } ++
+      Seq(10.0, 10.0, 10.0).zipWithIndex.map { case (v, i) =>
+        (100L + i, 2000L * i, 2L, "b", v) }
+    val out = Round11Queries.x282BrownForsythe(spark, eventsDir(rows))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3),
+          if (x.isNullAt(4)) Double.NaN else x.getDouble(4))).toMap
+    // a: v 1..4, med2 = 5, z = 3,1,1,3 -> n 4, S 8, Q 20
+    // b: z = 0,0,0 -> A = 64 div 4 = 16; B = 16 - 64 div 7 = 7; W = 4
+    // F = (7-2)*7 / ((2-1)*4) = 8.75
+    assert(out("a") == ((4L, 5L, 8L, 8.75)))
+    assert(out("b") == ((3L, 20L, 0L, 8.75)))
+    // degenerate: every deviation zero -> within-SS 0 -> F NULL
+    val deg = Round11Queries.x282BrownForsythe(spark,
+      eventsDir(Seq((1L, 0L, 1L, "a", 5.0), (2L, 1L, 1L, "a", 5.0)))).head()
+    assert(deg.isNullAt(4))
+  }
+
+  test("x284: Theil terms round6 per doc then sum exactly") {
+    val rows = Seq((1L, "a", "en", "s", 1L), (2L, "a b c", "en", "s", 5L))
+    val got = Round11Queries.x284TheilIndex(spark, docsDir(rows)).head()
+    // token masses 1 and 3, n = 2, N = 4: ratios 0.5 and 1.5
+    val st = BigDecimal(r(0.5 * math.log(0.5))) +
+      BigDecimal(r(1.5 * math.log(1.5)))
+    assert((got.getLong(1), got.getLong(2)) == ((2L, 4L)))
+    assert(got.getDouble(3) == r(st.toDouble / 2.0))
+  }
+
+  test("x285: cross-entropy and KL against the corpus unigram LM") {
+    val rows = Seq((1L, "a a b", "en", "sa", 5L), (2L, "b", "en", "sb", 1L))
+    val out = Round11Queries.x285SourceXent(spark, docsDir(rows))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4))).toMap
+    val l2 = r(math.log(2.0)) // ln(4/2) for both tokens
+    // sa: xent = (2+1)*l2 / 3; kl = (2*r(ln(4/3)) + r(ln(2/3))) / 3
+    val klA = r((BigDecimal(2) * BigDecimal(r(math.log(4.0 / 3.0))) +
+      BigDecimal(r(math.log(2.0 / 3.0)))).toDouble / 3.0)
+    val h = r((BigDecimal(2) * BigDecimal(l2) * 2).toDouble / 4.0)
+    assert(out("sa") == ((3L, r((BigDecimal(3) * BigDecimal(l2)).toDouble / 3.0),
+      klA, h)))
+    // sb: one token b: xent = l2; kl = ln(1*4 / (1*2)) = l2
+    assert(out("sb") == ((1L, l2, l2, h)))
+  }
+
   test("x275: duplicate rate lands in the length quartile of the dup docs") {
     // lengths 1..8 -> quartiles (1,1,2,2,3,3,4,4); docs 7 and 8 share a
     // token SET (order/multiplicity-insensitive fingerprint)
