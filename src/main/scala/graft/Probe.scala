@@ -214,6 +214,28 @@ object Probe {
       run("x283_systematic", dir) {
         (queries.Round11Queries.x283SystematicSample(spark, dir).count(), Nil)
       }
+      // x287 runs TWO fingerprint collapses (text + set) — the x281 class,
+      // watched at dup saturation; x290 is scan + TakeOrdered(20) and must
+      // stay scan-shaped at any decade.
+      run("x287_dedup_savings", dir) {
+        (queries.Round11Queries.x287DedupSavings(spark, dir).count(), Nil)
+      }
+      run("x290_es_sample", dir) {
+        (queries.Round11Queries.x290EsSample(spark, dir).count(), Nil)
+      }
+      // x294's window partitions by doc_id (corpus-cardinality keys — the
+      // anti-x220 shape) and must scale linearly; x292 explodes the corpus
+      // for stopword counts then collapses to 10 buckets; x297's windows
+      // run over the value-cardinality grid only.
+      run("x294_winnowing", dir) {
+        (queries.Round11Queries.x294Winnowing(spark, dir).count(), Nil)
+      }
+      run("x292_calibration", dir) {
+        (queries.Round11Queries.x292CalibrationEce(spark, dir).count(), Nil)
+      }
+      run("x297_wasserstein", dir) {
+        (queries.Round11Queries.x297Wasserstein(spark, dir).count(), Nil)
+      }
     }
 
     val json = renderJson(sfDir, recs.toSeq, partial = only.nonEmpty)

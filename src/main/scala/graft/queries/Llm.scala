@@ -305,7 +305,7 @@ object LlmQueries {
       .orderBy("lang")
   }
 
-  private val Stopwords = Seq("the", "a", "of", "to", "and")
+  private[queries] val Stopwords = Seq("the", "a", "of", "to", "and")
 
   /** x16 — per-doc quality scoring: token count, stopword ratio, and a
     * weighted [0,1] heuristic (length, non-stopword density, mean token

@@ -6201,9 +6201,406 @@ object Oracles {
       |       h_corpus
       |FROM terms, hc GROUP BY source, h_corpus ORDER BY source""".stripMargin
 
+  // x286: with 3 raters / 2 categories every Fleiss quantity is integer;
+  // kappa is ONE division of exact longs; pe = 1 pins NULL (mirrored).
+  val x286: String =
+    """WITH d AS (SELECT (CASE WHEN n_chars >= 120 THEN 1 ELSE 0 END
+      |                   + CASE WHEN len(string_split(text, ' ')) >= 24 THEN 1 ELSE 0 END
+      |                   + CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a
+      |           FROM documents
+      |           WHERE text IS NOT NULL AND n_chars IS NOT NULL AND lang IS NOT NULL),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(a) AS BIGINT) AS tp,
+      |             CAST(sum(a * a + (3 - a) * (3 - a) - 3) AS BIGINT) AS sp
+      |      FROM d),
+      |p AS (SELECT n, tp, sp,
+      |             tp * tp + (3 * n - tp) * (3 * n - tp) AS pen FROM m)
+      |SELECT n AS n_docs, tp AS n_pass_ratings,
+      |       floor(CAST(sp AS DOUBLE) / CAST(6 * n AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS p_bar,
+      |       floor(CAST(pen AS DOUBLE) / CAST(9 * n * n AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS p_e,
+      |       CASE WHEN 18 * n * n - 2 * pen <> 0 THEN
+      |         floor(CAST(3 * n * sp - 2 * pen AS DOUBLE)
+      |               / CAST(18 * n * n - 2 * pen AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |       END AS kappa
+      |FROM p""".stripMargin
+
+  // x287: canonical doc per fingerprint = min_by(nt, doc_id); masses exact
+  // longs; two divisions per source, round6.
+  val x287: String =
+    """WITH d AS (SELECT source, doc_id, md5(text) AS fpx,
+      |                  md5(list_aggr(list_sort(list_distinct(string_split(text, ' '))),
+      |                      'string_agg', ' ')) AS fps,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |           FROM documents WHERE text IS NOT NULL),
+      |raw AS (SELECT source, CAST(sum(nt) AS BIGINT) AS raw_tokens FROM d GROUP BY source),
+      |ex AS (SELECT source, CAST(sum(u) AS BIGINT) AS exact_kept
+      |       FROM (SELECT source, fpx, min_by(nt, doc_id) AS u FROM d GROUP BY source, fpx)
+      |       GROUP BY source),
+      |st AS (SELECT source, CAST(sum(u) AS BIGINT) AS set_kept
+      |       FROM (SELECT source, fps, min_by(nt, doc_id) AS u FROM d GROUP BY source, fps)
+      |       GROUP BY source)
+      |SELECT raw.source, raw_tokens, exact_kept, set_kept,
+      |       floor(CAST(raw_tokens - exact_kept AS DOUBLE) / CAST(raw_tokens AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS save_exact,
+      |       floor(CAST(raw_tokens - set_kept AS DOUBLE) / CAST(raw_tokens AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS save_set
+      |FROM raw JOIN ex ON raw.source = ex.source JOIN st ON raw.source = st.source
+      |ORDER BY raw.source""".stripMargin
+
+  // x288: n^tau = exp(tau*ln n) explicitly (x273's rule), then x265's
+  // rounding chain per tau; the tau spine is a 4-row literal.
+  val x288: String =
+    """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+      |             FROM documents GROUP BY source),
+      |r AS (SELECT tau, source, n,
+      |             CAST(floor(exp(tau * ln(CAST(n AS DOUBLE))) * 1000000 + 0.5)
+      |                  / 1000000 AS DECIMAL(18,6)) AS r6
+      |      FROM per, (SELECT unnest([0.25, 0.5, 0.75, 1.0]) AS tau)),
+      |s AS (SELECT tau, CAST(sum(r6) AS DECIMAL(28,6)) AS s,
+      |             CAST(sum(n) AS BIGINT) AS nt FROM r GROUP BY tau),
+      |w AS (SELECT r.tau, source, n, nt,
+      |             CAST(floor(CAST(r6 AS DOUBLE) / CAST(s AS DOUBLE) * 1000000 + 0.5)
+      |                  / 1000000 AS DECIMAL(18,6)) AS w6
+      |      FROM r JOIN s ON r.tau = s.tau),
+      |c AS (SELECT tau, source, n, nt, w6,
+      |             CAST(floor(CAST(w6 AS DOUBLE) * CAST(w6 AS DOUBLE) / CAST(n AS DOUBLE)
+      |                  * 1000000000 + 0.5) / 1000000000 AS DECIMAL(18,9)) AS c9 FROM w),
+      |g AS (SELECT tau, CAST(sum(w6) AS DECIMAL(28,6)) AS sw,
+      |             CAST(sum(c9) AS DECIMAL(28,9)) AS sc FROM c GROUP BY tau)
+      |SELECT c.tau, source, n AS n_docs, CAST(w6 AS DOUBLE) AS weight,
+      |       CASE WHEN sc <> 0 THEN
+      |         floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sc AS DOUBLE)
+      |               * 1000000 + 0.5) / 1000000 END AS ess,
+      |       CASE WHEN sc <> 0 THEN
+      |         floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sc AS DOUBLE)
+      |               / CAST(nt AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS ess_ratio
+      |FROM c JOIN g ON c.tau = g.tau ORDER BY c.tau, source""".stripMargin
+
+  // x289: the sign matrix is the same literal both engines read; per-pair
+  // sums ride the x11 64-term round6 pattern.
+  val x289: String = {
+    val signs = graft.queries.Round11Queries.JlSigns
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+       |proj AS (SELECT vec_id, k,
+       |                sum((CASE WHEN substring('$signs', (k - 1) * 64 + d, 1) = '1'
+       |                          THEN 1.0 ELSE -1.0 END)
+       |                    * CAST(embedding[d] AS DOUBLE)) AS y
+       |         FROM base, range(1, 9) kk(k), range(1, 65) dd(d)
+       |         GROUP BY vec_id, k),
+       |d2o AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |               sum((CAST(a.embedding[i.i] AS DOUBLE) - CAST(b.embedding[i.i] AS DOUBLE))
+       |                   * (CAST(a.embedding[i.i] AS DOUBLE) - CAST(b.embedding[i.i] AS DOUBLE))) AS d2o
+       |        FROM base a JOIN base b ON a.vec_id < b.vec_id, range(1, 65) i(i)
+       |        GROUP BY a.vec_id, b.vec_id),
+       |d2p AS (SELECT pa.vec_id AS ida, pb.vec_id AS idb,
+       |               sum((pa.y - pb.y) * (pa.y - pb.y)) AS d2p
+       |        FROM proj pa JOIN proj pb ON pa.k = pb.k AND pa.vec_id < pb.vec_id
+       |        GROUP BY pa.vec_id, pb.vec_id)
+       |SELECT d2o.ida, d2o.idb,
+       |       floor(d2o * 1000000 + 0.5) / 1000000 AS d2_orig,
+       |       floor(d2p / 8.0 * 1000000 + 0.5) / 1000000 AS d2_est,
+       |       CASE WHEN d2o <> 0.0 THEN floor(d2p / 8.0 / d2o * 1000000 + 0.5) / 1000000
+       |       END AS ratio
+       |FROM d2o JOIN d2p ON d2o.ida = d2p.ida AND d2o.idb = d2p.idb
+       |ORDER BY d2o.ida, d2o.idb""".stripMargin
+  }
+
+  // x290: u is an exact dyadic double from md5's first 8 hex digits; the
+  // key is exp(ln(u)/w) explicitly — both engines walk the same doubles.
+  val x290: String =
+    """WITH d AS (SELECT doc_id, source,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+      |                  (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |                        + 1 AS DOUBLE) / 4294967296.0) AS u
+      |           FROM documents WHERE text IS NOT NULL),
+      |k AS (SELECT *, exp(ln(u) / CAST(w AS DOUBLE)) AS k FROM d)
+      |SELECT doc_id, source, w,
+      |       floor(u * 1000000 + 0.5) / 1000000 AS u,
+      |       floor(k * 1000000 + 0.5) / 1000000 AS es_key
+      |FROM k ORDER BY k DESC, doc_id LIMIT 20""".stripMargin
+
+  // x291: pair census exact longs over the zero-filled top-100 grid; one
+  // sqrt + division; all-ties pins NULL (mirrored).
+  val x291: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |            FROM documents WHERE text IS NOT NULL),
+      |gl AS (SELECT w, CAST(count(*) AS BIGINT) AS cx FROM tok GROUP BY w),
+      |top AS (SELECT w, cx FROM gl ORDER BY cx DESC, w LIMIT 100),
+      |per AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cy
+      |        FROM tok GROUP BY source, w),
+      |grid AS (SELECT g.source, g.w, g.cx, coalesce(per.cy, 0) AS cy
+      |         FROM (SELECT s.source, top.w, top.cx
+      |               FROM (SELECT DISTINCT source FROM tok) s, top) g
+      |         LEFT JOIN per ON per.source = g.source AND per.w = g.w),
+      |pairs AS (SELECT a.source,
+      |                 (a.cx - b.cx) * (a.cy - b.cy) AS prod,
+      |                 CAST(a.cx = b.cx AS BIGINT) AS tx,
+      |                 CAST(a.cy = b.cy AS BIGINT) AS ty
+      |          FROM grid a JOIN grid b ON a.source = b.source AND a.w < b.w),
+      |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n0,
+      |             CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |             CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |             CAST(sum(tx) AS BIGINT) AS tx, CAST(sum(ty) AS BIGINT) AS ty
+      |      FROM pairs GROUP BY source)
+      |SELECT source, n0, c, d, tx, ty,
+      |       CASE WHEN (n0 - tx) * (n0 - ty) > 0 THEN
+      |         floor(CAST(c - d AS DOUBLE) / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE))
+      |               * 1000000 + 0.5) / 1000000 END AS tau_b
+      |FROM g ORDER BY source""".stripMargin
+
+  // x292: rides x213's integer p6 quantization — confidence, accuracy and
+  // ECE are divisions of exact longs (no float sums anywhere).
+  val x292: String =
+    """WITH docs AS (SELECT doc_id, text, n_chars FROM documents
+      |              WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |st AS (SELECT doc_id,
+      |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |              CAST(len(list_filter(string_split(text, ' '),
+      |                   t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) AS n_stop,
+      |              CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha,
+      |              n_chars
+      |       FROM docs),
+      |scored AS (SELECT CASE WHEN n_chars >= 120 THEN 1 ELSE 0 END AS hit,
+      |                  CAST(floor(1.0 / (1.0 + exp(-(-1.5 + 0.4 * ln(CAST(n_tokens AS DOUBLE) + 1.0)
+      |                       - 2.5 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+      |                       + 0.05 * least(CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE), 10.0))))
+      |                       * 1000000 + 0.5) AS BIGINT) AS p6
+      |           FROM st),
+      |b AS (SELECT least(p6 // 100000, 9) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(p6) AS BIGINT) AS sp6, CAST(sum(hit) AS BIGINT) AS hits
+      |      FROM scored GROUP BY 1),
+      |e AS (SELECT CAST(sum(abs(hits * 1000000 - sp6)) AS BIGINT) AS eceNum,
+      |             CAST(sum(n_docs) AS BIGINT) AS nn FROM b)
+      |SELECT bin, n_docs,
+      |       floor(CAST(sp6 AS DOUBLE) / CAST(n_docs * 1000000 AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS confidence,
+      |       floor(CAST(hits AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS accuracy,
+      |       floor(CAST(eceNum AS DOUBLE) / CAST(1000000 * nn AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS ece
+      |FROM b, e ORDER BY bin""".stripMargin
+
+  // x293: the three argmax steps unrolled as CTEs (the oracle-side mirror
+  // of the driver-metric loop); distances ride the x11 64-term pattern;
+  // tie-break (d2 desc, vec_id) on engine-identical doubles.
+  val x293: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |dist1 AS (SELECT a.vec_id,
+      |                 sum((CAST(a.embedding[i.i] AS DOUBLE) - CAST(c.embedding[i.i] AS DOUBLE))
+      |                     * (CAST(a.embedding[i.i] AS DOUBLE) - CAST(c.embedding[i.i] AS DOUBLE))) AS d2
+      |          FROM e a, (SELECT embedding FROM e WHERE vec_id = 0) c, range(1, 65) i(i)
+      |          GROUP BY a.vec_id),
+      |c2 AS (SELECT vec_id, d2 FROM dist1 ORDER BY d2 DESC, vec_id LIMIT 1),
+      |dist2 AS (SELECT a.vec_id,
+      |                 sum((CAST(a.embedding[i.i] AS DOUBLE) - CAST(c.embedding[i.i] AS DOUBLE))
+      |                     * (CAST(a.embedding[i.i] AS DOUBLE) - CAST(c.embedding[i.i] AS DOUBLE))) AS d2
+      |          FROM e a, (SELECT embedding FROM e WHERE vec_id = (SELECT vec_id FROM c2)) c,
+      |               range(1, 65) i(i)
+      |          GROUP BY a.vec_id),
+      |m2 AS (SELECT dist1.vec_id, least(dist1.d2, dist2.d2) AS dmin
+      |       FROM dist1 JOIN dist2 ON dist1.vec_id = dist2.vec_id),
+      |c3 AS (SELECT vec_id, dmin FROM m2 ORDER BY dmin DESC, vec_id LIMIT 1),
+      |dist3 AS (SELECT a.vec_id,
+      |                 sum((CAST(a.embedding[i.i] AS DOUBLE) - CAST(c.embedding[i.i] AS DOUBLE))
+      |                     * (CAST(a.embedding[i.i] AS DOUBLE) - CAST(c.embedding[i.i] AS DOUBLE))) AS d2
+      |          FROM e a, (SELECT embedding FROM e WHERE vec_id = (SELECT vec_id FROM c3)) c,
+      |               range(1, 65) i(i)
+      |          GROUP BY a.vec_id),
+      |m3 AS (SELECT m2.vec_id, least(m2.dmin, dist3.d2) AS dmin
+      |       FROM m2 JOIN dist3 ON m2.vec_id = dist3.vec_id),
+      |c4 AS (SELECT vec_id, dmin FROM m3 ORDER BY dmin DESC, vec_id LIMIT 1)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step, CAST(0 AS BIGINT) AS center_id,
+      |         CAST(NULL AS DOUBLE) AS radius2
+      |  UNION ALL
+      |  SELECT 2, vec_id, floor(d2 * 1000000 + 0.5) / 1000000 FROM c2
+      |  UNION ALL
+      |  SELECT 3, vec_id, floor(dmin * 1000000 + 0.5) / 1000000 FROM c3
+      |  UNION ALL
+      |  SELECT 4, vec_id, floor(dmin * 1000000 + 0.5) / 1000000 FROM c4)
+      |ORDER BY step""".stripMargin
+
+  // x294: md5 hex strings order identically; the ROWS window mirrors the
+  // Spark frame; per-doc densities round6 to DECIMAL then sum exactly.
+  val x294: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 6),
+      |sh AS (SELECT doc_id, source, CAST(len(toks) - 2 AS BIGINT) AS m,
+      |              CAST(i AS BIGINT) AS p,
+      |              md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS h
+      |       FROM d, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)),
+      |win AS (SELECT doc_id, source, m, p,
+      |               min(h) OVER (PARTITION BY doc_id ORDER BY p
+      |                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+      |        FROM sh),
+      |fp AS (SELECT doc_id, source, m,
+      |              CAST(count(DISTINCT mh) AS BIGINT) AS nfp
+      |       FROM win WHERE p <= m - 3 GROUP BY doc_id, source, m),
+      |t AS (SELECT source, m, nfp,
+      |             CAST(floor(CAST(nfp AS DOUBLE) / CAST(m AS DOUBLE) * 1000000 + 0.5)
+      |                  / 1000000 AS DECIMAL(18,6)) AS dens6 FROM fp)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(nfp) AS BIGINT) AS n_fingerprints,
+      |       CAST(sum(m) AS BIGINT) AS n_shingles,
+      |       floor(CAST(CAST(sum(dens6) AS DECIMAL(28,6)) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_density,
+      |       0.4 AS theoretical_density
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  // x295: leading zeros via hex-string arithmetic (no float log2); the
+  // register sum is exact dyadic doubles; linear counting below 2.5m.
+  val x295: String =
+    """WITH tok AS (SELECT DISTINCT w
+      |            FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |                  FROM documents WHERE text IS NOT NULL)),
+      |h AS (SELECT w, md5(w) AS h FROM tok),
+      |r AS (SELECT w, ('0x' || substring(h, 8, 1))::BIGINT AS j,
+      |             substring(h, 1, 7) AS p7 FROM h),
+      |rk AS (SELECT w, j,
+      |              length(regexp_extract(p7, '^0*')) * 4 +
+      |              (CASE WHEN p7 = '0000000' THEN 0 ELSE
+      |                CASE WHEN substring(regexp_replace(p7, '^0*', ''), 1, 1)
+      |                          IN ('8','9','a','b','c','d','e','f') THEN 0
+      |                     WHEN substring(regexp_replace(p7, '^0*', ''), 1, 1)
+      |                          IN ('4','5','6','7') THEN 1
+      |                     WHEN substring(regexp_replace(p7, '^0*', ''), 1, 1)
+      |                          IN ('2','3') THEN 2 ELSE 3 END END) + 1 AS rank
+      |       FROM r),
+      |regs AS (SELECT j, max(rank) AS m FROM rk GROUP BY j),
+      |full_r AS (SELECT coalesce(m, 0) AS m
+      |           FROM (SELECT unnest(generate_series(0, 15)) AS j) s
+      |           LEFT JOIN regs ON s.j = regs.j),
+      |agg AS (SELECT sum(1.0 / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE)) AS den,
+      |               CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+      |        FROM full_r),
+      |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM tok),
+      |est AS (SELECT n_exact, v, 0.673 * 256.0 / den AS eraw,
+      |               CASE WHEN 0.673 * 256.0 / den <= 40.0 AND v > 0
+      |                    THEN 16.0 * ln(16.0 / CAST(v AS DOUBLE))
+      |                    ELSE 0.673 * 256.0 / den END AS e
+      |        FROM agg, ex)
+      |SELECT n_exact, v AS empty_registers,
+      |       floor(eraw * 1000000 + 0.5) / 1000000 AS e_raw,
+      |       floor(e * 1000000 + 0.5) / 1000000 AS estimate,
+      |       floor(abs(e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS rel_err
+      |FROM est""".stripMargin
+
+  // x296: pure integer counting (mirrored truncating div); one ratio of
+  // exact longs per histogram row.
+  val x296: String =
+    """WITH c AS (SELECT c_nationkey, c_mktsegment,
+      |                  CAST(floor(c_acctbal) AS BIGINT) // 1000 AS sens
+      |           FROM customer
+      |           WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
+      |l AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS l
+      |      FROM (SELECT DISTINCT * FROM c) GROUP BY c_nationkey, c_mktsegment),
+      |hist AS (SELECT l, CAST(count(*) AS BIGINT) AS n_blocks FROM l GROUP BY l),
+      |tot AS (SELECT CAST(sum(n_blocks) AS BIGINT) AS nb FROM hist)
+      |SELECT l, n_blocks,
+      |       floor(CAST(n_blocks AS DOUBLE) / CAST(nb AS DOUBLE) * 1000000 + 0.5)
+      |         / 1000000 AS share
+      |FROM hist, tot ORDER BY l""".stripMargin
+
+  // x297: exact rational CDF steps on the shared distinct-length grid;
+  // per-step terms round6 to DECIMAL then sum exactly (x101).
+  val x297: String =
+    """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x
+      |           FROM documents WHERE n_chars IS NOT NULL),
+      |grid AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY x),
+      |per AS (SELECT source, x, CAST(count(*) AS BIGINT) AS cs FROM d GROUP BY source, x),
+      |full_g AS (SELECT g.source, g.x, g.c, coalesce(per.cs, 0) AS cs
+      |           FROM (SELECT s.source, grid.x, grid.c
+      |                 FROM (SELECT DISTINCT source FROM d) s, grid) g
+      |           LEFT JOIN per ON per.source = g.source AND per.x = g.x),
+      |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM d GROUP BY source),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+      |st AS (SELECT source, x,
+      |              sum(c) OVER (PARTITION BY source ORDER BY x
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |              sum(cs) OVER (PARTITION BY source ORDER BY x
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cums,
+      |              lead(x, 1) OVER (PARTITION BY source ORDER BY x) - x AS gap
+      |       FROM full_g),
+      |t AS (SELECT st.source,
+      |             CAST(floor(abs(CAST(cums AS DOUBLE) / CAST(ns AS DOUBLE)
+      |                  - CAST(cum AS DOUBLE) / CAST(nn AS DOUBLE))
+      |                  * CAST(gap AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |                  AS DECIMAL(18,6)) AS t6
+      |      FROM st JOIN tot ON st.source = tot.source, n
+      |      WHERE gap IS NOT NULL)
+      |SELECT t.source, ns AS n_docs,
+      |       CAST(CAST(sum(t6) AS DECIMAL(28,6)) AS DOUBLE) AS w1_chars
+      |FROM t JOIN tot ON t.source = tot.source
+      |GROUP BY t.source, ns ORDER BY t.source""".stripMargin
+
+  // x298: integer counting off the (fp, source) collapse; per-cluster
+  // purity round6 to DECIMAL then summed exactly.
+  val x298: String =
+    """WITH grp AS (SELECT md5(list_aggr(list_sort(list_distinct(string_split(text, ' '))),
+      |                      'string_agg', ' ')) AS fp, source, CAST(count(*) AS BIGINT) AS c
+      |      FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+      |cl AS (SELECT fp, CAST(sum(c) AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS nsrc,
+      |              CAST(max(c) AS BIGINT) AS cmax
+      |       FROM grp GROUP BY fp),
+      |f AS (SELECT m, CASE WHEN nsrc = 1 THEN 1 ELSE 0 END AS single,
+      |             CAST(floor(CAST(cmax AS DOUBLE) / CAST(m AS DOUBLE) * 1000000 + 0.5)
+      |                  / 1000000 AS DECIMAL(18,6)) AS pur6
+      |      FROM cl WHERE m >= 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+      |       CAST(sum(single) AS BIGINT) AS n_single_source,
+      |       CAST(count(*) - sum(single) AS BIGINT) AS n_cross_source,
+      |       CAST(sum(m) AS BIGINT) AS n_docs_clustered,
+      |       CAST(sum(CASE WHEN single = 1 THEN m ELSE 0 END) AS BIGINT) AS docs_single,
+      |       CASE WHEN count(*) > 0 THEN
+      |         floor(CAST(count(*) - sum(single) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |               * 1000000 + 0.5) / 1000000 END AS cross_share,
+      |       CASE WHEN count(*) > 0 THEN
+      |         floor(CAST(CAST(sum(pur6) AS DECIMAL(28,6)) AS DOUBLE)
+      |               / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS mean_purity
+      |FROM f""".stripMargin
+
+  // x299: gaps exact epoch-µs longs under the (t, event_id) per-user
+  // order; HUGEINT moments mirror Spark's DECIMAL(38,0); CV one sqrt +
+  // one division.
+  val x299: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+      |           FROM events
+      |           WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
+      |g0 AS (SELECT event_type,
+      |              lead(t, 1) OVER (PARTITION BY user_id, event_type
+      |                                ORDER BY t, event_id) - t AS g
+      |       FROM e),
+      |g AS (SELECT event_type, g FROM g0 WHERE g IS NOT NULL),
+      |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(g) AS HUGEINT) AS sg,
+      |             CAST(sum(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS HUGEINT) AS sgg
+      |      FROM g GROUP BY event_type)
+      |SELECT event_type, n,
+      |       floor(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_gap_us,
+      |       CASE WHEN n >= 2 AND sg <> 0 THEN
+      |         floor(sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) / CAST(sg AS DOUBLE)
+      |               * 1000000 + 0.5) / 1000000 END AS cv
+      |FROM m ORDER BY event_type""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x204_av_align"          -> x204,
     "x203_calendar_heatmap"  -> x203,
+    "x299_inter_arrival"     -> x299,
+    "x298_cluster_purity"    -> x298,
+    "x297_wasserstein"       -> x297,
+    "x296_l_diversity"       -> x296,
+    "x295_hll16"             -> x295,
+    "x294_winnowing"         -> x294,
+    "x293_kcenter"           -> x293,
+    "x292_calibration_ece"   -> x292,
+    "x291_kendall_tau"       -> x291,
+    "x290_es_sample"         -> x290,
+    "x289_jl_distortion"     -> x289,
+    "x288_temp_sweep"        -> x288,
+    "x287_dedup_savings"     -> x287,
+    "x286_fleiss_kappa"      -> x286,
     "x285_source_xent"       -> x285,
     "x284_theil_index"       -> x284,
     "x282_brown_forsythe"    -> x282,

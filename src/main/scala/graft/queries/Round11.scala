@@ -719,6 +719,669 @@ object Round11Queries {
   private val x283Pinned =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
+  /** x286 — FLEISS' KAPPA across three weak quality raters (round-11):
+    * chance-corrected agreement of the length rule (n_chars ≥ 120), the
+    * token rule (≥ 24 tokens) and the language rule (lang = 'en') as
+    * THREE raters of one binary category — the multi-rater generalization
+    * of x266's pairwise Cohen κ (Fleiss 1971): a filter BANK's rules can
+    * pairwise-agree yet collectively split the corpus; Fleiss prices the
+    * bank as a whole before a 100 TB sweep.
+    *
+    * Exactness: with n = 3 raters and 2 categories, every quantity is
+    * integer — per-doc agreement numerator a² + (3−a)² − 3 (always even),
+    * P̄ = ΣP/(6N), pe = (T₁² + T₀²)/(9N²), and κ collapses to ONE
+    * division of exact longs: (3N·ΣP − 2·peNum)/(18N² − 2·peNum)
+    * (18N² ≤ 6.5·10¹³ at sf0.1; decimal guard documented past ~7·10⁸
+    * docs). pe = 1 pins κ NULL (mirrored CASE).
+    *
+    * Scale shape: one scan, one 1-row map-combining aggregate.
+    */
+  def x286FleissKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val d = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull && col("n_chars").isNotNull &&
+        col("lang").isNotNull)
+      .select(((col("n_chars") >= 120).cast("long") +
+        (size(split(col("text"), " ")) >= 24).cast("long") +
+        (col("lang") === "en").cast("long")).as("a"))
+      .select(col("a"),
+        (col("a") * col("a") + (lit(3L) - col("a")) * (lit(3L) - col("a")) -
+          lit(3L)).as("p"))
+    val m = d.agg(count(lit(1)).as("n"), sum("a").as("tp"), sum("p").as("sp"))
+    val peNum = col("tp") * col("tp") +
+      (lit(3L) * col("n") - col("tp")) * (lit(3L) * col("n") - col("tp"))
+    val den = lit(18L) * col("n") * col("n") - lit(2L) * peNum
+    m.select(col("n").as("n_docs"), col("tp").as("n_pass_ratings"),
+      stableRound6(col("sp").cast("double") /
+        (lit(6L) * col("n")).cast("double")).as("p_bar"),
+      stableRound6(peNum.cast("double") /
+        (lit(9L) * col("n") * col("n")).cast("double")).as("p_e"),
+      when(den =!= 0, stableRound6(
+        (lit(3L) * col("n") * col("sp") - lit(2L) * peNum).cast("double") /
+          den.cast("double"))).as("kappa"))
+  }
+
+  /** x287 — DEDUP SAVINGS LADDER (round-11): per source, the token mass
+    * kept at each rung of the standard dedup escalation — raw → exact-text
+    * dedup (md5 of the text) → exact-SET dedup (x269's order-insensitive
+    * fingerprint) — and the fractional savings of each rung. The
+    * economics view the per-method queries (x10 exact, x13 near) don't
+    * give: how many 100 TB-scale tokens each POLICY actually buys,
+    * per source, before committing a pipeline to it.
+    *
+    * Exactness: canonical doc per (source, fp) is min_by(nt, doc_id)
+    * (deterministic — doc_id unique); all masses exact longs; two
+    * divisions per source, round6.
+    *
+    * Scale shape: two (source, fp) map-combining aggregates (one per
+    * rung) + one source-level join of three |sources|-row frames.
+    */
+  def x287DedupSavings(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val d = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"), md5(col("text")).as("fpx"),
+        md5(array_join(array_sort(array_distinct(
+          split(col("text"), " "))), " ")).as("fps"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    val raw = d.groupBy("source").agg(sum("nt").as("raw_tokens"))
+    val ex = d.groupBy("source", "fpx").agg(expr("min_by(nt, doc_id)").as("u"))
+      .groupBy("source").agg(sum("u").as("exact_kept"))
+    val st = d.groupBy("source", "fps").agg(expr("min_by(nt, doc_id)").as("u"))
+      .groupBy("source").agg(sum("u").as("set_kept"))
+    raw.join(ex, Seq("source")).join(st, Seq("source"))
+      .select(col("source"), col("raw_tokens"), col("exact_kept"),
+        col("set_kept"),
+        stableRound6((col("raw_tokens") - col("exact_kept")).cast("double") /
+          col("raw_tokens").cast("double")).as("save_exact"),
+        stableRound6((col("raw_tokens") - col("set_kept")).cast("double") /
+          col("raw_tokens").cast("double")).as("save_set"))
+      .orderBy("source")
+  }
+
+  /** x288 — TEMPERATURE SWEEP of the mix design (round-11): source
+    * weights and effective sample size at τ ∈ {0.25, 0.5, 0.75, 1.0} —
+    * the design-space sweep x265 evaluates at ONE point: picking the
+    * sampling temperature IS the diversity-vs-efficiency dial of a
+    * training mix (τ = 1 keeps natural proportions and all of the corpus;
+    * τ → 0 equalizes sources and resamples small ones hard), and this
+    * prices all four candidates in one pass.
+    *
+    * Exactness: n^τ = exp(τ·ln n) EXPLICITLY in both engines (x273's
+    * n^⅓ rule — pow's rounding is unpinned cross-engine), then x265's
+    * full rounding chain per τ: round6 → DECIMAL sum → round6 weights →
+    * round9 ESS contributions → DECIMAL sums → two final divisions,
+    * NULL-pinned when the contribution sum quantizes to 0.
+    *
+    * Scale shape: ONE map-combining source count, then pure arithmetic
+    * on a 4×|sources|-row frame (the τ spine is a 4-row literal cross,
+    * allow-listed).
+    */
+  def x288TempSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.{stableRound, stableRound6}
+    val per = Io.table(spark, sfDir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val taus = spark.range(1).select(explode(array(
+      lit(0.25), lit(0.5), lit(0.75), lit(1.0))).as("tau"))
+    val r = per.crossJoin(broadcast(taus))
+      .withColumn("r6", stableRound6(
+        exp(col("tau") * log(col("n").cast("double")))).cast("decimal(18,6)"))
+    val s = r.groupBy("tau").agg(sum("r6").cast("decimal(28,6)").as("s"),
+      sum("n").as("nt"))
+    val w = r.join(broadcast(s), Seq("tau"))
+      .withColumn("w6", stableRound6(col("r6").cast("double") /
+        col("s").cast("double")).cast("decimal(18,6)"))
+      .withColumn("c9", stableRound(col("w6").cast("double") *
+        col("w6").cast("double") / col("n").cast("double"), 9)
+        .cast("decimal(18,9)"))
+    val g = w.groupBy("tau").agg(sum("w6").cast("decimal(28,6)").as("sw"),
+      sum("c9").cast("decimal(28,9)").as("sc"))
+    val ess = col("sw").cast("double") * col("sw").cast("double") /
+      col("sc").cast("double")
+    w.join(broadcast(g), Seq("tau"))
+      .select(col("tau"), col("source"), col("n").as("n_docs"),
+        col("w6").cast("double").as("weight"),
+        when(col("sc") =!= 0, stableRound6(ess)).as("ess"),
+        when(col("sc") =!= 0,
+          stableRound6(ess / col("nt").cast("double"))).as("ess_ratio"))
+      .orderBy("tau", "source")
+  }
+
+  /** 8×64 Johnson–Lindenstrauss sign matrix for [[x289JlDistortion]]:
+    * signs[(k−1)·64 + d] = parity of md5("k:d")'s first hex digit,
+    * generated OFFLINE and embedded as a literal so both engines read
+    * the IDENTICAL matrix with no runtime hashing. */
+  private[queries] val JlSigns: String =
+    "0000001001100111000010111101000011000101010110111011000010100101" +
+    "1011101000010011001110011011100101100101111010101110000111111000" +
+    "0110110000100110001001110101111000111010111110100011100000000100" +
+    "0000001010100101110101011001101000101100111100110101010011011010" +
+    "0000001011101100001010111010000100110101011010001011100011100101" +
+    "0111000101110110100100110001010100011011110011000100100010001110" +
+    "1101110100100010100100100001100110101011010001110101011111100101" +
+    "1101010000000111101000101001010110100001000110011111100011100101"
+
+  /** x289 — JOHNSON–LINDENSTRAUSS distortion audit (round-11): project
+    * the first 16 embeddings from 64 → 8 dimensions with a fixed ±1 sign
+    * matrix and measure, per vector pair, the squared-distance estimate
+    * (Σ_k diff²/8) against the true d² — the JL lemma's promise
+    * (Achlioptas 2003: database-friendly ±1 projections), measured on
+    * THIS corpus before an ANN index (x21/x32/x49) commits to a width.
+    *
+    * Exactness: the sign matrix is a pre-generated literal (no runtime
+    * hashing); per-pair sums ride the x11 oracle pattern (64-term double
+    * sums, round6 — the parity precedent holding since round 2); the
+    * 16-row pair spine is a broadcast theta-join (x215's shape).
+    *
+    * Scale shape: the probe-pair frame is CONSTANT (16 vectors → 120
+    * pairs) regardless of corpus; the projection is per-row arithmetic
+    * in the scan. At 100 TB the same audit runs on the same-sized probe.
+    */
+  def x289JlDistortion(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val base = Io.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"),
+        expr(s"""transform(sequence(1, 8), k -> aggregate(sequence(1, 64),
+          cast(0.0 as double), (acc, d) -> acc +
+          (case when substring('$JlSigns', (k - 1) * 64 + d, 1) = '1'
+                then 1.0 else -1.0 end)
+          * cast(element_at(embedding, d) as double)))""").as("y"))
+    val pairs = base.as("a").join(base.as("b"),
+      col("a.vec_id") < col("b.vec_id"))
+    pairs.select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        expr("""aggregate(sequence(1, 64), cast(0.0 as double), (acc, d) ->
+          acc + (cast(element_at(a.embedding, d) as double)
+                 - cast(element_at(b.embedding, d) as double))
+              * (cast(element_at(a.embedding, d) as double)
+                 - cast(element_at(b.embedding, d) as double)))""").as("d2o"),
+        expr("""aggregate(sequence(1, 8), cast(0.0 as double), (acc, k) ->
+          acc + (element_at(a.y, k) - element_at(b.y, k))
+              * (element_at(a.y, k) - element_at(b.y, k)))""").as("d2p"))
+      .select(col("ida"), col("idb"), stableRound6(col("d2o")).as("d2_orig"),
+        stableRound6(col("d2p") / 8.0).as("d2_est"),
+        when(col("d2o") =!= 0.0,
+          stableRound6(col("d2p") / 8.0 / col("d2o"))).as("ratio"))
+      .orderBy("ida", "idb")
+  }
+
+  /** x290 — WEIGHTED SAMPLING WITHOUT REPLACEMENT (round-11): the top-20
+    * documents under Efraimidis–Spirakis keys u^(1/w) with w = token
+    * count and u the md5-uniform of doc_id — the one-pass distributed
+    * algorithm for "sample k docs proportional to length, no repeats"
+    * (x80 samples WITH replacement via cumulative ranges; x133's
+    * reservoir is unweighted). ES keys make weighted-without-replacement
+    * a plain top-k: exactly the TakeOrderedAndProject shape.
+    *
+    * Exactness: u = (h32 + 1)/2³² from md5's first 8 hex digits (exact
+    * dyadic double, never 0); the key is exp(ln(u)/w) EXPLICITLY (pow
+    * parity unpinned — x273's rule); both engines compute the identical
+    * double chain, so the top-20 SET and the round6 keys both match.
+    *
+    * Scale shape: per-row arithmetic in the scan +
+    * TakeOrderedAndProject(20) — no shuffle at all beyond the top-k's
+    * partial reduction.
+    */
+  def x290EsSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        ((expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+          .cast("long") + 1L).cast("double") / lit(4294967296.0)).as("u"))
+      .withColumn("k", exp(log(col("u")) / col("w").cast("double")))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("source"), col("w"),
+        stableRound6(col("u")).as("u"), stableRound6(col("k")).as("es_key"))
+  }
+
+  /** x291 — KENDALL τ-b of each source's token profile vs the corpus
+    * (round-11): over the top-100 corpus tokens (zero-filled grid), the
+    * concordant/discordant pair census between the source's counts and
+    * the corpus counts, and τ-b with tie corrections — the RANK-agreement
+    * member of the profile-similarity family: x276's weighted Jaccard
+    * measures shared MASS, x285's KL measures surprise, τ-b asks "does
+    * the source ORDER its vocabulary like the corpus?", robust to any
+    * monotone frequency distortion.
+    *
+    * Exactness: all pair counts are exact longs over the 100-token grid
+    * (n₀ = 4950 pairs per source); τ-b = (C−D)/√((n₀−tx)(n₀−ty)) is one
+    * sqrt + one division from exact longs, round6, NULL-pinned when a
+    * side is all-ties (mirrored CASE).
+    *
+    * Scale shape: the 100-token vocabulary gate bounds EVERYTHING — the
+    * zero-filled grid is |sources|×100, the pair frame |sources|×4950 —
+    * regardless of corpus size (x277's gate argument); one corpus-sized
+    * token count feeds it.
+    */
+  def x291KendallTau(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val tok = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val glob = tok.groupBy("w").agg(count(lit(1)).as("cx"))
+    val top = glob.orderBy(col("cx").desc, col("w")).limit(100)
+    val per = tok.groupBy("source", "w").agg(count(lit(1)).as("cy"))
+    val grid = tok.select("source").distinct()
+      .crossJoin(broadcast(top))
+      .join(per, Seq("source", "w"), "left")
+      .select(col("source"), col("w"), col("cx"),
+        coalesce(col("cy"), lit(0L)).as("cy"))
+    val pairs = grid.as("a").join(grid.as("b"),
+        col("a.source") === col("b.source") && col("a.w") < col("b.w"))
+      .select(col("a.source").as("source"),
+        ((col("a.cx") - col("b.cx")) * (col("a.cy") - col("b.cy"))).as("prod"),
+        (col("a.cx") === col("b.cx")).cast("long").as("tx"),
+        (col("a.cy") === col("b.cy")).cast("long").as("ty"))
+    pairs.groupBy("source")
+      .agg(count(lit(1)).as("n0"),
+        sum((col("prod") > 0).cast("long")).as("c"),
+        sum((col("prod") < 0).cast("long")).as("d"),
+        sum("tx").as("tx"), sum("ty").as("ty"))
+      .select(col("source"), col("n0"), col("c"), col("d"), col("tx"),
+        col("ty"),
+        when((col("n0") - col("tx")) * (col("n0") - col("ty")) > 0,
+          stableRound6((col("c") - col("d")).cast("double") /
+            sqrt(((col("n0") - col("tx")) * (col("n0") - col("ty")))
+              .cast("double")))).as("tau_b"))
+      .orderBy("source")
+  }
+
+  /** x292 — CALIBRATION AUDIT of the x213 logistic quality gate
+    * (round-11): reliability diagram (per-decile confidence vs realized
+    * accuracy against the length rule as ground truth) plus the Expected
+    * Calibration Error — the applied-ML audit that decides whether x213's
+    * scores can be THRESHOLDED at face value or must be recalibrated
+    * before gating a 100 TB corpus (Guo et al. 2017's ECE).
+    *
+    * Exactness: rides x213's own integer quantization p6 =
+    * ⌊p·10⁶ + 0.5⌋ — per-bucket confidence Σp6/(n·10⁶) and accuracy
+    * hits/n are divisions of exact longs, and ECE collapses to ONE
+    * division: Σ_b |hits_b·10⁶ − Σp6_b| / (10⁶·N), ALL integer until the
+    * edge (no float sums anywhere).
+    *
+    * Scale shape: x213's per-doc score arithmetic in the scan, one
+    * 10-row bucket aggregate, a 1-row ECE cross (allow-listed).
+    */
+  def x292CalibrationEce(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val docs = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+    val st = docs.select(col("doc_id"), col("n_chars"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("token").isin(LlmQueries.Stopwords: _*).cast("long"))
+          .as("n_stop"),
+        min("n_chars").as("n_chars"))
+    val alpha = docs.select(col("doc_id"),
+      length(expr("replace(text, ' ', '')")).as("n_alpha"))
+    val nTok = col("n_tokens").cast("double")
+    val z = lit(-1.5) + lit(0.4) * log(nTok + lit(1.0)) -
+      lit(2.5) * (col("n_stop").cast("double") / nTok) +
+      lit(0.05) * least(col("n_alpha").cast("double") / nTok, lit(10.0))
+    val scored = st.join(alpha, "doc_id")
+      .select((col("n_chars") >= 120).cast("long").as("hit"),
+        floor(lit(1.0) / (lit(1.0) + exp(-z)) * 1000000 + 0.5)
+          .cast("long").as("p6"))
+    val buckets = scored
+      .groupBy(least(expr("p6 div 100000"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("p6").as("sp6"),
+        sum("hit").as("hits"))
+    val ece = buckets.agg(sum(abs(col("hits") * lit(1000000L) - col("sp6")))
+        .as("eceNum"), sum("n_docs").as("nn"))
+    buckets.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n_docs"),
+        stableRound6(col("sp6").cast("double") /
+          (col("n_docs") * lit(1000000L)).cast("double")).as("confidence"),
+        stableRound6(col("hits").cast("double") / col("n_docs").cast("double"))
+          .as("accuracy"),
+        stableRound6(col("eceNum").cast("double") /
+          (lit(1000000L) * col("nn")).cast("double")).as("ece"))
+      .orderBy("bin")
+  }
+
+  /** x293 — GREEDY k-CENTER CORESET, k = 4 (round-11): farthest-point
+    * traversal over the embedding table seeded at vec_id 0 — the
+    * 2-approximation (Gonzalez 1985) behind diversity-aware data
+    * selection: each step adds the vector FARTHEST from the chosen set,
+    * and the selected radius is the covering radius of the previous set.
+    * The selection counterpart of the sampling family (x30/x133/x290
+    * sample by chance or weight; this samples by COVERAGE).
+    *
+    * The 3 argmax steps are 1-row driver decisions (x260's driver-metric
+    * class: k is a constant of the DESIGN, not the data). Distances ride
+    * the deterministic per-row 64-term fold; the argmax tie-break is
+    * (d² desc, vec_id) on engine-identical doubles.
+    *
+    * Scale shape: per step, one broadcast of ≤k centers into the scan +
+    * one min-reduce per row + one TakeOrdered(1) — corpus scanned k−1
+    * times, nothing shuffles but top-1 partials.
+    */
+  def x293KCenter(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = Io.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    var centers = Vector(0L)
+    val rows = scala.collection.mutable.Buffer[(Long, Long, Option[Double])](
+      (1L, 0L, None))
+    for (step <- 2 to 4) {
+      val c = emb.filter(col("vec_id").isin(centers: _*))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val far = emb.crossJoin(broadcast(c))
+        .select(col("vec_id"), expr(
+          """aggregate(sequence(1, 64), cast(0.0 as double), (acc, d) ->
+            acc + (cast(element_at(embedding, d) as double)
+                   - cast(element_at(ce, d) as double))
+                * (cast(element_at(embedding, d) as double)
+                   - cast(element_at(ce, d) as double)))""").as("d2"))
+        .groupBy("vec_id").agg(min("d2").as("dmin"))
+        .orderBy(col("dmin").desc, col("vec_id")).limit(1).head()
+      centers :+= far.getLong(0)
+      rows += ((step.toLong, far.getLong(0), Some(far.getDouble(1))))
+    }
+    rows.toSeq.toDF("step", "center_id", "radius2raw")
+      .select(col("step"), col("center_id"),
+        stableRound6(col("radius2raw")).as("radius2"))
+      .orderBy("step")
+  }
+
+  /** x294 — WINNOWING fingerprints (round-11): MOSS's guarantee-bearing
+    * fingerprint selection (Schleimer, Wilkerson & Aiken 2003) — per
+    * document, the DISTINCT minima of every w=4-window over the 3-gram
+    * shingle hash sequence — and the realized fingerprint density per
+    * source against the theoretical 2/(w+1). The selection-based member
+    * of the fingerprint family: x17 hashes everything, x13 samples by
+    * minhash; winnowing GUARANTEES every match of length ≥ w+2 tokens
+    * shares a fingerprint, at a provable density.
+    *
+    * Exactness: hashes are md5 hex strings (same total order both
+    * engines); window minima via the standard ROWS frame; per-doc density
+    * is one division, round6'd then DECIMAL-summed for the source mean
+    * (x101 discipline).
+    *
+    * Scale shape: the window partitions by doc_id — corpus-cardinality
+    * keys, embarrassingly parallel (nothing like x220's low-cardinality
+    * ceiling); one (doc) distinct-count + one source aggregate after.
+    */
+  def x294Winnowing(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val docs = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 6) // m = n-2 shingles; one full w=4 window needs m >= 4
+    val sh = docs.select(col("doc_id"), col("source"),
+        (size(col("toks")) - 2).cast("long").as("m"),
+        posexplode(expr(
+          """transform(sequence(1, size(toks) - 2),
+            i -> md5(concat_ws(' ', element_at(toks, i),
+                 element_at(toks, i + 1), element_at(toks, i + 2))))""")))
+      .select(col("doc_id"), col("source"), col("m"),
+        (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
+    val w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
+    val fp = sh.withColumn("mh", min("h").over(w))
+      .filter(col("p") <= col("m") - 3)
+      .groupBy("doc_id", "source", "m")
+      .agg(countDistinct("mh").as("nfp"))
+    fp.select(col("source"), col("m"), col("nfp"),
+        stableRound6(col("nfp").cast("double") / col("m").cast("double"))
+          .cast("decimal(18,6)").as("dens6"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nfp").as("n_fingerprints"),
+        sum("m").as("n_shingles"),
+        sum("dens6").cast("decimal(28,6)").as("sd"))
+      .select(col("source"), col("n_docs"), col("n_fingerprints"),
+        col("n_shingles"),
+        stableRound6(col("sd").cast("double") / col("n_docs").cast("double"))
+          .as("mean_density"),
+        lit(0.4).as("theoretical_density"))
+      .orderBy("source")
+  }
+
+  /** x295 — PORTABLE HYPERLOGLOG, 16 registers (round-11): the Flajolet
+    * et al. 2007 estimator built from md5 — bucket = the 32-bit hash's
+    * low hex digit, register = 1 + leading zeros of the top 28 bits,
+    * E = α₁₆·16²/Σ2^(−M_j), with the small-range linear-counting
+    * correction — next to the native-but-unoracled x12b
+    * (approx_count_distinct) and the KMV alternative (x241): THIS one's
+    * registers are bit-reproducible in DuckDB, so the whole sketch is
+    * hash-pinned, not rows-only.
+    *
+    * Exactness: leading zeros via hex-string arithmetic (regexp '^0*'
+    * prefix + a 4-way CASE on the first significant digit — no float
+    * log2 anywhere); 2^(−M) values are exact dyadic doubles whose 16-term
+    * sum is EXACT (mantissa spread ≤ 29 bits); one division (+ one ln in
+    * the linear-counting branch), round6.
+    *
+    * Scale shape: one vocabulary-sized distinct + a 16-row register
+    * aggregate; the corpus is scanned once.
+    */
+  def x295Hll16(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val tok = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .select(col("w"), md5(col("w")).as("h"))
+      .select(col("w"),
+        expr("conv(substring(h, 8, 1), 16, 10)").cast("long").as("j"),
+        substring(col("h"), 1, 7).as("p7"))
+      .select(col("w"), col("j"),
+        (length(regexp_extract(col("p7"), "^0*", 0)) * 4 +
+          when(col("p7") === "0000000", lit(0)) // all-zero payload: rank caps at 29
+            .otherwise(expr("""CASE
+              WHEN substring(regexp_replace(p7, '^0*', ''), 1, 1)
+                   IN ('8','9','a','b','c','d','e','f') THEN 0
+              WHEN substring(regexp_replace(p7, '^0*', ''), 1, 1)
+                   IN ('4','5','6','7') THEN 1
+              WHEN substring(regexp_replace(p7, '^0*', ''), 1, 1)
+                   IN ('2','3') THEN 2 ELSE 3 END""")) + 1).as("rank"))
+    val regs = tok.groupBy("j").agg(max("rank").as("m"))
+    // all 16 registers exist only if every bucket is hit: left-join a
+    // 0..15 spine so empty buckets carry register 0 (2^0 = 1 in the sum)
+    val spine = spark.range(16).select(col("id").as("j"))
+    val full = spine.join(regs, Seq("j"), "left")
+      .select(coalesce(col("m"), lit(0)).as("m"))
+    // 2^(−M) as 1/(1<<M): the shift is exact integer, the division an
+    // exact dyadic double — no libm pow in the register sum
+    val s = full.agg(sum(expr(
+        "1.0 / cast(shiftleft(cast(1 as bigint), m) as double)")).as("den"),
+      sum((col("m") === 0).cast("long")).as("v"))
+    val exact = tok.agg(count(lit(1)).as("n_exact"))
+    val eRaw = lit(0.673) * lit(256.0) / col("den")
+    val est = when(eRaw <= lit(40.0) && col("v") > 0,
+      lit(16.0) * log(lit(16.0) / col("v").cast("double"))).otherwise(eRaw)
+    s.crossJoin(broadcast(exact))
+      .select(col("n_exact"), col("v").as("empty_registers"),
+        stableRound6(eRaw).as("e_raw"),
+        stableRound6(est).as("estimate"),
+        stableRound6(abs(est - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")).as("rel_err"))
+  }
+
+  /** x296 — L-DIVERSITY audit (round-11): for the quasi-identifier
+    * blocks (nationkey, mktsegment), the distinct-count of the sensitive
+    * attribute (account-balance thousand-bucket) per block, histogrammed
+    * by l — the missing half of the privacy pair: x217's k-anonymity
+    * counts block SIZES (re-identification), l-diversity counts sensitive
+    * VARIETY (attribute disclosure — a k-anonymous block whose members
+    * all share one balance band still leaks it; Machanavajjhala 2007).
+    *
+    * Exactness: pure integer counting — buckets are truncating integer
+    * division (mirrored div//), l is a distinct count, the histogram is a
+    * count of counts; the one ratio (share of blocks at each l) is a
+    * division of exact longs, round6.
+    *
+    * Scale shape: one (QI, bucket) distinct aggregate, one QI-block
+    * aggregate, one |l-values|-row histogram + a 1-row total cross.
+    */
+  def x296LDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val c = Io.table(spark, sfDir, "customer")
+      .filter(col("c_acctbal").isNotNull && col("c_mktsegment").isNotNull)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("cast(floor(c_acctbal) as bigint) div 1000").as("sens"))
+    val l = c.distinct()
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("l"))
+    val hist = l.groupBy("l").agg(count(lit(1)).as("n_blocks"))
+    val tot = hist.agg(sum("n_blocks").as("nb"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("l"), col("n_blocks"),
+        stableRound6(col("n_blocks").cast("double") / col("nb").cast("double"))
+          .as("share"))
+      .orderBy("l")
+  }
+
+  /** x297 — WASSERSTEIN-1 length drift vs the corpus (round-11): per
+    * source, the earth-mover distance W₁ = Σ_x |F_s(x) − F(x)|·gap
+    * between the source's doc-length CDF and the corpus's — the
+    * MAGNITUDE-bearing drift metric the sup-norm tests can't give (x126's
+    * KS says "distributions differ", W₁ says "by how many characters") —
+    * the standard drift number for retraining triggers.
+    *
+    * Exactness: both CDFs are exact rational steps over the DISTINCT
+    * length grid (cumulative sums over value-cardinality frames); each
+    * grid term |cumS/nS − cum/N|·gap is one float chain from exact longs,
+    * round6'd to DECIMAL and summed exactly (x101 discipline).
+    *
+    * Scale shape: one (source, length) aggregate; cumulative sums window
+    * over the VALUE grid per source (value-cardinality rows, partitioned
+    * by source — x202's machinery), never the corpus; |sources| rows out.
+    */
+  def x297Wasserstein(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val d = Io.table(spark, sfDir, "documents")
+      .filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").cast("long").as("x"))
+    // per-source counts on the SHARED distinct-length grid (zero-filled
+    // via the source × grid cross so every CDF steps on every grid point)
+    val grid = d.groupBy("x").agg(count(lit(1)).as("c"))
+    val per = d.groupBy("source", "x").agg(count(lit(1)).as("cs"))
+    val full = d.select("source").distinct().crossJoin(broadcast(grid))
+      .join(per, Seq("source", "x"), "left")
+      .select(col("source"), col("x"), col("c"),
+        coalesce(col("cs"), lit(0L)).as("cs"))
+    val w = Window.partitionBy("source").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = d.groupBy("source").agg(count(lit(1)).as("ns"))
+    val n = d.agg(count(lit(1)).as("nn"))
+    val steps = full
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("cums", sum("cs").over(w))
+      .withColumn("gap", lead("x", 1).over(
+        Window.partitionBy("source").orderBy("x")) - col("x"))
+      .filter(col("gap").isNotNull)
+      .join(broadcast(tot), Seq("source")).crossJoin(broadcast(n))
+      .select(col("source"),
+        stableRound6(abs(col("cums").cast("double") / col("ns").cast("double") -
+          col("cum").cast("double") / col("nn").cast("double")) *
+          col("gap").cast("double")).cast("decimal(18,6)").as("t6"))
+    steps.groupBy("source")
+      .agg(sum("t6").cast("decimal(28,6)").as("sw"))
+      .join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("ns").as("n_docs"),
+        col("sw").cast("double").as("w1_chars"))
+      .orderBy("source")
+  }
+
+  /** x298 — DUP-CLUSTER SOURCE PURITY (round-11): of the exact-set
+    * fingerprint clusters with ≥2 documents, how many live entirely
+    * inside one source vs span sources — with doc mass and the
+    * mean dominant-source share — the cluster-granular view of x269's
+    * pair matrix: single-source clusters are crawl-internal churn (cheap
+    * to dedup at ingest), cross-source clusters are syndication (need
+    * the global pass), and the split decides WHERE the dedup runs.
+    *
+    * Exactness: pure integer counting off one (fp, source) collapse;
+    * purity = max source count / cluster size round6'd per cluster to
+    * DECIMAL then summed exactly (x101); two exact-long ratios.
+    *
+    * Scale shape: docs collapse to (fp, source, count) FIRST (the x269
+    * argument), then a fingerprint-level aggregate — per-key work is
+    * bounded by |sources| per fingerprint, never docs.
+    */
+  def x298ClusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val grp = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(md5(array_join(array_sort(array_distinct(
+        split(col("text"), " "))), " ")).as("fp"), col("source"))
+      .groupBy("fp", "source").agg(count(lit(1)).as("c"))
+    val cl = grp.groupBy("fp")
+      .agg(sum("c").as("m"), count(lit(1)).as("nsrc"), max("c").as("cmax"))
+      .filter(col("m") >= 2)
+      .select(col("m"), (col("nsrc") === 1).cast("long").as("single"),
+        stableRound6(col("cmax").cast("double") / col("m").cast("double"))
+          .cast("decimal(18,6)").as("pur6"))
+    cl.agg(count(lit(1)).as("n_clusters"),
+        sum("single").as("n_single_source"),
+        (count(lit(1)) - sum("single")).as("n_cross_source"),
+        sum("m").as("n_docs_clustered"),
+        sum(when(col("single") === 1, col("m")).otherwise(0L))
+          .as("docs_single"),
+        sum("pur6").cast("decimal(28,6)").as("sp"))
+      .select(col("n_clusters"), col("n_single_source"), col("n_cross_source"),
+        col("n_docs_clustered"), col("docs_single"),
+        when(col("n_clusters") > 0, stableRound6(
+          (col("n_clusters") - col("n_single_source")).cast("double") /
+            col("n_clusters").cast("double"))).as("cross_share"),
+        when(col("n_clusters") > 0, stableRound6(
+          col("sp").cast("double") / col("n_clusters").cast("double")))
+          .as("mean_purity"))
+  }
+
+  /** x299 — INTER-ARRIVAL DISPERSION per event type (round-11): the
+    * coefficient of variation of per-user SAME-TYPE consecutive gaps — the
+    * Poisson-ness test of the arrival process (CV = 1 memoryless, < 1
+    * regular/machine-like, > 1 bursty/sessionized), the upstream sibling
+    * of x81's burst detection and x268's token burstiness: it decides
+    * whether rate-based alerting (x161's throttle) can assume exponential
+    * gaps at all.
+    *
+    * Exactness: gaps are exact epoch-µs longs from the per-user event_id
+    * order (x99's rule — ns ts truncate identically, event_id is the
+    * exact sequence); CV = √(n·Σg² − (Σg)²)/Σg is one sqrt + one division
+    * from exact longs (Σg² ≲ 10³⁰ → DECIMAL(38,0) moments, x144's
+    * class), round6, NULL at n < 2 or Σg = 0.
+    *
+    * Scale shape: ONE corpus-sized (user_id, event_type) exchange carries
+    * the lead() window (user×type-cardinality partitions — the anti-x220
+    * shape, x99's plan); the moment aggregate collapses to |types| rows
+    * map-side.
+    */
+  def x299InterArrival(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy("user_id", "event_type").orderBy("t", "event_id")
+    val gaps = Io.eventsRaw(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("t"))
+      .withColumn("nt", lead("t", 1).over(seq))
+      .filter(col("nt").isNotNull)
+      .select(col("event_type"), (col("nt") - col("t")).as("g"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("g").cast("decimal(19,0)")).as("sg"),
+        sum((col("g").cast("decimal(19,0)") * col("g").cast("decimal(19,0)")))
+          .as("sgg"))
+      .select(col("event_type"), col("n"),
+        stableRound6(col("sg").cast("double") / col("n").cast("double"))
+          .as("mean_gap_us"),
+        // CV = std/mean = sqrt(n*Sgg - Sg^2) / Sg (the n's cancel)
+        when(col("n") >= 2 && col("sg") =!= 0, stableRound6(
+          sqrt((col("n") * col("sgg") - col("sg") * col("sg")).cast("double")) /
+            col("sg").cast("double"))).as("cv"))
+      .orderBy("event_type")
+  }
+
   /** x280 — FELLEGI–SUNTER record-linkage scores (round-11): for customer
     * pairs inside a (nationkey, mktsegment) block, the probabilistic
     * match weight Σ_i ln(m_i/u_i) over three field comparisons (balance

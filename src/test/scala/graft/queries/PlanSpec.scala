@@ -232,7 +232,23 @@ class PlanSpec extends SparkSpec {
       // corpus-token total onto the vocab join and the 1-row corpus-
       // entropy frame onto the |sources|-row finale (x50's shape)
       "x277_triangle_census", "x278_ams_f2", "x281_data_constrained",
-      "x282_brown_forsythe", "x285_source_xent")
+      "x282_brown_forsythe", "x285_source_xent",
+      // x288's is the 4-row literal tau spine crossing onto the
+      // |sources|-row count frame (x117's shape); x289's is the CONSTANT
+      // 16-row probe-vector spine theta-joined to itself (x215's pair
+      // spine — 120 pairs regardless of corpus)
+      "x288_temp_sweep", "x289_jl_distortion",
+      // x291's is the 100-row vocabulary gate crossing onto the
+      // |sources|-row list to zero-fill the grid (x277's gate argument);
+      // x292's is the 1-row ECE totals cross (x117's shape); x293's is
+      // the ≤4-row center set broadcasting into the distance scan (x52's
+      // codebook shape)
+      "x291_kendall_tau", "x292_calibration_ece", "x293_kcenter",
+      // x295's are the 1-row register-sum and exact-count crosses (x117's
+      // shape); x296's is the 1-row block-total cross; x297's are the
+      // value-bounded distinct-length grid crossing onto the source list
+      // (x291's zero-fill shape) and the 1-row corpus count
+      "x295_hll16", "x296_l_diversity", "x297_wasserstein")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

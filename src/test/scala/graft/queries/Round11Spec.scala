@@ -340,6 +340,233 @@ class Round11Spec extends SparkSpec {
     assert(out("sb") == ((1L, l2, l2, h)))
   }
 
+  test("x286: Fleiss kappa is one exact-integer division; pe = 1 pins NULL") {
+    val rows = Seq(
+      (1L, Seq.fill(30)("w").mkString(" "), "en", "s", 150L), // a = 3
+      (2L, "w w w", "de", "s", 150L),                         // a = 1
+      (3L, "w w w", "en", "s", 50L))                          // a = 1
+    val got = Round11Queries.x286FleissKappa(spark, docsDir(rows)).head()
+    // sp = 6 + 2 + 2 = 10; Tp = 5; peNum = 25 + 16 = 41
+    assert((got.getLong(0), got.getLong(1)) == ((3L, 5L)))
+    assert(got.getDouble(2) == r(10.0 / 18.0))
+    assert(got.getDouble(3) == r(41.0 / 81.0))
+    assert(got.getDouble(4) == 0.1) // (90 - 82) / (162 - 82)
+    val deg = Round11Queries.x286FleissKappa(spark, docsDir(Seq(
+      (1L, Seq.fill(30)("w").mkString(" "), "en", "s", 150L),
+      (2L, Seq.fill(30)("w").mkString(" "), "en", "s", 150L)))).head()
+    assert(deg.isNullAt(4) && deg.getDouble(3) == 1.0)
+  }
+
+  test("x287: the ladder keeps the min-doc_id canonical mass per rung") {
+    val rows = Seq(
+      (1L, "a b", "en", "s", 3L), (2L, "a b", "en", "s", 3L),  // exact dup
+      (3L, "b a", "en", "s", 3L),                              // set dup only
+      (4L, "c", "en", "s", 1L))
+    val got = Round11Queries.x287DedupSavings(spark, docsDir(rows)).head()
+    // raw 7; exact keeps "a b"(2) + "b a"(2) + "c"(1) = 5; set keeps 2 + 1
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((7L, 5L, 3L)))
+    assert(got.getDouble(4) == r(2.0 / 7.0))
+    assert(got.getDouble(5) == r(4.0 / 7.0))
+  }
+
+  test("x288: the tau = 0.5 slice equals x265; tau = 1 keeps the full corpus") {
+    val rows = (1L to 4L).map(i => (i, "t", "en", "sa", 10L)) :+
+      ((9L, "t", "en", "sb", 10L))
+    val dir = docsDir(rows)
+    val sweep = Round11Queries.x288TempSweep(spark, dir)
+      .collect().map(x => (x.getDouble(0), x.getString(1)) ->
+        (x.getDouble(3), x.getDouble(4), x.getDouble(5))).toMap
+    val x265 = Round11Queries.x265MixEss(spark, dir)
+      .collect().map(x => x.getString(0) ->
+        (x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    for (s <- Seq("sa", "sb")) assert(sweep((0.5, s)) == x265(s),
+      s"tau=0.5 must reproduce x265's sqrt-temperature numbers for $s")
+    // tau = 1: natural proportions -> ESS = N exactly, ratio 1
+    assert(sweep((1.0, "sa")) == ((0.8, 5.0, 1.0)))
+    assert(sweep((1.0, "sb")) == ((0.2, 5.0, 1.0)))
+  }
+
+  private def embDir(rows: Seq[(Long, Array[Float], Int)]): String = {
+    val dir = Files.createTempDirectory("r11v").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("x289: projection signs come from the literal matrix, scaling by 1/8") {
+    def unit(d: Int, scale: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(d - 1) = scale; a
+    }
+    val rows = Seq((0L, unit(1, 1.0f), 0), (1L, unit(2, 2.0f), 0))
+    val got = Round11Queries.x289JlDistortion(spark, embDir(rows)).head()
+    def sign(k: Int, d: Int): Double =
+      if (Round11Queries.JlSigns.charAt((k - 1) * 64 + (d - 1)) == '1') 1.0
+      else -1.0
+    // d2o = 1 + 4 = 5; per k: (s_k1*1 - s_k2*2)^2
+    val d2p = (1 to 8).map { k =>
+      val diff = sign(k, 1) * 1.0 - sign(k, 2) * 2.0; diff * diff }.sum
+    assert((got.getLong(0), got.getLong(1)) == ((0L, 1L)))
+    assert(got.getDouble(2) == 5.0)
+    assert(got.getDouble(3) == r(d2p / 8.0))
+    assert(got.getDouble(4) == r(d2p / 8.0 / 5.0))
+  }
+
+  test("x290: ES keys u^(1/w) pick the exact top-20 without replacement") {
+    val rows = (1L to 26L).map(i =>
+      (i, Seq.fill((i % 3).toInt + 1)("w").mkString(" "), "en", "s",
+        ((i % 3) + 1)))
+    val out = Round11Queries.x290EsSample(spark, docsDir(rows))
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getDouble(4)))
+    val expect = (1L to 26L).map { i =>
+      val h = java.lang.Long.parseLong(md5hex(i.toString).substring(0, 8), 16)
+      val u = (h + 1).toDouble / 4294967296.0
+      val w = (i % 3) + 1
+      (i, w, math.exp(math.log(u) / w.toDouble))
+    }.sortBy { case (id, _, k) => (-k, id) }.take(20)
+      .map { case (id, w, k) => (id, w, r(k)) }
+    assert(out.toSeq == expect)
+  }
+
+  test("x291: Kendall pair census over the zero-filled grid; tau-b exact") {
+    val rows = Seq((1L, "a a a b b c", "en", "sa", 11L),
+      (2L, "c c b a", "en", "sb", 7L))
+    val out = Round11Queries.x291KendallTau(spark, docsDir(rows))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5), x.getDouble(6))).toMap
+    // corpus x: a4 b3 c3; sa y: a3 b2 c1; sb y: a1 b1 c2
+    assert(out("sa") == ((3L, 2L, 0L, 1L, 0L, r(2.0 / math.sqrt(6.0)))))
+    assert(out("sb") == ((3L, 0L, 1L, 1L, 1L, -0.5)))
+  }
+
+  test("x292: one-bucket corpus pins confidence, accuracy and the exact ECE") {
+    // identical all-stopword docs -> one score bucket; 2 of 4 hit the rule
+    val rows = Seq((1L, "the the the the", "en", "s", 150L),
+      (2L, "the the the the", "en", "s", 150L),
+      (3L, "the the the the", "en", "s", 50L),
+      (4L, "the the the the", "en", "s", 50L))
+    val out = Round11Queries.x292CalibrationEce(spark, docsDir(rows)).collect()
+    assert(out.length == 1)
+    val z = -1.5 + 0.4 * math.log(5.0) - 2.5 * 1.0 + 0.05 * 3.0
+    val p6 = math.floor(1.0 / (1.0 + math.exp(-z)) * 1000000 + 0.5).toLong
+    val row = out.head
+    assert(row.getLong(0) == p6 / 100000 && row.getLong(1) == 4L)
+    assert(row.getDouble(2) == r(p6.toDouble / 1e6))
+    assert(row.getDouble(3) == 0.5)
+    assert(row.getDouble(4) == r(math.abs(2L * 1000000L - 4L * p6).toDouble / 4e6))
+  }
+
+  test("x293: farthest-point traversal picks centers and radii exactly") {
+    def v(vals: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f); vals.foreach { case (d, x) => a(d - 1) = x }; a
+    }
+    val rows = Seq((0L, v(), 0), (1L, v(1 -> 1.0f), 0), (2L, v(1 -> 10.0f), 0),
+      (3L, v(2 -> 6.0f), 0), (4L, v(1 -> 10.0f, 2 -> 0.5f), 0))
+    val out = Round11Queries.x293KCenter(spark, embDir(rows))
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1.0 else x.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 0L, -1.0), (2L, 4L, 100.25),
+      (3L, 3L, 36.0), (4L, 1L, 1.0)))
+  }
+
+  test("x294: window minima follow MOSS; short docs are excluded") {
+    // doc 1: 6 tokens -> 4 shingles, ONE window -> 1 fingerprint, density .25
+    // doc 2: 7 tokens -> 5 shingles, TWO windows
+    val rows = Seq((1L, "a b c d e f", "en", "s", 11L),
+      (2L, "g h i j k l m", "en", "s", 13L),
+      (3L, "x y", "en", "s", 3L)) // m = 0 -> excluded
+    val got = Round11Queries.x294Winnowing(spark, docsDir(rows)).head()
+    def sh(toks: Seq[String]): Seq[String] =
+      toks.sliding(3).map(t => md5hex(t.mkString(" "))).toSeq
+    val h2 = sh(Seq("g", "h", "i", "j", "k", "l", "m"))
+    val nfp2 = Seq(h2.slice(0, 4).min, h2.slice(1, 5).min).distinct.size
+    assert((got.getLong(1), got.getLong(2), got.getLong(3))
+      == ((2L, 1L + nfp2, 9L)))
+    val mean = (BigDecimal(r(1.0 / 4.0)) + BigDecimal(r(nfp2 / 5.0))).toDouble / 2.0
+    assert(got.getDouble(4) == r(mean))
+    assert(got.getDouble(5) == 0.4)
+  }
+
+  test("x295: HLL registers equal the md5 recompute; linear counting kicks in") {
+    val rows = Seq((1L, "a b c", "en", "s", 5L))
+    val got = Round11Queries.x295Hll16(spark, docsDir(rows)).head()
+    // driver-side recompute of the register file from the same md5s
+    val regs = Array.fill(16)(0)
+    for (w <- Seq("a", "b", "c")) {
+      val h = md5hex(w)
+      val j = Integer.parseInt(h.substring(7, 8), 16)
+      val p7 = h.substring(0, 7)
+      val zeros = p7.takeWhile(_ == '0').length * 4 + (
+        if (p7 == "0000000") 0
+        else { // extra zero bits from the first significant hex digit
+          val c = p7.dropWhile(_ == '0').head
+          if ("89abcdef".contains(c)) 0
+          else if ("4567".contains(c)) 1
+          else if ("23".contains(c)) 2 else 3
+        })
+      val rank = zeros + 1
+      if (rank > regs(j)) regs(j) = rank
+    }
+    val den = regs.map(m => 1.0 / (1L << m).toDouble).sum
+    val v = regs.count(_ == 0)
+    val eRaw = 0.673 * 256.0 / den
+    val est = if (eRaw <= 40.0 && v > 0) 16.0 * math.log(16.0 / v) else eRaw
+    assert(got.getLong(0) == 3L && got.getLong(1) == v.toLong)
+    assert(got.getDouble(2) == r(eRaw) && got.getDouble(3) == r(est))
+  }
+
+  test("x296: l counts distinct sensitive buckets per QI block") {
+    val rows = Seq(
+      (1L, "Customer#1", 1, 500.0, "A"),   // sens 0
+      (2L, "Customer#2", 1, 900.0, "A"),   // sens 0 (same bucket)
+      (3L, "Customer#3", 1, 1500.0, "A"),  // sens 1
+      (4L, "Customer#4", 2, 5500.0, "B"))  // sens 5
+    val out = Round11Queries.x296LDiversity(spark, custDir(rows))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(out == Map(1L -> ((1L, 0.5)), 2L -> ((1L, 0.5))))
+  }
+
+  test("x297: W1 is the exact CDF-gap Riemann sum on the shared grid") {
+    val rows = Seq((1L, "t", "en", "sa", 1L), (2L, "t", "en", "sa", 1L),
+      (3L, "t", "en", "sa", 3L), (4L, "t", "en", "sb", 3L))
+    val out = Round11Queries.x297Wasserstein(spark, docsDir(rows))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // grid {1, 3}, gap 2; corpus CDF at 1 = 0.5
+    // sa: |2/3 - 1/2| * 2 = 1/3 (round6); sb: |0 - 1/2| * 2 = 1
+    assert(out("sa") == ((3L, r(r(1.0 / 3.0)))))
+    assert(out("sb") == ((1L, 1.0)))
+  }
+
+  test("x298: single- vs cross-source clusters and the purity mean") {
+    val rows = Seq(
+      (1L, "a b", "en", "s1", 3L), (2L, "b a", "en", "s1", 3L), // single, m=2
+      (3L, "c d", "en", "s1", 3L), (4L, "d c", "en", "s2", 3L), // cross, pur .5
+      (5L, "e f", "en", "s1", 3L), (6L, "e f", "en", "s1", 3L),
+      (7L, "f e", "en", "s2", 3L),                              // cross, pur 2/3
+      (8L, "z", "en", "s1", 1L))                                // singleton: excluded
+    val got = Round11Queries.x298ClusterPurity(spark, docsDir(rows)).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == ((3L, 1L, 2L, 7L, 2L)))
+    assert(got.getDouble(5) == r(2.0 / 3.0))
+    val mp = (BigDecimal(1) + BigDecimal(0.5) + BigDecimal(r(2.0 / 3.0)))
+    assert(got.getDouble(6) == r(mp.toDouble / 3.0))
+  }
+
+  test("x299: CV of per-user gaps — constant gaps pin CV 0, mixed exact") {
+    // user 1, type a: ts 0, 10, 30 -> gaps 10, 20 (in ms -> us*1000 handled
+    // by eventsRaw's ns contract: write ts as ns longs)
+    def ev(id: Long, tNs: Long, u: Long, ty: String) = (id, tNs, u, ty, 1.0)
+    val rows = Seq(ev(1, 0, 1, "a"), ev(2, 10000, 1, "a"), ev(3, 30000, 1, "a"),
+      ev(4, 0, 2, "b"), ev(5, 5000, 2, "b"), ev(6, 10000, 2, "b"))
+    val out = Round11Queries.x299InterArrival(spark, eventsDir(rows))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2),
+          if (x.isNullAt(3)) Double.NaN else x.getDouble(3))).toMap
+    // type a: gaps (us) 10, 20: mean 15, CV = sqrt(2*500-900)/30 = 10/30
+    assert(out("a") == ((2L, 15.0, r(math.sqrt(100.0) / 30.0))))
+    // type b: gaps 5, 5 -> CV 0
+    assert(out("b") == ((2L, 5.0, 0.0)))
+  }
+
   test("x275: duplicate rate lands in the length quartile of the dup docs") {
     // lengths 1..8 -> quartiles (1,1,2,2,3,3,4,4); docs 7 and 8 share a
     // token SET (order/multiplicity-insensitive fingerprint)
