@@ -6584,9 +6584,140 @@ object Oracles {
       |               * 1000000 + 0.5) / 1000000 END AS cv
       |FROM m ORDER BY event_type""".stripMargin
 
+  // x300: ring positions/key hashes 32-bit md5 ints (x272's pattern);
+  // assignment is a pure integer scan of the sorted 128-point ring.
+  val x300: String =
+    """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |                  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      |           FROM documents WHERE text IS NOT NULL),
+      |r4 AS (SELECT s.shard,
+      |              ('0x' || substring(md5(CAST(s.shard AS VARCHAR) || ':'
+      |                || CAST(v.v AS VARCHAR)), 1, 8))::BIGINT AS pos
+      |       FROM (SELECT unnest(generate_series(0, 31)) AS shard) s,
+      |            (SELECT unnest(generate_series(0, 3)) AS v) v),
+      |ring4 AS (SELECT list_sort(list(struct_pack(pos := pos, shard := shard))) AS ring FROM r4),
+      |a4 AS (SELECT coalesce(list_filter(ring, x -> x.pos >= h)[1].shard, ring[1].shard) AS shard, nt
+      |       FROM d, ring4),
+      |g4 AS (SELECT shard, CAST(sum(nt) AS BIGINT) AS x FROM a4 GROUP BY shard),
+      |m4 AS (SELECT CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |              CAST(max(x) AS BIGINT) AS mx, CAST(count(*) AS BIGINT) AS ne FROM g4),
+      |r1 AS (SELECT s.shard,
+      |              ('0x' || substring(md5(CAST(s.shard AS VARCHAR) || ':0'), 1, 8))::BIGINT AS pos
+      |       FROM (SELECT unnest(generate_series(0, 31)) AS shard) s),
+      |ring1 AS (SELECT list_sort(list(struct_pack(pos := pos, shard := shard))) AS ring FROM r1),
+      |a1 AS (SELECT coalesce(list_filter(ring, x -> x.pos >= h)[1].shard, ring[1].shard) AS shard, nt
+      |       FROM d, ring1),
+      |g1 AS (SELECT shard, CAST(sum(nt) AS BIGINT) AS x FROM a1 GROUP BY shard),
+      |m1 AS (SELECT CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |              CAST(max(x) AS BIGINT) AS mx, CAST(count(*) AS BIGINT) AS ne FROM g1)
+      |SELECT * FROM (
+      |  SELECT 'ring_v4' AS strategy, CAST(32 AS BIGINT) AS n_shards,
+      |         ne AS n_nonempty_shards, sx AS total_tokens, mx AS max_shard_tokens,
+      |         floor(sqrt(CAST(32 * sxx - sx * sx AS DOUBLE) / CAST(sx * sx AS DOUBLE))
+      |               * 1000000 + 0.5) / 1000000 AS cv,
+      |         floor(CAST(32 * mx AS DOUBLE) / CAST(sx AS DOUBLE) * 1000000 + 0.5) / 1000000 AS skew
+      |  FROM m4
+      |  UNION ALL
+      |  SELECT 'ring_v1', CAST(32 AS BIGINT), ne, sx, mx,
+      |         floor(sqrt(CAST(32 * sxx - sx * sx AS DOUBLE) / CAST(sx * sx AS DOUBLE))
+      |               * 1000000 + 0.5) / 1000000,
+      |         floor(CAST(32 * mx AS DOUBLE) / CAST(sx AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |  FROM m1)
+      |ORDER BY strategy""".stripMargin
+
+  // x301: the 100-row top frame is constant-sized; ln terms round6 to
+  // DECIMAL and sum exactly; the OLS and residual chains mirror Spark's.
+  val x301: String =
+    """WITH cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+      |             FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |                   FROM documents WHERE text IS NOT NULL) GROUP BY w),
+      |top AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
+      |        FROM cnt ORDER BY c DESC, w LIMIT 100),
+      |pts AS (SELECT b.beta,
+      |               CAST(floor(ln(CAST(r + b.beta AS DOUBLE)) * 1000000 + 0.5)
+      |                    / 1000000 AS DECIMAL(18,6)) AS x,
+      |               CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5)
+      |                    / 1000000 AS DECIMAL(18,6)) AS y
+      |        FROM top, (SELECT unnest(generate_series(0, 5)) AS beta) b),
+      |m AS (SELECT beta, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(x) AS DECIMAL(28,6)) AS sx, CAST(sum(y) AS DECIMAL(28,6)) AS sy,
+      |             CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS sxx,
+      |             CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS sxy
+      |      FROM pts GROUP BY beta),
+      |fit AS (SELECT beta,
+      |               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+      |               sx, sy, n FROM m),
+      |fit2 AS (SELECT beta, b,
+      |                (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+      |         FROM fit),
+      |res AS (SELECT pts.beta, a, b,
+      |               CAST(sum(CAST(floor((CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE))
+      |                    * (CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE)) * 1000000 + 0.5)
+      |                    / 1000000 AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sse
+      |        FROM pts JOIN fit2 ON pts.beta = fit2.beta
+      |        GROUP BY pts.beta, a, b),
+      |best AS (SELECT beta AS best_beta FROM res ORDER BY sse ASC, beta ASC LIMIT 1)
+      |SELECT beta,
+      |       floor(-b * 1000000 + 0.5) / 1000000 AS s_exponent,
+      |       floor(a * 1000000 + 0.5) / 1000000 AS intercept,
+      |       CAST(sse AS DOUBLE) AS sse,
+      |       beta = best_beta AS is_best
+      |FROM res, best ORDER BY beta""".stripMargin
+
+  // x302: x99's p6 matrix, then 8 unrolled iterations — per-term products
+  // round6 to DECIMAL, EXACT sums, re-round per entry (the quantized
+  // orbit both engines walk identically).
+  val x302: String = {
+    val iter = (0 until 8).map { i =>
+      s"""v${i + 1} AS (SELECT t AS s,
+         |       CAST(floor(CAST(sum(CAST(floor(CAST(pi * p6 AS DOUBLE) * 1000000 + 0.5)
+         |            / 1000000 AS DECIMAL(18,6))) AS DOUBLE) * 1000000 + 0.5) / 1000000
+         |            AS DECIMAL(18,6)) AS pi
+         |FROM v$i JOIN p ON v$i.s = p.f GROUP BY t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sq AS (SELECT user_id, event_id, event_type,
+       |              lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS to_type
+       |           FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |tr AS (SELECT event_type AS f, to_type AS t, CAST(count(*) AS BIGINT) AS n
+       |       FROM sq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |p AS (SELECT f, t, CAST(floor(CAST(n AS DOUBLE)
+       |           / CAST(sum(n) OVER (PARTITION BY f) AS DOUBLE) * 1000000 + 0.5)
+       |           / 1000000 AS DECIMAL(18,6)) AS p6 FROM tr),
+       |states AS (SELECT DISTINCT f AS s FROM p),
+       |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+       |v0 AS (SELECT s, CAST(floor(1.0 / CAST(k AS DOUBLE) * 1000000 + 0.5) / 1000000
+       |           AS DECIMAL(18,6)) AS pi FROM states, k),
+       |$iter
+       |SELECT s AS event_type, CAST(pi AS DOUBLE) AS pi FROM v8
+       |ORDER BY event_type""".stripMargin
+  }
+
+  // x303: the top-1k cut is the (count desc, token) total order; masses
+  // exact longs; one division per source.
+  val x303: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |            FROM documents WHERE text IS NOT NULL),
+      |per AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY source, w),
+      |top AS (SELECT w, 1 AS in_vocab FROM (SELECT w, sum(c) AS cw FROM per GROUP BY w)
+      |        ORDER BY cw DESC, w LIMIT 1000)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN in_vocab IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+      |       CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_types,
+      |       floor(CAST(sum(CASE WHEN in_vocab IS NULL THEN c ELSE 0 END) AS DOUBLE)
+      |             / CAST(sum(c) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS oov_rate
+      |FROM per LEFT JOIN top ON per.w = top.w
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x204_av_align"          -> x204,
     "x203_calendar_heatmap"  -> x203,
+    "x303_oov_rate"          -> x303,
+    "x302_markov_stationary" -> x302,
+    "x301_zipf_mandelbrot"   -> x301,
+    "x300_hash_ring"         -> x300,
     "x299_inter_arrival"     -> x299,
     "x298_cluster_purity"    -> x298,
     "x297_wasserstein"       -> x297,

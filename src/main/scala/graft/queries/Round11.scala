@@ -905,13 +905,14 @@ object Round11Queries {
       .orderBy("ida", "idb")
   }
 
-  /** x290 — WEIGHTED SAMPLING WITHOUT REPLACEMENT (round-11): the top-20
-    * documents under Efraimidis–Spirakis keys u^(1/w) with w = token
-    * count and u the md5-uniform of doc_id — the one-pass distributed
-    * algorithm for "sample k docs proportional to length, no repeats"
-    * (x80 samples WITH replacement via cumulative ranges; x133's
-    * reservoir is unweighted). ES keys make weighted-without-replacement
-    * a plain top-k: exactly the TakeOrderedAndProject shape.
+  /** x290 — GLOBAL weighted sample without replacement (round-11): the
+    * top-20 documents corpus-WIDE under Efraimidis–Spirakis keys u^(1/w),
+    * w = token count, u the md5-uniform of doc_id — the single-panel
+    * complement of x133's PER-SOURCE A-ES reservoir (x133 ranks ln(u)/w
+    * per key through the TopKPerKey operator; u^(1/w) is the same total
+    * order, and a GLOBAL panel needs no per-key machinery at all): ES
+    * keys make it a plain corpus top-k — exactly the
+    * TakeOrderedAndProject shape, no shuffle, no per-key state.
     *
     * Exactness: u = (h32 + 1)/2³² from md5's first 8 hex digits (exact
     * dyadic double, never 0); the key is exp(ln(u)/w) EXPLICITLY (pow
@@ -1380,6 +1381,227 @@ object Round11Queries {
           sqrt((col("n") * col("sgg") - col("sg") * col("sg")).cast("double")) /
             col("sg").cast("double"))).as("cv"))
       .orderBy("event_type")
+  }
+
+  /** x300 — CONSISTENT-HASH RING balance (round-11): token mass per
+    * shard when 32 shards project 4 virtual nodes each onto an md5 ring
+    * (Karger 1997; the Dynamo/Cassandra placement), at v = 4 and v = 1 —
+    * completing x272's sharding bench: mod/hash sharding reshuffles
+    * EVERYTHING when the shard count changes, the ring moves only 1/n of
+    * the keys, and the vnode count is what buys back the balance the
+    * ring loses. The CV/skew columns are x272's, directly comparable.
+    *
+    * Exactness: ring positions and key hashes are 32-bit ints from md5
+    * hex (the x272 pattern); assignment is a pure integer ARRAY scan of
+    * the sorted 128-point ring (first position ≥ key, wrap to ring[0]) —
+    * no floats until the final CV/skew divisions (round6).
+    *
+    * Scale shape: the ring is a 1-row sorted-array aggregate broadcast
+    * into the scan (128 comparisons per row); one 32-row aggregate per
+    * vnode setting; empty shards enter the moments implicitly.
+    */
+  def x300HashRing(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val k = 32L
+    val d = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(size(split(col("text"), " ")).cast("long").as("nt"),
+        expr("""cast(conv(substring(md5(cast(doc_id as string)), 1, 8),
+          16, 10) as bigint)""").as("h"))
+    def audit(vnodes: Int): DataFrame = {
+      val ring = spark.range(k).select(col("id").as("shard"),
+          explode(sequence(lit(0), lit(vnodes - 1))).as("v"))
+        .select(col("shard"), expr(
+          """cast(conv(substring(md5(concat(cast(shard as string), ':',
+            cast(v as string))), 1, 8), 16, 10) as bigint)""").as("pos"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("shard"))))
+          .as("ring"))
+      d.crossJoin(broadcast(ring))
+        .select(col("nt"), coalesce(
+          // try_element_at: ANSI element_at throws on the empty filter
+          // result (key past the last ring point) instead of yielding null
+          expr("try_element_at(filter(ring, x -> x.pos >= h), 1).shard"),
+          expr("element_at(ring, 1).shard")).as("shard"))
+        .groupBy("shard").agg(sum("nt").as("x"))
+        .agg(sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+          max("x").as("mx"), count(lit(1)).as("nonempty"))
+        .select(lit(s"ring_v$vnodes").as("strategy"), lit(k).as("n_shards"),
+          col("nonempty").as("n_nonempty_shards"),
+          col("sx").as("total_tokens"), col("mx").as("max_shard_tokens"),
+          stableRound6(sqrt((lit(k) * col("sxx") - col("sx") * col("sx"))
+            .cast("double") / (col("sx") * col("sx")).cast("double"))).as("cv"),
+          stableRound6((lit(k) * col("mx")).cast("double") /
+            col("sx").cast("double")).as("skew"))
+    }
+    audit(4).unionAll(audit(1)).orderBy("strategy")
+  }
+
+  /** x301 — ZIPF–MANDELBROT grid fit (round-11): fit f(r) = C/(r+β)^s
+    * over the top-100 token frequencies for β ∈ {0..5}, s per β by OLS on
+    * (ln(r+β), ln f), reporting slope, intercept and SSE with the best β
+    * flagged — the Mandelbrot 1953 refinement x239's plain-Zipf slope
+    * can't express: natural corpora flatten at the head, and β is the
+    * flattening; the fitted (s, β) pair is the standard corpus-shape
+    * fingerprint next to Heaps (x251) and Good–Turing (x274).
+    *
+    * Exactness: ranks are window row_numbers over the CONSTANT 100-row
+    * top frame (x254's 101-row class — never the corpus); every ln term
+    * is round6'd to DECIMAL and summed exactly (x101); the OLS closed
+    * form and per-row residuals are float chains from those exact sums,
+    * round6 at the edges; best-β is an integer argmin on the round6'd
+    * SSE with β as tie-break.
+    *
+    * Scale shape: one vocabulary-sized count feeds a 100-row frame; the
+    * 6-point β grid is a literal cross (allow-listed); everything after
+    * the top-100 cut is constant-sized.
+    */
+  def x301ZipfMandelbrot(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val top = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(100)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("w"))).cast("long"))
+    val betas = spark.range(1).select(explode(sequence(lit(0L), lit(5L)))
+      .as("beta"))
+    val pts = top.crossJoin(broadcast(betas))
+      .select(col("beta"),
+        stableRound6(log((col("r") + col("beta")).cast("double")))
+          .cast("decimal(18,6)").as("x"),
+        stableRound6(log(col("c").cast("double")))
+          .cast("decimal(18,6)").as("y"))
+    val m = pts.groupBy("beta").agg(count(lit(1)).as("n"),
+      sum("x").cast("decimal(28,6)").as("sx"),
+      sum("y").cast("decimal(28,6)").as("sy"),
+      sum((col("x") * col("x")).cast("decimal(28,12)")).as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(28,12)")).as("sxy"))
+    val nD = col("n").cast("double")
+    val fit = m.select(col("beta"),
+      ((nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (nD * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))).as("b"),
+      col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"),
+      col("n"))
+      .select(col("beta"), col("b"),
+        ((col("syd") - col("b") * col("sxd")) / col("n").cast("double"))
+          .as("a"))
+    val res = pts.join(broadcast(fit), Seq("beta"))
+      .select(col("beta"), col("a"), col("b"),
+        stableRound6((col("y").cast("double") - col("a") -
+          col("b") * col("x").cast("double")) *
+          (col("y").cast("double") - col("a") -
+            col("b") * col("x").cast("double")))
+          .cast("decimal(18,6)").as("e6"))
+      .groupBy("beta", "a", "b")
+      .agg(sum("e6").cast("decimal(28,6)").as("sse"))
+    val best = res.orderBy(col("sse").asc, col("beta").asc).limit(1)
+      .select(col("beta").as("best_beta"))
+    res.crossJoin(broadcast(best))
+      .select(col("beta"), stableRound6(-col("b")).as("s_exponent"),
+        stableRound6(col("a")).as("intercept"),
+        col("sse").cast("double").as("sse"),
+        (col("beta") === col("best_beta")).as("is_best"))
+      .orderBy("beta")
+  }
+
+  /** x302 — MARKOV STATIONARY DISTRIBUTION (round-11): π for x99's
+    * user-journey transition matrix by 8 unrolled power-iteration steps
+    * from the uniform start — the long-run state mix that x99's one-step
+    * probabilities imply but don't show: where user time actually
+    * accumulates (the equilibrium the funnel x74 and retention x75 curves
+    * drift toward), and the weighting a journey-aware sampler would use.
+    *
+    * Exactness: the transition matrix is x99's exact counts with round6
+    * probabilities; each iteration computes per-term products round6'd
+    * to DECIMAL, sums them EXACTLY (x101 — a 5-term float sum would be
+    * engine-order-dependent), and re-rounds the new π entry to 6 digits,
+    * so both engines walk the IDENTICAL quantized orbit (quantization is
+    * part of the declared semantics, documented). 8 iterations contract
+    * any start to well under 10⁻⁶ of equilibrium for this matrix class.
+    *
+    * Scale shape: ONE corpus pass builds the |types|²-row matrix (x99's
+    * plan); the 8 iterations are joins over ≤|types|-row frames —
+    * constant work regardless of corpus.
+    */
+  def x302MarkovStationary(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy("user_id").orderBy("event_id")
+    val trans = Io.eventsRaw(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(seq))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("f"), col("to_type").as("t"))
+      .agg(count(lit(1)).as("n"))
+    val p = trans
+      .withColumn("p6", stableRound6(col("n") /
+        sum("n").over(Window.partitionBy("f"))).cast("decimal(18,6)"))
+      .select("f", "t", "p6")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val states = p.select(col("f").as("s")).distinct()
+    val k = states.count()
+    var v = states.select(col("s"),
+      stableRound6(lit(1.0) / lit(k.toDouble)).cast("decimal(18,6)").as("pi"))
+    for (_ <- 1 to 8) {
+      v = v.join(p, col("s") === col("f"))
+        .select(col("t"),
+          stableRound6((col("pi") * col("p6")).cast("double"))
+            .cast("decimal(18,6)").as("term"))
+        .groupBy(col("t").as("s"))
+        .agg(stableRound6(sum("term").cast("decimal(28,6)").cast("double"))
+          .cast("decimal(18,6)").as("pi"))
+    }
+    val out = v.select(col("s").as("event_type"),
+        col("pi").cast("double").as("pi"))
+      .orderBy("event_type")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    val prev = x302Pinned.getAndSet(out)
+    if (prev != null && (prev ne out)) prev.unpersist(false)
+    p.unpersist(false)
+    out
+  }
+
+  private val x302Pinned =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  /** x303 — OOV RATE vs the top-1k corpus vocabulary, per source
+    * (round-11): the token mass a frequency-capped vocabulary would send
+    * to <unk>/byte-fallback, per source — THE per-source tokenizer-budget
+    * number: x65 scores per-document coverage against a FIXED list, x245
+    * prices fertility; this prices the VOCABULARY SIZE decision against
+    * each source before a tokenizer is trained.
+    *
+    * Exactness: the top-1k cut is the (count desc, token) total order;
+    * masses exact longs; one division per source, round6.
+    *
+    * Scale shape: one vocabulary-sized count, a broadcast 1k-token gate
+    * LEFT-joined onto the per-source vocabulary frame (AQE-sized), one
+    * |sources|-row finale. Corpus scanned once.
+    */
+  def x303OovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val tok = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val per = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val top = per.groupBy("w").agg(sum("c").as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(1000)
+      .select(col("w"), lit(1).as("in_vocab"))
+    per.join(broadcast(top), Seq("w"), "left")
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(0L)).as("n_oov"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov_types"))
+      .select(col("source"), col("n_tokens"), col("n_oov"), col("n_oov_types"),
+        stableRound6(col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+      .orderBy("source")
   }
 
   /** x280 — FELLEGI–SUNTER record-linkage scores (round-11): for customer

@@ -248,7 +248,12 @@ class PlanSpec extends SparkSpec {
       // shape); x296's is the 1-row block-total cross; x297's are the
       // value-bounded distinct-length grid crossing onto the source list
       // (x291's zero-fill shape) and the 1-row corpus count
-      "x295_hll16", "x296_l_diversity", "x297_wasserstein")
+      "x295_hll16", "x296_l_diversity", "x297_wasserstein",
+      // x300's are the two 1-row sorted-ring arrays broadcasting into the
+      // assignment scan (x112's 1-row boundary-array shape); x301's are
+      // the 6-row literal beta spine and the 6-row fit/1-row best frames
+      // crossing onto the constant 100-row top frame (x254's class)
+      "x300_hash_ring", "x301_zipf_mandelbrot")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -845,6 +850,42 @@ class PlanSpec extends SparkSpec {
     assert(computed.forall(_.contains("(b#")),
       s"only the bucket aggs may shuffle, got: $computed")
     assert(p.contains("partial_sum"), "bucket models must combine map-side")
+  }
+
+  test("x283: the systematic sample has NO window — the rank is RangeRank's") {
+    val p = plan("x283_systematic_sample")
+    assert(!p.contains("Window"),
+      "a row_number window over the hash order would serialize in one task " +
+        "at corpus scale — the rank must come from the RangeRank sweep")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("x276: weighted Jaccard joins on the token — never a pair explosion") {
+    val p = plan("x276_weighted_jaccard")
+    assert(p.contains("SortMergeJoin [w") || p.contains("BroadcastHashJoin [w") ||
+      """(?s)Join.*\bw\b""".r.findFirstIn(p).isDefined,
+      "the self-join must be the token equi-join (per-key fan-out bounded by sources²)")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count"), "the (source, token) counts combine map-side")
+  }
+
+  test("x294: one doc_id-partitioned window; the shingle stream shuffles once") {
+    val p = plan("x294_winnowing")
+    val wins = """Window \[""".r.findAllIn(p).size
+    assert(wins == 1, s"exactly one window (the w=4 minimum), got $wins")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "the window must partition by doc_id — corpus-cardinality keys, " +
+        "never a low-cardinality serialization")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("x299: the gap window partitions by (user, type); moments combine map-side") {
+    val p = plan("x299_inter_arrival")
+    assert(p.contains("windowspecdefinition(user_id") &&
+      p.contains("event_type"),
+      "the lead() window must ride user×type-cardinality partitions")
+    assert(p.contains("partial_count"), "the per-type moments combine map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
   test("x125: merged vintage read aggregates in one exchange") {

@@ -567,6 +567,93 @@ class Round11Spec extends SparkSpec {
     assert(out("b") == ((2L, 5.0, 0.0)))
   }
 
+  test("x300: ring assignment matches the driver-side md5 ring simulation") {
+    val rows = (1L to 40L).map(i =>
+      (i, Seq.fill((i % 5).toInt + 1)("w").mkString(" "), "en", "s",
+        ((i % 5) + 1)))
+    val out = Round11Queries.x300HashRing(spark, docsDir(rows))
+      .collect().map(x => x.getString(0) -> (x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5), x.getDouble(6))).toMap
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+    def audit(vnodes: Int): (Long, Long, Long, Double, Double) = {
+      val ring = (for (sh <- 0L until 32L; v <- 0 until vnodes)
+        yield (h32(s"$sh:$v"), sh)).sorted
+      val mass = scala.collection.mutable.Map.empty[Long, Long]
+      for (i <- 1L to 40L) {
+        val h = h32(i.toString)
+        val shard = ring.find(_._1 >= h).getOrElse(ring.head)._2
+        mass(shard) = mass.getOrElse(shard, 0L) + (i % 5) + 1
+      }
+      val xs = mass.values.toSeq
+      val sx = xs.sum; val sxx = xs.map(x => x * x).sum; val mx = xs.max
+      (xs.size.toLong, sx, mx,
+        r(math.sqrt((32.0 * sxx - sx * sx) / (sx * sx).toDouble)),
+        r(32.0 * mx / sx))
+    }
+    assert(out("ring_v4") == audit(4))
+    assert(out("ring_v1") == audit(1))
+  }
+
+  test("x301: OLS chain exact at beta=0; the grid argmin flags one best") {
+    // counts ~ 60/(r+2): a Mandelbrot corpus with beta = 2
+    val counts = (1 to 8).map(rk => math.round(60.0 / (rk + 2)).toInt)
+    val text = counts.zipWithIndex
+      .flatMap { case (c, i) => Seq.fill(c)(f"t$i%02d") }.mkString(" ")
+    val out = Round11Queries.x301ZipfMandelbrot(spark,
+      docsDir(Seq((1L, text, "en", "s", 99L)))).collect()
+    assert(out.length == 6 && out.count(_.getBoolean(4)) == 1)
+    assert(out.find(_.getBoolean(4)).get.getLong(0) == 2L,
+      "the generating beta = 2 must win the SSE grid")
+    // exact recompute of the beta = 0 OLS from the same rounding chain
+    val pts = counts.zipWithIndex.map { case (c, i) =>
+      (BigDecimal(r(math.log((i + 1).toDouble))), BigDecimal(r(math.log(c.toDouble)))) }
+    val n = pts.size
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum; val sxy = pts.map(p => p._1 * p._2).sum
+    val b = (n * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (n * sxx.toDouble - sx.toDouble * sx.toDouble)
+    val a = (sy.toDouble - b * sx.toDouble) / n
+    val sse = pts.map { case (x, y) =>
+      BigDecimal(r((y.toDouble - a - b * x.toDouble) *
+        (y.toDouble - a - b * x.toDouble))) }.sum
+    val r0 = out.find(_.getLong(0) == 0L).get
+    assert(r0.getDouble(1) == r(-b) && r0.getDouble(2) == r(a) &&
+      r0.getDouble(3) == sse.toDouble)
+  }
+
+  test("x302: the quantized power-iteration orbit matches the recompute") {
+    // one user, sequence a a b a b: from a -> {a: 1/3, b: 2/3}; from b -> {a: 1}
+    val types = Seq("a", "a", "b", "a", "b")
+    val rows = types.zipWithIndex.map { case (ty, i) =>
+      (i.toLong, i.toLong * 1000, 1L, ty, 1.0) }
+    val out = Round11Queries.x302MarkovStationary(spark, eventsDir(rows))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val p = Map(("a", "a") -> r(1.0 / 3.0), ("a", "b") -> r(2.0 / 3.0),
+      ("b", "a") -> 1.0)
+    var pi = Map("a" -> BigDecimal(0.5), "b" -> BigDecimal(0.5))
+    for (_ <- 1 to 8) {
+      pi = Seq("a", "b").map { t =>
+        val s = Seq("a", "b").flatMap { f =>
+          p.get((f, t)).map(w => BigDecimal(r((pi(f) * BigDecimal(w)).toDouble)))
+        }.sum
+        t -> BigDecimal(r(s.toDouble))
+      }.toMap
+    }
+    assert(out("a") == pi("a").toDouble && out("b") == pi("b").toDouble)
+  }
+
+  test("x303: tokens past the top-1k cut count as OOV, ties broken by token") {
+    val rare = (0 until 1005).map(i => f"t$i%04d")
+    val text = (Seq.fill(50)("common") ++ rare).mkString(" ")
+    val got = Round11Queries.x303OovRate(spark,
+      docsDir(Seq((1L, text, "en", "s", 9999L)))).head()
+    // vocab = common + t0000..t0998; OOV = t0999..t1004 (6 singleton types)
+    assert((got.getLong(1), got.getLong(2), got.getLong(3))
+      == ((1055L, 6L, 6L)))
+    assert(got.getDouble(4) == r(6.0 / 1055.0))
+  }
+
   test("x275: duplicate rate lands in the length quartile of the dup docs") {
     // lengths 1..8 -> quartiles (1,1,2,2,3,3,4,4); docs 7 and 8 share a
     // token SET (order/multiplicity-insensitive fingerprint)
