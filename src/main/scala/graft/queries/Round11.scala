@@ -605,8 +605,9 @@ object Round11Queries {
     * engines (the x272 portability pattern).
     *
     * Scale shape: one vocabulary-sized count aggregate, a 16× vocabulary
-    * explode collapsing immediately to 16 partial sums (map-combining),
-    * two 1-row crosses. The corpus is scanned once.
+    * explode collapsing immediately to 16 partial sums (map-combining;
+    * the exact F₂ rides the same aggregate), one 1-row cross. The corpus
+    * is scanned once and the vocab frame consumed once.
     */
   def x278AmsF2(spark: SparkSession, sfDir: String): DataFrame = {
     import ExtendedQueries.stableRound6
@@ -614,17 +615,20 @@ object Round11Queries {
       .filter(col("text").isNotNull)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+    // F2 rides the SAME estimator aggregate (sum(c^2) is identical in
+    // every j-group), so the vocab frame is consumed once — no second
+    // corpus scan/count pass for the exact moment
     val est = cnt.select(col("w"), col("c"),
         explode(sequence(lit(0), lit(15))).as("j"))
-      .select(col("j"), (when(expr(
+      .select(col("j"), col("c"), (when(expr(
         "conv(substring(md5(concat(cast(j as string), ':', w)), 1, 1), 16, 10)")
         .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)) * col("c")).as("t"))
-      .groupBy("j").agg(sum("t").as("z"))
+      .groupBy("j").agg(sum("t").as("z"),
+        sum(col("c") * col("c")).as("f2_exact"))
       .select(col("j").cast("long").as("j"), col("z"),
-        (col("z") * col("z")).as("est"))
-    val f2 = cnt.agg(sum(col("c") * col("c")).as("f2_exact"))
+        (col("z") * col("z")).as("est"), col("f2_exact"))
     val mean = est.agg(sum("est").as("se"))
-    est.crossJoin(broadcast(f2)).crossJoin(broadcast(mean))
+    est.crossJoin(broadcast(mean))
       .select(col("j"), col("z"), col("est"), col("f2_exact"),
         stableRound6(col("se").cast("double") / 16.0).as("f2_est_mean"),
         stableRound6(abs(col("se").cast("double") / 16.0 -
@@ -962,10 +966,13 @@ object Round11Queries {
     val tok = fanOut(Io.table(spark, sfDir, "documents"))
       .filter(col("text").isNotNull)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
-    val glob = tok.groupBy("w").agg(count(lit(1)).as("cx"))
-    val top = glob.orderBy(col("cx").desc, col("w")).limit(100)
+    // ONE corpus scan: global counts and the source list re-aggregate the
+    // vocab-sized per-source frame (the x285 rule)
     val per = tok.groupBy("source", "w").agg(count(lit(1)).as("cy"))
-    val grid = tok.select("source").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val glob = per.groupBy("w").agg(sum("cy").as("cx"))
+    val top = glob.orderBy(col("cx").desc, col("w")).limit(100)
+    val grid = per.select("source").distinct()
       .crossJoin(broadcast(top))
       .join(per, Seq("source", "w"), "left")
       .select(col("source"), col("w"), col("cx"),
@@ -976,7 +983,7 @@ object Round11Queries {
         ((col("a.cx") - col("b.cx")) * (col("a.cy") - col("b.cy"))).as("prod"),
         (col("a.cx") === col("b.cx")).cast("long").as("tx"),
         (col("a.cy") === col("b.cy")).cast("long").as("ty"))
-    pairs.groupBy("source")
+    val out = pairs.groupBy("source")
       .agg(count(lit(1)).as("n0"),
         sum((col("prod") > 0).cast("long")).as("c"),
         sum((col("prod") < 0).cast("long")).as("d"),
@@ -988,7 +995,16 @@ object Round11Queries {
             sqrt(((col("n0") - col("tx")) * (col("n0") - col("ty")))
               .cast("double")))).as("tau_b"))
       .orderBy("source")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    per.unpersist(false)
+    val prev = x291Pinned.getAndSet(out)
+    if (prev != null && (prev ne out)) prev.unpersist(false)
+    out
   }
+
+  private val x291Pinned =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
   /** x292 — CALIBRATION AUDIT of the x213 logistic quality gate
     * (round-11): reliability diagram (per-decile confidence vs realized
@@ -1795,18 +1811,23 @@ object Round11Queries {
     * (decimal×long is exact), summed as decimals (x101 discipline); the
     * final /N_s is one float division, round6.
     *
-    * Scale shape: two vocabulary-sized map-combining aggregates, a
-    * vocab-sized equi-join (AQE broadcasts while it fits), source-sized
-    * finale plus two 1-row crosses. Corpus scanned once.
+    * Scale shape: ONE corpus scan/explode into the (source, token)
+    * aggregate (pinned); the global counts RE-AGGREGATE that vocab-sized
+    * frame instead of re-reading the corpus; a vocab-sized equi-join
+    * (AQE broadcasts while it fits), source-sized finale, two 1-row
+    * crosses.
     */
   def x285SourceXent(spark: SparkSession, sfDir: String): DataFrame = {
     import ExtendedQueries.stableRound6
     val tok = fanOut(Io.table(spark, sfDir, "documents"))
       .filter(col("text").isNotNull)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
-    val glob = tok.groupBy("w").agg(count(lit(1)).as("cw"))
-    val nTot = glob.agg(sum("cw").as("nn"))
+    // ONE corpus scan: the global counts re-aggregate the vocab-sized
+    // per-source frame instead of re-reading (and re-exploding) the corpus
     val per = tok.groupBy("source", "w").agg(count(lit(1)).as("csw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val glob = per.groupBy("w").agg(sum("csw").as("cw"))
+    val nTot = glob.agg(sum("cw").as("nn"))
     val ns = per.groupBy("source").agg(sum("csw").as("nsrc"))
     val terms = per.join(glob, Seq("w"))
       .join(broadcast(ns), Seq("source")).crossJoin(broadcast(nTot))
@@ -1822,7 +1843,7 @@ object Round11Queries {
       .groupBy("nn").agg(sum("t").cast("decimal(38,6)").as("sh"))
       .select(stableRound6(col("sh").cast("double") / col("nn").cast("double"))
         .as("h_corpus"))
-    terms.groupBy("source")
+    val out = terms.groupBy("source")
       .agg(min("nsrc").as("n_tokens"),
         sum("tx").cast("decimal(38,6)").as("sx"),
         sum("tk").cast("decimal(38,6)").as("sk"))
@@ -1834,5 +1855,14 @@ object Round11Queries {
           .as("kl"),
         col("h_corpus"))
       .orderBy("source")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    per.unpersist(false)
+    val prev = x285Pinned.getAndSet(out)
+    if (prev != null && (prev ne out)) prev.unpersist(false)
+    out
   }
+
+  private val x285Pinned =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 }
