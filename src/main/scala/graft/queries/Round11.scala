@@ -967,9 +967,9 @@ object Round11Queries {
       .filter(col("text").isNotNull)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
     // ONE corpus scan: global counts and the source list re-aggregate the
-    // vocab-sized per-source frame (the x285 rule)
+    // vocab-sized per-source frame (the x285 rule — ReusedExchange dedupes
+    // the identical (source, w) subtrees, no cache pin needed)
     val per = tok.groupBy("source", "w").agg(count(lit(1)).as("cy"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val glob = per.groupBy("w").agg(sum("cy").as("cx"))
     val top = glob.orderBy(col("cx").desc, col("w")).limit(100)
     val grid = per.select("source").distinct()
@@ -995,16 +995,8 @@ object Round11Queries {
             sqrt(((col("n0") - col("tx")) * (col("n0") - col("ty")))
               .cast("double")))).as("tau_b"))
       .orderBy("source")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    per.unpersist(false)
-    val prev = x291Pinned.getAndSet(out)
-    if (prev != null && (prev ne out)) prev.unpersist(false)
     out
   }
-
-  private val x291Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
   /** x292 — CALIBRATION AUDIT of the x213 logistic quality gate
     * (round-11): reliability diagram (per-decile confidence vs realized
@@ -1823,9 +1815,11 @@ object Round11Queries {
       .filter(col("text").isNotNull)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
     // ONE corpus scan: the global counts re-aggregate the vocab-sized
-    // per-source frame instead of re-reading (and re-exploding) the corpus
+    // per-source frame instead of re-reading (and re-exploding) the
+    // corpus; the identical (source, w) exchange subtrees dedupe via
+    // ReusedExchange within the one execution (PlanSpec-asserted), so no
+    // cache pin is needed
     val per = tok.groupBy("source", "w").agg(count(lit(1)).as("csw"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val glob = per.groupBy("w").agg(sum("csw").as("cw"))
     val nTot = glob.agg(sum("cw").as("nn"))
     val ns = per.groupBy("source").agg(sum("csw").as("nsrc"))
@@ -1855,14 +1849,6 @@ object Round11Queries {
           .as("kl"),
         col("h_corpus"))
       .orderBy("source")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    per.unpersist(false)
-    val prev = x285Pinned.getAndSet(out)
-    if (prev != null && (prev ne out)) prev.unpersist(false)
     out
   }
-
-  private val x285Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 }

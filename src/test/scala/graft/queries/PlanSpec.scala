@@ -888,6 +888,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("x285/x291: the global aggregates REUSE the per-source exchange — one corpus scan") {
+    for (name <- Seq("x285_source_xent", "x291_kendall_tau")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // AQE resolves exchange reuse during execution
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("ReusedSubquery") ||
+        """FileScan parquet""".r.findAllIn(p).size <= 1,
+        s"$name must not re-scan the corpus for the re-aggregated global counts")
+    }
+  }
+
   test("x125: merged vintage read aggregates in one exchange") {
     val p = plan("x125_schema_evolution")
     assert(p.contains("partial_count"), "the vintage-union aggregate must combine map-side")
