@@ -6711,9 +6711,58 @@ object Oracles {
       |FROM per LEFT JOIN top ON per.w = top.w
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // x304: exact-integer chi-square numerators (HUGEINT mirror of Spark's
+  // DECIMAL(38,0)); one division per term, round6, decimal sum.
+  val x304: String =
+    """WITH tok AS (SELECT source, w
+      |            FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+      |                  FROM documents WHERE text IS NOT NULL)
+      |            WHERE w IN ('the', 'a', 'of', 'to', 'and')),
+      |per AS (SELECT source, w, CAST(count(*) AS BIGINT) AS o FROM tok GROUP BY source, w),
+      |prof AS (SELECT w, CAST(sum(o) AS BIGINT) AS cw FROM per GROUP BY w),
+      |ntot AS (SELECT CAST(sum(cw) AS BIGINT) AS nn FROM prof),
+      |ns AS (SELECT source, CAST(sum(o) AS BIGINT) AS nsw FROM per GROUP BY source),
+      |grid AS (SELECT g.source, g.nsw, g.w, g.cw, coalesce(per.o, 0) AS o
+      |         FROM (SELECT ns.source, ns.nsw, prof.w, prof.cw FROM ns, prof) g
+      |         LEFT JOIN per ON per.source = g.source AND per.w = g.w),
+      |t AS (SELECT source, nsw,
+      |             CAST(floor(CAST(CAST(o * nn - nsw * cw AS HUGEINT)
+      |                  * CAST(o * nn - nsw * cw AS HUGEINT) AS DOUBLE)
+      |                  / CAST(nsw * cw AS DOUBLE) / CAST(nn AS DOUBLE)
+      |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS t6
+      |      FROM grid, ntot)
+      |SELECT source, min(nsw) AS n_stopwords,
+      |       CAST(CAST(sum(t6) AS DECIMAL(28,6)) AS DOUBLE) AS chi2,
+      |       CAST(4 AS BIGINT) AS df
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  // x305: the cumulative walk runs over the alphabet-cardinality frame;
+  // the 99.95% cut is the integer inequality 10000*cum >= 9995*N.
+  val x305: String =
+    """WITH ch AS (SELECT ch, CAST(count(*) AS BIGINT) AS c
+      |            FROM (SELECT unnest(string_split(replace(text, ' ', ''), '')) AS ch
+      |                  FROM documents WHERE text IS NOT NULL)
+      |            WHERE ch <> '' GROUP BY ch),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM ch),
+      |walk AS (SELECT ch, c,
+      |                CAST(sum(c) OVER (ORDER BY c DESC, ch
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |                CAST(row_number() OVER (ORDER BY c DESC, ch) AS BIGINT) AS rk
+      |         FROM ch),
+      |cut AS (SELECT CAST(min(rk) AS BIGINT) AS charset_size
+      |        FROM walk, n WHERE 10000 * cum >= 9995 * nn)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM walk) AS alphabet_size,
+      |       nn AS n_chars, charset_size,
+      |       floor(CAST(w2.cum AS DOUBLE) / CAST(nn AS DOUBLE) * 1000000 + 0.5)
+      |         / 1000000 AS coverage,
+      |       nn - w2.cum AS dropped_mass
+      |FROM n, cut JOIN walk w2 ON w2.rk = charset_size""".stripMargin
+
   val lGroup: Map[String, String] = Map(
     "x204_av_align"          -> x204,
     "x203_calendar_heatmap"  -> x203,
+    "x305_char_coverage"     -> x305,
+    "x304_stopword_chi2"     -> x304,
     "x303_oov_rate"          -> x303,
     "x302_markov_stationary" -> x302,
     "x301_zipf_mandelbrot"   -> x301,

@@ -1612,6 +1612,100 @@ object Round11Queries {
       .orderBy("source")
   }
 
+  /** x304 — STOPWORD-PROFILE χ² homogeneity per source (round-11): for
+    * each source, the χ² statistic of its 5-stopword count vector against
+    * the corpus profile — the per-source register/style drift screen
+    * (function-word profiles are the classic authorship/register signal;
+    * Mosteller & Wallace 1964) that x193's single global independence
+    * test and x215's pairwise JSD both bracket without answering "WHICH
+    * source deviates, and by how much?".
+    *
+    * Exactness: with E_w = N_s·c_w/N rational, each χ² term is
+    * (o_w·N − N_s·c_w)²/(N_s·c_w·N) — an exact-integer numerator
+    * (≤ ~10²⁶ at sf0.1 → DECIMAL(38,0), x144's class) over an exact
+    * denominator, ONE division per term, round6 → DECIMAL sum (x101).
+    *
+    * Scale shape: one corpus scan with a per-row stopword filter into a
+    * (source, stopword) map-combining count, a 5-row profile broadcast,
+    * |sources|×5 arithmetic. df = 4 constant.
+    */
+  def x304StopwordChi2(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val tok = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").isin(LlmQueries.Stopwords: _*))
+    val per = tok.groupBy("source", "w").agg(count(lit(1)).as("o"))
+    val prof = per.groupBy("w").agg(sum("o").as("cw"))
+    val nTot = prof.agg(sum("cw").as("nn"))
+    val ns = per.groupBy("source").agg(sum("o").as("nsw"))
+    // zero-filled grid: a source missing a stopword still owes its E_w
+    val grid = ns.crossJoin(broadcast(prof))
+      .join(per, Seq("source", "w"), "left")
+      .select(col("source"), col("nsw"), col("w"), col("cw"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    grid.crossJoin(broadcast(nTot))
+      .select(col("source"), col("nsw"),
+        stableRound6(
+          ((col("o") * col("nn") - col("nsw") * col("cw"))
+            .cast("decimal(38,0)") *
+            (col("o") * col("nn") - col("nsw") * col("cw"))
+              .cast("decimal(38,0)")).cast("double") /
+          (col("nsw") * col("cw")).cast("double") / col("nn").cast("double"))
+          .cast("decimal(18,6)").as("t6"))
+      .groupBy("source")
+      .agg(min("nsw").as("n_stopwords"),
+        sum("t6").cast("decimal(28,6)").as("chi2d"))
+      .select(col("source"), col("n_stopwords"),
+        col("chi2d").cast("double").as("chi2"), lit(4L).as("df"))
+      .orderBy("source")
+  }
+
+  /** x305 — CHARACTER COVERAGE for the tokenizer charset (round-11): the
+    * minimal character set covering 99.95% of corpus character mass (the
+    * SentencePiece `character_coverage` default) plus full-coverage size
+    * and the mass of the dropped tail — THE alphabet-size decision a
+    * byte/char tokenizer build makes first: every character outside the
+    * set costs a byte-fallback (x303 prices the same cut at the token
+    * level).
+    *
+    * Exactness: character counts exact longs; the cumulative walk runs
+    * over the CHARACTER-cardinality frame (a window over ≤ alphabet
+    * rows — never the corpus); the 99.95% threshold test is the integer
+    * inequality 10000·cum ≥ 9995·N (no float ratio anywhere); one
+    * division for the reported coverage, round6.
+    *
+    * Scale shape: one corpus scan exploding to characters with an
+    * immediate map-combining count; everything after is alphabet-sized.
+    */
+  def x305CharCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val chars = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(explode(split(regexp_replace(col("text"), " ", ""), ""))
+        .as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("ch").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("ch"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val n = chars.agg(sum("c").as("nn"))
+    val walk = chars.withColumn("cum", sum("c").over(w))
+      .withColumn("rk", row_number().over(Window.orderBy(col("c").desc,
+        col("ch"))).cast("long"))
+      .crossJoin(broadcast(n))
+    val cut = walk.filter(lit(10000L) * col("cum") >= lit(9995L) * col("nn"))
+      .agg(min("rk").as("charset_size"))
+    walk.agg(count(lit(1)).as("alphabet_size"), max("nn").as("n_chars"))
+      .crossJoin(broadcast(cut))
+      .join(walk.select(col("rk"), col("cum")),
+        col("charset_size") === col("rk"))
+      .select(col("alphabet_size"), col("n_chars"), col("charset_size"),
+        stableRound6(col("cum").cast("double") / col("n_chars").cast("double"))
+          .as("coverage"),
+        (col("n_chars") - col("cum")).as("dropped_mass"))
+  }
+
   /** x280 — FELLEGI–SUNTER record-linkage scores (round-11): for customer
     * pairs inside a (nationkey, mktsegment) block, the probabilistic
     * match weight Σ_i ln(m_i/u_i) over three field comparisons (balance

@@ -253,7 +253,12 @@ class PlanSpec extends SparkSpec {
       // assignment scan (x112's 1-row boundary-array shape); x301's are
       // the 6-row literal beta spine and the 6-row fit/1-row best frames
       // crossing onto the constant 100-row top frame (x254's class)
-      "x300_hash_ring", "x301_zipf_mandelbrot")
+      "x300_hash_ring", "x301_zipf_mandelbrot",
+      // x304's are the 5-row stopword profile crossing onto the
+      // |sources|-row totals (the x291 zero-fill shape) and the 1-row
+      // corpus total; x305's are the 1-row corpus-mass and 1-row cut
+      // frames onto the alphabet-sized walk (x254's constant class)
+      "x304_stopword_chi2", "x305_char_coverage")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -654,6 +654,28 @@ class Round11Spec extends SparkSpec {
     assert(got.getDouble(4) == r(6.0 / 1055.0))
   }
 
+  test("x304: chi-square terms are exact-integer ratios on the profile grid") {
+    val rows = Seq((1L, "the the a", "en", "sa", 9L),
+      (2L, "the a a a", "en", "sb", 9L))
+    val out = Round11Queries.x304StopwordChi2(spark, docsDir(rows))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getLong(3))).toMap
+    // profile: the 3, a 4; N = 7
+    val sa = BigDecimal(r(25.0 / 63.0)) + BigDecimal(r(25.0 / 84.0))
+    val sb = BigDecimal(r(25.0 / 84.0)) + BigDecimal(r(25.0 / 112.0))
+    assert(out("sa") == ((3L, sa.toDouble, 4L)))
+    assert(out("sb") == ((4L, sb.toDouble, 4L)))
+  }
+
+  test("x305: the 99.95% cut is the integer inequality; the tail is dropped") {
+    val rows = Seq((1L, Seq.fill(10000)("a").mkString(" ") + " z", "en", "s", 1L))
+    val got = Round11Queries.x305CharCoverage(spark, docsDir(rows)).head()
+    // chars: a x10000, z x1 -> cut at rank 1 (10000*10000 >= 9995*10001)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(4))
+      == ((2L, 10001L, 1L, 1L)))
+    assert(got.getDouble(3) == r(10000.0 / 10001.0))
+  }
+
   test("x275: duplicate rate lands in the length quartile of the dup docs") {
     // lengths 1..8 -> quartiles (1,1,2,2,3,3,4,4); docs 7 and 8 share a
     // token SET (order/multiplicity-insensitive fingerprint)
