@@ -43,7 +43,20 @@ object Bench {
     val extraRepBelow = 2.0 // seconds: best-of-2 min under this → rep 3
     var failures = List.empty[String] // every rep threw
     var flaky = List.empty[String]    // some rep threw — still not a clean pass
-    val perRep = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=x69_prep_v3,x89_dedup_agreement — isolation runs for
+    // the suite-pressure diagnosis (verdict r11 #1): a query timed alone in
+    // a fresh JVM vs in-suite separates "my plan regressed" from "318 other
+    // queries' codegen/memory pressure at my slot". A filtered run writes
+    // bench_partial.json, never bench_last.json — a subset must not
+    // masquerade as the round's headline artifact.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val perRep = selected.map { case (name, fn) =>
       if (warm) { try fn(spark, warmDir).count() catch { case _: Throwable => () } }
       def rep(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -98,8 +111,9 @@ object Bench {
     // a short trailing summary line that always fits the tail capture, and
     // the full JSON persisted to a file committed per round.
     val summary = s"""{"total_s":${math.round(total * 1000) / 1000.0},"failed":${failures.size},"flaky":${flaky.size},"n":${results.size}$x47Field,"reps":$reps,"sf":"$sfDir"}"""
+    val outFile = if (only.isDefined) "bench_partial.json" else "bench_last.json"
     try {
-      val w = new java.io.PrintWriter("bench_last.json", "UTF-8")
+      val w = new java.io.PrintWriter(outFile, "UTF-8")
       try { w.println(fullJson); w.println(summary) } finally w.close()
     } catch { case _: Throwable => () } // a read-only CWD must not fail the bench
     println(summary)
