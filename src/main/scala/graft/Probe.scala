@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * Probe corpora (the pinned r9 recipe, regenerated only when missing):
   *   - 10× — every base table's documents/embeddings with N=10 exact
   *     copies under shifted ids;
-  *   - 100× — documents-only, N=100 copies: dup-SATURATED by construction
-  *     (every doc sits in a 100-clique), the adversarial regime for pair
+  *   - 100× — documents AND embeddings (embeddings added r12, verdict
+  *     r11 #4), N=100 copies: dup-SATURATED by construction (every
+  *     doc/vector sits in a 100-clique), the adversarial regime for pair
   *     machinery.
   * Args: probe names to restrict (default all). Env: SPARK_GRAFT_SF_DIR
   * (organic base, default sf0.1), GRAFT_PROBE_10X / GRAFT_PROBE_100X
@@ -59,6 +60,7 @@ object Probe {
     copies(10, tenDir, "documents", "doc_id")
     copies(10, tenDir, "embeddings", "vec_id")
     copies(100, hundredDir, "documents", "doc_id")
+    copies(100, hundredDir, "embeddings", "vec_id")
   }
 
   def main(args: Array[String]): Unit = {
@@ -236,6 +238,28 @@ object Probe {
       run("x297_wasserstein", dir) {
         (queries.Round11Queries.x297Wasserstein(spark, dir).count(), Nil)
       }
+    }
+
+    // embeddings family (verdict r11 #4 — previously only round-9 prose):
+    // x293 k-center is k·N scans (linear), x289 JL rides a pair-bounded
+    // sample, x298 purity is a cluster-sized aggregate — all three take
+    // the new 100× embeddings decade. x59 SemDeDup's within-cluster pair
+    // cost is Σ cluster² BY DESIGN; at the dup-saturated 100× clusters
+    // grow 100× and pairs 10,000× — the documented quadratic regime (the
+    // x271 class), so its probe stops at 10× like x271.
+    for (dir <- Seq(sfDir, hundredDir)) {
+      run("x293_kcenter", dir) {
+        (queries.Round11Queries.x293KCenter(spark, dir).count(), Nil)
+      }
+      run("x289_jl_distortion", dir) {
+        (queries.Round11Queries.x289JlDistortion(spark, dir).count(), Nil)
+      }
+      run("x298_cluster_purity", dir) {
+        (queries.Round11Queries.x298ClusterPurity(spark, dir).count(), Nil)
+      }
+    }
+    for (dir <- Seq(sfDir, tenDir)) run("x59_semdedup", dir) {
+      (queries.LlmQueries.x59SemDedup(spark, dir).count(), Nil)
     }
 
     val json = renderJson(sfDir, recs.toSeq, partial = only.nonEmpty)

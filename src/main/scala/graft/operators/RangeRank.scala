@@ -29,6 +29,12 @@ import org.apache.spark.storage.StorageLevel
   * rows between partitions, never offsets + positions. Wall-clock scales
   * with the partition count, not |keys|.
   *
+  * CONTRACT: the key domain must be constant-or-small (a flag, a source
+  * column — all seven declared consumers). Pass 1 counts its own entries
+  * and fails fast past [[MaxKeyPartitionEntries]] with an error naming
+  * the alternative (a hash-partitioned ranking window), so a future
+  * caller passing doc_id gets a diagnosis instead of a driver OOM.
+  *
   * The sorted RDD is persisted (MEMORY_AND_DISK) because both passes
   * consume it — the standard cache-or-double-sort trade of two-pass
   * ranking. A lazy result can't unpersist its own input (the sweep
@@ -54,8 +60,18 @@ object RangeRank {
     def release(): Unit = pin.unpersist(blocking = false)
   }
 
+  /** Pass-1 bookkeeping ceiling (entries = partitions + distinct keys − 1,
+    * because range partitions hold contiguous key runs). Every declared
+    * consumer passes a constant or ≤|sources| key domain, so legitimate
+    * entry counts are ~partitions + tens; 1M entries is still only ~tens
+    * of MB of driver tuples, far below collect-OOM, but three orders of
+    * magnitude past any designed use — a caller that trips it has passed a
+    * data-cardinality key (doc_id) and needs a different operator. */
+  val MaxKeyPartitionEntries: Long = 1L << 20
+
   def rankWithinOwned(df: DataFrame, keyCol: String, orderCols: Seq[String],
-      rankName: String, numPartitions: Int = 0): Ranking = {
+      rankName: String, numPartitions: Int = 0,
+      maxKeyPartitionEntries: Long = MaxKeyPartitionEntries): Ranking = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
@@ -71,14 +87,32 @@ object RangeRank {
     def keyOf(r: Row): String =
       if (r.isNullAt(keyIdx)) "\u0000" else "v" + r.get(keyIdx)
     // pass 1: per-(partition, key) counts — metadata-sized by construction
-    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+    val countsRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       it.foreach { r =>
         val k = keyOf(r)
         m.update(k, m.getOrElse(k, 0L) + 1L)
       }
       m.iterator.map { case (k, c) => (pid, k, c) }
-    }.collect()
+    }
+    // fail-fast cardinality guard (verdict r11 #2): "metadata-sized" is a
+    // CONTRACT on the caller's key domain, not a property of the operator —
+    // an eighth caller passing doc_id would turn the collect below into a
+    // silent driver OOM with no error naming the cause. The distributed
+    // count() is a cheap re-tally over the persisted sorted input; the
+    // guard trips long before driver memory is at risk.
+    val nEntries = countsRdd.count()
+    if (nEntries > maxKeyPartitionEntries) {
+      rdd.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"RangeRank.rankWithinOwned: pass-1 bookkeeping has $nEntries " +
+        s"(partition, key) entries (> $maxKeyPartitionEntries). '$keyCol' " +
+        "is a data-cardinality key; this operator's driver-side offset " +
+        "scheme is for constant-or-small key domains (a flag, a source). " +
+        "Use row_number() OVER (PARTITION BY key) instead - with many " +
+        "distinct keys the hash-partitioned window already parallelizes.")
+    }
+    val counts = countsRdd.collect()
     val perKeyRunning = scala.collection.mutable.Map.empty[String, Long]
     val offsets: Map[(Int, String), Long] =
       counts.sortBy(_._1).map { case (pid, k, c) =>

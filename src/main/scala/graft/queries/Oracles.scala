@@ -5975,24 +5975,32 @@ object Oracles {
       |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin
 
   // x276: Σmin over shared tokens via the token equi-join; Σmax by the
-  // identity Na + Nb − Σmin. Exact longs, one division, round6.
+  // identity Na + Nb − Σmin. Exact longs, one division, round6. Every
+  // source pair is reported via the pair spine (advice r11): disjoint
+  // pairs carry zeros, never a missing row (mirrors the Spark side).
   val x276: String =
     """WITH grp AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
       |             FROM (SELECT source, unnest(string_split(text, ' ')) AS w
       |                   FROM documents WHERE text IS NOT NULL)
       |             GROUP BY source, w),
       |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM grp GROUP BY source),
+      |spine AS (SELECT ta.source AS source_a, tb.source AS source_b,
+      |                 ta.n AS na, tb.n AS nb
+      |          FROM tot ta JOIN tot tb ON ta.source < tb.source),
       |p AS (SELECT a.source AS source_a, b.source AS source_b,
       |             CAST(count(*) AS BIGINT) AS shared_types,
       |             CAST(sum(least(a.c, b.c)) AS BIGINT) AS sum_min
       |      FROM grp a JOIN grp b ON a.w = b.w AND a.source < b.source
       |      GROUP BY a.source, b.source)
-      |SELECT source_a, source_b, shared_types, sum_min, ta.n AS na, tb.n AS nb,
-      |       floor(CAST(sum_min AS DOUBLE) / CAST(ta.n + tb.n - sum_min AS DOUBLE)
+      |SELECT s.source_a, s.source_b,
+      |       coalesce(shared_types, 0) AS shared_types,
+      |       coalesce(sum_min, 0) AS sum_min, s.na, s.nb,
+      |       floor(CAST(coalesce(sum_min, 0) AS DOUBLE)
+      |             / CAST(s.na + s.nb - coalesce(sum_min, 0) AS DOUBLE)
       |             * 1000000 + 0.5) / 1000000 AS wjaccard
-      |FROM p JOIN tot ta ON p.source_a = ta.source
-      |       JOIN tot tb ON p.source_b = tb.source
-      |ORDER BY source_a, source_b""".stripMargin
+      |FROM spine s LEFT JOIN p ON s.source_a = p.source_a
+      |                        AND s.source_b = p.source_b
+      |ORDER BY s.source_a, s.source_b""".stripMargin
 
   // x277: pure integer counting over the 50-token gated graph; top-50 is
   // the (df desc, w) total order; one division, NULL when wedges = 0.
@@ -6669,7 +6677,8 @@ object Oracles {
 
   // x302: x99's p6 matrix, then 8 unrolled iterations — per-term products
   // round6 to DECIMAL, EXACT sums, re-round per entry (the quantized
-  // orbit both engines walk identically).
+  // orbit both engines walk identically). States = from ∪ to with an
+  // absorbing self-loop for sinks (advice r11 — mirrors the Spark side).
   val x302: String = {
     val iter = (0 until 8).map { i =>
       s"""v${i + 1} AS (SELECT t AS s,
@@ -6683,10 +6692,15 @@ object Oracles {
        |           FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
        |tr AS (SELECT event_type AS f, to_type AS t, CAST(count(*) AS BIGINT) AS n
        |       FROM sq WHERE to_type IS NOT NULL GROUP BY 1, 2),
-       |p AS (SELECT f, t, CAST(floor(CAST(n AS DOUBLE)
+       |p0 AS (SELECT f, t, CAST(floor(CAST(n AS DOUBLE)
        |           / CAST(sum(n) OVER (PARTITION BY f) AS DOUBLE) * 1000000 + 0.5)
        |           / 1000000 AS DECIMAL(18,6)) AS p6 FROM tr),
-       |states AS (SELECT DISTINCT f AS s FROM p),
+       |states AS (SELECT DISTINCT f AS s FROM p0
+       |           UNION SELECT DISTINCT t FROM p0),
+       |p AS (SELECT f, t, p6 FROM p0
+       |      UNION ALL
+       |      SELECT s, s, CAST(1.0 AS DECIMAL(18,6)) FROM states
+       |      WHERE s NOT IN (SELECT f FROM p0)),
        |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
        |v0 AS (SELECT s, CAST(floor(1.0 / CAST(k AS DOUBLE) * 1000000 + 0.5) / 1000000
        |           AS DECIMAL(18,6)) AS pi FROM states, k),
@@ -6711,8 +6725,11 @@ object Oracles {
       |FROM per LEFT JOIN top ON per.w = top.w
       |GROUP BY source ORDER BY source""".stripMargin
 
-  // x304: exact-integer chi-square numerators (HUGEINT mirror of Spark's
-  // DECIMAL(38,0)); one division per term, round6, decimal sum.
+  // x304: exact-integer chi-square numerators — counts cast to HUGEINT
+  // BEFORE any multiply (advice r11: a BIGINT o*nn raises here past
+  // ~9.2e18 and would wrap silently in non-ANSI Spark; Spark mirrors
+  // with DECIMAL(38,0) pre-multiply casts); one division per term,
+  // round6, decimal sum.
   val x304: String =
     """WITH tok AS (SELECT source, w
       |            FROM (SELECT source, unnest(string_split(text, ' ')) AS w
@@ -6726,9 +6743,12 @@ object Oracles {
       |         FROM (SELECT ns.source, ns.nsw, prof.w, prof.cw FROM ns, prof) g
       |         LEFT JOIN per ON per.source = g.source AND per.w = g.w),
       |t AS (SELECT source, nsw,
-      |             CAST(floor(CAST(CAST(o * nn - nsw * cw AS HUGEINT)
-      |                  * CAST(o * nn - nsw * cw AS HUGEINT) AS DOUBLE)
-      |                  / CAST(nsw * cw AS DOUBLE) / CAST(nn AS DOUBLE)
+      |             CAST(floor(CAST((CAST(o AS HUGEINT) * CAST(nn AS HUGEINT)
+      |                       - CAST(nsw AS HUGEINT) * CAST(cw AS HUGEINT))
+      |                  * (CAST(o AS HUGEINT) * CAST(nn AS HUGEINT)
+      |                       - CAST(nsw AS HUGEINT) * CAST(cw AS HUGEINT)) AS DOUBLE)
+      |                  / CAST(CAST(nsw AS HUGEINT) * CAST(cw AS HUGEINT) AS DOUBLE)
+      |                  / CAST(nn AS DOUBLE)
       |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS t6
       |      FROM grid, ntot)
       |SELECT source, min(nsw) AS n_stopwords,

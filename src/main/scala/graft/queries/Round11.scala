@@ -513,9 +513,16 @@ object Round11Queries {
     * Σmax = N_a + N_b − Σmin (identity — absent tokens contribute their
     * full count to max). All exact longs; one division, round6.
     *
+    * Output contract (advice r11): EVERY source pair is reported — pairs
+    * sharing no token LEFT-join the pair spine and carry wjaccard = 0
+    * with zero shared_types/sum_min, so a consumer of the re-crawl screen
+    * can never misread an absent row as not-evaluated. (The fixture has
+    * all pairs sharing tokens, so the spine is a no-op there.)
+    *
     * Scale shape: one (source, token) map-combining aggregate; the token
     * self-join's per-key fan-out is bounded by |sources|² per token, never
-    * docs (the x269 collapse argument); finale is |sources|²-sized.
+    * docs (the x269 collapse argument); the spine is |sources|²-sized
+    * arithmetic off the broadcast totals; finale is |sources|²-sized.
     */
   def x276WeightedJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import ExtendedQueries.stableRound6
@@ -524,19 +531,23 @@ object Round11Queries {
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
     val tot = grp.groupBy("source").agg(sum("c").as("n"))
-    grp.as("a").join(grp.as("b"),
+    val spine = tot.as("ta").join(broadcast(tot.as("tb")),
+        col("ta.source") < col("tb.source"))
+      .select(col("ta.source").as("source_a"), col("tb.source").as("source_b"),
+        col("ta.n").as("na"), col("tb.n").as("nb"))
+    val shared = grp.as("a").join(grp.as("b"),
         col("a.w") === col("b.w") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("shared_types"),
         sum(least(col("a.c"), col("b.c"))).as("sum_min"))
-      .join(broadcast(tot.select(col("source").as("source_a"),
-        col("n").as("na"))), Seq("source_a"))
-      .join(broadcast(tot.select(col("source").as("source_b"),
-        col("n").as("nb"))), Seq("source_b"))
-      .select(col("source_a"), col("source_b"), col("shared_types"),
-        col("sum_min"), col("na"), col("nb"),
-        stableRound6(col("sum_min").cast("double") /
-          (col("na") + col("nb") - col("sum_min")).cast("double"))
+    spine.join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("shared_types"), lit(0L)).as("shared_types"),
+        coalesce(col("sum_min"), lit(0L)).as("sum_min"),
+        col("na"), col("nb"),
+        stableRound6(coalesce(col("sum_min"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("sum_min"), lit(0L)))
+            .cast("double"))
           .as("wjaccard"))
       .orderBy("source_a", "source_b")
   }
@@ -558,6 +569,10 @@ object Round11Queries {
     * 50-row vocabulary gate, per-doc pair fan-out capped at C(50,2) by
     * the gate, then joins over the ≤1225-row edge list — constant-sized
     * regardless of corpus (the vocabulary gate IS the scale design).
+    * The edge list is PINNED and forced (advice r11): five downstream
+    * subtrees consume it (degree union ×2, 3-way triangle join ×3, edge
+    * count), and without the pin each could recompute the corpus scan +
+    * gated self-join; ownership follows the x275 swap pattern.
     */
   def x277TriangleCensus(spark: SparkSession, sfDir: String): DataFrame = {
     import ExtendedQueries.stableRound6
@@ -571,6 +586,10 @@ object Round11Queries {
     val edges = gated.as("a").join(gated.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
       .select(col("a.w").as("u"), col("b.w").as("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    val prev = x277Pinned.getAndSet(edges)
+    if (prev != null && (prev ne edges)) prev.unpersist(false)
     val deg = edges.select(col("u").as("x"))
       .unionAll(edges.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
@@ -589,6 +608,9 @@ object Round11Queries {
           lit(3.0) * col("n_triangles").cast("double") /
             col("n_wedges").cast("double"))).as("transitivity"))
   }
+
+  private val x277Pinned =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
   /** x278 — AMS F₂ SKETCH vs exact second moment (round-11): 16 sign-hash
     * estimators Z_j = Σ_w s_j(w)·c_w with s_j(w) = ±1 from the parity of
@@ -1531,6 +1553,10 @@ object Round11Queries {
     * part of the declared semantics, documented). 8 iterations contract
     * any start to well under 10⁻⁶ of equilibrium for this matrix class.
     *
+    * State space: from-types ∪ to-types, with an absorbing self-loop for
+    * sink types (advice r11 — a from-only state set silently leaks sink
+    * mass each step and π stops summing to 1; mirrored in the oracle).
+    *
     * Scale shape: ONE corpus pass builds the |types|²-row matrix (x99's
     * plan); the 8 iterations are joins over ≤|types|-row frames —
     * constant work regardless of corpus.
@@ -1546,12 +1572,23 @@ object Round11Queries {
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("f"), col("to_type").as("t"))
       .agg(count(lit(1)).as("n"))
-    val p = trans
+    val rows = trans
       .withColumn("p6", stableRound6(col("n") /
         sum("n").over(Window.partitionBy("f"))).cast("decimal(18,6)"))
       .select("f", "t", "p6")
+    // state space = from-types ∪ to-types (advice r11): a SINK type
+    // (appears only as a destination) previously fell outside the state
+    // set and leaked its inbound mass every step, so π summed to < 1.
+    // Sinks get an explicit self-loop (p=1 — the absorbing-state
+    // convention), making every row of the matrix stochastic; on a
+    // sink-free fixture both the state set and the orbit are unchanged.
+    val fromT = rows.select(col("f").as("s")).distinct()
+    val states = fromT.union(rows.select(col("t").as("s"))).distinct()
+    val sinks = states.join(fromT, Seq("s"), "left_anti")
+      .select(col("s").as("f"), col("s").as("t"),
+        lit(BigDecimal(1)).cast("decimal(18,6)").as("p6"))
+    val p = rows.union(sinks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val states = p.select(col("f").as("s")).distinct()
     val k = states.count()
     var v = states.select(col("s"),
       stableRound6(lit(1.0) / lit(k.toDouble)).cast("decimal(18,6)").as("pi"))
@@ -1621,9 +1658,14 @@ object Round11Queries {
     * source deviates, and by how much?".
     *
     * Exactness: with E_w = N_s·c_w/N rational, each χ² term is
-    * (o_w·N − N_s·c_w)²/(N_s·c_w·N) — an exact-integer numerator
-    * (≤ ~10²⁶ at sf0.1 → DECIMAL(38,0), x144's class) over an exact
-    * denominator, ONE division per term, round6 → DECIMAL sum (x101).
+    * (o_w·N − N_s·c_w)²/(N_s·c_w·N) — an exact-integer numerator over an
+    * exact denominator, ONE division per term, round6 → DECIMAL sum
+    * (x101). All four counts are cast to DECIMAL(38,0) BEFORE any
+    * multiply (advice r11): long products o·N / N_s·c_w would wrap
+    * silently in non-ANSI Spark (and raise in DuckDB) past ~9.2·10¹⁸,
+    * i.e. ~3·10⁹ stopword tokens — a reachable corpus. With decimal
+    * products the binding guard is the SQUARED numerator's 38-digit cap
+    * (diff ≤ ~10¹⁹, corpora to ~10⁹·⁵ stopword tokens — documented).
     *
     * Scale shape: one corpus scan with a per-row stopword filter into a
     * (source, stopword) map-combining count, a 5-row profile broadcast,
@@ -1644,14 +1686,14 @@ object Round11Queries {
       .join(per, Seq("source", "w"), "left")
       .select(col("source"), col("nsw"), col("w"), col("cw"),
         coalesce(col("o"), lit(0L)).as("o"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val diff = dec(col("o")) * dec(col("nn")) - dec(col("nsw")) * dec(col("cw"))
     grid.crossJoin(broadcast(nTot))
       .select(col("source"), col("nsw"),
         stableRound6(
-          ((col("o") * col("nn") - col("nsw") * col("cw"))
-            .cast("decimal(38,0)") *
-            (col("o") * col("nn") - col("nsw") * col("cw"))
-              .cast("decimal(38,0)")).cast("double") /
-          (col("nsw") * col("cw")).cast("double") / col("nn").cast("double"))
+          (diff * diff).cast("double") /
+          (dec(col("nsw")) * dec(col("cw"))).cast("double") /
+          col("nn").cast("double"))
           .cast("decimal(18,6)").as("t6"))
       .groupBy("source")
       .agg(min("nsw").as("n_stopwords"),

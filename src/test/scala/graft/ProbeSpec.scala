@@ -99,6 +99,46 @@ class ProbeSpec extends SparkSpec {
       s"banded candidates ($candFromSizes) must sit far under all-pairs ($allPairs)")
   }
 
+  // ---- structural probe invariants beyond x129/x13 (verdict r11 #3):
+  // a probe regression must FAIL A SPEC, not wait for a human to diff
+  // probe_last.json. These are the cheap shape contracts; walls stay the
+  // probe's business.
+
+  test("x47: fixpoint converges in a bounded round count") {
+    import graft.queries.LlmQueries
+    LlmQueries.x47DedupComponents(spark, sf).count()
+    val rounds = LlmQueries.x47LastRounds.get()
+    // label propagation halves the longest unresolved path per round;
+    // dup components are md5-fingerprint stars (diameter ≤ 2 hops), so
+    // double-digit rounds would mean the edge frame or the propagation
+    // rule regressed — the probe's 100× row has never needed more than 2
+    assert(rounds >= 1 && rounds <= 10,
+      s"x47 fixpoint took $rounds rounds — propagation shape regressed")
+  }
+
+  test("x269/x276: outputs are source-pair-bounded (x276 exactly the pair spine)") {
+    import graft.queries.Round11Queries
+    val srcWithText = core.Io.table(spark, sf, "documents")
+      .where("text IS NOT NULL").select("source").distinct().count()
+    val allPairs = srcWithText * (srcWithText - 1) / 2
+    val x269 = Round11Queries.x269DupLeakage(spark, sf).count()
+    assert(x269 <= allPairs,
+      s"x269 emitted $x269 rows > C($srcWithText,2)=$allPairs — the " +
+        "fingerprint collapse no longer bounds the self-join by sources")
+    // r12 contract: EVERY pair is reported (disjoint pairs carry zeros)
+    val x276 = Round11Queries.x276WeightedJaccard(spark, sf).count()
+    assert(x276 == allPairs,
+      s"x276 emitted $x276 rows, spine contract says exactly $allPairs")
+  }
+
+  test("x283: output is exactly ceil(n/25) — the systematic-design size guarantee") {
+    import graft.queries.Round11Queries
+    val n = core.Io.table(spark, sf, "documents").count()
+    val got = Round11Queries.x283SystematicSample(spark, sf).count()
+    assert(got == (n + 24) / 25,
+      s"x283 emitted $got rows for n=$n, expected ${(n + 24) / 25}")
+  }
+
   test("probe_last.json renderer emits parseable JSON with the contract fields") {
     import spark.implicits._
     val json = Probe.renderJson("/root/testdata/sf0.1", Seq(

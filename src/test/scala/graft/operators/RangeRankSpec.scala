@@ -88,4 +88,24 @@ class RangeRankSpec extends SparkSpec {
     assert(got(rb.df) == expect(rowsB))
     ra.release(); rb.release()
   }
+
+  test("key-cardinality guard fails fast with a data-cardinality key (verdict r11 #2)") {
+    // 200 distinct keys against a threshold of 50: the guard must throw
+    // BEFORE the driver-side collect, with an error naming the fix — not
+    // an OOM three frames deep. Same data under the default threshold
+    // still ranks exactly (the guard is a ceiling, not a behavior change).
+    val rows = (1 to 200).map(i => (s"k$i", i.toLong, i.toLong))
+    val df = rows.toDF("k", "v", "id")
+    val e = intercept[IllegalArgumentException] {
+      RangeRank.rankWithinOwned(df, "k", Seq("v", "id"), "rnk", 4,
+        maxKeyPartitionEntries = 50L)
+    }
+    assert(e.getMessage.contains("data-cardinality key"))
+    assert(e.getMessage.contains("PARTITION BY"))
+    val ok = RangeRank.rankWithinOwned(df, "k", Seq("v", "id"), "rnk", 4)
+    val got = ok.df.select("k", "v", "id", "rnk")
+      .as[(String, Long, Long, Long)].collect().toSet
+    ok.release()
+    assert(got == expect(rows))
+  }
 }

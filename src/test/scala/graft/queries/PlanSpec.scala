@@ -222,6 +222,10 @@ class PlanSpec extends SparkSpec {
       // 1-row snapped-width frame onto the bin scan; x275's is the 1-row
       // corpus count onto the ranked stream (x263's shapes)
       "x273_fd_histogram", "x275_dup_by_length",
+      // x276's is the |sources|² pair SPINE (self theta-join of the
+      // broadcast per-source totals, ≤20 rows a side — x215's shape,
+      // added r12 so disjoint pairs surface as wjaccard=0 rows)
+      "x276_weighted_jaccard",
       // x277's are the 1-row wedge and triangle totals crossing onto the
       // 1-row edge count (all three ≤1-row aggregates of the ≤1225-row
       // edge list); x278's are the 1-row exact-F2 and 1-row estimator-sum
@@ -870,7 +874,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin [w") || p.contains("BroadcastHashJoin [w") ||
       """(?s)Join.*\bw\b""".r.findFirstIn(p).isDefined,
       "the self-join must be the token equi-join (per-key fan-out bounded by sources²)")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the one nested-loop join is the r12 pair SPINE: a < b over the
+    // broadcast |sources|-row totals (x215's shape) — corpus-sized data
+    // must never nested-loop
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj == 1, s"exactly the sources-sized spine may nested-loop, got $bnlj")
     assert(p.contains("partial_count"), "the (source, token) counts combine map-side")
   }
 

@@ -186,13 +186,17 @@ class Round11Spec extends SparkSpec {
       (2L, "a b b c", "en", "sb", 7L),    // counts a:1 b:2 c:1, N = 4
       (3L, "z", "en", "sc", 1L))          // disjoint from both
     val out = Round11Queries.x276WeightedJaccard(spark, docsDir(rows)).collect()
-    assert(out.length == 1, "only (sa, sb) share any token")
-    val row = out.head
+    // r12 spine contract (advice r11): EVERY pair is a row — the two
+    // pairs touching the disjoint source sc carry explicit zeros instead
+    // of being silently absent
+    assert(out.length == 3, "all three source pairs must be reported")
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))
     // sum_min = min(2,1) + min(1,2) = 2; union mass = 3 + 4 - 2 = 5
-    assert(row.getString(0) == "sa" && row.getString(1) == "sb" &&
-      row.getLong(2) == 2L && row.getLong(3) == 2L &&
-      row.getLong(4) == 3L && row.getLong(5) == 4L &&
-      row.getDouble(6) == 0.4)
+    assert(tup(out(0)) == (("sa", "sb", 2L, 2L, 3L, 4L, 0.4)))
+    assert(tup(out(1)) == (("sa", "sc", 0L, 0L, 3L, 1L, 0.0)))
+    assert(tup(out(2)) == (("sb", "sc", 0L, 0L, 4L, 1L, 0.0)))
   }
 
   test("x277: triangle and wedge census on a hand-built 4-node graph") {
