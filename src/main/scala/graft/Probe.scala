@@ -262,6 +262,27 @@ object Probe {
       (queries.LlmQueries.x59SemDedup(spark, dir).count(), Nil)
     }
 
+    // round-12 members with corpus-scaling machinery: x311 is RangeRank
+    // consumer #8 (vocab rank — must stay FLAT like x263/x255); x320
+    // explodes three gram streams (corpus-linear, the x292 class); x319
+    // is pure fingerprint-collapse arithmetic (FLAT at dup saturation,
+    // the x287 class); x322 is candidate-bounded like x271 (so its probe
+    // stops at 10×).
+    for (dir <- Seq(sfDir, hundredDir)) {
+      run("x311_vocab_lorenz", dir) {
+        (queries.Round12Queries.x311VocabLorenz(spark, dir).count(), Nil)
+      }
+      run("x320_distinct_n", dir) {
+        (queries.Round12Queries.x320DistinctN(spark, dir).count(), Nil)
+      }
+      run("x319_pair_completeness", dir) {
+        (queries.Round12Queries.x319PairCompleteness(spark, dir).count(), Nil)
+      }
+    }
+    for (dir <- Seq(sfDir, tenDir)) run("x322_bbit_minhash", dir) {
+      (queries.Round12Queries.x322BbitMinhash(spark, dir).count(), Nil)
+    }
+
     val json = renderJson(sfDir, recs.toSeq, partial = only.nonEmpty)
     try {
       val w = new java.io.PrintWriter("probe_last.json", "UTF-8")

@@ -103,7 +103,7 @@ object LlmQueries {
     * costs zero shuffles where collect_set would shuffle the whole corpus.
     * `docs` must already be fanned out by the calling query.
     */
-  private def shingleSetArray(docs: DataFrame, extra: Seq[Column] = Nil): DataFrame =
+  private[queries] def shingleSetArray(docs: DataFrame, extra: Seq[Column] = Nil): DataFrame =
     docs.withColumn("toks", split(col("text"), " "))
       .select((col("doc_id") +: extra) :+ array_distinct(expr(
         """CASE WHEN size(toks) < 3 THEN CAST(array() AS ARRAY<STRING>)
@@ -118,7 +118,7 @@ object LlmQueries {
     * (md5("<j>|<shingle>")), so no k× seed cross join. Docs with no shingles
     * (< 3 tokens) produce no signature row.
     */
-  private def minhashSignature(docs: DataFrame, k: Int): DataFrame = {
+  private[queries] def minhashSignature(docs: DataFrame, k: Int): DataFrame = {
     val sh = explodedShingles(docs)
     val aggs = (0 until k).map(j =>
       min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))
@@ -128,7 +128,7 @@ object LlmQueries {
   /** (doc_id, band, bh) rows: `bandsOf` bands of `r` consecutive minhashes,
     * each band keyed by the md5 of its comma-joined signature slice.
     */
-  private def bandHashes(sig: DataFrame, bandsOf: Int, r: Int, extra: Seq[Column] = Nil): DataFrame = {
+  private[queries] def bandHashes(sig: DataFrame, bandsOf: Int, r: Int, extra: Seq[Column] = Nil): DataFrame = {
     val bandCols = (0 until bandsOf).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",", (0 until r).map(i => col(s"mh${b * r + i}")): _*)).as("bh"))

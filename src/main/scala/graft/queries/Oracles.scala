@@ -7151,6 +7151,680 @@ object Oracles {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ===== round 12 (x306–x326) =====
+
+  // shared CTE: per-(source, token) exact counts — the richness family's
+  // head (x306/x307/x318).
+  private val srcTokCte: String =
+    """grp AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      |        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+      |              FROM documents WHERE text IS NOT NULL)
+      |        GROUP BY source, w)""".stripMargin
+
+  // x306: counts exact; Σc² in HUGEINT (mirror of Spark's DECIMAL(38,0)
+  // cast-before-multiply); two divisions, round6.
+  val x306: String =
+    s"""WITH $srcTokCte,
+      |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+      |             CAST(sum(c) AS BIGINT) AS n_tokens,
+      |             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+      |             sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
+      |      FROM grp GROUP BY source)
+      |SELECT source, n_types, n_tokens, v1, v2,
+      |       floor(CAST(v1 AS DOUBLE) / CAST(n_types AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS hapax_share,
+      |       floor(10000.0 * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+      |             / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+      |             * 1000000 + 0.5) / 1000000 AS yule_k
+      |FROM g ORDER BY source""".stripMargin
+
+  // x307: Σc(c−1) and N(N−1) in HUGEINT; λ and its inverse each ONE
+  // division of the exact pair; NULL when the collision sum is 0.
+  val x307: String =
+    s"""WITH $srcTokCte,
+      |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+      |             CAST(sum(c) AS BIGINT) AS n_tokens,
+      |             CAST(max(c) AS BIGINT) AS cmax,
+      |             sum(CAST(c AS HUGEINT) * (CAST(c AS HUGEINT) - 1)) AS coll
+      |      FROM grp GROUP BY source)
+      |SELECT source, n_types, n_tokens,
+      |       CASE WHEN coll > 0 THEN
+      |         floor(CAST(coll AS DOUBLE)
+      |               / CAST(CAST(n_tokens AS HUGEINT) * (CAST(n_tokens AS HUGEINT) - 1) AS DOUBLE)
+      |               * 1000000 + 0.5) / 1000000 END AS simpson,
+      |       CASE WHEN coll > 0 THEN
+      |         floor(CAST(CAST(n_tokens AS HUGEINT) * (CAST(n_tokens AS HUGEINT) - 1) AS DOUBLE)
+      |               / CAST(coll AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS eff_types,
+      |       floor(CAST(cmax AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS berger_parker
+      |FROM g ORDER BY source""".stripMargin
+
+  // shared CTE: the three binary raters (mirrors Round12Queries.raters).
+  private val ratersCte: String =
+    """rt AS (SELECT doc_id,
+      |              CASE WHEN n_chars >= 120 THEN 1 ELSE 0 END AS r_len,
+      |              CASE WHEN len(string_split(text, ' ')) >= 24 THEN 1 ELSE 0 END AS r_tok,
+      |              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS r_lang
+      |       FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL)""".stripMargin
+
+  // x308: integer cells; squared difference in HUGEINT; NULL when no
+  // discordant pairs.
+  val x308: String =
+    s"""WITH $ratersCte,
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(CASE WHEN r_len = 1 AND r_tok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |             CAST(sum(CASE WHEN r_len = 1 AND r_tok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |             CAST(sum(CASE WHEN r_len = 0 AND r_tok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |             CAST(sum(CASE WHEN r_len = 0 AND r_tok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      |      FROM rt)
+      |SELECT n_docs, n11, n10, n01, n00,
+      |       CASE WHEN n10 + n01 > 0 THEN
+      |         floor(CAST((CAST(n10 AS HUGEINT) - CAST(n01 AS HUGEINT))
+      |                    * (CAST(n10 AS HUGEINT) - CAST(n01 AS HUGEINT)) AS DOUBLE)
+      |               / CAST(n10 + n01 AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS mcnemar
+      |FROM g""".stripMargin
+
+  // x309: x304's exact-numerator chain per OBSERVED cell + the closed
+  // form for the zero cells (Σ over full grid of E = N); HUGEINT
+  // pre-multiply casts; V one sqrt, NULL when min(r−1, c−1) = 0.
+  val x309: String =
+    """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_sl
+      |               FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+      |               GROUP BY source, lang),
+      |rm AS (SELECT source, CAST(sum(n_sl) AS BIGINT) AS ns FROM cells GROUP BY source),
+      |cm AS (SELECT lang, CAST(sum(n_sl) AS BIGINT) AS nl FROM cells GROUP BY lang),
+      |tot AS (SELECT CAST(sum(n_sl) AS BIGINT) AS n,
+      |               CAST(count(DISTINCT source) AS BIGINT) AS r,
+      |               CAST(count(DISTINCT lang) AS BIGINT) AS c FROM cells),
+      |t AS (SELECT CAST(sum(CAST(floor(
+      |               CAST((CAST(n_sl AS HUGEINT) * CAST(n AS HUGEINT)
+      |                     - CAST(ns AS HUGEINT) * CAST(nl AS HUGEINT))
+      |                    * (CAST(n_sl AS HUGEINT) * CAST(n AS HUGEINT)
+      |                       - CAST(ns AS HUGEINT) * CAST(nl AS HUGEINT)) AS DOUBLE)
+      |               / CAST(CAST(ns AS HUGEINT) * CAST(nl AS HUGEINT) AS DOUBLE)
+      |               / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |               AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS chi_obs,
+      |             CAST(sum(CAST(floor(
+      |               CAST(CAST(ns AS HUGEINT) * CAST(nl AS HUGEINT) AS DOUBLE)
+      |               / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |               AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS e_obs,
+      |             CAST(min(n) AS BIGINT) AS n, CAST(min(r) AS BIGINT) AS r,
+      |             CAST(min(c) AS BIGINT) AS c
+      |      FROM cells JOIN rm USING (source) JOIN cm USING (lang), tot)
+      |SELECT n, r, c,
+      |       floor((CAST(chi_obs AS DOUBLE) + CAST(n AS DOUBLE) - CAST(e_obs AS DOUBLE))
+      |             * 1000000 + 0.5) / 1000000 AS chi2,
+      |       CASE WHEN least(r - 1, c - 1) > 0 THEN
+      |         floor(sqrt((CAST(chi_obs AS DOUBLE) + CAST(n AS DOUBLE) - CAST(e_obs AS DOUBLE))
+      |                    / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE)))
+      |               * 1000000 + 0.5) / 1000000 END AS cramers_v
+      |FROM t""".stripMargin
+
+  // x310: ln of the exact-integer ratio (HUGEINT products), weighted by
+  // the exact cell share, round6 per term, DECIMAL sum.
+  val x310: String =
+    """WITH cells AS (SELECT source,
+      |                      CAST(CASE WHEN n_chars >= 120 THEN 1 ELSE 0 END AS BIGINT) AS flag,
+      |                      CAST(count(*) AS BIGINT) AS n_sq
+      |               FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |               GROUP BY 1, 2),
+      |ms AS (SELECT source, CAST(sum(n_sq) AS BIGINT) AS ns FROM cells GROUP BY source),
+      |mq AS (SELECT flag, CAST(sum(n_sq) AS BIGINT) AS nq FROM cells GROUP BY flag),
+      |tot AS (SELECT CAST(sum(n_sq) AS BIGINT) AS n FROM cells),
+      |t AS (SELECT source, flag, n_sq,
+      |             CAST(floor((CAST(n_sq AS DOUBLE) / CAST(n AS DOUBLE))
+      |                  * ln(CAST(CAST(n_sq AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
+      |                       / CAST(CAST(ns AS HUGEINT) * CAST(nq AS HUGEINT) AS DOUBLE))
+      |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS t6
+      |      FROM cells JOIN ms USING (source) JOIN mq USING (flag), tot),
+      |mi AS (SELECT CAST(sum(t6) AS DECIMAL(28,6)) AS mi FROM t)
+      |SELECT source, flag, n_sq, CAST(t6 AS DOUBLE) AS term,
+      |       CAST(mi AS DOUBLE) AS mi_nats
+      |FROM t, mi ORDER BY source, flag""".stripMargin
+
+  // x311: the decile cut is integer arithmetic on the (c desc, w)
+  // row_number; masses exact; the cumulative walk runs on the 10-row
+  // frame.
+  val x311: String =
+    """WITH vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+      |               FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |                     FROM documents WHERE text IS NOT NULL)
+      |               GROUP BY w),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c) AS BIGINT) AS n FROM vocab),
+      |rk AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS r FROM vocab),
+      |d AS (SELECT (10 * (r - 1)) // v + 1 AS decile,
+      |             CAST(count(*) AS BIGINT) AS n_types,
+      |             CAST(sum(c) AS BIGINT) AS mass,
+      |             CAST(min(n) AS BIGINT) AS n
+      |      FROM rk, tot GROUP BY 1)
+      |SELECT decile, n_types, mass,
+      |       CAST(sum(mass) OVER (ORDER BY decile
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_mass,
+      |       floor(CAST(mass AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |         AS mass_share,
+      |       floor(CAST(sum(mass) OVER (ORDER BY decile
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |             / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS cum_share
+      |FROM d ORDER BY decile""".stripMargin
+
+  // shared CTE: the x208 daily series (micros-rounded values summed per
+  // UTC day).
+  private val dayCte: String =
+    """day AS (
+      |  SELECT ts_us // 86400000000 AS day, CAST(sum(v) AS BIGINT) AS x
+      |  FROM (SELECT epoch_us(ts) AS ts_us,
+      |               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+      |        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+      |  GROUP BY 1)""".stripMargin
+
+  // x312: signs and run boundaries through two lag windows; E/Var/z one
+  // float chain from exact longs, NULL when degenerate.
+  val x312: String =
+    s"""WITH $dayCte,
+      |sg AS (SELECT day, CASE WHEN x > prev THEN 1 ELSE -1 END AS s
+      |       FROM (SELECT day, x, lag(x, 1) OVER (ORDER BY day) AS prev FROM day)
+      |       WHERE prev IS NOT NULL AND x <> prev),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+      |             CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_minus,
+      |             CAST(sum(CASE WHEN sp IS NOT NULL AND s <> sp THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs
+      |      FROM (SELECT s, lag(s, 1) OVER (ORDER BY day) AS sp FROM sg))
+      |SELECT n, n_plus, n_minus, n_runs,
+      |       floor((1.0 + 2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)
+      |              / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS expected_runs,
+      |       CASE WHEN n > 1 AND n_plus > 0 AND n_minus > 0 THEN
+      |         floor((2.0 * n_plus * n_minus * (2.0 * n_plus * n_minus - n))
+      |               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+      |               * 1000000 + 0.5) / 1000000 END AS var_runs,
+      |       CASE WHEN n > 1 AND n_plus > 0 AND n_minus > 0
+      |                 AND (2.0 * n_plus * n_minus * (2.0 * n_plus * n_minus - n))
+      |                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0
+      |       THEN
+      |         floor((CAST(n_runs AS DOUBLE)
+      |                - (1.0 + 2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE) / CAST(n AS DOUBLE)))
+      |               / sqrt((2.0 * n_plus * n_minus * (2.0 * n_plus * n_minus - n))
+      |                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+      |               * 1000000 + 0.5) / 1000000 END AS z
+      |FROM g""".stripMargin
+
+  // x313: x208's r_k verbatim (the quantized orbit), then the cumulative
+  // DECIMAL term walk and one multiplication per m.
+  val x313: String = {
+    val m = (1 to 7).map(k => s"sum(d * d$k) AS num$k").mkString(", ")
+    val leads = (1 to 7).map(k =>
+      s"lead(d, $k) OVER (ORDER BY day) AS d$k").mkString(", ")
+    val rows = (1 to 7).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS lag,
+         |       floor(CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE)
+         |             * 1000000 + 0.5) / 1000000 AS r FROM m""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH $dayCte,
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(x) AS BIGINT) AS sx
+       |      FROM day),
+       |dev AS (SELECT day, CAST(nd * x - sx AS HUGEINT) AS d FROM day, g),
+       |led AS (SELECT day, d, $leads FROM dev),
+       |m AS (SELECT sum(d * d) AS den, $m FROM led),
+       |acf AS ($rows),
+       |t AS (SELECT lag, r,
+       |             CAST(floor(r * r / CAST(nd - lag AS DOUBLE)
+       |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS t6
+       |      FROM acf, g),
+       |cw AS (SELECT lag, r,
+       |              CAST(sum(t6) OVER (ORDER BY lag
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                   AS DECIMAL(28,6)) AS cum
+       |       FROM t)
+       |SELECT lag, r,
+       |       floor(CAST(nd AS DOUBLE) * (CAST(nd AS DOUBLE) + 2.0)
+       |             * CAST(cum AS DOUBLE) * 1000000 + 0.5) / 1000000 AS q
+       |FROM cw, g ORDER BY lag""".stripMargin
+  }
+
+  // x323: S and ties exact integer counting (HUGEINT products); Sen's
+  // slope is the LOWER MEDIAN of round6'd slopes — a position pick over
+  // the (slope6, di, dj) total order, no interpolation.
+  val x323: String =
+    s"""WITH $dayCte,
+      |pairs AS (SELECT a.day AS di, b.day AS dj, a.x AS xi, b.x AS xj
+      |          FROM day a JOIN day b ON a.day < b.day),
+      |sa AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |              CAST(sum(CASE WHEN xj > xi THEN 1 WHEN xj < xi THEN -1 ELSE 0 END) AS BIGINT) AS s
+      |       FROM pairs),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM day),
+      |ties AS (SELECT coalesce(sum(CAST(t AS HUGEINT) * (CAST(t AS HUGEINT) - 1)
+      |                             * (CAST(t AS HUGEINT) * 2 + 5)), 0) AS tsum
+      |         FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM day GROUP BY x)),
+      |slope AS (SELECT floor(CAST(xj - xi AS DOUBLE) / CAST(dj - di AS DOUBLE)
+      |                 * 1000000 + 0.5) / 1000000 AS sl6, di, dj FROM pairs),
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM slope),
+      |med AS (SELECT sl6 AS sen_slope
+      |        FROM (SELECT sl6, row_number() OVER (ORDER BY sl6, di, dj) AS rn
+      |              FROM slope), mm
+      |        WHERE rn = (m + 1) // 2)
+      |SELECT n AS n_days, n_pairs, s AS s_stat,
+      |       floor(CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1)
+      |                  * (CAST(n AS HUGEINT) * 2 + 5) - tsum AS DOUBLE) / 18.0
+      |             * 1000000 + 0.5) / 1000000 AS var_s,
+      |       CASE WHEN CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1)
+      |                      * (CAST(n AS HUGEINT) * 2 + 5) - tsum AS DOUBLE) / 18.0 > 0
+      |       THEN floor(CAST(CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1 ELSE 0 END AS DOUBLE)
+      |                  / sqrt(CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1)
+      |                              * (CAST(n AS HUGEINT) * 2 + 5) - tsum AS DOUBLE) / 18.0)
+      |                  * 1000000 + 0.5) / 1000000 END AS z,
+      |       sen_slope
+      |FROM sa, nn, ties, med""".stripMargin
+
+  // x324: value-unit day sums (exact DECIMAL of round6 values), centered
+  // regressor; OLS moments exact; residuals round6 → squared as exact
+  // DECIMAL; DW one division. Mirrors the Spark side unit choice (the
+  // micros series' residuals square past 38 digits in both engines).
+  val x324: String =
+    """WITH dayr AS (
+      |  SELECT ts_us // 86400000000 AS day,
+      |         CAST(sum(v6) AS DECIMAL(28,6)) AS x
+      |  FROM (SELECT epoch_us(ts) AS ts_us,
+      |               CAST(floor(value * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS v6
+      |        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+      |  GROUP BY 1),
+      |dm AS (SELECT CAST(min(day) AS BIGINT) AS dmin FROM dayr),
+      |day AS (SELECT day - dmin AS t, x FROM dayr, dm),
+      |mom AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS st,
+      |               CAST(sum(t * t) AS BIGINT) AS stt,
+      |               CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+      |               CAST(sum(x * CAST(t AS DECIMAL(10,0))) AS DECIMAL(38,6)) AS stx
+      |        FROM day),
+      |fit AS (SELECT n,
+      |               floor((CAST(n AS DOUBLE) * CAST(stx AS DOUBLE)
+      |                      - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                     / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+      |                        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+      |                     * 1000000 + 0.5) / 1000000 AS b6, st, sx
+      |        FROM mom),
+      |fit2 AS (SELECT n, b6,
+      |                floor((CAST(sx AS DOUBLE) - b6 * CAST(st AS DOUBLE))
+      |                      / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS a6
+      |         FROM fit),
+      |e AS (SELECT t, n, b6,
+      |             CAST(floor((CAST(x AS DOUBLE) - a6 - b6 * CAST(t AS DOUBLE))
+      |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS e6
+      |      FROM day, fit2),
+      |w AS (SELECT n, b6, e6, lag(e6, 1) OVER (ORDER BY t) AS ep FROM e),
+      |agg AS (SELECT CAST(min(n) AS BIGINT) AS n_days, min(b6) AS slope,
+      |               CAST(sum(CAST(e6 AS DECIMAL(19,6)) * CAST(e6 AS DECIMAL(19,6)))
+      |                    AS DECIMAL(38,12)) AS see,
+      |               CAST(sum(CAST(e6 - ep AS DECIMAL(19,6))
+      |                        * CAST(e6 - ep AS DECIMAL(19,6)))
+      |                    AS DECIMAL(38,12)) AS sdd
+      |        FROM w)
+      |SELECT n_days, slope,
+      |       CASE WHEN see > 0 THEN
+      |         floor(CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE)
+      |               * 1000000 + 0.5) / 1000000 END AS dw
+      |FROM agg""".stripMargin
+
+  // x315: zero-filled (source, bucket) spine; per-term round6 → DECIMAL
+  // sums; Hellinger clamps 1−BC at 0 before the sqrt.
+  val x315: String =
+    """WITH cells AS (SELECT source, CAST(n_chars AS BIGINT) // 100 AS b,
+      |                      CAST(count(*) AS BIGINT) AS o
+      |               FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+      |               GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_s FROM cells GROUP BY source),
+      |nb AS (SELECT b, CAST(sum(o) AS BIGINT) AS n_b FROM cells GROUP BY b),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |grid AS (SELECT g.source, g.n_s, g.b, g.n_b, coalesce(cells.o, 0) AS o
+      |         FROM (SELECT ns.source, ns.n_s, nb.b, nb.n_b FROM ns, nb) g
+      |         LEFT JOIN cells ON cells.source = g.source AND cells.b = g.b),
+      |t AS (SELECT source, n_s,
+      |             CAST(floor(sqrt((CAST(o AS DOUBLE) / CAST(n_s AS DOUBLE))
+      |                  * (CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)))
+      |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS bc6,
+      |             CAST(floor(abs(CAST(o AS DOUBLE) / CAST(n_s AS DOUBLE)
+      |                  - CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))
+      |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS tv6
+      |      FROM grid, tot),
+      |g AS (SELECT source, CAST(min(n_s) AS BIGINT) AS n_docs,
+      |             CAST(sum(bc6) AS DECIMAL(28,6)) AS bc,
+      |             CAST(sum(tv6) AS DECIMAL(28,6)) AS tv
+      |      FROM t GROUP BY source)
+      |SELECT source, n_docs,
+      |       floor(CAST(bc AS DOUBLE) * 1000000 + 0.5) / 1000000 AS bhattacharyya,
+      |       floor(sqrt(greatest(0.0, 1.0 - CAST(bc AS DOUBLE)))
+      |             * 1000000 + 0.5) / 1000000 AS hellinger,
+      |       floor(CAST(tv AS DOUBLE) / 2.0 * 1000000 + 0.5) / 1000000 AS tvd
+      |FROM g ORDER BY source""".stripMargin
+
+  // x316: the two cumulative walks over value-cardinality frames; pair
+  // sums collapse to exact integers; HUGEINT for the n₁·n₂ product.
+  val x316: String =
+    """WITH sv AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+      |                   CAST(count(*) AS BIGINT) AS a
+      |            FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+      |            GROUP BY 1, 2),
+      |gv AS (SELECT v, CAST(sum(a) AS BIGINT) AS nv FROM sv GROUP BY v),
+      |gc AS (SELECT v, nv, CAST(sum(nv) OVER (ORDER BY v
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumAll
+      |       FROM gv),
+      |sc AS (SELECT source, v, a, CAST(sum(a) OVER (PARTITION BY source ORDER BY v
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumOwn
+      |       FROM sv),
+      |tot AS (SELECT CAST(sum(nv) AS BIGINT) AS n FROM gv),
+      |ng AS (SELECT source, CAST(sum(a) AS BIGINT) AS n_own FROM sv GROUP BY source),
+      |j AS (SELECT sc.source, sc.a,
+      |             (gc.cumAll - gc.nv) - (sc.cumOwn - sc.a) AS lessRest,
+      |             (tot.n - gc.cumAll) - (ng.n_own - sc.cumOwn) AS greaterRest,
+      |             ng.n_own, tot.n
+      |      FROM sc JOIN gc USING (v) JOIN ng USING (source), tot),
+      |g AS (SELECT source, CAST(min(n_own) AS BIGINT) AS n_own,
+      |             CAST(min(n - n_own) AS BIGINT) AS n_rest,
+      |             sum(CAST(a AS HUGEINT) * (CAST(lessRest AS HUGEINT)
+      |                 - CAST(greaterRest AS HUGEINT))) AS num
+      |      FROM j GROUP BY source)
+      |SELECT source, n_own, n_rest,
+      |       CASE WHEN n_rest > 0 THEN
+      |         floor(CAST(num AS DOUBLE)
+      |               / CAST(CAST(n_own AS HUGEINT) * CAST(n_rest AS HUGEINT) AS DOUBLE)
+      |               * 1000000 + 0.5) / 1000000 END AS cliffs_delta
+      |FROM g ORDER BY source""".stripMargin
+
+  // x317: u is an exact dyadic rational from the first 13 md5 hex digits
+  // — both engines order by the identical IEEE priority; τ and the
+  // estimates round6 at the edges.
+  val x317: String =
+    """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+      |                     (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+      |                       / 4503599627370496.0 AS u
+      |              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |q AS (SELECT doc_id, w, CAST(w AS DOUBLE) / u AS q FROM base),
+      |top AS (SELECT doc_id, w, q, rn FROM
+      |          (SELECT doc_id, w, q,
+      |                  row_number() OVER (ORDER BY q DESC, doc_id) AS rn FROM q)
+      |        WHERE rn <= 51),
+      |tau AS (SELECT coalesce(min(floor(q * 1000000 + 0.5) / 1000000), 0.0) AS tau6
+      |        FROM top WHERE rn = 51),
+      |tt AS (SELECT CAST(sum(w) AS BIGINT) AS true_total FROM base),
+      |samp AS (SELECT doc_id, w, q, tau6,
+      |                floor(greatest(CAST(w AS DOUBLE), tau6) * 1000000 + 0.5) / 1000000 AS w_est6
+      |         FROM top, tau WHERE rn <= 50),
+      |et AS (SELECT CAST(sum(CAST(w_est6 AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS est FROM samp)
+      |SELECT doc_id, w, floor(q * 1000000 + 0.5) / 1000000 AS priority,
+      |       tau6 AS tau, w_est6 AS w_est, CAST(est AS DOUBLE) AS est_total,
+      |       true_total
+      |FROM samp, et, tt ORDER BY doc_id""".stripMargin
+
+  // x319: collapse arithmetic only (ΣC(m,2) per group family); HUGEINT
+  // products; NULL completeness when no true pairs.
+  val x319: String =
+    """WITH d AS (SELECT doc_id,
+      |                  md5(array_to_string(list_sort(list_distinct(
+      |                    string_split(text, ' '))), ' ')) AS fp,
+      |                  substring(text, 1, 8) AS blk
+      |           FROM documents WHERE text IS NOT NULL),
+      |tr AS (SELECT CAST(sum(CAST(m AS HUGEINT) * (CAST(m AS HUGEINT) - 1) // 2) AS HUGEINT) AS true_pairs,
+      |              CAST(sum(m) AS BIGINT) AS n_docs
+      |       FROM (SELECT CAST(count(*) AS BIGINT) AS m FROM d GROUP BY fp)),
+      |ca AS (SELECT CAST(sum(CAST(c AS HUGEINT) * (CAST(c AS HUGEINT) - 1) // 2) AS HUGEINT) AS caught_pairs
+      |       FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM d GROUP BY fp, blk)),
+      |cd AS (SELECT CAST(sum(CAST(nb AS HUGEINT) * (CAST(nb AS HUGEINT) - 1) // 2) AS HUGEINT) AS cand_pairs
+      |       FROM (SELECT CAST(count(*) AS BIGINT) AS nb FROM d GROUP BY blk))
+      |SELECT n_docs, CAST(true_pairs AS BIGINT) AS true_pairs,
+      |       CAST(caught_pairs AS BIGINT) AS caught_pairs,
+      |       CASE WHEN true_pairs > 0 THEN
+      |         floor(CAST(caught_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE)
+      |               * 1000000 + 0.5) / 1000000 END AS pair_completeness,
+      |       CAST(cand_pairs AS BIGINT) AS cand_pairs,
+      |       floor((1.0 - CAST(cand_pairs AS DOUBLE)
+      |              / CAST(CAST(n_docs AS HUGEINT) * (CAST(n_docs AS HUGEINT) - 1) // 2 AS DOUBLE))
+      |             * 1000000 + 0.5) / 1000000 AS reduction_ratio
+      |FROM tr, ca, cd""".stripMargin
+
+  // x320: three gram collapses, each giving (distinct, total) per source.
+  val x320: String = {
+    def one(n: Int): String =
+      if (n == 1)
+        """SELECT source, CAST(1 AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS n_total,
+          |       CAST(count(*) AS BIGINT) AS n_distinct,
+          |       floor(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+          |             * 1000000 + 0.5) / 1000000 AS distinct_ratio
+          |FROM (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+          |      FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+          |            FROM documents WHERE text IS NOT NULL)
+          |      GROUP BY source, w)
+          |GROUP BY source""".stripMargin
+      else {
+        val parts = (0 until n).map(k => s"toks[i+$k]").mkString(", ")
+        s"""SELECT source, CAST($n AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS n_total,
+           |       CAST(count(*) AS BIGINT) AS n_distinct,
+           |       floor(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+           |             * 1000000 + 0.5) / 1000000 AS distinct_ratio
+           |FROM (SELECT source, gram, CAST(count(*) AS BIGINT) AS c
+           |      FROM (SELECT source,
+           |                   unnest(list_transform(range(1, len(toks) - ${n - 2}),
+           |                          i -> concat_ws(' ', $parts))) AS gram
+           |            FROM (SELECT source, string_split(text, ' ') AS toks
+           |                  FROM documents WHERE text IS NOT NULL))
+           |      GROUP BY source, gram)
+           |GROUP BY source""".stripMargin
+      }
+    s"""SELECT * FROM (
+       |${one(1)}
+       |UNION ALL
+       |${one(2)}
+       |UNION ALL
+       |${one(3)}
+       |) ORDER BY source, n""".stripMargin
+  }
+
+  // x321: every rule an integer inequality — no float thresholds.
+  val x321: String =
+    """WITH d AS (SELECT source,
+      |                  CAST(len(toks) AS BIGINT) AS nw,
+      |                  CAST(length(replace(text, ' ', '')) AS BIGINT) AS lw,
+      |                  CAST(len(list_filter(toks, x -> regexp_matches(x, '[^a-zA-Z]'))) AS BIGINT) AS nsym,
+      |                  CAST(len(list_intersect(list_distinct(toks),
+      |                       ['the', 'a', 'of', 'to', 'and'])) AS BIGINT) AS nstop
+      |           FROM (SELECT source, text, string_split(text, ' ') AS toks
+      |                 FROM documents WHERE text IS NOT NULL)),
+      |p AS (SELECT source,
+      |             CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END AS p1,
+      |             CASE WHEN 3 * nw <= lw AND lw <= 10 * nw THEN 1 ELSE 0 END AS p2,
+      |             CASE WHEN 10 * nsym <= nw THEN 1 ELSE 0 END AS p3,
+      |             CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS p4
+      |      FROM d)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(p1) AS BIGINT) AS pass_words,
+      |       CAST(sum(p2) AS BIGINT) AS pass_wordlen,
+      |       CAST(sum(p3) AS BIGINT) AS pass_symbols,
+      |       CAST(sum(p4) AS BIGINT) AS pass_stopwords,
+      |       CAST(sum(p1 * p2 * p3 * p4) AS BIGINT) AS pass_all,
+      |       floor(CAST(sum(p1 * p2 * p3 * p4) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS pass_rate
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
+
+  // x322: x62's candidate/signature machinery plus the last-hex-digit
+  // parity bits; the 1-bit error compares against the RAW Jaccard ratio
+  // (mirrors the Spark side).
+  val x322: String =
+    s"""WITH $shingleCte,
+      |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+      |  FROM sh, range(0, 16) s(j) GROUP BY doc_id, j),
+      |band AS (
+      |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, ',' ORDER BY j)) AS bh
+      |  FROM mh GROUP BY doc_id, j // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+      |agree AS (
+      |  SELECT c.d1, c.d2,
+      |         CAST(sum(CASE WHEN ('0x' || substring(m1.mh, 32, 1))::BIGINT % 2
+      |                            = ('0x' || substring(m2.mh, 32, 1))::BIGINT % 2
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_bits_eq,
+      |         CAST(sum(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_full_eq
+      |  FROM cand c
+      |  JOIN mh m1 ON m1.doc_id = c.d1
+      |  JOIN mh m2 ON m2.doc_id = c.d2 AND m2.j = m1.j
+      |  GROUP BY 1, 2),
+      |inter AS (
+      |  SELECT c.d1, c.d2, count(*) AS n_common
+      |  FROM cand c
+      |  JOIN shd s1 ON s1.doc_id = c.d1
+      |  JOIN shd s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+      |  GROUP BY 1, 2)
+      |SELECT a.d1 AS d1, a.d2 AS d2, n_bits_eq,
+      |       floor((2.0 * CAST(n_bits_eq AS DOUBLE) / 16.0 - 1.0)
+      |             * 1000000 + 0.5) / 1000000 AS est_1bit,
+      |       floor(CAST(n_full_eq AS DOUBLE) / 16.0 * 1000000 + 0.5) / 1000000 AS est_full,
+      |       floor(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+      |             / (z1.n + z2.n - coalesce(i.n_common, 0)) * 1000000 + 0.5)
+      |         / 1000000 AS jaccard,
+      |       floor(abs(2.0 * CAST(n_bits_eq AS DOUBLE) / 16.0 - 1.0
+      |                 - CAST(coalesce(i.n_common, 0) AS DOUBLE)
+      |                   / (z1.n + z2.n - coalesce(i.n_common, 0)))
+      |             * 1000000 + 0.5) / 1000000 AS abs_err_1bit
+      |FROM agree a
+      |LEFT JOIN inter i ON i.d1 = a.d1 AND i.d2 = a.d2
+      |JOIN sizes z1 ON z1.doc_id = a.d1
+      |JOIN sizes z2 ON z2.doc_id = a.d2
+      |ORDER BY a.d1, a.d2""".stripMargin
+
+  // x325: s6 one sqrt from exact moments; weights round6 → DECIMAL exact
+  // sum; floors of identical doubles; largest-remainder by the
+  // (remainder desc, source) total order against the exact deficit.
+  val x325: String =
+    """WITH mom AS (SELECT source, CAST(count(*) AS BIGINT) AS nh,
+      |                    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx,
+      |                    sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS sxx
+      |             FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+      |             GROUP BY source),
+      |s AS (SELECT source, nh,
+      |             floor(sqrt(greatest(0.0,
+      |                   CAST(CAST(nh AS HUGEINT) * sxx
+      |                        - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)))
+      |                   / CAST(nh AS DOUBLE) * 1000000 + 0.5) / 1000000 AS s6
+      |      FROM mom),
+      |w AS (SELECT source, nh, s6,
+      |             CAST(floor(CAST(nh AS DOUBLE) * s6 * 1000000 + 0.5) / 1000000
+      |                  AS DECIMAL(18,6)) AS wh
+      |      FROM s),
+      |tot AS (SELECT CAST(sum(wh) AS DECIMAL(28,6)) AS t FROM w),
+      |raw AS (SELECT source, nh, s6,
+      |               CASE WHEN t > 0 THEN 1000.0 * CAST(wh AS DOUBLE) / CAST(t AS DOUBLE)
+      |                    ELSE 0.0 END AS rawAlloc
+      |        FROM w, tot),
+      |fl AS (SELECT source, nh, s6, CAST(floor(rawAlloc) AS BIGINT) AS fl,
+      |              floor((rawAlloc - floor(rawAlloc)) * 1000000 + 0.5) / 1000000 AS rem6
+      |       FROM raw),
+      |d AS (SELECT 1000 - CAST(sum(fl) AS BIGINT) AS d FROM fl),
+      |rk AS (SELECT source, nh, s6, fl, rem6,
+      |              row_number() OVER (ORDER BY rem6 DESC, source) AS rk
+      |       FROM fl)
+      |SELECT source, nh AS n_docs, s6 AS stddev, fl AS alloc_floor,
+      |       CAST(fl + CASE WHEN rk <= d THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM rk, d ORDER BY source""".stripMargin
+
+  // x326: the x28 per-element cosine recipe against the 8 x52 centers;
+  // best/second by the (cosine desc, cid) total order; per-vector s
+  // round6 → DECIMAL means.
+  val x326: String =
+    """WITH sc AS (
+      |  SELECT a.vec_id, c.vec_id AS cid,
+      |    floor(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) /
+      |      (sqrt(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)))
+      |       * sqrt(sum(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE))))
+      |      * 1000000 + 0.5) / 1000000 AS ac
+      |  FROM embeddings a JOIN embeddings c ON c.vec_id BETWEEN 1 AND 8,
+      |       range(1, 65) i(i)
+      |  GROUP BY 1, 2),
+      |best AS (
+      |  SELECT vec_id, ac AS c1, cid AS own FROM sc
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cid) = 1),
+      |sec AS (
+      |  SELECT sc.vec_id, max(sc.ac) AS c2
+      |  FROM sc JOIN best ON sc.vec_id = best.vec_id AND sc.cid <> best.own
+      |  GROUP BY sc.vec_id),
+      |s AS (
+      |  SELECT best.vec_id, best.own, best.c1, sec.c2,
+      |         CASE WHEN sec.c2 < 1.0 THEN
+      |           floor((best.c1 - sec.c2) / (1.0 - sec.c2) * 1000000 + 0.5) / 1000000
+      |         END AS s6
+      |  FROM best JOIN sec ON best.vec_id = sec.vec_id)
+      |SELECT own AS cid, CAST(count(*) AS BIGINT) AS n_members,
+      |       floor(CAST(CAST(sum(CAST(c1 AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_own_cosine,
+      |       floor(CAST(CAST(sum(CAST(c2 AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_other_cosine,
+      |       floor(CAST(CAST(sum(CAST(s6 AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS silhouette
+      |FROM s GROUP BY own ORDER BY cid""".stripMargin
+
+  // x318: V/V1/V2 exact; the V2=0 bias-corrected branch mirrors Spark.
+  val x318: String =
+    s"""WITH $srcTokCte,
+      |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+      |             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+      |      FROM grp GROUP BY source)
+      |SELECT source, n_types, v1, v2,
+      |       CASE WHEN v2 > 0 THEN
+      |         floor((CAST(n_types AS DOUBLE)
+      |                + CAST(CAST(v1 AS HUGEINT) * CAST(v1 AS HUGEINT) AS DOUBLE)
+      |                  / (CAST(v2 AS DOUBLE) * 2.0)) * 1000000 + 0.5) / 1000000
+      |       ELSE
+      |         floor((CAST(n_types AS DOUBLE)
+      |                + CAST(CAST(v1 AS HUGEINT) * (CAST(v1 AS HUGEINT) - 1) AS DOUBLE) / 2.0)
+      |               * 1000000 + 0.5) / 1000000
+      |       END AS chao1
+      |FROM g ORDER BY source""".stripMargin
+
+  // x314: G totals and L moments from one scan; HUGEINT squares; NULL
+  // when the denominator collapses.
+  val x314: String =
+    s"""WITH $ratersCte,
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(r_len) AS BIGINT) AS g_len,
+      |             CAST(sum(r_tok) AS BIGINT) AS g_tok,
+      |             CAST(sum(r_lang) AS BIGINT) AS g_lang,
+      |             CAST(sum(r_len + r_tok + r_lang) AS BIGINT) AS sl,
+      |             sum(CAST(r_len + r_tok + r_lang AS HUGEINT)
+      |                 * CAST(r_len + r_tok + r_lang AS HUGEINT)) AS sl2
+      |      FROM rt)
+      |SELECT n_docs, g_len, g_tok, g_lang,
+      |       CASE WHEN 3 * CAST(sl AS HUGEINT) - sl2 > 0 THEN
+      |         floor(CAST(2 * (3 * (CAST(g_len AS HUGEINT) * CAST(g_len AS HUGEINT)
+      |                              + CAST(g_tok AS HUGEINT) * CAST(g_tok AS HUGEINT)
+      |                              + CAST(g_lang AS HUGEINT) * CAST(g_lang AS HUGEINT))
+      |                         - CAST(sl AS HUGEINT) * CAST(sl AS HUGEINT)) AS DOUBLE)
+      |               / CAST(3 * CAST(sl AS HUGEINT) - sl2 AS DOUBLE)
+      |               * 1000000 + 0.5) / 1000000 END AS cochran_q
+      |FROM g""".stripMargin
+
+  val r12Group: Map[String, String] = Map(
+    "x306_lexical_richness"   -> x306,
+    "x307_simpson"            -> x307,
+    "x308_mcnemar"            -> x308,
+    "x309_cramers_v"          -> x309,
+    "x310_mutual_information" -> x310,
+    "x311_vocab_lorenz"       -> x311,
+    "x312_runs_test"          -> x312,
+    "x313_ljung_box"          -> x313,
+    "x314_cochran_q"          -> x314,
+    "x315_hist_distances"     -> x315,
+    "x316_cliffs_delta"       -> x316,
+    "x317_priority_sample"    -> x317,
+    "x318_chao1"              -> x318,
+    "x319_pair_completeness"  -> x319,
+    "x320_distinct_n"         -> x320,
+    "x321_gopher_rules"       -> x321,
+    "x322_bbit_minhash"       -> x322,
+    "x323_mann_kendall"       -> x323,
+    "x324_durbin_watson"      -> x324,
+    "x325_neyman_allocation"  -> x325,
+    "x326_silhouette"         -> x326)
+
   val rGroup: Map[String, String] = Map(
     "r1_clean_standardize" -> r1,
     "r2_dq_profile"        -> r2,

@@ -1,0 +1,1035 @@
+package graft.queries
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 additions (registered in SparkEntry, oracled in Oracles):
+  * lexical-richness economics (x306/x307/x318/x320), filter-rule
+  * inference (x308 McNemar, x314 Cochran's Q, x309 Cramér's V, x310
+  * mutual information), vocabulary concentration (x311 Lorenz deciles —
+  * RangeRank consumer #8), time-series diagnostics over the event stream
+  * (x312 runs test, x313 Ljung–Box, x323 Mann–Kendall/Sen, x324
+  * Durbin–Watson), distribution distances (x315 Bhattacharyya/Hellinger/
+  * TVD, x316 Cliff's delta), weighted sampling (x317 priority sampling,
+  * x325 Neyman allocation), dedup evaluation (x319 blocking pair
+  * completeness, x322 b-bit minhash calibration), quality filtering
+  * (x321 Gopher rule panel) and clustering diagnostics (x326 simplified
+  * silhouette). Same conventions as Round11 (fanOut, stableRound6 at
+  * every float edge, DECIMAL exact sums, md5 portability, map-combining
+  * aggregates, mirrored NULL pins).
+  */
+object Round12Queries {
+  import LlmQueries.fanOut
+
+  /** Per-(source, token) exact counts — the shared head of the richness
+    * family (x306/x307/x318/x320 n=1). One corpus scan, one map-combining
+    * aggregate to the per-source vocabulary. */
+  private def sourceTokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** x306 — LEXICAL RICHNESS panel per source (round-12): types V, tokens
+    * N, hapax V₁ and dis legomena V₂ counts, hapax share V₁/V, and
+    * Yule's characteristic K = 10⁴·(Σc² − N)/N² — the classic
+    * repetitiveness constant (Yule 1944): K is length-invariant where raw
+    * TTR (x55) is not, so it is THE cross-source comparable for "how
+    * repetitive is this crawl really", and a K spike flags boilerplate
+    * the dedup family should then look at.
+    *
+    * Exactness: all counts exact longs; Σc² in DECIMAL(38,0) with the
+    * x304 cast-before-multiply rule (c² wraps long past ~3·10⁹
+    * occurrences of one token); the two ratios are single divisions from
+    * exact integers, round6.
+    *
+    * Scale shape: one (source, token) map-combining aggregate, then a
+    * |sources|-row finale. Nothing corpus-sized shuffles.
+    */
+  def x306LexicalRichness(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    sourceTokenCounts(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"),
+        sum((col("c") === 1).cast("long")).as("v1"),
+        sum((col("c") === 2).cast("long")).as("v2"),
+        sum(dec(col("c")) * dec(col("c"))).as("s2"))
+      .select(col("source"), col("n_types"), col("n_tokens"), col("v1"),
+        col("v2"),
+        stableRound6(col("v1").cast("double") / col("n_types").cast("double"))
+          .as("hapax_share"),
+        stableRound6(lit(10000.0) *
+          (col("s2").cast("double") - col("n_tokens").cast("double")) /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          .as("yule_k"))
+      .orderBy("source")
+  }
+
+  /** x307 — SIMPSON CONCENTRATION of each source's token distribution
+    * (round-12): the unbiased Simpson index λ = Σc(c−1)/(N(N−1)) (the
+    * probability two sampled tokens coincide), its inverse 1/λ — the
+    * "effective vocabulary size" in types — and the Berger–Parker
+    * dominance max(c)/N. Completes the concentration family: x101's
+    * entropy weights the whole distribution logarithmically; Simpson is
+    * the ℓ₂ member (and the x278 F₂ normalized), the one a sampling
+    * collision argument actually uses.
+    *
+    * Exactness: c(c−1) and N(N−1) in DECIMAL(38,0) (cast before
+    * multiply); λ and 1/λ are each ONE division of the exact decimal
+    * pair, round6 (inverse from the EXACT ratio, not from rounded λ);
+    * NULL when Σc(c−1) = 0 (all-hapax source; mirrored CASE).
+    *
+    * Scale shape: identical to x306 — vocabulary aggregate + |sources|
+    * finale.
+    */
+  def x307SimpsonConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    sourceTokenCounts(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"),
+        max("c").as("cmax"),
+        sum(dec(col("c")) * (dec(col("c")) - 1)).as("coll"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        when(col("coll") > 0, stableRound6(col("coll").cast("double") /
+          (dec(col("n_tokens")) * (dec(col("n_tokens")) - 1)).cast("double")))
+          .as("simpson"),
+        when(col("coll") > 0, stableRound6(
+          (dec(col("n_tokens")) * (dec(col("n_tokens")) - 1)).cast("double") /
+            col("coll").cast("double"))).as("eff_types"),
+        stableRound6(col("cmax").cast("double") / col("n_tokens").cast("double"))
+          .as("berger_parker"))
+      .orderBy("source")
+  }
+
+  /** The three binary document raters shared by x286 (Fleiss), x266
+    * (Cohen on two of them), x308 (McNemar) and x314 (Cochran's Q):
+    * length (n_chars ≥ 120), tokens (≥ 24) and language (= 'en'). One
+    * definition so the agreement family cannot drift. */
+  private def raters(spark: SparkSession, sfDir: String): DataFrame =
+    Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("doc_id"),
+        (col("n_chars") >= 120).cast("long").as("r_len"),
+        (size(split(col("text"), " ")) >= 24).cast("long").as("r_tok"),
+        (col("lang") === "en").cast("long").as("r_lang"))
+
+  /** x308 — McNEMAR'S TEST between the length and token quality rules
+    * (round-12): the 2×2 table of per-document verdicts and the statistic
+    * (b−c)²/(b+c) over the DISCORDANT cells — the paired-comparison test
+    * x266's κ does not give: κ scores agreement, McNemar scores whether
+    * the two rules' DISAGREEMENTS are symmetric (a significant statistic
+    * means one rule is systematically stricter, i.e. swapping rules
+    * changes the kept corpus, not just relabels it). Uncorrected form
+    * (no continuity correction), documented.
+    *
+    * Exactness: pure integer cells; one squared difference over one sum,
+    * both exact (DECIMAL cast before the square — the x304 rule), one
+    * division, round6; NULL when b+c = 0 (perfect agreement; mirrored).
+    *
+    * Scale shape: one corpus scan collapsing map-side to 4 cells.
+    */
+  def x308Mcnemar(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    raters(spark, sfDir)
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("r_len") === 1 && col("r_tok") === 1).cast("long")).as("n11"),
+        sum((col("r_len") === 1 && col("r_tok") === 0).cast("long")).as("n10"),
+        sum((col("r_len") === 0 && col("r_tok") === 1).cast("long")).as("n01"),
+        sum((col("r_len") === 0 && col("r_tok") === 0).cast("long")).as("n00"))
+      .select(col("n_docs"), col("n11"), col("n10"), col("n01"), col("n00"),
+        when(col("n10") + col("n01") > 0, stableRound6(
+          ((dec(col("n10")) - dec(col("n01"))) *
+            (dec(col("n10")) - dec(col("n01")))).cast("double") /
+          (col("n10") + col("n01")).cast("double"))).as("mcnemar"))
+  }
+
+  /** x309 — CRAMÉR'S V of the source × language association (round-12):
+    * the full r×c contingency χ² (x193 tests one fixed pair of margins;
+    * this is the whole grid) normalized to the [0,1] effect size
+    * V = √(χ²/(N·min(r−1, c−1))) — the number that makes association
+    * COMPARABLE across corpora of different size: χ² grows linearly with
+    * N at fixed association, V does not, so "is language confounded with
+    * source" finally has a scale-free answer the mix designers (x54/x108)
+    * can threshold.
+    *
+    * Exactness: the χ² term chain is exactly x304's — exact-integer
+    * numerator (DECIMAL(38,0) casts BEFORE the products), one division
+    * per cell, round6, DECIMAL sum; V is one sqrt of a division of the
+    * decimal sum, round6; NULL when min(r−1, c−1) = 0 (mirrored).
+    *
+    * Scale shape: one corpus scan to the r×c cell grid (map-combining),
+    * margins from the cells, a cells×margins equi-join on tiny frames,
+    * 1-row finale.
+    */
+  def x309CramersV(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val cells = Io.table(spark, sfDir, "documents")
+      .filter(col("source").isNotNull && col("lang").isNotNull)
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_sl"))
+    val rows = cells.groupBy("source").agg(sum("n_sl").as("ns"))
+    val cols = cells.groupBy("lang").agg(sum("n_sl").as("nl"))
+    val tot = cells.agg(sum("n_sl").as("n"),
+      count_distinct(col("source")).as("r"),
+      count_distinct(col("lang")).as("c"))
+    // zero cells contribute E_sl = ns*nl/n each: sum over the FULL grid =
+    // sum over observed cells of the exact term PLUS the zero-cell
+    // expectations; the zero-cell part equals N - sum(E over observed)
+    // (since sum of E over the full grid is N) - so chi2 =
+    // sum_observed((o*n - ns*nl)^2/(ns*nl*n)) + (N - sum_observed(ns*nl/n))
+    val term = stableRound6(
+      ((dec(col("n_sl")) * dec(col("n")) - dec(col("ns")) * dec(col("nl"))) *
+        (dec(col("n_sl")) * dec(col("n")) - dec(col("ns")) * dec(col("nl"))))
+        .cast("double") /
+      (dec(col("ns")) * dec(col("nl"))).cast("double") / col("n").cast("double"))
+      .cast("decimal(18,6)")
+    val eTerm = stableRound6(
+      (dec(col("ns")) * dec(col("nl"))).cast("double") / col("n").cast("double"))
+      .cast("decimal(18,6)")
+    val agg = cells.join(broadcast(rows), Seq("source"))
+      .join(broadcast(cols), Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(term).cast("decimal(28,6)").as("chi_obs"),
+        sum(eTerm).cast("decimal(28,6)").as("e_obs"),
+        min("n").as("n"), min("r").as("r"), min("c").as("c"))
+    agg.select(col("n"), col("r"), col("c"),
+        (col("chi_obs").cast("double") +
+          (col("n").cast("double") - col("e_obs").cast("double"))).as("chi2d"),
+        least(col("r") - 1, col("c") - 1).as("mindim"))
+      .select(col("n"), col("r"), col("c"),
+        stableRound6(col("chi2d")).as("chi2"),
+        when(col("mindim") > 0, stableRound6(sqrt(col("chi2d") /
+          (col("n").cast("double") * col("mindim").cast("double")))))
+          .as("cramers_v"))
+  }
+
+  /** x310 — MUTUAL INFORMATION between source and the length-quality flag
+    * (round-12): I(S;Q) = Σ p(s,q)·ln(p(s,q)/(p(s)p(q))) in nats over the
+    * |sources|×2 grid — the selection-bias meter for a quality gate: x216
+    * correlates dup-ness with quality per document; this says how much
+    * KNOWING the source already tells you about passing the filter (high
+    * MI = the gate is a disguised source filter, exactly what a mix
+    * designer must not ship blind).
+    *
+    * Exactness: each term is (n_sq/N)·ln(n_sq·N/(n_s·n_q)) — the ln of an
+    * exact-integer ratio (DECIMAL products cast double — x267's rule),
+    * weighted by an exact ratio, round6 per term, DECIMAL sum; zero
+    * cells contribute 0 (lim x·ln x = 0) and are simply absent from the
+    * observed-cell sum.
+    *
+    * Scale shape: one corpus scan to ≤2|sources| cells; margins and one
+    * broadcast; the finale repeats the corpus MI on each cell row
+    * (x265's repeated-scalar pattern).
+    */
+  def x310MutualInformation(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val cells = Io.table(spark, sfDir, "documents")
+      .filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), (col("n_chars") >= 120).cast("long").as("flag"))
+      .groupBy("source", "flag").agg(count(lit(1)).as("n_sq"))
+    val ms = cells.groupBy("source").agg(sum("n_sq").as("ns"))
+    val mq = cells.groupBy("flag").agg(sum("n_sq").as("nq"))
+    val tot = cells.agg(sum("n_sq").as("n"))
+    val term = stableRound6(
+      (col("n_sq").cast("double") / col("n").cast("double")) *
+        log((dec(col("n_sq")) * dec(col("n"))).cast("double") /
+          (dec(col("ns")) * dec(col("nq"))).cast("double")))
+      .cast("decimal(18,6)")
+    val withTerm = cells.join(broadcast(ms), Seq("source"))
+      .join(broadcast(mq), Seq("flag"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("flag"), col("n_sq"), term.as("t6"))
+    val mi = withTerm.agg(sum("t6").cast("decimal(28,6)").as("mi"))
+    withTerm.crossJoin(broadcast(mi))
+      .select(col("source"), col("flag"), col("n_sq"),
+        col("t6").cast("double").as("term"),
+        col("mi").cast("double").as("mi_nats"))
+      .orderBy("source", "flag")
+  }
+
+  /** x314 — COCHRAN'S Q over the three binary raters (round-12): the
+    * k-sample generalization of McNemar — Q = (k−1)·(k·ΣG_j² − (ΣG_j)²) /
+    * (k·ΣL_i − ΣL_i²) with G_j the per-rater pass totals and L_i the
+    * per-document pass count — closing the agreement family: x266 pairs,
+    * x286 chance-corrected consensus, x308 one pair's asymmetry, Q "do
+    * the three rules even have the same pass RATE" (the precondition the
+    * kappa family silently assumes).
+    *
+    * Exactness: G_j and the L-moments are exact longs from one scan
+    * (ΣL = ΣG by double counting — computed once); squares in
+    * DECIMAL(38,0); one division, round6; NULL when the denominator is 0
+    * (every document passes all rules or none; mirrored).
+    *
+    * Scale shape: one corpus scan collapsing map-side to 5 totals.
+    */
+  def x314CochranQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val li = col("r_len") + col("r_tok") + col("r_lang")
+    raters(spark, sfDir)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("r_len").as("g_len"), sum("r_tok").as("g_tok"),
+        sum("r_lang").as("g_lang"),
+        sum(li).as("sl"), sum(dec(li) * dec(li)).as("sl2"))
+      .select(col("n_docs"), col("g_len"), col("g_tok"), col("g_lang"),
+        when(lit(3) * dec(col("sl")) - col("sl2") > 0, stableRound6(
+          (lit(2) * (lit(3) * (dec(col("g_len")) * dec(col("g_len")) +
+            dec(col("g_tok")) * dec(col("g_tok")) +
+            dec(col("g_lang")) * dec(col("g_lang"))) -
+            dec(col("sl")) * dec(col("sl")))).cast("double") /
+          (lit(3) * dec(col("sl")) - col("sl2")).cast("double")))
+          .as("cochran_q"))
+  }
+
+  /** The daily event-volume series shared by x312/x313/x323/x324 (and
+    * semantically identical to x208's day frame): value micros summed per
+    * UTC day. Day cardinality is bounded by the fixture's TIME RANGE, not
+    * the corpus — the constant-frame class, so unpartitioned windows over
+    * it are legal (the x301 rule). */
+  private def dailySeries(spark: SparkSession, sfDir: String): DataFrame =
+    Io.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("v"))
+      .groupBy("day").agg(sum("v").as("x"))
+
+  /** x312 — WALD–WOLFOWITZ RUNS TEST on the signs of day-over-day volume
+    * changes (round-12): number of runs R among the nonzero deltas vs the
+    * E[R] = 1 + 2n₊n₋/n and Var[R] of a random arrangement, z-scored —
+    * the randomness screen the drift family lacks: x207's CUSUM finds a
+    * sustained LEVEL shift, the runs test finds serial DEPENDENCE of any
+    * sign (too few runs = trending/sticky days, too many = oscillation),
+    * with no distributional assumption on the magnitudes.
+    *
+    * Exactness: signs and run boundaries are integer comparisons through
+    * two lag windows; R/n₊/n₋ exact longs; E[R] and Var[R] evaluated as
+    * one float chain from exact longs (DECIMAL products where they can
+    * wrap), round6; z NULL when Var ≤ 0 (all deltas one sign; mirrored).
+    *
+    * Scale shape: the corpus collapses to the day frame map-side; both
+    * windows and the finale run on day-cardinality rows.
+    */
+  def x312RunsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day")
+    val sgn = dailySeries(spark, sfDir)
+      .withColumn("prev", lag("x", 1).over(w))
+      .filter(col("prev").isNotNull && col("x") =!= col("prev"))
+      .withColumn("s", when(col("x") > col("prev"), lit(1L)).otherwise(lit(-1L)))
+    val runs = sgn.withColumn("sPrev", lag("s", 1).over(w))
+      .agg(count(lit(1)).as("n"),
+        sum((col("s") === 1).cast("long")).as("n_plus"),
+        sum((col("s") === -1).cast("long")).as("n_minus"),
+        (sum((col("sPrev").isNotNull &&
+          col("s") =!= col("sPrev")).cast("long")) + 1L).as("n_runs"))
+    val twoPm = lit(2.0) * col("n_plus").cast("double") * col("n_minus").cast("double")
+    val er = lit(1.0) + twoPm / col("n").cast("double")
+    val vr = twoPm * (twoPm - col("n").cast("double")) /
+      (col("n").cast("double") * col("n").cast("double") *
+        (col("n").cast("double") - 1.0))
+    runs.select(col("n"), col("n_plus"), col("n_minus"), col("n_runs"),
+      stableRound6(er).as("expected_runs"),
+      when(col("n") > 1 && col("n_plus") > 0 && col("n_minus") > 0,
+        stableRound6(vr)).as("var_runs"),
+      when(col("n") > 1 && col("n_plus") > 0 && col("n_minus") > 0 && vr > 0,
+        stableRound6((col("n_runs").cast("double") - er) / sqrt(vr))).as("z"))
+  }
+
+  /** x313 — LJUNG–BOX PORTMANTEAU over the first 7 autocorrelations
+    * (round-12): Q_m = n(n+2)·Σ_{k≤m} r_k²/(n−k) for m = 1..7, riding
+    * x208's declared ACF output verbatim (ONE implementation of r_k — the
+    * x46/x69 shared-core rule) — the whiteness test that turns x208's
+    * seven separate numbers into one cumulative evidence curve: x208
+    * shows the correlogram, Q_m says whether the first m lags JOINTLY
+    * exceed chance, which is the go/no-go a forecasting or
+    * drift-detection consumer actually needs.
+    *
+    * Exactness: r_k is x208's round6 output (the quantized orbit is the
+    * declared semantics — both engines walk it identically); each term
+    * r_k²/(n−k) is one float chain round6 → DECIMAL cumulative sum over
+    * the 7-row frame; Q is one multiplication of the exact decimal sum,
+    * round6.
+    *
+    * Scale shape: x208's plan plus a 1-row day count and a 7-row window.
+    */
+  def x313LjungBox(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val acf = ExtendedQueries.x208Acf(spark, sfDir)
+    val nd = dailySeries(spark, sfDir).agg(count(lit(1)).as("nd"))
+    val w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    acf.crossJoin(broadcast(nd))
+      .withColumn("t6", stableRound6(col("r") * col("r") /
+        (col("nd") - col("lag")).cast("double")).cast("decimal(18,6)"))
+      .withColumn("cum", sum("t6").over(w).cast("decimal(28,6)"))
+      .select(col("lag"), col("r"),
+        stableRound6(col("nd").cast("double") *
+          (col("nd").cast("double") + 2.0) * col("cum").cast("double"))
+          .as("q"))
+      .orderBy("lag")
+  }
+
+  /** x323 — MANN–KENDALL TREND TEST + SEN'S SLOPE on the daily series
+    * (round-12): S = Σ_{i<j} sign(x_j − x_i), the tie-corrected variance,
+    * the continuity-corrected z, and the Theil–Sen slope (here: the LOWER
+    * MEDIAN of the round6'd pairwise slopes — a deterministic integer-
+    * position pick, no interpolation to drift between engines) — the
+    * standard nonparametric monotone-trend pack (x144's OLS slope assumes
+    * linearity and is one outlier day from nonsense; MK/Sen is what
+    * operations actually alarms on).
+    *
+    * Exactness: S and the tie spectrum are exact integer counting; Var
+    * is one float chain from exact longs (DECIMAL products), round6;
+    * slopes are round6'd BEFORE ranking so both engines rank the same
+    * quantized values; the median pick is row_number = ⌈m/2⌉ over
+    * (slope6, i, j) — a total order.
+    *
+    * Scale shape: the day-pair self-join is day²-bounded (time-range²,
+    * never corpus); tie groups are value-cardinality; windows run on the
+    * pair frame. All constant-class.
+    */
+  def x323MannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val day = dailySeries(spark, sfDir)
+    val pairs = day.as("a").join(day.as("b"), col("a.day") < col("b.day"))
+      .select(col("a.day").as("di"), col("b.day").as("dj"),
+        col("a.x").as("xi"), col("b.x").as("xj"))
+    val sAgg = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(signum(col("xj").cast("double") - col("xi").cast("double"))
+        .cast("long")).as("s"))
+    val n = day.agg(count(lit(1)).as("n"))
+    val ties = day.groupBy("x").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(dec(col("t")) * (dec(col("t")) - 1) *
+        (dec(col("t")) * 2 + 5)), lit(0).cast("decimal(38,0)")).as("tsum"))
+    val slope = pairs.select(stableRound6(
+        (col("xj") - col("xi")).cast("double") /
+        (col("dj") - col("di")).cast("double")).as("sl6"),
+      col("di"), col("dj"))
+    val m = slope.agg(count(lit(1)).as("m"))
+    val med = slope.crossJoin(broadcast(m))
+      .withColumn("rn", row_number().over(Window.orderBy("sl6", "di", "dj")))
+      .filter(col("rn").cast("long") === expr("(m + 1) div 2"))
+      .select(col("sl6").as("sen_slope"))
+    val varD = (dec(col("n")) * (dec(col("n")) - 1) * (dec(col("n")) * 2 + 5) -
+      col("tsum")).cast("double") / 18.0
+    val zNum = when(col("s") > 0, col("s") - 1)
+      .when(col("s") < 0, col("s") + 1).otherwise(lit(0L))
+    sAgg.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .crossJoin(broadcast(med))
+      .select(col("n").as("n_days"), col("n_pairs"), col("s").as("s_stat"),
+        stableRound6(varD).as("var_s"),
+        when(varD > 0, stableRound6(zNum.cast("double") / sqrt(varD))).as("z"),
+        col("sen_slope"))
+  }
+
+  /** x324 — DURBIN–WATSON on the daily linear-trend residuals (round-12):
+    * OLS of volume on day, then DW = Σ(e_t − e_{t−1})²/Σe_t² — the
+    * serial-correlation check of the REGRESSION the library already fits
+    * (x144's slope is only trustworthy if its residuals are white; x312
+    * tests the raw signs, DW tests the detrended series — DW ≈ 2 white,
+    * → 0 positive autocorrelation, → 4 alternation).
+    *
+    * Series units: per-day sums of the round6'd raw VALUES (not the
+    * micros-long x208 series — its 10¹⁵-scale residuals square past any
+    * 38-digit decimal in either engine), regressed on the CENTERED day
+    * index t = day − min(day). DW is scale- and shift-invariant, so the
+    * statistic is unchanged; the decimals stay exact.
+    *
+    * Exactness: the day sums are exact DECIMAL sums of round6 values;
+    * OLS moments exact (Σx, Σt·x in DECIMAL, Σt/Σt² long); b and a are
+    * round6 floats from exact moments; residuals round6 → squared as
+    * exact DECIMAL(37,12), summed as DECIMAL(38,12); DW is one division
+    * of the two decimal sums, round6, NULL when Σe² = 0 (mirrored).
+    *
+    * Scale shape: map-side day collapse, 1-row moments, one lag window
+    * over the day frame.
+    */
+  def x324DurbinWatson(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val dayRaw = Io.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        stableRound6(col("value")).cast("decimal(18,6)").as("v6"))
+      .groupBy("day").agg(sum("v6").cast("decimal(28,6)").as("x"))
+    val dmin = dayRaw.agg(min("day").as("dmin"))
+    val day = dayRaw.crossJoin(broadcast(dmin))
+      .select((col("day") - col("dmin")).as("t"), col("x"))
+    val mom = day.agg(count(lit(1)).as("n"), sum("t").as("st"),
+      sum(col("t") * col("t")).as("stt"),
+      sum("x").cast("decimal(38,6)").as("sx"),
+      sum(col("x") * col("t").cast("decimal(10,0)")).cast("decimal(38,6)")
+        .as("stx"))
+    val bD = (col("n").cast("double") * col("stx").cast("double") -
+      col("st").cast("double") * col("sx").cast("double")) /
+      (col("n").cast("double") * col("stt").cast("double") -
+        col("st").cast("double") * col("st").cast("double"))
+    val fit = mom.select(col("n"), stableRound6(bD).as("b6"),
+      col("st"), col("sx"))
+      .select(col("n"), col("b6"),
+        stableRound6((col("sx").cast("double") -
+          col("b6") * col("st").cast("double")) / col("n").cast("double"))
+          .as("a6"))
+    val e = day.crossJoin(broadcast(fit))
+      .select(col("t"), col("n"), col("b6"), col("a6"),
+        stableRound6(col("x").cast("double") - col("a6") -
+          col("b6") * col("t").cast("double")).cast("decimal(18,6)").as("e6"))
+    val w = Window.orderBy("t")
+    e.withColumn("ePrev", lag("e6", 1).over(w))
+      .agg(min("n").as("n_days"), min("b6").as("slope"),
+        sum((col("e6") * col("e6")).cast("decimal(38,12)")).as("see"),
+        sum(((col("e6") - col("ePrev")) * (col("e6") - col("ePrev")))
+          .cast("decimal(38,12)")).as("sdd"))
+      .select(col("n_days"), col("slope"),
+        when(col("see") > 0, stableRound6(col("sdd").cast("double") /
+          col("see").cast("double"))).as("dw"))
+  }
+
+  /** x311 — VOCABULARY LORENZ DECILES (round-12): rank the corpus
+    * vocabulary by frequency, split the TYPE axis into 10 equal deciles,
+    * and report each decile's token mass and the cumulative shares — the
+    * Lorenz curve behind x218's single Gini number and x239's fitted
+    * slope: the full concentration PROFILE ("the top 10% of types carry
+    * X% of tokens"), which is the actual input to a frequency-capped
+    * vocabulary decision (x303 prices one cut; this shows every cut at
+    * decile resolution).
+    *
+    * The global rank rides [[graft.operators.RangeRank]] (EIGHTH declared
+    * consumer, constant key): ordering the vocabulary by (−count, token)
+    * in one window would serialize the vocab into one task at corpus
+    * scale.
+    *
+    * Exactness: decile assignment is pure integer arithmetic on the
+    * exact rank ((10·(r−1)) div V + 1); masses exact longs; shares are
+    * single divisions, round6; the cumulative walk runs over the 10-row
+    * frame.
+    *
+    * Scale shape: one vocabulary-sized count aggregate, the two-pass
+    * RangeRank over the vocab, a 10-row finale. Nothing corpus-sized
+    * shuffles; rank parallelism is decoupled from the single key.
+    */
+  def x311VocabLorenz(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val vocab = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("nc", -col("c")).withColumn("g", lit(1))
+    val tot = vocab.agg(count(lit(1)).as("v"), sum("c").as("n"))
+    val ranking = graft.operators.RangeRank.rankWithinOwned(
+      vocab, "g", Seq("nc", "w"), "r")
+    val dec10 = ranking.df.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(10 * (r - 1)) div v + 1"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_types"), sum("c").as("mass"),
+        min("v").as("v"), min("n").as("n"))
+    val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    val out = dec10.withColumn("cum_mass", sum("mass").over(w))
+      .select(col("decile"), col("n_types"), col("mass"), col("cum_mass"),
+        stableRound6(col("mass").cast("double") / col("n").cast("double"))
+          .as("mass_share"),
+        stableRound6(col("cum_mass").cast("double") / col("n").cast("double"))
+          .as("cum_share"))
+      .orderBy("decile")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ranking.release()
+    val prev = x311Pinned.getAndSet(out)
+    if (prev != null && (prev ne out)) prev.unpersist(false)
+    out
+  }
+
+  private val x311Pinned =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  /** x315 — HISTOGRAM DISTANCES per source vs the corpus (round-12): the
+    * Bhattacharyya coefficient BC = Σ√(p_b·q_b), Hellinger distance
+    * √(1−BC) and total-variation distance ½Σ|p_b−q_b| between each
+    * source's doc-length histogram (100-char buckets) and the pooled
+    * corpus histogram — three distances with different sensitivities
+    * (TVD = worst-case probability gap, Hellinger = geometric mean
+    * overlap) on ONE grid, where the divergence family so far offers
+    * KL-flavored members only (x215 JSD, x244 PSI): TVD is the bound
+    * that actually appears in sampling-error guarantees.
+    *
+    * Exactness: the (source, bucket) grid is zero-filled via the x304
+    * spine; each term is one float chain from exact-integer ratios,
+    * round6, DECIMAL-summed; Hellinger takes one sqrt of the decimal
+    * BC (clamped at 1 — rounding can nudge BC a hair past it), round6.
+    *
+    * Scale shape: one corpus scan to ≤|sources|·|buckets| cells; margins
+    * broadcast; the spine is a tiny cross. Buckets are value-range
+    * bounded, never corpus-sized.
+    */
+  def x315HistDistances(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val cells = Io.table(spark, sfDir, "documents")
+      .filter(col("n_chars").isNotNull && col("source").isNotNull)
+      .select(col("source"), expr("cast(n_chars as bigint) div 100").as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("o"))
+    val ns = cells.groupBy("source").agg(sum("o").as("n_s"))
+    val nb = cells.groupBy("b").agg(sum("o").as("n_b"))
+    val tot = cells.agg(sum("o").as("n"))
+    val grid = ns.crossJoin(broadcast(nb))
+      .join(cells, Seq("source", "b"), "left")
+      .select(col("source"), col("n_s"), col("b"), col("n_b"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val p = col("o").cast("double") / col("n_s").cast("double")
+    val q = col("n_b").cast("double") / col("n").cast("double")
+    grid.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"),
+        stableRound6(sqrt(p * q)).cast("decimal(18,6)").as("bc6"),
+        stableRound6(abs(p - q)).cast("decimal(18,6)").as("tv6"))
+      .groupBy("source")
+      .agg(min("n_s").as("n_docs"),
+        sum("bc6").cast("decimal(28,6)").as("bc"),
+        sum("tv6").cast("decimal(28,6)").as("tv"))
+      .select(col("source"), col("n_docs"),
+        stableRound6(col("bc").cast("double")).as("bhattacharyya"),
+        stableRound6(sqrt(greatest(lit(0.0),
+          lit(1.0) - col("bc").cast("double")))).as("hellinger"),
+        stableRound6(col("tv").cast("double") / 2.0).as("tvd"))
+      .orderBy("source")
+  }
+
+  /** x316 — CLIFF'S DELTA of each source's length distribution vs the
+    * rest of the corpus (round-12): δ = (#{x>y} − #{x<y})/(n₁·n₂) over
+    * all cross pairs, computed WITHOUT enumerating pairs — per distinct
+    * length v, the rest-corpus counts strictly below/above v come from
+    * two cumulative walks (global minus own), so the pair sums collapse
+    * to value-cardinality arithmetic. The ordinal effect size to x242's
+    * parametric t and x202's U: δ is U rescaled to [−1,1], robust to any
+    * monotone transform — "does source s write LONGER docs, and by how
+    * much" with no normality assumption.
+    *
+    * Exactness: pure integer counting through the two cumulative
+    * windows; the pair-sum products are DECIMAL(38,0) (n₁·n₂ wraps long
+    * at ~3·10⁹ docs); ONE division, round6; NULL for a source with an
+    * empty complement (single-source corpus; mirrored).
+    *
+    * Scale shape: one corpus scan to the (source, length) grid; windows
+    * run over value-cardinality frames (lengths, not docs); finale is
+    * |sources|-sized.
+    */
+  def x316CliffsDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val sv = Io.table(spark, sfDir, "documents")
+      .filter(col("n_chars").isNotNull && col("source").isNotNull)
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+      .groupBy("source", "v").agg(count(lit(1)).as("a"))
+    val gv = sv.groupBy("v").agg(sum("a").as("nv"))
+    val gcum = gv.withColumn("cumAll", sum("nv").over(
+      Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+    val scum = sv.withColumn("cumOwn", sum("a").over(
+      Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = gv.agg(sum("nv").as("n"))
+    val nsrc = sv.groupBy("source").agg(sum("a").as("n_own"))
+    val joined = scum.join(gcum, Seq("v"))
+      .join(broadcast(nsrc), Seq("source"))
+      .crossJoin(broadcast(tot))
+    val lessRest = (col("cumAll") - col("nv")) - (col("cumOwn") - col("a"))
+    val greaterRest = (col("n") - col("cumAll")) - (col("n_own") - col("cumOwn"))
+    joined
+      .groupBy("source")
+      .agg(min("n_own").as("n_own"), min(col("n") - col("n_own")).as("n_rest"),
+        sum(dec(col("a")) * (dec(lessRest) - dec(greaterRest))).as("num"))
+      .select(col("source"), col("n_own"), col("n_rest"),
+        when(col("n_rest") > 0, stableRound6(col("num").cast("double") /
+          (dec(col("n_own")) * dec(col("n_rest"))).cast("double")))
+          .as("cliffs_delta"))
+      .orderBy("source")
+  }
+
+  /** x317 — PRIORITY SAMPLING of 50 documents by character weight
+    * (round-12): priority q_i = w_i/u_i with u_i a deterministic
+    * md5-uniform in (0,1]; keep the top-50 by priority, τ = the 51st
+    * priority, and the Duffield–Lund–Thorup estimator ŵ_i = max(w_i, τ)
+    * — the weighted-sampling member with a GUARANTEED unbiased subset-sum
+    * estimator (x80's weighted sample picks representatively; priority
+    * sampling is what you use when the sample must RECONSTRUCT totals,
+    * the 100 TB "estimate any source's byte volume from 50 docs" tool).
+    *
+    * Exactness: u_i = (first 13 md5 hex digits + 1)/2⁵² — an exact
+    * dyadic rational both engines evaluate identically in IEEE double,
+    * so the priority order (tie-broken by doc_id) is identical; τ and
+    * the estimates are round6 at the edges; the estimator total is a
+    * DECIMAL sum of round6 values vs the exact long true total.
+    *
+    * Scale shape: per-row hash + division in the scan,
+    * TakeOrderedAndProject(51), then 51-row arithmetic and two 1-row
+    * crosses. The corpus is scanned once.
+    */
+  def x317PrioritySample(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val base = Io.table(spark, sfDir, "documents")
+      .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+      .withColumn("u",
+        (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint)")
+          + 1L).cast("double") / lit(4503599627370496.0))
+      .withColumn("q", col("w").cast("double") / col("u"))
+    val top = base.orderBy(col("q").desc, col("doc_id")).limit(51)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("q").desc, col("doc_id"))))
+    val tau = top.filter(col("rn") === 51)
+      .agg(coalesce(min(ExtendedQueries.stableRound6(col("q"))), lit(0.0))
+        .as("tau6"))
+    val tTot = base.agg(sum("w").as("true_total"))
+    val sample = top.filter(col("rn") <= 50).crossJoin(broadcast(tau))
+      .withColumn("w_est6",
+        stableRound6(greatest(col("w").cast("double"), col("tau6"))))
+    val eTot = sample.agg(sum(col("w_est6").cast("decimal(28,6)"))
+      .cast("decimal(28,6)").as("est"))
+    sample.crossJoin(broadcast(eTot)).crossJoin(broadcast(tTot))
+      .select(col("doc_id"), col("w"), stableRound6(col("q")).as("priority"),
+        col("tau6").as("tau"), col("w_est6").as("w_est"),
+        col("est").cast("double").as("est_total"), col("true_total"))
+      .orderBy("doc_id")
+  }
+
+  /** x319 — BLOCKING PAIR COMPLETENESS of the sorted-neighborhood key
+    * (round-12): with ground truth = pairs sharing the order-insensitive
+    * token-set fingerprint (x269's fp), measure what fraction of true
+    * pairs land in the same first-8-chars block (x83's key) and the
+    * blocking's reduction ratio 1 − candidates/all-pairs — the standard
+    * record-linkage evaluation pair (pair completeness vs reduction
+    * ratio): x83/x84 USE the blocks, x280 scores candidates; nothing yet
+    * measured what the block key MISSES (a set-identical doc pair with
+    * different leading words is exactly the recall hole).
+    *
+    * Exactness: every quantity is collapse arithmetic — Σ C(m,2) over
+    * fingerprint groups, Σ C(c,2) over (fp, block) subgroups, Σ C(n,2)
+    * over blocks — exact integers in DECIMAL (m(m−1) wraps long at
+    * ~3·10⁹-doc groups); two divisions, round6, NULL completeness when
+    * there are no true pairs (mirrored).
+    *
+    * Scale shape: three map-combining aggregates over group-collapsed
+    * frames; no pair is ever materialized (the x269 argument).
+    */
+  def x319PairCompleteness(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val d = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(
+          split(col("text"), " "))), " ")).as("fp"),
+        substring(col("text"), 1, 8).as("blk"))
+    def c2(c: Column): Column = (dec(c) * (dec(c) - 1) / 2).cast("decimal(38,0)")
+    val truth = d.groupBy("fp").agg(count(lit(1)).as("m"))
+      .agg(sum(c2(col("m"))).as("true_pairs"), sum("m").as("n_docs"))
+    val caught = d.groupBy("fp", "blk").agg(count(lit(1)).as("c"))
+      .agg(sum(c2(col("c"))).as("caught_pairs"))
+    val cand = d.groupBy("blk").agg(count(lit(1)).as("nb"))
+      .agg(sum(c2(col("nb"))).as("cand_pairs"))
+    truth.crossJoin(broadcast(caught)).crossJoin(broadcast(cand))
+      .select(col("n_docs"),
+        col("true_pairs").cast("long").as("true_pairs"),
+        col("caught_pairs").cast("long").as("caught_pairs"),
+        when(col("true_pairs") > 0, stableRound6(
+          col("caught_pairs").cast("double") / col("true_pairs").cast("double")))
+          .as("pair_completeness"),
+        col("cand_pairs").cast("long").as("cand_pairs"),
+        stableRound6(lit(1.0) - col("cand_pairs").cast("double") /
+          c2(col("n_docs")).cast("double")).as("reduction_ratio"))
+  }
+
+  /** x320 — DISTINCT-n DIVERSITY per source (round-12): distinct n-grams
+    * over total n-grams for n = 1, 2, 3 (the distinct-n metric of Li et
+    * al. 2016) — the degeneration screen at SOURCE granularity: x55's TTR
+    * is distinct-1 per document, x256 flags within-doc 5-gram loops; a
+    * LOW distinct-2/3 across a whole source is template/boilerplate
+    * structure that per-document metrics average away.
+    *
+    * Exactness: pure counting — each (source, gram) collapse gives the
+    * distinct count as the group count and the total as Σc; one division
+    * per (source, n), round6.
+    *
+    * Scale shape: three gram explodes (n = 1, 2, 3), each collapsing
+    * map-side to its (source, gram) vocabulary; the union'd finale is
+    * 3·|sources| rows.
+    */
+  def x320DistinctN(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val tok = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+    def grams(n: Int): DataFrame = {
+      val g =
+        if (n == 1) tok.select(col("source"), explode(col("toks")).as("gram"))
+        else tok.select(col("source"), col("toks"), explode(expr(
+            s"""CASE WHEN size(toks) < $n THEN CAST(array() AS ARRAY<INT>)
+               |ELSE sequence(1, size(toks) - ${n - 1}) END""".stripMargin))
+            .as("i"))
+          .select(col("source"), concat_ws(" ",
+            (0 until n).map(k => expr(s"element_at(toks, i + $k)")): _*)
+            .as("gram"))
+      g.groupBy("source", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_distinct"), sum("c").as("n_total"))
+        .select(col("source"), lit(n.toLong).as("n"), col("n_total"),
+          col("n_distinct"),
+          stableRound6(col("n_distinct").cast("double") /
+            col("n_total").cast("double")).as("distinct_ratio"))
+    }
+    grams(1).unionAll(grams(2)).unionAll(grams(3))
+      .orderBy("source", "n")
+  }
+
+  /** x321 — GOPHER QUALITY-RULE PANEL per source (round-12): the four
+    * deterministically-computable rules of the Gopher filter set (Rae et
+    * al. 2021): word count in [50, 100000], mean word length in [3, 10],
+    * ≤10% of words containing a non-alphabetic character, and ≥2 distinct
+    * common stopwords present — per-source pass counts and rates plus the
+    * all-rules rate. The filter-bank face (x178) scores documents on
+    * thresholds tuned to THIS fixture; the Gopher panel is the
+    * literature-standard rule set a real pipeline starts from, so its
+    * per-source pass profile is the first thing a data curator reads.
+    *
+    * Exactness: every rule is an INTEGER inequality (mean word length as
+    * 3W ≤ L ≤ 10W, the symbol ratio as 10·n_sym ≤ W — no float
+    * thresholds anywhere); rates are single divisions, round6.
+    *
+    * Scale shape: per-row array arithmetic in the scan, one map-combining
+    * source aggregate.
+    */
+  def x321GopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val d = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("nw", size(col("toks")).cast("long"))
+      .withColumn("lw", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("nsym", expr(
+        "size(filter(toks, x -> x rlike '[^a-zA-Z]'))").cast("long"))
+      .withColumn("nstop", size(array_intersect(array_distinct(col("toks")),
+        array(LlmQueries.Stopwords.map(lit): _*))).cast("long"))
+      .select(col("source"),
+        (col("nw") >= 50 && col("nw") <= 100000).cast("long").as("p1"),
+        (lit(3) * col("nw") <= col("lw") &&
+          col("lw") <= lit(10) * col("nw")).cast("long").as("p2"),
+        (lit(10) * col("nsym") <= col("nw")).cast("long").as("p3"),
+        (col("nstop") >= 2).cast("long").as("p4"))
+      .withColumn("pall",
+        (col("p1") === 1 && col("p2") === 1 && col("p3") === 1 &&
+          col("p4") === 1).cast("long"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("p1").as("pass_words"),
+        sum("p2").as("pass_wordlen"), sum("p3").as("pass_symbols"),
+        sum("p4").as("pass_stopwords"), sum("pall").as("pass_all"))
+      .select(col("source"), col("n_docs"), col("pass_words"),
+        col("pass_wordlen"), col("pass_symbols"), col("pass_stopwords"),
+        col("pass_all"),
+        stableRound6(col("pass_all").cast("double") / col("n_docs").cast("double"))
+          .as("pass_rate"))
+      .orderBy("source")
+  }
+
+  /** x322 — b-BIT MINHASH CALIBRATION (round-12): on the x62 LSH
+    * candidate pairs, compare the 1-bit minhash estimate (Li & König
+    * 2010: store only each minhash's LAST BIT; with match fraction m̂
+    * over k=16 bits, Ĵ₁ = 2m̂ − 1 under the b=1 collision correction)
+    * against the full 16-hash estimate and the exact Jaccard — the
+    * storage-accuracy frontier for signature tables: 1/32nd the bytes of
+    * hex signatures, and this query shows exactly what that costs on
+    * real candidates (the 100 TB dedup index sizing decision).
+    *
+    * Exactness: bits are the md5 hex signatures' last-digit parity
+    * (conv/'0x' casts — byte-identical engines, the x272 pattern);
+    * match counts exact ints; the three estimates and the error are
+    * single float chains, round6. Negative Ĵ₁ is reported as-is
+    * (an unbiased estimator's sampling noise — documented, not clamped).
+    *
+    * Scale shape: inherits x62's — banded candidates only (never
+    * all-pairs), signature/shingle subsets joined per pair.
+    */
+  def x322BbitMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val docs = Io.table(spark, sfDir, "documents")
+    val fanned = fanOut(docs)
+    val sig = LlmQueries.minhashSignature(fanned, 16)
+    val docSh = LlmQueries.shingleSetArray(fanned).withColumn("n", size(col("shset")))
+    val bands = LlmQueries.bandHashes(sig, bandsOf = 4, r = 4)
+    val cand = bands
+      .groupBy("band", "bh").agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(posexplode(col("ids")).as(Seq("i", "d1")), col("ids"))
+      .select(col("d1"), explode(expr("slice(ids, i + 2, size(ids))")).as("d2"))
+      .distinct()
+    val candIds = cand.select(col("d1").as("id"))
+      .union(cand.select(col("d2").as("id"))).distinct()
+    val sub = docSh.join(sig, "doc_id")
+      .join(candIds, col("doc_id") === col("id"))
+      .select(col("doc_id") +: col("shset") +: col("n") +:
+        (0 until 16).map(j => col(s"mh$j")): _*)
+    def side(tag: String) = sub.select(
+      col("doc_id").as(s"d$tag") +: col("shset").as(s"sh$tag") +:
+        col("n").as(s"n$tag") +:
+        (0 until 16).map(j => col(s"mh$j").as(s"mh${j}_$tag")): _*)
+    def bit(c: Column): Column =
+      conv(substring(c, 32, 1), 16, 10).cast("long") % 2
+    val nBitsEq = (0 until 16)
+      .map(j => (bit(col(s"mh${j}_1")) === bit(col(s"mh${j}_2"))).cast("long"))
+      .reduce(_ + _)
+    val nFullEq = (0 until 16)
+      .map(j => (col(s"mh${j}_1") === col(s"mh${j}_2")).cast("long"))
+      .reduce(_ + _)
+    val jac = col("n_common").cast("double") /
+      (col("n1") + col("n2") - col("n_common"))
+    cand.join(side("1"), Seq("d1")).join(side("2"), Seq("d2"))
+      .withColumn("n_common", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("n_bits_eq", nBitsEq)
+      .withColumn("n_full_eq", nFullEq)
+      .select(col("d1"), col("d2"), col("n_bits_eq"),
+        stableRound6(lit(2.0) * col("n_bits_eq").cast("double") / 16.0 - 1.0)
+          .as("est_1bit"),
+        stableRound6(col("n_full_eq").cast("double") / 16.0).as("est_full"),
+        stableRound6(jac).as("jaccard"),
+        stableRound6(abs(lit(2.0) * col("n_bits_eq").cast("double") / 16.0 -
+          1.0 - jac)).as("abs_err_1bit"))
+      .orderBy("d1", "d2")
+  }
+
+  /** x325 — NEYMAN OPTIMAL ALLOCATION of a 1000-document stratified
+    * sample (round-12): n_h ∝ N_h·S_h (stratum size × length stddev),
+    * integerized by LARGEST-REMAINDER so the allocations sum to exactly
+    * 1000 — the design step x42's stratified sampler presupposes:
+    * proportional allocation oversamples big uniform strata; Neyman is
+    * the variance-minimizing split, and largest-remainder is the
+    * deterministic integerization both engines can walk identically.
+    *
+    * Exactness: the per-stratum moments are exact (DECIMAL products);
+    * S_h is one sqrt, round6; weights w_h = round6(N_h·s6) as DECIMAL
+    * summed EXACTLY; shares/raw allocations are float from the decimal
+    * pair; floors are floor() of identical doubles; remainders round6;
+    * the +1 assignment ranks (remainder desc, source) — a total order —
+    * against the exact integer deficit.
+    *
+    * Scale shape: one map-combining moment pass, then |sources|-row
+    * arithmetic with one 1-row cross and one |sources|-row window.
+    */
+  def x325NeymanAllocation(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val mom = Io.table(spark, sfDir, "documents")
+      .filter(col("n_chars").isNotNull && col("source").isNotNull)
+      .select(col("source"), col("n_chars").cast("long").as("x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("nh"), sum("x").as("sx"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+      .withColumn("s6", stableRound6(sqrt(greatest(lit(0.0),
+        (dec(col("nh")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+          .cast("double"))) / col("nh").cast("double")))
+      .withColumn("wh", stableRound6(col("nh").cast("double") * col("s6"))
+        .cast("decimal(18,6)"))
+    val tot = mom.agg(sum("wh").cast("decimal(28,6)").as("t"))
+    val raw = mom.crossJoin(broadcast(tot))
+      .withColumn("rawAlloc", when(col("t") > 0,
+        lit(1000.0) * col("wh").cast("double") / col("t").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("fl", floor(col("rawAlloc")).cast("long"))
+      .withColumn("rem6", stableRound6(col("rawAlloc") - col("fl")))
+    val deficit = raw.agg((lit(1000L) - sum("fl")).as("d"))
+    raw.crossJoin(broadcast(deficit))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem6").desc, col("source"))))
+      .select(col("source"), col("nh").as("n_docs"), col("s6").as("stddev"),
+        col("fl").as("alloc_floor"),
+        (col("fl") + (col("rk") <= col("d")).cast("long")).as("alloc"))
+      .orderBy("source")
+  }
+
+  /** x326 — SIMPLIFIED SILHOUETTE of the x52 clustering (round-12): per
+    * vector, a = cosine distance to its OWN (argmax-cosine) center, b =
+    * distance to the best OTHER center; s = (b−a)/max(a,b), averaged per
+    * cluster — the clustering-quality meter the ANN/semantic family
+    * builds on but never measures (x52 computes the step, x59 trusts the
+    * clusters; silhouette says whether the codebook actually separates
+    * the space, per cluster, BEFORE SemDeDup trusts its pair pruning).
+    * Centers are x52's (vectors 1..8), so the audit scores the exact
+    * clustering the family uses. Since a = 1−c₁ ≤ b = 1−c₂ by
+    * construction, s = (c₁−c₂)/(1−c₂) — one chain per vector.
+    *
+    * Exactness: per-(vector, center) cosines round6 (the x52 rule);
+    * best/second-best by max(struct) total order (cosine desc, cid asc);
+    * per-vector s round6 → DECIMAL mean per cluster; NULL when c₂ = 1
+    * (degenerate duplicate centers; mirrored).
+    *
+    * Scale shape: one broadcast 8-row codebook cross (x52's plan), two
+    * vector-sized aggregates, an 8-row finale. Linear in vectors.
+    */
+  def x326Silhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    import ExtendedQueries.{nativeDot, stableRound6}
+    val emb = Io.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(nativeDot(col("embedding"), col("embedding"))).as("norm"))
+    val cent = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("norm").as("cnorm"))
+    val ac = stableRound6(nativeDot(col("embedding"), col("cemb")) /
+      (col("norm") * col("cnorm")))
+    val scored = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), ac.as("ac"))
+    val best = scored.groupBy("vec_id")
+      .agg(max(struct(col("ac").as("ac"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), col("m.ac").as("c1"), (-col("m.ncid")).as("own"))
+    val second = scored.join(best, Seq("vec_id"))
+      .filter(col("cid") =!= col("own"))
+      .groupBy("vec_id").agg(max("ac").as("c2"))
+    val s = best.join(second, Seq("vec_id"))
+      .select(col("vec_id"), col("own"), col("c1"), col("c2"),
+        when(col("c2") < 1.0, stableRound6((col("c1") - col("c2")) /
+          (lit(1.0) - col("c2")))).as("s6"))
+    s.groupBy(col("own").as("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("s6").cast("decimal(18,6)")).cast("decimal(28,6)").as("ss"),
+        sum(col("c1").cast("decimal(18,6)")).cast("decimal(28,6)").as("sc1"),
+        sum(col("c2").cast("decimal(18,6)")).cast("decimal(28,6)").as("sc2"))
+      .select(col("cid"), col("n_members"),
+        stableRound6(col("sc1").cast("double") / col("n_members").cast("double"))
+          .as("mean_own_cosine"),
+        stableRound6(col("sc2").cast("double") / col("n_members").cast("double"))
+          .as("mean_other_cosine"),
+        stableRound6(col("ss").cast("double") / col("n_members").cast("double"))
+          .as("silhouette"))
+      .orderBy("cid")
+  }
+
+  /** x318 — CHAO1 UNSEEN-VOCABULARY estimate per source (round-12): the
+    * nonparametric species-richness floor V̂ = V + V₁²/(2V₂) (Chao 1984;
+    * the bias-corrected V + V₁(V₁−1)/2 form when V₂ = 0) — the "how much
+    * vocabulary does this source have that we have NOT crawled yet"
+    * number: x251 fits growth on what was seen, x274 reallocates mass to
+    * the unseen, Chao1 bounds the unseen TYPE count itself, which is what
+    * a tokenizer-vocabulary budget (x303/x305) actually needs.
+    *
+    * Exactness: V/V₁/V₂ exact longs off the shared frequency frame;
+    * V₁² in DECIMAL; one division (or the exact V₂=0 fallback, integer
+    * halved as a division by 2.0), round6.
+    *
+    * Scale shape: x306's — vocabulary aggregate + |sources| finale.
+    */
+  def x318Chao1(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    sourceTokenCounts(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum((col("c") === 1).cast("long")).as("v1"),
+        sum((col("c") === 2).cast("long")).as("v2"))
+      .select(col("source"), col("n_types"), col("v1"), col("v2"),
+        when(col("v2") > 0, stableRound6(col("n_types").cast("double") +
+          (dec(col("v1")) * dec(col("v1"))).cast("double") /
+            (col("v2").cast("double") * 2.0)))
+          .otherwise(stableRound6(col("n_types").cast("double") +
+            (dec(col("v1")) * (dec(col("v1")) - 1)).cast("double") / 2.0))
+          .as("chao1"))
+      .orderBy("source")
+  }
+}

@@ -262,7 +262,25 @@ class PlanSpec extends SparkSpec {
       // |sources|-row totals (the x291 zero-fill shape) and the 1-row
       // corpus total; x305's are the 1-row corpus-mass and 1-row cut
       // frames onto the alphabet-sized walk (x254's constant class)
-      "x304_stopword_chi2", "x305_char_coverage")
+      "x304_stopword_chi2", "x305_char_coverage",
+      // round-12 members, all x117's 1-row-denominator / x215's tiny-spine
+      // classes: x309/x310's are the 1-row N (and MI total) crossing onto
+      // the r×c cell grid; x311's are the 1-row (V, N) totals onto the
+      // vocab rank / 10-row decile frames; x313's is the 1-row day count
+      // onto the 7-row ACF; x315's is the buckets×sources zero-fill spine
+      // + 1-row corpus total; x316's is the 1-row corpus total onto the
+      // value grid; x317's are the 1-row τ / estimator-total / true-total
+      // frames onto the 50-row sample; x319's are the three 1-row pair
+      // totals crossing each other; x323's are the day-pair theta spine
+      // (time-range-bounded, never corpus) + the 1-row S/n/ties/median
+      // frames; x324's are the 1-row day-min / fit / moment frames onto
+      // the day frame; x325's are the 1-row weight total and deficit onto
+      // the |sources| frame; x326's is the 8-row x52 codebook
+      // broadcasting into the assignment scan (x52's shape)
+      "x309_cramers_v", "x310_mutual_information", "x311_vocab_lorenz",
+      "x313_ljung_box", "x315_hist_distances", "x316_cliffs_delta",
+      "x317_priority_sample", "x319_pair_completeness", "x323_mann_kendall",
+      "x324_durbin_watson", "x325_neyman_allocation", "x326_silhouette")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
