@@ -7802,7 +7802,269 @@ object Oracles {
       |               * 1000000 + 0.5) / 1000000 END AS cochran_q
       |FROM g""".stripMargin
 
+  // x327: per-doc disagreement n1(3−n1)/2 exact; one division of HUGEINT
+  // products; NULL when unanimous.
+  val x327: String =
+    s"""WITH $ratersCte,
+      |d AS (SELECT r_len + r_tok + r_lang AS n1 FROM rt),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(n1) AS BIGINT) AS p1,
+      |             CAST(sum(n1 * (3 - n1) // 2) AS BIGINT) AS s
+      |      FROM d)
+      |SELECT n_docs, CAST(3 * n_docs AS BIGINT) AS n_ratings, p1 AS n_pass,
+      |       s AS s_disagree,
+      |       CASE WHEN CAST(p1 AS HUGEINT) * (3 * n_docs - p1) > 0 THEN
+      |         floor((1.0 - CAST((CAST(3 * n_docs AS HUGEINT) - 1) * s AS DOUBLE)
+      |                / CAST(CAST(p1 AS HUGEINT) * (3 * n_docs - p1) AS DOUBLE))
+      |               * 1000000 + 0.5) / 1000000 END AS alpha
+      |FROM g""".stripMargin
+
+  // x328: the x317 dyadic u under a 'g:' salt; keys QUANTIZED before
+  // ranking (both engines rank identical round6 values).
+  val x328: String =
+    """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+      |                     (('0x' || substring(md5('g:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+      |                       / 4503599627370496.0 AS u
+      |              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |g AS (SELECT doc_id, w,
+      |             floor((ln(CAST(w AS DOUBLE)) - ln(-ln(u))) * 1000000 + 0.5)
+      |               / 1000000 AS g6
+      |      FROM base)
+      |SELECT CAST(row_number() OVER (ORDER BY g6 DESC, doc_id) AS BIGINT) AS rank,
+      |       doc_id, w, g6 AS gumbel_key
+      |FROM g ORDER BY g6 DESC, doc_id LIMIT 20""".stripMargin
+
+  // x329: per-source row_number ranks; cut values exact order statistics;
+  // winsorized clamps, trimmed drops; exact sums.
+  val x329: String =
+    """WITH d AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS x
+      |           FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+      |rk AS (SELECT source, x,
+      |              CAST(row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS BIGINT) AS r
+      |       FROM d),
+      |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(count(*) // 10 AS BIGINT) AS k
+      |      FROM d GROUP BY source),
+      |b AS (SELECT rk.source, min(x) AS lo, max(x) AS hi
+      |      FROM rk JOIN c USING (source)
+      |      WHERE r = k + 1 OR r = n - k GROUP BY rk.source)
+      |SELECT rk.source, min(n) AS n_docs, min(k) AS k_trim,
+      |       CAST(min(lo) AS BIGINT) AS lo_cut, CAST(max(hi) AS BIGINT) AS hi_cut,
+      |       floor(CAST(sum(CASE WHEN r > k AND r <= n - k THEN x ELSE 0 END) AS DOUBLE)
+      |             / CAST(min(n) - 2 * min(k) AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |         AS trimmed_mean,
+      |       floor(CAST(sum(CASE WHEN r <= k THEN lo
+      |                           WHEN r > n - k THEN hi ELSE x END) AS DOUBLE)
+      |             / CAST(min(n) AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |         AS winsorized_mean
+      |FROM rk JOIN c USING (source) JOIN b USING (source)
+      |GROUP BY rk.source ORDER BY source""".stripMargin
+
+  // x330: one division of exact integers (HUGEINT products).
+  val x330: String =
+    """WITH day AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |                    CAST(count(*) AS BIGINT) AS c
+      |             FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(sum(c) AS BIGINT) AS n_events,
+      |             sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS scc
+      |      FROM day)
+      |SELECT n_days, n_events,
+      |       floor(CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS mean_per_day,
+      |       floor(CAST(CAST(n_days AS HUGEINT) * scc
+      |                  - CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT) AS DOUBLE)
+      |             / CAST(n_events AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dispersion,
+      |       floor(CAST(CAST(n_days AS HUGEINT) * scc
+      |                  - CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT) AS DOUBLE)
+      |             / CAST(n_events AS DOUBLE) / CAST(n_days - 1 AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS vmr,
+      |       CAST(n_days - 1 AS BIGINT) AS df
+      |FROM g""".stripMargin
+
+  // x331: (7o − N)²/(7N) per weekday, exact numerators, round6 → DECIMAL
+  // sum; dow 0 = Monday ((epoch_day + 3) mod 7).
+  val x331: String =
+    """WITH obs AS (SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+      |                    CAST(count(*) AS BIGINT) AS o
+      |             FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |cells AS (SELECT CAST(sp.dow AS BIGINT) AS dow, coalesce(obs.o, 0) AS o
+      |          FROM range(0, 7) sp(dow) LEFT JOIN obs ON obs.dow = sp.dow),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |t AS (SELECT dow, o, n,
+      |             CAST(floor(CAST((7 * CAST(o AS HUGEINT) - n)
+      |                             * (7 * CAST(o AS HUGEINT) - n) AS DOUBLE)
+      |                  / (7.0 * CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000
+      |                  AS DECIMAL(18,6)) AS t6
+      |      FROM cells, tot),
+      |chi AS (SELECT CAST(sum(t6) AS DECIMAL(28,6)) AS chi2d FROM t)
+      |SELECT CAST(dow AS BIGINT) AS dow, o AS n_events,
+      |       floor(CAST(o AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5)
+      |         / 1000000 AS share,
+      |       CAST(chi2d AS DOUBLE) AS chi2, CAST(6 AS BIGINT) AS df
+      |FROM t, chi ORDER BY dow""".stripMargin
+
+  // shared CTE tail: the x62 candidate pairs with sizes + intersections
+  // (x332/x333 reuse).
+  private val candCte: String =
+    s"""$shingleCte,
+      |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+      |  FROM sh, range(0, 16) s(j) GROUP BY doc_id, j),
+      |band AS (
+      |  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, ',' ORDER BY j)) AS bh
+      |  FROM mh GROUP BY doc_id, j // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS n_common
+      |  FROM cand c
+      |  JOIN shd s1 ON s1.doc_id = c.d1
+      |  JOIN shd s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+      |  GROUP BY 1, 2),
+      |pj AS (SELECT c.d1, c.d2, coalesce(i.n_common, 0) AS n_common,
+      |              z1.n AS n1, z2.n AS n2
+      |       FROM cand c
+      |       LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+      |       JOIN sizes z1 ON z1.doc_id = c.d1
+      |       JOIN sizes z2 ON z2.doc_id = c.d2)""".stripMargin
+
+  // x332: the bin is the integer comparison (10·|∩|) div |∪|, capped at
+  // 10; descending cumulative over the ≤11-row frame.
+  val x332: String =
+    s"""WITH $candCte,
+      |hist AS (SELECT least((10 * n_common) // (n1 + n2 - n_common), 10) AS bin,
+      |                CAST(count(*) AS BIGINT) AS n_pairs
+      |         FROM pj GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n FROM hist)
+      |SELECT CAST(bin AS BIGINT) AS bin,
+      |       floor(CAST(bin AS DOUBLE) / 10.0 * 1000000 + 0.5) / 1000000 AS tau_lo,
+      |       n_pairs,
+      |       CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS pairs_at_or_above,
+      |       floor(CAST(n_pairs AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5)
+      |         / 1000000 AS share
+      |FROM hist, tot ORDER BY bin""".stripMargin
+
+  // x333: est_k from the FIRST k hashes; per-pair errors round6 →
+  // DECIMAL means.
+  val x333: String = {
+    val ks = Seq(4, 8, 16).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k, p.d1, p.d2,
+         |       CAST(sum(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / $k.0 AS est,
+         |       CAST(min(p.n_common) AS DOUBLE)
+         |         / CAST(min(p.n1 + p.n2 - p.n_common) AS DOUBLE) AS jac
+         |FROM pj p
+         |JOIN mh m1 ON m1.doc_id = p.d1 AND m1.j < $k
+         |JOIN mh m2 ON m2.doc_id = p.d2 AND m2.j = m1.j
+         |GROUP BY 1, 2, 3""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $candCte,
+       |e AS ($ks),
+       |t AS (SELECT k,
+       |             CAST(floor(abs(est - jac) * 1000000 + 0.5) / 1000000
+       |                  AS DECIMAL(18,6)) AS ae6,
+       |             CAST(floor((est - jac) * 1000000 + 0.5) / 1000000
+       |                  AS DECIMAL(18,6)) AS e6
+       |      FROM e)
+       |SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       floor(CAST(CAST(sum(ae6) AS DECIMAL(28,6)) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mae,
+       |       floor(CAST(CAST(sum(e6) AS DECIMAL(28,6)) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS bias
+       |FROM t GROUP BY k ORDER BY k""".stripMargin
+  }
+
+  // x334: HHI/CR4 on both bases; exact products; top-4 by the
+  // (mass desc, source) total order.
+  val x334: String = {
+    def basis(name: String, mass: String): String =
+      s"""SELECT '$name' AS basis, CAST(count(*) AS BIGINT) AS n_sources,
+         |       CAST(sum(m) AS BIGINT) AS total,
+         |       floor(CAST(sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS DOUBLE)
+         |             / CAST(CAST(sum(m) AS HUGEINT) * CAST(sum(m) AS HUGEINT) AS DOUBLE)
+         |             * 1000000 + 0.5) / 1000000 AS hhi,
+         |       floor(CAST(CAST(sum(m) AS HUGEINT) * CAST(sum(m) AS HUGEINT) AS DOUBLE)
+         |             / CAST(sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS DOUBLE)
+         |             * 1000000 + 0.5) / 1000000 AS effective_sources,
+         |       floor(CAST(sum(CASE WHEN rk <= 4 THEN m ELSE 0 END) AS DOUBLE)
+         |             / CAST(sum(m) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS cr4
+         |FROM (SELECT m, row_number() OVER (ORDER BY m DESC, source) AS rk
+         |      FROM (SELECT source, CAST(sum($mass) AS BIGINT) AS m
+         |            FROM d GROUP BY source))""".stripMargin
+    s"""WITH d AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |           FROM documents WHERE source IS NOT NULL AND text IS NOT NULL)
+       |SELECT * FROM (
+       |${basis("docs", "1")}
+       |UNION ALL
+       |${basis("tokens", "nt")}
+       |) ORDER BY basis""".stripMargin
+  }
+
+  // x335: positions exact ('0x' casts); the bit set is a DISTINCT set;
+  // membership an exact semi-join; analytic rate one float chain.
+  val x335: String =
+    """WITH fps AS (SELECT DISTINCT md5(text) AS fp
+      |             FROM documents WHERE text IS NOT NULL),
+      |bits AS (SELECT DISTINCT
+      |           ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || fp), 1, 8))::BIGINT
+      |             % 32768 AS p
+      |         FROM fps, range(0, 3) s(i)),
+      |nk AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM fps),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits),
+      |pp AS (SELECT id,
+      |              ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' ||
+      |                ('probe:' || CAST(id AS VARCHAR))), 1, 8))::BIGINT % 32768 AS p
+      |       FROM range(0, 1000) r(id), range(0, 3) s(i)),
+      |hits AS (SELECT CAST(count(*) AS BIGINT) AS n_fp FROM
+      |           (SELECT id FROM pp WHERE p IN (SELECT p FROM bits)
+      |            GROUP BY id HAVING count(*) = 3))
+      |SELECT n_keys, CAST(32768 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k_hashes,
+      |       n_bits_set, n_fp AS n_false_positives,
+      |       floor(CAST(n_fp AS DOUBLE) / 1000.0 * 1000000 + 0.5) / 1000000
+      |         AS measured_fpr,
+      |       floor(pow(1.0 - exp(-3.0 * CAST(n_keys AS DOUBLE) / 32768.0), 3.0)
+      |             * 1000000 + 0.5) / 1000000 AS theoretical_fpr
+      |FROM nk, nb, hits""".stripMargin
+
+  // x336: component values round6 before ranking (the quantized orbit);
+  // cut ranks integer arithmetic; coverage exact counting.
+  val x336: String =
+    """WITH vals AS (SELECT vec_id, CAST(i.i AS BIGINT) AS pos,
+      |                     floor(CAST(embedding[i.i] AS DOUBLE) * 1000000 + 0.5)
+      |                       / 1000000 AS v6
+      |              FROM embeddings, range(1, 65) i(i)),
+      |rk AS (SELECT pos, v6,
+      |              CAST(row_number() OVER (PARTITION BY pos ORDER BY v6, vec_id) AS BIGINT) AS r
+      |       FROM vals),
+      |c AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+      |             greatest(1, CAST(count(*) // 100 AS BIGINT)) AS rLo,
+      |             CAST(count(*) - count(*) // 100 AS BIGINT) AS rHi
+      |      FROM vals GROUP BY pos),
+      |b AS (SELECT rk.pos, min(v6) AS lo, max(v6) AS hi
+      |      FROM rk JOIN c USING (pos)
+      |      WHERE r = rLo OR r = rHi GROUP BY rk.pos)
+      |SELECT rk.pos, min(n) AS n_values, min(lo) AS p01, max(hi) AS p99,
+      |       floor(CAST(sum(CASE WHEN v6 >= lo AND v6 <= hi THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / CAST(min(n) AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |         AS clip_coverage
+      |FROM rk JOIN c USING (pos) JOIN b USING (pos)
+      |GROUP BY rk.pos ORDER BY pos""".stripMargin
+
   val r12Group: Map[String, String] = Map(
+    "x327_krippendorff_alpha" -> x327,
+    "x328_gumbel_topk"        -> x328,
+    "x329_winsorized_mean"    -> x329,
+    "x330_poisson_dispersion" -> x330,
+    "x331_dow_seasonality"    -> x331,
+    "x332_jaccard_sweep"      -> x332,
+    "x333_minhash_k_sweep"    -> x333,
+    "x334_hhi_concentration"  -> x334,
+    "x335_bloom_fpr"          -> x335,
+    "x336_embedding_clip"     -> x336,
     "x306_lexical_richness"   -> x306,
     "x307_simpson"            -> x307,
     "x308_mcnemar"            -> x308,

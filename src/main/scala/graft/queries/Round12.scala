@@ -851,27 +851,6 @@ object Round12Queries {
     */
   def x322BbitMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     import ExtendedQueries.stableRound6
-    val docs = Io.table(spark, sfDir, "documents")
-    val fanned = fanOut(docs)
-    val sig = LlmQueries.minhashSignature(fanned, 16)
-    val docSh = LlmQueries.shingleSetArray(fanned).withColumn("n", size(col("shset")))
-    val bands = LlmQueries.bandHashes(sig, bandsOf = 4, r = 4)
-    val cand = bands
-      .groupBy("band", "bh").agg(sort_array(collect_list("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(posexplode(col("ids")).as(Seq("i", "d1")), col("ids"))
-      .select(col("d1"), explode(expr("slice(ids, i + 2, size(ids))")).as("d2"))
-      .distinct()
-    val candIds = cand.select(col("d1").as("id"))
-      .union(cand.select(col("d2").as("id"))).distinct()
-    val sub = docSh.join(sig, "doc_id")
-      .join(candIds, col("doc_id") === col("id"))
-      .select(col("doc_id") +: col("shset") +: col("n") +:
-        (0 until 16).map(j => col(s"mh$j")): _*)
-    def side(tag: String) = sub.select(
-      col("doc_id").as(s"d$tag") +: col("shset").as(s"sh$tag") +:
-        col("n").as(s"n$tag") +:
-        (0 until 16).map(j => col(s"mh$j").as(s"mh${j}_$tag")): _*)
     def bit(c: Column): Column =
       conv(substring(c, 32, 1), 16, 10).cast("long") % 2
     val nBitsEq = (0 until 16)
@@ -882,8 +861,7 @@ object Round12Queries {
       .reduce(_ + _)
     val jac = col("n_common").cast("double") /
       (col("n1") + col("n2") - col("n_common"))
-    cand.join(side("1"), Seq("d1")).join(side("2"), Seq("d2"))
-      .withColumn("n_common", size(array_intersect(col("sh1"), col("sh2"))))
+    candJaccard(spark, sfDir)
       .withColumn("n_bits_eq", nBitsEq)
       .withColumn("n_full_eq", nFullEq)
       .select(col("d1"), col("d2"), col("n_bits_eq"),
@@ -1001,6 +979,454 @@ object Round12Queries {
           .as("silhouette"))
       .orderBy("cid")
   }
+
+  /** x327 — KRIPPENDORFF'S ALPHA over the three binary raters (round-12):
+    * for complete binary nominal data, α = 1 − (n−1)·Σ_u n_u0·n_u1/(m−1)
+    * / (n₀·n₁) with n = 3N pairable ratings — the agreement coefficient
+    * that generalizes across the family (κ variants are rater-pair or
+    * chance-model specific; α is the one content-analysis methodology
+    * standardizes on, and the only one defined when raters/units vary).
+    *
+    * Exactness: per-doc disagreement n₁(3−n₁)/2 is an exact integer
+    * (n₁(3−n₁) ∈ {0, 2}); all products DECIMAL(38,0); ONE division,
+    * round6; NULL when n₀·n₁ = 0 (unanimous corpus; mirrored).
+    *
+    * Scale shape: one corpus scan collapsing map-side to 3 totals.
+    */
+  def x327KrippendorffAlpha(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val d = raters(spark, sfDir)
+      .select((col("r_len") + col("r_tok") + col("r_lang")).as("n1"))
+      .select(col("n1"), (col("n1") * (lit(3L) - col("n1")) / 2)
+        .cast("long").as("du"))
+    val g = d.agg(count(lit(1)).as("n_docs"), sum("n1").as("p1"),
+      sum("du").as("s"))
+    val n = lit(3L) * col("n_docs")
+    val n0 = n - col("p1")
+    g.select(col("n_docs"), n.as("n_ratings"), col("p1").as("n_pass"),
+      col("s").as("s_disagree"),
+      when(dec(col("p1")) * dec(n0) > 0, stableRound6(lit(1.0) -
+        ((dec(n) - 1) * dec(col("s"))).cast("double") /
+          (dec(col("p1")) * dec(n0)).cast("double"))).as("alpha"))
+  }
+
+  /** x328 — GUMBEL TOP-k WEIGHTED SAMPLE (round-12): keys g = ln(w) −
+    * ln(−ln(u)) with a deterministic md5-uniform u, top-20 — the
+    * Gumbel-max construction of sampling WITHOUT replacement with
+    * probability proportional to size (equivalent to Efraimidis–Spirakis
+    * u^(1/w) keys): x317's priority sample optimizes sum ESTIMATION,
+    * PPSWOR optimizes representative SELECTION — both faces of weighted
+    * sampling a curation pipeline needs, now side by side.
+    *
+    * Exactness: u is the x317 dyadic rational under a 'g:' salt (so the
+    * two samplers' draws are independent); the key is QUANTIZED to 6
+    * digits BEFORE ranking (x323's slope rule — raw ln/exp may differ in
+    * the last ulp between libm implementations, and an ordering must
+    * never depend on an unpinned ulp), tie-broken by doc_id.
+    *
+    * Scale shape: per-row hash + two lns in the scan,
+    * TakeOrderedAndProject(20).
+    */
+  def x328GumbelTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val base = Io.table(spark, sfDir, "documents")
+      .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+      .withColumn("u",
+        (expr("cast(conv(substring(md5(concat('g:', cast(doc_id as string))), 1, 13), 16, 10) as bigint)")
+          + 1L).cast("double") / lit(4503599627370496.0))
+      .withColumn("g6", stableRound6(log(col("w").cast("double")) -
+        log(-log(col("u")))))
+    base.orderBy(col("g6").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("g6").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("w"), col("g6").as("gumbel_key"))
+      .orderBy("rank")
+  }
+
+  /** x329 — WINSORIZED + TRIMMED MEAN of doc length per source
+    * (round-12): 10%-each-side trimming at EXACT per-source order
+    * statistics — the robust-location pair beside x97's MAD fences: the
+    * trimmed mean discards the tails, the winsorized mean clamps them to
+    * the cut values (the estimator robust-statistics recommends when the
+    * tails are suspect but the mass is wanted).
+    *
+    * The per-source ranks ride [[graft.operators.RangeRank]] (NINTH
+    * declared consumer — and the first with a genuine multi-key domain):
+    * a ranking window partitioned by ~20 sources serializes each
+    * source's corpus-sized sort into one task (x220's documented
+    * ceiling); RangeRank keeps rank parallelism decoupled from |keys|.
+    *
+    * Exactness: k = n div 10 is integer arithmetic on exact per-source
+    * counts; cut values are exact order statistics (rank equality);
+    * sums of exact longs; two divisions, round6.
+    *
+    * Scale shape: two-pass RangeRank + a |sources|-row boundary join
+    * (broadcast) + one aggregate. No per-source single-task sort.
+    */
+  def x329WinsorizedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val d = Io.table(spark, sfDir, "documents")
+      .filter(col("n_chars").isNotNull && col("source").isNotNull)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("x"))
+    val ranking = graft.operators.RangeRank.rankWithinOwned(
+      d, "source", Seq("x", "doc_id"), "r")
+    val ranked = ranking.df
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("k", expr("n div 10"))
+    val withK = ranked.join(broadcast(counts), Seq("source"))
+    val bounds = withK
+      .filter(col("r") === col("k") + 1 || col("r") === col("n") - col("k"))
+      .groupBy("source").agg(min("x").as("lo"), max("x").as("hi"))
+    val out = withK.join(broadcast(bounds), Seq("source"))
+      .groupBy("source")
+      .agg(min("n").as("n_docs"), min("k").as("k_trim"),
+        min("lo").as("lo_cut"), min("hi").as("hi_cut"),
+        sum(when(col("r") > col("k") && col("r") <= col("n") - col("k"),
+          col("x")).otherwise(0L)).as("trimSum"),
+        sum(when(col("r") <= col("k"), col("lo"))
+          .when(col("r") > col("n") - col("k"), col("hi"))
+          .otherwise(col("x"))).as("winSum"))
+      .select(col("source"), col("n_docs"), col("k_trim"), col("lo_cut"),
+        col("hi_cut"),
+        stableRound6(col("trimSum").cast("double") /
+          (col("n_docs") - col("k_trim") * 2).cast("double"))
+          .as("trimmed_mean"),
+        stableRound6(col("winSum").cast("double") / col("n_docs").cast("double"))
+          .as("winsorized_mean"))
+      .orderBy("source")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ranking.release()
+    val prev = x329Pinned.getAndSet(out)
+    if (prev != null && (prev ne out)) prev.unpersist(false)
+    out
+  }
+
+  private val x329Pinned =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  /** x330 — POISSON DISPERSION of daily event counts (round-12): the
+    * index of dispersion D = Σ(c−c̄)²/c̄ = (n·Σc² − (Σc)²)/Σc (χ² with
+    * n−1 df under a homogeneous Poisson) and the variance-to-mean ratio
+    * — the first-line "is event arrival bursty at DAY granularity"
+    * alarm (x268 measures token burstiness; x299's CV needs per-event
+    * gaps; this one reads off three integers).
+    *
+    * Exactness: the whole statistic is ONE division of exact integers
+    * (DECIMAL products), round6.
+    *
+    * Scale shape: map-side day collapse, 1-row finale.
+    */
+  def x330PoissonDispersion(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val day = Io.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+    day.agg(count(lit(1)).as("n_days"), sum("c").as("n_events"),
+        sum(dec(col("c")) * dec(col("c"))).as("scc"))
+      .select(col("n_days"), col("n_events"),
+        stableRound6(col("n_events").cast("double") /
+          col("n_days").cast("double")).as("mean_per_day"),
+        stableRound6((dec(col("n_days")) * col("scc") -
+          dec(col("n_events")) * dec(col("n_events"))).cast("double") /
+          dec(col("n_events")).cast("double")).as("dispersion"),
+        stableRound6((dec(col("n_days")) * col("scc") -
+          dec(col("n_events")) * dec(col("n_events"))).cast("double") /
+          dec(col("n_events")).cast("double") /
+          (col("n_days") - 1).cast("double")).as("vmr"),
+        (col("n_days") - 1).as("df"))
+  }
+
+  /** x331 — DAY-OF-WEEK SEASONALITY (round-12): event volume per weekday
+    * (0 = Monday; epoch day 0 was a Thursday) and the χ² uniformity test
+    * against E = N/7 — the calendar-structure test behind x203's heatmap
+    * (which SHOWS the profile but scores nothing): a significant χ² says
+    * crawl scheduling is confounded with weekday, which any
+    * time-windowed sampling (x110/x264) should then stratify on.
+    *
+    * Exactness: each term is (7o − N)²/(7N) — exact-integer numerator
+    * (DECIMAL), one division per weekday, round6 → DECIMAL sum; the
+    * grid is ZERO-FILLED over all 7 weekdays (an event-free weekday
+    * still owes its (0 − N/7)² term — omitting it understates χ² on
+    * sparse data); the seven shares are single divisions.
+    *
+    * Scale shape: map-side collapse to the 7-row spine; 1-row cross.
+    */
+  def x331DowSeasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val observed = Io.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(pmod(expr("unix_micros(ts) div 86400000000") + 3, lit(7))
+        .as("dow"))
+      .groupBy("dow").agg(count(lit(1)).as("o"))
+    val cells = spark.range(7).select(col("id").as("dow"))
+      .join(observed, Seq("dow"), "left")
+      .select(col("dow"), coalesce(col("o"), lit(0L)).as("o"))
+    val tot = cells.agg(sum("o").as("n"))
+    val t6 = stableRound6(
+      ((lit(7) * dec(col("o")) - dec(col("n"))) *
+        (lit(7) * dec(col("o")) - dec(col("n")))).cast("double") /
+      (lit(7.0) * col("n").cast("double"))).cast("decimal(18,6)")
+    val withT = cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("o"), col("n"), t6.as("t6"))
+    val chi = withT.agg(sum("t6").cast("decimal(28,6)").as("chi2d"))
+    withT.crossJoin(broadcast(chi))
+      .select(col("dow"), col("o").as("n_events"),
+        stableRound6(col("o").cast("double") / col("n").cast("double"))
+          .as("share"),
+        col("chi2d").cast("double").as("chi2"), lit(6L).as("df"))
+      .orderBy("dow")
+  }
+
+  /** x332 — JACCARD THRESHOLD SWEEP over the LSH candidates (round-12):
+    * the histogram of exact candidate-pair Jaccard in 0.1 bins plus the
+    * pairs-at-or-above cumulative — the dedup THRESHOLD calibration
+    * curve: x20 reports pairs at one policy, x179 plots the s-curve of
+    * the banding itself; this shows how many merges each τ would commit,
+    * which is the number a curator tunes τ against.
+    *
+    * Exactness: bin = ⌊10·J⌋ as the integer comparison 10·|A∩B| vs
+    * k·|A∪B| (no float bin edges — a J exactly on an edge lands
+    * deterministically); the cumulative runs over the ≤11-row frame.
+    *
+    * Scale shape: inherits x62's banded-candidate machinery; histogram
+    * collapse map-side; 11-row walk.
+    */
+  def x332JaccardSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val pairs = candJaccard(spark, sfDir)
+    val hist = pairs
+      .select(least(expr("(10 * n_common) div (n1 + n2 - n_common)"),
+        lit(10L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    val tot = hist.agg(sum("n_pairs").as("n"))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist.crossJoin(broadcast(tot))
+      .withColumn("pairs_at_or_above", sum("n_pairs").over(w))
+      .select(col("bin"), stableRound6(col("bin").cast("double") / 10.0)
+          .as("tau_lo"),
+        col("n_pairs"), col("pairs_at_or_above"),
+        stableRound6(col("n_pairs").cast("double") / col("n").cast("double"))
+          .as("share"))
+      .orderBy("bin")
+  }
+
+  /** The x62 LSH candidate pairs with exact shingle-set sizes and
+    * intersections — shared by x332 (threshold sweep) and x333 (k
+    * sweep). Identical recipe to x62/x322's head. */
+  private def candJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val fanned = fanOut(Io.table(spark, sfDir, "documents"))
+    val sig = LlmQueries.minhashSignature(fanned, 16)
+    val docSh = LlmQueries.shingleSetArray(fanned)
+      .withColumn("n", size(col("shset")))
+    val bands = LlmQueries.bandHashes(sig, bandsOf = 4, r = 4)
+    val cand = bands
+      .groupBy("band", "bh").agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(posexplode(col("ids")).as(Seq("i", "d1")), col("ids"))
+      .select(col("d1"), explode(expr("slice(ids, i + 2, size(ids))")).as("d2"))
+      .distinct()
+    val candIds = cand.select(col("d1").as("id"))
+      .union(cand.select(col("d2").as("id"))).distinct()
+    val sub = docSh.join(sig, "doc_id")
+      .join(candIds, col("doc_id") === col("id"))
+      .select(col("doc_id") +: col("shset") +: col("n") +:
+        (0 until 16).map(j => col(s"mh$j")): _*)
+    def side(tag: String) = sub.select(
+      col("doc_id").as(s"d$tag") +: col("shset").as(s"sh$tag") +:
+        col("n").as(s"n$tag") +:
+        (0 until 16).map(j => col(s"mh$j").as(s"mh${j}_$tag")): _*)
+    cand.join(side("1"), Seq("d1")).join(side("2"), Seq("d2"))
+      .withColumn("n_common",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+  }
+
+  /** x333 — MINHASH k SWEEP (round-12): on the same candidates, the
+    * estimator error of k = 4 / 8 / 16 signature prefixes — mean
+    * absolute error and signed bias of est_k vs exact Jaccard — the
+    * signature-LENGTH economics beside x322's bit-DEPTH economics: a
+    * 100 TB signature table prices k directly in bytes, and this query
+    * shows what each halving costs in estimator quality on real
+    * candidate pairs.
+    *
+    * Exactness: per-pair errors are single float chains round6 →
+    * DECIMAL means; est_k uses the FIRST k hashes (prefix, so the three
+    * estimators share one signature computation).
+    *
+    * Scale shape: inherits the candidate-bounded frame; 3-row finale.
+    */
+  def x333MinhashKSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val pairs = candJaccard(spark, sfDir)
+    val jac = col("n_common").cast("double") /
+      (col("n1") + col("n2") - col("n_common")).cast("double")
+    val rows = Seq(4, 8, 16).map { k =>
+      val estK = (0 until k)
+        .map(j => (col(s"mh${j}_1") === col(s"mh${j}_2")).cast("int"))
+        .reduce(_ + _).cast("double") / lit(k.toDouble)
+      pairs.select(lit(k.toLong).as("k"),
+        stableRound6(abs(estK - jac)).cast("decimal(18,6)").as("ae6"),
+        stableRound6(estK - jac).cast("decimal(18,6)").as("e6"))
+    }.reduce(_ unionAll _)
+    rows.groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("ae6").cast("decimal(28,6)").as("sa"),
+        sum("e6").cast("decimal(28,6)").as("se"))
+      .select(col("k"), col("n_pairs"),
+        stableRound6(col("sa").cast("double") / col("n_pairs").cast("double"))
+          .as("mae"),
+        stableRound6(col("se").cast("double") / col("n_pairs").cast("double"))
+          .as("bias"))
+      .orderBy("k")
+  }
+
+  /** x334 — HERFINDAHL–HIRSCHMAN CONCENTRATION of the source mix
+    * (round-12): HHI = Σ share², effective source count 1/HHI, and the
+    * CR4 top-4 share, on BOTH the document and token bases — the
+    * one-number mix-governance summary behind x54/x108's full rebalance
+    * machinery (an HHI drift is the cheap alarm that triggers them).
+    *
+    * Exactness: HHI = Σn_s²/N² from exact integers (DECIMAL products,
+    * one division); CR4 = an exact top-4 sum over the |sources| frame
+    * (count desc, source tie-break); per-basis single divisions, round6.
+    *
+    * Scale shape: one map-combining source aggregate per basis; the
+    * top-4 cut and moments run on |sources| rows.
+    */
+  def x334HhiConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val d = Io.table(spark, sfDir, "documents")
+      .filter(col("source").isNotNull && col("text").isNotNull)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+    def basis(name: String, mass: Column): DataFrame = {
+      val per = d.groupBy("source").agg(sum(mass).as("m"))
+      val rk = per.withColumn("rk",
+        row_number().over(Window.orderBy(col("m").desc, col("source"))))
+      rk.agg(sum("m").as("n"), count(lit(1)).as("n_sources"),
+          sum(dec(col("m")) * dec(col("m"))).as("s2"),
+          sum(when(col("rk") <= 4, col("m")).otherwise(0L)).as("top4"))
+        .select(lit(name).as("basis"), col("n_sources"), col("n").as("total"),
+          stableRound6(col("s2").cast("double") /
+            (dec(col("n")) * dec(col("n"))).cast("double")).as("hhi"),
+          stableRound6((dec(col("n")) * dec(col("n"))).cast("double") /
+            col("s2").cast("double")).as("effective_sources"),
+          stableRound6(col("top4").cast("double") / col("n").cast("double"))
+            .as("cr4"))
+    }
+    basis("docs", lit(1L)).unionAll(basis("tokens", col("nt")))
+      .orderBy("basis")
+  }
+
+  /** x335 — PORTABLE BLOOM FILTER with a MEASURED false-positive rate
+    * (round-12): a from-scratch Bloom over the corpus text fingerprints
+    * (m = 2¹⁵ bits, k = 3 md5-derived positions), probed with 1000
+    * synthetic non-member keys, next to the analytic (1 − e^(−kn/m))^k —
+    * the sketch whose FPR claim is usually taken on faith (x123/x184 use
+    * Spark's built-in, opaque to the oracle; x295's HLL showed the
+    * pattern: build the sketch from arithmetic BOTH engines can run, and
+    * the oracle pins the sketch itself, not just its answer).
+    *
+    * Exactness: positions are exact integer arithmetic on md5 hex
+    * prefixes (the x272 cast pattern); the bit set is a DISTINCT
+    * position set; membership is an exact 3-way join count; the analytic
+    * rate is one float chain, round6.
+    *
+    * Scale shape: fingerprints collapse map-side; the bit set is ≤2¹⁵
+    * rows broadcast into the 3000-row probe join; 1-row finale.
+    */
+  def x335BloomFpr(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val m = 32768L
+    val k = 3
+    val fps = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(md5(col("text")).as("fp")).distinct()
+    def pos(key: Column, i: Int): Column =
+      pmod(conv(substring(md5(concat(lit(s"$i:"), key)), 1, 8), 16, 10)
+        .cast("long"), lit(m))
+    val bits = fps.select(explode(array((0 until k).map(i =>
+      pos(col("fp"), i)): _*)).as("p")).distinct()
+    val nKeys = fps.agg(count(lit(1)).as("n_keys"))
+    val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+    val probes = spark.range(1000)
+      .select(concat(lit("probe:"), col("id").cast("string")).as("key"),
+        col("id"))
+    val probePos = probes.select(col("id"), explode(array((0 until k).map(i =>
+      pos(col("key"), i)): _*)).as("p"))
+    val hits = probePos.join(bits, Seq("p"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === k)
+      .agg(count(lit(1)).as("n_fp"))
+    val theo = stableRound6(pow(lit(1.0) -
+      exp(lit(-k.toDouble) * col("n_keys").cast("double") / lit(m.toDouble)),
+      lit(k.toDouble)))
+    nKeys.crossJoin(broadcast(nBits)).crossJoin(broadcast(hits))
+      .select(col("n_keys"), lit(m).as("m_bits"), lit(k.toLong).as("k_hashes"),
+        col("n_bits_set"), col("n_fp").as("n_false_positives"),
+        stableRound6(col("n_fp").cast("double") / 1000.0).as("measured_fpr"),
+        theo.as("theoretical_fpr"))
+  }
+
+  /** x336 — EMBEDDING CLIP BOUNDS per dimension (round-12): exact p1/p99
+    * order statistics of each of the 64 component distributions and the
+    * in-range coverage — the calibration step an INT8 quantizer (x127)
+    * presupposes: clip bounds from approximate quantiles silently move
+    * between runs; these are exact rank statistics, so the quantization
+    * grid is reproducible.
+    *
+    * The per-dimension ranks ride [[graft.operators.RangeRank]] (TENTH
+    * consumer, key = dimension): a window partitioned by 64 dims sorts
+    * each dim's corpus-sized slice in ONE task; RangeRank decouples the
+    * parallelism (the x329 argument at dimension cardinality).
+    *
+    * Exactness: component values round6 BEFORE ranking (float→double is
+    * exact, the quantized orbit is the declared semantics; ties broken
+    * by vec_id); cut ranks are integer arithmetic; coverage is exact
+    * counting, one division.
+    *
+    * Scale shape: posexplode to (dim, value), two-pass RangeRank, a
+    * 64-row boundary frame broadcast back, one aggregate.
+    */
+  def x336EmbeddingClipBounds(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val vals = Io.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+        stableRound6(col("v").cast("double")).as("v6"))
+    val ranking = graft.operators.RangeRank.rankWithinOwned(
+      vals, "pos", Seq("v6", "vec_id"), "r")
+    val counts = vals.groupBy("pos").agg(count(lit(1)).as("n"))
+      .withColumn("rLo", greatest(lit(1L), expr("n div 100")))
+      .withColumn("rHi", col("n") - expr("n div 100"))
+    val withN = ranking.df.join(broadcast(counts), Seq("pos"))
+    val bounds = withN
+      .filter(col("r") === col("rLo") || col("r") === col("rHi"))
+      .groupBy("pos").agg(min("v6").as("lo"), max("v6").as("hi"))
+    val out = withN.join(broadcast(bounds), Seq("pos"))
+      .groupBy("pos")
+      .agg(min("n").as("n_values"), min("lo").as("p01"), max("hi").as("p99"),
+        sum((col("v6") >= col("lo") && col("v6") <= col("hi")).cast("long"))
+          .as("n_in_range"))
+      .select(col("pos"), col("n_values"), col("p01"), col("p99"),
+        stableRound6(col("n_in_range").cast("double") /
+          col("n_values").cast("double")).as("clip_coverage"))
+      .orderBy("pos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ranking.release()
+    val prev = x336Pinned.getAndSet(out)
+    if (prev != null && (prev ne out)) prev.unpersist(false)
+    out
+  }
+
+  private val x336Pinned =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
   /** x318 — CHAO1 UNSEEN-VOCABULARY estimate per source (round-12): the
     * nonparametric species-richness floor V̂ = V + V₁²/(2V₂) (Chao 1984;

@@ -280,7 +280,13 @@ class PlanSpec extends SparkSpec {
       "x309_cramers_v", "x310_mutual_information", "x311_vocab_lorenz",
       "x313_ljung_box", "x315_hist_distances", "x316_cliffs_delta",
       "x317_priority_sample", "x319_pair_completeness", "x323_mann_kendall",
-      "x324_durbin_watson", "x325_neyman_allocation", "x326_silhouette")
+      "x324_durbin_watson", "x325_neyman_allocation", "x326_silhouette",
+      // x331's is the constant 7-row weekday spine + the 1-row total and
+      // chi2 crosses (x117's shape); x335's are the three 1-row
+      // key/bit/hit counts crossing each other (x319's shape); x332's is
+      // the 1-row candidate-pair total onto the ≤11-bin histogram
+      // (x117's shape)
+      "x331_dow_seasonality", "x332_jaccard_sweep", "x335_bloom_fpr")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -318,6 +318,142 @@ class Round12Spec extends SparkSpec {
     assert(out("sc") == ((0.5, 166L, 167L))) // largest remainder takes the +1
   }
 
+  test("x327: alpha equals the closed form on the x314 fixture") {
+    val rows = Seq(
+      (1L, Seq.fill(30)("w").mkString(" "), "en", "s", 150L),
+      (2L, Seq.fill(30)("w").mkString(" "), "en", "s", 150L),
+      (3L, Seq.fill(3)("w").mkString(" "), "fr", "s", 150L),
+      (4L, Seq.fill(3)("w").mkString(" "), "fr", "s", 50L))
+    val got = Round12Queries.x327KrippendorffAlpha(spark, docsDir(rows)).head()
+    // n1 per doc = (3,3,1,0) -> S = 0+0+1+0 = 1; n=12, p1=7, n0=5
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      == ((4L, 12L, 7L, 1L)))
+    assert(got.getDouble(4) == r(1.0 - 11.0 * 1 / (7.0 * 5)))
+  }
+
+  test("x328: Gumbel keys match an independent md5 recompute; rank order holds") {
+    val rows = (1L to 5L).map(i => (i, "t", "en", "s", i * 10L))
+    val out = Round12Queries.x328GumbelTopk(spark, docsDir(rows)).collect()
+    assert(out.length == 5)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def g6(id: Long): Double = {
+      val hex = md.digest(s"g:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4503599627370496.0
+      r(math.log(id * 10.0) - math.log(-math.log(u)))
+    }
+    val expected = (1L to 5L).map(i => (i, g6(i)))
+      .sortBy { case (id, g) => (-g, id) }
+    out.zip(expected).zipWithIndex.foreach { case ((row, (id, g)), i) =>
+      assert(row.getLong(0) == i + 1L)
+      assert(row.getLong(1) == id)
+      assert(row.getDouble(3) == g)
+    }
+  }
+
+  test("x329: trimmed and winsorized means at exact order statistics; k=0 degenerates") {
+    val sa = Seq(0L, 10L, 20L, 30L, 40L, 50L, 60L, 70L, 81L, 900L)
+      .zipWithIndex.map { case (v, i) => (i + 1L, "t", "en", "sa", v) }
+    val sb = Seq(5L, 7L, 9L).zipWithIndex.map { case (v, i) =>
+      (i + 100L, "t", "en", "sb", v) }
+    val out = Round12Queries.x329WinsorizedMean(spark, docsDir(sa ++ sb))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getDouble(5), x.getDouble(6))).toMap
+    // sa: k=1, cuts at ranks 2/9 -> 10/81; trimmed = 361/8, win = 452/10
+    assert(out("sa") == ((10L, 1L, 10L, 81L, r(361.0 / 8), r(452.0 / 10))))
+    // sb: k=0 -> cuts are min/max, both means = plain mean
+    assert(out("sb") == ((3L, 0L, 5L, 9L, 7.0, 7.0)))
+  }
+
+  test("x330: dispersion is one integer division (daily counts 1,2,3)") {
+    val got = Round12Queries.x330PoissonDispersion(spark, eventsDir(Seq(
+      (1L, 0L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0),
+      (4L, 2L, 1.0), (5L, 2L, 1.0), (6L, 2L, 1.0)))).head()
+    assert((got.getLong(0), got.getLong(1)) == ((3L, 6L)))
+    assert(got.getDouble(2) == 2.0)
+    assert(got.getDouble(3) == 1.0) // (3*14-36)/6
+    assert(got.getDouble(4) == 0.5)
+    assert(got.getLong(5) == 2L)
+  }
+
+  test("x331: zero weekdays still owe their chi-square terms") {
+    // day 0 = Thursday (dow 3), day 1 = Friday (dow 4)
+    val got = Round12Queries.x331DowSeasonality(spark, eventsDir(Seq(
+      (1L, 0L, 1.0), (2L, 0L, 1.0), (3L, 1L, 1.0)))).collect()
+    assert(got.length == 7)
+    val byDow = got.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(byDow == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 1L,
+      5L -> 0L, 6L -> 0L))
+    val chi = (BigDecimal(r(121.0 / 21)) + BigDecimal(r(16.0 / 21)) +
+      BigDecimal(r(9.0 / 21)) * 5).toDouble
+    got.foreach(x => assert(x.getDouble(3) == chi && x.getLong(4) == 6L))
+  }
+
+  test("x332/x333: identical-doc candidates land in bin 10 with zero estimator error") {
+    val t1 = "x y z w v u"
+    val t2 = "p q r s t u v"
+    val rows = Seq((1L, t1, "en", "s", 11L), (2L, t1, "en", "s", 11L),
+      (3L, t1, "en", "s", 11L), (4L, t2, "en", "s", 13L),
+      (5L, t2, "en", "s", 13L))
+    val dir = docsDir(rows)
+    val sweep = Round12Queries.x332JaccardSweep(spark, dir).collect()
+    assert(sweep.length == 1)
+    assert((sweep.head.getLong(0), sweep.head.getLong(2),
+      sweep.head.getLong(3), sweep.head.getDouble(4)) == ((10L, 4L, 4L, 1.0)))
+    val ks = Round12Queries.x333MinhashKSweep(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getDouble(3)))
+    assert(ks.toSeq == Seq((4L, 4L, 0.0, 0.0), (8L, 4L, 0.0, 0.0),
+      (16L, 4L, 0.0, 0.0)))
+  }
+
+  test("x334: HHI/CR4 on both bases for a 3+1 doc, 6+4 token split") {
+    val rows = Seq((1L, "w w", "en", "sa", 3L), (2L, "w w", "en", "sa", 3L),
+      (3L, "w w", "en", "sa", 3L), (4L, "w w w w", "en", "sb", 7L))
+    val out = Round12Queries.x334HhiConcentration(spark, docsDir(rows))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4),
+          x.getDouble(5))).toMap
+    assert(out("docs") == ((2L, 4L, 0.625, 1.6, 1.0)))
+    assert(out("tokens") == ((2L, 10L, 0.52, r(100.0 / 52), 1.0)))
+  }
+
+  test("x335: the bit set and measured FPR match a driver-side brute force") {
+    val rows = Seq((1L, "alpha text", "en", "s", 10L),
+      (2L, "beta text", "en", "s", 9L))
+    val got = Round12Queries.x335BloomFpr(spark, docsDir(rows)).head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def pos(key: String, i: Int): Long =
+      java.lang.Long.parseLong(md5hex(s"$i:$key").substring(0, 8), 16) % 32768
+    val fps = Seq("alpha text", "beta text").map(md5hex)
+    val bits = (for (f <- fps; i <- 0 until 3) yield pos(f, i)).toSet
+    val fp = (0 until 1000).count(id =>
+      (0 until 3).forall(i => bits(pos(s"probe:$id", i))))
+    assert(got.getLong(0) == 2L)
+    assert(got.getLong(3) == bits.size.toLong)
+    assert(got.getLong(4) == fp.toLong)
+    assert(got.getDouble(5) == r(fp / 1000.0))
+    assert(got.getDouble(6) ==
+      r(math.pow(1.0 - math.exp(-3.0 * 2 / 32768.0), 3.0)))
+  }
+
+  test("x336: clip bounds are exact rank statistics on a 200-vector ramp") {
+    val rows = (1L to 200L).map(i =>
+      i -> Seq.fill(64)(i / 100.0f))
+    val out = Round12Queries.x336EmbeddingClipBounds(spark, embDir(rows))
+      .collect()
+    assert(out.length == 64)
+    out.foreach { x =>
+      assert(x.getLong(1) == 200L)
+      assert(x.getDouble(2) == 0.02)  // rank 2 of the ramp
+      assert(x.getDouble(3) == 1.98)  // rank 198
+      assert(x.getDouble(4) == 0.985) // 197/200 in range
+    }
+  }
+
   test("x326: silhouette on exact 3-4-5 cosines") {
     def basis(i: Int): Seq[Float] =
       Seq.tabulate(64)(d => if (d == i - 1) 1.0f else 0.0f)
