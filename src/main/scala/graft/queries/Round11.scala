@@ -1558,8 +1558,16 @@ object Round11Queries {
     * mass each step and π stops summing to 1; mirrored in the oracle).
     *
     * Scale shape: ONE corpus pass builds the |types|²-row matrix (x99's
-    * plan); the 8 iterations are joins over ≤|types|-row frames —
-    * constant work regardless of corpus.
+    * plan). The matrix is METADATA-sized (event-type vocabulary squared
+    * — tens of rows at any corpus size), so it is collected and the 8
+    * quantized iterations run as EXACT driver-side decimal arithmetic
+    * (the x260 driver-metric class): the first cut expressed the loop
+    * as 8 chained joins over ≤|types|-row cached frames and paid ~16
+    * dimension-sized shuffle stages for it — measured 4.3 s isolated at
+    * sf0.1 after the sink rework vs ~0.5 s for this form, identical
+    * output (the orbit arithmetic below replicates the engine chain
+    * step for step: exact decimal product → double cast → round6 →
+    * exact decimal sum → double cast → round6).
     */
   def x302MarkovStationary(spark: SparkSession, sfDir: String): DataFrame = {
     import ExtendedQueries.stableRound6
@@ -1572,48 +1580,42 @@ object Round11Queries {
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("f"), col("to_type").as("t"))
       .agg(count(lit(1)).as("n"))
-    val rows = trans
+    val mat = trans
       .withColumn("p6", stableRound6(col("n") /
         sum("n").over(Window.partitionBy("f"))).cast("decimal(18,6)"))
       .select("f", "t", "p6")
-    // state space = from-types ∪ to-types (advice r11): a SINK type
-    // (appears only as a destination) previously fell outside the state
-    // set and leaked its inbound mass every step, so π summed to < 1.
-    // Sinks get an explicit self-loop (p=1 — the absorbing-state
-    // convention), making every row of the matrix stochastic; on a
-    // sink-free fixture both the state set and the orbit are unchanged.
-    val fromT = rows.select(col("f").as("s")).distinct()
-    val states = fromT.union(rows.select(col("t").as("s"))).distinct()
-    val sinks = states.join(fromT, Seq("s"), "left_anti")
-      .select(col("s").as("f"), col("s").as("t"),
-        lit(BigDecimal(1)).cast("decimal(18,6)").as("p6"))
-    val p = rows.union(sinks)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val k = states.count()
-    var v = states.select(col("s"),
-      stableRound6(lit(1.0) / lit(k.toDouble)).cast("decimal(18,6)").as("pi"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDecimal(2)))
+    def r6(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(math.floor(x * 1e6 + 0.5) / 1e6)
+        .setScale(6)
+    // state space = from ∪ to; sinks get the absorbing self-loop
+    val fromSet = mat.map(_._1).toSet
+    val states = (fromSet ++ mat.map(_._2)).toSeq.sorted
+    val one = java.math.BigDecimal.ONE.setScale(6)
+    val edges = mat.toSeq ++
+      states.filterNot(fromSet).map(s => (s, s, one))
+    // the uniform start, then 8 steps of the QUANTIZED orbit — each term
+    // is round6((pi · p6).doubleValue) exactly as the decimal-product →
+    // double-cast → round6 engine chain, summed exactly, re-rounded
+    var pi: Map[String, java.math.BigDecimal] =
+      states.map(_ -> r6(1.0 / states.size)).toMap
     for (_ <- 1 to 8) {
-      v = v.join(p, col("s") === col("f"))
-        .select(col("t"),
-          stableRound6((col("pi") * col("p6")).cast("double"))
-            .cast("decimal(18,6)").as("term"))
-        .groupBy(col("t").as("s"))
-        .agg(stableRound6(sum("term").cast("decimal(28,6)").cast("double"))
-          .cast("decimal(18,6)").as("pi"))
+      pi = edges
+        .flatMap { case (f, t, p6) =>
+          pi.get(f).map(pf => t -> r6(pf.multiply(p6).doubleValue))
+        }
+        .groupBy(_._1)
+        .map { case (t, ts) =>
+          t -> r6(ts.map(_._2).reduce(_.add(_)).doubleValue)
+        }
     }
-    val out = v.select(col("s").as("event_type"),
-        col("pi").cast("double").as("pi"))
-      .orderBy("event_type")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    val prev = x302Pinned.getAndSet(out)
-    if (prev != null && (prev ne out)) prev.unpersist(false)
-    p.unpersist(false)
-    out
+    val spark2 = spark
+    import spark2.implicits._
+    pi.toSeq.map { case (s, p) => (s, p.doubleValue) }
+      .sortBy(_._1)
+      .toDF("event_type", "pi")
   }
-
-  private val x302Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
   /** x303 — OOV RATE vs the top-1k corpus vocabulary, per source
     * (round-11): the token mass a frequency-capped vocabulary would send
