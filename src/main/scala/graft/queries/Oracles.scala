@@ -8054,7 +8054,163 @@ object Oracles {
       |FROM rk JOIN c USING (pos) JOIN b USING (pos)
       |GROUP BY rk.pos ORDER BY pos""".stripMargin
 
+  // x337: cumulative class counts over the value grid; weighted impurity
+  // one float chain per threshold, round6; argmin by (g6, v).
+  val x337: String =
+    """WITH vals AS (SELECT CAST(n_chars AS BIGINT) AS v,
+      |                     CAST(count(*) AS BIGINT) AS c,
+      |                     CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+      |              FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+      |              GROUP BY 1),
+      |cum AS (SELECT v, c, p,
+      |               CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |                    AND CURRENT ROW) AS BIGINT) AS nL,
+      |               CAST(sum(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |                    AND CURRENT ROW) AS BIGINT) AS pL
+      |        FROM vals),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS np FROM vals),
+      |sc AS (SELECT v, nL, pL, n, np,
+      |              floor((CAST(nL AS DOUBLE) *
+      |                     (1.0 - (CAST(pL AS DOUBLE) / nL) * (CAST(pL AS DOUBLE) / nL)
+      |                          - (1.0 - CAST(pL AS DOUBLE) / nL) * (1.0 - CAST(pL AS DOUBLE) / nL))
+      |                   + CAST(n - nL AS DOUBLE) *
+      |                     (1.0 - (CAST(np - pL AS DOUBLE) / (n - nL)) * (CAST(np - pL AS DOUBLE) / (n - nL))
+      |                          - (1.0 - CAST(np - pL AS DOUBLE) / (n - nL)) * (1.0 - CAST(np - pL AS DOUBLE) / (n - nL))))
+      |                    / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS g6
+      |       FROM cum, tot WHERE nL < n)
+      |SELECT n AS n_docs, np AS n_pos,
+      |       floor((1.0 - (CAST(np AS DOUBLE) / n) * (CAST(np AS DOUBLE) / n)
+      |              - (1.0 - CAST(np AS DOUBLE) / n) * (1.0 - CAST(np AS DOUBLE) / n))
+      |             * 1000000 + 0.5) / 1000000 AS base_gini,
+      |       v AS best_threshold, g6 AS split_gini, nL AS left_n, pL AS left_pos
+      |FROM sc ORDER BY g6, v LIMIT 1""".stripMargin
+
+  // x338: rides x104's component/split chain; (10o − wn)²/(10wn) exact
+  // numerators; 3-cell DECIMAL sum.
+  val x338: String =
+    s"""WITH $componentCtes,
+      |h AS (
+      |  SELECT doc_id, component,
+      |         ('0x' || substring(md5('split|' || CAST(component AS VARCHAR)), 1, 8))::BIGINT % 10 AS h
+      |  FROM r),
+      |asg AS (SELECT DISTINCT component,
+      |               CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split
+      |        FROM h),
+      |obs AS (SELECT split, CAST(count(*) AS BIGINT) AS o FROM asg GROUP BY split),
+      |cells AS (SELECT sp.split, coalesce(obs.o, 0) AS o, sp.w
+      |          FROM (VALUES ('train', CAST(8 AS BIGINT)), ('val', CAST(1 AS BIGINT)),
+      |                       ('test', CAST(1 AS BIGINT))) sp(split, w)
+      |          LEFT JOIN obs ON obs.split = sp.split),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |t AS (SELECT split, o, w, n,
+      |             CAST(floor(CAST((10 * CAST(o AS HUGEINT) - CAST(w AS HUGEINT) * n)
+      |                             * (10 * CAST(o AS HUGEINT) - CAST(w AS HUGEINT) * n) AS DOUBLE)
+      |                  / (10.0 * CAST(w AS DOUBLE) * CAST(n AS DOUBLE))
+      |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS t6
+      |      FROM cells, tot),
+      |chi AS (SELECT CAST(sum(t6) AS DECIMAL(28,6)) AS chi2d FROM t)
+      |SELECT split, o AS n_components,
+      |       floor(CAST(o AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS share,
+      |       floor(CAST(w AS DOUBLE) / 10.0 * 1000000 + 0.5) / 1000000 AS expected_share,
+      |       CAST(chi2d AS DOUBLE) AS chi2, CAST(2 AS BIGINT) AS df
+      |FROM t, chi ORDER BY split""".stripMargin
+
+  // x339: crawl-order row_number; novel = min-doc_id-per-fingerprint
+  // equality; integer decile cut.
+  val x339: String =
+    """WITH d AS (SELECT doc_id,
+      |                  md5(array_to_string(list_sort(list_distinct(
+      |                    string_split(text, ' '))), ' ')) AS fp
+      |           FROM documents WHERE text IS NOT NULL),
+      |fs AS (SELECT fp, CAST(min(doc_id) AS BIGINT) AS first_id FROM d GROUP BY fp),
+      |rk AS (SELECT doc_id, fp, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r
+      |       FROM d),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+      |SELECT (10 * (r - 1)) // n + 1 AS decile,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |       floor(CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS novelty_rate
+      |FROM rk JOIN fs USING (fp), n
+      |GROUP BY 1 ORDER BY decile""".stripMargin
+
+  // x340: levenshtein on the banded candidates; integer bin edges.
+  val x340: String =
+    s"""WITH $candCte,
+      |pr AS (SELECT CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+      |              CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS ml
+      |       FROM cand
+      |       JOIN documents da ON da.doc_id = cand.d1
+      |       JOIN documents db ON db.doc_id = cand.d2),
+      |hist AS (SELECT least((10 * lev) // ml, 10) AS bin,
+      |                CAST(count(*) AS BIGINT) AS n_pairs
+      |         FROM pr GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n FROM hist)
+      |SELECT CAST(bin AS BIGINT) AS bin,
+      |       floor(CAST(bin AS DOUBLE) / 10.0 * 1000000 + 0.5) / 1000000 AS dist_lo,
+      |       n_pairs,
+      |       floor(CAST(n_pairs AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5)
+      |         / 1000000 AS share
+      |FROM hist, tot ORDER BY bin""".stripMargin
+
+  // x341: add-one smoothed P and Q as exact rationals; ln of the exact
+  // cross ratio (HUGEINT products); zero-filled source × bigram grid.
+  val x341: String =
+    """WITH big AS (SELECT source,
+      |                    unnest(list_transform(range(1, len(toks)),
+      |                           i -> concat_ws(' ', toks[i], toks[i+1]))) AS b
+      |             FROM (SELECT source, string_split(text, ' ') AS toks
+      |                   FROM documents WHERE text IS NOT NULL)),
+      |sb AS (SELECT source, b, CAST(count(*) AS BIGINT) AS csb FROM big GROUP BY 1, 2),
+      |cb AS (SELECT b, CAST(sum(csb) AS BIGINT) AS cbb FROM sb GROUP BY b),
+      |ns AS (SELECT source, CAST(sum(csb) AS BIGINT) AS nns FROM sb GROUP BY source),
+      |tot AS (SELECT CAST(sum(cbb) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS vv FROM cb),
+      |spine AS (SELECT ns.source, ns.nns, cb.b, cb.cbb, coalesce(sb.csb, 0) AS csb
+      |          FROM cb CROSS JOIN ns
+      |          LEFT JOIN sb ON sb.source = ns.source AND sb.b = cb.b),
+      |t AS (SELECT source, nns,
+      |             CAST(floor((CAST(csb + 1 AS DOUBLE) / CAST(nns + vv AS DOUBLE))
+      |                  * ln(CAST((CAST(csb AS HUGEINT) + 1) * (CAST(nn AS HUGEINT) + vv) AS DOUBLE)
+      |                       / CAST((CAST(cbb AS HUGEINT) + 1) * (CAST(nns AS HUGEINT) + vv) AS DOUBLE))
+      |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS t6
+      |      FROM spine, tot)
+      |SELECT source, CAST(min(nns) AS BIGINT) AS n_bigrams,
+      |       CAST(CAST(sum(t6) AS DECIMAL(28,6)) AS DOUBLE) AS kl_nats
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  // x342: doubled tie-averaged ranks keep every quantity integral; one
+  // division of HUGEINT products.
+  val x342: String =
+    """WITH d AS (SELECT floor(CAST(len(list_filter(toks,
+      |                    x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+      |                  / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS s,
+      |                  CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+      |           FROM (SELECT string_split(text, ' ') AS toks, lang
+      |                 FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL)),
+      |grid AS (SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS cp
+      |         FROM d GROUP BY s),
+      |cum AS (SELECT s, c, cp,
+      |               CAST(sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+      |                    AND CURRENT ROW) AS BIGINT) AS cumUpto
+      |        FROM grid),
+      |agg AS (SELECT sum(CAST(cp AS HUGEINT)
+      |                   * ((cumUpto - c) * 2 + c + 1)) AS sr2 FROM cum),
+      |tots AS (SELECT CAST(sum(y) AS BIGINT) AS npos,
+      |                CAST(count(*) - sum(y) AS BIGINT) AS nneg FROM d)
+      |SELECT npos AS n_pos, nneg AS n_neg,
+      |       CASE WHEN npos > 0 AND nneg > 0 THEN
+      |         floor(CAST(sr2 - CAST(npos AS HUGEINT) * (CAST(npos AS HUGEINT) + 1) AS DOUBLE)
+      |               / CAST(2 * CAST(npos AS HUGEINT) * nneg AS DOUBLE)
+      |               * 1000000 + 0.5) / 1000000 END AS auc
+      |FROM agg, tots""".stripMargin
+
   val r12Group: Map[String, String] = Map(
+    "x337_gini_stump"         -> x337,
+    "x338_srm_check"          -> x338,
+    "x339_novelty_decay"      -> x339,
+    "x340_edit_histogram"     -> x340,
+    "x341_bigram_kl"          -> x341,
+    "x342_auc_rank"           -> x342,
     "x327_krippendorff_alpha" -> x327,
     "x328_gumbel_topk"        -> x328,
     "x329_winsorized_mean"    -> x329,

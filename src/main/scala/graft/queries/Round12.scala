@@ -1428,6 +1428,294 @@ object Round12Queries {
   private val x336Pinned =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
+  /** x337 — DECISION-STUMP split on document length for the language
+    * label (round-12): the threshold v minimizing the weighted Gini
+    * impurity of (n_chars ≤ v) vs (> v) against y = (lang = 'en') — a
+    * one-feature CART split trained DISTRIBUTED: the candidate-threshold
+    * sweep collapses to cumulative walks over the distinct-value grid
+    * (x316's machinery), so the stump trains in one pass — the minimal
+    * honest member of "train a model on the corpus" that is still
+    * exactly oracle-pinnable, and the feature-screening primitive
+    * (impurity drop = split usefulness) a quality-filter designer uses
+    * before fitting anything bigger.
+    *
+    * Exactness: class counts and cumulative walks exact integers;
+    * per-threshold weighted impurity is one float chain from exact
+    * longs, round6; the argmin is the (impurity6 asc, v asc) total
+    * order via TakeOrdered(1); degenerate right sides (v = max) are
+    * excluded.
+    *
+    * Scale shape: one corpus scan to the value grid; windows over
+    * value-cardinality frames; a 1-row winner cross.
+    */
+  def x337GiniStump(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val vals = Io.table(spark, sfDir, "documents")
+      .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+      .select(col("n_chars").cast("long").as("v"),
+        (col("lang") === "en").cast("long").as("y"))
+      .groupBy("v").agg(count(lit(1)).as("c"), sum("y").as("p"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = vals.withColumn("nL", sum("c").over(w))
+      .withColumn("pL", sum("p").over(w))
+    val tot = vals.agg(sum("c").as("n"), sum("p").as("np"))
+    def gini(pos: Column, n: Column): Column = {
+      val p = pos.cast("double") / n.cast("double")
+      lit(1.0) - p * p - (lit(1.0) - p) * (lit(1.0) - p)
+    }
+    val scored = cum.crossJoin(broadcast(tot))
+      .filter(col("nL") < col("n")) // v = max splits nothing off
+      .select(col("v"), col("nL"), col("pL"), col("n"), col("np"),
+        stableRound6((col("nL").cast("double") *
+          gini(col("pL"), col("nL")) +
+          (col("n") - col("nL")).cast("double") *
+          gini(col("np") - col("pL"), col("n") - col("nL"))) /
+          col("n").cast("double")).as("g6"))
+    val best = scored.orderBy(col("g6").asc, col("v").asc).limit(1)
+    best.select(col("n").as("n_docs"), col("np").as("n_pos"),
+      stableRound6(gini(col("np"), col("n"))).as("base_gini"),
+      col("v").as("best_threshold"), col("g6").as("split_gini"),
+      col("nL").as("left_n"), col("pL").as("left_pos"))
+  }
+
+  /** x338 — SAMPLE-RATIO-MISMATCH check of the x104 split (round-12):
+    * observed component counts per train/val/test vs the declared
+    * 80/10/10 hash design, as a χ² with 2 df — the first test every
+    * experimentation platform runs before trusting a split: a
+    * significant SRM means the assignment hash is biased or the
+    * population filtered asymmetrically, and every downstream eval
+    * number is suspect. Rides the memoized x47 components (the split
+    * unit is the COMPONENT — leakage-safe by construction).
+    *
+    * Exactness: each term is (10·o − w·n)²/(10·w·n) with w ∈ {8, 1, 1}
+    * — exact-integer numerators (DECIMAL), one division per cell,
+    * round6 → DECIMAL sum; the 3-split spine is ZERO-FILLED (a split
+    * that received nothing still owes its full expectation term — the
+    * x331 rule; that empty-split case is the WORST mismatch, not an
+    * ignorable one).
+    *
+    * Scale shape: the component frame collapses map-side to 3 cells.
+    */
+  def x338SrmCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val spark2 = spark
+    import spark2.implicits._
+    val observed = LlmQueries.x104SplitAssign(spark, sfDir)
+      .select("component", "split").distinct()
+      .groupBy("split").agg(count(lit(1)).as("o0"))
+    val cells = Seq(("train", 8L), ("val", 1L), ("test", 1L))
+      .toDF("split", "w")
+      .join(observed, Seq("split"), "left")
+      .select(col("split"), coalesce(col("o0"), lit(0L)).as("o"), col("w"))
+    val tot = cells.agg(sum("o").as("n"))
+    val t6 = stableRound6(
+      ((lit(10) * dec(col("o")) - dec(col("w")) * dec(col("n"))) *
+        (lit(10) * dec(col("o")) - dec(col("w")) * dec(col("n"))))
+        .cast("double") /
+      (lit(10.0) * col("w").cast("double") * col("n").cast("double")))
+      .cast("decimal(18,6)")
+    val withT = cells.crossJoin(broadcast(tot))
+      .select(col("split"), col("o"), col("w"), col("n"), t6.as("t6"))
+    val chi = withT.agg(sum("t6").cast("decimal(28,6)").as("chi2d"))
+    withT.crossJoin(broadcast(chi))
+      .select(col("split"), col("o").as("n_components"),
+        stableRound6(col("o").cast("double") / col("n").cast("double"))
+          .as("share"),
+        stableRound6(col("w").cast("double") / 10.0).as("expected_share"),
+        col("chi2d").cast("double").as("chi2"), lit(2L).as("df"))
+      .orderBy("split")
+  }
+
+  /** x339 — CRAWL NOVELTY DECAY (round-12): walking the corpus in doc_id
+    * (crawl) order split into 10 equal deciles, the share of documents
+    * that are the FIRST instance of their content fingerprint — the
+    * marginal-value-of-crawling curve: a decaying novelty rate is the
+    * empirical basis of the data-constrained scaling decisions (x281)
+    * and tells a crawler when a source is mined out (x287 prices dedup
+    * AFTER the fact; this shows the decay AS the corpus grows).
+    *
+    * The crawl-order rank rides [[graft.operators.RangeRank]] (ELEVENTH
+    * consumer, constant key — no one-task window over the corpus).
+    *
+    * Exactness: decile assignment is integer arithmetic on the exact
+    * rank; "novel" is the exact min-doc_id-per-fingerprint equality;
+    * one division per decile, round6.
+    *
+    * Scale shape: fingerprint collapse (x269's), the two-pass rank, a
+    * broadcast first-seen join, a 10-row finale.
+    */
+  def x339NoveltyDecay(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val d = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(
+          split(col("text"), " "))), " ")).as("fp"))
+      .withColumn("g", lit(1))
+    val firstSeen = d.groupBy("fp").agg(min("doc_id").as("first_id"))
+    val ranking = graft.operators.RangeRank.rankWithinOwned(
+      d, "g", Seq("doc_id"), "r")
+    val n = d.agg(count(lit(1)).as("n"))
+    val out = ranking.df.join(firstSeen, Seq("fp"))
+      .crossJoin(broadcast(n))
+      .withColumn("decile", expr("(10 * (r - 1)) div n + 1"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("doc_id") === col("first_id")).cast("long")).as("n_novel"))
+      .select(col("decile"), col("n_docs"), col("n_novel"),
+        stableRound6(col("n_novel").cast("double") / col("n_docs").cast("double"))
+          .as("novelty_rate"))
+      .orderBy("decile")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ranking.release()
+    val prev = x339Pinned.getAndSet(out)
+    if (prev != null && (prev ne out)) prev.unpersist(false)
+    out
+  }
+
+  private val x339Pinned =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  /** x340 — EDIT-DISTANCE HISTOGRAM on the LSH candidates (round-12):
+    * normalized Levenshtein over the banded candidate pairs in 0.1 bins
+    * — the distance PROFILE behind x84's single 0.95 gate: where the
+    * candidate mass actually sits decides whether the gate threshold is
+    * on a cliff or in a desert, which is the robustness question a
+    * one-number gate can't answer.
+    *
+    * Exactness: lev is the engines' shared classic edit distance (x84's
+    * parity precedent); bin = the integer comparison (10·lev) div
+    * max(len) capped at 10 — no float edges.
+    *
+    * Scale shape: candidate-bounded (x271's class — corpus scale runs
+    * the audit on a sample, documented); histogram collapses map-side.
+    */
+  def x340EditHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val docs = Io.table(spark, sfDir, "documents")
+    val pairs = candJaccard(spark, sfDir).select("d1", "d2")
+      .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
+      .select(levenshtein(col("t1"), col("t2")).cast("long").as("lev"),
+        greatest(length(col("t1")), length(col("t2"))).cast("long").as("ml"))
+    val hist = pairs
+      .select(least(expr("(10 * lev) div ml"), lit(10L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    val tot = hist.agg(sum("n_pairs").as("n"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("bin"),
+        stableRound6(col("bin").cast("double") / 10.0).as("dist_lo"),
+        col("n_pairs"),
+        stableRound6(col("n_pairs").cast("double") / col("n").cast("double"))
+          .as("share"))
+      .orderBy("bin")
+  }
+
+  /** x341 — PER-SOURCE BIGRAM KL from the corpus bigram LM (round-12):
+    * KL(P_s ‖ Q) with add-one smoothing on both sides over the corpus
+    * bigram vocabulary — style drift at SEQUENCE order: x215's unigram
+    * JSD sees word choice, bigram KL sees phrasing (two sources can
+    * share a vocabulary and still write differently), and it is the
+    * quantity importance-sampling corpus tilts (x124) implicitly
+    * assume small.
+    *
+    * Exactness: P = (c_sb + 1)/(N_s + V) and Q = (c_b + 1)/(N + V) are
+    * exact rationals; each term round6(P·ln(P·den_Q/(Q·den_P · …))) is
+    * computed as P·ln of the exact cross ratio (DECIMAL products, the
+    * x267 rule), round6 → DECIMAL sum over the ZERO-FILLED source ×
+    * corpus-bigram grid (absent bigrams still carry smoothed mass —
+    * omitting them understates KL).
+    *
+    * Scale shape: two vocabulary-sized aggregates; the grid is
+    * |sources| × |bigram vocab| (vocabulary-linear, the x304 spine at
+    * bigram scale); map-combining collapse back to |sources|.
+    */
+  def x341BigramKl(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val big = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"), col("toks"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(1, size(toks) - 1) END""".stripMargin)).as("i"))
+      .select(col("source"), concat_ws(" ",
+        expr("element_at(toks, i)"), expr("element_at(toks, i + 1)"))
+        .as("b"))
+    val sb = big.groupBy("source", "b").agg(count(lit(1)).as("csb"))
+    val cb = sb.groupBy("b").agg(sum("csb").as("cbb"))
+    val ns = sb.groupBy("source").agg(sum("csb").as("nns"))
+    val tot = cb.agg(sum("cbb").as("nn"), count(lit(1)).as("vv"))
+    // zero-filled grid: every (source, corpus bigram) cell — the
+    // |sources|-row side broadcasts into the vocabulary frame
+    val spine = cb.select("b", "cbb")
+      .crossJoin(broadcast(ns.select("source", "nns")))
+      .join(sb, Seq("source", "b"), "left")
+      .select(col("source"), col("nns"), col("b"), col("cbb"),
+        coalesce(col("csb"), lit(0L)).as("csb"))
+    val p = (dec(col("csb")) + 1)
+    val q = (dec(col("cbb")) + 1)
+    val t6 = stableRound6(
+      ((col("csb") + 1).cast("double") / (col("nns") + col("vv")).cast("double")) *
+      log((p * (dec(col("nn")) + dec(col("vv")))).cast("double") /
+          (q * (dec(col("nns")) + dec(col("vv")))).cast("double")))
+      .cast("decimal(18,6)")
+    spine.crossJoin(broadcast(tot.select(col("nn"), col("vv"))))
+      .select(col("source"), col("nns"), t6.as("t6"))
+      .groupBy("source")
+      .agg(min("nns").as("n_bigrams"),
+        sum("t6").cast("decimal(28,6)").as("kl"))
+      .select(col("source"), col("n_bigrams"),
+        col("kl").cast("double").as("kl_nats"))
+      .orderBy("source")
+  }
+
+  /** x342 — AUC OF THE STOPWORD-SHARE SCORER vs the language label
+    * (round-12): the rank-sum (Mann–Whitney) AUC of score = stopword
+    * share against y = (lang = 'en'), tie-averaged — THE
+    * threshold-free meter for any per-doc scorer the filter bank
+    * (x178/x213) ships: accuracy depends on a cutoff, AUC ranks the
+    * scorer itself, and the rank-sum identity computes it exactly with
+    * no pair enumeration.
+    *
+    * Exactness: scores are round6'd per doc then treated as exact rank
+    * keys; DOUBLED tie-averaged ranks (x205's trick) keep every
+    * quantity an exact integer — AUC = (Σ2R⁺ − nP(nP+1)) / (2·nP·nN),
+    * ONE division (DECIMAL products), round6; NULL when a class is
+    * empty (mirrored).
+    *
+    * Scale shape: per-row score in the scan; cumulative walks over the
+    * score-value grid (value-cardinality, never docs); 1-row finale.
+    */
+  def x342AucRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val d = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull && col("lang").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      .select(stableRound6(
+        size(expr("filter(toks, x -> x IN ('the', 'a', 'of', 'to', 'and'))"))
+          .cast("double") / size(col("toks")).cast("double")).as("s"),
+        (col("lang") === "en").cast("long").as("y"))
+    val grid = d.groupBy("s").agg(count(lit(1)).as("c"), sum("y").as("cp"))
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.withColumn("cumUpto", sum("c").over(w))
+    // doubled tie-averaged rank of value s: 2R = 2*cumBelow + (c + 1)
+    val r2 = (col("cumUpto") - col("c")) * 2 + col("c") + 1
+    val agg = cum.select(col("cp"), r2.as("r2"))
+      .agg(sum(dec(col("cp")) * dec(col("r2"))).as("sr2"))
+    val tots = d.agg(sum("y").as("npos"),
+      (count(lit(1)) - sum("y")).as("nneg"))
+    agg.crossJoin(broadcast(tots))
+      .select(col("npos").as("n_pos"), col("nneg").as("n_neg"),
+        when(col("npos") > 0 && col("nneg") > 0, stableRound6(
+          (col("sr2") - dec(col("npos")) * (dec(col("npos")) + 1))
+            .cast("double") /
+          (lit(2) * dec(col("npos")) * dec(col("nneg"))).cast("double")))
+          .as("auc"))
+  }
+
   /** x318 — CHAO1 UNSEEN-VOCABULARY estimate per source (round-12): the
     * nonparametric species-richness floor V̂ = V + V₁²/(2V₂) (Chao 1984;
     * the bias-corrected V + V₁(V₁−1)/2 form when V₂ = 0) — the "how much

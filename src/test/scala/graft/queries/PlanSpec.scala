@@ -286,7 +286,17 @@ class PlanSpec extends SparkSpec {
       // key/bit/hit counts crossing each other (x319's shape); x332's is
       // the 1-row candidate-pair total onto the ≤11-bin histogram
       // (x117's shape)
-      "x331_dow_seasonality", "x332_jaccard_sweep", "x335_bloom_fpr")
+      "x331_dow_seasonality", "x332_jaccard_sweep", "x335_bloom_fpr",
+      // x337's is the 1-row class-totals frame onto the value grid
+      // (x316's shape); x338's are the literal 3-row split spine + the
+      // 1-row total/chi2 crosses; x339's is the 1-row corpus count onto
+      // the ranked stream (x283's shape); x340's is the 1-row pair total
+      // onto the ≤11-bin histogram; x341's is the |sources|-row smoothed
+      // totals broadcasting into the bigram-vocabulary spine (the x304
+      // zero-fill at bigram scale); x342's is the 1-row rank-sum/totals
+      // cross
+      "x337_gini_stump", "x338_srm_check", "x339_novelty_decay",
+      "x340_edit_histogram", "x341_bigram_kl", "x342_auc_rank")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

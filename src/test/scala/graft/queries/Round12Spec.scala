@@ -454,6 +454,86 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("x337: a clean split finds threshold 10 with zero impurity") {
+    val rows = Seq((1L, "t", "en", "s", 10L), (2L, "t", "en", "s", 10L),
+      (3L, "t", "fr", "s", 20L), (4L, "t", "fr", "s", 20L))
+    val got = Round12Queries.x337GiniStump(spark, docsDir(rows)).head()
+    assert((got.getLong(0), got.getLong(1)) == ((4L, 2L)))
+    assert(got.getDouble(2) == 0.5)   // base gini at p = .5
+    assert(got.getLong(3) == 10L)     // threshold
+    assert(got.getDouble(4) == 0.0)   // perfect split
+    assert((got.getLong(5), got.getLong(6)) == ((2L, 2L)))
+  }
+
+  test("x338: split cells and chi2 match the md5 recompute; empty splits owe their terms") {
+    // 5 distinct docs -> 5 singleton components (component = doc_id)
+    val rows = (1L to 5L).map(i => (i, s"unique$i text$i", "en", "s", 10L))
+    val got = Round12Queries.x338SrmCheck(spark, docsDir(rows)).collect()
+    assert(got.length == 3)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def split(c: Long): String = {
+      val h = java.lang.Long.parseLong(md.digest(s"split|$c".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8), 16) % 10
+      if (h <= 7) "train" else if (h == 8) "val" else "test"
+    }
+    val exp = (1L to 5L).map(split).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val w = Map("train" -> 8L, "val" -> 1L, "test" -> 1L)
+    val chi = w.keys.toSeq.sorted.map { s =>
+      val o = exp.getOrElse(s, 0L)
+      BigDecimal(r(math.pow(10.0 * o - w(s) * 5, 2) / (10.0 * w(s) * 5)))
+    }.sum.toDouble
+    got.foreach { x =>
+      assert(x.getLong(1) == exp.getOrElse(x.getString(0), 0L))
+      assert(x.getDouble(4) == chi)
+    }
+  }
+
+  test("x339: novelty is 1 for first instances, 0 for repeats, in crawl order") {
+    val rows = (1L to 5L).map(i => (i, s"u$i w$i", "en", "s", 5L)) ++
+      (6L to 10L).map(i => (i, s"u${i - 5} w${i - 5}", "en", "s", 5L))
+    val got = Round12Queries.x339NoveltyDecay(spark, docsDir(rows))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3)))
+    assert(got.length == 10) // n=10: one doc per decile
+    got.foreach { case (dec10, n, novel, rate) =>
+      val expect = if (dec10 <= 5) 1L else 0L
+      assert(n == 1L && novel == expect && rate == expect.toDouble)
+    }
+  }
+
+  test("x340: identical candidate pairs land in distance bin 0") {
+    val t1 = "x y z w v u"
+    val rows = Seq((1L, t1, "en", "s", 11L), (2L, t1, "en", "s", 11L))
+    val got = Round12Queries.x340EditHistogram(spark, docsDir(rows)).collect()
+    assert(got.length == 1)
+    assert((got.head.getLong(0), got.head.getLong(2),
+      got.head.getDouble(3)) == ((0L, 1L, 1.0)))
+  }
+
+  test("x341: bigram KL equals the smoothed hand recompute; self-KL is 0") {
+    val rows = Seq((1L, "a b c", "en", "sa", 5L), (2L, "a b a b", "en", "sb", 7L))
+    val out = Round12Queries.x341BigramKl(spark, docsDir(rows))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // corpus bigrams: ab 3, ba 1, bc 1; V = 3, N = 5; Nsa = 2, Nsb = 3
+    val klSa = (BigDecimal(r(0.4 * math.log(2.0 * 8 / (4.0 * 5)))) +
+      BigDecimal(r(0.2 * math.log(1.0 * 8 / (2.0 * 5)))) +
+      BigDecimal(r(0.4 * math.log(2.0 * 8 / (2.0 * 5))))).toDouble
+    val klSb = (BigDecimal(r(0.5 * math.log(3.0 * 8 / (4.0 * 6)))) +
+      BigDecimal(r(1.0 / 3 * math.log(2.0 * 8 / (2.0 * 6)))) +
+      BigDecimal(r(1.0 / 6 * math.log(1.0 * 8 / (2.0 * 6))))).toDouble
+    assert(out("sa") == ((2L, klSa)))
+    assert(out("sb") == ((3L, klSb)))
+  }
+
+  test("x342: AUC equals the tie-aware pair count (7/8)") {
+    val rows = Seq((1L, "the the", "en", "s", 7L), (2L, "x the", "en", "s", 5L),
+      (3L, "x y", "fr", "s", 3L), (4L, "the y", "fr", "s", 5L))
+    val got = Round12Queries.x342AucRank(spark, docsDir(rows)).head()
+    assert((got.getLong(0), got.getLong(1)) == ((2L, 2L)))
+    // pairs: (1.0 vs 0) + (1.0 vs .5) + (.5 vs 0) + (.5 vs .5 tie = .5)
+    assert(got.getDouble(2) == 0.875)
+  }
+
   test("x326: silhouette on exact 3-4-5 cosines") {
     def basis(i: Int): Seq[Float] =
       Seq.tabulate(64)(d => if (d == i - 1) 1.0f else 0.0f)
