@@ -8204,7 +8204,86 @@ object Oracles {
       |               * 1000000 + 0.5) / 1000000 END AS auc
       |FROM agg, tots""".stripMargin
 
+  // x343: successor counts gated by the broadcast 20-row anchor set;
+  // per-term exact-ratio ln, round6, DECIMAL sums.
+  val x343: String =
+    """WITH tok AS (SELECT string_split(text, ' ') AS toks
+      |             FROM documents WHERE text IS NOT NULL),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+      |        FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w),
+      |anch AS (SELECT w, cw FROM uni ORDER BY cw DESC, w LIMIT 20),
+      |succ AS (SELECT s.w, s.nxt, CAST(count(*) AS BIGINT) AS c
+      |         FROM (SELECT toks[i] AS w, toks[i+1] AS nxt
+      |               FROM tok, unnest(range(1, len(toks))) u(i)) s
+      |         JOIN anch ON anch.w = s.w
+      |         GROUP BY s.w, s.nxt),
+      |pa AS (SELECT w, CAST(sum(c) AS BIGINT) AS n,
+      |              CAST(count(*) AS BIGINT) AS n_successors
+      |       FROM succ GROUP BY w),
+      |t AS (SELECT succ.w, pa.n, pa.n_successors,
+      |             CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |                  * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+      |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS t6
+      |      FROM succ JOIN pa USING (w))
+      |SELECT t.w AS token, anch.cw AS n_occurrences,
+      |       CAST(min(t.n) AS BIGINT) AS n_continuations,
+      |       CAST(min(t.n_successors) AS BIGINT) AS n_successors,
+      |       CAST(CAST(sum(t6) AS DECIMAL(28,6)) AS DOUBLE) AS branching_entropy
+      |FROM t JOIN anch ON anch.w = t.w
+      |GROUP BY t.w, anch.cw ORDER BY token""".stripMargin
+
+  // x344: x342's doubled-rank identity with the dup-flag label.
+  val x344: String =
+    """WITH d0 AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v,
+      |                   md5(array_to_string(list_sort(list_distinct(
+      |                     string_split(text, ' '))), ' ')) AS fp
+      |            FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |mult AS (SELECT fp, CAST(count(*) AS BIGINT) AS m FROM d0 GROUP BY fp),
+      |d AS (SELECT v, CAST(CASE WHEN m > 1 THEN 1 ELSE 0 END AS BIGINT) AS y
+      |      FROM d0 JOIN mult USING (fp)),
+      |grid AS (SELECT v, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS cp
+      |         FROM d GROUP BY v),
+      |cum AS (SELECT v, c, cp,
+      |               CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |                    AND CURRENT ROW) AS BIGINT) AS cumUpto
+      |        FROM grid),
+      |agg AS (SELECT sum(CAST(cp AS HUGEINT) * ((cumUpto - c) * 2 + c + 1)) AS sr2
+      |        FROM cum),
+      |tots AS (SELECT CAST(sum(y) AS BIGINT) AS npos,
+      |                CAST(count(*) - sum(y) AS BIGINT) AS nneg FROM d)
+      |SELECT npos AS n_dup, nneg AS n_unique,
+      |       CASE WHEN npos > 0 AND nneg > 0 THEN
+      |         floor(CAST(sr2 - CAST(npos AS HUGEINT) * (CAST(npos AS HUGEINT) + 1) AS DOUBLE)
+      |               / CAST(2 * CAST(npos AS HUGEINT) * nneg AS DOUBLE)
+      |               * 1000000 + 0.5) / 1000000 END AS auc,
+      |       CASE WHEN npos > 0 AND nneg > 0 THEN
+      |         floor((CAST(sr2 - CAST(npos AS HUGEINT) * (CAST(npos AS HUGEINT) + 1) AS DOUBLE)
+      |                / CAST(CAST(npos AS HUGEINT) * nneg AS DOUBLE) - 1.0)
+      |               * 1000000 + 0.5) / 1000000 END AS rank_biserial
+      |FROM agg, tots""".stripMargin
+
+  // x345: exact character counts; per-term exact-ratio ln, DECIMAL sum.
+  val x345: String =
+    """WITH cells AS (SELECT source, ch, CAST(count(*) AS BIGINT) AS c
+      |               FROM (SELECT source,
+      |                            unnest(string_split(replace(text, ' ', ''), '')) AS ch
+      |                     FROM documents WHERE text IS NOT NULL)
+      |               WHERE ch <> '' GROUP BY source, ch),
+      |per AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY source),
+      |t AS (SELECT cells.source, per.n,
+      |             CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |                  * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+      |                  * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS t6
+      |      FROM cells JOIN per USING (source))
+      |SELECT source, CAST(min(n) AS BIGINT) AS n_chars,
+      |       CAST(count(*) AS BIGINT) AS alphabet_size,
+      |       CAST(CAST(sum(t6) AS DECIMAL(28,6)) AS DOUBLE) AS char_entropy
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   val r12Group: Map[String, String] = Map(
+    "x343_successor_entropy"  -> x343,
+    "x344_rank_biserial"      -> x344,
+    "x345_char_entropy"       -> x345,
     "x337_gini_stump"         -> x337,
     "x338_srm_check"          -> x338,
     "x339_novelty_decay"      -> x339,

@@ -1716,6 +1716,139 @@ object Round12Queries {
           .as("auc"))
   }
 
+  /** x343 — SUCCESSOR BRANCHING ENTROPY for the 20 most frequent tokens
+    * (round-12): H(next | w) = −Σ p·ln p over each token's successor
+    * distribution — the classic word-boundary/segmentation signal
+    * (Harris 1955; high branching after w = w ends a unit, low = w sits
+    * mid-collocation): x267's PMI scores PAIRS, x219 the corpus rate;
+    * branching entropy scores each ANCHOR token, which is what a
+    * phrase-mining or tokenizer-merge pass actually consumes.
+    *
+    * Exactness: successor counts exact; each term is
+    * round6((c/n)·ln(n/c)) — the ln of an exact-integer ratio — summed
+    * as DECIMAL; anchor selection is the (count desc, token) total
+    * order.
+    *
+    * Scale shape: one bigram-vocabulary aggregate gated by the broadcast
+    * 20-row anchor set; per-anchor finale. Corpus scanned twice
+    * (unigrams + bigrams), nothing corpus-sized shuffles.
+    */
+  def x343SuccessorEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val tok = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+    val uni = tok.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val anchors = uni.orderBy(col("cw").desc, col("w")).limit(20)
+      .select(col("w"), col("cw"))
+    val succ = tok.select(col("toks"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(1, size(toks) - 1) END""".stripMargin)).as("i"))
+      .select(expr("element_at(toks, i)").as("w"),
+        expr("element_at(toks, i + 1)").as("nxt"))
+      .join(broadcast(anchors.select("w")), Seq("w"))
+      .groupBy("w", "nxt").agg(count(lit(1)).as("c"))
+    val perAnchor = succ.groupBy("w").agg(sum("c").as("n"),
+      count(lit(1)).as("n_successors"))
+    succ.join(broadcast(perAnchor), Seq("w"))
+      .select(col("w"), col("n"), col("n_successors"),
+        stableRound6((col("c").cast("double") / col("n").cast("double")) *
+          log(col("n").cast("double") / col("c").cast("double")))
+          .cast("decimal(18,6)").as("t6"))
+      .groupBy("w")
+      .agg(min("n").as("n_continuations"), min("n_successors").as("n_successors"),
+        sum("t6").cast("decimal(28,6)").as("h"))
+      .join(broadcast(anchors), Seq("w"))
+      .select(col("w").as("token"), col("cw").as("n_occurrences"),
+        col("n_continuations"), col("n_successors"),
+        col("h").cast("double").as("branching_entropy"))
+      .orderBy("token")
+  }
+
+  /** x344 — RANK-BISERIAL dup ↔ length effect size (round-12):
+    * r_rb = 2·AUC − 1 of document length against the exact-duplicate
+    * flag (x269's fingerprint multiplicity > 1), via the same doubled
+    * tie-averaged rank-sum identity as x342 — the EFFECT-SIZE companion
+    * to x216's point-biserial correlation and x275's quartile table:
+    * "dups are longer/shorter, and by how much on the ordinal scale",
+    * robust to the heavy length tail that distorts a Pearson r.
+    *
+    * Exactness: the dup flag is exact collapse arithmetic; doubled
+    * ranks keep every quantity integral; ONE division (DECIMAL
+    * products), round6; NULL when a class is empty (mirrored).
+    *
+    * Scale shape: fingerprint collapse + value-grid cumulative walks —
+    * no pair enumeration, nothing corpus-sized shuffles twice.
+    */
+  def x344RankBiserial(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val d0 = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("v"),
+        md5(array_join(array_sort(array_distinct(
+          split(col("text"), " "))), " ")).as("fp"))
+    val mult = d0.groupBy("fp").agg(count(lit(1)).as("m"))
+    val d = d0.join(mult, Seq("fp"))
+      .select(col("v"), (col("m") > 1).cast("long").as("y"))
+    val grid = d.groupBy("v").agg(count(lit(1)).as("c"), sum("y").as("cp"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.withColumn("cumUpto", sum("c").over(w))
+    val r2 = (col("cumUpto") - col("c")) * 2 + col("c") + 1
+    val agg = cum.select(col("cp"), r2.as("r2"))
+      .agg(sum(dec(col("cp")) * dec(col("r2"))).as("sr2"))
+    val tots = d.agg(sum("y").as("npos"), (count(lit(1)) - sum("y")).as("nneg"))
+    agg.crossJoin(broadcast(tots))
+      .select(col("npos").as("n_dup"), col("nneg").as("n_unique"),
+        when(col("npos") > 0 && col("nneg") > 0, stableRound6(
+          (col("sr2") - dec(col("npos")) * (dec(col("npos")) + 1))
+            .cast("double") /
+          (lit(2) * dec(col("npos")) * dec(col("nneg"))).cast("double")))
+          .as("auc"),
+        when(col("npos") > 0 && col("nneg") > 0, stableRound6(
+          (col("sr2") - dec(col("npos")) * (dec(col("npos")) + 1))
+            .cast("double") /
+          (dec(col("npos")) * dec(col("nneg"))).cast("double") - 1.0))
+          .as("rank_biserial"))
+  }
+
+  /** x345 — CHARACTER ENTROPY per source (round-12): Shannon entropy of
+    * each source's character distribution (spaces excluded) plus the
+    * alphabet size — the byte-level style/encoding fingerprint under
+    * x101's token entropy: two sources with identical token stats can
+    * still differ at character level (transliteration, digit density,
+    * markup residue), and char entropy is the standard quick screen for
+    * encoding corruption before any tokenizer sees the bytes.
+    *
+    * Exactness: character counts exact; each term round6((c/n)·ln(n/c))
+    * (exact-integer ratio), DECIMAL sum.
+    *
+    * Scale shape: one char explode collapsing map-side to the
+    * (source, char) alphabet grid; |sources|-row finale.
+    */
+  def x345CharEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val cells = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(regexp_replace(col("text"), " ", ""),
+        "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("source", "ch").agg(count(lit(1)).as("c"))
+    val per = cells.groupBy("source").agg(sum("c").as("n"))
+    cells.join(broadcast(per), Seq("source"))
+      .select(col("source"), col("n"),
+        stableRound6((col("c").cast("double") / col("n").cast("double")) *
+          log(col("n").cast("double") / col("c").cast("double")))
+          .cast("decimal(18,6)").as("t6"))
+      .groupBy("source")
+      .agg(min("n").as("n_chars"), count(lit(1)).as("alphabet_size"),
+        sum("t6").cast("decimal(28,6)").as("h"))
+      .select(col("source"), col("n_chars"), col("alphabet_size"),
+        col("h").cast("double").as("char_entropy"))
+      .orderBy("source")
+  }
+
   /** x318 — CHAO1 UNSEEN-VOCABULARY estimate per source (round-12): the
     * nonparametric species-richness floor V̂ = V + V₁²/(2V₂) (Chao 1984;
     * the bias-corrected V + V₁(V₁−1)/2 form when V₂ = 0) — the "how much

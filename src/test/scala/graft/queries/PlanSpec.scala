@@ -296,7 +296,9 @@ class PlanSpec extends SparkSpec {
       // zero-fill at bigram scale); x342's is the 1-row rank-sum/totals
       // cross
       "x337_gini_stump", "x338_srm_check", "x339_novelty_decay",
-      "x340_edit_histogram", "x341_bigram_kl", "x342_auc_rank")
+      "x340_edit_histogram", "x341_bigram_kl", "x342_auc_rank",
+      // x344's is x342's 1-row rank-sum/totals cross with the dup label
+      "x344_rank_biserial")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -534,6 +534,35 @@ class Round12Spec extends SparkSpec {
     assert(got.getDouble(2) == 0.875)
   }
 
+  test("x343: branching entropy equals the hand chain; successor-free anchors drop") {
+    val out = Round12Queries.x343SuccessorEntropy(spark,
+      docsDir(Seq((1L, "a b a c", "en", "s", 7L))))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    // successors: a -> {b, c}, b -> {a}; c never continues (excluded)
+    val ha = (BigDecimal(r(0.5 * math.log(2.0))) * 2).toDouble
+    assert(out("a") == ((2L, 2L, 2L, ha)))
+    assert(out("b") == ((1L, 1L, 1L, 0.0)))
+    assert(!out.contains("c"))
+  }
+
+  test("x344: all-dups-longer gives AUC 1 and rank-biserial 1") {
+    val rows = Seq((1L, "x x", "en", "s", 10L), (2L, "x x", "en", "s", 20L),
+      (3L, "y z", "en", "s", 5L))
+    val got = Round12Queries.x344RankBiserial(spark, docsDir(rows)).head()
+    assert((got.getLong(0), got.getLong(1)) == ((2L, 1L)))
+    assert(got.getDouble(2) == 1.0 && got.getDouble(3) == 1.0)
+  }
+
+  test("x345: char entropy of 'aab' equals the two-term chain") {
+    val got = Round12Queries.x345CharEntropy(spark,
+      docsDir(Seq((1L, "a a b", "en", "s", 5L)))).head()
+    val h = (BigDecimal(r(2.0 / 3 * math.log(1.5))) +
+      BigDecimal(r(1.0 / 3 * math.log(3.0)))).toDouble
+    assert((got.getLong(1), got.getLong(2)) == ((3L, 2L)))
+    assert(got.getDouble(3) == h)
+  }
+
   test("x326: silhouette on exact 3-4-5 cosines") {
     def basis(i: Int): Seq[Float] =
       Seq.tabulate(64)(d => if (d == i - 1) 1.0f else 0.0f)
