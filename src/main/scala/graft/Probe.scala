@@ -282,6 +282,22 @@ object Probe {
     for (dir <- Seq(sfDir, tenDir)) run("x322_bbit_minhash", dir) {
       (queries.Round12Queries.x322BbitMinhash(spark, dir).count(), Nil)
     }
+    // round-12 batch 3/4 scale shapes: x339 rides RangeRank + the
+    // fingerprint collapse (FLAT expectation); x341's source ×
+    // bigram-vocabulary grid must track the VOCABULARY (unchanged under
+    // exact copies — FLAT at 100×), never the corpus; x343's anchor-gated
+    // successor aggregate is vocabulary-sized after one corpus scan.
+    for (dir <- Seq(sfDir, hundredDir)) {
+      run("x339_novelty_decay", dir) {
+        (queries.Round12Queries.x339NoveltyDecay(spark, dir).count(), Nil)
+      }
+      run("x341_bigram_kl", dir) {
+        (queries.Round12Queries.x341BigramKl(spark, dir).count(), Nil)
+      }
+      run("x343_successor_entropy", dir) {
+        (queries.Round12Queries.x343SuccessorEntropy(spark, dir).count(), Nil)
+      }
+    }
 
     val json = renderJson(sfDir, recs.toSeq, partial = only.nonEmpty)
     try {

@@ -8280,7 +8280,74 @@ object Oracles {
       |       CAST(CAST(sum(t6) AS DECIMAL(28,6)) AS DOUBLE) AS char_entropy
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  // x346: lexicographic adjacency via row_number; the common-prefix
+  // length is a filter-COUNT of matching prefixes (monotone, so the
+  // count is the length; list_reduce correlation is broken in DuckDB
+  // 1.0 — see the Spark-side doc comment).
+  val x346: String =
+    """WITH vocab AS (SELECT DISTINCT w
+      |               FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |                     FROM documents WHERE text IS NOT NULL)
+      |               WHERE w <> ''),
+      |rk AS (SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS r FROM vocab),
+      |adj AS (SELECT a.w AS w, b.w AS prev FROM rk a JOIN rk b ON a.r = b.r + 1),
+      |cp AS (SELECT w,
+      |              CAST(len(list_filter(range(1, least(length(w), length(prev)) + 1),
+      |                   i -> substring(w, 1, i) = substring(prev, 1, i))) AS BIGINT) AS cp
+      |       FROM adj),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+      |               CAST(sum(length(w)) AS BIGINT) AS total_bytes FROM vocab),
+      |ag AS (SELECT CAST(sum(cp) AS BIGINT) AS saved_bytes FROM cp)
+      |SELECT n_types, total_bytes, saved_bytes,
+      |       total_bytes - saved_bytes AS coded_bytes,
+      |       floor(CAST(saved_bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS savings_ratio
+      |FROM tot, ag""".stripMargin
+
+  // x347: round6 relative frequencies on the zero-filled grid; exact
+  // DECIMAL moments; z = 0 where sd quantizes to 0; 50-word pair means.
+  val x347: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |             FROM documents WHERE text IS NOT NULL),
+      |top AS (SELECT w FROM (SELECT w, count(*) AS cw FROM tok GROUP BY w)
+      |        ORDER BY cw DESC, w LIMIT 50),
+      |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY source),
+      |cnt AS (SELECT source, tok.w, CAST(count(*) AS BIGINT) AS c
+      |        FROM tok JOIN top ON top.w = tok.w GROUP BY source, tok.w),
+      |grid AS (SELECT ns.source, top.w,
+      |                CAST(floor(CAST(coalesce(cnt.c, 0) AS DOUBLE)
+      |                     / CAST(ns.n AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |                     AS DECIMAL(18,6)) AS f6
+      |         FROM ns CROSS JOIN top
+      |         LEFT JOIN cnt ON cnt.source = ns.source AND cnt.w = top.w),
+      |mom AS (SELECT w, CAST(count(*) AS BIGINT) AS s,
+      |               CAST(sum(f6) AS DECIMAL(28,6)) AS sf,
+      |               CAST(sum(f6 * f6) AS DECIMAL(38,12)) AS sff
+      |        FROM grid GROUP BY w),
+      |m2 AS (SELECT w,
+      |              floor(CAST(sf AS DOUBLE) / s * 1000000 + 0.5) / 1000000 AS mu6,
+      |              floor(sqrt(greatest(0.0, CAST(sff AS DOUBLE) / s
+      |                    - (CAST(sf AS DOUBLE) / s) * (CAST(sf AS DOUBLE) / s)))
+      |                    * 1000000 + 0.5) / 1000000 AS sd6
+      |       FROM mom),
+      |z AS (SELECT grid.source, grid.w,
+      |             CAST(CASE WHEN sd6 > 0 THEN
+      |                    floor((CAST(f6 AS DOUBLE) - mu6) / sd6 * 1000000 + 0.5)
+      |                      / 1000000
+      |                  ELSE 0.0 END AS DECIMAL(18,6)) AS z6
+      |      FROM grid JOIN m2 ON m2.w = grid.w)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |       CAST(count(*) AS BIGINT) AS n_words,
+      |       floor(CAST(CAST(sum(abs(CAST(a.z6 - b.z6 AS DECIMAL(18,6))))
+      |                  AS DECIMAL(28,6)) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |         AS burrows_delta
+      |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val r12Group: Map[String, String] = Map(
+    "x346_front_coding"       -> x346,
+    "x347_burrows_delta"      -> x347,
     "x343_successor_entropy"  -> x343,
     "x344_rank_biserial"      -> x344,
     "x345_char_entropy"       -> x345,

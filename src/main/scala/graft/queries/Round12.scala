@@ -1849,6 +1849,124 @@ object Round12Queries {
       .orderBy("source")
   }
 
+  /** x346 — FRONT-CODING DICTIONARY SAVINGS of the corpus vocabulary
+    * (round-12): with the vocabulary in lexicographic order, the bytes a
+    * front-coded (shared-prefix) dictionary saves vs storing every token
+    * whole — Σ common-prefix(wᵢ, wᵢ₋₁) over adjacent sorted tokens — the
+    * standard dictionary layout of search indexes and tokenizer vocab
+    * files (x79 builds the index; this prices its dictionary block).
+    *
+    * The lexicographic rank rides [[graft.operators.RangeRank]]
+    * (TWELFTH consumer, constant key): sorting the vocabulary in one
+    * window is a one-task sort at corpus scale; the adjacency then
+    * reconstructs as a rank → rank+1 equi-join.
+    *
+    * Exactness: the common-prefix length is COUNTED as |{i :
+    * prefix_i(w) = prefix_i(prev)}| — prefix equality is monotone in i,
+    * so the count IS the common-prefix length (a filter-count, not a
+    * fold: DuckDB 1.0's list_reduce mis-binds correlated row columns
+    * inside the lambda — observed returning 1 for disjoint-initial
+    * pairs — while list_filter correlation is sound and already
+    * oracle-proven by x279/x321); totals exact longs; one division,
+    * round6.
+    *
+    * Scale shape: vocabulary-sized throughout — one token aggregate,
+    * the two-pass rank, one self equi-join on rank, a 1-row finale.
+    */
+  def x346FrontCoding(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val vocab = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+      .withColumn("g", lit(1))
+    val ranking = graft.operators.RangeRank.rankWithinOwned(
+      vocab, "g", Seq("w"), "r")
+    val ranked = ranking.df.select("w", "r")
+    val adj = ranked.as("a").join(ranked.as("b"),
+        col("a.r") === col("b.r") + 1)
+      .select(col("a.w").as("w"), col("b.w").as("prev"))
+      .withColumn("cp", expr(
+        """size(filter(sequence(1, least(length(w), length(prev))),
+          |i -> substring(w, 1, i) = substring(prev, 1, i)))""".stripMargin)
+        .cast("long"))
+    val out = adj.agg(count(lit(1)).as("n_adjacent"),
+        sum(length(col("w")).cast("long")).as("adj_bytes"),
+        sum("cp").as("saved_bytes"))
+      .crossJoin(broadcast(vocab.agg(count(lit(1)).as("n_types"),
+        sum(length(col("w")).cast("long")).as("total_bytes"))))
+      .select(col("n_types"), col("total_bytes"), col("saved_bytes"),
+        (col("total_bytes") - col("saved_bytes")).as("coded_bytes"),
+        stableRound6(col("saved_bytes").cast("double") /
+          col("total_bytes").cast("double")).as("savings_ratio"))
+    out.count()
+    ranking.release()
+    out
+  }
+
+  /** x347 — BURROWS' DELTA between source pairs (round-12): over the 50
+    * highest-frequency corpus words, z-score each source's relative
+    * frequency against the across-source distribution, and report
+    * Δ(a,b) = mean |z_a − z_b| — THE stylometric distance of authorship
+    * attribution (Burrows 2002): function-word usage normalized per
+    * word, so no single common word dominates — the style companion to
+    * x304's χ² (which tests deviation from the corpus, not pairwise
+    * distance) and x341's KL (which weights by mass, not by word).
+    *
+    * Exactness: relative frequencies round6 on the zero-filled grid
+    * (x304's spine); per-word mean/sd from exact DECIMAL moments of the
+    * round6 values; z round6 (0 when a word's sd quantizes to 0 —
+    * uniform words carry no style signal; mirrored); Δ = a DECIMAL sum
+    * of |Δz| over the 50-word frame, one division.
+    *
+    * Scale shape: one (source, word) aggregate gated by the broadcast
+    * 50-word list; everything after runs on |sources|×50 rows.
+    */
+  def x347BurrowsDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val tok = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val top = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(50).select("w")
+    val ns = tok.groupBy("source").agg(count(lit(1)).as("n"))
+    val cnt = tok.join(broadcast(top), Seq("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val grid = ns.crossJoin(broadcast(top))
+      .join(cnt, Seq("source", "w"), "left")
+      .select(col("source"), col("w"),
+        stableRound6(coalesce(col("c"), lit(0L)).cast("double") /
+          col("n").cast("double")).cast("decimal(18,6)").as("f6"))
+    val mom = grid.groupBy("w")
+      .agg(count(lit(1)).as("s"),
+        sum("f6").cast("decimal(28,6)").as("sf"),
+        sum((col("f6") * col("f6")).cast("decimal(38,12)")).as("sff"))
+      .select(col("w"), col("s"),
+        stableRound6(col("sf").cast("double") / col("s").cast("double"))
+          .as("mu6"),
+        stableRound6(sqrt(greatest(lit(0.0),
+          col("sff").cast("double") / col("s").cast("double") -
+          (col("sf").cast("double") / col("s").cast("double")) *
+          (col("sf").cast("double") / col("s").cast("double")))))
+          .as("sd6"))
+    val z = grid.join(broadcast(mom), Seq("w"))
+      .select(col("source"), col("w"),
+        when(col("sd6") > 0, stableRound6(
+          (col("f6").cast("double") - col("mu6")) / col("sd6")))
+          .otherwise(lit(0.0)).cast("decimal(18,6)").as("z6"))
+    z.as("a").join(z.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(abs((col("a.z6") - col("b.z6")).cast("decimal(18,6)")))
+          .cast("decimal(28,6)").as("sd"))
+      .select(col("source_a"), col("source_b"), col("n_words"),
+        stableRound6(col("sd").cast("double") / col("n_words").cast("double"))
+          .as("burrows_delta"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** x318 — CHAO1 UNSEEN-VOCABULARY estimate per source (round-12): the
     * nonparametric species-richness floor V̂ = V + V₁²/(2V₂) (Chao 1984;
     * the bias-corrected V + V₁(V₁−1)/2 form when V₂ = 0) — the "how much

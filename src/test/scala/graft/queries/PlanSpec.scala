@@ -297,8 +297,13 @@ class PlanSpec extends SparkSpec {
       // cross
       "x337_gini_stump", "x338_srm_check", "x339_novelty_decay",
       "x340_edit_histogram", "x341_bigram_kl", "x342_auc_rank",
-      // x344's is x342's 1-row rank-sum/totals cross with the dup label
-      "x344_rank_biserial")
+      // x344's is x342's 1-row rank-sum/totals cross with the dup label;
+      // x346's is the 1-row vocab-totals frame onto the adjacency
+      // aggregate (x117's shape)
+      "x344_rank_biserial", "x346_front_coding",
+      // x347's is the broadcast 50-word list crossing the |sources|-row
+      // totals to zero-fill the grid (x291's gate shape)
+      "x347_burrows_delta")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

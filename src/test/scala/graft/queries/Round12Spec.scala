@@ -563,6 +563,32 @@ class Round12Spec extends SparkSpec {
     assert(got.getDouble(3) == h)
   }
 
+  test("x346: common-prefix fold over the sorted vocabulary (abc/abd/x)") {
+    val got = Round12Queries.x346FrontCoding(spark,
+      docsDir(Seq((1L, "abc abd x", "en", "s", 9L)))).head()
+    // sorted: abc, abd, x; prefixes: (abd|abc)=2, (x|abd)=0
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      == ((3L, 7L, 2L, 5L)))
+    assert(got.getDouble(4) == r(2.0 / 7))
+  }
+
+  test("x347: the two-source two-word case gives delta 2") {
+    val rows = Seq((1L, "a a b", "en", "sa", 5L), (2L, "a b b", "en", "sb", 5L))
+    val got = Round12Queries.x347BurrowsDelta(spark, docsDir(rows)).head()
+    // f(sa) = (.666667, .333333), f(sb) mirrored; z = (+1, -1) vs (-1, +1)
+    val f1 = r(2.0 / 3); val f2 = r(1.0 / 3)
+    val mu = r((BigDecimal(f1) + BigDecimal(f2)).toDouble / 2)
+    val sff = (BigDecimal(f1) * BigDecimal(f1) +
+      BigDecimal(f2) * BigDecimal(f2)).toDouble
+    val sd = r(math.sqrt(sff / 2 - mu * mu))
+    val zHi = r((f1 - mu) / sd); val zLo = r((f2 - mu) / sd)
+    // |z diff| is an exact decimal subtraction in the query (no rounding)
+    val delta = r(((BigDecimal(zHi) - BigDecimal(zLo)).abs * 2).toDouble / 2)
+    assert((got.getString(0), got.getString(1), got.getLong(2))
+      == (("sa", "sb", 2L)))
+    assert(got.getDouble(3) == delta)
+  }
+
   test("x326: silhouette on exact 3-4-5 cosines") {
     def basis(i: Int): Seq[Float] =
       Seq.tabulate(64)(d => if (d == i - 1) 1.0f else 0.0f)
