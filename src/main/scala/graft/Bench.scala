@@ -53,7 +53,18 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case Some(names) =>
+        // Fail fast on names that match nothing: a typo'd SPARK_GRAFT_ONLY
+        // must not produce a clean-looking n=0 bench_partial.json — that
+        // would defeat the isolation-diagnosis purpose of the flag.
+        val unknown = names -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty) {
+          System.err.println(
+            s"BENCH: SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(",")}")
+          spark.stop()
+          sys.exit(2)
+        }
+        SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
     val perRep = selected.map { case (name, fn) =>

@@ -299,6 +299,51 @@ object Probe {
       }
     }
 
+    // round-12 sweep family (verdict r12 #6): x332/x333 multiply LSH
+    // candidate volume by their grid size (5 thresholds / 4 k values), so
+    // they inherit the candidate-bounded x271 class — probed to 10× where
+    // dup saturation stresses exactly the multiplied pair frames; x346
+    // (vocabulary rank + adjacency) and x347 (|sources|×50 grid) are
+    // vocabulary/source-bounded and must stay FLAT at 100× like x311.
+    for (dir <- Seq(sfDir, tenDir)) {
+      run("x332_jaccard_sweep", dir) {
+        (queries.Round12Queries.x332JaccardSweep(spark, dir).count(), Nil)
+      }
+      run("x333_minhash_k_sweep", dir) {
+        (queries.Round12Queries.x333MinhashKSweep(spark, dir).count(), Nil)
+      }
+    }
+    for (dir <- Seq(sfDir, hundredDir)) {
+      run("x346_front_coding", dir) {
+        (queries.Round12Queries.x346FrontCoding(spark, dir).count(), Nil)
+      }
+      run("x347_burrows_delta", dir) {
+        (queries.Round12Queries.x347BurrowsDelta(spark, dir).count(), Nil)
+      }
+    }
+
+    // x47 adversarial CHAIN (verdict r12 #5): a path graph A–B–…–Z of
+    // diameter 64 — the worst case for plain min-label propagation (rounds
+    // = diameter). The fixpoint composes the label map with itself every
+    // round (the pointer jump in propagateLabels), so reach roughly
+    // doubles per round and rounds must track ~log2(diameter); this probe
+    // turns that claim into a per-round machine-readable number (expected
+    // here: ≤ ceil(log2 64) + 2 = 8, vs 64+ for a non-doubling loop).
+    if (want("x47_chain")) {
+      val d = 64L
+      val e0 = spark.range(0, d).select(col("id").as("a"), (col("id") + 1).as("b"))
+      val chain = e0.union(e0.select(col("b").as("a"), col("a").as("b"))).persist()
+      run("x47_chain", "synthetic") {
+        val init = chain.select(col("a").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id"))
+        val (labels, rounds) = queries.LlmQueries.propagateLabels(chain, init)
+        val n = labels.count()
+        labels.unpersist()
+        (n, Seq("diameter" -> d, "rounds" -> rounds.toLong))
+      }
+      chain.unpersist()
+    }
+
     val json = renderJson(sfDir, recs.toSeq, partial = only.nonEmpty)
     try {
       val w = new java.io.PrintWriter("probe_last.json", "UTF-8")

@@ -35,6 +35,60 @@ object Io {
     dir
   }
 
+  /** Fixture stamp of `<sfDir>/<table>.parquet`: part-file count + max
+    * mtime + total bytes (the componentMemo discipline, generalized). A
+    * driver-side regen moves at least one of the three; an unstampable dir
+    * returns a nonce so the caller can never produce — or hit — a memo
+    * entry for it. Hadoop FS walk, so non-local sfDirs stamp correctly.
+    */
+  def fixtureStamp(spark: SparkSession, sfDir: String, table: String): String =
+    try {
+      val path = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(path, true)
+      var n = 0L; var maxM = 0L; var bytes = 0L
+      while (it.hasNext) {
+        val s = it.next()
+        n += 1; maxM = math.max(maxM, s.getModificationTime); bytes += s.getLen
+      }
+      if (n == 0) s"nofiles|${System.nanoTime()}"
+      else s"$n|$maxM|$bytes"
+    } catch { case _: Throwable => s"nostamp|${System.nanoTime()}" }
+
+  /** Memoized streaming-INPUT dir (verdict r12 #3): the streaming replay
+    * queries write a deterministic projection of a fixture table to
+    * parquet and stream it back under AvailableNow — the bytes are a pure
+    * function of (tag, sfDir, fixture stamp), so rewriting them on every
+    * invocation (warmup + 2–3 bench reps per round, Verify, specs) was
+    * pure fixed cost. This memo runs `write` once per key and returns the
+    * cached dir afterwards. Only the INPUT is memoizable: CHECKPOINT dirs
+    * stay fresh per invocation (state reuse across runs would corrupt the
+    * replay — the x121 rule). One dir per tag is kept; a key change (new
+    * SF, regenerated fixture) deletes the stale dir before returning the
+    * new one.
+    */
+  private val streamInMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  def memoizedStreamInput(spark: SparkSession, tag: String, sfDir: String,
+      table: String)(write: String => Unit): String =
+    streamInMemo.synchronized {
+      val key = s"$sfDir|${fixtureStamp(spark, sfDir, table)}"
+      val hit = streamInMemo.get(tag)
+      if (hit != null && hit._1 == key &&
+          new java.io.File(hit._2).isDirectory) return hit._2
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${System.nanoTime()}"
+      write(dir)
+      val prev = streamInMemo.put(tag, (key, dir))
+      if (prev != null && prev._2 != dir)
+        try {
+          val p = new org.apache.hadoop.fs.Path(prev._2)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        } catch { case _: Exception => () }
+      dir
+    }
+
   /** Events reader — SCHEMA-ADAPTIVE on the physical type of `ts`, because
     * the driver's fixture generator has shipped two generations of this file
     * and a 100 TB lake never has just one file vintage either (the reference's

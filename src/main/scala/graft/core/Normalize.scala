@@ -45,6 +45,27 @@ object Normalize {
   def normRegion(c: Column): Column =
     normStr(c, lowerCase = false, Seq("", "nan", "None", "0"))
 
+  /** pandas read_csv's DEFAULT na_values (pandas.io.parsers STR_NA_VALUES,
+    * pandas 2.2) — the reference ingests with pd.read_csv(path) and no
+    * na_values override (pipeline.py:45), so these tokens are ALREADY NaN
+    * when its pre-clean DQ profile runs. Spark's CSV reader only nulls the
+    * empty field; [[pandasNaToNull]] closes the gap at ingest. EXACT match,
+    * untrimmed — pandas matches the raw token (skipinitialspace=False), so
+    * " None " survives ingest there and must survive here (the later
+    * clean-step replace handles the trimmed forms; DifferentialRefSpec pins
+    * both layers against the reference itself).
+    */
+  val PandasNaTokens: Seq[String] = Seq(
+    "", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+    "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+    "n/a", "nan", "null")
+
+  /** Null-code pandas' default NA tokens in a string column (see
+    * [[PandasNaTokens]]). Pure Column fn — stays in codegen.
+    */
+  def pandasNaToNull(c: Column): Column =
+    when(c.isin(PandasNaTokens: _*), lit(null).cast("string")).otherwise(c)
+
   /** P3 — `pd.to_numeric(errors="coerce")`: unparseable → null, never error.
     * Spark 4 runs ANSI-on by default where a bare `cast` THROWS on bad input;
     * `try_cast` reproduces coerce-to-null semantics.

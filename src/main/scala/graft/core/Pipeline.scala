@@ -28,10 +28,21 @@ object Pipeline {
 
   /** S1 — headered CSV scan with schema inference (pipeline.py:41-47), with
     * input order stamped immediately so keep-first dedup stays faithful.
+    * String columns get pandas' default NA tokens null-coded (the reference
+    * ingests via pd.read_csv, whose na_values turn "None"/"NULL"/"NaN"/…
+    * into NaN BEFORE the pre-clean DQ profile runs — see
+    * Normalize.PandasNaTokens; pinned by DifferentialRefSpec).
     */
-  def ingestCsv(spark: SparkSession, path: String): DataFrame =
-    Dedup.stampIngestOrder(
-      spark.read.option("header", "true").option("inferSchema", "true").csv(path))
+  def ingestCsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(path)
+    val naCoded = raw.select(raw.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        Normalize.pandasNaToNull(col(f.name)).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
+    Dedup.stampIngestOrder(naCoded)
+  }
 
   /** pipeline.py:112-160 — the full clean_and_standardize task. Every access
     * is guarded on column presence; missing timestamp/amount synthesize as

@@ -35,16 +35,35 @@ object Quality {
       failedRowsEstimate: Long,
       conformityRate: Double)
 
-  /** A2–A5 in one aggregation pass. `amount` is coerced to numeric first
-    * (pipeline.py:100-101); a row breaking k rules counts k times; conformity
+  /** A2–A5 in one aggregation pass. `amount` is coerced to numeric FIRST
+    * (pipeline.py:99-101: dq_checks runs to_numeric(errors="coerce") before
+    * profiling), so an unparseable amount string counts as an amount NULL in
+    * BOTH the nulls map and the amount_not_null rule — pinned by the
+    * differential e2e against the reference itself (DifferentialRefSpec).
+    * A row breaking k rules counts k times; conformity
     * = max(0, 1 - fails/(total+1e-9)) — double-counting and the epsilon are
     * preserved exactly (pipeline.py:88-89). total=0 ⇒ rate≈1.0 ⇒ pass.
     */
   def profile(df: DataFrame, phase: String): DqMetrics = {
     val present = ProfiledColumns.filter(df.columns.contains)
 
-    def nullCount(c: String): Column =
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")
+    // pandas isna() counts float NaN as missing (it IS pandas' missing
+    // marker); Spark keeps NaN distinct from null, so a double column that
+    // ingested a "NaN" token (Spark CSV's nanValue) must count it here too.
+    def isNa(v: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => v.isNull || isnan(v)
+        case _ => v.isNull
+      }
+
+    def nullCount(c: String): Column = {
+      val miss =
+        if (c == "amount") // coerced first (pipeline.py:99-101) → double
+          isNa(Normalize.tryNum(col(c)), org.apache.spark.sql.types.DoubleType)
+        else isNa(col(c), df.schema(c).dataType)
+      sum(when(miss, 1L).otherwise(0L)).as(s"null_$c")
+    }
 
     val nullAggs = present.map(nullCount)
     val negAgg: Option[Column] =

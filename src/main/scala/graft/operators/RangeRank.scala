@@ -30,7 +30,7 @@ import org.apache.spark.storage.StorageLevel
   * with the partition count, not |keys|.
   *
   * CONTRACT: the key domain must be constant-or-small (a flag, a source
-  * column — all seven declared consumers). Pass 1 counts its own entries
+  * column — every declared consumer). Pass 1 counts its own entries
   * and fails fast past [[MaxKeyPartitionEntries]] with an error naming
   * the alternative (a hash-partitioned ranking window), so a future
   * caller passing doc_id gets a diagnosis instead of a driver OOM.

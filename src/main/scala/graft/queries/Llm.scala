@@ -1051,23 +1051,26 @@ object LlmQueries {
     * makes the cut reproducible across runs/engines/partitionings (x30's
     * contract, with a DATA-DEPENDENT k instead of a fixed rate). The k side
     * is a two-level aggregate collapsed to one broadcast row; the per-source
-    * rank is a window over (hash, id). The rank cap is a COLUMN (k is data),
-    * so WindowGroupLimit cannot prune it — the documented trade vs x42's
-    * literal top-3; at corpus scale you compute k first and pass it as a
-    * literal to recover the pushdown, same plan otherwise.
+    * rank is a window over (hash, id). TWO-PHASE (verdict r12 #4): k is
+    * aggregated FIRST — one tiny two-level count job collapsing to a 1-row
+    * collect (bounded by construction: it is a min over per-source counts)
+    * — and passed to the rank filter as a LITERAL, so Catalyst's
+    * InferWindowGroupLimit prunes below the window: tasks buffer k
+    * candidates per source instead of sorting whole sources. A
+    * data-dependent COLUMN cap cannot be pruned (the x42 trade, now
+    * recovered); PlanSpec asserts WindowGroupLimit in the executed plan.
     */
   def x54DomainRebalance(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Io.table(spark, sfDir, "documents")
-    val k = docs.groupBy("source").agg(count(lit(1)).as("n"))
-      .agg(min("n").as("k"))
+    val kVal = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .agg(min("n").as("k")).head().getLong(0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("h"), col("doc_id"))
     docs.select(col("doc_id"), col("source"),
         md5(col("doc_id").cast("string")).as("h"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .crossJoin(broadcast(k))
-      .filter(col("rn") <= col("k"))
-      .select("source", "rn", "doc_id")
+      .withColumn("rn0", row_number().over(w))
+      .filter(col("rn0") <= lit(kVal.toInt)) // literal → WindowGroupLimit
+      .select(col("source"), col("rn0").cast("long").as("rn"), col("doc_id"))
       .orderBy("source", "rn")
   }
 
@@ -1395,7 +1398,7 @@ object LlmQueries {
     * each round's plan is constant-size instead of doubling with every
     * jump self-join — the truncation that cut the sf0.1 time 10.2s→2.6s.
     */
-  private def propagateLabels(
+  private[graft] def propagateLabels(
       edges: DataFrame,
       initial: DataFrame,
       maxRounds: Int = 30): (DataFrame, Int) = {
@@ -5122,12 +5125,14 @@ object LlmQueries {
     * x160 machinery extended with the engine's OUTER rule — a left (view)
     * row that reaches watermark eviction unmatched emits once with a NULL
     * right time — completing the stream-join family (x160 inner,
-    * StreamJoin.enrich stream-static). After the three data batches a
+    * StreamJoin.enrich stream-static). After the data batches a
     * FINAL empty batch with wm = +∞ flushes all trailing state (the
     * sentinel that makes the replay a TOTAL left outer join), so the
     * oracle is the plain batch LEFT JOIN: matched pairs aggregate exactly
     * as x160, never-matched views surface in n_unmatched — one hash
     * pinning both the pair emission AND the eviction-time null emission.
+    * Two data batches since round 13 (cost = batches × fixed per-batch
+    * work; the oracle is batch-count-invariant, see the conds note).
     *
     * Scale shape: per batch cost is (batch × state) joins exactly as
     * x160; the matched flag rides left state as one boolean column
@@ -5144,7 +5149,7 @@ object LlmQueries {
     val mm = ev.agg(min("time_us"), max("time_us")).head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = hi - lo + 1
-    val (t1, t2) = (lo + span / 3, lo + 2 * span / 3)
+    val mid = lo + span / 2
     def truncated(df: DataFrame): DataFrame =
       df.sparkSession.createDataFrame(df.rdd, df.schema)
     import org.apache.spark.sql.types.{StructType, StructField, LongType, BooleanType}
@@ -5157,33 +5162,59 @@ object LlmQueries {
     var (sL, sR) = (empty(lSchema), empty(rSchema))
     var wm = Long.MinValue
     val pins = Seq.newBuilder[DataFrame]
+    // TWO data batches + the flush (verdict r12 #3 — was 3+1): replay cost
+    // is batch count × fixed per-batch cost; the oracle pins the TOTAL
+    // left outer join, which is batch-count-invariant, and cross-batch
+    // state/eviction still runs — x160 keeps the 3-batch cadence so the
+    // finer split stays covered. Job-count diet, same semantics: both
+    // batch maxima (the wm inputs) come from ONE conditional aggregate
+    // instead of a per-batch max job; both state pins are forced by ONE
+    // union-count action; the flush batch pins nothing (its new state is
+    // never consumed — the final aggregate is the only reader of its
+    // inner/outer frames).
+    val mx = ev.agg(
+      max(when(col("time_us") < mid, col("time_us"))).as("m1"),
+      max(when(col("time_us") >= mid, col("time_us"))).as("m2")).head()
+    val batchMax = Seq(
+      if (mx.isNullAt(0)) None else Some(mx.getLong(0)),
+      if (mx.isNullAt(1)) None else Some(mx.getLong(1)))
     val conds = Seq(
-      Some(col("time_us") < t1),
-      Some(col("time_us") >= t1 && col("time_us") < t2),
-      Some(col("time_us") >= t2),
+      Some(col("time_us") < mid),
+      Some(col("time_us") >= mid),
       None) // the wm = +∞ flush batch
-    val outs = conds.flatMap { cond =>
+    val outs = conds.zipWithIndex.flatMap { case (cond, i) =>
       val b = cond.map(ev.filter).getOrElse(ev.limit(0))
       val bL = b.filter(col("event_type") === "view")
         .select(col("key"), col("time_us"), lit(false).as("matched"))
       val bR = b.filter(col("event_type") === "click").select("key", "time_us")
       wm = cond match {
         case Some(_) =>
-          val bMax = b.agg(max("time_us")).head()
-          if (!bMax.isNullAt(0)) math.max(wm, bMax.getLong(0) - D) else wm
+          batchMax(i).map(m => math.max(wm, m - D)).getOrElse(wm)
         case None => Long.MaxValue
       }
-      val (inner, outer, nL, nR) =
+      val (inner, outer0, nL, nR, flagged) =
         StreamJoin.replayBatchOuter(sL, sR, bL, bR, wm, W)
-      val (pL, pR) = (nL.persist(), nR.persist())
-      pL.count(); pR.count()
-      pins += pL; pins += pR
-      sL = truncated(pL); sR = truncated(pR)
+      // pin FLAGGED, not newStateL: outer and newStateL both filter it,
+      // so pinning the parent runs the match semi-join (the expensive
+      // subplan) once instead of once per consumer
+      var outer = outer0
+      if (cond.isDefined) {
+        val (pF, pR) = (flagged.persist(), nR.persist())
+        // one action, two cached stages: forces BOTH pins
+        pF.select(lit(1).as("one"))
+          .unionAll(pR.select(lit(1).as("one"))).count()
+        pins += pF; pins += pR
+        val fView = truncated(pF)
+        sL = fView.filter(col("time_us") + lit(W) >= lit(wm))
+        sR = truncated(pR)
+        outer = fView.filter(col("time_us") + lit(W) < lit(wm) && !col("matched"))
+          .select(col("key"), col("time_us").as("l_time_us"),
+            lit(null).cast("long").as("r_time_us"))
+      }
       Seq(inner.select(col("key"), col("l_time_us"), col("r_time_us")),
         outer.select(col("key"), col("l_time_us"), col("r_time_us")))
     }
-    repin(pins.result(): _*) // released by the next pinning query
-    outs.reduce(_.unionAll(_))
+    val out = outs.reduce(_.unionAll(_))
       .groupBy(col("key").as("user_id"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("r_time_us").isNull.cast("long")).as("n_unmatched"),
@@ -5191,6 +5222,11 @@ object LlmQueries {
         sum(when(col("r_time_us").isNotNull,
           col("r_time_us") - col("l_time_us"))).as("sum_gap_us"))
       .orderBy("user_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // force under the scoped confs; callers read the pin
+    pins += out
+    repin(pins.result(): _*) // released by the next pinning query
+    out
   }
 
   /** x159 — PADDING-WASTE audit (round-9): the trainer-infra economics of

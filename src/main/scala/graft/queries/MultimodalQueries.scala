@@ -293,17 +293,100 @@ object MultimodalQueries {
     * mapPartitions pipelines over one 4-partition frame: constant work, no
     * shuffle except the 20-row frame-count aggregate.
     *
-    * The DECLARED form serializes `feature` as a space-joined string of the
-    * rounded values: the driver's correctness harness sorts the dump with
-    * pandas `sort_values` over every column, which crashes on an unhashable
-    * array cell (round-8 verdict, the one red row) — a string keeps the
-    * golden property (any feature drift still moves the column) while being
-    * sortable/hashable in any downstream engine. The raw `array<double>`
-    * form stays available to ScalaTest via [[x106MultimodalGoldenRaw]].
+    * The DECLARED form (oracle-backed since round-13, verdict r12 #2) keeps
+    * the same end-to-end machinery but reduces each asset to columns a
+    * DuckDB oracle can re-derive from the GENERATOR FORMULAS alone — the
+    * x204/x235/x236 trick applied to the whole five-kind golden sweep:
+    *
+    *   - kind / mime_after / w_after / h_after: resize outcome per kind
+    *     (4×4 re-encode for images, honest pass-through elsewhere);
+    *   - n_frames_sampled: the every=2 RIFF-walk count (2 of 3 for AVIs);
+    *   - decode_checksum: an EXACT integer forced through the real decoder
+    *     of each kind — image: Σ(r+g+b) over ImageIO-decoded pixels;
+    *     audio: Σ|sample| through javax.sound; video: Σ(r+g+b) over the
+    *     SAMPLED frames' ImageIO decodes; opaque: payload byte length;
+    *     missing: null. Every value is a closed form of the asset id
+    *     (SyntheticMedia pixel/sample formulas), so the oracle recomputes
+    *     all of it in SQL and any decode/container/resize regression moves
+    *     an exact integer off the pinned hash.
+    *
+    * The float-feature and md5 golden columns remain pinned by
+    * MultimodalGoldenSpec via [[x106MultimodalGoldenRaw]] (unchanged).
     */
-  def x106MultimodalGolden(spark: SparkSession, sfDir: String): DataFrame =
-    x106MultimodalGoldenRaw(spark, sfDir).withColumn("feature",
-      expr("array_join(transform(feature, f -> cast(f as string)), ' ')"))
+  def x106MultimodalGolden(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val assets = SyntheticMedia.assets(spark, 20)
+    val resized = Multimodal.resize(assets, 4, 4)
+      .select(col("asset_id"), col("kind"),
+        col("meta.mime").as("mime_after"),
+        col("meta.width").cast("long").as("w_after"),
+        col("meta.height").cast("long").as("h_after"))
+    // REAL RIFF walk + REAL per-frame ImageIO decode for the video kind
+    val frames = Multimodal.sampleVideoFrames(assets, every = 2)
+      .select(col("asset_id"), col("frame"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, f) => (id, rgbPixelSum(f)) }
+      .toDF("asset_id", "frame_cs")
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames_sampled"),
+        sum("frame_cs").as("video_cs"))
+    // REAL ImageIO / javax.sound decode for image/audio; exact byte length
+    // for opaque; null for the missing payload
+    val base = assets.select(col("asset_id"), col("kind"), col("media"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, kind, media) =>
+        val cs: Option[Long] = kind match {
+          case "image"  => Some(rgbPixelSum(media))
+          case "audio"  => Some(audioAbsSum(media))
+          case "opaque" => Some(media.length.toLong)
+          case _        => None // video via frames; missing stays null
+        }
+        (id, cs)
+      }
+      .toDF("asset_id", "scalar_cs")
+    resized
+      .join(base, Seq("asset_id"))
+      .join(frames, Seq("asset_id"), "left")
+      .select(col("asset_id"), col("kind"), col("mime_after"),
+        col("w_after"), col("h_after"),
+        coalesce(col("n_frames_sampled"), lit(0L)).as("n_frames_sampled"),
+        when(col("kind") === "video", col("video_cs"))
+          .otherwise(col("scalar_cs")).as("decode_checksum"))
+      .orderBy("asset_id")
+  }
+
+  /** Σ(r+g+b) over an ImageIO decode — the x235 reduction as a helper;
+    * exact integers, any decoder drift moves the sum.
+    */
+  private def rgbPixelSum(bytes: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var s = 0L; var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val v = img.getRGB(x, y)
+        s += ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
+  /** Σ|sample| through the REAL javax.sound PCM parse (16-bit LE mono) —
+    * the x236 reduction as a helper.
+    */
+  private def audioAbsSum(bytes: Array[Byte]): Long = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val raw = ais.readAllBytes()
+    var s = 0L; var i = 0
+    while (i + 1 < raw.length) {
+      s += math.abs(((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort.toLong)
+      i += 2
+    }
+    s
+  }
 
   /** x106's raw form — `feature` as `array<double>` for exact numeric
     * assertions in MultimodalGoldenSpec. Not declared to the driver.
@@ -334,35 +417,54 @@ object MultimodalQueries {
       .orderBy("asset_id")
   }
 
-  private val x135LastDir =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
+  /** The FIXED directory x135 writes its asset files to — fixed (not a
+    * fresh tmp dir per invocation) because the DuckDB oracle reads the SAME
+    * files via `read_blob` over the dir's `.bin` glob in a separate process after
+    * Verify exits; file content is a pure function of the generator, so
+    * re-runs overwrite byte-identically and the oracle never races. Shared
+    * constant so the query and [[Oracles.x135]] can never drift apart.
+    */
+  val X135Dir: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_x135_bin")
+      .getAbsolutePath
 
-  /** x135 — BINARY-FILE ingestion (round-9): the actual media INGEST path
-    * at scale — Spark's `binaryFile` source reading a directory of raw
-    * asset files into (path, length, content) rows — closing the loop the
-    * in-memory x106 golden leaves open: x106 proves decode/resize/sample
-    * over synthesized frames; this proves the same payloads survive a real
-    * write-to-files → read-as-binary roundtrip byte-for-byte. Each
-    * synthetic asset ([[SyntheticMedia.assets]], the x106 set) is written
-    * as its own file FROM THE EXECUTORS (foreachPartition + Hadoop FS — no
-    * driver materialization), read back via
-    * `spark.read.format("binaryFile")` with a `pathGlobFilter`, id-parsed
-    * from the filename, and joined against the generator's payload md5;
-    * `match_ok` asserts md5 AND length equality per asset. The 4 null
-    * payloads produce no file — 16 rows, their absence itself pinned by
-    * the row count.
+  /** x135 — BINARY-FILE ingestion (round-9; oracle-backed since round-13):
+    * the actual media INGEST path at scale — Spark's `binaryFile` source
+    * reading a directory of raw asset files into (path, length, content)
+    * rows — closing the loop the in-memory x106 golden leaves open: x106
+    * proves decode/resize/sample over synthesized frames; this proves the
+    * same payloads survive a real write-to-files → read-as-binary roundtrip
+    * byte-for-byte. Each synthetic asset ([[SyntheticMedia.assets]], the
+    * x106 set) is written as its own file FROM THE EXECUTORS
+    * (foreachPartition + Hadoop FS — no driver materialization), read back
+    * via `spark.read.format("binaryFile")` with a `pathGlobFilter`,
+    * id-parsed from the filename, and joined against the generator's
+    * payload digest; `match_ok` asserts digest AND length equality per
+    * asset. The 4 null payloads produce no file — 16 rows, their absence
+    * itself pinned by the row count.
     *
-    * Declared rows-only (no DuckDB surface reads a directory of binary
-    * files); the ScalaTest spec asserts every match_ok. Scale shape:
-    * binaryFile plans one task per file (bin-packed under
+    * ORACLE (verdict r12 #2): DuckDB reads the SAME files with
+    * `read_blob` on the X135Dir `.bin` glob and recomputes size and digest
+    * independently. DuckDB 1.0 has no md5 over raw BLOB bytes, so the
+    * digest both engines pin is md5 OF THE UPPERCASE HEX encoding —
+    * `md5(hex(content))` on both sides — equal iff the bytes are equal.
+    * `match_ok` stays a REAL comparison on the Spark side (generator digest
+    * vs read-back digest); the oracle emits literal TRUE, so any roundtrip
+    * corruption flips the Spark value off the pinned hash.
+    *
+    * Scale shape: binaryFile plans one task per file (bin-packed under
     * `maxPartitionBytes`), filter pushdown on path/length — the standard
     * 100 TB media-lake layout (many immutable blobs + a parquet metadata
-    * table, x106's mediaSchema). Temp dir is cleaned on the NEXT
-    * invocation (x121's AtomicReference pattern) so repeated
-    * Verify/Bench runs don't accumulate.
+    * table, x106's mediaSchema).
     */
   def x135BinaryIngest(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Io.freshTmpDir(spark, x135LastDir, "x135_bin")
+    val dir = X135Dir
+    // idempotent rewrite: clear the fixed dir driver-side, then write from
+    // the executors; content is deterministic so every rerun reproduces the
+    // same 16 files byte-for-byte
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dfs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    try dfs.delete(dirPath, true) catch { case _: Exception => () }
     val assets = SyntheticMedia.assets(spark, 20)
     assets.select(col("asset_id"), col("media"))
       .where(col("media").isNotNull)
@@ -382,10 +484,11 @@ object MultimodalQueries {
       .select(
         regexp_extract(col("path"), "asset_(\\d+)\\.bin$", 1)
           .cast("long").as("asset_id"),
-        col("length").as("n_bytes"), md5(col("content")).as("payload_md5"))
+        col("length").as("n_bytes"),
+        md5(hex(col("content"))).as("payload_md5"))
     read.join(
         assets.where(col("media").isNotNull).select(col("asset_id"),
-          col("kind"), md5(col("media")).as("gen_md5"),
+          col("kind"), md5(hex(col("media"))).as("gen_md5"),
           length(col("media")).cast("long").as("gen_bytes")),
         Seq("asset_id"))
       .select(col("asset_id"), col("kind"), col("n_bytes"),

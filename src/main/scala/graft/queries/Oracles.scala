@@ -6778,7 +6778,75 @@ object Oracles {
       |       nn - w2.cum AS dropped_mass
       |FROM n, cut JOIN walk w2 ON w2.rk = charset_size""".stripMargin
 
+  // x106 (oracle since round-13, verdict r12 #2): every declared column
+  // re-derived from the SyntheticMedia generator formulas alone — the
+  // x204/x235/x236 trick over all five asset kinds at once. decode_checksum:
+  // image Σ(r+g+b) over the (w×h) pixel grid, audio Σ|sample| over the PCM
+  // closed form, video the same pixel sum over sampled frames 0 and 2
+  // (seed = id·100+f), opaque the exact payload length 4·(16+digits(id)),
+  // missing NULL. The Spark side computes the same integers THROUGH the
+  // real ImageIO / javax.sound / RIFF-walk decoders.
+  val x106: String =
+    """WITH ids AS (SELECT range AS id FROM range(0, 20)),
+      |gx AS (SELECT range AS x FROM range(0, 13)),
+      |gy AS (SELECT range AS y FROM range(0, 9)),
+      |img AS (
+      |  SELECT id, CAST(SUM((gx.x * 7 + id * 13 + 3) % 256
+      |                    + (gy.y * 11 + id * 5 + 7) % 256
+      |                    + (gx.x + gy.y + id * 3) % 256) AS BIGINT) AS cs
+      |  FROM ids JOIN gx ON gx.x < 8 + (id // 5) % 5
+      |           JOIN gy ON gy.y < 6 + (id // 5) % 3
+      |  WHERE id % 5 = 0 GROUP BY id),
+      |aud AS (
+      |  SELECT id, CAST(SUM(ABS((i.range * 13 + id * 7) % 2001 - 1000)) AS BIGINT) AS cs
+      |  FROM ids JOIN range(0, 500) i ON i.range < 400 + (id * 7) % 100
+      |  WHERE id % 5 = 1 GROUP BY id),
+      |vid AS (
+      |  SELECT id, CAST(SUM((gx.x * 7 + (id * 100 + f.f) * 13 + 3) % 256
+      |                    + (gy.y * 11 + (id * 100 + f.f) * 5 + 7) % 256
+      |                    + (gx.x + gy.y + (id * 100 + f.f) * 3) % 256) AS BIGINT) AS cs
+      |  FROM ids CROSS JOIN (SELECT unnest([0, 2]) AS f) f
+      |           JOIN gx ON gx.x < 8 JOIN gy ON gy.y < 6
+      |  WHERE id % 5 = 2 GROUP BY id),
+      |opq AS (SELECT id, CAST(4 * (16 + length(CAST(id AS VARCHAR))) AS BIGINT) AS cs
+      |        FROM ids WHERE id % 5 = 3)
+      |SELECT id AS asset_id,
+      |       CASE id % 5 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |            WHEN 2 THEN 'video' WHEN 3 THEN 'opaque'
+      |            ELSE 'missing' END AS kind,
+      |       CASE id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+      |            WHEN 2 THEN 'video/avi'
+      |            WHEN 3 THEN 'application/octet-stream' END AS mime_after,
+      |       CASE WHEN id % 5 = 0 THEN CAST(4 AS BIGINT) END AS w_after,
+      |       CASE WHEN id % 5 = 0 THEN CAST(4 AS BIGINT) END AS h_after,
+      |       CAST(CASE WHEN id % 5 = 2 THEN 2 ELSE 0 END AS BIGINT) AS n_frames_sampled,
+      |       coalesce(img.cs, aud.cs, vid.cs, opq.cs) AS decode_checksum
+      |FROM ids LEFT JOIN img USING (id) LEFT JOIN aud USING (id)
+      |         LEFT JOIN vid USING (id) LEFT JOIN opq USING (id)
+      |ORDER BY asset_id""".stripMargin
+
+  // x135 (oracle since round-13, verdict r12 #2): DuckDB re-reads the SAME
+  // 16 files x135 wrote (fixed dir, deterministic bytes) via read_blob and
+  // independently recomputes size and digest. The pinned digest is
+  // md5(hex(content)) on BOTH engines — DuckDB 1.0 has no md5 over raw
+  // BLOBs, and both hex() functions are uppercase, so equality of the
+  // hex-md5 is equality of the bytes. match_ok is the Spark side's REAL
+  // generator-vs-readback comparison; here it is the literal expectation.
+  val x135: String =
+    s"""WITH b AS (
+      |  SELECT CAST(regexp_extract(filename, 'asset_([0-9]+)\\.bin$$', 1) AS BIGINT) AS asset_id,
+      |         CAST(size AS BIGINT) AS n_bytes,
+      |         md5(hex(content)) AS payload_md5
+      |  FROM read_blob('${MultimodalQueries.X135Dir}/*.bin'))
+      |SELECT asset_id,
+      |       CASE asset_id % 5 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |            WHEN 2 THEN 'video' WHEN 3 THEN 'opaque' END AS kind,
+      |       n_bytes, payload_md5, TRUE AS match_ok
+      |FROM b ORDER BY asset_id""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x106_multimodal_golden" -> x106,
+    "x135_binary_ingest"     -> x135,
     "x204_av_align"          -> x204,
     "x203_calendar_heatmap"  -> x203,
     "x305_char_coverage"     -> x305,
@@ -8344,6 +8412,212 @@ object Oracles {
       |         AS burrows_delta
       |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // x348: the identical window count + interval merge in DuckDB — same
+  // md5'd 8-token window content, same corpus-wide ≥2 count (within-doc
+  // repeats included), same gap ≤ 7 island rule, round6 at the one edge.
+  val x348: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+      |w AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS w8
+      |      FROM t, LATERAL unnest(range(1, len(toks) - 6)) AS r(i)
+      |      WHERE len(toks) >= 8),
+      |dup AS (SELECT w8 FROM w GROUP BY w8 HAVING count(*) >= 2),
+      |mk AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (w8)),
+      |lagd AS (SELECT doc_id, pos,
+      |           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM mk),
+      |isl AS (SELECT doc_id, pos,
+      |          sum(CASE WHEN prev IS NULL OR pos - prev > 7 THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |        FROM lagd),
+      |cov AS (SELECT doc_id, island, min(pos) AS s, max(pos) AS e,
+      |               CAST(count(*) AS BIGINT) AS n_marked
+      |        FROM isl GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_islands,
+      |               CAST(sum(n_marked) AS BIGINT) AS n_dup_windows,
+      |               CAST(sum(e - s + 8) AS BIGINT) AS covered_tokens
+      |        FROM cov GROUP BY doc_id)
+      |SELECT n.doc_id, n.n_tokens,
+      |       coalesce(agg.n_dup_windows, 0) AS n_dup_windows,
+      |       coalesce(agg.n_islands, 0) AS n_islands,
+      |       coalesce(agg.covered_tokens, 0) AS covered_tokens,
+      |       floor(coalesce(agg.covered_tokens, 0) / CAST(n.n_tokens AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS coverage_frac
+      |FROM n LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // x349: identical win matrix (exact micro totals), the 3 MM iterations
+  // unrolled — p round6'd per iteration, each denominator term round6'd
+  // into an exact DECIMAL sum, so neither engine's fold order can move a
+  // value; share = one division of round6 doubles by the exact decimal
+  // total.
+  val x349: String = {
+    def iter(k: Int): String = {
+      val prev = if (k == 1) "p0" else s"p${k - 1}"
+      s"""den$k AS (
+         |  SELECT g.i AS it,
+         |         sum(CAST(CASE WHEN pa.p + pb.p > 0
+         |             THEN floor(g.nij / (pa.p + pb.p) * 1000000 + 0.5) / 1000000
+         |             ELSE 0 END AS DECIMAL(28,6))) AS den
+         |  FROM grid g JOIN $prev pa ON pa.it = g.i JOIN $prev pb ON pb.it = g.j
+         |  GROUP BY 1),
+         |p$k AS (
+         |  SELECT d.it,
+         |         CASE WHEN d.den > 0
+         |           THEN floor(coalesce(w.wins, 0) / CAST(d.den AS DOUBLE)
+         |                      * 1000000 + 0.5) / 1000000
+         |           ELSE CAST(0 AS DOUBLE) END AS p
+         |  FROM den$k d LEFT JOIN w ON w.it = d.it)""".stripMargin
+    }
+    s"""WITH tot AS (
+      |  SELECT user_id, event_type,
+      |         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |wins AS (
+      |  SELECT a.event_type AS wi, b.event_type AS lo, CAST(count(*) AS BIGINT) AS n
+      |  FROM tot a JOIN tot b ON a.user_id = b.user_id
+      |    AND a.event_type <> b.event_type AND a.v > b.v
+      |  GROUP BY 1, 2),
+      |items AS (SELECT wi AS it FROM wins UNION SELECT lo FROM wins),
+      |grid AS (
+      |  SELECT i.it AS i, j.it AS j,
+      |         coalesce(wa.n, 0) + coalesce(wb.n, 0) AS nij
+      |  FROM items i JOIN items j ON i.it <> j.it
+      |  LEFT JOIN wins wa ON wa.wi = i.it AND wa.lo = j.it
+      |  LEFT JOIN wins wb ON wb.wi = j.it AND wb.lo = i.it),
+      |w AS (SELECT wi AS it, CAST(sum(n) AS BIGINT) AS wins FROM wins GROUP BY 1),
+      |l AS (SELECT lo AS it, CAST(sum(n) AS BIGINT) AS losses FROM wins GROUP BY 1),
+      |p0 AS (SELECT it, CAST(1.0 AS DOUBLE) AS p FROM items),
+      |${iter(1)},
+      |${iter(2)},
+      |${iter(3)},
+      |totp AS (SELECT sum(CAST(p AS DECIMAL(18,6))) AS tp FROM p3)
+      |SELECT items.it AS event_type,
+      |       coalesce(w.wins, 0) AS n_wins,
+      |       coalesce(l.losses, 0) AS n_losses,
+      |       p3.p AS strength,
+      |       CASE WHEN tp > 0
+      |         THEN floor(p3.p / CAST(tp AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |         ELSE CAST(0 AS DOUBLE) END AS share
+      |FROM items LEFT JOIN w ON w.it = items.it
+      |           LEFT JOIN l ON l.it = items.it
+      |           JOIN p3 ON p3.it = items.it, totp
+      |ORDER BY event_type""".stripMargin
+  }
+
+  // x350: identical deterministic raters (base = length tercile, hash
+  // dissent), exact integer count matrix; P_i has denominator 6 so its
+  // round6 is exact; P̄/p_j/P̄_e/κ mirror the Spark rounding step for step.
+  val x350: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CASE WHEN n_chars < 300 THEN 0
+      |              WHEN n_chars < 600 THEN 1 ELSE 2 END AS base
+      |  FROM documents WHERE text IS NOT NULL),
+      |lab AS (
+      |  SELECT doc_id,
+      |         CASE WHEN h % 4 = 0 THEN (h // 4) % 3 ELSE CAST(base AS BIGINT) END AS cat
+      |  FROM (SELECT doc_id, base,
+      |               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|'
+      |                 || CAST(t.r AS VARCHAR)), 1, 2)) AS BIGINT) AS h
+      |        FROM d, range(0, 3) t(r))),
+      |nij AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS nij
+      |        FROM lab GROUP BY 1, 2),
+      |perdoc AS (
+      |  SELECT doc_id,
+      |         CAST(floor(CAST(sum(nij * nij) - 3 AS DOUBLE) / 6.0
+      |                    * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS pi6
+      |  FROM nij GROUP BY doc_id),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |              CAST(sum(pi6) AS DECIMAL(28,6)) AS sum_pi FROM perdoc),
+      |pe AS (
+      |  SELECT sum(CAST(pj6 * pj6 AS DECIMAL(38,12))) AS pe_raw
+      |  FROM (SELECT CAST(floor(CAST(sum(nij) AS DOUBLE)
+      |                          / CAST(n_docs * 3 AS DOUBLE)
+      |                          * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS pj6
+      |        FROM nij, nd GROUP BY cat, n_docs))
+      |SELECT n_docs, CAST(3 AS BIGINT) AS n_raters,
+      |       floor(CAST(sum_pi AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS p_bar,
+      |       floor(CAST(pe_raw AS DOUBLE) * 1000000 + 0.5) / 1000000 AS p_e,
+      |       CASE WHEN floor(CAST(pe_raw AS DOUBLE) * 1000000 + 0.5) / 1000000 < 1.0
+      |         THEN floor((floor(CAST(sum_pi AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |                           * 1000000 + 0.5) / 1000000
+      |                     - floor(CAST(pe_raw AS DOUBLE) * 1000000 + 0.5) / 1000000)
+      |                    / (1.0 - floor(CAST(pe_raw AS DOUBLE) * 1000000 + 0.5) / 1000000)
+      |                    * 1000000 + 0.5) / 1000000 END AS kappa
+      |FROM nd, pe""".stripMargin
+
+  // x351: same per-vector round6 scale, same ⌊x/scale+0.5⌋ clamp — the
+  // reported numbers are exact integer sums plus ONE division, so the
+  // quantizer is pinned bit-for-bit with no float fold crossing engines.
+  val x351: String =
+    """WITH m AS (
+      |  SELECT vec_id, label,
+      |         floor(list_max(list_transform(embedding,
+      |                 x -> abs(CAST(x AS DOUBLE)))) / 127.0
+      |               * 1000000 + 0.5) / 1000000 AS scale
+      |  FROM embeddings),
+      |lanes AS (
+      |  SELECT e.vec_id, e.label, m.scale, CAST(u.x AS DOUBLE) AS x
+      |  FROM embeddings e JOIN m ON m.vec_id = e.vec_id,
+      |       unnest(e.embedding) AS u(x)),
+      |q AS (
+      |  SELECT vec_id, label, scale,
+      |         CASE WHEN scale > 0
+      |           THEN CAST(floor(x / scale + 0.5) AS BIGINT) ELSE 0 END AS q0
+      |  FROM lanes),
+      |qc AS (SELECT vec_id, label, scale, q0,
+      |              greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), q0)) AS q
+      |       FROM q)
+      |SELECT label,
+      |       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+      |       CAST(sum(abs(q)) AS BIGINT) AS sum_abs_q,
+      |       CAST(sum(q) AS BIGINT) AS sum_q,
+      |       CAST(sum(CASE WHEN q0 <> q THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+      |       floor(CAST(sum(CAST(scale AS DECIMAL(28,6))) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_scale
+      |FROM qc GROUP BY label ORDER BY label""".stripMargin
+
+  // x353: identical md5-hex argmax per shard count (arg_max ↔ Spark's
+  // struct array_max — md5 ties impossible), exact integer loads.
+  val x353: String =
+    """WITH h32 AS (
+      |  SELECT d.doc_id, t.s,
+      |         md5(CAST(d.doc_id AS VARCHAR) || '|' || CAST(t.s AS VARCHAR)) AS h
+      |  FROM documents d, range(0, 32) t(s)),
+      |a32 AS (SELECT doc_id, CAST(arg_max(s, h) AS BIGINT) AS shard32
+      |        FROM h32 GROUP BY doc_id),
+      |h33 AS (
+      |  SELECT d.doc_id, t.s,
+      |         md5(CAST(d.doc_id AS VARCHAR) || '|' || CAST(t.s AS VARCHAR)) AS h
+      |  FROM documents d, range(0, 33) t(s)),
+      |a33 AS (SELECT doc_id, CAST(arg_max(s, h) AS BIGINT) AS shard33
+      |        FROM h33 GROUP BY doc_id),
+      |hrw AS (
+      |  SELECT shard32 AS shard, CAST(count(*) AS BIGINT) AS n_hrw,
+      |         CAST(sum(CASE WHEN shard32 <> shard33 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_moved_33
+      |  FROM a32 JOIN a33 USING (doc_id) GROUP BY 1),
+      |m AS (SELECT CAST(doc_id % 32 AS BIGINT) AS shard,
+      |             CAST(count(*) AS BIGINT) AS n_mod
+      |      FROM documents GROUP BY 1)
+      |SELECT coalesce(hrw.shard, m.shard) AS shard,
+      |       coalesce(n_hrw, 0) AS n_hrw,
+      |       coalesce(n_mod, 0) AS n_mod,
+      |       coalesce(n_moved_33, 0) AS n_moved_33
+      |FROM hrw FULL JOIN m ON hrw.shard = m.shard
+      |ORDER BY shard""".stripMargin
+
+  val r13Group: Map[String, String] = Map(
+    "x348_exact_substr_coverage" -> x348,
+    "x349_bradley_terry"         -> x349,
+    "x350_fleiss_kappa"          -> x350,
+    "x351_int8_quant"            -> x351,
+    "x353_hrw_sharding"          -> x353)
 
   val r12Group: Map[String, String] = Map(
     "x346_front_coding"       -> x346,

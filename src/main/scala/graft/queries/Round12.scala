@@ -398,8 +398,8 @@ object Round12Queries {
       .select(col("a.day").as("di"), col("b.day").as("dj"),
         col("a.x").as("xi"), col("b.x").as("xj"))
     val sAgg = pairs.agg(count(lit(1)).as("n_pairs"),
-      sum(signum(col("xj").cast("double") - col("xi").cast("double"))
-        .cast("long")).as("s"))
+      sum(when(col("xj") > col("xi"), 1L).when(col("xj") < col("xi"), -1L)
+        .otherwise(0L)).as("s"))
     val n = day.agg(count(lit(1)).as("n"))
     val ties = day.groupBy("x").agg(count(lit(1)).as("t"))
       .agg(coalesce(sum(dec(col("t")) * (dec(col("t")) - 1) *
@@ -1900,10 +1900,16 @@ object Round12Queries {
         (col("total_bytes") - col("saved_bytes")).as("coded_bytes"),
         stableRound6(col("saved_bytes").cast("double") /
           col("total_bytes").cast("double")).as("savings_ratio"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     ranking.release()
+    val prev = x346Pinned.getAndSet(out)
+    if (prev != null && (prev ne out)) prev.unpersist(false)
     out
   }
+
+  private val x346Pinned =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
   /** x347 — BURROWS' DELTA between source pairs (round-12): over the 50
     * highest-frequency corpus words, z-score each source's relative

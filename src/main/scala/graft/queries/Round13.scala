@@ -1,0 +1,308 @@
+package graft.queries
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-13 additions (registered in SparkEntry, oracled in Oracles).
+  * Opens with the exact-substring dedup gap closure (verdict r12 #7):
+  * x348 is the corpus-level duplicated-substring COVERAGE measure of
+  * Lee et al. 2022's ExactSubstr dedup — the removal-side complement to
+  * x131's per-pair span detection. Same conventions as Round11/Round12
+  * (fanOut, stableRound6 at every float edge, exact integer counting,
+  * md5 portability, map-combining aggregates).
+  */
+object Round13Queries {
+  import LlmQueries.fanOut
+
+  /** x348 — EXACT duplicated-SUBSTRING token coverage (round-13; the
+    * removal measure of Lee et al. 2022's ExactSubstr dedup): per
+    * document, how many token positions sit inside a substring of
+    * ≥ L = 8 tokens that occurs AT LEAST TWICE in the corpus — at any
+    * offset, in any document, including elsewhere in the SAME document
+    * (the two cases x131's pair-span view cannot see: within-doc repeats,
+    * and the union-coverage you need to actually CUT the spans).
+    *
+    * Equivalence argument (why L-windows are not an approximation): a
+    * token is covered by some duplicated substring of length ≥ L iff it
+    * is covered by some duplicated L-WINDOW — (⊇) every duplicated
+    * substring of length ≥ L contains a duplicated L-window over each of
+    * its tokens (take any L-window of the substring containing the
+    * token; it repeats wherever the substring does); (⊆) a duplicated
+    * L-window IS a duplicated substring of length L. So the union of
+    * [p, p+L−1] over positions p whose L-window content-count ≥ 2 IS the
+    * exact ExactSubstr cut set, no suffix array needed — relationally:
+    * one window count + a per-doc interval merge.
+    *
+    * Exactness: all counts exact integers; windows keyed by md5 of the
+    * space-joined tokens (the x10 fixed-width-shuffle-key convention);
+    * islands merge marked positions with gap ≤ L−1 (touching-but-disjoint
+    * intervals stay separate islands — same rule in the oracle); one
+    * division per doc, round6.
+    *
+    * Scale shape: windows explode corpus-linearly in the scan stage
+    * (x131's per-row generate), collapse into ONE map-combining content
+    * count (8-gram-vocabulary sized), re-join positions by content hash
+    * (marked volume = duplicated-window positions, duplicate-density-
+    * bounded), and the island window partitions by doc_id — corpus-
+    * cardinality keys, linear. At 100 TB the count and re-join shuffle on
+    * the content hash (uniform by construction); no all-pairs frame ever
+    * exists, which is exactly why this form scales where a suffix array
+    * needs its own distributed sort infrastructure.
+    */
+  def x348ExactSubstrCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val L = 8
+    val toked = fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val nTok = toked.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"))
+    val wins = toked
+      .filter(size(col("toks")) >= L)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (L - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"array_join(slice(toks, pos, $L), ' ')")).as("w8"))
+    val dup = wins.groupBy("w8").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("w8")
+    val marked = wins.join(dup, "w8").select("doc_id", "pos")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val islands = marked
+      .withColumn("prev", lag("pos", 1).over(wOrd))
+      .withColumn("new_island",
+        (col("prev").isNull || col("pos") - col("prev") > L - 1).cast("long"))
+      .withColumn("island", sum("new_island").over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), max("pos").as("e"), count(lit(1)).as("n_marked"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum("n_marked").as("n_dup_windows"),
+        sum(col("e") - col("s") + L).as("covered_tokens"))
+    nTok.join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        stableRound6(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("coverage_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** x349 — BRADLEY–TERRY preference strengths (round-13; Bradley & Terry
+    * 1952 via the MM algorithm, Hunter 2004): the estimator under every
+    * RLHF/preference-data pipeline — given pairwise "A beat B" counts,
+    * the strength vector p with P(A beats B) = p_A/(p_A+p_B). Items are
+    * the five event types; user u prefers type a over type b iff u's
+    * exact value-micro total for a exceeds b's (ties → no comparison) —
+    * a deterministic preference corpus derived from the fixture, the
+    * aggregation shape of real preference data (comparisons collapse to
+    * a |items|² win matrix; the corpus-sized part is ONE grouped sum).
+    *
+    * Exactness: the win matrix is exact integer counting on exact micro
+    * totals; 3 MM iterations from p⁰ = 1 with p round6'd after every
+    * iteration and each denominator term N_ij/(p_i+p_j) round6'd before
+    * an exact DECIMAL sum (order-independent) — the oracle unrolls the
+    * identical 3 iterations in SQL; final share is one division, round6.
+    *
+    * Scale shape: one map-combining (user, type) aggregate; the pairing
+    * self-join runs on per-user 5-row groups (types², never users²);
+    * the MM loop runs on the |items|²-sized matrix — metadata-sized, so
+    * it rides the driver like x302's power iterations, bounded by
+    * construction.
+    */
+  def x349BradleyTerry(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val totals = Io.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .groupBy("user_id", "event_type")
+      .agg(sum(floor(col("value") * 1000000 + 0.5).cast("long")).as("v"))
+    val wins = totals.as("a").join(totals.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") =!= col("b.event_type") &&
+          col("a.v") > col("b.v"))
+      .groupBy(col("a.event_type").as("wi"), col("b.event_type").as("lo"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val items = wins.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted.toSeq
+    val nMat = wins.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def n(i: String, j: String): Long = nMat.getOrElse((i, j), 0L)
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val w = items.map(i => i -> items.filterNot(_ == i).map(j => n(i, j)).sum).toMap
+    var p = items.map(_ -> 1.0).toMap
+    (1 to 3).foreach { _ =>
+      p = items.map { i =>
+        // Σ_j round6(N_ij/(p_i+p_j)) as an exact decimal sum (6 dp), so
+        // term order cannot move the value in either engine
+        val den = items.filterNot(_ == i).map { j =>
+          val nij = n(i, j) + n(j, i)
+          BigDecimal(r6(if (p(i) + p(j) > 0) nij / (p(i) + p(j)) else 0.0))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        i -> (if (den > 0) r6(w(i) / den.toDouble) else 0.0)
+      }.toMap
+    }
+    // exact decimal total of the round6 strengths (never a double fold)
+    val tot = items.map(i => BigDecimal(r6(p(i)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+    import spark.implicits._
+    items.map { i =>
+      (i, w(i), items.filterNot(_ == i).map(j => n(j, i)).sum, r6(p(i)),
+        if (tot > 0) r6(p(i) / tot.toDouble) else 0.0)
+    }.toDF("event_type", "n_wins", "n_losses", "strength", "share")
+      .orderBy("event_type")
+  }
+
+  /** x350 — FLEISS' KAPPA inter-annotator agreement (round-13; Fleiss
+    * 1971): chance-corrected agreement for R = 3 raters × 3 categories —
+    * the multi-rater generalization of x266's Cohen (2 raters), and the
+    * quality gate every labeling/annotation pipeline reports before its
+    * labels are trusted as training data. Raters are synthesized
+    * deterministically: the base label is the doc-length tercile bucket
+    * (a REAL signal), and rater r dissents where md5(doc|r)'s first byte
+    * ≡ 0 mod 4, relabeling with a hash category — so agreement is high
+    * but imperfect, exactly the regime kappa exists for.
+    *
+    * Exactness: the (doc × category) count matrix is exact integers;
+    * P_i = (Σn_ij² − R)/(R(R−1)) is exact rational with denominator 6 —
+    * round6 is EXACT on it; P̄, p_j, P̄_e and κ are each one division or
+    * an exact decimal combination, round6.
+    *
+    * Scale shape: one corpus scan explodes 3 rater labels per doc
+    * (pure projection), one map-combining (doc, cat) count, one doc-level
+    * reduce, one 1-row finale. Linear, no joins.
+    */
+  def x350FleissKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val R = 3
+    val docs = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("n_chars") < 300, 0).when(col("n_chars") < 600, 1)
+          .otherwise(2).as("base"))
+    val labels = docs
+      .select(col("doc_id"), col("base"),
+        explode(sequence(lit(0), lit(R - 1))).as("r"))
+      .withColumn("h", expr(
+        "conv(substring(md5(concat(cast(doc_id as string), '|', cast(r as string))), 1, 2), 16, 10)").cast("long"))
+      .select(col("doc_id"),
+        when(col("h") % 4 === 0, expr("(h div 4) % 3"))
+          .otherwise(col("base").cast("long")).as("cat"))
+    val nij = labels.groupBy("doc_id", "cat").agg(count(lit(1)).as("nij"))
+    val perDoc = nij.groupBy("doc_id")
+      .agg(sum(col("nij") * col("nij")).as("s2"))
+      // P_i = (Σn² − R)/(R(R−1)): exact rational, denominator 6 — round6
+      // quantizes it exactly, so the decimal mean below is exact
+      .select(col("doc_id"), stableRound6(
+        (col("s2") - R).cast("double") / (R * (R - 1)).toDouble)
+        .cast("decimal(18,6)").as("pi6"))
+    val nDocs = perDoc.agg(count(lit(1)).as("n_docs"),
+      sum("pi6").cast("decimal(28,6)").as("sum_pi"))
+    val pj = nij.groupBy("cat").agg(sum("nij").as("nj"))
+    val pe = pj.crossJoin(broadcast(nDocs.select("n_docs")))
+      .select(stableRound6(col("nj").cast("double") /
+        (col("n_docs") * R).cast("double")).cast("decimal(18,6)").as("pj6"))
+      .agg(sum((col("pj6") * col("pj6")).cast("decimal(38,12)")).as("pe_raw"))
+    nDocs.crossJoin(broadcast(pe))
+      .select(col("n_docs"), lit(R.toLong).as("n_raters"),
+        stableRound6(col("sum_pi").cast("double") / col("n_docs").cast("double"))
+          .as("p_bar"),
+        stableRound6(col("pe_raw").cast("double")).as("p_e"),
+        when(stableRound6(col("pe_raw").cast("double")) < 1.0, stableRound6(
+          (stableRound6(col("sum_pi").cast("double") / col("n_docs").cast("double"))
+            - stableRound6(col("pe_raw").cast("double"))) /
+          (lit(1.0) - stableRound6(col("pe_raw").cast("double")))))
+          .as("kappa"))
+  }
+
+  /** x351 — INT8 SYMMETRIC QUANTIZATION audit of the embedding corpus
+    * (round-13): per vector, scale = round6(max|x|/127), q_d =
+    * clamp(⌊x_d/scale + 0.5⌋, −127, 127) — the serving-side compression
+    * every production ANN index applies (4× memory, SIMD int8 dot
+    * products), audited by EXACT integer checksums per label group: Σ|q|
+    * and Σq pin the quantizer bit-for-bit (a rounding-mode or clamping
+    * drift moves an integer), n_clipped counts saturated lanes, and
+    * mean_scale prices the dynamic range. Integer checksums instead of
+    * float reconstruction error BY DESIGN: the x50 rule — no
+    * order-dependent float folds cross the oracle boundary.
+    *
+    * Exactness: x is the parquet float widened to double identically in
+    * both engines; scale is one division round6'd; q is floor(x/scale +
+    * 0.5) — integer in ℤ, clamped; every reported number is an exact
+    * integer sum or ONE division round6'd.
+    *
+    * Scale shape: pure per-row projection over the unnested vectors plus
+    * one map-combining label aggregate — scan-shaped at any corpus size.
+    */
+  def x351Int8Quant(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val vecs = Io.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("scale", stableRound6(col("maxabs") / lit(127.0)))
+    val q = vecs
+      .select(col("vec_id"), col("label"), col("scale"),
+        explode(col("v")).as("x"))
+      .withColumn("q0", when(col("scale") > 0,
+        floor(col("x") / col("scale") + 0.5).cast("long")).otherwise(0L))
+      .withColumn("q", greatest(lit(-127L), least(lit(127L), col("q0"))))
+    q.groupBy("label")
+      .agg(countDistinct("vec_id").as("n_vecs"),
+        sum(abs(col("q"))).as("sum_abs_q"),
+        sum(col("q")).as("sum_q"),
+        sum((col("q0") =!= col("q")).cast("long")).as("n_clipped"),
+        // scale appears once per exploded lane (64×/vector): exact decimal
+        // sum ÷ (rows) — one division, engine-order-free
+        sum(col("scale").cast("decimal(28,6)")).as("sum_scale_x64"),
+        count(lit(1)).as("n_lanes"))
+      .select(col("label"), col("n_vecs"), col("sum_abs_q"), col("sum_q"),
+        col("n_clipped"),
+        ExtendedQueries.stableRound6(col("sum_scale_x64").cast("double") /
+          col("n_lanes").cast("double")).as("mean_scale"))
+      .orderBy("label")
+  }
+
+  /** x353 — RENDEZVOUS (HRW) SHARD ROUTING balance + stability audit
+    * (round-13; Thaler & Ravishankar 1998): shard(doc) = argmax_s
+    * md5(doc_id|s) over S = 32 shards — THE stateless assignment for
+    * shard-stable routing at cluster scale, beside x300's consistent-hash
+    * RING (HRW needs no ring state and gets provably uniform balance).
+    * Reported per shard: HRW load, the mod-32 baseline load, and —
+    * the property that justifies HRW's existence — how many of the
+    * shard's docs MOVE when a 33rd shard joins (expected ≈ N/33 moved
+    * GLOBALLY; mod hashing moves ≈ N·32/33).
+    *
+    * Exactness: pure md5-hex string comparison (argmax over 32 fixed
+    * hashes; ties impossible in practice and broken by shard id in both
+    * engines), exact integer counts end-to-end.
+    *
+    * Scale shape: the assignment is a per-row projection (32 md5s in the
+    * scan — the CPU cost of statelessness, amortized to zero against any
+    * real routing table lookup); one map-combining shard aggregate.
+    */
+  def x353HrwSharding(spark: SparkSession, sfDir: String): DataFrame = {
+    def hrw(s: Int): Column = expr(
+      s"""array_max(transform(sequence(0, ${s - 1}),
+         |  s -> struct(md5(concat(cast(doc_id as string), '|',
+         |                         cast(s as string))) as h, s))).s"""
+        .stripMargin).cast("long")
+    val assigned = Io.table(spark, sfDir, "documents")
+      .select(col("doc_id"), hrw(32).as("shard32"), hrw(33).as("shard33"),
+        pmod(col("doc_id"), lit(32)).cast("long").as("shard_mod"))
+    val hrwLoad = assigned.groupBy(col("shard32").as("shard"))
+      .agg(count(lit(1)).as("n_hrw"),
+        sum((col("shard32") =!= col("shard33")).cast("long")).as("n_moved_33"))
+    val modLoad = assigned.groupBy(col("shard_mod").as("shard"))
+      .agg(count(lit(1)).as("n_mod"))
+    hrwLoad.join(modLoad, Seq("shard"), "full")
+      .select(col("shard"), coalesce(col("n_hrw"), lit(0L)).as("n_hrw"),
+        coalesce(col("n_mod"), lit(0L)).as("n_mod"),
+        coalesce(col("n_moved_33"), lit(0L)).as("n_moved_33"))
+      .orderBy("shard")
+  }
+}

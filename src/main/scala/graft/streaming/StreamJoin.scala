@@ -97,7 +97,11 @@ object StreamJoin {
     *
     * Inputs: left rows `(key, time_us, matched)` (new rows enter with
     * `matched = false`), right rows `(key, time_us)`. Returns
-    * (innerPairs, outerRows, newStateL, newStateR).
+    * (innerPairs, outerRows, newStateL, newStateR, flagged) — `flagged`
+    * is the post-flag-join left frame that outerRows AND newStateL both
+    * filter; a caller that materializes more than one of them should
+    * persist `flagged` (x226 does), otherwise the match semi-join — the
+    * expensive subplan — executes once per consumer.
     */
   def replayBatchOuter(
       stateL: DataFrame,
@@ -105,7 +109,7 @@ object StreamJoin {
       batchL: DataFrame,
       batchR: DataFrame,
       wmUs: Long,
-      windowUs: Long): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      windowUs: Long): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     def pairs(l: DataFrame, r: DataFrame): DataFrame =
       l.select(col("key"), col("time_us").as("l_time_us"))
         .join(r.select(col("key"), col("time_us").as("r_time_us")), "key")
@@ -132,6 +136,7 @@ object StreamJoin {
         lit(null).cast("long").as("r_time_us"))
     (inner, outer,
       flagged.filter(col("time_us") + lit(windowUs) >= lit(wmUs)),
-      allR.filter(col("time_us") >= lit(wmUs)))
+      allR.filter(col("time_us") >= lit(wmUs)),
+      flagged)
   }
 }

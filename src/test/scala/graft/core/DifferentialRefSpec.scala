@@ -1,0 +1,207 @@
+package graft.core
+
+import graft.SparkSpec
+import java.nio.file.{Files, Path, Paths}
+import scala.sys.process.Process
+
+/** DIFFERENTIAL e2e against the ACTUAL reference pipeline (verdict r12 #1):
+  * synthesizes one dirty FIXTURES.md §A CSV, runs
+  * `/root/reference/flows/pipeline.py` itself on it (via
+  * `tools/ref_diff.py`, which injects a no-op prefect stub and executes the
+  * flow body unmodified with pandas+duckdb), runs our `PipelineMain.runCli`
+  * on the SAME file, and diffs the observable outputs field-by-field:
+  * `curated/region_risk_avg.csv`, `curated/top3_recent_sales_by_receiving
+  * .csv`, and both DQ JSONs — across the pass branch, both gate-failure
+  * branches (exit 2), and missing input (exit 1).
+  *
+  * Tolerated representation differences (documented, value-level only):
+  * timestamps are compared as instants (DuckDB writes `2023-11-14 22:16:18
+  * +00`, Spark `2023-11-14T22:16:18.000Z`); doubles are parsed and compared
+  * to 1e-9 (double summation order differs across engines, so the fixture
+  * keeps region averages ≥0.1 apart to make the desc ordering unambiguous).
+  * Everything else — headers, row order, counts, every DQ field — must be
+  * equal.
+  */
+class DifferentialRefSpec extends SparkSpec {
+
+  private val repoRoot = new java.io.File(".").getCanonicalPath
+  private lazy val pythonOk =
+    Process(Seq("python3", "-c", "import pandas, duckdb")).! == 0
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Run the reference flow on `csv` with CWD `workdir`; returns exit code
+    * (0 pass / 1 missing input / 2 gate).
+    */
+  private def runReference(csv: String, workdir: String,
+      env: (String, String)*): Int =
+    Process(
+      Seq("python3", s"$repoRoot/tools/ref_diff.py", csv, workdir),
+      new java.io.File(repoRoot), env: _*).!
+
+  /** 205 rows: 200 base (epoch-ms, unique composite keys, region-dependent
+    * risk scores so the three region averages sit ~0.3 apart) + 1 duplicate
+    * of row 0's composite key carrying a DIFFERENT region (keep-first parity
+    * shows up in the region average) + negative amount + null amount +
+    * unparseable amount + null timestamp. Pre fails = 4/205 → conformity
+    * ≈ 0.98049, just above the 0.98 gate.
+    */
+  private def writeSharedCsv(dir: Path): String = {
+    val sb = new StringBuilder(
+      "timestamp,transaction_type,amount,receiving_address,location_region,risk_score\n")
+    val regions = Seq("eu", "us", "ap", "0", "None", "")
+    (0 until 200).foreach { i =>
+      val typ = if (i % 2 == 0) "sale" else " REFUND "
+      val region = regions(i % 6)
+      val base = region match {
+        case "eu" => 0.80; case "us" => 0.50; case "ap" => 0.20
+        case _ => 0.10
+      }
+      val risk = base + (i % 7) * 0.01
+      sb ++= f"${1700000000000L + i * 1000},$typ,${i + 1}.0,addr${i % 20},$region,$risk%.2f\n"
+    }
+    sb ++= s"${1700000000000L},sale,1.0,addr0,zz,0.99\n"  // dup of row 0's key
+    sb ++= s"${1700000500000L},sale,-7.0,addrN,eu,0.30\n" // negative
+    sb ++= s"${1700000600000L},sale,,addrM,eu,0.40\n"     // null amount
+    sb ++= s"${1700000700000L},sale,abc,addrX,eu,0.50\n"  // unparseable amount
+    sb ++= s",sale,5.0,addrY,eu,0.60\n"                   // null timestamp
+    val f = dir.resolve("df_fraud_credit.csv")
+    Files.writeString(f, sb.toString)
+    f.toString
+  }
+
+  // --- comparison helpers -------------------------------------------------
+
+  private def parseTs(s: String): java.time.Instant = {
+    val t = s.trim.replace(' ', 'T')
+    val z =
+      if (t.endsWith("Z")) t
+      else if (t.matches(".*[+-]\\d{2}$")) t + ":00"
+      else if (t.matches(".*[+-]\\d{2}:\\d{2}$")) t
+      else t + "Z"
+    java.time.OffsetDateTime.parse(z).toInstant
+  }
+
+  private def readCsvRows(path: String): (Seq[String], Seq[Array[String]]) = {
+    val lines = Files.readAllLines(Paths.get(path))
+    import scala.jdk.CollectionConverters._
+    val all = lines.asScala.toSeq.filter(_.nonEmpty)
+    (all.head.split(",", -1).toSeq, all.tail.map(_.split(",", -1)))
+  }
+
+  private def diffRegionCsv(refPath: String, ourPath: String): Unit = {
+    val (refHdr, refRows) = readCsvRows(refPath)
+    val (ourHdr, ourRows) = readCsvRows(ourPath)
+    assert(refHdr == Seq("location_region", "avg_risk_score"))
+    assert(ourHdr == refHdr)
+    assert(ourRows.map(_(0)) == refRows.map(_(0)),
+      s"region order differs: ref=${refRows.map(_(0))} ours=${ourRows.map(_(0))}")
+    refRows.zip(ourRows).foreach { case (r, o) =>
+      assert(math.abs(r(1).toDouble - o(1).toDouble) < 1e-9,
+        s"avg_risk_score for ${r(0)}: ref=${r(1)} ours=${o(1)}")
+    }
+  }
+
+  private def diffTop3Csv(refPath: String, ourPath: String): Unit = {
+    val (refHdr, refRows) = readCsvRows(refPath)
+    val (ourHdr, ourRows) = readCsvRows(ourPath)
+    assert(refHdr == Seq("receiving_address", "amount", "timestamp"))
+    assert(ourHdr == refHdr)
+    assert(refRows.size == ourRows.size)
+    refRows.zip(ourRows).foreach { case (r, o) =>
+      assert(r(0) == o(0), s"address: ref=${r(0)} ours=${o(0)}")
+      assert(math.abs(r(1).toDouble - o(1).toDouble) < 1e-12)
+      assert(parseTs(r(2)) == parseTs(o(2)),
+        s"timestamp: ref=${r(2)} ours=${o(2)}")
+    }
+  }
+
+  private def diffDqJson(refPath: String, ourPath: String): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ref = om.readTree(new java.io.File(refPath))
+    val our = om.readTree(new java.io.File(ourPath))
+    assert(our.get("phase").asText == ref.get("phase").asText)
+    assert(our.get("total_rows").asLong == ref.get("total_rows").asLong)
+    val refNulls = ref.get("nulls"); val ourNulls = our.get("nulls")
+    import scala.jdk.CollectionConverters._
+    val refCols = refNulls.fieldNames.asScala.toSeq
+    assert(ourNulls.fieldNames.asScala.toSeq == refCols)
+    refCols.foreach { c =>
+      assert(ourNulls.get(c).asLong == refNulls.get(c).asLong,
+        s"nulls[$c]: ref=${refNulls.get(c)} ours=${ourNulls.get(c)}")
+    }
+    val ruleNames = Seq("timestamp_not_null", "transaction_type_not_null",
+      "amount_not_null", "amount_non_negative")
+    ruleNames.foreach { rn =>
+      val r = ref.get("rules").get(rn); val o = our.get("rules").get(rn)
+      if (r == null || r.isNull) assert(o == null || o.isNull, s"rule $rn")
+      else assert(o.get("violations").asLong == r.get("violations").asLong,
+        s"rules[$rn]: ref=$r ours=$o")
+    }
+    assert(our.get("failed_rows_estimate").asLong ==
+      ref.get("failed_rows_estimate").asLong)
+    assert(math.abs(our.get("conformity_rate").asDouble -
+      ref.get("conformity_rate").asDouble) < 1e-9)
+  }
+
+  // --- the four branches --------------------------------------------------
+
+  test("pass branch: curated CSVs and both DQ JSONs match the reference") {
+    assume(pythonOk, "driver-side python3/pandas/duckdb not available")
+    val csv = writeSharedCsv(Files.createTempDirectory("diff_in"))
+    val refDir = tmp("diff_ref")
+    val ourData = tmp("diff_data"); val ourCur = tmp("diff_cur")
+
+    assert(runReference(csv, refDir) == 0)
+    assert(PipelineMain.runCli(spark, csv, ourData, ourCur, 0.98, 0.995) == 0)
+
+    diffDqJson(s"$refDir/data/dq_metrics_pre.json", s"$ourData/dq_metrics_pre.json")
+    diffDqJson(s"$refDir/data/dq_metrics_post.json", s"$ourData/dq_metrics_post.json")
+    diffRegionCsv(s"$refDir/curated/region_risk_avg.csv", s"$ourCur/region_risk_avg.csv")
+    diffTop3Csv(s"$refDir/curated/top3_recent_sales_by_receiving.csv",
+      s"$ourCur/top3_recent_sales_by_receiving.csv")
+  }
+
+  test("pre-gate breach: both engines exit 2 with identical pre DQ") {
+    assume(pythonOk, "driver-side python3/pandas/duckdb not available")
+    val dir = Files.createTempDirectory("diff_prefail")
+    val sb = new StringBuilder(
+      "timestamp,transaction_type,amount,receiving_address,location_region,risk_score\n")
+    (0 until 45).foreach(i => sb ++= s"${1700000000L + i},sale,${i}.0,a$i,eu,0.1\n")
+    (0 until 5).foreach(i => sb ++= s"${1700000100L + i},sale,,b$i,eu,0.1\n")
+    val csv = dir.resolve("bad.csv"); Files.writeString(csv, sb.toString)
+    val refDir = tmp("diff_ref2")
+    val ourData = tmp("diff_data2"); val ourCur = tmp("diff_cur2")
+
+    assert(runReference(csv.toString, refDir) == 2)
+    assert(PipelineMain.runCli(spark, csv.toString, ourData, ourCur, 0.98, 0.995) == 2)
+    diffDqJson(s"$refDir/data/dq_metrics_pre.json", s"$ourData/dq_metrics_pre.json")
+    // neither engine reached the post profile or the curated exports
+    assert(!Files.exists(Paths.get(s"$refDir/data/dq_metrics_post.json")))
+    assert(!Files.exists(Paths.get(s"$ourData/dq_metrics_post.json")))
+  }
+
+  test("post-gate breach (threshold 1.01): both publish FIRST, then exit 2") {
+    assume(pythonOk, "driver-side python3/pandas/duckdb not available")
+    val csv = writeSharedCsv(Files.createTempDirectory("diff_in3"))
+    val refDir = tmp("diff_ref3")
+    val ourData = tmp("diff_data3"); val ourCur = tmp("diff_cur3")
+
+    assert(runReference(csv, refDir, "MIN_CONFORMITY_POST" -> "1.01") == 2)
+    assert(PipelineMain.runCli(spark, csv, ourData, ourCur, 0.98, 1.01) == 2)
+    // publish-before-throw on both sides: curated outputs exist AND match
+    diffDqJson(s"$refDir/data/dq_metrics_post.json", s"$ourData/dq_metrics_post.json")
+    diffRegionCsv(s"$refDir/curated/region_risk_avg.csv", s"$ourCur/region_risk_avg.csv")
+    diffTop3Csv(s"$refDir/curated/top3_recent_sales_by_receiving.csv",
+      s"$ourCur/top3_recent_sales_by_receiving.csv")
+  }
+
+  test("missing input: both engines exit 1") {
+    assume(pythonOk, "driver-side python3/pandas/duckdb not available")
+    val refDir = tmp("diff_ref4")
+    assert(runReference("/nonexistent/nope.csv", refDir) == 1)
+    assert(PipelineMain.runCli(spark, "/nonexistent/nope.csv",
+      tmp("diff_data4"), tmp("diff_cur4"), 0.98, 0.995) == 1)
+  }
+}

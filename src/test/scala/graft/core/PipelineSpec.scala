@@ -16,7 +16,9 @@ class PipelineSpec extends SparkSpec {
 
   /** 185 rows: 180 clean (epoch-ms timestamps), 2 duplicates of row 0's
     * composite key, 1 negative amount, 1 null amount, 1 unparseable amount.
-    * Pre-gate fails = 2 (negative + null) over 185 ⇒ conformity ≈ 0.989.
+    * Pre-gate fails = 3 (negative + null + unparseable — dq_checks coerces
+    * amount to numeric BEFORE profiling, pipeline.py:99-101) over 185 ⇒
+    * conformity ≈ 0.9838.
     */
   private def writePassCsv(dir: Path): String = {
     val sb = new StringBuilder(
@@ -42,7 +44,8 @@ class PipelineSpec extends SparkSpec {
     val res = Pipeline.run(spark, in, data, curated)
 
     assert(res.dqPre.totalRows == 185)
-    assert(res.dqPre.failedRowsEstimate == 2)
+    assert(res.dqPre.failedRowsEstimate == 3)
+    assert(res.dqPre.nulls("amount") == 2) // empty field + unparseable "abc"
     assert(res.dqPre.conformityRate > 0.98 && res.dqPre.conformityRate < 0.99)
     // 185 - 3 bad - 2 dups = 180 staged rows; post profile is fully conformant
     assert(res.staged.count() == 180)

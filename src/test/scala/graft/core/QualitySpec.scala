@@ -60,6 +60,10 @@ class QualitySpec extends SparkSpec {
     val m = Quality.profile(
       Seq(("-3", "a"), ("abc", "b"), ("4.5", "c")).toDF("amount", "receiving_address"), "t")
     assert(m.ruleViolations("amount_non_negative") == 1) // only "-3"; "abc"→null, not <0
+    // dq_checks coerces BEFORE profiling (pipeline.py:99-101): the
+    // unparseable "abc" is an amount null in both the nulls map and the rule
+    assert(m.nulls("amount") == 1)
+    assert(m.ruleViolations("amount_not_null") == 1)
   }
 
   test("gate throws below threshold, passes at or above") {

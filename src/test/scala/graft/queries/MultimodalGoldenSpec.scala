@@ -64,10 +64,8 @@ class MultimodalGoldenSpec extends SparkSpec {
     assert(rows == again)
   }
 
-  test("x106 declared form: feature is a sortable string matching the raw array") {
-    import org.apache.spark.sql.types.StringType
+  test("x106 declared form: decode checksums equal the generator formulas per kind") {
     val declared = MultimodalQueries.x106MultimodalGolden(spark, "unused")
-    assert(declared.schema("feature").dataType == StringType)
     // every declared column must be scalar — the driver sorts with pandas
     // sort_values over ALL columns, which dies on array/struct/map cells
     // (the round-8 x106 failure)
@@ -75,13 +73,40 @@ class MultimodalGoldenSpec extends SparkSpec {
       assert(!f.dataType.typeName.matches("array|struct|map"),
         s"declared x106 column ${f.name} must be scalar, got ${f.dataType}")
     }
-    val decRows = declared.collect().toSeq
-    assert(decRows.size == rows.size)
-    rows.zip(decRows).foreach { case (raw, dec) =>
-      val want =
-        if (raw.isNullAt(raw.fieldIndex("feature"))) null
-        else raw.getSeq[Double](raw.fieldIndex("feature")).map(_.toString).mkString(" ")
-      assert(dec.getAs[String]("feature") == want)
+    val m = declared.collect().map(r => r.getLong(0) -> r).toMap
+    assert(m.size == 20)
+    // the same closed forms the DuckDB oracle uses (SyntheticMedia.pngBytes)
+    def pngSum(w: Int, h: Int, seed: Long): Long = {
+      var s = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        s += (x * 7 + seed * 13 + 3) % 256 + (y * 11 + seed * 5 + 7) % 256 +
+          (x + y + seed * 3) % 256
+      s
+    }
+    Seq(0L, 5L, 10L, 15L).foreach { id => // image: real ImageIO decode
+      val w = 8 + (id / 5 % 5).toInt; val h = 6 + (id / 5 % 3).toInt
+      assert(m(id).getAs[Long]("decode_checksum") == pngSum(w, h, id))
+      assert(m(id).getAs[Long]("w_after") == 4L && m(id).getAs[Long]("h_after") == 4L)
+      assert(m(id).getAs[String]("mime_after") == "image/png")
+    }
+    Seq(1L, 6L, 11L, 16L).foreach { id => // audio: real javax.sound decode
+      val n = 400 + (id * 7 % 100).toInt
+      val want = (0 until n).map(i => math.abs((i * 13 + id * 7) % 2001 - 1000)).sum
+      assert(m(id).getAs[Long]("decode_checksum") == want)
+      assert(m(id).isNullAt(m(id).fieldIndex("w_after")))
+    }
+    Seq(2L, 7L, 12L, 17L).foreach { id => // video: RIFF walk + frame decode
+      val want = Seq(0, 2).map(f => pngSum(8, 6, id * 100 + f)).sum
+      assert(m(id).getAs[Long]("decode_checksum") == want)
+      assert(m(id).getAs[Long]("n_frames_sampled") == 2L)
+    }
+    Seq(3L, 8L, 13L, 18L).foreach { id => // opaque: exact payload length
+      assert(m(id).getAs[Long]("decode_checksum") == 4L * (16 + id.toString.length))
+      assert(m(id).getAs[Long]("n_frames_sampled") == 0L)
+    }
+    Seq(4L, 9L, 14L, 19L).foreach { id => // missing: all-null decode surface
+      assert(m(id).isNullAt(m(id).fieldIndex("decode_checksum")))
+      assert(m(id).getAs[String]("mime_after") == null)
     }
   }
 
@@ -92,7 +117,7 @@ class MultimodalGoldenSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == out.map(_.getLong(0)).toSeq.sorted)
     assert(out.forall(_.getBoolean(4)), "every payload must match its generator md5+length")
     assert(out.map(r => r.getString(1)).toSet == Set("image", "audio", "video", "opaque"))
-    // deterministic across invocations (fresh temp dir each run)
+    // deterministic across invocations (fixed dir, idempotent rewrite)
     val again = MultimodalQueries.x135BinaryIngest(spark, "unused").collect()
     assert(out.map(r => (r.getLong(0), r.getString(3))).toSeq ==
       again.map(r => (r.getLong(0), r.getString(3))).toSeq)

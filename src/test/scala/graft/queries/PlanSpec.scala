@@ -359,6 +359,13 @@ class PlanSpec extends SparkSpec {
       "rn<=3 must push into WindowGroupLimit so tasks keep only k candidates")
   }
 
+  test("x54: two-phase literal k recovers WindowGroupLimit (verdict r12 #4)") {
+    val p = plan("x54_domain_rebalance")
+    assert(p.contains("WindowGroupLimit"),
+      "rank cap must be a LITERAL so tasks buffer k candidates per source, " +
+        "not full per-source sorts")
+  }
+
   test("x41: both repetition aggregates combine map-side") {
     val p = plan("x41_repetition")
     assert(p.contains("partial_count"), "bigram counts must be two-phase")

@@ -142,7 +142,7 @@ class StreamJoinSpec extends SparkSpec {
             .map(m => math.max(wm, m - D)).getOrElse(wm)
         case None => Long.MaxValue
       }
-      val (i9, o9, nL, nR) = StreamJoin.replayBatchOuter(sL, sR,
+      val (i9, o9, nL, nR, _) = StreamJoin.replayBatchOuter(sL, sR,
         bL.toDF("key", "time_us", "matched"),
         bR.toDF("key", "time_us"), wm, W)
       got ++= i9.collect().map(r => (r.getLong(0), r.getLong(1), Some(r.getLong(2))))
