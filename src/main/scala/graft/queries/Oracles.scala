@@ -8509,8 +8509,8 @@ object Oracles {
   }
 
   // x350: identical deterministic raters (base = length tercile, hash
-  // dissent), exact integer count matrix; P_i has denominator 6 so its
-  // round6 is exact; P̄/p_j/P̄_e/κ mirror the Spark rounding step for step.
+  // dissent); 2·D_o and E = n² − Σn_c² exact via HUGEINT; α is ONE
+  // division mirrored (·2.0 on the denominator, cast order identical).
   val x350: String =
     """WITH d AS (
       |  SELECT doc_id,
@@ -8526,30 +8526,22 @@ object Oracles {
       |        FROM d, range(0, 3) t(r))),
       |nij AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS nij
       |        FROM lab GROUP BY 1, 2),
-      |perdoc AS (
-      |  SELECT doc_id,
-      |         CAST(floor(CAST(sum(nij * nij) - 3 AS DOUBLE) / 6.0
-      |                    * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS pi6
-      |  FROM nij GROUP BY doc_id),
-      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-      |              CAST(sum(pi6) AS DECIMAL(28,6)) AS sum_pi FROM perdoc),
-      |pe AS (
-      |  SELECT sum(CAST(pj6 * pj6 AS DECIMAL(38,12))) AS pe_raw
-      |  FROM (SELECT CAST(floor(CAST(sum(nij) AS DOUBLE)
-      |                          / CAST(n_docs * 3 AS DOUBLE)
-      |                          * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS pj6
-      |        FROM nij, nd GROUP BY cat, n_docs))
-      |SELECT n_docs, CAST(3 AS BIGINT) AS n_raters,
-      |       floor(CAST(sum_pi AS DOUBLE) / CAST(n_docs AS DOUBLE)
-      |             * 1000000 + 0.5) / 1000000 AS p_bar,
-      |       floor(CAST(pe_raw AS DOUBLE) * 1000000 + 0.5) / 1000000 AS p_e,
-      |       CASE WHEN floor(CAST(pe_raw AS DOUBLE) * 1000000 + 0.5) / 1000000 < 1.0
-      |         THEN floor((floor(CAST(sum_pi AS DOUBLE) / CAST(n_docs AS DOUBLE)
-      |                           * 1000000 + 0.5) / 1000000
-      |                     - floor(CAST(pe_raw AS DOUBLE) * 1000000 + 0.5) / 1000000)
-      |                    / (1.0 - floor(CAST(pe_raw AS DOUBLE) * 1000000 + 0.5) / 1000000)
-      |                    * 1000000 + 0.5) / 1000000 END AS kappa
-      |FROM nd, pe""".stripMargin
+      |dou AS (SELECT doc_id, 6 - CAST(sum(nij * (nij - 1)) AS BIGINT) AS do2u
+      |        FROM nij GROUP BY doc_id),
+      |ds AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |              CAST(sum(do2u) AS BIGINT) AS do2 FROM dou),
+      |marg AS (
+      |  SELECT CAST(sum(nc) AS BIGINT) AS n,
+      |         sum(CAST(nc AS HUGEINT) * CAST(nc AS HUGEINT)) AS sum_nc2
+      |  FROM (SELECT CAST(sum(nij) AS BIGINT) AS nc FROM nij GROUP BY cat))
+      |SELECT n_docs, n AS n_ratings,
+      |       floor(CAST(do2 AS DOUBLE) / 2.0 * 1000000 + 0.5) / 1000000 AS d_o,
+      |       CASE WHEN CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - sum_nc2 > 0
+      |         THEN floor((1.0 - CAST(CAST(do2 AS HUGEINT) * (CAST(n AS HUGEINT) - 1) AS DOUBLE)
+      |                     / (CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - sum_nc2 AS DOUBLE)
+      |                        * 2.0))
+      |                    * 1000000 + 0.5) / 1000000 END AS alpha
+      |FROM ds, marg""".stripMargin
 
   // x351: same per-vector round6 scale, same ⌊x/scale+0.5⌋ clamp — the
   // reported numbers are exact integer sums plus ONE division, so the
@@ -8612,11 +8604,61 @@ object Oracles {
       |FROM hrw FULL JOIN m ON hrw.shard = m.shard
       |ORDER BY shard""".stripMargin
 
+
+  // x352: identical probe construction (row_number-1 pids for the hash
+  // coordinates, the md5-13-hex dyadic uniform, round6 bounds), identical
+  // per-term-round6 DECIMAL distances — min/sums exact, one edge division.
+  val x352: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, i.i - 1 AS d, CAST(embedding[i.i] AS DOUBLE) AS x
+      |  FROM embeddings, range(1, 65) i(i)
+      |  WHERE i.i <= len(embedding)),
+      |bounds AS (
+      |  SELECT d, floor(min(x) * 1000000 + 0.5) / 1000000 AS lo,
+      |         floor(max(x) * 1000000 + 0.5) / 1000000 AS hi
+      |  FROM corpus GROUP BY d),
+      |samp AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS pid
+      |         FROM embeddings WHERE vec_id % 31 = 0),
+      |synth AS (
+      |  SELECT 'synth' AS kind, s.pid, b.d,
+      |         floor((b.lo + ((('0x' || substring(md5('hop|' ||
+      |             CAST(s.pid AS VARCHAR) || '|' || CAST(b.d AS VARCHAR)), 1, 13))
+      |             ::BIGINT + 0.5) / 4503599627370496.0) * (b.hi - b.lo))
+      |           * 1000000 + 0.5) / 1000000 AS a
+      |  FROM samp s CROSS JOIN bounds b),
+      |realp AS (
+      |  SELECT 'real' AS kind, c.vec_id AS pid, c.d, c.x AS a
+      |  FROM corpus c WHERE c.vec_id % 31 = 0),
+      |probes AS (SELECT * FROM synth UNION ALL SELECT * FROM realp),
+      |d2 AS (
+      |  SELECT p.kind, p.pid, c.vec_id,
+      |         sum(CAST(floor((c.x - p.a) * (c.x - p.a) * 1000000 + 0.5)
+      |                  / 1000000 AS DECIMAL(18,6))) AS d2
+      |  FROM corpus c JOIN probes p ON p.d = c.d
+      |  WHERE NOT (p.kind = 'real' AND p.pid = c.vec_id)
+      |  GROUP BY 1, 2, 3),
+      |nn AS (SELECT kind, pid, min(d2) AS nn FROM d2 GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT CAST((SELECT count(*) FROM samp) AS BIGINT) AS m,
+      |         coalesce((SELECT CAST(sum(nn) AS DECIMAL(28,6)) FROM nn
+      |                   WHERE kind = 'synth'), 0) AS u,
+      |         coalesce((SELECT CAST(sum(nn) AS DECIMAL(28,6)) FROM nn
+      |                   WHERE kind = 'real'), 0) AS w)
+      |SELECT m,
+      |       floor(CAST(u AS DOUBLE) * 1000000 + 0.5) / 1000000 AS sum_u,
+      |       floor(CAST(w AS DOUBLE) * 1000000 + 0.5) / 1000000 AS sum_w,
+      |       CASE WHEN u + w > 0
+      |         THEN floor(CAST(u AS DOUBLE) / CAST(u + w AS DOUBLE)
+      |                    * 1000000 + 0.5) / 1000000
+      |         ELSE CAST(0.5 AS DOUBLE) END AS hopkins
+      |FROM agg""".stripMargin
+
   val r13Group: Map[String, String] = Map(
     "x348_exact_substr_coverage" -> x348,
     "x349_bradley_terry"         -> x349,
-    "x350_fleiss_kappa"          -> x350,
+    "x350_krippendorff_alpha"    -> x350,
     "x351_int8_quant"            -> x351,
+    "x352_hopkins"               -> x352,
     "x353_hrw_sharding"          -> x353)
 
   val r12Group: Map[String, String] = Map(

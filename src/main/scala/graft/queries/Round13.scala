@@ -157,26 +157,31 @@ object Round13Queries {
       .orderBy("event_type")
   }
 
-  /** x350 — FLEISS' KAPPA inter-annotator agreement (round-13; Fleiss
-    * 1971): chance-corrected agreement for R = 3 raters × 3 categories —
-    * the multi-rater generalization of x266's Cohen (2 raters), and the
-    * quality gate every labeling/annotation pipeline reports before its
-    * labels are trusted as training data. Raters are synthesized
-    * deterministically: the base label is the doc-length tercile bucket
-    * (a REAL signal), and rater r dissents where md5(doc|r)'s first byte
-    * ≡ 0 mod 4, relabeling with a hash category — so agreement is high
-    * but imperfect, exactly the regime kappa exists for.
+  /** x350 — KRIPPENDORFF'S ALPHA inter-annotator agreement (round-13;
+    * Krippendorff 1970, nominal data, complete 3-rater design): α = 1 −
+    * D_o/D_e over the pairwise coincidence matrix — the agreement
+    * coefficient annotation shops report when raters/units vary, beside
+    * x266's Cohen (2 raters) and x286's Fleiss (rule banks): α is the
+    * DISAGREEMENT-based member, and for nominal complete data it reduces
+    * to exact integer arithmetic, which is why it (and not another
+    * Fleiss) is the round-13 addition. Raters are synthesized
+    * deterministically: base label = doc-length tercile (a REAL signal),
+    * rater r dissents where md5(doc|r)'s first byte ≡ 0 mod 4,
+    * relabeling with a hash category — high-but-imperfect agreement,
+    * the regime agreement coefficients exist for.
     *
-    * Exactness: the (doc × category) count matrix is exact integers;
-    * P_i = (Σn_ij² − R)/(R(R−1)) is exact rational with denominator 6 —
-    * round6 is EXACT on it; P̄, p_j, P̄_e and κ are each one division or
-    * an exact decimal combination, round6.
+    * Exactness: with r_u = 3 raters per unit, 2·D_o = Σ_u (6 −
+    * Σ_c n_uc(n_uc−1)) is an exact LONG; the expected-disagreement
+    * numerator E = n² − Σ_c n_c² is exact (n = 3N total ratings, n_c the
+    * raw category counts — the coincidence marginals for complete data);
+    * α = 1 − D_o2·(n−1)/(2E) is ONE division, round6. No float enters
+    * before the edge.
     *
-    * Scale shape: one corpus scan explodes 3 rater labels per doc
-    * (pure projection), one map-combining (doc, cat) count, one doc-level
-    * reduce, one 1-row finale. Linear, no joins.
+    * Scale shape: one corpus scan explodes 3 rater labels per doc (pure
+    * projection), one map-combining (doc, cat) count, one doc-level
+    * reduce + one category reduce, a 1-row finale. Linear, no joins.
     */
-  def x350FleissKappa(spark: SparkSession, sfDir: String): DataFrame = {
+  def x350KrippendorffAlpha(spark: SparkSession, sfDir: String): DataFrame = {
     import ExtendedQueries.stableRound6
     val R = 3
     val docs = Io.table(spark, sfDir, "documents")
@@ -193,30 +198,24 @@ object Round13Queries {
         when(col("h") % 4 === 0, expr("(h div 4) % 3"))
           .otherwise(col("base").cast("long")).as("cat"))
     val nij = labels.groupBy("doc_id", "cat").agg(count(lit(1)).as("nij"))
-    val perDoc = nij.groupBy("doc_id")
-      .agg(sum(col("nij") * col("nij")).as("s2"))
-      // P_i = (Σn² − R)/(R(R−1)): exact rational, denominator 6 — round6
-      // quantizes it exactly, so the decimal mean below is exact
-      .select(col("doc_id"), stableRound6(
-        (col("s2") - R).cast("double") / (R * (R - 1)).toDouble)
-        .cast("decimal(18,6)").as("pi6"))
-    val nDocs = perDoc.agg(count(lit(1)).as("n_docs"),
-      sum("pi6").cast("decimal(28,6)").as("sum_pi"))
-    val pj = nij.groupBy("cat").agg(sum("nij").as("nj"))
-    val pe = pj.crossJoin(broadcast(nDocs.select("n_docs")))
-      .select(stableRound6(col("nj").cast("double") /
-        (col("n_docs") * R).cast("double")).cast("decimal(18,6)").as("pj6"))
-      .agg(sum((col("pj6") * col("pj6")).cast("decimal(38,12)")).as("pe_raw"))
-    nDocs.crossJoin(broadcast(pe))
-      .select(col("n_docs"), lit(R.toLong).as("n_raters"),
-        stableRound6(col("sum_pi").cast("double") / col("n_docs").cast("double"))
-          .as("p_bar"),
-        stableRound6(col("pe_raw").cast("double")).as("p_e"),
-        when(stableRound6(col("pe_raw").cast("double")) < 1.0, stableRound6(
-          (stableRound6(col("sum_pi").cast("double") / col("n_docs").cast("double"))
-            - stableRound6(col("pe_raw").cast("double"))) /
-          (lit(1.0) - stableRound6(col("pe_raw").cast("double")))))
-          .as("kappa"))
+    val doSum = nij.groupBy("doc_id")
+      .agg((lit(R.toLong * (R - 1)) -
+        sum(col("nij") * (col("nij") - 1))).as("do2u"))
+      .agg(count(lit(1)).as("n_docs"), sum("do2u").as("do2"))
+    // DECIMAL casts before every big product (the x304 rule): n = 3N and
+    // n_c are corpus-scale longs, so n², n_c² and do2·(n−1) all wrap int64
+    def dec38(c: Column): Column = c.cast("decimal(38,0)")
+    val marg = nij.groupBy("cat").agg(sum("nij").as("nc"))
+      .agg(sum("nc").as("n"),
+        sum(dec38(col("nc")) * dec38(col("nc"))).as("sum_nc2"))
+    doSum.crossJoin(broadcast(marg))
+      .select(col("n_docs"), col("n").as("n_ratings"),
+        stableRound6(col("do2").cast("double") / 2.0).as("d_o"),
+        when(dec38(col("n")) * dec38(col("n")) - col("sum_nc2") > 0, stableRound6(
+          lit(1.0) - (dec38(col("do2")) * (dec38(col("n")) - 1)).cast("double") /
+            ((dec38(col("n")) * dec38(col("n")) - col("sum_nc2")).cast("double")
+              * 2.0)))
+          .as("alpha"))
   }
 
   /** x351 — INT8 SYMMETRIC QUANTIZATION audit of the embedding corpus
@@ -265,6 +264,70 @@ object Round13Queries {
         ExtendedQueries.stableRound6(col("sum_scale_x64").cast("double") /
           col("n_lanes").cast("double")).as("mean_scale"))
       .orderBy("label")
+  }
+
+  /** x352 — HOPKINS CLUSTERABILITY statistic of the embedding corpus
+    * (round-13; Hopkins & Skellam 1954): H = Σu/(Σu+Σw), where u are
+    * nearest-neighbor distances from SYNTHETIC uniform probes (hash-
+    * derived coordinates inside the corpus's per-dimension bounding box)
+    * and w from a deterministic sample of REAL points (self excluded) —
+    * H ≈ 0.5 says "no cluster structure", H → 1 says clustered. The
+    * PRECONDITION test of the clustering family: x52 trains codebooks,
+    * x326/x298 grade clusters, x59 dedups within them — Hopkins says
+    * whether clustering the corpus means anything at all.
+    *
+    * Exactness: per-dimension bounds round6'd; uniform coordinates from
+    * the md5-13-hex-digit construction (the x317/x328 dyadic pattern),
+    * round6'd; every squared distance is Σ_d round6((a_d−b_d)²) summed
+    * as exact DECIMAL — order-free, so min and the final sums are exact;
+    * ONE division at the edge, round6.
+    *
+    * Scale shape: the probe set (2m rows, m = |corpus|/31-ish sample) is
+    * BROADCAST into one corpus×dim scan — cost m·N·D with m a constant;
+    * the (probe, vec) distance aggregate is map-combining. At corpus
+    * scale m stays fixed and the scan is the whole bill — the same
+    * broadcast-probe shape as x11's brute-force scorer.
+    */
+  def x352Hopkins(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val emb = Io.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val corpus = emb.select(col("vec_id"),
+      posexplode(col("v")).as(Seq("d", "x")))
+    val bounds = corpus.groupBy("d")
+      .agg(stableRound6(min("x")).as("lo"), stableRound6(max("x")).as("hi"))
+    val nProbes = emb.filter(col("vec_id") % 31 === 0).count()
+    val synth = spark.range(nProbes).select(col("id").as("pid"))
+      .crossJoin(bounds)
+      .withColumn("u", expr(
+        """(conv(substring(md5(concat('hop|', cast(pid as string), '|',
+          |  cast(d as string))), 1, 13), 16, 10) + 0.5) / 4503599627370496.0"""
+          .stripMargin).cast("double"))
+      .select(lit("synth").as("kind"), col("pid"), col("d"),
+        stableRound6(col("lo") + col("u") * (col("hi") - col("lo"))).as("a"))
+    val real = corpus.filter(col("vec_id") % 31 === 0)
+      .select(lit("real").as("kind"), col("vec_id").as("pid"),
+        col("d"), col("x").as("a"))
+    val probes = synth.unionByName(real)
+    val d2 = corpus.join(broadcast(probes), Seq("d"))
+      .filter(!(col("kind") === "real" && col("pid") === col("vec_id")))
+      .groupBy("kind", "pid", "vec_id")
+      .agg(sum(stableRound6((col("x") - col("a")) * (col("x") - col("a")))
+        .cast("decimal(18,6)")).as("d2"))
+    val nn = d2.groupBy("kind", "pid").agg(min("d2").as("nn"))
+    val sums = nn.groupBy("kind")
+      .agg(sum("nn").cast("decimal(28,6)").as("s"), count(lit(1)).as("m"))
+      .collect().map(r => r.getString(0) -> (r.getDecimal(1), r.getLong(2))).toMap
+    val u = sums.get("synth").map(_._1).getOrElse(java.math.BigDecimal.ZERO)
+    val w = sums.get("real").map(_._1).getOrElse(java.math.BigDecimal.ZERO)
+    val m = sums.get("synth").map(_._2).getOrElse(0L)
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val tot = u.add(w)
+    import spark.implicits._
+    Seq((m, r6(u.doubleValue), r6(w.doubleValue),
+      if (tot.signum > 0) r6(u.doubleValue / tot.doubleValue) else 0.5))
+      .toDF("m", "sum_u", "sum_w", "hopkins")
   }
 
   /** x353 — RENDEZVOUS (HRW) SHARD ROUTING balance + stability audit

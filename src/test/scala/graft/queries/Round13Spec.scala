@@ -99,7 +99,7 @@ class Round13Spec extends SparkSpec {
     val rows = (0L until 40L).map(i =>
       (i, "t", "en", "s", 100L + i * 25L)) // terciles across the range
     val dir = docsDir(rows)
-    val got = Round13Queries.x350FleissKappa(spark, dir).head()
+    val got = Round13Queries.x350KrippendorffAlpha(spark, dir).head()
 
     def md5hex2(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
@@ -114,21 +114,21 @@ class Round13Spec extends SparkSpec {
       }
     }
     val byDoc = labels.grouped(3).toSeq
-    val n = byDoc.size
-    val piSum = byDoc.map { ls =>
-      val s2 = ls.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
-      BigDecimal(r6((s2 - 3).toDouble / 6.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val nDocs = byDoc.size
+    val do2 = byDoc.map { ls =>
+      6L - ls.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1)).sum
     }.sum
-    val pj = labels.groupBy(identity).values.map(g =>
-      BigDecimal(r6(g.size.toDouble / (n * 3).toDouble))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP))
-    val peRaw = pj.map(p => p * p).sum
-    val pBar = r6(piSum.toDouble / n)
-    val pe = r6(peRaw.toDouble)
-    assert(got.getAs[Long]("n_docs") == n.toLong)
-    assert(got.getAs[Double]("p_bar") == pBar)
-    assert(got.getAs[Double]("p_e") == pe)
-    if (pe < 1.0) assert(got.getAs[Double]("kappa") == r6((pBar - pe) / (1.0 - pe)))
+    val nc = labels.groupBy(identity).values.map(_.size.toLong).toSeq
+    val n = nc.sum
+    val e = n * n - nc.map(c => c * c).sum
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got.getAs[Long]("n_docs") == nDocs.toLong)
+    assert(got.getAs[Long]("n_ratings") == n)
+    assert(got.getAs[Double]("d_o") == r6d(do2 / 2.0))
+    assert(got.getAs[Double]("alpha") ==
+      r6d(1.0 - (do2 * (n - 1)).toDouble / (e.toDouble * 2.0)))
+    // the construction keeps agreement high but imperfect
+    assert(got.getAs[Double]("alpha") > 0.3 && got.getAs[Double]("alpha") < 1.0)
   }
 
   test("x351: hand-computed lanes, including a genuine clip") {
@@ -152,6 +152,21 @@ class Round13Spec extends SparkSpec {
     val got = Round13Queries.x351Int8Quant(spark, dir).head()
     assert(got.getAs[Long]("sum_abs_q") == 0L)
     assert(got.getAs[Double]("mean_scale") == 0.0)
+  }
+
+  test("x352: sum_w is the hand-computed real-probe NN; H well-formed") {
+    // vec ids 0..40, dim 2: sampled reals are 0 and 31. Coordinates are
+    // (id, 2id), so NN of id 0 is id 1 at d² = 1² + 2² = 5, NN of 31 is
+    // 30/32 at the same 5 — sum_w = 10 exactly, independent of the md5
+    // synthetic probes (which only well-formedness can pin here).
+    val dir = embDir((0L until 41L).map(i =>
+      (i, Seq(i.toFloat, 2.0f * i), 0)))
+    val got = Round13Queries.x352Hopkins(spark, dir).head()
+    assert(got.getAs[Long]("m") == 2L)
+    assert(got.getAs[Double]("sum_w") == 10.0)
+    val h = got.getAs[Double]("hopkins")
+    assert(h >= 0.0 && h <= 1.0)
+    assert(got.getAs[Double]("sum_u") >= 0.0)
   }
 
   test("x353: loads conserve N; argmax matches an independent recompute") {
