@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CharNgrams, CmsEstimate, FloatDot, MinhashAll, MultiMatch, NfcNormalize, SpaceSavingTopK, StripAccents, UnicodeNorm}
+import graft.functions.{CharNgrams, CmsEstimate, FloatDot, MicroL2, MinhashAll, MultiMatch, NfcNormalize, SpaceSavingTopK, StripAccents, UnicodeNorm}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions, SparkSessionExtensionsProvider}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -26,6 +26,8 @@ object GraftExtensions {
   private val functions: Seq[(FunctionIdentifier, ExpressionInfoLike, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("float_dot"), FloatDot.info,
       (children: Seq[Expression]) => FloatDot(children(0), children(1))),
+    (FunctionIdentifier("micro_l2"), MicroL2.info,
+      (children: Seq[Expression]) => MicroL2(children(0), children(1))),
     (FunctionIdentifier("minhash_all"), MinhashAll.info,
       (children: Seq[Expression]) => MinhashAll(children(0), children(1))),
     (FunctionIdentifier("nfc_normalize"), UnicodeNorm.nfcInfo,

@@ -8606,8 +8606,10 @@ object Oracles {
 
 
   // x352: identical probe construction (row_number-1 pids for the hash
-  // coordinates, the md5-13-hex dyadic uniform, round6 bounds), identical
-  // per-term-round6 DECIMAL distances — min/sums exact, one edge division.
+  // coordinates, the md5-13-hex dyadic uniform, round6 bounds, capped
+  // % 31 < 1000 sample) and the identical micro-integer distances
+  // (per-term ⌊(x−a)²·10⁶+0.5⌋ BIGINT sums = Spark's micro_l2) — min and
+  // the u/w sums exact, one edge division.
   val x352: String =
     """WITH corpus AS (
       |  SELECT vec_id, i.i - 1 AS d, CAST(embedding[i.i] AS DOUBLE) AS x
@@ -8618,7 +8620,7 @@ object Oracles {
       |         floor(max(x) * 1000000 + 0.5) / 1000000 AS hi
       |  FROM corpus GROUP BY d),
       |samp AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS pid
-      |         FROM embeddings WHERE vec_id % 31 = 0),
+      |         FROM embeddings WHERE vec_id % 31 = 0 AND vec_id < 1000),
       |synth AS (
       |  SELECT 'synth' AS kind, s.pid, b.d,
       |         floor((b.lo + ((('0x' || substring(md5('hop|' ||
@@ -8628,30 +8630,108 @@ object Oracles {
       |  FROM samp s CROSS JOIN bounds b),
       |realp AS (
       |  SELECT 'real' AS kind, c.vec_id AS pid, c.d, c.x AS a
-      |  FROM corpus c WHERE c.vec_id % 31 = 0),
+      |  FROM corpus c WHERE c.vec_id % 31 = 0 AND c.vec_id < 1000),
       |probes AS (SELECT * FROM synth UNION ALL SELECT * FROM realp),
       |d2 AS (
       |  SELECT p.kind, p.pid, c.vec_id,
-      |         sum(CAST(floor((c.x - p.a) * (c.x - p.a) * 1000000 + 0.5)
-      |                  / 1000000 AS DECIMAL(18,6))) AS d2
+      |         CAST(sum(CAST(floor((c.x - p.a) * (c.x - p.a) * 1000000 + 0.5)
+      |                  AS BIGINT)) AS BIGINT) AS d2
       |  FROM corpus c JOIN probes p ON p.d = c.d
       |  WHERE NOT (p.kind = 'real' AND p.pid = c.vec_id)
       |  GROUP BY 1, 2, 3),
       |nn AS (SELECT kind, pid, min(d2) AS nn FROM d2 GROUP BY 1, 2),
       |agg AS (
       |  SELECT CAST((SELECT count(*) FROM samp) AS BIGINT) AS m,
-      |         coalesce((SELECT CAST(sum(nn) AS DECIMAL(28,6)) FROM nn
-      |                   WHERE kind = 'synth'), 0) AS u,
-      |         coalesce((SELECT CAST(sum(nn) AS DECIMAL(28,6)) FROM nn
-      |                   WHERE kind = 'real'), 0) AS w)
+      |         CAST(coalesce((SELECT sum(nn) FROM nn WHERE kind = 'synth'), 0)
+      |           AS BIGINT) AS u,
+      |         CAST(coalesce((SELECT sum(nn) FROM nn WHERE kind = 'real'), 0)
+      |           AS BIGINT) AS w)
       |SELECT m,
-      |       floor(CAST(u AS DOUBLE) * 1000000 + 0.5) / 1000000 AS sum_u,
-      |       floor(CAST(w AS DOUBLE) * 1000000 + 0.5) / 1000000 AS sum_w,
+      |       floor(CAST(u AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000 AS sum_u,
+      |       floor(CAST(w AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000 AS sum_w,
       |       CASE WHEN u + w > 0
       |         THEN floor(CAST(u AS DOUBLE) / CAST(u + w AS DOUBLE)
       |                    * 1000000 + 0.5) / 1000000
       |         ELSE CAST(0.5 AS DOUBLE) END AS hopkins
       |FROM agg""".stripMargin
+
+  // x354: the oracle computes the FULL exact kNN graph (N² pairs at the
+  // verification SF) — its restriction to the query/neighbor hull equals
+  // the staged three-hop computation by construction; identical
+  // micro-integer distances, (d2, vec_id) order, reach/lrd/LOF rounding.
+  val x354: String =
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS aid, b.vec_id AS bid,
+      |         list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |           i -> CAST(floor((CAST(a.embedding[i] AS DOUBLE)
+      |                            - CAST(b.embedding[i] AS DOUBLE))
+      |                           * (CAST(a.embedding[i] AS DOUBLE)
+      |                              - CAST(b.embedding[i] AS DOUBLE))
+      |                           * 1000000 + 0.5) AS BIGINT))) AS d2
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      |knn AS (
+      |  SELECT aid, bid, d2,
+      |         row_number() OVER (PARTITION BY aid ORDER BY d2, bid) AS rn
+      |  FROM pairs QUALIFY rn <= 3),
+      |kdist AS (SELECT aid AS pid, d2 AS kdist FROM knn WHERE rn = 3),
+      |lrd AS (
+      |  SELECT k.aid AS pid,
+      |         CASE WHEN sum(greatest(kd.kdist, k.d2)) > 0
+      |           THEN floor(3.0 / (CAST(sum(greatest(kd.kdist, k.d2)) AS DOUBLE)
+      |                             / 1000000.0) * 1000000 + 0.5) / 1000000
+      |           ELSE CAST(0 AS DOUBLE) END AS lrd
+      |  FROM knn k JOIN kdist kd ON kd.pid = k.bid
+      |  GROUP BY k.aid),
+      |ql AS (
+      |  SELECT k.aid AS vec_id, la.lrd AS lrd_a,
+      |         sum(CAST(CASE WHEN la.lrd > 0
+      |               THEN floor(lb.lrd / la.lrd * 1000000 + 0.5) / 1000000
+      |               ELSE 0 END AS DECIMAL(28,6))) AS ratio_sum
+      |  FROM knn k JOIN lrd la ON la.pid = k.aid
+      |             JOIN lrd lb ON lb.pid = k.bid
+      |  WHERE k.aid % 200 = 0
+      |  GROUP BY 1, 2)
+      |SELECT q.vec_id, e.label,
+      |       floor(q.lrd_a * 1000000 + 0.5) / 1000000 AS lrd,
+      |       floor(CAST(q.ratio_sum AS DOUBLE) / 3.0 * 1000000 + 0.5) / 1000000 AS lof
+      |FROM ql q JOIN embeddings e ON e.vec_id = q.vec_id
+      |ORDER BY q.vec_id""".stripMargin
+
+  // x355: identical split, the same round6'd exact-decimal calibration
+  // mean, the same exact rank pick for q̂ and raw-double comparison for
+  // coverage — every number is an integer or ONE rounded division.
+  val x355: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm,
+      |         event_id % 2 = 0 AS is_cal
+      |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |means AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+      |         floor(CAST(sum(CAST(vm AS DECIMAL(28,0))) AS DOUBLE)
+      |               / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mu
+      |  FROM ev WHERE is_cal GROUP BY 1),
+      |scored AS (
+      |  SELECT e.event_type, e.event_id, e.is_cal, m.n_cal,
+      |         abs(CAST(e.vm AS DOUBLE) - m.mu) AS s
+      |  FROM ev e JOIN means m USING (event_type)),
+      |qh AS (
+      |  SELECT event_type, s AS qhat
+      |  FROM (SELECT event_type, s, n_cal,
+      |               row_number() OVER (PARTITION BY event_type
+      |                                  ORDER BY s, event_id) AS rn
+      |        FROM scored WHERE is_cal)
+      |  WHERE rn = CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * 0.9) AS BIGINT))
+      |SELECT sc.event_type, max(sc.n_cal) AS n_cal,
+      |       CAST(count(*) AS BIGINT) AS n_test,
+      |       floor(max(qh.qhat) * 1000000 + 0.5) / 1000000 AS qhat,
+      |       CAST(sum(CASE WHEN sc.s <= qh.qhat THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_covered,
+      |       floor(CAST(sum(CASE WHEN sc.s <= qh.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS coverage
+      |FROM scored sc JOIN qh USING (event_type)
+      |WHERE NOT sc.is_cal
+      |GROUP BY sc.event_type ORDER BY sc.event_type""".stripMargin
 
   val r13Group: Map[String, String] = Map(
     "x348_exact_substr_coverage" -> x348,
@@ -8659,7 +8739,9 @@ object Oracles {
     "x350_krippendorff_alpha"    -> x350,
     "x351_int8_quant"            -> x351,
     "x352_hopkins"               -> x352,
-    "x353_hrw_sharding"          -> x353)
+    "x353_hrw_sharding"          -> x353,
+    "x354_lof"                   -> x354,
+    "x355_conformal_coverage"    -> x355)
 
   val r12Group: Map[String, String] = Map(
     "x346_front_coding"       -> x346,

@@ -290,43 +290,51 @@ object Round13Queries {
     */
   def x352Hopkins(spark: SparkSession, sfDir: String): DataFrame = {
     import ExtendedQueries.stableRound6
+    graft.plans.GraftExtensions.register(spark)
     val emb = Io.table(spark, sfDir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val corpus = emb.select(col("vec_id"),
+    val corpusLong = emb.select(col("vec_id"),
       posexplode(col("v")).as(Seq("d", "x")))
-    val bounds = corpus.groupBy("d")
+    val bounds = corpusLong.groupBy("d")
       .agg(stableRound6(min("x")).as("lo"), stableRound6(max("x")).as("hi"))
-    val nProbes = emb.filter(col("vec_id") % 31 === 0).count()
+    // the sample is CAPPED (id % 31 under 1000 → ≤ 33 probes at any SF):
+    // Hopkins needs a constant-size probe set, not a corpus-proportional
+    // one — the uncapped % 31 form cost 11 s at sf0.1 (161+161 probes
+    // through a d-keyed long join); capped probes + the codegen'd
+    // micro_l2 array scan run the same semantics in well under a second
+    val sampIds = emb.filter(col("vec_id") % 31 === 0 && col("vec_id") < 1000)
+    val nProbes = sampIds.count()
     val synth = spark.range(nProbes).select(col("id").as("pid"))
-      .crossJoin(bounds)
+      .crossJoin(broadcast(bounds))
       .withColumn("u", expr(
         """(conv(substring(md5(concat('hop|', cast(pid as string), '|',
           |  cast(d as string))), 1, 13), 16, 10) + 0.5) / 4503599627370496.0"""
           .stripMargin).cast("double"))
-      .select(lit("synth").as("kind"), col("pid"), col("d"),
+      .select(col("pid"), col("d"),
         stableRound6(col("lo") + col("u") * (col("hi") - col("lo"))).as("a"))
-    val real = corpus.filter(col("vec_id") % 31 === 0)
-      .select(lit("real").as("kind"), col("vec_id").as("pid"),
-        col("d"), col("x").as("a"))
+      .groupBy("pid")
+      .agg(expr("transform(array_sort(collect_list(struct(d, a))), s -> s.a)")
+        .as("pv"))
+      .select(lit("synth").as("kind"), col("pid"), col("pv"))
+    val real = sampIds.select(lit("real").as("kind"),
+      col("vec_id").as("pid"), col("v").as("pv"))
     val probes = synth.unionByName(real)
-    val d2 = corpus.join(broadcast(probes), Seq("d"))
+    val d2 = emb.crossJoin(broadcast(probes))
       .filter(!(col("kind") === "real" && col("pid") === col("vec_id")))
-      .groupBy("kind", "pid", "vec_id")
-      .agg(sum(stableRound6((col("x") - col("a")) * (col("x") - col("a")))
-        .cast("decimal(18,6)")).as("d2"))
+      .select(col("kind"), col("pid"), col("vec_id"),
+        call_function("micro_l2", col("pv"), col("v")).as("d2"))
     val nn = d2.groupBy("kind", "pid").agg(min("d2").as("nn"))
     val sums = nn.groupBy("kind")
-      .agg(sum("nn").cast("decimal(28,6)").as("s"), count(lit(1)).as("m"))
-      .collect().map(r => r.getString(0) -> (r.getDecimal(1), r.getLong(2))).toMap
-    val u = sums.get("synth").map(_._1).getOrElse(java.math.BigDecimal.ZERO)
-    val w = sums.get("real").map(_._1).getOrElse(java.math.BigDecimal.ZERO)
+      .agg(sum("nn").as("s"), count(lit(1)).as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val u = sums.get("synth").map(_._1).getOrElse(0L)
+    val w = sums.get("real").map(_._1).getOrElse(0L)
     val m = sums.get("synth").map(_._2).getOrElse(0L)
     def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
-    val tot = u.add(w)
     import spark.implicits._
-    Seq((m, r6(u.doubleValue), r6(w.doubleValue),
-      if (tot.signum > 0) r6(u.doubleValue / tot.doubleValue) else 0.5))
+    Seq((m, r6(u.toDouble / 1e6), r6(w.toDouble / 1e6),
+      if (u + w > 0) r6(u.toDouble / (u + w).toDouble) else 0.5))
       .toDF("m", "sum_u", "sum_w", "hopkins")
   }
 
@@ -367,5 +375,163 @@ object Round13Queries {
         coalesce(col("n_mod"), lit(0L)).as("n_mod"),
         coalesce(col("n_moved_33"), lit(0L)).as("n_moved_33"))
       .orderBy("shard")
+  }
+
+  /** Exact micro-unit squared distance between two double arrays — the
+    * codegen'd [[graft.functions.MicroL2]] native expression (each
+    * per-dimension square round6'd to an integer micro-value, summed as
+    * LONGs: exact, order-free, engine-portable — DuckDB list_sum over
+    * the identical integers). Was aggregate(zip_with(...)): the per-pair
+    * intermediate array cost 13 s/query at sf0.1.
+    */
+  private def d2Micro(a: String, b: String): Column =
+    call_function("micro_l2", col(a), col(b))
+
+  /** x354 — LOCAL OUTLIER FACTOR (round-13; Breunig et al. 2000, k = 3)
+    * over a deterministic query sample of the embedding corpus: the
+    * DENSITY-based outlier score (LOF ≈ 1 inlier, ≫ 1 outlier) that
+    * catches what x97's value-space MAD fence cannot — a vector can have
+    * ordinary coordinates yet sit in a sparse REGION; LOF prices each
+    * query's density against its neighbors' densities, the embedding-QA
+    * gate run before clustering/dedup trusts local structure.
+    *
+    * THREE-hop kNN by construction (the part naive ports get wrong):
+    * LOF(q) needs lrd of q and of q's neighbors; every lrd needs the
+    * k-DISTANCE of ITS neighbors — so queries A (vec_id % 200 == 0) get
+    * kNN, hull₁ = A ∪ N(A) gets kNN, and the third ring C = N(hull₁)
+    * gets kNN solely for its k-distance row. Exactness: distances are
+    * exact micro-integers ([[d2Micro]]); kNN orders by (d2, vec_id) —
+    * total; reach-dist is an integer max; lrd = round6(k/Σreach) with Σ
+    * exact; LOF = round6 of the exact-decimal mean of round6'd
+    * lrd-ratios (lrd = 0 — an all-duplicates ring — pins ratio 0).
+    *
+    * Scale shape: each ring BROADCASTS into one corpus scan (m·N array
+    * folds, m bounded by k²·|A| ≪ N) — the x11/x352 probe shape; no N²
+    * frame ever materializes. At corpus scale the same three-stage tail
+    * runs behind an ANN candidate generator (the x56b composition).
+    */
+  def x354Lof(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    graft.plans.GraftExtensions.register(spark)
+    val k = 3
+    val emb = Io.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val byId = emb.select(col("vec_id").as("pid"), col("v").as("pv"))
+    def knnOf(points: DataFrame): DataFrame = {
+      // points: (pid, pv) broadcast into one corpus scan; top-k per pid
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("pid").orderBy(col("d2"), col("vec_id"))
+      emb.crossJoin(broadcast(points))
+        .filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("vec_id"), d2Micro("pv", "v").as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+    }
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count(); p
+    }
+    val queries = byId.filter(col("pid") % 200 === 0)
+    val qknn = pin(knnOf(queries))
+    val hull1 = pin(queries.unionByName(
+        qknn.select(col("vec_id").as("pid")).distinct().join(byId, "pid"))
+      .distinct())
+    val h1knn = pin(knnOf(hull1))
+    val ring = h1knn.select(col("vec_id").as("pid")).distinct()
+      .join(byId, "pid")
+      .join(hull1.select("pid"), Seq("pid"), "left_anti")
+    val cknn = knnOf(ring) // third ring: only its rn == k row is consumed
+    // k-distance of hull1 ∪ ring covers every neighbor any lrd touches
+    val kdist = pin(h1knn.filter(col("rn") === k).unionByName(
+        cknn.filter(col("rn") === k))
+      .select(col("pid").as("kd_pid"), col("d2").as("kdist")))
+    // lrd over hull1: reach(a→b) = max(kdist(b), d2(a,b)), exact integers
+    val lrd = pin(h1knn
+      .join(kdist, col("vec_id") === col("kd_pid"))
+      .groupBy("pid")
+      .agg(sum(greatest(col("kdist"), col("d2"))).as("sum_reach"))
+      .select(col("pid"),
+        when(col("sum_reach") > 0,
+          stableRound6(lit(k.toDouble) / (col("sum_reach").cast("double") / 1e6)))
+          .otherwise(lit(0.0)).as("lrd")))
+    val ql = qknn.select(col("pid"), col("vec_id"))
+      .join(lrd.select(col("pid").as("vec_id"), col("lrd").as("lrd_b")), "vec_id")
+      .join(lrd.select(col("pid"), col("lrd").as("lrd_a")), "pid")
+      .groupBy("pid", "lrd_a")
+      .agg(sum(when(col("lrd_a") > 0,
+          stableRound6(col("lrd_b") / col("lrd_a"))).otherwise(lit(0.0))
+        .cast("decimal(28,6)")).as("ratio_sum"))
+    val out = ql
+      .join(emb.select(col("vec_id").as("pid"), col("label")), "pid")
+      .select(col("pid").as("vec_id"), col("label"),
+        stableRound6(col("lrd_a")).as("lrd"),
+        stableRound6(col("ratio_sum").cast("double") / k.toDouble).as("lof"))
+      .orderBy("vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    Seq(qknn, hull1, h1knn, kdist, lrd).foreach(_.unpersist(false))
+    val prev = x354Pinned.getAndSet(out)
+    if (prev != null && (prev ne out)) prev.unpersist(false)
+    out
+  }
+
+  private val x354Pinned =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+
+  /** x355 — SPLIT-CONFORMAL calibration audit (round-13; Vovk et al.;
+    * Angelopoulos & Bates 2021 tutorial form): the distribution-free
+    * uncertainty wrapper a labeling/filter pipeline puts around ANY
+    * score — calibrate a nonconformity threshold on half the data, check
+    * empirical coverage on the other half. Per event type: scores are
+    * s = |value_micro − calibration mean| (exact integers vs a round6'd
+    * exact-decimal mean), q̂ = the ⌈(n_cal+1)·0.9⌉-th smallest
+    * calibration score (EXACT rank pick, the split-conformal quantile),
+    * coverage = P(test score ≤ q̂) — guaranteed ≥ 0.9 − 1/(n_cal+1) in
+    * expectation, and the audit row is exactly that check.
+    *
+    * Exactness: scores are integer micro-distances to a round6'd mean
+    * (one rounding, then exact |diff|); the rank pick is row_number over
+    * (score, event_id) — total order; coverage is ONE division, round6.
+    *
+    * Scale shape: one map-combining (type) aggregate for means, one
+    * rank window per type over the calibration half (value-cardinality
+    * keys — |types| partitions), one broadcast of the |types|-row q̂
+    * frame into the test scan. Linear; no query touches pairs.
+    */
+  def x355ConformalCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val ev = Io.events(spark, sfDir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("vm"),
+        (col("event_id") % 2 === 0).as("is_cal"))
+    val means = ev.filter(col("is_cal"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_cal"),
+        stableRound6(sum(col("vm").cast("decimal(28,0)")).cast("double") /
+          count(lit(1)).cast("double")).as("mu"))
+    val scored = ev.join(broadcast(means), "event_type")
+      .select(col("event_type"), col("event_id"), col("is_cal"), col("n_cal"),
+        abs(col("vm").cast("double") - col("mu")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("s"), col("event_id"))
+    val qhat = scored.filter(col("is_cal"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn").cast("long") ===
+        ceil((col("n_cal") + 1).cast("double") * 0.9).cast("long"))
+      .select(col("event_type"), col("s").as("qhat"))
+    scored.filter(!col("is_cal"))
+      .join(broadcast(qhat), "event_type")
+      .groupBy("event_type")
+      .agg(max("n_cal").as("n_cal"), count(lit(1)).as("n_test"),
+        max("qhat").as("qhat_raw"),
+        sum((col("s") <= col("qhat")).cast("long")).as("n_covered"))
+      .select(col("event_type"), col("n_cal"), col("n_test"),
+        stableRound6(col("qhat_raw")).as("qhat"),
+        col("n_covered"),
+        stableRound6(col("n_covered").cast("double") /
+          col("n_test").cast("double")).as("coverage"))
+      .orderBy("event_type")
   }
 }

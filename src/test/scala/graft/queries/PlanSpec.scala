@@ -303,7 +303,13 @@ class PlanSpec extends SparkSpec {
       "x344_rank_biserial", "x346_front_coding",
       // x347's is the broadcast 50-word list crossing the |sources|-row
       // totals to zero-fill the grid (x291's gate shape)
-      "x347_burrows_delta")
+      "x347_burrows_delta",
+      // round-13 probe-broadcast scans: x350's is the 1-row coincidence
+      // marginals cross; x352's are the 64-row bounds frame and the
+      // ≤66-row probe set broadcasting into one corpus scan (the x11
+      // brute-force-scorer shape); x354's are its three bounded kNN
+      // rings (constant-size probe frames by construction)
+      "x350_krippendorff_alpha", "x352_hopkins", "x354_lof")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -169,6 +169,39 @@ class Round13Spec extends SparkSpec {
     assert(got.getAs[Double]("sum_u") >= 0.0)
   }
 
+  test("x354: planted outlier scores LOF >> 1; in-cluster query ~ 1") {
+    // ids 0 and 200 are the % 200 queries: 0 planted far from the tight
+    // 1..4 cluster, 100 planted inside it
+    val dir = embDir(Seq(
+      (0L, Seq(100.0f, 100.0f), 0),
+      (1L, Seq(0.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(1.0f, 0.0f), 0), (4L, Seq(1.0f, 1.0f), 0),
+      (200L, Seq(0.5f, 0.5f), 1)))
+    val out = Round13Queries.x354Lof(spark, dir)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(out.keySet == Set(0L, 200L))
+    assert(out(0L).getAs[Double]("lof") > 1.5, "planted outlier must score high")
+    assert(math.abs(out(200L).getAs[Double]("lof") - 1.0) < 0.3,
+      "in-cluster query must score near 1")
+    assert(out(200L).getAs[Int]("label") == 1)
+  }
+
+  test("x355: hand-solvable split — qhat is the rank-10 score, one miss") {
+    // cal = even ids 2..20 (values 1..10): mu = 5.5e6, scores
+    // {0.5,1.5,2.5,3.5,4.5}e6 x2, rank ceil(11*0.9)=10 -> qhat=4.5e6;
+    // test = odd ids (values 1..10, all covered) + id 21 value 100 (miss)
+    val cal = (1L to 10L).map(i => (2 * i, 1L, "t", i.toDouble))
+    val tst = (1L to 10L).map(i => (2 * i - 1, 1L, "t", i.toDouble)) :+
+      ((21L, 1L, "t", 100.0))
+    val got = Round13Queries.x355ConformalCoverage(spark, eventsDir(cal ++ tst))
+      .head()
+    assert(got.getAs[Long]("n_cal") == 10L)
+    assert(got.getAs[Long]("n_test") == 11L)
+    assert(got.getAs[Double]("qhat") == 4500000.0)
+    assert(got.getAs[Long]("n_covered") == 10L)
+    assert(got.getAs[Double]("coverage") == r6(10.0 / 11.0))
+  }
+
   test("x353: loads conserve N; argmax matches an independent recompute") {
     val dir = docsDir((0L until 50L).map(i => (i, "t", "en", "s", 5L)))
     val rows = Round13Queries.x353HrwSharding(spark, dir).collect()
