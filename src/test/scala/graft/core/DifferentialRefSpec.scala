@@ -197,6 +197,73 @@ class DifferentialRefSpec extends SparkSpec {
       s"$ourCur/top3_recent_sales_by_receiving.csv")
   }
 
+  test("fuzz: seeded 400-row dirty batch matches the reference end-to-end") {
+    assume(pythonOk, "driver-side python3/pandas/duckdb not available")
+    // Deterministic-seed fuzz over the dirt classes the reference defines
+    // behavior for: pandas-NA tokens, case/padding, unparseable and
+    // negative amounts, numeric-string amounts ("1e2", " 5.0 ", "5,"),
+    // null-literal regions incl. "0", exact-duplicate rows, a null
+    // timestamp. Planted fails: 2 bad amounts + 1 negative + 1 null ts +
+    // 1 "None" type (NA at ingest) = 5/400 → conformity 0.9875 ≥ 0.98.
+    val rnd = new scala.util.Random(12345)
+    val types = Seq("sale", "SALE", " Sale ", "refund", " REFUND ")
+    val regions = Seq("eu", "us", "ap", "0", "00", "None", "", " eu ")
+    val sb = new StringBuilder(
+      "timestamp,transaction_type,amount,receiving_address,location_region,risk_score\n")
+    val rows = (0 until 394).map { i =>
+      val ts = 1700000000000L + i * 1000L
+      val typ = types(rnd.nextInt(types.size))
+      val amount = i match {
+        case 7  => "1e2"
+        case 11 => " 5.0 "
+        case _  => s"${i + 1}.${rnd.nextInt(100)}"
+      }
+      val addr = s"addr${rnd.nextInt(40)}"
+      val region = regions(rnd.nextInt(regions.size))
+      val risk = if (i == 13) "x" else f"0.${rnd.nextInt(100)}%02d"
+      s"$ts,$typ,$amount,$addr,$region,$risk"
+    }
+    rows.foreach(r => sb ++= r + "\n")
+    sb ++= rows(0) + "\n"                                  // exact duplicate
+    sb ++= s"${1700000900000L},sale,-4.0,addrN,eu,0.30\n"  // negative
+    sb ++= s"${1700000901000L},sale,,addrM,eu,0.40\n"      // null amount
+    sb ++= s"${1700000902000L},sale,abc,addrX,eu,0.50\n"   // unparseable
+    sb ++= s",sale,6.0,addrY,eu,0.60\n"                    // null timestamp
+    sb ++= s"${1700000903000L},None,7.0,addrZ,eu,0.70\n"   // NA-token type
+    val dir = Files.createTempDirectory("diff_fuzz")
+    val csv = dir.resolve("fuzz.csv")
+    Files.writeString(csv, sb.toString)
+
+    val refDir = tmp("diff_reff")
+    val ourData = tmp("diff_dataf"); val ourCur = tmp("diff_curf")
+    assert(runReference(csv.toString, refDir) == 0)
+    assert(PipelineMain.runCli(spark, csv.toString, ourData, ourCur, 0.98, 0.995) == 0)
+
+    diffDqJson(s"$refDir/data/dq_metrics_pre.json", s"$ourData/dq_metrics_pre.json")
+    diffDqJson(s"$refDir/data/dq_metrics_post.json", s"$ourData/dq_metrics_post.json")
+    // region averages: random risk scores can land arbitrarily close, so
+    // compare as region→avg maps (1e-9) and check each file's own desc
+    // order instead of demanding identical tie ordering
+    def regionMap(path: String): Map[String, Double] = {
+      val (_, rows) = readCsvRows(path)
+      rows.map(r => r(0) -> r(1).toDouble).toMap
+    }
+    val refMap = regionMap(s"$refDir/curated/region_risk_avg.csv")
+    val ourMap = regionMap(s"$ourCur/region_risk_avg.csv")
+    assert(ourMap.keySet == refMap.keySet)
+    refMap.foreach { case (k, v) =>
+      assert(math.abs(ourMap(k) - v) < 1e-9, s"avg for $k: ref=$v ours=${ourMap(k)}")
+    }
+    Seq(s"$refDir/curated/region_risk_avg.csv",
+        s"$ourCur/region_risk_avg.csv").foreach { f =>
+      val avgs = readCsvRows(f)._2.map(_(1).toDouble)
+      assert(avgs.zip(avgs.tail).forall { case (a, b) => a >= b - 1e-12 },
+        s"$f is not avg-desc ordered")
+    }
+    diffTop3Csv(s"$refDir/curated/top3_recent_sales_by_receiving.csv",
+      s"$ourCur/top3_recent_sales_by_receiving.csv")
+  }
+
   test("missing input: both engines exit 1") {
     assume(pythonOk, "driver-side python3/pandas/duckdb not available")
     val refDir = tmp("diff_ref4")
