@@ -322,6 +322,26 @@ object Probe {
       }
     }
 
+    // round-13 scaling members: x348's 8-gram window count + content
+    // re-join is the x292/x294 corpus-LINEAR class, probed at the
+    // dup-saturated 100× where EVERY window is duplicated (marked volume
+    // = corpus positions — the adversarial regime for the interval
+    // merge); x352/x354 carry CAPPED probe sets (≤33 / ≤50) into
+    // corpus-linear scans — walls must grow ~linearly with the scan,
+    // never with probes² (x354 stops at 10× like x59/x271: the 100×
+    // decade adds scan volume, nothing structural).
+    for (dir <- Seq(sfDir, hundredDir)) {
+      run("x348_exact_substr", dir) {
+        (queries.Round13Queries.x348ExactSubstrCoverage(spark, dir).count(), Nil)
+      }
+      run("x352_hopkins", dir) {
+        (queries.Round13Queries.x352Hopkins(spark, dir).count(), Nil)
+      }
+    }
+    for (dir <- Seq(sfDir, tenDir)) run("x354_lof", dir) {
+      (queries.Round13Queries.x354Lof(spark, dir).count(), Nil)
+    }
+
     // x47 adversarial CHAIN (verdict r12 #5): a path graph A–B–…–Z of
     // diameter 64 — the worst case for plain min-label propagation (rounds
     // = diameter). The fixpoint composes the label map with itself every

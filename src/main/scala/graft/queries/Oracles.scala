@@ -8689,7 +8689,7 @@ object Oracles {
       |               ELSE 0 END AS DECIMAL(28,6))) AS ratio_sum
       |  FROM knn k JOIN lrd la ON la.pid = k.aid
       |             JOIN lrd lb ON lb.pid = k.bid
-      |  WHERE k.aid % 200 = 0
+      |  WHERE k.aid % 200 = 0 AND k.aid < 10000
       |  GROUP BY 1, 2)
       |SELECT q.vec_id, e.label,
       |       floor(q.lrd_a * 1000000 + 0.5) / 1000000 AS lrd,

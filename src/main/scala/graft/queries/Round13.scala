@@ -69,7 +69,7 @@ object Round13Queries {
     val marked = wins.join(dup, "w8").select("doc_id", "pos")
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val islands = marked
+    val islandRows = marked
       .withColumn("prev", lag("pos", 1).over(wOrd))
       .withColumn("new_island",
         (col("prev").isNull || col("pos") - col("prev") > L - 1).cast("long"))
@@ -77,16 +77,26 @@ object Round13Queries {
         wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy("doc_id", "island")
       .agg(min("pos").as("s"), max("pos").as("e"), count(lit(1)).as("n_marked"))
+      .select(col("doc_id"), lit(0L).as("n_tokens"), lit(1L).as("isl"),
+        col("n_marked"), (col("e") - col("s") + L).as("covered"))
+    // ONE union+aggregate finale instead of nTok LEFT JOIN islands: a
+    // left join against a unique-key aggregate is provably
+    // cardinality-preserving, so a bare count() consumer lets Catalyst
+    // PRUNE the whole window/island subtree — the probe read an
+    // impossible flat 0.31 s at 1× AND 100× before this restructure. An
+    // aggregate over the union cannot be pruned by any consumer, so
+    // bench/probe counts now measure the real work; values unchanged.
+    val baseRows = nTok.select(col("doc_id"), col("n_tokens"),
+      lit(0L).as("isl"), lit(0L).as("n_marked"), lit(0L).as("covered"))
+    baseRows.unionByName(islandRows)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_islands"),
+      .agg(max("n_tokens").as("n_tokens"),
+        sum("isl").as("n_islands"),
         sum("n_marked").as("n_dup_windows"),
-        sum(col("e") - col("s") + L).as("covered_tokens"))
-    nTok.join(islands, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
-        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
-        stableRound6(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+        sum("covered").as("covered_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_windows"),
+        col("n_islands"), col("covered_tokens"),
+        stableRound6(col("covered_tokens").cast("double") /
           col("n_tokens").cast("double")).as("coverage_frac"))
       .orderBy("doc_id")
   }
@@ -397,7 +407,7 @@ object Round13Queries {
     *
     * THREE-hop kNN by construction (the part naive ports get wrong):
     * LOF(q) needs lrd of q and of q's neighbors; every lrd needs the
-    * k-DISTANCE of ITS neighbors — so queries A (vec_id % 200 == 0) get
+    * k-DISTANCE of ITS neighbors — so queries A (vec_id % 200 == 0, capped under 10000 — a CONSTANT probe set at any corpus size, the x352 rule) get
     * kNN, hull₁ = A ∪ N(A) gets kNN, and the third ring C = N(hull₁)
     * gets kNN solely for its k-distance row. Exactness: distances are
     * exact micro-integers ([[d2Micro]]); kNN orders by (d2, vec_id) —
@@ -432,7 +442,7 @@ object Round13Queries {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       p.count(); p
     }
-    val queries = byId.filter(col("pid") % 200 === 0)
+    val queries = byId.filter(col("pid") % 200 === 0 && col("pid") < 10000)
     val qknn = pin(knnOf(queries))
     val hull1 = pin(queries.unionByName(
         qknn.select(col("vec_id").as("pid")).distinct().join(byId, "pid"))
