@@ -22,11 +22,26 @@ object Bench {
     // cold-JIT numbers) or IS the measured dir (would page-cache measured
     // data) — compared by canonical path so symlinks/trailing slashes
     // can't defeat the guard.
+    // CONSUME = noop-format write, NOT count() (round-13, the x13/x348
+    // finding): a bare count() lets Catalyst ELIMINATE any
+    // cardinality-preserving subtree — a left join against a unique-key
+    // aggregate drops wholesale with its entire upstream, and the audit
+    // (graft.PruneAudit) showed 84 of 369 queries lost operators under
+    // count(), a dozen catastrophically (x13's counted plan was literally
+    // count(1) over the raw parquet: the whole minhash/LSH pipeline
+    // unmeasured since round 2). The noop sink consumes every output row
+    // with the full schema — nothing above the scan is prunable — at
+    // near-zero sink cost, so walls now price the DECLARED work.
+    // Totals step UP versus the count()-era trendline by construction;
+    // SURVEY §6.1r records the break and both-metric totals for the
+    // transition round.
+    def consume(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val warmDir = "/root/testdata/sf0.001"
     def canon(p: String): String =
       try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
     val warm = new java.io.File(warmDir).isDirectory && canon(warmDir) != canon(sfDir)
-    if (!warm) { try SparkEntry.entry(spark).count() catch { case _: Throwable => () } }
+    if (!warm) { try consume(SparkEntry.entry(spark)) catch { case _: Throwable => () } }
     // Timing discipline: this VM CPU-throttles under sustained load, so a
     // single timed run can read 8-30x slow with an unchanged plan. Each
     // query is therefore timed BEST-OF-N — full executions, report the
@@ -68,10 +83,10 @@ object Bench {
       case None        => SparkEntry.queries
     }
     val perRep = selected.map { case (name, fn) =>
-      if (warm) { try fn(spark, warmDir).count() catch { case _: Throwable => () } }
+      if (warm) { try consume(fn(spark, warmDir)) catch { case _: Throwable => () } }
       def rep(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        try { consume(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
           None
