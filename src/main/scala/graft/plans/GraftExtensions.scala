@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CharNgrams, CmsEstimate, FloatDot, MicroL2, MinhashAll, MultiMatch, NfcNormalize, SpaceSavingTopK, StripAccents, UnicodeNorm}
+import graft.functions.{CharNgrams, CmsEstimate, FloatDot, MicroL2, MinhashAll, MinWindowMd5, MultiMatch, NfcNormalize, SpaceSavingTopK, StripAccents, UnicodeNorm}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions, SparkSessionExtensionsProvider}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -28,6 +28,8 @@ object GraftExtensions {
       (children: Seq[Expression]) => FloatDot(children(0), children(1))),
     (FunctionIdentifier("micro_l2"), MicroL2.info,
       (children: Seq[Expression]) => MicroL2(children(0), children(1))),
+    (FunctionIdentifier("min_window_md5"), MinWindowMd5.info,
+      (children: Seq[Expression]) => MinWindowMd5(children(0), children(1))),
     (FunctionIdentifier("minhash_all"), MinhashAll.info,
       (children: Seq[Expression]) => MinhashAll(children(0), children(1))),
     (FunctionIdentifier("nfc_normalize"), UnicodeNorm.nfcInfo,

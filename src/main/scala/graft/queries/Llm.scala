@@ -350,13 +350,19 @@ object LlmQueries {
     * edges). Pure per-row expression — no shuffle at all until the output
     * sort.
     */
-  def x17Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+  def x17Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    // native running-min expression (round-13): the HOF form materialized
+    // one md5 hex per character position per doc just to array_min it —
+    // 4.3 s/rep at sf0.1 under the honest bench metric; min_window_md5
+    // (functions/MinWindowMd5) computes the identical value with a
+    // running min and zero array allocation (short texts hash whole,
+    // matching the old CASE branch)
+    graft.plans.GraftExtensions.register(spark)
     Io.table(spark, sfDir, "documents")
-      .select(col("doc_id"), expr(
-        """CASE WHEN length(text) < 8 THEN md5(text)
-          |ELSE array_min(transform(sequence(1, length(text) - 7),
-          |       i -> md5(substring(text, i, 8)))) END""".stripMargin).as("fingerprint"))
+      .select(col("doc_id"),
+        call_function("min_window_md5", col("text"), lit(8)).as("fingerprint"))
       .orderBy("doc_id")
+  }
 
   /** x18 — token counting per source: whitespace tokens, regex word tokens
     * ([a-z]+, the BPE-ish pre-tokenizer shape), and a chars/4 BPE-count
