@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** THE bench consume path — noop-format sink, NEVER count() (round-13,
+    * the x13/x348 finding: a bare count() lets Catalyst eliminate any
+    * cardinality-preserving subtree, and 84/369 queries lost operators
+    * under it — see the block comment in main). Top-level so
+    * BenchConsumeSpec can execute this exact path against the sentinel
+    * queries and fail if anyone "simplifies" it back to a prunable
+    * consumer; main MUST route every timed execution through here.
+    */
+  def consume(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,8 +46,7 @@ object Bench {
     // Totals step UP versus the count()-era trendline by construction;
     // SURVEY §6.1r records the break and both-metric totals for the
     // transition round.
-    def consume(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+    def consume(df: org.apache.spark.sql.DataFrame): Unit = Bench.consume(df)
     val warmDir = "/root/testdata/sf0.001"
     def canon(p: String): String =
       try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }

@@ -10,7 +10,7 @@ object PlanAudit {
     val sf = "/root/testdata/sf0.01"
     for (name <- args) {
       println(s"===== $name =====")
-      println(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString.take(4000))
+      println(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString.take(60000))
     }
     spark.stop()
   }

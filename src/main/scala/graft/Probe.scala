@@ -51,16 +51,25 @@ object Probe {
   def ensureCorpora(spark: SparkSession, sfDir: String,
       tenDir: String, hundredDir: String): Unit = {
     def copies(n: Int, outDir: String, table: String, idCol: String): Unit =
-      if (!new java.io.File(s"$outDir/$table.parquet").isDirectory)
+      if (!new java.io.File(s"$outDir/$table.parquet").isDirectory) {
+        // events goes through the schema-adaptive reader (ts vintages);
+        // the copy lands µs-native, which every consumer reads identically
+        val base =
+          if (table == "events") core.Io.events(spark, sfDir)
+          else core.Io.table(spark, sfDir, table)
         (0 until n).map { i =>
-          core.Io.table(spark, sfDir, table)
-            .withColumn(idCol, col(idCol) + lit(i * 10000000L))
+          base.withColumn(idCol, col(idCol) + lit(i * 10000000L))
         }.reduce(_ union _).repartition(32)
           .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+      }
     copies(10, tenDir, "documents", "doc_id")
     copies(10, tenDir, "embeddings", "vec_id")
+    // id shift is EVEN, so event_id parity — the x355 cal/test split and
+    // x349's pairing parity — is preserved in every copy
+    copies(10, tenDir, "events", "event_id")
     copies(100, hundredDir, "documents", "doc_id")
     copies(100, hundredDir, "embeddings", "vec_id")
+    copies(100, hundredDir, "events", "event_id")
   }
 
   def main(args: Array[String]): Unit = {
@@ -78,6 +87,24 @@ object Probe {
     spark.range(1000000).count() // JVM/codegen warmup outside all timings
 
     val recs = scala.collection.mutable.Buffer.empty[Rec]
+    /** Honest consume for probe walls (advice r13, the Bench noop rule):
+      * a bare count() lets Catalyst prune cardinality-preserving subtrees
+      * — PruneAudit found 84/369 queries under-measured that way — so a
+      * probe's scaling verdict could be read off a fraction of the
+      * declared work. The noop sink executes the FULL plan with the full
+      * output schema; the row count for the probe record is then read
+      * from a cache of the (output-sized, small) frame, so the plan runs
+      * ONCE and the wall prices all of it. Probes whose counts are
+      * themselves the reported design volumes (x129 stage frames, x13_lsh
+      * bucket math, x47's memo-pinned labels) keep their explicit counts.
+      */
+    def consumed(df: org.apache.spark.sql.DataFrame): Long = {
+      val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.write.format("noop").mode("overwrite").save()
+      val n = c.count()
+      c.unpersist(false)
+      n
+    }
     def run(probe: String, dir: String)(f: => (Long, Seq[(String, Long)])): Unit =
       if (want(probe)) {
         val t0 = System.nanoTime()
@@ -143,23 +170,23 @@ object Probe {
         (rows, Seq("rounds" -> queries.LlmQueries.x47LastRounds.get().toLong))
       }
       run("x261_coverage_warm", dir) {
-        (queries.LlmQueries.x261NgramCoverage(spark, dir).count(), Nil)
+        (consumed(queries.LlmQueries.x261NgramCoverage(spark, dir)), Nil)
       }
     }
     // RangeRank consumers: corpus-linear global ranks with parallelism
     // decoupled from n — walls here are the no-single-task-window proof.
     for (dir <- Seq(sfDir, tenDir, hundredDir)) {
       run("x263_quantiles", dir) {
-        (queries.ExtendedQueries.x263ExactQuantiles(spark, dir).count(), Nil)
+        (consumed(queries.ExtendedQueries.x263ExactQuantiles(spark, dir)), Nil)
       }
       run("x255_hash_ks", dir) {
-        (queries.ExtendedQueries.x255HashUniformity(spark, dir).count(), Nil)
+        (consumed(queries.ExtendedQueries.x255HashUniformity(spark, dir)), Nil)
       }
     }
     // x260 BPE trainer: corpus collapses to the vocab once — must be FLAT
     // across decades (the driver-metric class).
     for (dir <- Seq(sfDir, hundredDir)) run("x260_bpe_train", dir) {
-      (queries.LlmQueries.x260BpeTrain5(spark, dir).count(), Nil)
+      (consumed(queries.LlmQueries.x260BpeTrain5(spark, dir)), Nil)
     }
     // round-11 members with pair machinery or corpus-linear grams: x269's
     // fingerprint self-join at the dup-saturated 100× is sources²-bounded
@@ -168,13 +195,13 @@ object Probe {
     // whose walls must stay scan-shaped.
     for (dir <- Seq(sfDir, hundredDir)) {
       run("x269_dup_leakage", dir) {
-        (queries.Round11Queries.x269DupLeakage(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x269DupLeakage(spark, dir)), Nil)
       }
       run("x267_pmi", dir) {
-        (queries.Round11Queries.x267PmiCollocations(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x267PmiCollocations(spark, dir)), Nil)
       }
       run("x268_burstiness", dir) {
-        (queries.Round11Queries.x268Burstiness(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x268Burstiness(spark, dir)), Nil)
       }
     }
 
@@ -183,14 +210,14 @@ object Probe {
     // so the probe stops at 10×; x273/x275 are RangeRank consumers whose
     // walls must stay FLAT to 100× like x263/x255.
     for (dir <- Seq(sfDir, tenDir)) run("x271_lsh_fp", dir) {
-      (queries.Round11Queries.x271LshFpAudit(spark, dir).count(), Nil)
+      (consumed(queries.Round11Queries.x271LshFpAudit(spark, dir)), Nil)
     }
     for (dir <- Seq(sfDir, hundredDir)) {
       run("x273_fd_histogram", dir) {
-        (queries.Round11Queries.x273FdHistogram(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x273FdHistogram(spark, dir)), Nil)
       }
       run("x275_dup_by_length", dir) {
-        (queries.Round11Queries.x275DupByLength(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x275DupByLength(spark, dir)), Nil)
       }
     }
 
@@ -202,41 +229,41 @@ object Probe {
     // (must stay FLAT like x263/x255 — rank parallelism decoupled from n).
     for (dir <- Seq(sfDir, hundredDir)) {
       run("x276_wjaccard", dir) {
-        (queries.Round11Queries.x276WeightedJaccard(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x276WeightedJaccard(spark, dir)), Nil)
       }
       run("x281_data_constrained", dir) {
-        (queries.Round11Queries.x281DataConstrained(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x281DataConstrained(spark, dir)), Nil)
       }
       run("x285_source_xent", dir) {
-        (queries.Round11Queries.x285SourceXent(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x285SourceXent(spark, dir)), Nil)
       }
       run("x278_ams_f2", dir) {
-        (queries.Round11Queries.x278AmsF2(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x278AmsF2(spark, dir)), Nil)
       }
       run("x283_systematic", dir) {
-        (queries.Round11Queries.x283SystematicSample(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x283SystematicSample(spark, dir)), Nil)
       }
       // x287 runs TWO fingerprint collapses (text + set) — the x281 class,
       // watched at dup saturation; x290 is scan + TakeOrdered(20) and must
       // stay scan-shaped at any decade.
       run("x287_dedup_savings", dir) {
-        (queries.Round11Queries.x287DedupSavings(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x287DedupSavings(spark, dir)), Nil)
       }
       run("x290_es_sample", dir) {
-        (queries.Round11Queries.x290EsSample(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x290EsSample(spark, dir)), Nil)
       }
       // x294's window partitions by doc_id (corpus-cardinality keys — the
       // anti-x220 shape) and must scale linearly; x292 explodes the corpus
       // for stopword counts then collapses to 10 buckets; x297's windows
       // run over the value-cardinality grid only.
       run("x294_winnowing", dir) {
-        (queries.Round11Queries.x294Winnowing(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x294Winnowing(spark, dir)), Nil)
       }
       run("x292_calibration", dir) {
-        (queries.Round11Queries.x292CalibrationEce(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x292CalibrationEce(spark, dir)), Nil)
       }
       run("x297_wasserstein", dir) {
-        (queries.Round11Queries.x297Wasserstein(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x297Wasserstein(spark, dir)), Nil)
       }
     }
 
@@ -249,17 +276,17 @@ object Probe {
     // x271 class), so its probe stops at 10× like x271.
     for (dir <- Seq(sfDir, hundredDir)) {
       run("x293_kcenter", dir) {
-        (queries.Round11Queries.x293KCenter(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x293KCenter(spark, dir)), Nil)
       }
       run("x289_jl_distortion", dir) {
-        (queries.Round11Queries.x289JlDistortion(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x289JlDistortion(spark, dir)), Nil)
       }
       run("x298_cluster_purity", dir) {
-        (queries.Round11Queries.x298ClusterPurity(spark, dir).count(), Nil)
+        (consumed(queries.Round11Queries.x298ClusterPurity(spark, dir)), Nil)
       }
     }
     for (dir <- Seq(sfDir, tenDir)) run("x59_semdedup", dir) {
-      (queries.LlmQueries.x59SemDedup(spark, dir).count(), Nil)
+      (consumed(queries.LlmQueries.x59SemDedup(spark, dir)), Nil)
     }
 
     // round-12 members with corpus-scaling machinery: x311 is RangeRank
@@ -270,17 +297,17 @@ object Probe {
     // stops at 10×).
     for (dir <- Seq(sfDir, hundredDir)) {
       run("x311_vocab_lorenz", dir) {
-        (queries.Round12Queries.x311VocabLorenz(spark, dir).count(), Nil)
+        (consumed(queries.Round12Queries.x311VocabLorenz(spark, dir)), Nil)
       }
       run("x320_distinct_n", dir) {
-        (queries.Round12Queries.x320DistinctN(spark, dir).count(), Nil)
+        (consumed(queries.Round12Queries.x320DistinctN(spark, dir)), Nil)
       }
       run("x319_pair_completeness", dir) {
-        (queries.Round12Queries.x319PairCompleteness(spark, dir).count(), Nil)
+        (consumed(queries.Round12Queries.x319PairCompleteness(spark, dir)), Nil)
       }
     }
     for (dir <- Seq(sfDir, tenDir)) run("x322_bbit_minhash", dir) {
-      (queries.Round12Queries.x322BbitMinhash(spark, dir).count(), Nil)
+      (consumed(queries.Round12Queries.x322BbitMinhash(spark, dir)), Nil)
     }
     // round-12 batch 3/4 scale shapes: x339 rides RangeRank + the
     // fingerprint collapse (FLAT expectation); x341's source ×
@@ -289,13 +316,13 @@ object Probe {
     // successor aggregate is vocabulary-sized after one corpus scan.
     for (dir <- Seq(sfDir, hundredDir)) {
       run("x339_novelty_decay", dir) {
-        (queries.Round12Queries.x339NoveltyDecay(spark, dir).count(), Nil)
+        (consumed(queries.Round12Queries.x339NoveltyDecay(spark, dir)), Nil)
       }
       run("x341_bigram_kl", dir) {
-        (queries.Round12Queries.x341BigramKl(spark, dir).count(), Nil)
+        (consumed(queries.Round12Queries.x341BigramKl(spark, dir)), Nil)
       }
       run("x343_successor_entropy", dir) {
-        (queries.Round12Queries.x343SuccessorEntropy(spark, dir).count(), Nil)
+        (consumed(queries.Round12Queries.x343SuccessorEntropy(spark, dir)), Nil)
       }
     }
 
@@ -307,18 +334,18 @@ object Probe {
     // vocabulary/source-bounded and must stay FLAT at 100× like x311.
     for (dir <- Seq(sfDir, tenDir)) {
       run("x332_jaccard_sweep", dir) {
-        (queries.Round12Queries.x332JaccardSweep(spark, dir).count(), Nil)
+        (consumed(queries.Round12Queries.x332JaccardSweep(spark, dir)), Nil)
       }
       run("x333_minhash_k_sweep", dir) {
-        (queries.Round12Queries.x333MinhashKSweep(spark, dir).count(), Nil)
+        (consumed(queries.Round12Queries.x333MinhashKSweep(spark, dir)), Nil)
       }
     }
     for (dir <- Seq(sfDir, hundredDir)) {
       run("x346_front_coding", dir) {
-        (queries.Round12Queries.x346FrontCoding(spark, dir).count(), Nil)
+        (consumed(queries.Round12Queries.x346FrontCoding(spark, dir)), Nil)
       }
       run("x347_burrows_delta", dir) {
-        (queries.Round12Queries.x347BurrowsDelta(spark, dir).count(), Nil)
+        (consumed(queries.Round12Queries.x347BurrowsDelta(spark, dir)), Nil)
       }
     }
 
@@ -328,18 +355,42 @@ object Probe {
     // = corpus positions — the adversarial regime for the interval
     // merge); x352/x354 carry CAPPED probe sets (≤33 / ≤50) into
     // corpus-linear scans — walls must grow ~linearly with the scan,
-    // never with probes² (x354 stops at 10× like x59/x271: the 100×
-    // decade adds scan volume, nothing structural).
+    // never with probes² (x354 added its 100× decade in round 14,
+    // verdict r13 #3: the decade adds scan volume, nothing structural —
+    // the wall must track it linearly).
     for (dir <- Seq(sfDir, hundredDir)) {
       run("x348_exact_substr", dir) {
-        (queries.Round13Queries.x348ExactSubstrCoverage(spark, dir).count(), Nil)
+        (consumed(queries.Round13Queries.x348ExactSubstrCoverage(spark, dir)), Nil)
       }
       run("x352_hopkins", dir) {
-        (queries.Round13Queries.x352Hopkins(spark, dir).count(), Nil)
+        (consumed(queries.Round13Queries.x352Hopkins(spark, dir)), Nil)
       }
     }
-    for (dir <- Seq(sfDir, tenDir)) run("x354_lof", dir) {
-      (queries.Round13Queries.x354Lof(spark, dir).count(), Nil)
+    for (dir <- Seq(sfDir, tenDir, hundredDir)) run("x354_lof", dir) {
+      (consumed(queries.Round13Queries.x354Lof(spark, dir)), Nil)
+    }
+    // round-13 members WITHOUT probe rows until round 14 (verdict r13
+    // #3). Expected shapes: x353 is pure per-row scan CPU (65 md5s/row,
+    // stateless projection) — corpus-LINEAR, and at the dup-saturated
+    // decades the interesting check is that NOTHING about the shard
+    // argmax is volume-dependent; x349's corpus part is one grouped sum
+    // to the ≤25-cell win matrix (the MM loop rides the driver on that
+    // fixed matrix) — LINEAR scan, FLAT tail; x355 is one mean
+    // aggregate, one |types|-partition rank window over the calibration
+    // half, and a broadcast q̂ into the test scan — LINEAR in events
+    // with a vocabulary-sized window state. The 10×/100× events corpora
+    // preserve event_id parity (even id shift), so the cal/test split
+    // and pairing parity scale faithfully.
+    for (dir <- Seq(sfDir, tenDir, hundredDir)) {
+      run("x353_hrw_sharding", dir) {
+        (consumed(queries.Round13Queries.x353HrwSharding(spark, dir)), Nil)
+      }
+      run("x349_bradley_terry", dir) {
+        (consumed(queries.Round13Queries.x349BradleyTerry(spark, dir)), Nil)
+      }
+      run("x355_conformal", dir) {
+        (consumed(queries.Round13Queries.x355ConformalCoverage(spark, dir)), Nil)
+      }
     }
 
     // x47 adversarial CHAIN (verdict r12 #5): a path graph A–B–…–Z of

@@ -14,6 +14,17 @@ import org.apache.spark.sql.SparkSession
   * result cached) legitimately score 0/0.
   */
 object PruneAudit {
+  /** Operator census of an optimized plan (joins / windows / generates /
+    * aggregates) — the under-measurement detector: a consumer whose
+    * optimized plan scores BELOW the full plan's census has let Catalyst
+    * eliminate declared work. Public so BenchConsumeSpec can pin the
+    * Bench consume path against exactly this regression.
+    */
+  def census(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+    p.collect { case n if n.nodeName.contains("Join") ||
+      n.nodeName.contains("Window") || n.nodeName.contains("Generate") ||
+      n.nodeName.contains("Aggregate") => 1 }.sum
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -22,9 +33,7 @@ object PruneAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     def score(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
-      p.collect { case n if n.nodeName.contains("Join") ||
-        n.nodeName.contains("Window") || n.nodeName.contains("Generate") ||
-        n.nodeName.contains("Aggregate") => 1 }.sum
+      census(p)
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -18,6 +18,17 @@ import org.apache.spark.sql.types._
   *
   * Null semantics match the higher-order formulation: null array, null
   * element, or length mismatch poisons the result to null.
+  *
+  * ORACLE DIVERGENCE ON NULL LANES (advice r13): the DuckDB sides of
+  * x352/x354 compute the same distance as `list_sum` over per-lane floor
+  * terms, and list_sum SKIPS null terms — a null embedding lane would
+  * yield a partial distance there while this expression poisons the whole
+  * pair to null (Spark drops it from min/top-k, DuckDB keeps it
+  * understated). The engines therefore agree ONLY on lane-null-free
+  * embeddings; `MicroL2Spec` pins that precondition against the fixture
+  * tables (`exists(embedding, isnull)` count = 0), so a fixture
+  * regeneration that introduces null lanes fails the suite instead of
+  * silently desyncing the oracle.
   */
 case class MicroL2(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -102,6 +102,14 @@ object LlmQueries {
     * once per document with no md5 inside the lambda, and the array form
     * costs zero shuffles where collect_set would shuffle the whole corpus.
     * `docs` must already be fanned out by the calling query.
+    *
+    * COMPOSITION TRAP (the round-14 x179 finding): `text` must be a
+    * STORED column — a scan attribute or a pinned frame's column. If it
+    * is itself a derived expression, CollapseProject inlines that
+    * expression into `toks`, which the lambda re-evaluates at EVERY token
+    * position (element_at(toks, i)) — an O(tokens²)-per-doc blowup that
+    * measured 177 s where the stored-column form takes under a second.
+    * Materialize (persist) such inputs first.
     */
   private[queries] def shingleSetArray(docs: DataFrame, extra: Seq[Column] = Nil): DataFrame =
     docs.withColumn("toks", split(col("text"), " "))
@@ -1068,8 +1076,15 @@ object LlmQueries {
     */
   def x54DomainRebalance(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Io.table(spark, sfDir, "documents")
-    val kVal = docs.groupBy("source").agg(count(lit(1)).as("n"))
-      .agg(min("n").as("k")).head().getLong(0)
+    // min over per-source counts: null ONLY when the table is empty — read
+    // nullable and short-circuit (a bare getLong would NPE on an empty
+    // corpus where the column form returned empty gracefully); row_number
+    // is IntegerType, so cap the literal at Int.MaxValue instead of letting
+    // toInt wrap a >2³¹ per-source count into a drop-everything filter.
+    val kCell = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .agg(min("n").as("k")).head().getAs[java.lang.Long]("k")
+    val kVal = if (kCell == null) 0L
+      else math.min(kCell.longValue(), Int.MaxValue.toLong)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("h"), col("doc_id"))
     docs.select(col("doc_id"), col("source"),
@@ -1750,7 +1765,8 @@ object LlmQueries {
     * injected pairs can trace the curve. For each pair: exact
     * distinct-shingle Jaccard (x20's convention), whether the two sides
     * share ≥1 of the 4 band buckets (x13's exact signatures via the
-    * SHARED minhashSignature/bandHashes code), then per Jaccard decile
+    * SHARED native minhash_all + bandHashes code, x13b's byte-identical
+    * recipe), then per Jaccard decile
     * the empirical collision rate next to the analytic value at the bin
     * center. THE design audit for near-dedup tuning: before changing
     * bands/rows on a 100 TB corpus, this one query says whether the
@@ -1778,15 +1794,49 @@ object LlmQueries {
         |    i -> i % element_at(array(2,3,4,5,6,8,10,14,20,40,1000000),
         |                        CAST(doc_id % 11 AS INT) + 1) != 0),
         |  i -> element_at(toks, i)))""".stripMargin).as("text"))
+    // MATERIALIZATION BARRIER (the round-14 finding): the synthetic
+    // mutation is itself a higher-order expression, and CollapseProject
+    // inlines it into every element_at(toks, i) the downstream shingle
+    // lambdas evaluate — the whole mutation re-ran PER TOKEN POSITION,
+    // O(tokens²) per doc (measured: the un-pinned shingle-set build alone
+    // cost 177 s at sf0.1; the r9 explode form dodged it only because
+    // Generate materializes toks once per row). Pinning docs2 stores the
+    // mutated text once; every consumer reads a plain string column.
     val docs2 = base.select((col("doc_id") * 2).as("doc_id"), col("text"))
       .unionAll(mutated)
-    val shd = explodedShingles(docs2).distinct()
-    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = shd.as("a").join(shd.as("b"),
-        col("a.doc_id") + 1 === col("b.doc_id")
-          && col("a.shingle") === col("b.shingle"))
-      .groupBy(col("a.doc_id").as("d1")).agg(count(lit(1)).as("n_inter"))
-    val bands = bandHashes(minhashSignature(docs2, 16), bandsOf = 4, r = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Round-14 mechanics (verdict r13 #1), same VALUES as the r9 form:
+    //   - exact per-pair intersections come from ONE scan building
+    //     distinct-shingle ARRAYS and a (doc_id+1)-keyed equi-join with
+    //     array_intersect (candJaccard's recipe) instead of exploding the
+    //     doubled corpus to (doc_id, shingle) rows, distinct-shuffling
+    //     them, and shuffle-joining the explosion against itself. The
+    //     n > 0 filter reproduces the old inner-join-on-sizes semantics
+    //     exactly: a side with no shingles (< 3 tokens) contributed no
+    //     sizes row, so its pair was dropped — as it is here.
+    //   - signatures come from the NATIVE one-pass minhash_all (x13b's
+    //     recipe, byte-identical by MinhashAllSpec) instead of the
+    //     explode→16-min pipeline over the doubled corpus.
+    //   - sets and sigW are pinned beside docs2 (each is consumed by two
+    //     plan branches); all three ride the repin registry, released by
+    //     the next pinning query (the x20/x34/x69 contract).
+    graft.plans.GraftExtensions.register(spark)
+    val sets = shingleSetArray(docs2)
+      .select(col("doc_id"), col("shset"), size(col("shset")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val setsA = sets.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("d1"), col("shset").as("sha"), col("n").as("na"))
+    val setsB = sets
+      .select((col("doc_id") - 1).as("d1"), col("shset").as("shb"), col("n").as("nb"))
+    val sigW = docs2
+      .select(col("doc_id"), call_function("minhash_all", col("text"), lit(16)).as("mh"))
+      .filter(col("mh").isNotNull)
+      .select(col("doc_id") +:
+        (0 until 16).map(j => element_at(col("mh"), j + 1).as(s"mh$j")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    repin(docs2, sets, sigW)
+    val bands = bandHashes(sigW, bandsOf = 4, r = 4)
     val coll = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
           && col("x.doc_id") + 1 === col("y.doc_id"))
@@ -1795,12 +1845,10 @@ object LlmQueries {
     val s = (col("bin").cast("double") + lit(0.5)) / lit(10.0)
     val s4 = (s * s) * (s * s)
     val t = lit(1.0) - s4
-    sizes.as("sa").join(sizes.as("sb"),
-        col("sa.doc_id") + 1 === col("sb.doc_id"))
-      .filter(col("sa.doc_id") % 2 === 0)
-      .select(col("sa.doc_id").as("d1"), col("sa.n").as("na"), col("sb.n").as("nb"))
-      .join(inter, Seq("d1"), "left")
-      .withColumn("ni", coalesce(col("n_inter"), lit(0L)))
+    setsA.join(setsB, Seq("d1"))
+      .select(col("d1"), col("na"), col("nb"),
+        size(array_intersect(col("sha"), col("shb")))
+          .cast("long").as("ni"))
       .withColumn("jac",
         col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double"))
       .join(coll, Seq("d1"), "left")
@@ -6111,40 +6159,103 @@ object LlmQueries {
     * compression, is the overhead to avoid), then one map-combining
     * source aggregate; exact byte counts, ONE division round6'd.
     */
+  /** The FIXED directory x262 publishes its per-source deflate artifacts
+    * to. Filenames are CONTENT-ADDRESSED —
+    * `x262_<upperhex(source)>_<n_docs>_<raw_bytes>.bin` — so artifacts
+    * from different SFs and fixture vintages COEXIST (never
+    * delete-in-place, no cross-SF race: the x135 population discipline,
+    * content-addressed instead of marker-gated), and the DuckDB oracle
+    * selects exactly the current corpus's files by recomputing
+    * (hex(source), count, Σstrlen) from the documents table and joining
+    * them against the parsed filenames. Shared constant so the query and
+    * [[Oracles]] can never drift apart.
+    */
+  val X262Dir: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_x262_deflate")
+      .getAbsolutePath
+
+  /** x262 — oracle-backed since round 14 (verdict r13 #5, "pinnable the
+    * x135 way"): beside the per-source sums, the query now PUBLISHES each
+    * source's concatenated deflate stream as one content-addressed file
+    * in [[X262Dir]] (doc_id order, level-6 Deflater — byte-deterministic
+    * for a fixed corpus and zlib), and the DuckDB side re-reads those
+    * files with `read_blob`: `deflate_bytes` there is `octet_length` of
+    * the FILE, so the hash match pins that the declared sums equal the
+    * actual compressed bytes on disk — a drifted Deflater level, a
+    * truncated write, or a stale artifact all flip the hash. n_docs and
+    * raw_bytes are recomputed by DuckDB from the documents table alone
+    * (strlen = UTF-8 bytes, Spark's getBytes("UTF-8").length).
+    *
+    * Scale shape: one corpus pass (repartition by source so each source's
+    * rows land in one task, sort by (source, doc_id) within the
+    * partition), per-row deflate, per-source ONE aggregate row emitted
+    * from the same pass — the artifact write rides the scan. The
+    * one-file-per-source artifact is audit-sized by design (|sources|
+    * files); a 100 TB deployment shards per source and targets shared
+    * storage via the Hadoop FS — the declared audit keeps java.io because
+    * X262Dir is process-local tmp by construction.
+    */
   def x262CompressRatio(spark: SparkSession, sfDir: String): DataFrame = {
     import ExtendedQueries.stableRound6
     val spark2 = spark
     import spark2.implicits._
+    val dir = X262Dir
+    new java.io.File(dir).mkdirs() // driver-side; executor tasks write into it
     val per = fanOut(Io.table(spark, sfDir, "documents"))
-      .filter(col("text").isNotNull)
-      .select(col("source"), col("text")).as[(String, String)]
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), col("doc_id"), col("text"))
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .as[(String, Long, String)]
       .mapPartitions { it =>
         // one Deflater per partition, reset() per row — allocation, not
         // compression, is the per-row overhead to avoid; end() fires
-        // DETERMINISTICALLY on exhaustion (native zlib state must not
-        // wait for a GC cycle — review r10)
+        // DETERMINISTICALLY after the eager drain (native zlib state must
+        // not wait for a GC cycle — review r10). Rows arrive grouped by
+        // source, so each source's stream concatenates into ONE staged
+        // file, renamed to its content-addressed final name once the
+        // source's (n_docs, raw_bytes) are known; an existing final file
+        // is left untouched (bytes are a pure function of the corpus) and
+        // a lost rename race means an identical concurrent writer won.
         val d = new java.util.zip.Deflater(6)
         val buf = new Array[Byte](1 << 16)
-        var ended = false
-        new Iterator[(String, Long, Long)] {
-          def hasNext: Boolean = {
-            val h = it.hasNext
-            if (!h && !ended) { ended = true; d.end() }
-            h
-          }
-          def next(): (String, Long, Long) = {
-            val (src, text) = it.next()
-            val in = text.getBytes("UTF-8")
-            d.reset(); d.setInput(in); d.finish()
-            var out = 0L
-            while (!d.finished()) out += d.deflate(buf)
-            (src, in.length.toLong, out)
-          }
+        val dirF = new java.io.File(dir)
+        val out = scala.collection.mutable.Buffer.empty[(String, Long, Long, Long)]
+        var cur: String = null
+        var n = 0L; var raw = 0L; var defl = 0L
+        var stage: java.io.File = null
+        var os: java.io.OutputStream = null
+        def hexUpper(s: String): String =
+          s.getBytes("UTF-8").map("%02X".format(_)).mkString
+        def closeSource(): Unit = if (cur != null) {
+          os.close()
+          val fin = new java.io.File(dirF, s"x262_${hexUpper(cur)}_${n}_$raw.bin")
+          if (fin.exists() || !stage.renameTo(fin)) stage.delete(): Unit
+          out += ((cur, n, raw, defl))
+          cur = null
         }
-      }.toDF("source", "n_raw", "n_deflate")
+        it.foreach { case (src, _, text) =>
+          if (src != cur) {
+            closeSource()
+            cur = src; n = 0L; raw = 0L; defl = 0L
+            stage = java.io.File.createTempFile("x262_stage_", ".tmp", dirF)
+            os = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(stage))
+          }
+          val in = text.getBytes("UTF-8")
+          d.reset(); d.setInput(in); d.finish()
+          while (!d.finished()) {
+            val m = d.deflate(buf); os.write(buf, 0, m); defl += m
+          }
+          n += 1; raw += in.length
+        }
+        closeSource()
+        d.end()
+        out.iterator
+      }.toDF("source", "n_docs", "raw_bytes", "deflate_bytes")
     per.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_raw").as("raw_bytes"), sum("n_deflate").as("deflate_bytes"))
+      .agg(sum("n_docs").as("n_docs"), sum("raw_bytes").as("raw_bytes"),
+        sum("deflate_bytes").as("deflate_bytes"))
       .select(col("source"), col("n_docs"), col("raw_bytes"),
         col("deflate_bytes"),
         stableRound6(col("deflate_bytes").cast("double") /

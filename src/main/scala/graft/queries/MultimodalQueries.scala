@@ -420,9 +420,11 @@ object MultimodalQueries {
   /** The FIXED directory x135 writes its asset files to — fixed (not a
     * fresh tmp dir per invocation) because the DuckDB oracle reads the SAME
     * files via `read_blob` over the dir's `.bin` glob in a separate process after
-    * Verify exits; file content is a pure function of the generator, so
-    * re-runs overwrite byte-identically and the oracle never races. Shared
-    * constant so the query and [[Oracles.x135]] can never drift apart.
+    * Verify exits; file content is a pure function of the generator, so a
+    * populated dir (detected by its `_GRAFT_COMPLETE` marker) is reused
+    * as-is — reruns never delete or rewrite, and the oracle never races.
+    * Shared constant so the query and [[Oracles.x135]] can never drift
+    * apart.
     */
   val X135Dir: String =
     new java.io.File(System.getProperty("java.io.tmpdir"), "graft_x135_bin")
@@ -459,26 +461,44 @@ object MultimodalQueries {
     */
   def x135BinaryIngest(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = X135Dir
-    // idempotent rewrite: clear the fixed dir driver-side, then write from
-    // the executors; content is deterministic so every rerun reproduces the
-    // same 16 files byte-for-byte
+    // Populate-once, never delete-in-place (advice r13): content is a pure
+    // function of the generator, so a dir carrying the _GRAFT_COMPLETE
+    // marker is already byte-correct and reruns SKIP the write entirely —
+    // no window in which a concurrent reader (second Verify/Bench session,
+    // or the DuckDB oracle racing a rerun) can observe deleted-but-not-yet-
+    // rewritten files. First-ever population stages into a fresh tmp dir
+    // (executor writes) and swaps it in with one dir-level rename — the
+    // only remaining window is that single metadata op, not 16 file writes.
     val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_GRAFT_COMPLETE")
     val dfs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
-    try dfs.delete(dirPath, true) catch { case _: Exception => () }
     val assets = SyntheticMedia.assets(spark, 20)
-    assets.select(col("asset_id"), col("media"))
-      .where(col("media").isNotNull)
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        // executor-side write; local-fs Configuration suffices here, a
-        // cluster deployment would ship the serialized hadoop conf
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
-        it.foreach { r =>
-          val out = fs.create(new org.apache.hadoop.fs.Path(
-            dir, f"asset_${r.getLong(0)}%05d.bin"), true)
-          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+    if (!dfs.exists(marker)) {
+      val stage = new org.apache.hadoop.fs.Path(
+        s"${dir}_stage_${System.nanoTime()}")
+      val stageDir = stage.toString
+      assets.select(col("asset_id"), col("media"))
+        .where(col("media").isNotNull)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          // executor-side write; local-fs Configuration suffices here, a
+          // cluster deployment would ship the serialized hadoop conf
+          val fs = new org.apache.hadoop.fs.Path(stageDir)
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          it.foreach { r =>
+            val out = fs.create(new org.apache.hadoop.fs.Path(
+              stageDir, f"asset_${r.getLong(0)}%05d.bin"), true)
+            try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+          }
         }
+      dfs.create(new org.apache.hadoop.fs.Path(stage, "_GRAFT_COMPLETE"), true)
+        .close()
+      try dfs.delete(dirPath, true) catch { case _: Exception => () }
+      if (!dfs.rename(stage, dirPath)) {
+        // lost the swap race to a concurrent populator writing identical
+        // bytes — their dir serves; drop the orphaned stage
+        try dfs.delete(stage, true) catch { case _: Exception => () }
       }
+    }
     val read = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.bin").load(dir)
       .select(

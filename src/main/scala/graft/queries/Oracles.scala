@@ -6844,7 +6844,41 @@ object Oracles {
       |       n_bytes, payload_md5, TRUE AS match_ok
       |FROM b ORDER BY asset_id""".stripMargin
 
+  // x262 (oracle since round-14, verdict r13 #5 — the x135 discipline,
+  // content-addressed): DuckDB re-reads the per-source deflate artifacts
+  // x262 published and takes `deflate_bytes` from the FILE's
+  // octet_length, while n_docs/raw_bytes are recomputed from the
+  // documents table alone (strlen = UTF-8 bytes = Spark's
+  // getBytes("UTF-8").length); the join keys (upper-hex source — both
+  // engines' hex() is uppercase — exact doc count, exact raw byte sum)
+  // select exactly the current corpus's files out of whatever other
+  // SFs/vintages coexist in the fixed dir. A drifted compressor, a
+  // truncated write, or a stale artifact fails the join or the hash.
+  val x262: String =
+    s"""WITH f AS (
+      |  SELECT regexp_extract(filename,
+      |           'x262_([0-9A-F]*)_([0-9]+)_([0-9]+)\\.bin$$', 1) AS hexsrc,
+      |         CAST(regexp_extract(filename,
+      |           'x262_([0-9A-F]*)_([0-9]+)_([0-9]+)\\.bin$$', 2) AS BIGINT) AS n_docs_f,
+      |         CAST(regexp_extract(filename,
+      |           'x262_([0-9A-F]*)_([0-9]+)_([0-9]+)\\.bin$$', 3) AS BIGINT) AS raw_f,
+      |         CAST(octet_length(content) AS BIGINT) AS deflate_bytes
+      |  FROM read_blob('${LlmQueries.X262Dir}/x262_*.bin')),
+      |d AS (
+      |  SELECT source, upper(hex(source)) AS hexsrc,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(strlen(text)) AS BIGINT) AS raw_bytes
+      |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT d.source, d.n_docs, d.raw_bytes, f.deflate_bytes,
+      |       floor(CAST(f.deflate_bytes AS DOUBLE) / CAST(d.raw_bytes AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS ratio
+      |FROM d JOIN f ON f.hexsrc = d.hexsrc AND f.n_docs_f = d.n_docs
+      |              AND f.raw_f = d.raw_bytes
+      |ORDER BY d.source""".stripMargin
+
   val lGroup: Map[String, String] = Map(
+    "x262_compress_ratio"    -> x262,
     "x106_multimodal_golden" -> x106,
     "x135_binary_ingest"     -> x135,
     "x204_av_align"          -> x204,
@@ -8659,6 +8693,10 @@ object Oracles {
   // verification SF) — its restriction to the query/neighbor hull equals
   // the staged three-hop computation by construction; identical
   // micro-integer distances, (d2, vec_id) order, reach/lrd/LOF rounding.
+  // NULL-LANE precondition (advice r13): list_sum here SKIPS a null lane
+  // where Spark's micro_l2 poisons the pair — parity holds only on
+  // lane-null-free embeddings, asserted by MicroL2Spec against the
+  // fixtures (same applies to x352 above).
   val x354: String =
     """WITH pairs AS (
       |  SELECT a.vec_id AS aid, b.vec_id AS bid,

@@ -420,7 +420,11 @@ object Round13Queries {
     * frame ever materializes. At corpus scale the same three-stage tail
     * runs behind an ANN candidate generator (the x56b composition).
     */
-  def x354Lof(spark: SparkSession, sfDir: String): DataFrame = {
+  def x354Lof(spark: SparkSession, sfDir: String): DataFrame =
+    // the whole build + pin rotation is serialized (verdict r13 #2): two
+    // concurrent invocations would otherwise race x354Pinned's swap and
+    // unpersist the frame a concurrent reader is still consuming
+    x354Lock.synchronized {
     import ExtendedQueries.stableRound6
     graft.plans.GraftExtensions.register(spark)
     val k = 3
@@ -428,34 +432,49 @@ object Round13Queries {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
     val byId = emb.select(col("vec_id").as("pid"), col("v").as("pv"))
+    // knnOf stays NARROW (pid, vec_id, d2): carrying the 64-double vector
+    // through the window exchange was TRIED in round 14 and reverted —
+    // every candidate row (m·N before the top-k cut) would ship the array
+    // through the hash exchange and sort, a ~60× payload inflation that
+    // measured SLOWER than the byId re-joins it replaced. Ring vectors
+    // come from cheap tiny-ids × corpus equi-joins instead.
     def knnOf(points: DataFrame): DataFrame = {
       // points: (pid, pv) broadcast into one corpus scan; top-k per pid
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("pid").orderBy(col("d2"), col("vec_id"))
-      emb.crossJoin(broadcast(points))
+      emb.crossJoin(broadcast(points.select("pid", "pv")))
         .filter(col("vec_id") =!= col("pid"))
         .select(col("pid"), col("vec_id"), d2Micro("pv", "v").as("d2"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
     }
+    // THREE pins, one per broadcast-fold corpus scan (down from five,
+    // verdict r13 #2): qknn caps scan 1 (kNN of A), h1knn caps scan 2
+    // (kNN of hull1∖A, unioned with the already-pinned A rows instead of
+    // refolding them), lrd caps scan 3 (the third ring's k-distance fold,
+    // which lrd is the sole consumer-facing frame of — ql reads lrd
+    // TWICE, so an unpinned lrd would run that fold twice). hull1/ring/
+    // kdist are derived from pinned frames plus one tiny-ids byId join
+    // each and recompute for pennies.
     def pin(df: DataFrame): DataFrame = {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       p.count(); p
     }
     val queries = byId.filter(col("pid") % 200 === 0 && col("pid") < 10000)
     val qknn = pin(knnOf(queries))
-    val hull1 = pin(queries.unionByName(
+    val hull1 = queries.unionByName(
         qknn.select(col("vec_id").as("pid")).distinct().join(byId, "pid"))
-      .distinct())
-    val h1knn = pin(knnOf(hull1))
+      .dropDuplicates("pid")
+    val h1knn = pin(qknn.unionByName(
+      knnOf(hull1.join(queries.select("pid"), Seq("pid"), "left_anti"))))
     val ring = h1knn.select(col("vec_id").as("pid")).distinct()
       .join(byId, "pid")
       .join(hull1.select("pid"), Seq("pid"), "left_anti")
     val cknn = knnOf(ring) // third ring: only its rn == k row is consumed
     // k-distance of hull1 ∪ ring covers every neighbor any lrd touches
-    val kdist = pin(h1knn.filter(col("rn") === k).unionByName(
+    val kdist = h1knn.filter(col("rn") === k).unionByName(
         cknn.filter(col("rn") === k))
-      .select(col("pid").as("kd_pid"), col("d2").as("kdist")))
+      .select(col("pid").as("kd_pid"), col("d2").as("kdist"))
     // lrd over hull1: reach(a→b) = max(kdist(b), d2(a,b)), exact integers
     val lrd = pin(h1knn
       .join(kdist, col("vec_id") === col("kd_pid"))
@@ -480,12 +499,13 @@ object Round13Queries {
       .orderBy("vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    Seq(qknn, hull1, h1knn, kdist, lrd).foreach(_.unpersist(false))
+    Seq(qknn, h1knn, lrd).foreach(_.unpersist(false))
     val prev = x354Pinned.getAndSet(out)
     if (prev != null && (prev ne out)) prev.unpersist(false)
     out
   }
 
+  private val x354Lock = new Object
   private val x354Pinned =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
 

@@ -197,15 +197,24 @@ class DifferentialRefSpec extends SparkSpec {
       s"$ourCur/top3_recent_sales_by_receiving.csv")
   }
 
-  test("fuzz: seeded 400-row dirty batch matches the reference end-to-end") {
+  // Deterministic-seed fuzz over the dirt classes the reference defines
+  // behavior for: pandas-NA tokens, case/padding, unparseable and
+  // negative amounts, numeric-string amounts ("1e2", " 5.0 ", "5,"),
+  // null-literal regions incl. "0", exact-duplicate rows, a null
+  // timestamp. Planted fails: 2 bad amounts + 1 negative + 1 null ts +
+  // 1 "None" type (NA at ingest) = 5/400 → conformity 0.9875 ≥ 0.98 —
+  // fail counts are seed-INVARIANT (randomness only moves values, case,
+  // regions and addresses), so every seed exercises the pass branch.
+  // N seeds, not one (verdict r13 #4): the single-seed first run caught
+  // two real parity divergences, so more draws over the same dirt
+  // classes are cheap insurance against value-dependent edges (ties,
+  // rounding, NA-token × case interactions).
+  private val fuzzSeeds = Seq(12345L, 777L, 20260816L, 424242L, 987654321L)
+
+  for (seed <- fuzzSeeds)
+  test(s"fuzz[seed=$seed]: 400-row dirty batch matches the reference end-to-end") {
     assume(pythonOk, "driver-side python3/pandas/duckdb not available")
-    // Deterministic-seed fuzz over the dirt classes the reference defines
-    // behavior for: pandas-NA tokens, case/padding, unparseable and
-    // negative amounts, numeric-string amounts ("1e2", " 5.0 ", "5,"),
-    // null-literal regions incl. "0", exact-duplicate rows, a null
-    // timestamp. Planted fails: 2 bad amounts + 1 negative + 1 null ts +
-    // 1 "None" type (NA at ingest) = 5/400 → conformity 0.9875 ≥ 0.98.
-    val rnd = new scala.util.Random(12345)
+    val rnd = new scala.util.Random(seed)
     val types = Seq("sale", "SALE", " Sale ", "refund", " REFUND ")
     val regions = Seq("eu", "us", "ap", "0", "00", "None", "", " eu ")
     val sb = new StringBuilder(
