@@ -392,6 +392,19 @@ object Probe {
         (consumed(queries.Round13Queries.x355ConformalCoverage(spark, dir)), Nil)
       }
     }
+    // round-14 members: x356's RangeRank + adjacency equi-joins are
+    // corpus-LINEAR with parallelism decoupled from the 3-epoch key
+    // domain (the x311/x339 class); x357 is one prefix-sum + one
+    // token-explode map-combining aggregate — corpus-TOKEN-linear, no
+    // joins. The dup-saturated decades add only volume to either.
+    for (dir <- Seq(sfDir, tenDir, hundredDir)) {
+      run("x356_epoch_shuffle", dir) {
+        (consumed(queries.Round14Queries.x356EpochShuffle(spark, dir)), Nil)
+      }
+      run("x357_pack_contamination", dir) {
+        (consumed(queries.Round14Queries.x357PackContamination(spark, dir)), Nil)
+      }
+    }
 
     // x47 adversarial CHAIN (verdict r12 #5): a path graph A–B–…–Z of
     // diameter 64 — the worst case for plain min-label propagation (rounds

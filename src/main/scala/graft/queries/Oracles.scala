@@ -8781,6 +8781,85 @@ object Oracles {
     "x354_lof"                   -> x354,
     "x355_conformal_coverage"    -> x355)
 
+  // x356: the identical md5-keyed permutation (lowercase-hex md5 of the
+  // identical "<epoch>|<doc_id>" string on both engines, doc_id
+  // tie-break), adjacency via the pos+1 self-join, unordered pair keys
+  // (least, greatest), and a cmp-spine LEFT join so an epoch pair with
+  // zero repeats still emits its row — one rounded division per row.
+  val x356: String =
+    """WITH e(e) AS (VALUES (0), (1), (2)),
+      |pos AS (
+      |  SELECT e.e AS epoch, d.doc_id,
+      |         row_number() OVER (PARTITION BY e.e
+      |           ORDER BY md5(CAST(e.e AS VARCHAR) || '|' ||
+      |                        CAST(d.doc_id AS VARCHAR)), d.doc_id) AS pos
+      |  FROM documents d CROSS JOIN e),
+      |pairs AS (
+      |  SELECT a.epoch, least(a.doc_id, b.doc_id) AS lo,
+      |         greatest(a.doc_id, b.doc_id) AS hi
+      |  FROM pos a JOIN pos b ON a.epoch = b.epoch AND b.pos = a.pos + 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |cmp(ea, eb) AS (VALUES (0, 1), (1, 2), (0, 2)),
+      |rep AS (
+      |  SELECT pa.epoch AS ea, pb.epoch AS eb,
+      |         CAST(count(*) AS BIGINT) AS n_repeat
+      |  FROM pairs pa JOIN pairs pb ON pa.lo = pb.lo AND pa.hi = pb.hi
+      |  GROUP BY 1, 2)
+      |SELECT CAST(c.ea AS BIGINT) AS epoch_a, CAST(c.eb AS BIGINT) AS epoch_b,
+      |       n.n_docs, n.n_docs - 1 AS n_adj,
+      |       coalesce(r.n_repeat, 0) AS n_repeat,
+      |       floor(CAST(coalesce(r.n_repeat, 0) AS DOUBLE)
+      |             / CAST(n.n_docs - 1 AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |         AS repeat_rate
+      |FROM cmp c CROSS JOIN n
+      |LEFT JOIN rep r ON r.ea = c.ea AND r.eb = c.eb
+      |ORDER BY epoch_a, epoch_b""".stripMargin
+
+  // x357: identical stream-concat packing model — the x159 token
+  // convention (len(string_split) = Spark's size(split)), doc starts
+  // from the doc_id-ordered prefix sum, the same exact integer
+  // block/window combinatorics per token (bounded grid + ON i < len,
+  // the DuckDB-1.0-safe explode; range() rejects even scalar-subquery
+  // bounds, so the grid bound is the CONSTANT 4096 — fixture docs are
+  // ≤100 tokens, and a longer doc would DROP tokens from the oracle
+  // side and fail the hash loudly, never silently agree), one rounded
+  // division per row.
+  val x357: String =
+    """WITH docs AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      |  FROM documents WHERE text IS NOT NULL),
+      |starts AS (
+      |  SELECT doc_id, len,
+      |         CAST(coalesce(sum(len) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS s0
+      |  FROM docs),
+      |pt AS (
+      |  SELECT (s.s0 + t.i) - ((s.s0 + t.i) // 256) * 256 AS p,
+      |         (s.s0 + t.i) - greatest(s.s0, ((s.s0 + t.i) // 256) * 256) AS own
+      |  FROM starts s
+      |  JOIN range(0, 4096) t(i) ON t.i < s.len),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+      |         CAST(sum(least(p, 32)) AS BIGINT) AS att32,
+      |         CAST(sum(greatest(least(p, 32) - own, 0)) AS BIGINT) AS crs32,
+      |         CAST(sum(p) AS BIGINT) AS att256,
+      |         CAST(sum(greatest(p - own, 0)) AS BIGINT) AS crs256
+      |  FROM pt)
+      |SELECT w, n_tokens, attended_pairs, cross_pairs,
+      |       floor(CAST(cross_pairs AS DOUBLE) / CAST(attended_pairs AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS contamination
+      |FROM (
+      |  SELECT CAST(32 AS BIGINT) AS w, n_tokens, att32 AS attended_pairs,
+      |         crs32 AS cross_pairs FROM a
+      |  UNION ALL
+      |  SELECT CAST(256 AS BIGINT), n_tokens, att256, crs256 FROM a)
+      |ORDER BY w""".stripMargin
+
+  val r14Group: Map[String, String] = Map(
+    "x356_epoch_shuffle"       -> x356,
+    "x357_pack_contamination"  -> x357)
+
   val r12Group: Map[String, String] = Map(
     "x346_front_coding"       -> x346,
     "x347_burrows_delta"      -> x347,
