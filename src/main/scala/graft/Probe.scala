@@ -404,6 +404,11 @@ object Probe {
       run("x357_pack_contamination", dir) {
         (consumed(queries.Round14Queries.x357PackContamination(spark, dir)), Nil)
       }
+      // x358: segment explode + codegen scoring + one doc_id-keyed lag
+      // window — corpus-token-linear like x357
+      run("x358_code_switch", dir) {
+        (consumed(queries.Round14Queries.x358CodeSwitch(spark, dir)), Nil)
+      }
     }
 
     // x47 adversarial CHAIN (verdict r12 #5): a path graph A–B–…–Z of
@@ -429,8 +434,13 @@ object Probe {
     }
 
     val json = renderJson(sfDir, recs.toSeq, partial = only.nonEmpty)
+    // A name-filtered run writes probe_partial.json, NEVER probe_last.json
+    // (the Bench SPARK_GRAFT_ONLY discipline, adopted round 14 after a
+    // filtered run clobbered the committed full artifact): a subset must
+    // not masquerade as — or destroy — the round's §6.1 coverage record.
+    val artifact = if (only.nonEmpty) "probe_partial.json" else "probe_last.json"
     try {
-      val w = new java.io.PrintWriter("probe_last.json", "UTF-8")
+      val w = new java.io.PrintWriter(artifact, "UTF-8")
       try w.println(json) finally w.close()
     } catch { case _: Throwable => () } // read-only CWD must not fail the probe
     println(json.take(4000))

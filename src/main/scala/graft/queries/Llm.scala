@@ -247,15 +247,21 @@ object LlmQueries {
   /** (lang, predicted) per doc — x15's n-gram argmax classifier, shared
     * with x240's metrics so the audit cannot drift from the classifier.
     */
-  private def langPredictions(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Fold the bigram lang scores + argmax `predicted` column onto ANY
+    * frame with a text-like column — ONE definition shared by x15/x240
+    * (whole documents) and x358 (16-token segments), so the classifier
+    * cannot drift between the gate, its metrics, and the code-switch
+    * audit (the x89 cannot-drift rule). Argmax with lexicographic
+    * tie-break == first lang (in asc order) whose score is >= all later
+    * langs' scores.
+    */
+  private[queries] def withLangPrediction(df: DataFrame, textCol: String): DataFrame = {
     def occurrences(bigram: String): Column =
-      (length(col("text")) - length(expr(s"replace(text, '$bigram', '')"))) / 2
-    val scored = LangSignatures.foldLeft(Io.table(spark, sfDir, "documents")) {
-      case (df, (lang, (b1, b2))) =>
-        df.withColumn(s"s_$lang", occurrences(b1) + occurrences(b2))
+      (length(col(textCol)) - length(expr(s"replace($textCol, '$bigram', '')"))) / 2
+    val scored = LangSignatures.foldLeft(df) {
+      case (d, (lang, (b1, b2))) =>
+        d.withColumn(s"s_$lang", occurrences(b1) + occurrences(b2))
     }
-    // argmax with lexicographic tie-break == first lang (in asc order) whose
-    // score is >= all later langs' scores
     val langs = LangSignatures.map(_._1)
     val predicted = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
       case ((lang, i), elseCol) =>
@@ -263,8 +269,13 @@ object LlmQueries {
           .map(l => col(s"s_$lang") >= col(s"s_$l")).reduce(_ && _)
         when(geAllLater, lit(lang)).otherwise(elseCol)
     }
-    scored.withColumn("predicted", predicted).select("lang", "predicted")
+    scored.withColumn("predicted", predicted)
+      .drop(langs.map(l => s"s_$l"): _*)
   }
+
+  private def langPredictions(spark: SparkSession, sfDir: String): DataFrame =
+    withLangPrediction(Io.table(spark, sfDir, "documents"), "text")
+      .select("lang", "predicted")
 
   def x15LanguageId(spark: SparkSession, sfDir: String): DataFrame =
     langPredictions(spark, sfDir)

@@ -8856,9 +8856,67 @@ object Oracles {
       |  SELECT CAST(256 AS BIGINT), n_tokens, att256, crs256 FROM a)
       |ORDER BY w""".stripMargin
 
+  // x358: x15's exact length-replace scoring and lexicographic argmax
+  // (the same CASE chain as the x15 oracle) applied to 16-token segment
+  // slices (list_slice is 1-based inclusive = Spark's slice(start, len)),
+  // the same lag-based switch count, the same floored-at-1 adjacent-pair
+  // denominator; bounded grid + ON i < ceil(len/16) (the x357 rule).
+  val x358: String =
+    """WITH segs AS (
+      |  SELECT source, doc_id, t.i,
+      |         array_to_string(list_slice(string_split(text, ' '),
+      |           t.i * 16 + 1, t.i * 16 + 16), ' ') AS seg
+      |  FROM documents
+      |  JOIN range(0, 4096) t(i)
+      |    ON t.i < (len(string_split(text, ' ')) + 15) // 16
+      |  WHERE text IS NOT NULL AND source IS NOT NULL),
+      |s AS (
+      |  SELECT source, doc_id, i,
+      |    (length(seg) - length(replace(seg, 'ch', ''))) / 2
+      |      + (length(seg) - length(replace(seg, 'ei', ''))) / 2 AS s_de,
+      |    (length(seg) - length(replace(seg, 'th', ''))) / 2
+      |      + (length(seg) - length(replace(seg, 'he', ''))) / 2 AS s_en,
+      |    (length(seg) - length(replace(seg, 'de', ''))) / 2
+      |      + (length(seg) - length(replace(seg, 'la', ''))) / 2 AS s_es,
+      |    (length(seg) - length(replace(seg, 'le', ''))) / 2
+      |      + (length(seg) - length(replace(seg, 'ou', ''))) / 2 AS s_fr,
+      |    (length(seg) - length(replace(seg, 'zh', ''))) / 2
+      |      + (length(seg) - length(replace(seg, 'ng', ''))) / 2 AS s_zh
+      |  FROM segs),
+      |p AS (
+      |  SELECT source, doc_id, i,
+      |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |         WHEN s_fr >= s_zh THEN 'fr'
+      |         ELSE 'zh' END AS predicted
+      |  FROM s),
+      |d AS (
+      |  SELECT source, doc_id,
+      |         CAST(count(*) AS BIGINT) AS n_segs,
+      |         CAST(count(DISTINCT predicted) AS BIGINT) AS n_langs,
+      |         CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> predicted
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_switch
+      |  FROM (SELECT *, lag(predicted) OVER (PARTITION BY doc_id ORDER BY i)
+      |          AS prev FROM p)
+      |  GROUP BY 1, 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_mixed_docs,
+      |       CAST(sum(n_segs) AS BIGINT) AS n_segments,
+      |       CAST(sum(n_switch) AS BIGINT) AS n_switches,
+      |       floor(CAST(sum(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |         AS mixed_rate,
+      |       floor(CAST(sum(n_switch) AS DOUBLE)
+      |             / CAST(greatest(sum(n_segs) - count(*), 1) AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS switch_rate
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val r14Group: Map[String, String] = Map(
     "x356_epoch_shuffle"       -> x356,
-    "x357_pack_contamination"  -> x357)
+    "x357_pack_contamination"  -> x357,
+    "x358_code_switch"         -> x358)
 
   val r12Group: Map[String, String] = Map(
     "x346_front_coding"       -> x346,

@@ -147,4 +147,61 @@ object Round14Queries {
           .as("contamination"))
       .orderBy("w")
   }
+
+  /** x358 — CODE-SWITCHING audit: x15's bigram language classifier run
+    * over 16-TOKEN SEGMENTS instead of whole documents, then per source:
+    * how many documents MIX languages (distinct segment predictions > 1)
+    * and how often adjacent segments switch — the intra-document language
+    * mixing signal a whole-doc langid gate (x15) is structurally blind to
+    * (a half-English half-Chinese doc argmaxes to ONE label and sails
+    * through), and the signal that decides whether a multilingual corpus
+    * needs segment-level routing before per-language filtering. The
+    * classifier is [[LlmQueries.withLangPrediction]] — the SAME fold
+    * x15/x240 use, so the gate and this audit cannot drift.
+    *
+    * Exactness: segments are exact token slices (i·16+1 … +16, the x159
+    * split convention); scores/argmax are x15's exact length-replace
+    * counts with the lexicographic tie-break; switch counts are exact
+    * lag comparisons; two rounded divisions per source row (switch rate
+    * over the exact adjacent-pair count n_segments − n_docs, floored at
+    * 1 for the all-single-segment edge — mirrored in the oracle).
+    *
+    * Scale shape: one segment explode (≤ ⌈tokens/16⌉ rows per doc), the
+    * codegen'd scoring scan (no UDF), one hash-partitioned lag window
+    * keyed by doc_id (data-cardinality keys are fine for windows — it is
+    * the LOW-cardinality key that serializes), two map-combining
+    * aggregates. Corpus-token-linear.
+    */
+  def x358CodeSwitch(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val segs = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("source"), col("doc_id"), col("toks"),
+        explode(expr("sequence(0, (size(toks) + 15) div 16 - 1)")).as("i"))
+      .select(col("source"), col("doc_id"), col("i"),
+        concat_ws(" ", expr("slice(toks, i * 16 + 1, 16)")).as("seg"))
+    val pred = LlmQueries.withLangPrediction(segs, "seg")
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val perDoc = pred
+      .withColumn("prev", lag("predicted", 1).over(w))
+      .groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        countDistinct("predicted").as("n_langs"),
+        sum((col("prev").isNotNull && col("prev") =!= col("predicted"))
+          .cast("long")).as("n_switch"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_langs") > 1).cast("long")).as("n_mixed_docs"),
+        sum("n_segs").as("n_segments"),
+        sum("n_switch").as("n_switches"))
+      .select(col("source"), col("n_docs"), col("n_mixed_docs"),
+        col("n_segments"), col("n_switches"),
+        stableRound6(col("n_mixed_docs").cast("double") /
+          col("n_docs").cast("double")).as("mixed_rate"),
+        stableRound6(col("n_switches").cast("double") /
+          greatest(col("n_segments") - col("n_docs"), lit(1L)).cast("double"))
+          .as("switch_rate"))
+      .orderBy("source")
+  }
 }

@@ -90,6 +90,44 @@ class Round14Spec extends SparkSpec {
     assert(r256.getDouble(4) > 0.0 && r256.getDouble(4) < 1.0)
   }
 
+  test("x358: a planted half-en half-zh doc is flagged mixed with one switch") {
+    // doc 0: 32 tokens, first 16 scream en ('th'/'he'), last 16 scream zh
+    // ('zh'/'ng') — exactly one segment boundary switch; doc 1: 32 tokens
+    // of en throughout — unmixed, zero switches
+    val en = Seq.fill(16)("the").mkString(" ")
+    val zh = Seq.fill(16)("zhong").mkString(" ")
+    val df = spark.createDataFrame(Seq(
+      (0L, s"$en $zh", "s0"),
+      (1L, s"$en $en", "s0")
+    )).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("x358_mix").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Round14Queries.x358CodeSwitch(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getLong(1) === 2L, "n_docs")
+    assert(row.getLong(2) === 1L, "n_mixed_docs")
+    assert(row.getLong(3) === 4L, "n_segments")
+    assert(row.getLong(4) === 1L, "n_switches")
+    assert(row.getDouble(5) === 0.5, "mixed_rate")
+    assert(row.getDouble(6) === 0.5, "switch_rate = 1 / (4 - 2)")
+  }
+
+  test("x358: fixture run emits one row per source with exact accounting") {
+    assume(haveFixture)
+    val r = Round14Queries.x358CodeSwitch(spark, sf)
+    val rows = r.collect()
+    val nSources = graft.core.Io.table(spark, sf, "documents")
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select("source").distinct().count()
+    assert(rows.length.toLong === nSources)
+    rows.foreach { row =>
+      assert(row.getLong(2) <= row.getLong(1), "mixed <= docs")
+      assert(row.getLong(4) <= row.getLong(3) - row.getLong(1),
+        "switches <= adjacent pairs")
+    }
+  }
+
   test("x357: single long synthetic doc has zero contamination") {
     // one document spanning many blocks: every attended token is own-doc
     val one = spark.range(1)
