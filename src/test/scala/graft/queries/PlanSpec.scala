@@ -309,7 +309,10 @@ class PlanSpec extends SparkSpec {
       // ≤66-row probe set broadcasting into one corpus scan (the x11
       // brute-force-scorer shape); x354's are its three bounded kNN
       // rings (constant-size probe frames by construction)
-      "x350_krippendorff_alpha", "x352_hopkins", "x354_lof")
+      "x350_krippendorff_alpha", "x352_hopkins", "x354_lof",
+      // x356's is the 1-row n_docs frame crossing onto the 3-row
+      // epoch-pair overlap union (x117's 1-row denominator shape)
+      "x356_epoch_shuffle")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
