@@ -139,14 +139,27 @@ object Bench {
     val x47Hits = graft.queries.LlmQueries.x47MemoHits.get()
     val x47Field = (if (x47Rounds >= 0) s""","x47_rounds":$x47Rounds""" else "") +
       (if (x47Hits > 0) s""","x47_memo_hits":$x47Hits""" else "")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repsJson,"failed":${failures.size},"failures":${arr(failures)},"flaky":${arr(flaky)}$x47Field,"reps":$reps,"sf":"$sfDir"}"""
+    // Shared memo BUILD walls as first-class line items (verdict r14 #6):
+    // candJaccard/x47/x225-boot/stream-input builds amortize across
+    // consumers but their one-time cost used to land silently on whichever
+    // consumer ran first in bench order (x62 +1.0 s in r14). Reported
+    // seconds are per-process totals — warmup-SF and measured-SF builds
+    // both count, which is what makes consumer walls attributable.
+    val memoBuilds = graft.core.MemoMeter.snapshot()
+    val memoField = if (memoBuilds.isEmpty) "" else
+      memoBuilds.map { case (k, v) =>
+        "\"" + k + "\":" + math.round(v * 1000) / 1000.0
+      }.mkString(""","memo_builds":{""", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repsJson,"failed":${failures.size},"failures":${arr(failures)},"flaky":${arr(flaky)}$x47Field$memoField,"reps":$reps,"sf":"$sfDir"}"""
     println(fullJson)
     // The driver keeps only the LAST 2000 chars of stdout; with 120+ queries
     // the single JSON line is >4000 chars and the head-positioned totals were
     // truncated away in BENCH_r07/r08 (judge had to re-measure). Two fixes:
     // a short trailing summary line that always fits the tail capture, and
     // the full JSON persisted to a file committed per round.
-    val summary = s"""{"total_s":${math.round(total * 1000) / 1000.0},"failed":${failures.size},"flaky":${flaky.size},"n":${results.size}$x47Field,"reps":$reps,"sf":"$sfDir"}"""
+    val memoTotal = math.round(memoBuilds.map(_._2).sum * 1000) / 1000.0
+    val memoSumField = if (memoBuilds.isEmpty) "" else s""","memo_s":$memoTotal"""
+    val summary = s"""{"total_s":${math.round(total * 1000) / 1000.0},"failed":${failures.size},"flaky":${flaky.size},"n":${results.size}$x47Field$memoSumField,"reps":$reps,"sf":"$sfDir"}"""
     val outFile = if (only.isDefined) "bench_partial.json" else "bench_last.json"
     try {
       val w = new java.io.PrintWriter(outFile, "UTF-8")

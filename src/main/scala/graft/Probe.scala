@@ -411,6 +411,42 @@ object Probe {
       }
     }
 
+    // x356 under PIN CONTENTION (verdict r14 #7): x356 pins a corpus×3
+    // ranked frame plus its adjacency pairs while it builds; x354 pins
+    // its kNN rings. The isolated 100× rows above never exercise the two
+    // pins COEXISTING in the storage pool, so run both concurrently at
+    // the dup-saturated 100× — the acceptance claim is graceful
+    // degradation (MEMORY_AND_DISK eviction / DAG recompute), never an
+    // OOM or a wall blow-up past the serial sum. Per-leg walls ride the
+    // vols so the record shows which leg absorbed the contention.
+    if (want("x356_contention")) {
+      try { // codegen-warm both shapes outside the timing (Bench rule)
+        consumed(queries.Round14Queries.x356EpochShuffle(spark, warmDir))
+        consumed(queries.Round13Queries.x354Lof(spark, warmDir))
+      } catch { case _: Throwable => () }
+      run("x356_contention", hundredDir) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        def leg(f: => Long): scala.concurrent.Future[(Long, Long)] =
+          scala.concurrent.Future {
+            val t0 = System.nanoTime()
+            val n = f
+            (n, (System.nanoTime() - t0) / 1000000L)
+          }
+        val a = leg(consumed(
+          queries.Round14Queries.x356EpochShuffle(spark, hundredDir)))
+        val b = leg(consumed(
+          queries.Round13Queries.x354Lof(spark, hundredDir)))
+        import scala.concurrent.duration._
+        val (rows356, ms356) = scala.concurrent.Await.result(a, 1200.seconds)
+        val (rows354, ms354) = scala.concurrent.Await.result(b, 1200.seconds)
+        pool.shutdown()
+        (rows356, Seq("x356_ms" -> ms356, "x354_rows" -> rows354,
+          "x354_ms" -> ms354))
+      }
+    }
+
     // x47 adversarial CHAIN (verdict r12 #5): a path graph A–B–…–Z of
     // diameter 64 — the worst case for plain min-label propagation (rounds
     // = diameter). The fixpoint composes the label map with itself every

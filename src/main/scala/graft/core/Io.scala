@@ -79,7 +79,7 @@ object Io {
           new java.io.File(hit._2).isDirectory) return hit._2
       val dir =
         s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${System.nanoTime()}"
-      write(dir)
+      MemoMeter.time(s"stream_input:$tag")(write(dir))
       val prev = streamInMemo.put(tag, (key, dir))
       if (prev != null && prev._2 != dir)
         try {

@@ -1706,7 +1706,7 @@ object ExtendedQueries {
     * Scale shape: one scan + the range-partitioned rank (parallelism
     * decoupled from n) + a 4-row broadcast target join + output 4 rows.
     */
-  def x263ExactQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+  def x263ExactQuantiles(spark: SparkSession, sfDir: String): DataFrame = x263Pin.swapStaged {
     val d = Io.table(spark, sfDir, "documents")
       .filter(col("n_chars").isNotNull)
       .select(col("doc_id"), col("n_chars").cast("long").as("x"))
@@ -1729,16 +1729,10 @@ object ExtendedQueries {
       .select(col("ql").as("quantile"), col("t").as("target_rank"),
         col("x").as("value"))
       .orderBy("quantile")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    ranking.release()
-    val prev = x263Pinned.getAndSet(out)
-    if (prev != null && (prev ne out)) prev.unpersist(false)
-    out
+    (out, () => ranking.release())
   }
 
-  private val x263Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val x263Pin = new graft.core.PinnedResult
 
   /** x264 — FRESHNESS-DECAYED volume per event type (round-10): Σ
     * exp(−age/30d) over each type's events — the recency weighting
@@ -1829,7 +1823,7 @@ object ExtendedQueries {
     * metadata offsets), one map-combining 1-row max aggregate; n·h ≤
     * n·2³² — decimal guard documented past n ≈ 2·10⁹.
     */
-  def x255HashUniformity(spark: SparkSession, sfDir: String): DataFrame = {
+  def x255HashUniformity(spark: SparkSession, sfDir: String): DataFrame = x255Pin.swapStaged {
     val d = Io.table(spark, sfDir, "documents")
       .select(col("doc_id"), expr(
         """cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)
@@ -1851,16 +1845,10 @@ object ExtendedQueries {
         stableRound6(col("dmax").cast("double") /
           (col("n").cast("double") * lit(4294967296.0)) *
           sqrt(col("n").cast("double"))).as("d_sqrt_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    ranking.release()
-    val prev = x255Pinned.getAndSet(out)
-    if (prev != null && (prev ne out)) prev.unpersist(false)
-    out
+    (out, () => ranking.release())
   }
 
-  private val x255Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val x255Pin = new graft.core.PinnedResult
 
   /** x102 — INTERVAL-OVERLAP join, the one temporal-join class the family
     * still lacked (x22 as-of = latest-before, x29 range = point-in-interval,
@@ -3763,14 +3751,11 @@ object ExtendedQueries {
     // references would otherwise each re-run the corpus pair shuffle —
     // exchange reuse only dedups identical subplans. Pinned via rotation
     // (RangeRank's discipline): each call releases the previous call's pin.
-    val e = li.as("a").join(li.as("b"),
+    val e = x211Pin.swap(li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("x"), col("b.p").as("y"))
       .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val x211Prev = x211Pinned.getAndSet(e)
-    if (x211Prev != null && (x211Prev ne e)) x211Prev.unpersist(false)
+      .filter(col("w") >= 2))
     val eB = broadcast(e)
     val tSpine = spark.range(2, 6).select(col("id").as("t"))
     val edges = tSpine.join(eB, col("w") >= col("t"), "inner")
@@ -3804,8 +3789,7 @@ object ExtendedQueries {
       .orderBy("t")
   }
 
-  private val x211Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val x211Pin = new graft.core.PinnedResult
 
   /** x217 — K-ANONYMITY risk profile (round-9): how many documents sit in
     * quasi-identifier equivalence classes smaller than k, for k ∈
@@ -3935,7 +3919,7 @@ object ExtendedQueries {
     * entries), one broadcast, one sweep — the 100 TB form of per-key
     * ranking over few keys.
     */
-  def x227RangeRank(spark: SparkSession, sfDir: String): DataFrame = {
+  def x227RangeRank(spark: SparkSession, sfDir: String): DataFrame = x227Pin.swapStaged {
     val base = Io.table(spark, sfDir, "lineitem")
       .filter(col("l_extendedprice").isNotNull)
       .select(col("l_returnflag").as("flag"), col("l_extendedprice"),
@@ -3969,16 +3953,11 @@ object ExtendedQueries {
         stableRound6(max("pr")).as("max_pct_rank"),
         stableRound6(max("cd")).as("max_cume_dist"))
       .orderBy("flag", "quartile")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize the |flags|×4-row result off the cached sort
-    ranking.release()
-    val prev = x227Pinned.getAndSet(out)
-    if (prev != null && (prev ne out)) prev.unpersist(false)
-    out
+    // the helper materializes the |flags|×4-row result off the cached sort
+    (out, () => ranking.release())
   }
 
-  private val x227Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val x227Pin = new graft.core.PinnedResult
 
   /** x228 — DYNAMIC-GAP session windows (round-9): `session_window` with a
     * PER-EVENT gap expression (view 45 min, click 30 min, else 15 min) —
@@ -4112,20 +4091,14 @@ object ExtendedQueries {
       // then release the corpus cache — callers read the tiny result pin
       // (bounded at |flags| rows), never a recompute of the raw scan;
       // the pin itself rotates (each call frees the previous call's)
-      val out = byFlag.crossJoin(broadcast(totals))
+      x231Pin.swap(byFlag.crossJoin(broadcast(totals))
         .select(col("flag"), col("n"), col("sum_qty"),
           col("sum_disc_micro"), col("n_distinct_qty"))
-        .orderBy("flag")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count()
-      val x231Prev = x231Pinned.getAndSet(out)
-      if (x231Prev != null && (x231Prev ne out)) x231Prev.unpersist(false)
-      out
+        .orderBy("flag"))
     } finally cleaned.unpersist()
   }
 
-  private val x231Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val x231Pin = new graft.core.PinnedResult
 
   /** x232 — COLUMN DEFAULT VALUES (round-9): both DEFAULT paths of the
     * schema-evolution lifecycle on one managed table — (1) INSERT-time: a
@@ -4290,7 +4263,7 @@ object ExtendedQueries {
       val cur = x225BootMemo.get(bootKey)
       if (cur != null && (cur.sparkSession eq spark) &&
           !spark.sparkContext.isStopped) cur
-      else {
+      else graft.core.MemoMeter.time("x225_boot") {
         if (cur != null) {
           x225BootMemo.remove(bootKey)
           try cur.unpersist() catch { case _: Throwable => () }

@@ -1543,6 +1543,7 @@ object LlmQueries {
         try cur._1.unpersist() catch { case _: Throwable => () }
       }
     }
+    graft.core.MemoMeter.time("x47_components") {
     val docs = Io.table(spark, sfDir, "documents")
     val edges = dupStarEdges(docs)
     // iterate over the edge-connected subgraph ONLY: singletons (the
@@ -1565,6 +1566,7 @@ object LlmQueries {
         try prev._1.unpersist() catch { case _: Throwable => () }
     }
     labelsPinned
+    }
   }
 
   def x47DedupComponents(spark: SparkSession, sfDir: String): DataFrame =
@@ -6212,6 +6214,17 @@ object LlmQueries {
     import spark2.implicits._
     val dir = X262Dir
     new java.io.File(dir).mkdirs() // driver-side; executor tasks write into it
+    // Sweep orphaned stage tmps from PRIOR runs (advice r14): a task killed
+    // mid-partition used to leak its in-flight x262_stage_*.tmp forever
+    // (the fixed dir is never otherwise cleaned). Age-gated so a
+    // hypothetical concurrent writer's live stage file is never yanked;
+    // the content-addressed finals are a pure function of the corpus and
+    // are left alone.
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("x262_stage_") &&
+        f.getName.endsWith(".tmp") &&
+        f.lastModified < System.currentTimeMillis - 3600L * 1000)
+      .foreach(f => f.delete(): Unit)
     val per = fanOut(Io.table(spark, sfDir, "documents"))
       .filter(col("text").isNotNull && col("source").isNotNull)
       .select(col("source"), col("doc_id"), col("text"))
@@ -6245,23 +6258,36 @@ object LlmQueries {
           out += ((cur, n, raw, defl))
           cur = null
         }
-        it.foreach { case (src, _, text) =>
-          if (src != cur) {
-            closeSource()
-            cur = src; n = 0L; raw = 0L; defl = 0L
-            stage = java.io.File.createTempFile("x262_stage_", ".tmp", dirF)
-            os = new java.io.BufferedOutputStream(
-              new java.io.FileOutputStream(stage))
+        // try/finally (advice r14): a throw mid-drain must still close the
+        // stream, free the native zlib state, and delete the in-flight
+        // stage file - otherwise a failed task leaks all three (the
+        // deterministic-end discipline below only covered the happy path).
+        var failed = true
+        try {
+          it.foreach { case (src, _, text) =>
+            if (src != cur) {
+              closeSource()
+              cur = src; n = 0L; raw = 0L; defl = 0L
+              stage = java.io.File.createTempFile("x262_stage_", ".tmp", dirF)
+              os = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(stage))
+            }
+            val in = text.getBytes("UTF-8")
+            d.reset(); d.setInput(in); d.finish()
+            while (!d.finished()) {
+              val m = d.deflate(buf); os.write(buf, 0, m); defl += m
+            }
+            n += 1; raw += in.length
           }
-          val in = text.getBytes("UTF-8")
-          d.reset(); d.setInput(in); d.finish()
-          while (!d.finished()) {
-            val m = d.deflate(buf); os.write(buf, 0, m); defl += m
+          closeSource()
+          failed = false
+        } finally {
+          d.end()
+          if (failed) {
+            if (os != null) { try os.close() catch { case _: Throwable => () } }
+            if (stage != null) stage.delete(): Unit
           }
-          n += 1; raw += in.length
         }
-        closeSource()
-        d.end()
         out.iterator
       }.toDF("source", "n_docs", "raw_bytes", "deflate_bytes")
     per.groupBy("source")

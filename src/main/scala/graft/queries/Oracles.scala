@@ -8793,12 +8793,13 @@ object Oracles {
       |         row_number() OVER (PARTITION BY e.e
       |           ORDER BY md5(CAST(e.e AS VARCHAR) || '|' ||
       |                        CAST(d.doc_id AS VARCHAR)), d.doc_id) AS pos
-      |  FROM documents d CROSS JOIN e),
+      |  FROM documents d CROSS JOIN e WHERE d.doc_id IS NOT NULL),
       |pairs AS (
       |  SELECT a.epoch, least(a.doc_id, b.doc_id) AS lo,
       |         greatest(a.doc_id, b.doc_id) AS hi
       |  FROM pos a JOIN pos b ON a.epoch = b.epoch AND b.pos = a.pos + 1),
-      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      |      WHERE doc_id IS NOT NULL),
       |cmp(ea, eb) AS (VALUES (0, 1), (1, 2), (0, 2)),
       |rep AS (
       |  SELECT pa.epoch AS ea, pb.epoch AS eb,

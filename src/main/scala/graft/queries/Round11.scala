@@ -378,29 +378,27 @@ object Round11Queries {
       .filter(col("n_chars").isNotNull)
       .select(col("doc_id"), col("n_chars").cast("long").as("x"))
       .withColumn("g", lit(1))
-    val ranking = graft.operators.RangeRank.rankWithinOwned(
-      d, "g", Seq("x", "doc_id"), "r")
-    val n = d.agg(count(lit(1)).as("n"))
-    val spine = spark.range(1).crossJoin(broadcast(n))
-      .select(explode(array(
-        struct(lit("q1").as("ql"), expr("(n + 3) div 4").as("t")),
-        struct(lit("q3").as("ql"), expr("(3 * n + 3) div 4").as("t")))).as("q"),
-        col("n"))
-      .select(col("q.ql").as("ql"), col("q.t").as("t"), col("n"))
-    val width = ranking.df.join(broadcast(spine), col("r") === col("t"))
-      .groupBy("n")
-      .agg(min(when(col("ql") === "q1", col("x"))).as("q1"),
-        min(when(col("ql") === "q3", col("x"))).as("q3"))
-      .select(col("n"), col("q1"), col("q3"),
-        greatest(lit(1L), floor(stableRound6(
-          lit(2.0) * (col("q3") - col("q1")).cast("double") /
-            exp(log(col("n").cast("double")) / lit(3.0))) + lit(0.5))
-          .cast("long")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    width.count()
-    ranking.release()
-    val prev = x273Pinned.getAndSet(width)
-    if (prev != null && (prev ne width)) prev.unpersist(false)
+    val width = x273Pin.swapStaged {
+      val ranking = graft.operators.RangeRank.rankWithinOwned(
+        d, "g", Seq("x", "doc_id"), "r")
+      val n = d.agg(count(lit(1)).as("n"))
+      val spine = spark.range(1).crossJoin(broadcast(n))
+        .select(explode(array(
+          struct(lit("q1").as("ql"), expr("(n + 3) div 4").as("t")),
+          struct(lit("q3").as("ql"), expr("(3 * n + 3) div 4").as("t")))).as("q"),
+          col("n"))
+        .select(col("q.ql").as("ql"), col("q.t").as("t"), col("n"))
+      val w0 = ranking.df.join(broadcast(spine), col("r") === col("t"))
+        .groupBy("n")
+        .agg(min(when(col("ql") === "q1", col("x"))).as("q1"),
+          min(when(col("ql") === "q3", col("x"))).as("q3"))
+        .select(col("n"), col("q1"), col("q3"),
+          greatest(lit(1L), floor(stableRound6(
+            lit(2.0) * (col("q3") - col("q1")).cast("double") /
+              exp(log(col("n").cast("double")) / lit(3.0))) + lit(0.5))
+            .cast("long")).as("h"))
+      (w0, () => ranking.release())
+    }
     d.crossJoin(broadcast(width))
       .withColumn("bin", expr("x div h"))
       .groupBy("bin", "h", "q1", "q3")
@@ -411,8 +409,7 @@ object Round11Queries {
       .orderBy("bin")
   }
 
-  private val x273Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val x273Pin = new graft.core.PinnedResult
 
   /** x274 — GOOD–TURING unseen mass (round-11): per source, the
     * Good–Turing estimate of the probability that the NEXT token is an
@@ -465,7 +462,7 @@ object Round11Queries {
     * aggregate joined back (AQE-sized — fingerprint multiplicities are
     * corpus-bounded), one 4-row finale.
     */
-  def x275DupByLength(spark: SparkSession, sfDir: String): DataFrame = {
+  def x275DupByLength(spark: SparkSession, sfDir: String): DataFrame = x275Pin.swapStaged {
     import ExtendedQueries.stableRound6
     val d = Io.table(spark, sfDir, "documents")
       .filter(col("text").isNotNull && col("n_chars").isNotNull)
@@ -490,16 +487,10 @@ object Round11Queries {
         stableRound6(col("n_dup").cast("double") / col("n_docs").cast("double"))
           .as("dup_rate"))
       .orderBy("quartile")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    ranking.release()
-    val prev = x275Pinned.getAndSet(out)
-    if (prev != null && (prev ne out)) prev.unpersist(false)
-    out
+    (out, () => ranking.release())
   }
 
-  private val x275Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val x275Pin = new graft.core.PinnedResult
 
   /** x276 — WEIGHTED (multiset) JACCARD between source token profiles
     * (round-11): for every source pair, J_w = Σ_w min(c_a, c_b) /
@@ -583,13 +574,9 @@ object Round11Queries {
     val top = dt.groupBy("w").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("w")).limit(50)
     val gated = dt.join(broadcast(top.select("w")), Seq("w"))
-    val edges = gated.as("a").join(gated.as("b"),
+    val edges = x277Pin.swap(gated.as("a").join(gated.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
-      .select(col("a.w").as("u"), col("b.w").as("v")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count()
-    val prev = x277Pinned.getAndSet(edges)
-    if (prev != null && (prev ne edges)) prev.unpersist(false)
+      .select(col("a.w").as("u"), col("b.w").as("v")).distinct())
     val deg = edges.select(col("u").as("x"))
       .unionAll(edges.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
@@ -609,8 +596,7 @@ object Round11Queries {
             col("n_wedges").cast("double"))).as("transitivity"))
   }
 
-  private val x277Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val x277Pin = new graft.core.PinnedResult
 
   /** x278 — AMS F₂ SKETCH vs exact second moment (round-11): 16 sign-hash
     * estimators Z_j = Σ_w s_j(w)·c_w with s_j(w) = ±1 from the parity of
@@ -723,7 +709,7 @@ object Round11Queries {
     * n/25-sized, materialized before the sort pin releases (x275's
     * ownership pattern).
     */
-  def x283SystematicSample(spark: SparkSession, sfDir: String): DataFrame = {
+  def x283SystematicSample(spark: SparkSession, sfDir: String): DataFrame = x283Pin.swapStaged {
     val d = Io.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"),
         md5(col("doc_id").cast("string")).as("h"))
@@ -734,16 +720,10 @@ object Round11Queries {
       .filter(pmod(col("r") - 1, lit(25L)) === 0)
       .select(col("r"), col("doc_id"), col("source"), col("h"))
       .orderBy("r")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    ranking.release()
-    val prev = x283Pinned.getAndSet(out)
-    if (prev != null && (prev ne out)) prev.unpersist(false)
-    out
+    (out, () => ranking.release())
   }
 
-  private val x283Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val x283Pin = new graft.core.PinnedResult
 
   /** x286 — FLEISS' KAPPA across three weak quality raters (round-11):
     * chance-corrected agreement of the length rule (n_chars ≥ 120), the

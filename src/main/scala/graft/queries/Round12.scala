@@ -511,7 +511,7 @@ object Round12Queries {
     * RangeRank over the vocab, a 10-row finale. Nothing corpus-sized
     * shuffles; rank parallelism is decoupled from the single key.
     */
-  def x311VocabLorenz(spark: SparkSession, sfDir: String): DataFrame = {
+  def x311VocabLorenz(spark: SparkSession, sfDir: String): DataFrame = x311Pin.swapStaged {
     import ExtendedQueries.stableRound6
     import org.apache.spark.sql.expressions.Window
     val vocab = fanOut(Io.table(spark, sfDir, "documents"))
@@ -535,16 +535,10 @@ object Round12Queries {
         stableRound6(col("cum_mass").cast("double") / col("n").cast("double"))
           .as("cum_share"))
       .orderBy("decile")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    ranking.release()
-    val prev = x311Pinned.getAndSet(out)
-    if (prev != null && (prev ne out)) prev.unpersist(false)
-    out
+    (out, () => ranking.release())
   }
 
-  private val x311Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val x311Pin = new graft.core.PinnedResult
 
   /** x315 — HISTOGRAM DISTANCES per source vs the corpus (round-12): the
     * Bhattacharyya coefficient BC = Σ√(p_b·q_b), Hellinger distance
@@ -1065,7 +1059,7 @@ object Round12Queries {
     * Scale shape: two-pass RangeRank + a |sources|-row boundary join
     * (broadcast) + one aggregate. No per-source single-task sort.
     */
-  def x329WinsorizedMean(spark: SparkSession, sfDir: String): DataFrame = {
+  def x329WinsorizedMean(spark: SparkSession, sfDir: String): DataFrame = x329Pin.swapStaged {
     import ExtendedQueries.stableRound6
     val d = Io.table(spark, sfDir, "documents")
       .filter(col("n_chars").isNotNull && col("source").isNotNull)
@@ -1096,16 +1090,10 @@ object Round12Queries {
         stableRound6(col("winSum").cast("double") / col("n_docs").cast("double"))
           .as("winsorized_mean"))
       .orderBy("source")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    ranking.release()
-    val prev = x329Pinned.getAndSet(out)
-    if (prev != null && (prev ne out)) prev.unpersist(false)
-    out
+    (out, () => ranking.release())
   }
 
-  private val x329Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val x329Pin = new graft.core.PinnedResult
 
   /** x330 — POISSON DISPERSION of daily event counts (round-12): the
     * index of dispersion D = Σ(c−c̄)²/c̄ = (n·Σc² − (Σc)²)/Σc (χ² with
@@ -1248,6 +1236,7 @@ object Round12Queries {
         try cur.unpersist() catch { case _: Throwable => () }
       }
     }
+    graft.core.MemoMeter.time("candJaccard") {
     graft.plans.GraftExtensions.register(spark)
     val fanned = fanOut(Io.table(spark, sfDir, "documents"))
     // Build-scoped staging pins: the native signature has NO exchange, so
@@ -1300,6 +1289,7 @@ object Round12Queries {
         try prev.unpersist() catch { case _: Throwable => () }
     }
     built
+    }
   }
 
   /** See [[candJaccard]]: 2-entry LRU keyed by (sfDir, fixture stamp);
@@ -1463,7 +1453,7 @@ object Round12Queries {
     * Scale shape: posexplode to (dim, value), two-pass RangeRank, a
     * 64-row boundary frame broadcast back, one aggregate.
     */
-  def x336EmbeddingClipBounds(spark: SparkSession, sfDir: String): DataFrame = {
+  def x336EmbeddingClipBounds(spark: SparkSession, sfDir: String): DataFrame = x336Pin.swapStaged {
     import ExtendedQueries.stableRound6
     val vals = Io.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
@@ -1487,16 +1477,10 @@ object Round12Queries {
         stableRound6(col("n_in_range").cast("double") /
           col("n_values").cast("double")).as("clip_coverage"))
       .orderBy("pos")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    ranking.release()
-    val prev = x336Pinned.getAndSet(out)
-    if (prev != null && (prev ne out)) prev.unpersist(false)
-    out
+    (out, () => ranking.release())
   }
 
-  private val x336Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val x336Pin = new graft.core.PinnedResult
 
   /** x337 — DECISION-STUMP split on document length for the language
     * label (round-12): the threshold v minimizing the weighted Gini
@@ -1615,7 +1599,7 @@ object Round12Queries {
     * Scale shape: fingerprint collapse (x269's), the two-pass rank, a
     * broadcast first-seen join, a 10-row finale.
     */
-  def x339NoveltyDecay(spark: SparkSession, sfDir: String): DataFrame = {
+  def x339NoveltyDecay(spark: SparkSession, sfDir: String): DataFrame = x339Pin.swapStaged {
     import ExtendedQueries.stableRound6
     val d = Io.table(spark, sfDir, "documents")
       .filter(col("text").isNotNull)
@@ -1637,16 +1621,10 @@ object Round12Queries {
         stableRound6(col("n_novel").cast("double") / col("n_docs").cast("double"))
           .as("novelty_rate"))
       .orderBy("decile")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    ranking.release()
-    val prev = x339Pinned.getAndSet(out)
-    if (prev != null && (prev ne out)) prev.unpersist(false)
-    out
+    (out, () => ranking.release())
   }
 
-  private val x339Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val x339Pin = new graft.core.PinnedResult
 
   /** x340 — EDIT-DISTANCE HISTOGRAM on the LSH candidates (round-12):
     * normalized Levenshtein over the banded candidate pairs in 0.1 bins
@@ -1943,7 +1921,7 @@ object Round12Queries {
     * Scale shape: vocabulary-sized throughout — one token aggregate,
     * the two-pass rank, one self equi-join on rank, a 1-row finale.
     */
-  def x346FrontCoding(spark: SparkSession, sfDir: String): DataFrame = {
+  def x346FrontCoding(spark: SparkSession, sfDir: String): DataFrame = x346Pin.swapStaged {
     import ExtendedQueries.stableRound6
     val vocab = fanOut(Io.table(spark, sfDir, "documents"))
       .filter(col("text").isNotNull)
@@ -1970,16 +1948,10 @@ object Round12Queries {
         (col("total_bytes") - col("saved_bytes")).as("coded_bytes"),
         stableRound6(col("saved_bytes").cast("double") /
           col("total_bytes").cast("double")).as("savings_ratio"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    ranking.release()
-    val prev = x346Pinned.getAndSet(out)
-    if (prev != null && (prev ne out)) prev.unpersist(false)
-    out
+    (out, () => ranking.release())
   }
 
-  private val x346Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val x346Pin = new graft.core.PinnedResult
 
   /** x347 — BURROWS' DELTA between source pairs (round-12): over the 50
     * highest-frequency corpus words, z-score each source's relative

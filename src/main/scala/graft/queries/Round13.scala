@@ -421,10 +421,10 @@ object Round13Queries {
     * runs behind an ANN candidate generator (the x56b composition).
     */
   def x354Lof(spark: SparkSession, sfDir: String): DataFrame =
-    // the whole build + pin rotation is serialized (verdict r13 #2): two
-    // concurrent invocations would otherwise race x354Pinned's swap and
-    // unpersist the frame a concurrent reader is still consuming
-    x354Lock.synchronized {
+    // whole build + pin rotation serialized by PinnedResult (verdict r13
+    // #2 / r14 #3): the helper owns the persist -> force -> staging-release
+    // -> rotate order, one locked implementation for every rotating pin
+    x354Pin.swapStaged {
     import ExtendedQueries.stableRound6
     graft.plans.GraftExtensions.register(spark)
     val k = 3
@@ -497,17 +497,10 @@ object Round13Queries {
         stableRound6(col("lrd_a")).as("lrd"),
         stableRound6(col("ratio_sum").cast("double") / k.toDouble).as("lof"))
       .orderBy("vec_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    Seq(qknn, h1knn, lrd).foreach(_.unpersist(false))
-    val prev = x354Pinned.getAndSet(out)
-    if (prev != null && (prev ne out)) prev.unpersist(false)
-    out
+    (out, () => Seq(qknn, h1knn, lrd).foreach(_.unpersist(false)))
   }
 
-  private val x354Lock = new Object
-  private val x354Pinned =
-    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+  private val x354Pin = new graft.core.PinnedResult
 
   /** x355 — SPLIT-CONFORMAL calibration audit (round-13; Vovk et al.;
     * Angelopoulos & Bates 2021 tutorial form): the distribution-free

@@ -40,9 +40,14 @@ object Round14Queries {
     * for its six consumers and released after the 3-row result is
     * forced (the x339 discipline).
     */
-  def x356EpochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+  def x356EpochShuffle(spark: SparkSession, sfDir: String): DataFrame = x356Pin.swapStaged {
     import ExtendedQueries.stableRound6
-    val docs = Io.table(spark, sfDir, "documents").select(col("doc_id"))
+    // doc_id IS NOT NULL pinned on BOTH engines (advice r14): a null id
+    // would make the md5 sort key null, which Spark orders NULLS FIRST but
+    // DuckDB's row_number ORDER BY defaults NULLS LAST - a silent
+    // permutation desync on a fixture drift the fixture stamp can't see.
+    val docs = Io.table(spark, sfDir, "documents")
+      .filter(col("doc_id").isNotNull).select(col("doc_id"))
     val epochs = Seq(0L, 1L, 2L)
     val keyed = docs.select(col("doc_id"), explode(array(epochs.map(e =>
         struct(lit(e).as("epoch"),
@@ -72,17 +77,10 @@ object Round14Queries {
         stableRound6(col("n_repeat").cast("double") /
           (col("n_docs") - 1).cast("double")).as("repeat_rate"))
       .orderBy("epoch_a", "epoch_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    pairs.unpersist(false)
-    ranking.release()
-    val prev = x356Pinned.getAndSet(out)
-    if (prev != null && (prev ne out)) prev.unpersist(false)
-    out
+    (out, () => { pairs.unpersist(false); ranking.release() })
   }
 
-  private val x356Pinned =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val x356Pin = new graft.core.PinnedResult
 
   /** x357 — PACKED-SEQUENCE attention CONTAMINATION: GPT-style stream
     * packing (documents concatenated in doc_id order, cut into 256-token
