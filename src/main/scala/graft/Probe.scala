@@ -411,6 +411,25 @@ object Probe {
       }
     }
 
+    // round-15 members: x359 is corpus-DOC-linear (the shared x357
+    // prefix-sum fold + one 4-way explode aggregate — no token explode);
+    // x360 is token-linear with COLLAPSE-FIRST gram sides (the
+    // dup-saturated decades share 8-grams, so the train-distinct frame
+    // stays near base-vocabulary-sized at any dup factor); x361 is one
+    // scan + a hash-collapsed count-product join (the x269 rule — pair
+    // counts come out as products, never materialized pairs).
+    for (dir <- Seq(sfDir, tenDir, hundredDir)) {
+      run("x359_pack_frontier", dir) {
+        (consumed(queries.Round15Queries.x359PackFrontier(spark, dir)), Nil)
+      }
+      run("x360_decontamination", dir) {
+        (consumed(queries.Round15Queries.x360Decontamination(spark, dir)), Nil)
+      }
+      run("x361_fragment_stitch", dir) {
+        (consumed(queries.Round15Queries.x361FragmentStitch(spark, dir)), Nil)
+      }
+    }
+
     // x356 under PIN CONTENTION (verdict r14 #7): x356 pins a corpus×3
     // ranked frame plus its adjacency pairs while it builds; x354 pins
     // its kNN rings. The isolated 100× rows above never exercise the two

@@ -8914,10 +8914,115 @@ object Oracles {
       |             * 1000000 + 0.5) / 1000000 AS switch_rate
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  // x359: the same stream-concat prefix sum as x357's oracle (one
+  // cumulative window in doc_id order — DuckDB is single-node, the
+  // bucketed distributed form is the engine's concern), the closed-form
+  // fragment count per (doc, B) — integer // division both engines —
+  // and the 4-value frontier via a VALUES cross join.
+  val x359: String =
+    """WITH docs AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      |  FROM documents WHERE text IS NOT NULL),
+      |starts AS (
+      |  SELECT doc_id, len,
+      |         CAST(coalesce(sum(len) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS s0
+      |  FROM docs),
+      |b(b) AS (VALUES (64), (128), (256), (512)),
+      |per AS (
+      |  SELECT CAST(b.b AS BIGINT) AS b, s.len,
+      |         ((s.s0 + s.len - 1) // b.b) - (s.s0 // b.b) + 1 AS frags
+      |  FROM starts s CROSS JOIN b)
+      |SELECT b AS block_size, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(len) AS BIGINT) AS total_tokens,
+      |       (CAST(sum(len) AS BIGINT) + b - 1) // b AS n_blocks,
+      |       CAST(sum(CASE WHEN frags > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_split_docs,
+      |       CAST(sum(frags) AS BIGINT) AS total_fragments,
+      |       floor(CAST(sum(CASE WHEN frags > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |         AS split_rate,
+      |       floor(CAST(sum(frags) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS frag_avg
+      |FROM per GROUP BY b ORDER BY block_size""".stripMargin
+
+  // x360: identical md5 split (lowercase-hex md5 of the identical
+  // "dc:<doc_id>" string), per-doc-DISTINCT 8-gram hashes via the
+  // bounded grid + ON i <= len-7 (the x357 rule: range() rejects
+  // correlated bounds; a doc past 4102 tokens would DROP grams here and
+  // fail the hash loudly, never agree silently), train side collapsed
+  // to DISTINCT hashes before the probe join.
+  val x360: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t,
+      |         substr(md5('dc:' || CAST(doc_id AS VARCHAR)), 1, 1)
+      |           IN ('0', '1', '2') AS is_test
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND source IS NOT NULL
+      |    AND len(string_split(text, ' ')) >= 8),
+      |g AS (
+      |  SELECT DISTINCT doc_id, source, is_test,
+      |         md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+      |  FROM toks JOIN range(1, 4096) r(i) ON r.i <= len(t) - 7),
+      |tr AS (SELECT DISTINCT h FROM g WHERE NOT is_test),
+      |pd AS (
+      |  SELECT te.source, te.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |         CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_hit
+      |  FROM (SELECT doc_id, source, h FROM g WHERE is_test) te
+      |  LEFT JOIN tr ON te.h = tr.h
+      |  GROUP BY 1, 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_test_docs,
+      |       CAST(sum(n_grams) AS BIGINT) AS n_test_grams,
+      |       CAST(sum(n_hit) AS BIGINT) AS n_hit_grams,
+      |       CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_contaminated_docs,
+      |       floor(CAST(sum(n_hit) AS DOUBLE) / CAST(sum(n_grams) AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS gram_hit_rate,
+      |       floor(CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |         AS doc_contamination_rate
+      |FROM pd GROUP BY source ORDER BY source""".stripMargin
+
+  // x361: identical 4-token prefix/suffix md5 (1-based inclusive
+  // list_slice == Spark's slice), both sides collapsed to (hash,
+  // source, count) before the join so pair counts are exact products;
+  // the diagonal subtracts docs whose own prefix == own suffix.
+  val x361: String =
+    """WITH pp AS (
+      |  SELECT doc_id, source,
+      |         md5(array_to_string(list_slice(t, 1, 4), ' ')) AS ph,
+      |         md5(array_to_string(list_slice(t, len(t) - 3, len(t)), ' '))
+      |           AS sh
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+      |        FROM documents
+      |        WHERE text IS NOT NULL AND source IS NOT NULL) d
+      |  WHERE len(t) >= 5),
+      |s AS (SELECT sh AS h, source AS src_a, CAST(count(*) AS BIGINT) AS s_cnt
+      |      FROM pp GROUP BY 1, 2),
+      |p AS (SELECT ph AS h, source AS src_b, CAST(count(*) AS BIGINT) AS p_cnt
+      |      FROM pp GROUP BY 1, 2),
+      |raw AS (SELECT src_a, src_b, CAST(sum(s_cnt * p_cnt) AS BIGINT)
+      |          AS raw_pairs
+      |        FROM s JOIN p USING (h) GROUP BY 1, 2),
+      |slf AS (SELECT source, CAST(count(*) AS BIGINT) AS self_cnt
+      |        FROM pp WHERE ph = sh GROUP BY 1)
+      |SELECT src_a, src_b,
+      |       raw_pairs - CASE WHEN src_a = src_b THEN coalesce(self_cnt, 0)
+      |                        ELSE 0 END AS n_stitch_pairs
+      |FROM raw LEFT JOIN slf ON src_a = source
+      |WHERE raw_pairs - CASE WHEN src_a = src_b THEN coalesce(self_cnt, 0)
+      |                       ELSE 0 END > 0
+      |ORDER BY src_a, src_b""".stripMargin
+
   val r14Group: Map[String, String] = Map(
     "x356_epoch_shuffle"       -> x356,
     "x357_pack_contamination"  -> x357,
-    "x358_code_switch"         -> x358)
+    "x358_code_switch"         -> x358,
+    "x359_pack_frontier"       -> x359,
+    "x360_decontamination"     -> x360,
+    "x361_fragment_stitch"     -> x361)
 
   val r12Group: Map[String, String] = Map(
     "x346_front_coding"       -> x346,

@@ -110,21 +110,7 @@ object Round14Queries {
     */
   def x357PackContamination(spark: SparkSession, sfDir: String): DataFrame = {
     import ExtendedQueries.stableRound6
-    val docs = Io.table(spark, sfDir, "documents")
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("len"))
-    val bucketed = docs.withColumn("bkt", expr("doc_id div 1000"))
-    val wB = Window.orderBy("bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bktOffsets = bucketed.groupBy("bkt").agg(sum("len").as("blen"))
-      .select(col("bkt"), coalesce(sum("blen").over(wB), lit(0L)).as("boff"))
-    val wD = Window.partitionBy("bkt").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val starts = bucketed.join(broadcast(bktOffsets), "bkt")
-      .select(col("doc_id"), col("len"),
-        (col("boff") + coalesce(sum("len").over(wD), lit(0L))).as("s0"))
-    val tok = starts
+    val tok = docStartOffsets(spark, sfDir)
       .select(col("s0"), explode(expr("sequence(0, len - 1)")).as("t"))
       .select(col("s0"), (col("s0") + col("t")).as("g"))
       .withColumn("b", expr("(g div 256) * 256"))
@@ -144,6 +130,33 @@ object Round14Queries {
         stableRound6(col("r.crs").cast("double") / col("r.att").cast("double"))
           .as("contamination"))
       .orderBy("w")
+  }
+
+  /** Document start offsets (doc_id, len, s0) in the doc_id-ordered
+    * stream-concat token stream — the EXACT distributed prefix sum
+    * x357 and x359 both pack over (one shared fold, so the packing
+    * model cannot drift between the contamination and frontier audits):
+    * per-bucket (doc_id div 1000) length sums, ONE metadata-sized
+    * cumulative window over the bucket frame, then a within-bucket
+    * window (parallel across buckets; bucket width is the knob that
+    * keeps the bucket frame metadata-sized at larger corpora).
+    */
+  private[queries] def docStartOffsets(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = Io.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+    val bucketed = docs.withColumn("bkt", expr("doc_id div 1000"))
+    val wB = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktOffsets = bucketed.groupBy("bkt").agg(sum("len").as("blen"))
+      .select(col("bkt"), coalesce(sum("blen").over(wB), lit(0L)).as("boff"))
+    val wD = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(bktOffsets), "bkt")
+      .select(col("doc_id"), col("len"),
+        (col("boff") + coalesce(sum("len").over(wD), lit(0L))).as("s0"))
   }
 
   /** x358 — CODE-SWITCHING audit: x15's bigram language classifier run
