@@ -428,6 +428,16 @@ object Probe {
       run("x361_fragment_stitch", dir) {
         (consumed(queries.Round15Queries.x361FragmentStitch(spark, dir)), Nil)
       }
+      // x362: token explode + one doc-keyed 3-lag window + one
+      // (doc,p)-keyed island window — corpus-token-linear, x358's class
+      run("x362_repetition_loop", dir) {
+        (consumed(queries.Round15Queries.x362RepetitionLoop(spark, dir)), Nil)
+      }
+      // x363: the closed-form anisotropy — corpus×64 coordinate rows into
+      // three map-combining aggregates; the N²/2 cosine pairs never exist
+      run("x363_anisotropy", dir) {
+        (consumed(queries.Round15Queries.x363Anisotropy(spark, dir)), Nil)
+      }
     }
 
     // x356 under PIN CONTENTION (verdict r14 #7): x356 pins a corpus×3

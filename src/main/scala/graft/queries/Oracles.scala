@@ -9016,13 +9016,105 @@ object Oracles {
       |                       ELSE 0 END > 0
       |ORDER BY src_a, src_b""".stripMargin
 
+  // x362: identical gaps-and-islands — the flag's CASE ELSE 0 makes a
+  // null lag non-flagged (Spark's null-filtered ===); islands via
+  // pos − row_number per (doc, p); repeats = r // p + 1 exactly; the
+  // |sources|×3 spine closes repeat-free groups; max_repeats floors
+  // at 1 on both engines. Bounded grid + ON i <= len (the x357 rule).
+  val x362: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, i AS pos, t[i] AS w
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+      |        FROM documents
+      |        WHERE text IS NOT NULL AND source IS NOT NULL) d
+      |  JOIN range(1, 4096) r(i) ON r.i <= len(t)),
+      |fl AS (
+      |  SELECT doc_id, source, pos, p.p,
+      |         CASE WHEN lag(w, p.p) OVER (PARTITION BY doc_id, p.p
+      |                ORDER BY pos) = w THEN 1 ELSE 0 END AS f
+      |  FROM tok CROSS JOIN (VALUES (1), (2), (3)) p(p)),
+      |grps AS (
+      |  SELECT doc_id, source, p,
+      |         pos - row_number() OVER (PARTITION BY doc_id, p
+      |           ORDER BY pos) AS grp
+      |  FROM fl WHERE f = 1),
+      |runs AS (
+      |  SELECT doc_id, source, p, grp, CAST(count(*) AS BIGINT) AS r
+      |  FROM grps GROUP BY 1, 2, 3, 4),
+      |docmax AS (
+      |  SELECT doc_id, source, p, max(r // p + 1) AS max_rep
+      |  FROM runs GROUP BY 1, 2, 3),
+      |tot AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+      |  GROUP BY 1)
+      |SELECT t.source, CAST(pr.p AS BIGINT) AS p, t.n_docs,
+      |       CAST(coalesce(sum(CASE WHEN d.max_rep >= 2 THEN 1 END), 0)
+      |         AS BIGINT) AS n_repeating,
+      |       CAST(coalesce(sum(CASE WHEN d.max_rep >= 4 THEN 1 END), 0)
+      |         AS BIGINT) AS n_looping,
+      |       CAST(greatest(coalesce(max(d.max_rep), 1), 1) AS BIGINT)
+      |         AS max_repeats,
+      |       floor(CAST(coalesce(sum(CASE WHEN d.max_rep >= 2 THEN 1 END), 0)
+      |               AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+      |             * 1000000 + 0.5) / 1000000 AS repeating_rate
+      |FROM tot t CROSS JOIN (VALUES (1), (2), (3)) pr(p)
+      |LEFT JOIN docmax d ON d.source = t.source AND d.p = pr.p
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+
+  // x363: identical micro-integer normalization chain (floor-rounded
+  // micro norm, round6 DECIMAL(18,6) coordinates), all quadratic sums
+  // in exact DECIMAL; the bounded 64-dim grid replaces unnest WITH
+  // ORDINALITY for the same 1-based dim key as Spark's posexplode+1.
+  val x363: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+      |                AS BIGINT)) AS xm
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      |nrm AS (
+      |  SELECT vec_id, label, xm,
+      |         floor(sqrt(CAST(list_sum(list_transform(xm, v -> v * v))
+      |               AS DOUBLE)) + 0.5) / 1000000 AS nr
+      |  FROM base),
+      |unit AS (
+      |  SELECT vec_id, label, u.d AS dim,
+      |         CAST(floor((CAST(xm[d] AS DOUBLE) / 1000000) / nr
+      |                * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS v
+      |  FROM nrm JOIN range(1, 65) u(d) ON u.d <= len(xm)
+      |  WHERE nr > 0),
+      |qn AS (
+      |  SELECT label, CAST(sum(q) AS DOUBLE) AS qq,
+      |         CAST(count(*) AS BIGINT) AS n_vecs
+      |  FROM (SELECT label, vec_id,
+      |          sum(CAST(v * v AS DECIMAL(38,12))) AS q
+      |        FROM unit GROUP BY 1, 2) pv
+      |  GROUP BY 1),
+      |s2 AS (
+      |  SELECT label, CAST(sum(CAST(s * s AS DECIMAL(38,12))) AS DOUBLE)
+      |           AS s2
+      |  FROM (SELECT label, dim, CAST(sum(v) AS DECIMAL(18,6)) AS s
+      |        FROM unit GROUP BY 1, 2) d
+      |  GROUP BY 1)
+      |SELECT s2.label, qn.n_vecs,
+      |       floor((s2.s2 - qn.qq) / (CAST(qn.n_vecs AS DOUBLE)
+      |             * CAST(qn.n_vecs - 1 AS DOUBLE)) * 1000000 + 0.5)
+      |         / 1000000 AS mean_cos
+      |FROM s2 JOIN qn ON s2.label = qn.label
+      |WHERE qn.n_vecs > 1
+      |ORDER BY s2.label""".stripMargin
+
   val r14Group: Map[String, String] = Map(
     "x356_epoch_shuffle"       -> x356,
     "x357_pack_contamination"  -> x357,
     "x358_code_switch"         -> x358,
     "x359_pack_frontier"       -> x359,
     "x360_decontamination"     -> x360,
-    "x361_fragment_stitch"     -> x361)
+    "x361_fragment_stitch"     -> x361,
+    "x362_repetition_loop"     -> x362,
+    "x363_anisotropy"          -> x363)
 
   val r12Group: Map[String, String] = Map(
     "x346_front_coding"       -> x346,

@@ -118,6 +118,131 @@ object Round15Queries {
       .orderBy("source")
   }
 
+  /** x362 — REPETITION-LOOP audit: per (source, period p ∈ {1,2,3}),
+    * documents whose text contains a CONSECUTIVELY repeated p-gram —
+    * max repeats, docs with ≥2 repeats, docs with ≥4 (the degenerate
+    * "looping text" the neural-degeneration literature documents and
+    * every production quality gate screens for: "the the the",
+    * "very good very good …"). The WITHIN-doc repetition signal the
+    * family lacked — x131 finds spans shared ACROSS docs, x345/x16
+    * score character/length statistics; a looping doc passes both.
+    *
+    * Exactness: pure gaps-and-islands integer combinatorics — a maximal
+    * run of r consecutive positions with tok[i] == tok[i−p] means the
+    * p-gram repeats exactly r div p + 1 times (r < p ⇒ 1 = no full
+    * repeat; both engines run the identical formula); one round6
+    * division per row. max_repeats floors at 1 (a repeat-free source
+    * reads 1, not 0 — "appears once").
+    *
+    * Scale shape: one token explode; ONE doc-keyed window pass computes
+    * all three lags; the island row_number rides a (doc_id, p)-keyed
+    * window (data-cardinality keys parallelize — x358's rule); two
+    * map-combining aggregates; a |sources|×3 spine left-join closes
+    * repeat-free groups. Corpus-token-linear, no joins on token rows.
+    */
+  def x362RepetitionLoop(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    import org.apache.spark.sql.expressions.Window
+    val docs = LlmQueries.fanOut(Io.table(spark, sfDir, "documents"))
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+    val tok = docs.select(col("doc_id"), col("source"),
+      posexplode(col("toks")).as(Seq("pos0", "w")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos0")
+    val fl = tok
+      .select(col("doc_id"), col("source"), col("pos0"), col("w"),
+        lag("w", 1).over(wDoc).as("l1"), lag("w", 2).over(wDoc).as("l2"),
+        lag("w", 3).over(wDoc).as("l3"))
+      .select(col("doc_id"), col("source"), col("pos0"),
+        explode(array(
+          struct(lit(1L).as("p"), (col("w") === col("l1")).as("f")),
+          struct(lit(2L).as("p"), (col("w") === col("l2")).as("f")),
+          struct(lit(3L).as("p"), (col("w") === col("l3")).as("f")))).as("x"))
+      .select(col("doc_id"), col("source"), col("pos0"),
+        col("x.p").as("p"), col("x.f").as("f"))
+      .filter(col("f")) // null lag → null === → filtered, the oracle's ELSE 0
+    val wp = Window.partitionBy("doc_id", "p").orderBy("pos0")
+    val docmax = fl.withColumn("grp", col("pos0") - row_number().over(wp))
+      .groupBy("doc_id", "source", "p", "grp")
+      .agg(count(lit(1)).as("r"))
+      .groupBy("doc_id", "source", "p")
+      .agg(max(expr("r div p + 1")).as("max_rep"))
+    val spine = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("p"))
+    spine.join(docmax, Seq("source", "p"), "left")
+      .groupBy("source", "p", "n_docs")
+      .agg(sum((col("max_rep") >= 2).cast("long")).as("nr0"),
+        sum((col("max_rep") >= 4).cast("long")).as("nl0"),
+        max("max_rep").as("mr0"))
+      .select(col("source"), col("p"), col("n_docs"),
+        coalesce(col("nr0"), lit(0L)).as("n_repeating"),
+        coalesce(col("nl0"), lit(0L)).as("n_looping"),
+        greatest(coalesce(col("mr0"), lit(1L)), lit(1L)).as("max_repeats"),
+        stableRound6(coalesce(col("nr0"), lit(0L)).cast("double") /
+          col("n_docs").cast("double")).as("repeating_rate"))
+      .orderBy("source", "p")
+  }
+
+  /** x363 — embedding ANISOTROPY (representation-collapse) audit: per
+    * label, the mean pairwise cosine similarity of the unit-normalized
+    * embeddings — THE published collapse metric (Ethayarajh 2019: an
+    * isotropic space reads ≈0, a collapsed cone reads →1; a corpus whose
+    * embeddings collapse makes every cosine-based stage — x11 top-k,
+    * x28/x59 semantic dedup, x49 ANN — discriminate on noise). Exact in
+    * ONE pass, no pair ever materializes: Σ_{i≠j} x̂ᵢ·x̂ⱼ =
+    * ‖Σx̂‖² − Σ‖x̂ᵢ‖² — the same collapse-the-quadratic discipline as
+    * x269/x361, applied to the inner-product sum.
+    *
+    * Exactness: xm = floor(x·1e6+0.5) exact longs; ‖x‖ =
+    * floor(sqrt(Σxm²)+0.5)/1e6 (sqrt of an exact long — one IEEE op);
+    * each coordinate v = round6((xm/1e6)/‖x‖) CAST DECIMAL(18,6); all
+    * three quadratic sums (per-vector Σv², per-dim Σv, Σ(per-dim)²) are
+    * exact DECIMAL arithmetic — order-free, so distribution cannot move
+    * them; ONE double division + round6 per output row. Zero-norm
+    * vectors are excluded on both engines (no unit direction exists).
+    *
+    * Scale shape: one corpus scan → posexplode to corpus×64 coordinate
+    * rows → three map-combining aggregates keyed by (label,vec)/
+    * (label,dim)/(label); the label-keyed finale joins metadata-sized
+    * frames. Corpus-linear; the closed form replaces the N²/2 cosine
+    * pairs a naive audit would shuffle.
+    */
+  def x363Anisotropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import ExtendedQueries.stableRound6
+    val base = Io.table(spark, sfDir, "embeddings")
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))")
+          .as("xm"))
+    val unit = base
+      .select(col("vec_id"), col("label"), col("xm"),
+        (floor(sqrt(expr("aggregate(xm, 0L, (a, v) -> a + v * v)")
+          .cast("double")) + 0.5) / 1e6).as("nr"))
+      .filter(col("nr") > 0)
+      .select(col("vec_id"), col("label"), col("nr"),
+        posexplode(col("xm")).as(Seq("d0", "xmd")))
+      .select(col("vec_id"), col("label"), (col("d0") + 1).as("dim"),
+        stableRound6((col("xmd").cast("double") / 1e6) / col("nr"))
+          .cast("decimal(18,6)").as("v"))
+    val qn = unit.groupBy("label", "vec_id")
+      .agg(sum((col("v") * col("v")).cast("decimal(38,12)")).as("q"))
+      .groupBy("label")
+      .agg(sum("q").cast("double").as("qq"), count(lit(1)).as("n_vecs"))
+    val s2 = unit.groupBy("label", "dim")
+      .agg(sum(col("v")).cast("decimal(18,6)").as("s"))
+      .groupBy("label")
+      .agg(sum((col("s") * col("s")).cast("decimal(38,12)"))
+        .cast("double").as("s2"))
+    s2.join(qn, "label")
+      .filter(col("n_vecs") > 1)
+      .select(col("label"), col("n_vecs"),
+        stableRound6((col("s2") - col("qq")) /
+          (col("n_vecs").cast("double") * (col("n_vecs") - 1).cast("double")))
+          .as("mean_cos"))
+      .orderBy("label")
+  }
+
   /** x361 — cross-document FRAGMENT-STITCH audit: documents whose
     * 4-token SUFFIX equals another document's 4-token PREFIX — the
     * pagination/truncation signal (a crawl that split articles across

@@ -96,6 +96,86 @@ class Round15Spec extends SparkSpec {
     assert(got === Seq(("sA", "sB", 1L)))
   }
 
+  test("x362: planted loops land exact repeat counts per period") {
+    // synthetic: p=1 run ("x x x x" → 4), p=2 loop ("a b a b a b" → 3),
+    // p=3 loop ("u v w u v w u v w" → 3 — and its p=1/p=2 views show no
+    // repeat), a repeat-free doc, and the r<p edge ("a b a" → 1 single
+    // match at p=2, NOT a full bigram repeat)
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "sA", "x x x x q"),
+      (2L, "sA", "a b a b a b"),
+      (3L, "sB", "u v w u v w u v w"),
+      (4L, "sB", "m n o k"),
+      (5L, "sC", "a b a"))
+    val dir = java.nio.file.Files.createTempDirectory("x362spec").toString
+    rows.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Round15Queries.x362RepetitionLoop(spark, dir)
+      .select("source", "p", "n_docs", "n_repeating", "n_looping", "max_repeats")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val expected = Seq(
+      ("sA", 1L, 2L, 1L, 1L, 4L),  // "x x x x": run 3 at p=1 → 4 repeats
+      // p=2: doc2 "a b a b a b" run 4 → 3; doc1 "x x x x" ALSO repeats
+      // its 2-gram (run 2 → 2) — both docs count as repeating
+      ("sA", 2L, 2L, 2L, 0L, 3L),
+      ("sA", 3L, 2L, 0L, 0L, 1L),
+      ("sB", 1L, 2L, 0L, 0L, 1L),
+      ("sB", 2L, 2L, 0L, 0L, 1L),
+      ("sB", 3L, 2L, 1L, 0L, 3L),  // run 6 at p=3 → 3 repeats
+      ("sC", 1L, 1L, 0L, 0L, 1L),
+      ("sC", 2L, 1L, 0L, 0L, 1L),  // "a b a": r=1 < p=2 → 1, not repeating
+      ("sC", 3L, 1L, 0L, 0L, 1L))
+    assert(got === expected)
+  }
+
+  test("x363: a collapsed cone reads ~1, an orthogonal basis reads ~0, fixture matches JVM") {
+    import spark.implicits._
+    // label 0: 4 copies of one direction → every pairwise cosine 1;
+    // label 1: 4 orthogonal basis vectors → every pairwise cosine 0
+    val dim = 8
+    def basis(i: Int) = Array.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)
+    val same = Array.tabulate(dim)(j => (j + 1).toFloat)
+    val rows =
+      (0 until 4).map(i => (i.toLong, same, 0)) ++
+      (0 until 4).map(i => ((i + 10).toLong, basis(i), 1))
+    val dir = java.nio.file.Files.createTempDirectory("x363spec").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Round15Queries.x363Anisotropy(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(t => (t._1, t._2)) === Seq((0L, 4L), (1L, 4L)))
+    assert(math.abs(got(0)._3 - 1.0) < 1e-4, s"collapsed cone: ${got(0)._3}")
+    assert(math.abs(got(1)._3) < 1e-6, s"orthogonal basis: ${got(1)._3}")
+
+    // fixture: exact JVM recompute of the closed form
+    val sf0 = sf
+    assume(new java.io.File(s"$sf0/embeddings.parquet").exists())
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val fix = graft.core.Io.table(spark, sf0, "embeddings")
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .select(col("label").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val byLabel = fix.groupBy(_._1)
+    val expected = byLabel.view.mapValues { vs =>
+      val units = vs.map(_._2).flatMap { e =>
+        val xm = e.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+        val nr = math.floor(math.sqrt(xm.map(v => v * v).sum.toDouble) + 0.5) / 1e6
+        if (nr > 0) Some(xm.map(v => BigDecimal(r6((v / 1e6) / nr))
+          .setScale(6))) else None
+      }
+      val n = units.size
+      val qq = units.map(_.map(v => v * v).sum).sum.toDouble
+      val dims = units.head.indices.map(d => units.map(_(d)).sum)
+      val s2 = dims.map(s => s * s).sum.toDouble
+      (n.toLong, r6((s2 - qq) / (n.toDouble * (n - 1).toDouble)))
+    }.toMap
+    val gotFix = Round15Queries.x363Anisotropy(spark, sf0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(gotFix === expected.filter(_._2._1 > 1))
+  }
+
   test("x361: fixture cells match a JVM recompute of the count products") {
     assume(haveFixture)
     val docs = fixtureTokens.filter(_._3.length >= 5)
