@@ -438,6 +438,10 @@ object Probe {
       run("x363_anisotropy", dir) {
         (consumed(queries.Round15Queries.x363Anisotropy(spark, dir)), Nil)
       }
+      // x364: RangeRank two-pass source-keyed ranking + one aggregate
+      run("x364_length_gini", dir) {
+        (consumed(queries.Round15Queries.x364LengthGini(spark, dir)), Nil)
+      }
     }
 
     // x356 under PIN CONTENTION (verdict r14 #7): x356 pins a corpus×3

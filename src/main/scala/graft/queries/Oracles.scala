@@ -9106,6 +9106,31 @@ object Oracles {
       |WHERE qn.n_vecs > 1
       |ORDER BY s2.label""".stripMargin
 
+  // x364: identical sorted-rank Gini — row_number over the identical
+  // (len, doc_id) total order per source, exact integer numerator and
+  // denominator, one rounded division.
+  val x364: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND source IS NOT NULL),
+      |r AS (
+      |  SELECT source, len,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY len, doc_id) AS rn
+      |  FROM d),
+      |a AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(len) AS BIGINT) AS tot,
+      |         CAST(sum(rn * len) AS BIGINT) AS s1
+      |  FROM r GROUP BY 1)
+      |SELECT source, n AS n_docs, tot AS total_tokens,
+      |       floor(CAST(2 * s1 - (n + 1) * tot AS DOUBLE)
+      |             / CAST(n * tot AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |         AS gini
+      |FROM a WHERE tot > 0 ORDER BY source""".stripMargin
+
   val r14Group: Map[String, String] = Map(
     "x356_epoch_shuffle"       -> x356,
     "x357_pack_contamination"  -> x357,
@@ -9114,7 +9139,8 @@ object Oracles {
     "x360_decontamination"     -> x360,
     "x361_fragment_stitch"     -> x361,
     "x362_repetition_loop"     -> x362,
-    "x363_anisotropy"          -> x363)
+    "x363_anisotropy"          -> x363,
+    "x364_length_gini"         -> x364)
 
   val r12Group: Map[String, String] = Map(
     "x346_front_coding"       -> x346,

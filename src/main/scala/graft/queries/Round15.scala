@@ -295,4 +295,45 @@ object Round15Queries {
       .filter(col("n_stitch_pairs") > 0)
       .orderBy("src_a", "src_b")
   }
+
+  /** x364 — token-budget GINI per source: the Gini coefficient of the
+    * per-document token-length distribution — the length-SKEW audit
+    * that drives packing/batch-sizing decisions (a high-Gini source
+    * concentrates its token budget in a few long docs, so fixed-size
+    * packing bins fill unevenly and per-doc sampling misprices tokens);
+    * x273 histograms lengths and x311 draws the Lorenz curve of VOCAB
+    * mass — this is the doc-level concentration scalar per source.
+    *
+    * Exactness: sorted-rank identity G = (2·Σ r·xᵣ − (n+1)·Σx)/(n·Σx)
+    * with ranks from a TOTAL order (len, doc_id) — the numerator and
+    * denominator are exact integers, ONE round6 division per row.
+    *
+    * Scale shape: ranks ride [[graft.operators.RangeRank]] keyed by
+    * source (the low-cardinality-key contract — a plain window would
+    * sort each source's docs in ONE task), then one map-combining
+    * aggregate; |sources| output rows. The ranked frame is built,
+    * forced, and its sort pin released through [[graft.core.PinnedResult]].
+    */
+  def x364LengthGini(spark: SparkSession, sfDir: String): DataFrame =
+    x364Pin.swapStaged {
+      import ExtendedQueries.stableRound6
+      val d = Io.table(spark, sfDir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("len"))
+      val ranking = graft.operators.RangeRank.rankWithinOwned(
+        d, "source", Seq("len", "doc_id"), "rn")
+      val out = ranking.df.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("len").as("total_tokens"),
+          sum(col("rn") * col("len")).as("s1"))
+        .filter(col("total_tokens") > 0)
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          stableRound6((lit(2L) * col("s1") -
+            (col("n_docs") + 1) * col("total_tokens")).cast("double") /
+            (col("n_docs") * col("total_tokens")).cast("double")).as("gini"))
+        .orderBy("source")
+      (out, () => ranking.release())
+    }
+
+  private val x364Pin = new graft.core.PinnedResult
 }

@@ -176,6 +176,38 @@ class Round15Spec extends SparkSpec {
     assert(gotFix === expected.filter(_._2._1 > 1))
   }
 
+  test("x364: Gini is 0 for equal lengths, exact for a planted skew, fixture matches JVM") {
+    import spark.implicits._
+    // sE: all equal lengths → gini 0; sS: lengths 1,1,1,7 →
+    // sorted ranks (1,2,3)·1 + 4·7 = 34, n=4, tot=10:
+    // (2·34 − 5·10)/(4·10) = 18/40 = 0.45
+    val rows = Seq(
+      (1L, "sE", "a b c"), (2L, "sE", "d e f"), (3L, "sE", "g h i"),
+      (4L, "sS", "a"), (5L, "sS", "b"), (6L, "sS", "c"),
+      (7L, "sS", "w w w w w w w"))
+    val dir = java.nio.file.Files.createTempDirectory("x364spec").toString
+    rows.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Round15Queries.x364LengthGini(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq(("sE", 3L, 9L, 0.0), ("sS", 4L, 10L, 0.45)))
+
+    assume(haveFixture)
+    val fix = fixtureTokens.map(d => (d._2, d._3.length.toLong))
+    val expected = fix.groupBy(_._1).view.mapValues { xs =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.size.toLong; val tot = sorted.sum
+      val s1 = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      (n, tot, math.floor((2.0 * s1 - (n + 1) * tot) / (n.toDouble * tot)
+        * 1e6 + 0.5) / 1e6)
+    }.toMap
+    val gotFix = Round15Queries.x364LengthGini(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(gotFix === expected)
+  }
+
   test("x361: fixture cells match a JVM recompute of the count products") {
     assume(haveFixture)
     val docs = fixtureTokens.filter(_._3.length >= 5)
