@@ -4853,6 +4853,18 @@ object LlmQueries {
     * Scale shape: all metric arithmetic runs on x111's ≤40-row fused
     * frame — corpus cost IS x111's (two linear retriever scans); the
     * metrics add constant-size aggregation only.
+    *
+    * NOT pinned — measured, round-15: the metric DAG references fused six
+    * times (dirs doubles it; rel/dcg/idcg each re-embed it), and the
+    * STATIC plan duly shows six copies of x111's retriever subtree (84
+    * parquet scans / 184 Exchanges / 2 691 formatted-plan lines). A
+    * PinnedResult around fused was tried and REVERTED: interleaved
+    * isolated floors read before 2.51 s vs after 4.41 s (3 reps each) —
+    * AQE's runtime exchange reuse already collapses the six textual
+    * copies into one execution of each identical exchange subtree, so the
+    * pin's persist + count() barrier only serialized what the reused
+    * exchanges overlapped. Lesson recorded in OPTIMIZATION_r15.md: static
+    * explain scan counts are NOT execution counts under AQE reuse.
     */
   def x140RetrievalEval(spark: SparkSession, sfDir: String): DataFrame = {
     import ExtendedQueries.stableRound6
@@ -6121,10 +6133,18 @@ object LlmQueries {
     * only meaningful over the leakage-safe component split — computing
     * it over a random doc split would answer a different question).
     *
-    * Scale shape: one 4-gram explode + per-split DISTINCT (the n-gram
-    * vocabulary frame), a left-semi join of val/test vocab against
-    * train vocab, two map-combining counts — all vocab-sized after the
-    * first aggregate; the split itself rides the memo.
+    * Scale shape (round-15 one-pass form; guide §2.4 "remove shuffles
+    * outright"): ONE 4-gram explode + ONE gram-keyed membership aggregate
+    * (per-split presence flags via max(when), map-side combining) + one
+    * 1-row total — the old form derived BOTH sides of a vocab self-join
+    * from the same unpinned explode, so the corpus explode + split join
+    * ran twice and the coverage join sort-merged vocab against itself
+    * (measured: 12 scans / 44 Exchanges / 14 SortMergeJoins → after: 6 /
+    * 20 / 6, the residue being x104's split-assign side — no second
+    * explode; isolated interleaved floors 2.07 → 1.17 s). Presence flags
+    * make coverage a
+    * pure aggregate: n_distinct = Σ in_split, n_covered = Σ
+    * in_split·in_train — exact integers, identical output.
     */
   def x261NgramCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     import ExtendedQueries.stableRound6
@@ -6141,13 +6161,26 @@ object LlmQueries {
           |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
           |       element_at(toks, i + 2), element_at(toks, i + 3)))) END""".stripMargin)).as("g"))
       .join(splitOf, "doc_id")
-    val vocab = grams.select("split", "g").distinct()
-    val train = vocab.filter(col("split") === "train").select("g")
-    vocab.filter(col("split") =!= "train")
-      .join(train.withColumn("hit", lit(1L)), Seq("g"), "left")
-      .groupBy("split")
-      .agg(count(lit(1)).as("n_distinct"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_covered"))
+    // per-gram split membership: duplicates within a split collapse under
+    // max(), so no pre-DISTINCT pass is needed and the explode runs once
+    val memb = grams.groupBy("g").agg(
+      max(when(col("split") === "train", 1L).otherwise(0L)).as("in_train"),
+      max(when(col("split") === "val", 1L).otherwise(0L)).as("in_val"),
+      max(when(col("split") === "test", 1L).otherwise(0L)).as("in_test"))
+    memb.agg(
+        sum("in_val").as("val_n"),
+        sum(col("in_val") * col("in_train")).as("val_c"),
+        sum("in_test").as("test_n"),
+        sum(col("in_test") * col("in_train")).as("test_c"))
+      .select(explode(array(
+        struct(lit("test").as("split"), col("test_n").as("n_distinct"),
+          col("test_c").as("n_covered")),
+        struct(lit("val").as("split"), col("val_n").as("n_distinct"),
+          col("val_c").as("n_covered")))).as("r"))
+      .select("r.*")
+      // a split with zero grams produced no vocab row in the old form;
+      // the flag totals produce a 0-count row instead — drop it
+      .filter(col("n_distinct") > 0)
       .select(col("split"), col("n_distinct"), col("n_covered"),
         stableRound6(col("n_covered").cast("double") /
           col("n_distinct").cast("double")).as("coverage"))
@@ -6502,6 +6535,15 @@ object LlmQueries {
     * off the TYPE frame — vocabulary-sized, not corpus-sized); the 1-row
     * type total crosses on (x50's allow-listed shape); scoring joins the
     * corpus bigram stream back by key — no window anywhere.
+    *
+    * Round-15 note: a one-explode variant (collapse the instance stream
+    * to per-doc bigram-TYPE counts first, derive c2 from that frame, and
+    * weight p6 by the exact instance count) was tried and REVERTED —
+    * interleaved isolated floors read before 2.50 s (min of 4) vs after
+    * 2.78 s (min of 4, direction consistent across pairs): the per-doc
+    * 3-string-key hash aggregate on the instance stream costs more than
+    * the second codegen'd explode it saves. Oracle stayed hash-green both
+    * ways; the measurement, not the plan aesthetics, decided.
     */
   def x250KneserNey(spark: SparkSession, sfDir: String): DataFrame = {
     import ExtendedQueries.stableRound6
