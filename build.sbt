@@ -30,5 +30,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g), still env-overridable: local[32] runs 32
+  // concurrent tasks in ONE JVM whose execution+storage pool is
+  // spark.memory.fraction (0.6) of the heap — at 8g that is ~150 MB per
+  // concurrent task, and over a 378-query bench the accumulated
+  // cache/codegen/broadcast residue turned that into GC pressure that
+  // taxed stage-count-heavy queries 3-6x their isolated floors (r16
+  // measurement: x114 13.1s in-suite vs 4.1s isolated at 8g; 6.9s in-suite
+  // at 24g INSIDE a throttled window where unchanged queries ran 30-50%
+  // slow). Sized to the machine (125 GiB), not to the workload shape —
+  // the optimization guide's §5 memory sizing, not a local[32]-only trick.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

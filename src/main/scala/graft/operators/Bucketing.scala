@@ -38,7 +38,16 @@ object Bucketing {
       spark.sessionState.conf.warehousePath, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite")
+    // Pre-distribute by the bucket expression so each write task holds
+    // exactly one bucket: repartition(n, col) and bucketBy(n, col) share
+    // HashPartitioning's pmod(murmur3, n), so without this every input
+    // partition writes a file into EVERY bucket — scan splits × buckets
+    // small files (256 at local[32] for an 8-bucket table), paying listing
+    // + footer + task overhead on every read of the table (guide §6). With
+    // it the table is exactly `buckets` files, and the write-side shuffle
+    // is the hash distribution a bucketed write is supposed to pay once.
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)

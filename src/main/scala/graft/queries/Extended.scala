@@ -2644,7 +2644,7 @@ object ExtendedQueries {
       .select(col("user_id"),
         floor(col("value") * 1000000 + 0.5).cast("long").as("v_micro"))
     val inDir = Io.memoizedStreamInput(spark, "x189_in", sfDir, "events")(
-      d => ev.write.mode("overwrite").parquet(d))
+      d => Io.writeStreamInput(ev, d))
     val ckDir = Io.freshTmpDir(spark, x189CkDir, "x189_ck")
     // 8 state partitions (the x194 rule): each micro-batch commits one
     // state store per partition — fixed cost, not data cost; fresh
@@ -2700,7 +2700,7 @@ object ExtendedQueries {
         unix_micros(col("ts")).as("tsMicros"),
         floor(col("value") * 1000000 + 0.5).cast("long").as("vMicro"))
     val inDir = Io.memoizedStreamInput(spark, "x191_in", sfDir, "events")(
-      d => ev.write.mode("overwrite").parquet(d))
+      d => Io.writeStreamInput(ev, d))
     val ckDir = Io.freshTmpDir(spark, x191CkDir, "x191_ck")
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(provKey)
@@ -2781,7 +2781,7 @@ object ExtendedQueries {
         expr("(unix_micros(ts) div 1000000) * 1000000").as("tsMicros"),
         expr("cast(floor(coalesce(value, 0) * 1000000 + 0.5) as double)").as("value"))
     val inDir = Io.memoizedStreamInput(spark, "x194_in", sfDir, "events")(
-      d => ev.write.mode("overwrite").parquet(d))
+      d => Io.writeStreamInput(ev, d))
     val ckDir = Io.freshTmpDir(spark, x194CkDir, "x194_ck")
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val partKey = "spark.sql.shuffle.partitions"
@@ -2789,6 +2789,12 @@ object ExtendedQueries {
     val priorParts = spark.conf.get(partKey)
     spark.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // RocksDB changelog checkpointing (delta upload per commit instead of
+    // a full snapshot) was TRIED and interleave-measured this round: no
+    // local delta outside the throttle band (mins 3.49 s stock vs 3.72 s
+    // changelog across 3 pairs) — the 16 commits here hold KB-sized state,
+    // so snapshot vs changelog is noise at fixture scale. At real state
+    // sizes it is the production setting; enable it via --conf there.
     // state-store parallelism is pinned at the checkpoint's first batch and
     // every micro-batch commits one RocksDB instance per partition: 8
     // stores amortize the two batches' fixed cost far better than 32 here,
@@ -2860,7 +2866,7 @@ object ExtendedQueries {
         unix_micros(col("ts")).as("tsMicros"), col("event_type").as("eventType"),
         floor(col("value") * 1000000 + 0.5).cast("long").as("vMicro"))
     val inDir = Io.memoizedStreamInput(spark, "x195_in", sfDir, "events")(
-      d => ev.write.mode("overwrite").parquet(d))
+      d => Io.writeStreamInput(ev, d))
     val ckDir = Io.freshTmpDir(spark, x195CkDir, "x195_ck")
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(provKey)
@@ -3017,7 +3023,7 @@ object ExtendedQueries {
       .select(col("lang"), md5(col("text")).as("k"),
         expr("timestamp_micros(1700000000000000 + doc_id)").as("et"))
     val inDir = Io.memoizedStreamInput(spark, "x200_in", sfDir, "documents")(
-      d => docs.write.mode("overwrite").parquet(d))
+      d => Io.writeStreamInput(docs, d))
     val ckDir = Io.freshTmpDir(spark, x200CkDir, "x200_ck")
     spark.catalog.dropTempView("x200_out") // rerun-safe (bench reps)
     // 8 state partitions (the x194 rule): dedup state commits one store
@@ -4283,7 +4289,7 @@ object ExtendedQueries {
     val boot = bootDf.as[StateBootstrap.BootRow]
     val streamed = ev.filter(col("eventId") % 4 === 0)
     val inDir = Io.memoizedStreamInput(spark, "x225_in", sfDir, "events")(
-      d => streamed.write.mode("overwrite").parquet(d))
+      d => Io.writeStreamInput(streamed, d))
     val ckDir = Io.freshTmpDir(spark, x225CkDir, "x225_ck")
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(provKey)
