@@ -27,7 +27,12 @@ object PlanCensus {
       case Nil => SparkEntry.queries.keys.toSeq.sorted
       case xs  => xs
     }
-    def count(p: String, pat: String): Int = pat.r.findAllIn(p).size
+    // Anchored node-header counts (ADVICE r15): count "(n) NodeKind" detail
+    // headers so each column counts exactly one node kind — a bare
+    // "Exchange" regex also matched BroadcastExchange/ReusedExchange and
+    // "Subquery" matched SubqueryBroadcast, inflating the shuffle ranks.
+    def count(p: String, node: String): Int =
+      ("""(?m)^\(\d+\) """ + node + """($| )""").r.findAllIn(p).size
     println("query\tlines\tscans\texchanges\tsmj\tbhj\tinmem\tsubqueries")
     for (name <- names) {
       val line = try {

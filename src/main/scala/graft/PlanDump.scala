@@ -14,9 +14,22 @@ import java.nio.file.{Files, Paths}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    // validate up front (ADVICE r15): a bad name mid-list used to write
+    // some files before exiting, and <2 args threw a raw
+    // ArrayIndexOutOfBoundsException instead of a usage line
+    if (args.length < 3) {
+      System.err.println("usage: PlanDump <tag> <suffix> <queryName> [queryName...]")
+      sys.exit(2)
+    }
     val tag = args(0)
     val suffix = args(1)
     val names = args.drop(2)
+    val unknownUp = names.filterNot(SparkEntry.queries.contains)
+    if (unknownUp.nonEmpty) {
+      System.err.println(
+        s"PLANDUMP: unknown queries: ${unknownUp.mkString(",")}")
+      sys.exit(2)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.Tuning.adaptive(SparkSession.builder()
@@ -29,11 +42,6 @@ object PlanDump {
     val dir = Paths.get(s"plans/$tag")
     Files.createDirectories(dir)
     for (name <- names) {
-      val unknown = !SparkEntry.queries.contains(name)
-      if (unknown) {
-        System.err.println(s"PLANDUMP: unknown query $name")
-        sys.exit(2)
-      }
       val df = SparkEntry.queries(name)(spark, sfDir)
       // explain("formatted") prints to stdout; capture via the plan API so
       // the file holds exactly what explain would print

@@ -27,9 +27,20 @@ import org.apache.spark.sql.SparkSession
   * comparable on stock defaults.
   */
 object Tuning {
-  def adaptive(b: SparkSession.Builder): SparkSession.Builder = b
-    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-      sys.env.getOrElse("SPARK_GRAFT_COALESCE_PARALLELISM_FIRST", "true"))
-    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"))
+  // Only set a key when its env var is present (ADVICE r15): the old
+  // unconditional .config(key, stockDefault) silently overrode any
+  // spark-defaults.conf / --conf value for these keys even when no
+  // override was requested. Absent env vars now leave external Spark
+  // configuration fully effective; the local bench behavior is unchanged
+  // (the hardcoded fallbacks WERE Spark's stock values).
+  def adaptive(b: SparkSession.Builder): SparkSession.Builder = {
+    val withPf = sys.env.get("SPARK_GRAFT_COALESCE_PARALLELISM_FIRST")
+      .map(v => b.config(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", v))
+      .getOrElse(b)
+    sys.env.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES")
+      .map(v => withPf.config(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", v))
+      .getOrElse(withPf)
+  }
 }

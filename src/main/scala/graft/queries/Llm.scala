@@ -126,8 +126,17 @@ object LlmQueries {
     * (md5("<j>|<shingle>")), so no k× seed cross join. Docs with no shingles
     * (< 3 tokens) produce no signature row.
     */
-  private[queries] def minhashSignature(docs: DataFrame, k: Int): DataFrame = {
-    val sh = explodedShingles(docs)
+  private[queries] def minhashSignature(docs: DataFrame, k: Int): DataFrame =
+    minhashFromExploded(explodedShingles(docs), k)
+
+  /** The signature aggregate alone, over an already-exploded
+    * (doc_id, shingle) frame. min() is duplicate-insensitive, so feeding
+    * a doc's DISTINCT shingles (x271's set frame) yields the identical
+    * signature to the multiset form — which is what lets a query that
+    * already owns a shingle frame reuse it instead of re-exploding the
+    * corpus (guide §2.4: remove the duplicated pass outright).
+    */
+  private def minhashFromExploded(sh: DataFrame, k: Int): DataFrame = {
     val aggs = (0 until k).map(j =>
       min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -171,6 +180,15 @@ object LlmQueries {
     */
   private[graft] def bandBuckets(docs: DataFrame): DataFrame =
     bandHashes(minhashSignature(fanOut(docs), 16), bandsOf = 4, r = 4)
+
+  /** [[bandBuckets]] computed from an ALREADY-SHINGLED (doc_id, shingle)
+    * frame — same seeds, k=16, 4×4 banding, so the buckets are identical
+    * (see [[minhashFromExploded]] on distinct-vs-multiset). For callers
+    * like x271 that need the shingle frame anyway: one corpus shingle
+    * pass instead of two.
+    */
+  private[graft] def bandBucketsFromShingles(sh: DataFrame): DataFrame =
+    bandHashes(minhashFromExploded(sh, 16), bandsOf = 4, r = 4)
 
   def x13MinhashNearDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs  = Io.table(spark, sfDir, "documents")
@@ -3459,13 +3477,22 @@ object LlmQueries {
     * ratio skews with cluster sizes — by design (leakage-safety trumps
     * exact ratios; rebalancing is x54's job).
     */
+  /** Split labels shared by x104SplitAssign and every consumer that
+    * branches on them (x261's coverage flags): one definition so a rename
+    * cannot silently desynchronize producer and consumer (ADVICE r15 —
+    * x261 filtering on a stale label would return empty, not fail).
+    */
+  private[queries] val SplitTrain = "train"
+  private[queries] val SplitVal   = "val"
+  private[queries] val SplitTest  = "test"
+
   def x104SplitAssign(spark: SparkSession, sfDir: String): DataFrame = {
     val h = conv(substring(md5(concat(lit("split|"),
       col("component").cast("string"))), 1, 8), 16, 10).cast("long") % 10
     x47DedupComponents(spark, sfDir)
       .select(col("doc_id"), col("component"))
       .withColumn("split",
-        when(h <= 7, "train").when(h === 8, "val").otherwise("test"))
+        when(h <= 7, SplitTrain).when(h === 8, SplitVal).otherwise(SplitTest))
       .orderBy("doc_id")
   }
 
@@ -5112,26 +5139,35 @@ object LlmQueries {
     val (t1, t2) = (lo + span / 3, lo + 2 * span / 3)
     def truncated(df: DataFrame): DataFrame =
       df.sparkSession.createDataFrame(df.rdd, df.schema)
-    var state = StreamingWindows.emptyState(spark)
-    var wm = Long.MinValue
-    val pins = Seq.newBuilder[DataFrame]
-    val outs = Seq(
+    // pin the pre-aggregated cells once per batch (x120's persist+truncate
+    // discipline): ONE scan of batch b feeds the merge, the watermark
+    // statistic, and both splits. The three batch aggregates are mutually
+    // INDEPENDENT (only the merge below threads state), so their forcing
+    // counts run concurrently from a driver thread pool (guide §2.6:
+    // overlap independent jobs — the next batch's tasks back-fill the
+    // tail of the previous batch's stage instead of three serial
+    // tail-latency payments). Results are unaffected: each count() just
+    // materializes a cache; the state fold below stays sequential.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cellsSeq: Seq[DataFrame] = Seq(
       ev.filter(col("ts_us") < t1),
       ev.filter(col("ts_us") >= t1 && col("ts_us") < t2),
-      ev.filter(col("ts_us") >= t2)).map { b =>
-      // pin the pre-aggregated cells once per batch (x120's
-      // persist+truncate discipline): ONE scan of batch b feeds the
-      // merge, the watermark statistic, and both splits
-      val cells = StreamingWindows.cellsWithMax(b, W).persist()
-      cells.count()
-      pins += cells
+      ev.filter(col("ts_us") >= t2))
+      .map(b => StreamingWindows.cellsWithMax(b, W).persist())
+    Await.result(
+      Future.sequence(cellsSeq.map(c => Future(c.count()))),
+      scala.concurrent.duration.Duration.Inf)
+    var state = StreamingWindows.emptyState(spark)
+    var wm = Long.MinValue
+    val outs = cellsSeq.map { cells =>
       val merged = StreamingWindows.mergeCellFrame(state, truncated(cells), wm, W)
       wm = StreamingWindows.cellsWatermark(truncated(cells), wm, D)
       val (out, open) = StreamingWindows.splitClosed(merged, wm, W)
       state = open
       out
     }
-    repin(pins.result(): _*) // released by the next pinning query
+    repin(cellsSeq: _*) // released by the next pinning query
     outs.reduce(_.unionAll(_)).unionAll(state)
       .select(expr("win_start_us div 1000").as("win_start_ms"), col("n"))
       .orderBy("win_start_ms")
@@ -5184,20 +5220,29 @@ object LlmQueries {
     var (sL, sR) = (empty, empty)
     var wm = Long.MinValue
     val pins = Seq.newBuilder[DataFrame]
-    val outs = Seq(
+    // engine rule: the join's watermark advances off the batch max event
+    // time (shared clock here — both streams split one source). All three
+    // batch maxima come from ONE conditional aggregate instead of a
+    // per-batch max job (x226's job-count diet, r16: 3 driver jobs → 1).
+    val conds = Seq(
       col("time_us") < t1,
       col("time_us") >= t1 && col("time_us") < t2,
-      col("time_us") >= t2).map { cond =>
+      col("time_us") >= t2)
+    val mx = ev.agg(
+      max(when(conds(0), col("time_us"))).as("m1"),
+      max(when(conds(1), col("time_us"))).as("m2"),
+      max(when(conds(2), col("time_us"))).as("m3")).head()
+    val outs = conds.zipWithIndex.map { case (cond, i) =>
       val b = ev.filter(cond)
       val bL = b.filter(col("event_type") === "view").select("key", "time_us")
       val bR = b.filter(col("event_type") === "click").select("key", "time_us")
-      // engine rule: the join's watermark advances off the batch max
-      // event time (shared clock here — both streams split one source)
-      val bMax = b.agg(max("time_us")).head()
-      if (!bMax.isNullAt(0)) wm = math.max(wm, bMax.getLong(0) - D)
+      if (!mx.isNullAt(i)) wm = math.max(wm, mx.getLong(i) - D)
       val (out, nL, nR) = StreamJoin.replayBatch(sL, sR, bL, bR, wm, W)
       val (pL, pR) = (nL.persist(), nR.persist())
-      pL.count(); pR.count()
+      // one action forces both cached stages (x226's union-count trick,
+      // r16: 2 pin-force jobs per batch → 1)
+      pL.select(lit(1).as("one"))
+        .unionAll(pR.select(lit(1).as("one"))).count()
       pins += pL; pins += pR
       sL = truncated(pL); sR = truncated(pR)
       out
@@ -6178,18 +6223,18 @@ object LlmQueries {
     // per-gram split membership: duplicates within a split collapse under
     // max(), so no pre-DISTINCT pass is needed and the explode runs once
     val memb = grams.groupBy("g").agg(
-      max(when(col("split") === "train", 1L).otherwise(0L)).as("in_train"),
-      max(when(col("split") === "val", 1L).otherwise(0L)).as("in_val"),
-      max(when(col("split") === "test", 1L).otherwise(0L)).as("in_test"))
+      max(when(col("split") === SplitTrain, 1L).otherwise(0L)).as("in_train"),
+      max(when(col("split") === SplitVal, 1L).otherwise(0L)).as("in_val"),
+      max(when(col("split") === SplitTest, 1L).otherwise(0L)).as("in_test"))
     memb.agg(
         sum("in_val").as("val_n"),
         sum(col("in_val") * col("in_train")).as("val_c"),
         sum("in_test").as("test_n"),
         sum(col("in_test") * col("in_train")).as("test_c"))
       .select(explode(array(
-        struct(lit("test").as("split"), col("test_n").as("n_distinct"),
+        struct(lit(SplitTest).as("split"), col("test_n").as("n_distinct"),
           col("test_c").as("n_covered")),
-        struct(lit("val").as("split"), col("val_n").as("n_distinct"),
+        struct(lit(SplitVal).as("split"), col("val_n").as("n_distinct"),
           col("val_c").as("n_covered")))).as("r"))
       .select("r.*")
       // a split with zero grams produced no vocab row in the old form;
@@ -6383,6 +6428,17 @@ object LlmQueries {
       when(id <= expr("m div 16"), 1).when(id <= expr("m div 8"), 2)
         .when(id <= expr("m div 4"), 3).when(id <= expr("m div 2"), 4)
         .otherwise(5)
+    // TWO aggregates over the explode BY MEASUREMENT (r16): a one-pass
+    // variant — one w-keyed aggregate carrying min(doc_id) plus 5
+    // conditional per-prefix sums, both finales riding its exchange — was
+    // built, oracle-verified, and interleave-measured: 0.99/1.14/0.89 s
+    // two-pass vs 1.43/1.32/1.22 s one-pass (3 calm alternating fresh-JVM
+    // pairs, one-pass LOSES every pair). The wide w-keyed hash aggregate
+    // over the full shingle-instance stream costs more than the second
+    // codegen'd explode it saves — the same inversion r15 measured on
+    // x250's kneser-ney one-explode variant. At 100 TB the trade could
+    // flip (the w-aggregate shrinks what shuffles); the declared form
+    // keeps the measured-faster plan.
     val occ = tok.crossJoin(broadcast(m))
       .select(pidx(col("doc_id")).as("p"))
       .groupBy("p").agg(count(lit(1)).as("dn"))

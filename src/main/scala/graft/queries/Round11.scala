@@ -292,7 +292,17 @@ object Round11Queries {
           |                 element_at(toks, i + 2)))) END""".stripMargin))
         .as("shingle"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val bands = LlmQueries.bandBuckets(raw) // bandBuckets fans out itself
+    // signatures from the SAME shingle frame the verify join reads (r16,
+    // guide §2.4): bandBuckets(raw) re-tokenized and re-exploded the whole
+    // corpus a second time for the minhash minima, but min() over a doc's
+    // distinct shingles equals min() over its multiset, so `sh` already
+    // carries everything the signature needs. Interleaved floors: 2.32/2.36
+    // before vs 2.30/2.39 after (calm pairs; slight win, one fewer
+    // pipeline). PINNING sh was also tried — 1.9-2.4 s unpinned vs
+    // 3.9-4.1 s pinned in every pair: materializing the corpus-sized
+    // shingle-string frame costs far more than re-running the codegen
+    // explode per consumer. Shingle recomputation stays lazy by design.
+    val bands = LlmQueries.bandBucketsFromShingles(sh)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))

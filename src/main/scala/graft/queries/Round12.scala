@@ -1976,11 +1976,21 @@ object Round12Queries {
     val tok = fanOut(Io.table(spark, sfDir, "documents"))
       .filter(col("text").isNotNull)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
-    val top = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+    // ONE corpus explode (r16, guide §2.4): top/ns/cnt were three
+    // NON-identical aggregates over `tok` (keyed w, source, (source, w)) —
+    // no shared exchange, so the explode executed three times. Collapsing
+    // the instance stream to (source, w) counts first makes all three
+    // DERIVE from one frame whose aggregate exchange is identical across
+    // the references, which AQE exchange reuse executes once; the
+    // downstream aggregates are vocabulary-sized. Counts are exact long
+    // sums of exact counts, so top-50 ranking, per-source totals, and the
+    // gated grid are value-identical to the instance-stream forms.
+    val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("csw"))
+    val top = sw.groupBy("w").agg(sum("csw").as("cw"))
       .orderBy(col("cw").desc, col("w")).limit(50).select("w")
-    val ns = tok.groupBy("source").agg(count(lit(1)).as("n"))
-    val cnt = tok.join(broadcast(top), Seq("w"))
-      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val ns = sw.groupBy("source").agg(sum("csw").as("n"))
+    val cnt = sw.join(broadcast(top), Seq("w"))
+      .select(col("source"), col("w"), col("csw").as("c"))
     val grid = ns.crossJoin(broadcast(top))
       .join(cnt, Seq("source", "w"), "left")
       .select(col("source"), col("w"),
